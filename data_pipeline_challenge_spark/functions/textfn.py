@@ -1,0 +1,59 @@
+"""Text column expressions: tokenization, shingles, fingerprints, quality.
+
+All pure Catalyst expressions (whole-stage-codegen'd, no Python per row) so
+they hold up on a 100 TB documents table. Semantics are chosen to be exactly
+reproducible in ANSI SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# A deliberately small, fixed stopword list — part of the declared semantics
+# (the oracle uses the same list), not a linguistic claim.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens. split on \\s+ keeps a leading empty token for
+    leading whitespace (same as DuckDB string_split_regex) — callers that
+    need counts should trim first."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens; 0 for empty/blank text."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles joined by single spaces; empty array when
+    there are fewer than n tokens."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of lowercase,
+    whitespace-collapsed text (md5 so the SQL oracle can reproduce it)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(toks: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (0.0 for empty)."""
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )

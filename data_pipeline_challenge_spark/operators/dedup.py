@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale document corpora.
+
+North-star capability set (BASELINE.json): exact, n-gram Jaccard,
+MinHash+LSH, SimHash. All operate on any ``(id, text)`` DataFrame and are
+built from shuffle-conscious primitives:
+
+- exact:    one hash-groupBy on a fingerprint (1 shuffle).
+- jaccard:  inverted-index self-join on shingles — only pairs sharing ≥1
+            shingle are materialized (never the full n² cross product).
+- minhash:  constant-size signature per doc, banded LSH bucket join — the
+            100 TB path: candidate generation is linear in corpus size plus
+            bucket-collision pairs.
+- simhash:  64-bit signature, banded hamming candidate join.
+
+Determinism: all hashing uses Spark's xxhash64 with fixed string seeds, so
+repeated runs produce identical signatures (required by the driver's
+rows-only replay check). These sketches are engine-specific, hence no SQL
+oracle for the minhash/simhash variants; the jaccard and exact variants are
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.textfn import normalized_fingerprint, word_shingles
+
+# Large prime modulus keeps minhash values positive and well-spread.
+_MH_MOD = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map every row to its canonical (minimum) id among exact-normalized
+    duplicates. is_dup marks non-canonical rows; one shuffle on the
+    fingerprint."""
+    from pyspark.sql import Window
+
+    fp = normalized_fingerprint(F.col(text_col))
+    w = Window.partitionBy("fp")
+    return (
+        df.withColumn("fp", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+        .select(id_col, "fp", "canonical_id", "is_dup")
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("doc"), word_shingles(toks, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc", F.explode("sh").alias("s"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= min_shared shingles.
+
+    Inverted-index join: explode shingles, self-join on the shingle value,
+    count intersections, then combine with per-doc set sizes. Returns
+    (doc1, doc2, inter, n1, n2, jaccard). At very large scale raise
+    ``min_shared`` / apply prefix filtering before the join; frequency-cap
+    hot shingles to avoid quadratic blowup on boilerplate."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_shared)
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """Per-doc MinHash signature as num_hashes columns mh_0..mh_{k-1}.
+
+    One explode + one groupBy: each hash function is
+    xxhash64('<j>|' || shingle) mod M, min-aggregated — map-side combinable,
+    so the shuffle carries only k longs per doc regardless of doc size."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.pmod(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("s"))), F.lit(_MH_MOD))).alias(
+            f"mh_{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(F.col("doc")).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidate pairs, verified with
+    exact Jaccard. Returns (doc1, doc2, jaccard_est, jaccard).
+
+    Pipeline: signatures → explode into ``bands`` band-hashes → self-join on
+    (band index, band hash) → distinct candidate pairs → exact verification
+    via the inverted-index jaccard join restricted to candidates.
+    jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
+    estimate)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col("doc"), F.explode(band_structs).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+
+    # Sketch estimate: fraction of agreeing hash slots.
+    s1 = sig.select(
+        F.col("doc").alias("doc1"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)]
+    )
+    s2 = sig.select(
+        F.col("doc").alias("doc2"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    est = (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard_est", (agree / F.lit(num_hashes)).cast("double"))
+        .select("doc1", "doc2", "jaccard_est")
+    )
+
+    exact = jaccard_pairs(df, id_col, text_col, n).select("doc1", "doc2", "jaccard")
+    out = est.join(exact, ["doc1", "doc2"], "left").withColumn(
+        "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc from token frequencies.
+
+    bit_i(doc) = 1 iff sum over tokens of (+1 if bit_i(xxhash64(token)) else
+    -1) > 0. Expressed as 64 conditional sums in one groupBy — map-side
+    combinable, shuffle payload is 64 longs per doc."""
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    summed = toks.groupBy("doc").agg(*bit_sums)
+    # shiftleft wraps at bit 63 like Java (1<<63 would overflow a Python lit)
+    sig = sum(
+        F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    )
+    return summed.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 16
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, banded join.
+
+    Split the 64-bit signature into 4 16-bit bands; any pair within hamming
+    distance 3 must agree on at least one band (pigeonhole) — we use the
+    same candidate structure with a configurable post-filter. Returns
+    (doc1, doc2, hamming)."""
+    sig = simhash_signatures(df, id_col, text_col).cache()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc", "simhash", F.explode(bands).alias("bb")).select(
+        "doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,223 @@
+"""Event-time windowing queries over the ``events`` table.
+
+The reference pipeline is a stream with NO event-time semantics (arrival
+order only, external counters — SURVEY.md §2 "Streaming"); these queries add
+the event-time surface a Spark engine provides: tumbling / sliding / session
+windows, latest-per-key dedup (the upsert primitive), JSON extraction.
+
+Every window boundary is emitted as **epoch seconds (bigint)** computed by
+pure arithmetic on the internal microsecond value — the output is identical
+under any driver session timezone, which a raw TimestampType column would
+not be. The same queries run unchanged as Structured Streaming plans (see
+``streaming/windows.py``); batch mode here is what the oracle can check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_events
+from .registry import query
+
+# DuckDB-side epoch seconds for a naive timestamp, truncating toward -inf
+# (all test timestamps are post-1970 so integer division is fine).
+_DUCK_EPOCH_S = "(epoch_us(ts) // 1000000)"
+
+
+@query(
+    "events_tumbling_hour",
+    f"""
+    SELECT ({_DUCK_EPOCH_S} // 3600) * 3600 AS window_start_s,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY window_start_s
+    """,
+    tags=("events", "window-time"),
+    bench=True,
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate via Spark's native window() —
+    epoch-aligned buckets, partial-aggregated map-side like any groupBy."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_hour",
+    f"""
+    WITH buckets AS (
+        SELECT ({_DUCK_EPOCH_S} // 1800) * 1800 AS window_start_s, value FROM events
+        UNION ALL
+        SELECT ({_DUCK_EPOCH_S} // 1800) * 1800 - 1800 AS window_start_s, value FROM events
+    )
+    SELECT window_start_s, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM buckets GROUP BY window_start_s
+    """,
+    tags=("events", "window-time"),
+)
+def events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min (each event lands in 2 windows).
+    The oracle expresses the same thing as an explicit 2-way bucket union."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_session_windows",
+    f"""
+    WITH marked AS (
+        SELECT user_id, {_DUCK_EPOCH_S} AS t_s, epoch_us(ts) AS t_us, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, t_s, t_us, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(t_s) AS session_start_s,
+           (max(t_us) + 600000000) // 1000000 AS session_end_s,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("events", "window-time", "session"),
+    bench=True,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 10-minute inactivity gap, via Spark's
+    native session_window(). Session end = last event + gap. The oracle is
+    the classic gaps-and-islands rewrite (lag + running sum), which is also
+    the portable formulation on engines without session windows."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_latest_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           round(value, 4) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("events", "window", "dedup"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per key — the exact dedup-to-latest primitive our keyed
+    merge uses for the reference's upsert (SURVEY §2 op 12)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "events_pivot_type_counts",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+           count(*) AS n_total
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "pivot", "agg"),
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram (conditional aggregation — one pass)."""
+    ev = load_events(spark, sf_dir)
+
+    def n(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("events", "json", "scalar"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the semi-structured props column — the
+    engine's bronze-layer pattern for the reference's `extra = "allow"`
+    schemaless fields (SURVEY §1.3 option 3)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
+@query(
+    "events_rate_by_type",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(stddev_samp(value), 4) AS sd_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg"),
+)
+def events_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type statistics incl. sample stddev and distinct users."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

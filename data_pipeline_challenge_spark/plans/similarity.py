@@ -1,0 +1,139 @@
+"""Similarity-search query inventory over the ``embeddings`` table.
+
+Cosine arithmetic is a sequential double-precision left fold on both sides
+(see functions/vectorfn.py), so exact-similarity queries hash-match the
+DuckDB oracle; the LSH/ANN variants use seeded engine-side hashing and are
+declared rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.similarity import (
+    ann_topk,
+    centroids_by_label,
+    cosine_near_pairs,
+    knn_bruteforce,
+    with_lsh_bucket,
+)
+from .registry import query
+
+_DIM = 64
+_QUERY_ID = 0  # the query vector: embedding of vec_id 0 (exists at every sf)
+
+
+@query(
+    "knn_cosine_top20",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(e.emb, q.q_emb), 6) AS sim
+    FROM e, q WHERE e.vec_id != 0
+    ORDER BY list_cosine_similarity(e.emb, q.q_emb) DESC, vec_id
+    LIMIT 20
+    """,
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def knn_cosine_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 cosine neighbors of vec_id=0 — brute-force baseline.
+    Query side broadcasts; the big side is a single partitioned scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    out = knn_bruteforce(emb.filter(F.col("vec_id") != _QUERY_ID), qvec, k=20)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("similarity", "vector"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (fold-based, oracle-reproducible)."""
+    from ..functions.vectorfn import as_double, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(as_double(F.col("embedding"))), 6).alias("l2_norm")
+    )
+
+
+@query(
+    "embedding_centroids_by_label",
+    """
+    SELECT label, pos, round(avg(x), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("similarity", "vector", "agg"),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise centroid, flattened to (label, pos, value)
+    rows — posexplode + one keyed aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroids_by_label(emb)
+    return out.select("label", "pos", F.round("centroid_val", 6).alias("centroid_val"))
+
+
+@query(
+    "embedding_near_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (τ=0.35 — the test embeddings
+    are near-orthogonal, so the threshold is set where pairs exist)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_near_pairs(emb, threshold=0.35)
+    return out.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "ann_lsh_top10",
+    None,  # seeded random-hyperplane buckets — engine-specific, rows-only.
+    tags=("similarity", "ann", "lsh"),
+    bench=True,
+)
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id=0: probe only the query's
+    random-hyperplane LSH bucket (8 planes → 256 buckets), exact cosine
+    within the bucket. The 100 TB ANN path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    out = ann_topk(emb.filter(F.col("vec_id") != _QUERY_ID), qvec, dim=_DIM, k=10, n_planes=8)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
+    "lsh_bucket_histogram",
+    None,  # bucket ids from seeded projection — rows-only.
+    tags=("similarity", "lsh"),
+)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram for the LSH index (skew diagnostic: at
+    scale, hot buckets are the salting targets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        with_lsh_bucket(emb, dim=_DIM, n_planes=8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

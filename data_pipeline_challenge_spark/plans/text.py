@@ -1,0 +1,266 @@
+"""Text-analysis + dedup query inventory over the ``documents`` table.
+
+North-star operators (BASELINE.json): token counting, quality scoring,
+language-ID heuristic, document fingerprinting, exact + n-gram-Jaccard +
+MinHash-LSH + SimHash dedup. The sketch-based variants have no SQL oracle
+(hash functions are engine-specific) and are declared rows-only; everything
+else is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.textfn import (
+    STOPWORDS,
+    distinct_token_ratio,
+    normalized_fingerprint,
+    stopword_ratio,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from .registry import query
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Language marker words for the n-gram/stopword language-ID heuristic.
+# Fixed, tiny, declared: the heuristic IS the spec (oracle uses the same).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "y"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS len_chars,
+           n_chars,
+           round(CASE WHEN trim(text) = '' THEN 0.0
+                 ELSE length(replace(trim(text), ' ', '')) * 1.0 /
+                      len(string_split_regex(trim(text), '\\s+')) END, 4) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), " ", ""))
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        "n_chars",
+        F.round(
+            F.when(ntok > 0, nonspace.cast("double") / ntok).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / len(toks), 4) AS stop_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+           round(ln(1 + n_chars) *
+                 (1 - len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / len(toks)) *
+                 (len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length prior × (1 - stopword ratio) ×
+    lexical diversity. All Catalyst higher-order array functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = stopword_ratio(toks)
+    uniq = distinct_token_ratio(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(uniq, 4).alias("uniq_ratio"),
+        F.round(F.log(F.lit(1) + F.col("n_chars")) * (F.lit(1) - stop) * uniq, 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _marker_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_score_sql("en")} AS s_en,
+               {_marker_score_sql("fr")} AS s_fr,
+               {_marker_score_sql("de")} AS s_de,
+               {_marker_score_sql("es")} AS s_es,
+               {_marker_score_sql("zh")} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           CAST(s_en + s_fr + s_de + s_es + s_zh AS BIGINT) AS marker_hits
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a fixed argmax tie-break
+    order (en > fr > de > es > zh). Declared heuristic == the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    def marker_count(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    s = {k: scores[k] for k in ("en", "fr", "de", "es", "zh")}
+    pred = (
+        F.when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    total = sum(s.values())
+    return docs.select(
+        "doc_id", "lang", pred.alias("pred_lang"), total.cast("long").alias("marker_hits")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (md5 chosen so any engine can
+    reproduce it — the basis for exact dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalized_fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "dedup_exact",
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT doc_id, fp,
+           min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+           CAST(doc_id != min(doc_id) OVER (PARTITION BY fp) AS INT) AS is_dup
+    FROM fp
+    """,
+    tags=("text", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical = min doc_id per normalized fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+@query(
+    "dedup_ngram_jaccard_top20",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, inter,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc1
+    JOIN sizes sb ON sb.doc_id = doc2
+    ORDER BY jaccard DESC, doc1, doc2
+    LIMIT 20
+    """,
+    tags=("text", "dedup", "jaccard"),
+    bench=True,
+)
+def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by exact 3-gram Jaccard via the
+    inverted-index self-join (never materializes the n² cross product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3)
+    return (
+        pairs.select("doc1", "doc2", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-seeded sketch — engine-specific, rows-only check.
+    tags=("text", "dedup", "minhash", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs with exact-Jaccard
+    verification — the scale path for fuzzy dedup (candidates are generated
+    by bucket collision, linear in corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8)
+    return out.select(
+        "doc1", "doc2", F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "dedup_simhash",
+    None,  # xxhash64-based signature — engine-specific, rows-only check.
+    tags=("text", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs within hamming distance 16 via 16-bit band join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
