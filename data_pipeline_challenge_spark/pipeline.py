@@ -1,0 +1,189 @@
+"""Batch ingestion pipeline — the whole reference topology as one Spark job.
+
+Reference lifecycle (SURVEY §3.1): upload → ledger insert → queue →
+FileSplitter → queue → DataProcessor → Mongo upsert + counters. Here:
+
+    landing dir ──discover (anti-join vs ledger)──▶ bronze parse
+        ─▶ valid/invalid split + per-file counts
+        ─▶ keyed merge into the products table
+        ─▶ ledger status events (processed / processed_with_errors / failed)
+        ─▶ GC of fully processed landing files
+
+The job is the unit of completion, so the reference's counter race
+(SURVEY §2 op 14) is structurally absent. Re-running over the same files
+is a no-op (idempotent merge + ledger anti-join) — the exactly-once
+upgrade of at-least-once queue redelivery.
+
+Storage: plain parquet, rewritten via tmp-dir + atomic swap (the local
+stand-in for a transactional table format; on a production lake this step
+is a Delta/Iceberg MERGE INTO and the swap disappears).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.merge import merge_products
+from .schema import (
+    PRODUCT_SCHEMA,
+    STATUS_FAILED,
+    STATUS_PROCESSED,
+    STATUS_PROCESSED_WITH_ERRORS,
+)
+from .sources.json_ingest import MALFORMED_SEQ, read_bronze
+from .sources.landing import discover_new_files, gc_file
+from .sources.ledger import LedgerStore
+
+
+@dataclass
+class IngestReport:
+    files: dict[str, dict] = field(default_factory=dict)  # file_id -> counters/status
+
+    @property
+    def total_processed(self) -> int:
+        return sum(f["records_processed"] for f in self.files.values())
+
+
+class ProductWarehouse:
+    """Products table + ledger under one warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str | Path):
+        self.spark = spark
+        self.dir = Path(warehouse_dir)
+        self.products_path = self.dir / "products"
+        self.ledger = LedgerStore(spark, self.dir)
+
+    # -- products table ------------------------------------------------------
+
+    def products(self) -> DataFrame:
+        if not self.products_path.exists() or not any(self.products_path.iterdir()):
+            return self.spark.createDataFrame([], PRODUCT_SCHEMA)
+        return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(self.products_path))
+
+    def _overwrite_products(self, df: DataFrame) -> None:
+        """Write-new + atomic swap (readers never see a half-written table)."""
+        tmp = self.dir / "products.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(str(tmp))
+        old = self.dir / "products.old"
+        if old.exists():
+            shutil.rmtree(old)
+        if self.products_path.exists():
+            self.products_path.rename(old)
+        tmp.rename(self.products_path)
+        if old.exists():
+            shutil.rmtree(old)
+
+    # -- ingestion -----------------------------------------------------------
+
+    def ingest(self, landing_dir: str | Path, delete_processed: bool = True) -> IngestReport:
+        """Process every not-yet-ingested file in the landing dir."""
+        new_paths = discover_new_files(
+            landing_dir, self.ledger.current() if self.ledger.exists() else None
+        )
+        report = IngestReport()
+        if not new_paths:
+            return report
+
+        bronze = read_bronze(self.spark, new_paths).cache()
+        try:
+            # Per-file counters in one aggregation (SURVEY §2 ops 6,13):
+            # total counts every array element (valid or not), like the
+            # splitter's running counter (file_splitter.py:114-130);
+            # malformed sentinel rows count as 0 records.
+            stats = {
+                r["file_id"]: r.asDict()
+                for r in bronze.groupBy("file_id")
+                .agg(
+                    F.sum(F.when(F.col("seq") >= 0, 1).otherwise(0)).alias("total_records"),
+                    F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("records_processed"),
+                    F.sum(
+                        F.when((~F.col("valid")) & (F.col("seq") >= 0), 1).otherwise(0)
+                    ).alias("records_failed"),
+                    F.max(F.when(F.col("seq") == MALFORMED_SEQ, 1).otherwise(0)).alias(
+                        "malformed"
+                    ),
+                )
+                .collect()
+            }
+
+            # Merge only records from well-formed files (a malformed file
+            # ingests nothing: file_splitter.py:74-81 fails before publish).
+            malformed_ids = [fid for fid, s in stats.items() if s["malformed"] == 1]
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            valid = (
+                bronze.filter(F.col("valid") & ~F.col("file_id").isin(malformed_ids))
+                .withColumn("last_modified_at_company", F.lit(now))
+                .select(
+                    "code",
+                    "product_name",
+                    "file_id",
+                    "last_modified_at_company",
+                    "attrs",
+                    "seq",
+                )
+            )
+            # Cross-file ordering: files sorted by landing name (timestamped)
+            # — later uploads win, matching queue arrival order.
+            file_order = {Path(p).name: i for i, p in enumerate(sorted(new_paths))}
+            order_expr = F.coalesce(
+                *[
+                    F.when(F.col("file_id") == fid, F.lit(i * 10_000_000_000))
+                    for fid, i in file_order.items()
+                ],
+                F.lit(0),
+            ) + F.col("seq") if file_order else F.col("seq")
+            valid = valid.withColumn("seq", order_expr.cast("long"))
+
+            existing = self.products() if self.products_path.exists() else None
+            merged = merge_products(existing, valid)
+            self._overwrite_products(merged)
+
+            # Ledger events + landing GC.
+            events = []
+            for path in new_paths:
+                fid = Path(path).name
+                s = stats.get(
+                    fid,
+                    {"total_records": 0, "records_processed": 0, "records_failed": 0, "malformed": 0},
+                )
+                if s["malformed"] == 1:
+                    status = STATUS_FAILED  # file retained for inspection
+                elif s["records_failed"] > 0:
+                    status = STATUS_PROCESSED_WITH_ERRORS
+                else:
+                    status = STATUS_PROCESSED
+                events.append(
+                    {
+                        "file_id": fid,
+                        "filename": fid.split("_", 2)[-1],
+                        "location": str(path),
+                        "uploaded_at": now,
+                        "content_type": "application/json",
+                        "status": status,
+                        # on parse failure the reference never writes total_records
+                        # (stays at the model default 0): file_splitter.py:72,74-81
+                        "total_records": int(s["total_records"]) if s["malformed"] != 1 else 0,
+                        "records_processed": int(s["records_processed"]),
+                        "records_failed": int(s["records_failed"]),
+                    }
+                )
+                report.files[fid] = {
+                    "status": status,
+                    "total_records": int(s["total_records"]),
+                    "records_processed": int(s["records_processed"]),
+                    "records_failed": int(s["records_failed"]),
+                }
+                if status != STATUS_FAILED and delete_processed:
+                    gc_file(path)
+            self.ledger.append(events)
+        finally:
+            bronze.unpersist()
+        return report

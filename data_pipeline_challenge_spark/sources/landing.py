@@ -1,0 +1,107 @@
+"""Landing zone — the upload surface of the pipeline.
+
+Replaces the reference's FastAPI upload endpoint + RabbitMQ file_uploaded
+event (/root/reference/app/api/main.py:59-103, mq.py:64-73): a file landed
+in the directory IS the event. Batch mode discovers new files with an
+anti-join against the ledger (SURVEY §2 op 3); streaming mode points a file
+source at the same directory (streaming/ingest_stream.py).
+
+Filename scheme replicates api/main.py:66-68: ``{unix_ts}_{token}_{orig}``.
+Writes are atomic (tmp file + rename) so a half-written upload is never
+visible — the engine-level upgrade of the reference's 1 MiB chunked write.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import shutil
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class LandedFile:
+    file_id: str  # the unique landing filename (stable id; replaces Mongo _id)
+    filename: str  # original client filename
+    location: str  # absolute path in the landing dir
+    uploaded_at: float  # unix seconds
+    content_type: str
+
+
+def upload(
+    src: str | Path | bytes,
+    landing_dir: str | Path,
+    orig_name: str | None = None,
+    content_type: str = "application/json",
+) -> LandedFile:
+    """Land a file atomically; returns its ledger identity.
+
+    Accepts a path (copied in 1 MiB chunks, api/main.py:73-75) or raw
+    bytes. The destination name carries a timestamp + random token so
+    re-uploads of the same client filename never collide (api/main.py:66-68).
+    """
+    landing = Path(landing_dir)
+    landing.mkdir(parents=True, exist_ok=True)
+    if isinstance(src, (str, Path)):
+        orig = orig_name or Path(src).name
+    else:
+        orig = orig_name or "upload.json"
+    ts = int(time.time())
+    token = secrets.token_urlsafe(16)
+    final_name = f"{ts}_{token}_{orig}"
+    tmp = landing / f".{final_name}.tmp"
+    final = landing / final_name
+
+    if isinstance(src, bytes):
+        with open(tmp, "wb") as out:
+            out.write(src)
+    else:
+        with open(src, "rb") as inp, open(tmp, "wb") as out:
+            shutil.copyfileobj(inp, out, length=1024 * 1024)
+    os.replace(tmp, final)  # atomic: visible only when complete
+    return LandedFile(
+        file_id=final_name,
+        filename=orig,
+        location=str(final),
+        uploaded_at=float(ts),
+        content_type=content_type,
+    )
+
+
+def list_landed(landing_dir: str | Path) -> list[str]:
+    """All complete files currently in the landing dir (skips tmp files)."""
+    landing = Path(landing_dir)
+    if not landing.exists():
+        return []
+    return sorted(
+        str(p) for p in landing.iterdir() if p.is_file() and not p.name.startswith(".")
+    )
+
+
+def discover_new_files(landing_dir: str | Path, ledger_current: DataFrame | None) -> list[str]:
+    """Batch-mode event source: landed files not yet in the ledger
+    (anti-join replaces queue consumption, SURVEY §2 op 3)."""
+    landed = list_landed(landing_dir)
+    if ledger_current is None or not landed:
+        return landed
+    seen = {
+        r["file_id"]
+        for r in ledger_current.select("file_id").distinct().collect()
+    }
+    return [p for p in landed if Path(p).name not in seen]
+
+
+def gc_file(path: str | Path) -> bool:
+    """Delete a fully processed landing file (file_splitter.py:95-96,157-161);
+    warns-not-raises if already gone. Failed files are retained for
+    inspection (file_splitter.py:74-81)."""
+    try:
+        Path(path).unlink()
+        return True
+    except FileNotFoundError:
+        return False

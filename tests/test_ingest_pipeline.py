@@ -1,0 +1,252 @@
+"""End-to-end + per-operator tests for the ingestion core (SURVEY §5.1-2).
+
+Each test cites the reference behavior it locks in (file:line refs are to
+/root/reference)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+from data_pipeline_challenge_spark.schema import (
+    STATUS_FAILED,
+    STATUS_PROCESSED,
+    STATUS_PROCESSED_WITH_ERRORS,
+)
+from data_pipeline_challenge_spark.sources.landing import upload, list_landed
+from data_pipeline_challenge_spark.operators.find import (
+    find_by_code,
+    find_name_exact,
+    find_name_partial,
+    find_name_partial_safe,
+)
+
+from .fixtures import (
+    products_basic,
+    products_dup_within_file,
+    products_external_ids,
+    products_missing_code,
+    products_unicode_names,
+    products_update,
+    write_json,
+)
+
+
+def _land(landing, tmp_path, name, records_or_text):
+    src = tmp_path / name
+    if isinstance(records_or_text, str):
+        src.write_text(records_or_text)
+    else:
+        write_json(src, records_or_text)
+    return upload(src, landing)
+
+
+def test_basic_ingest_and_counters(spark, warehouse, landing, tmp_path):
+    """250 valid records: normalize+validate+insert, counters
+    (file_splitter.py:114-130, data_processor.py:115-124)."""
+    lf = _land(landing, tmp_path, "products_basic.json", products_basic())
+    wh = ProductWarehouse(spark, warehouse)
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id] == {
+        "status": STATUS_PROCESSED,
+        "total_records": 250,
+        "records_processed": 250,
+        "records_failed": 0,
+    }
+    assert wh.products().count() == 250
+    # processed file was GC'd (file_splitter.py:95-96)
+    assert list_landed(landing) == []
+    # ledger reflects final state (api/main.py:106-127)
+    st = wh.ledger.status_of(lf.file_id)
+    assert st["status"] == STATUS_PROCESSED
+    assert (st["total_records"], st["records_processed"], st["records_failed"]) == (250, 250, 0)
+
+
+def test_validation_split(spark, warehouse, landing, tmp_path):
+    """7 valid, 3 invalid (2 no code, 1 numeric code) → failed counted, not
+    stored, status processed_with_errors (data_processor.py:57-73,136-141)."""
+    lf = _land(landing, tmp_path, "products_missing_code.json", products_missing_code())
+    wh = ProductWarehouse(spark, warehouse)
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id] == {
+        "status": STATUS_PROCESSED_WITH_ERRORS,
+        "total_records": 10,
+        "records_processed": 7,
+        "records_failed": 3,
+    }
+    prods = wh.products()
+    assert prods.count() == 7
+    # the numeric code was NOT silently stringified into a product
+    assert prods.filter(F.col("code") == "1234567").count() == 0
+
+
+def test_upsert_field_survival(spark, warehouse, landing, tmp_path):
+    """$set-of-full-dump semantics (data_processor.py:95-113): spine fields
+    (incl. explicit nulls) overwrite; omitted extra fields survive."""
+    wh = ProductWarehouse(spark, warehouse)
+    _land(landing, tmp_path, "products_basic.json", products_basic(10))
+    wh.ingest(landing)
+    _land(landing, tmp_path, "products_update.json", products_update())
+    wh.ingest(landing)
+
+    prods = wh.products().cache()
+    assert prods.count() == 10  # upserts, no new keys
+    rows = {r["code"]: r for r in prods.collect()}
+
+    r0 = rows["0000000000000"]
+    assert r0["product_name"] == "Renamed 0"
+    assert json.loads(r0["attrs"]["brands"]) == "NewBrand"  # overwritten
+    assert "nutriments" in r0["attrs"]  # omitted → survived
+
+    r1 = rows["0000000000001"]
+    assert r1["product_name"] == "Renamed 1"
+    assert json.loads(r1["attrs"]["brands"]) == "Brand1"  # survived
+    assert json.loads(r1["attrs"]["extra_new"]) == "added"
+
+    # explicit null and absent product_name both overwrite the spine field
+    assert rows["0000000000002"]["product_name"] is None
+    assert rows["0000000000003"]["product_name"] is None
+    assert json.loads(rows["0000000000003"]["attrs"]["brands"]) == "B3"
+    prods.unpersist()
+
+
+def test_intra_file_duplicate_last_wins(spark, warehouse, landing, tmp_path):
+    """Ordered bulk_write: the LAST occurrence of a duplicated code wins
+    (data_processor.py:101-113)."""
+    _land(landing, tmp_path, "products_dup.json", products_dup_within_file())
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    rows = wh.products().filter(F.col("code") == "DUPCODE").collect()
+    assert len(rows) == 1
+    assert rows[0]["product_name"] == "third"
+    assert json.loads(rows[0]["attrs"]["brands"]) == "C"
+
+
+def test_external_ids_dropped(spark, warehouse, landing, tmp_path):
+    """Incoming id/_id are stripped before storage (data_processor.py:82-88)."""
+    _land(landing, tmp_path, "products_ext.json", products_external_ids())
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    row = wh.products().filter(F.col("code") == "EXT1").collect()[0]
+    assert "id" not in row["attrs"] and "_id" not in row["attrs"]
+    assert json.loads(row["attrs"]["brands"]) == "K"
+
+
+def test_malformed_file_failed_and_retained(spark, warehouse, landing, tmp_path):
+    """Truncated JSON → status failed, nothing ingested, landing file kept
+    (file_splitter.py:74-81,95-96)."""
+    lf = _land(landing, tmp_path, "products_malformed.json", '[{"code": "A1", "product_na')
+    wh = ProductWarehouse(spark, warehouse)
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id]["status"] == STATUS_FAILED
+    assert wh.products().count() == 0
+    assert list_landed(landing) == [lf.location]  # retained for inspection
+    st = wh.ledger.status_of(lf.file_id)
+    assert st["status"] == STATUS_FAILED
+    assert st["total_records"] == 0  # reference never updates it on failure
+
+
+def test_empty_file(spark, warehouse, landing, tmp_path):
+    """[] → total=0, status processed, nothing stored (file_splitter.py:127-134)."""
+    lf = _land(landing, tmp_path, "products_empty.json", [])
+    wh = ProductWarehouse(spark, warehouse)
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id] == {
+        "status": STATUS_PROCESSED,
+        "total_records": 0,
+        "records_processed": 0,
+        "records_failed": 0,
+    }
+    assert wh.products().count() == 0
+
+
+def test_reingest_idempotent(spark, warehouse, landing, tmp_path):
+    """Replaying an already-processed batch is a no-op on the product table
+    (checkpoint/replay upgrade of at-least-once redelivery, mq.py:169-175)."""
+    src = tmp_path / "p.json"
+    write_json(src, products_basic(20))
+    wh = ProductWarehouse(spark, warehouse)
+    upload(src, landing)
+    wh.ingest(landing)
+    t1 = sorted((r["code"], r["product_name"]) for r in wh.products().collect())
+    # same content re-uploaded (new file_id): table state converges
+    upload(src, landing)
+    wh.ingest(landing)
+    t2 = sorted((r["code"], r["product_name"]) for r in wh.products().collect())
+    assert t1 == t2
+    # and a second ingest() call with nothing new is a pure no-op
+    report = wh.ingest(landing)
+    assert report.files == {}
+
+
+def test_jsonl_ingest(spark, warehouse, landing, tmp_path):
+    """JSONL landing format (the splittable at-scale path) parses to the
+    same table as the array format."""
+    recs = products_basic(30)
+    src = tmp_path / "p.jsonl"
+    src.write_text("\n".join(json.dumps(r) for r in recs))
+    wh = ProductWarehouse(spark, warehouse)
+    upload(src, landing)
+    report = wh.ingest(landing)
+    (stats,) = report.files.values()
+    assert stats["records_processed"] == 30
+    assert wh.products().count() == 30
+
+
+def test_find_endpoints(spark, warehouse, landing, tmp_path):
+    """Ops 15-17 semantics: point lookup; case-insensitive partial with
+    limit 20 and live regex metacharacters; exact is case-sensitive and
+    UNlimited (api/main.py:130-184)."""
+    _land(landing, tmp_path, "products_unicode.json", products_unicode_names())
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    prods = wh.products().cache()
+
+    assert find_by_code(prods, "U3").collect()[0]["product_name"] == "100% (Bio)"
+    assert find_by_code(prods, "NOPE").count() == 0
+
+    # case-insensitive contains: Café / CAFÉ / café all match 'café'
+    hits = {r["code"] for r in find_name_partial(prods, "café").collect()}
+    assert hits == {"U1", "U2", "U5"}
+    # regex metacharacters are live in the reference endpoint shape
+    # (api/main.py:157 interpolates unescaped): '(Bio)' becomes a GROUP
+    # matching 'Bio' WITHOUT parens, so the literal text does NOT match —
+    # the same injection quirk Mongo exhibits…
+    assert find_name_partial(prods, "100% (Bio)").count() == 0
+    assert {r["code"] for r in find_name_partial(prods, "100% \\(Bio\\)").collect()} == {"U3"}
+    # …while the safe variant treats the term literally (and still folds case).
+    assert {r["code"] for r in find_name_partial_safe(prods, "100% (bio)").collect()} == {"U3"}
+
+    # exact: case-sensitive, no limit
+    assert find_name_exact(prods, "Café au lait").count() == 1
+    assert find_name_exact(prods, "café au lait").count() == 0
+    prods.unpersist()
+
+
+def test_partial_search_limit_20(spark, warehouse, landing, tmp_path):
+    recs = [{"code": f"L{i}", "product_name": f"limited item {i}"} for i in range(30)]
+    _land(landing, tmp_path, "lots.json", recs)
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    assert find_name_partial(wh.products(), "limited").count() == 20
+    assert find_name_exact(wh.products(), "limited item 7").count() == 1
+
+
+def test_cross_file_ordering(spark, warehouse, landing, tmp_path):
+    """Two files in one ingest batch: the later-landed file's version of a
+    shared code wins (queue arrival order)."""
+    import time
+
+    a = tmp_path / "a.json"
+    write_json(a, [{"code": "X", "product_name": "from-a"}])
+    upload(a, landing)
+    time.sleep(1.1)  # landing names are second-resolution timestamps
+    b = tmp_path / "b.json"
+    write_json(b, [{"code": "X", "product_name": "from-b"}])
+    upload(b, landing)
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    assert wh.products().filter(F.col("code") == "X").collect()[0]["product_name"] == "from-b"
