@@ -84,15 +84,23 @@ class ProductWarehouse:
     # -- ingestion -----------------------------------------------------------
 
     def ingest(self, landing_dir: str | Path, delete_processed: bool = True) -> IngestReport:
-        """Process every not-yet-ingested file in the landing dir."""
+        """Process every not-yet-ingested file in the landing dir (batch
+        mode: ledger anti-join discovery)."""
         new_paths = discover_new_files(
             landing_dir, self.ledger.current() if self.ledger.exists() else None
         )
+        return self.ingest_paths(new_paths, delete_processed=delete_processed)
+
+    def ingest_paths(
+        self, new_paths: list[str], delete_processed: bool = True
+    ) -> IngestReport:
+        """Process an explicit list of landed files — the shared core of
+        batch ``ingest()`` and the streaming ``foreachBatch`` body."""
         report = IngestReport()
         if not new_paths:
             return report
 
-        bronze = read_bronze(self.spark, new_paths).cache()
+        bronze = read_bronze(self.spark, [str(p) for p in new_paths]).cache()
         try:
             # Per-file counters in one aggregation (SURVEY §2 ops 6,13):
             # total counts every array element (valid or not), like the

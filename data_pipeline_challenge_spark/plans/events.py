@@ -202,6 +202,44 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_purchase_signup",
+    """
+    SELECT p.event_id, p.user_id,
+           s.event_id AS signup_event_id_asof,
+           (epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS secs_since_signup
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    tags=("events", "asof", "join"),
+    bench=True,
+)
+def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    prior signup (operators/asof.py — the union+window formulation; the
+    oracle is DuckDB's native ASOF JOIN)."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    joined = asof_join(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="s_ts",
+        right_payload=["s_event_id", "s_ts"], suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("s_event_id").alias("signup_event_id_asof"),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("s_ts")) / F.lit(1_000_000)
+        ).cast("long").alias("secs_since_signup"),
+    )
+
+
+@query(
     "events_rate_by_type",
     """
     SELECT event_type, count(*) AS n_events,

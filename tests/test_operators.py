@@ -1,0 +1,156 @@
+"""Unit tests: as-of join, multimodal plumbing, merge edge cases, dedup
+operators on controlled corpora."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pyspark.sql.functions as F
+
+from data_pipeline_challenge_spark.operators.asof import asof_join
+from data_pipeline_challenge_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from data_pipeline_challenge_spark.operators.merge import merge_products
+from data_pipeline_challenge_spark.operators.multimodal import (
+    decode_image_features,
+    embed_media,
+    sample_video_frames,
+    synth_media,
+)
+from data_pipeline_challenge_spark.operators.similarity import (
+    ann_topk,
+    knn_bruteforce,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (1, _ts(5)), (2, _ts(10))],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), "a"), (1, _ts(10), "b"), (1, _ts(29), "c"), (3, _ts(1), "z")],
+        "k long, rt timestamp, v string",
+    )
+    out = {
+        (r["k"], r["lt"].minute): r["v_asof"]
+        for r in asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt", right_payload=["v"]
+        ).collect()
+    }
+    assert out[(1, 10)] == "b"  # equal timestamps match (>=)
+    assert out[(1, 30)] == "c"  # latest prior
+    assert out[(1, 5)] is None  # nothing before
+    assert out[(2, 10)] is None  # key never on right
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = synth_media(spark, 30)
+    feats = decode_image_features(media)
+    rows = feats.collect()
+    assert feats.columns == ["media_id", "width", "height", "body_bytes", "sha1", "aspect"]
+    assert len(rows) == media.filter(F.col("kind") == "image").count()
+    # metadata round-trip: decoded width equals the meta['w'] the producer set
+    meta = {r["media_id"]: int(r["meta"]["w"]) for r in media.collect()}
+    assert all(r["width"] == meta[r["media_id"]] for r in rows)
+
+    frames = sample_video_frames(media, frames_per_video=4)
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert frames.count() == 4 * n_videos  # 1→N expansion
+    assert frames.select("media_id").distinct().count() == n_videos
+
+    # determinism: same payloads → identical embeddings on re-run
+    e1 = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
+    e2 = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
+    assert e1 == e2
+    assert all(len(v) == 16 for v in e1.values())
+
+
+def test_merge_null_vs_absent_attrs(spark):
+    """Explicit JSON null in attrs overwrites; absent key survives."""
+    old = spark.createDataFrame(
+        [("C1", "n1", "f0", _ts(0), {"a": "1", "b": '"x"'})],
+        "code string, product_name string, file_id string, last_modified_at_company timestamp, attrs map<string,string>",
+    )
+    new = spark.createDataFrame(
+        [("C1", "n2", "f1", _ts(1), {"a": "null"}, 0)],
+        "code string, product_name string, file_id string, last_modified_at_company timestamp, attrs map<string,string>, seq long",
+    )
+    row = merge_products(old, new).collect()[0]
+    assert row["attrs"]["a"] == "null"  # explicit null overwrote
+    assert json.loads(row["attrs"]["b"]) == "x"  # absent key survived
+    assert row["product_name"] == "n2" and row["file_id"] == "f1"
+
+
+def test_dedup_on_controlled_corpus(spark):
+    """Near-dup detection on a corpus with planted duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away to town"
+    docs = [
+        (0, base),
+        (1, base),  # exact dup
+        (2, base.replace("quick", "speedy")),  # near dup (1 token changed)
+        (3, "completely different words about spark sql engines and shuffles here"),
+        (4, base + " tail"),  # near dup (appended token)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    ex = {r["doc_id"]: r for r in exact_duplicates(df, "doc_id", "text").collect()}
+    assert ex[1]["canonical_id"] == 0 and ex[1]["is_dup"] == 1
+    assert ex[2]["is_dup"] == 0
+
+    jp = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    assert jp[(0, 1)] == 1.0
+    assert 0.5 < jp[(0, 4)] < 1.0
+    assert (0, 3) not in jp  # no shared shingles
+
+    mh = {
+        (r["doc1"], r["doc2"]): r
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    assert (0, 1) in mh and mh[(0, 1)]["jaccard"] == 1.0
+    assert mh[(0, 1)]["jaccard_est"] == 1.0
+
+    sh = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in simhash_near_pairs(df, "doc_id", "text", max_hamming=16).collect()
+    }
+    assert sh.get((0, 1)) == 0  # identical text → identical simhash
+
+
+def test_knn_and_ann_agree_on_clustered_vectors(spark):
+    """ANN probing the query bucket finds the true near neighbors when they
+    are genuinely close (same LSH bucket)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    center = rng.standard_normal(64)
+    rows = [(0, (center + 0.01 * rng.standard_normal(64)).astype("float32").tolist(), 0)]
+    for i in range(1, 6):  # tight cluster around the query
+        rows.append(
+            (i, (center + 0.05 * rng.standard_normal(64)).astype("float32").tolist(), 0)
+        )
+    for i in range(6, 100):  # background noise
+        rows.append((i, rng.standard_normal(64).astype("float32").tolist(), 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+    knn = [r["vec_id"] for r in knn_bruteforce(rest, qvec, k=5).collect()]
+    assert set(knn) == {1, 2, 3, 4, 5}
+
+    ann = [r["vec_id"] for r in ann_topk(rest, qvec, dim=64, k=5, n_planes=8).collect()]
+    assert set(ann) & {1, 2, 3, 4, 5}  # cluster members share the bucket
+    for v in ann:
+        assert v in set(knn) or v >= 6

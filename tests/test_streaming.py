@@ -1,0 +1,180 @@
+"""Structured Streaming tests: exactly-once file ingestion + event-time
+windows with watermark/late-data semantics."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_challenge_spark.catalog import load_events
+from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+from data_pipeline_challenge_spark.sources.landing import upload
+from data_pipeline_challenge_spark.streaming.ingest_stream import drain_ingest_stream
+from data_pipeline_challenge_spark.streaming.windows import (
+    dedup_latest_per_key,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from .fixtures import products_basic, write_json
+
+
+def test_streaming_ingest_exactly_once(spark, warehouse, landing, tmp_path):
+    """File-source stream + foreachBatch merge: drains landed files, is
+    idempotent across restarts (checkpoint), and picks up only new files on
+    the next drain."""
+    ckpt = tmp_path / "ckpt"
+    wh = ProductWarehouse(spark, warehouse)
+
+    src = tmp_path / "w1.json"
+    write_json(src, products_basic(50))
+    upload(src, landing)
+    drain_ingest_stream(spark, landing, wh, ckpt)
+    assert wh.products().count() == 50
+
+    # restart with same checkpoint, nothing new → no duplicate processing
+    drain_ingest_stream(spark, landing, wh, ckpt)
+    assert wh.products().count() == 50
+    assert wh.ledger.current().count() == 1
+
+    # land a second file (5 overlapping codes + 5 new) → incremental merge
+    upd = [{"code": f"{i:013d}", "product_name": f"V2 {i}"} for i in range(45, 55)]
+    src2 = tmp_path / "w2.json"
+    write_json(src2, upd)
+    time.sleep(1.1)
+    upload(src2, landing)
+    drain_ingest_stream(spark, landing, wh, ckpt)
+    prods = wh.products()
+    assert prods.count() == 55
+    assert (
+        prods.filter(F.col("code") == f"{45:013d}").collect()[0]["product_name"] == "V2 45"
+    )
+    assert wh.ledger.current().count() == 2
+
+
+def _events_stream(spark, tmp_path, sf_dir="/root/testdata/sf0.001"):
+    """Streaming version of the events table: batch-load (handles the ns
+    timestamp), then re-serve as a file-source stream."""
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    src_dir = tmp_path / "events_src"
+    ev.write.mode("overwrite").parquet(str(src_dir))
+    return (
+        spark.readStream.schema(ev.schema).parquet(str(src_dir)),
+        ev,
+    )
+
+
+@pytest.mark.parametrize(
+    "builder", [tumbling_counts, sliding_counts, session_counts], ids=["tumbling", "sliding", "session"]
+)
+def test_streaming_windows_match_batch(spark, tmp_path, builder):
+    """The same builder over a stream (availableNow, append mode after the
+    watermark passes) emits exactly the batch result."""
+    stream_ev, batch_ev = _events_stream(spark, tmp_path)
+    out_name = f"win_{builder.__name__}"
+    q = (
+        builder(stream_ev)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("append" if builder is not dedup_latest_per_key else "complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{out_name}"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(out_name).collect()}
+    expected_df = builder(batch_ev)
+    expected = {tuple(r) for r in expected_df.collect()}
+    # append mode only emits windows closed by the final watermark; with
+    # availableNow the watermark advances to max(ts)-threshold, so windows
+    # touching the tail may be withheld. Everything emitted must be correct,
+    # and coverage must be near-complete.
+    assert got <= expected
+    assert len(got) >= len(expected) - 25  # only tail windows may be open
+
+
+def test_streaming_late_data_dropped(spark, tmp_path):
+    """An event older than the watermark arriving in a later micro-batch is
+    dropped from a finalized window (the late-data policy the reference
+    lacks entirely)."""
+    import datetime as dt
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    ckpt = tmp_path / "late_ckpt"
+    out_dir = tmp_path / "late_out"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run_once():
+        # parquet sink: supports checkpoint recovery across restarts
+        # (memory sink does not), which is the point of this test
+        q = (
+            tumbling_counts(
+                spark.readStream.schema(schema).parquet(str(src_dir)),
+                width="1 hour",
+                late_threshold="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_out():
+        return spark.read.parquet(str(out_dir)).collect()
+
+    # batch 1: events up to 03:00 → watermark lands at 02:30; the 00:00 and
+    # 01:00 windows finalize and are emitted
+    mk(
+        [
+            (1, t0, 1, "click", 1.0),
+            (2, t0 + dt.timedelta(minutes=50), 1, "click", 1.0),
+            (3, t0 + dt.timedelta(hours=1, minutes=10), 1, "click", 1.0),
+            (4, t0 + dt.timedelta(hours=3), 1, "click", 1.0),
+        ],
+        "b1",
+    )
+    run_once()
+    out1 = {r["window_start_s"]: r["n_events"] for r in read_out()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out1.get(base) == 2
+    assert out1.get(base + 3600) == 1
+
+    # batch 2: a VERY late event for the already-finalized 00:00 window
+    mk([(5, t0 + dt.timedelta(minutes=5), 1, "late", 9.0)], "b2")
+    run_once()
+    out2 = [r for r in read_out() if r["window_start_s"] == base]
+    # the finalized window was NOT re-emitted/extended: late event dropped
+    assert all(r["n_events"] == 2 for r in out2)
+
+
+def test_streaming_dedup_latest(spark, tmp_path):
+    """Continuously maintained latest-per-key view (complete mode) matches
+    the batch window query."""
+    stream_ev, batch_ev = _events_stream(spark, tmp_path)
+    q = (
+        dedup_latest_per_key(stream_ev)
+        .writeStream.format("memory")
+        .queryName("latest_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_latest"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("latest_out").collect()}
+    expected = {tuple(r) for r in dedup_latest_per_key(batch_ev).collect()}
+    assert got == expected
