@@ -60,7 +60,7 @@ def query(
 
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules on first use so the registry is populated.
-    from . import events, relational, similarity, text  # noqa: F401
+    from . import events, relational, similarity, stats, text  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,205 @@
+"""Statistical aggregates, SQL-entry-point queries, and range joins.
+
+Rounds out the aggregation surface beyond SURVEY §2 (the reference has only
+count/sum counters): exact percentiles, correlation/covariance, ordered
+array aggregation, grouping sets via the SQL front end, EXISTS subqueries,
+and an equi+range self-join on the events stream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_events, load_table
+from .registry import query
+
+
+@query(
+    "stats_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == SQL
+    quantile_cont interpolation). At 100 TB switch to approx_percentile —
+    exact percentiles require a full sort per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+    )
+
+
+@query(
+    "stats_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(var_samp(l_discount), 6)                    AS disc_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance/variance per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@query(
+    "array_agg_suppliers_by_nation",
+    """
+    SELECT s_nationkey AS nationkey,
+           count(*) AS n_supp,
+           array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("agg", "array"),
+)
+def array_agg_suppliers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation, emitted as a joined string (deterministic
+    cross-engine representation of a list value)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.array_join(F.sort_array(F.collect_list("s_suppkey")), ",").alias("supp_keys"),
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT)   AS g_st,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "groupingsets", "sql"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front end (exercises the
+    spark.sql entry path; rollup/cube cover the DataFrame path)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT)   AS g_st,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+               count(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "exists_subquery_sql",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 90000)
+    """,
+    tags=("subquery", "sql"),
+)
+def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL front end (Catalyst decorrelates to a
+    left-semi join — same plan as the DataFrame semi-join query)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ex_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM ex_supplier s
+        WHERE EXISTS (SELECT 1 FROM ex_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_extendedprice > 90000)
+        """
+    )
+
+
+@query(
+    "scalar_levenshtein",
+    """
+    SELECT p_partkey, p_name, levenshtein(p_name, 'red widget') AS dist
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("scalar", "string", "similarity"),
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance scalar (string-similarity primitive for fuzzy matching)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("int").alias("dist"),
+        )
+    )
+
+
+@query(
+    "range_join_event_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+    WHERE a.event_type = 'error'
+    """,
+    tags=("events", "join", "range"),
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range self-join: events following an error by the same user
+    within 60s. The user_id equality keeps this a hash join with a range
+    residual (never a nested-loop) — the scalable shape for interval joins."""
+    ev = load_events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b")
+    )
+    gap_us = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (gap_us <= 60_000_000),
+        )
+        .select(
+            "user_id",
+            "id_a",
+            "id_b",
+            F.floor(gap_us / F.lit(1_000_000)).cast("long").alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "distinct_flag_status",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("distinct",),
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain DISTINCT projection (hash aggregate, map-side partial)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

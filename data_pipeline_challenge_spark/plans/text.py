@@ -238,6 +238,62 @@ def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_top20",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT unnest([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, len(t))]) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text", "ngram"),
+)
+def text_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (n-gram frequency — the building
+    block of the language-model-style corpus statistics). NOT deduplicated
+    per doc (unlike shingle-dedup): every occurrence counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_source_lang_profile",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("text", "agg"),
+)
+def text_source_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by (source, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     None,  # xxhash64-seeded sketch — engine-specific, rows-only check.
     tags=("text", "dedup", "minhash", "lsh"),
