@@ -20,6 +20,40 @@ from data_pipeline_challenge_spark.plans import bench_queries
 from data_pipeline_challenge_spark.session import get_spark
 
 
+def _ingest_bench(spark, n: int) -> float:
+    """The reference's design point (README.md:10: 50k-product JSON file,
+    weekly): land one file, run the full pipeline (parse → validate → merge
+    → ledger), timed end-to-end. File generation is excluded."""
+    import json as _json
+    import tempfile
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    root = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
+    landing = root / "landing"
+    recs = [
+        {
+            "code": f"{i:013d}",
+            "product_name": f"Product {i}",
+            "brands": f"Brand{i % 97}",
+            "nutriments": {"fat_100g": (i % 500) / 10.0, "salt_100g": i % 3},
+            "categories_tags": [f"en:cat{i % 23}"],
+            "serving_quantity": i % 40,
+        }
+        for i in range(n)
+    ]
+    src = root / "products_50k.json"
+    src.write_text(_json.dumps(recs))
+    upload(src, landing)
+    wh = ProductWarehouse(spark, root / "wh")
+    t0 = time.perf_counter()
+    report = wh.ingest(landing)
+    elapsed = time.perf_counter() - t0
+    assert report.total_processed == n, report.files
+    return elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -36,6 +70,8 @@ def main() -> None:
         t0 = time.perf_counter()
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["ingest_50k_products"] = round(_ingest_bench(spark, n=50_000), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -562,9 +562,9 @@ def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT * FROM (
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
-               row_number() OVER w AS rn,
-               rank()       OVER w AS rnk,
-               dense_rank() OVER w AS drnk
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(rank()       OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     ) WHERE rn <= 3
@@ -623,7 +623,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            round(c_acctbal, 2) AS acctbal,
            round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_share,
-           ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
     FROM customer
     """,
     tags=("window",),

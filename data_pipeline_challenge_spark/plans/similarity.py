@@ -72,7 +72,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, pos, round(avg(x), 6) AS centroid_val
     FROM (
         SELECT label,
-               generate_subscripts(embedding, 1) AS pos,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
                unnest(embedding::DOUBLE[]) AS x
         FROM embeddings
     )

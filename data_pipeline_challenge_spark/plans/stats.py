@@ -135,7 +135,7 @@ def exists_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_levenshtein",
     """
-    SELECT p_partkey, p_name, levenshtein(p_name, 'red widget') AS dist
+    SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'red widget') AS INT) AS dist
     FROM part WHERE p_partkey <= 300
     """,
     tags=("scalar", "string", "similarity"),

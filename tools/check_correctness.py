@@ -38,6 +38,35 @@ def norm_val(v):
     return v
 
 
+_ARROW_NORM = {
+    "int8": "i32", "int16": "i32", "int32": "i32", "int64": "i64",
+    "float": "f64", "double": "f64", "float32": "f64", "float64": "f64",
+    "string": "str", "large_string": "str", "bool": "bool",
+    "date32[day]": "date", "date64[ms]": "date",
+}
+_SPARK_NORM = {
+    "tinyint": "i32", "smallint": "i32", "int": "i32", "bigint": "i64",
+    "float": "f64", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date",
+}
+
+
+def duck_types(res_arrow):
+    out = {}
+    for f in res_arrow.schema:
+        s = str(f.type)
+        out[f.name] = _ARROW_NORM.get(s, "ts" if s.startswith("timestamp") else s)
+    return out
+
+
+def spark_types(df):
+    out = {}
+    for f in df.schema.fields:
+        s = f.dataType.simpleString()
+        out[f.name] = _SPARK_NORM.get(s, "ts" if s.startswith("timestamp") else s)
+    return out
+
+
 def norm_rows(cols, rows):
     # sort columns by name, then rows by value tuple (stringified for mixed nulls)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -77,18 +106,24 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(qd.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            arrow_tbl = con.execute(qd.oracle).arrow()
+            dcols = arrow_tbl.schema.names
+            drows = [tuple(r.values()) for r in arrow_tbl.to_pylist()]
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
-        dc, dr = norm_rows(dcols, drows)
+        dc, dr = norm_rows(list(dcols), drows)
         if sc != dc:
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        st, dt_ = spark_types(sdf), duck_types(arrow_tbl)
+        type_mismatch = {c: (st.get(c), dt_.get(c)) for c in sc if st.get(c) != dt_.get(c)}
+        if type_mismatch:
+            print(f"FAIL  {name}: type mismatch {type_mismatch}")
             n_fail += 1
             continue
         if len(sr) != len(dr):
