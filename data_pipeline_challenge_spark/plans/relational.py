@@ -829,7 +829,7 @@ def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
     tags=("subquery",),
 )
@@ -838,7 +838,7 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row threshold (what Catalyst does for an uncorrelated scalar
     subquery)."""
     orders = load_table(spark, sf_dir, "orders")
-    thresh = orders.agg((F.avg("o_totalprice") * 2).alias("thresh"))
+    thresh = orders.agg((F.avg("o_totalprice") * 1.5).alias("thresh"))
     return (
         orders.crossJoin(F.broadcast(thresh))
         .filter(F.col("o_totalprice") > F.col("thresh"))

@@ -17,6 +17,13 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for Hypothesis tests (function-scoped @given cannot
+    take a session fixture named the same as a parametrized arg)."""
+    return spark
+
+
 @pytest.fixture()
 def warehouse(tmp_path):
     return tmp_path / "warehouse"
