@@ -138,7 +138,16 @@ def minhash_lsh_pairs(
     jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
     estimate)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # One shingle explode feeds BOTH the signatures and the verification
+    # sets — cache it so the parse/explode runs once.
+    sh = _shingle_table(df, id_col, text_col, n).cache()
+    aggs = [
+        F.min(F.pmod(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("s"))), F.lit(_MH_MOD))).alias(
+            f"mh_{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs).cache()
 
     band_structs = F.array(
         *[
@@ -188,11 +197,7 @@ def minhash_lsh_pairs(
     # to per-doc distinct shingle SETS and intersect arrays — cost scales
     # with |candidates|, not with all overlapping pairs (at 100 TB the
     # all-pairs inverted join is exactly what LSH exists to avoid).
-    shsets = (
-        _shingle_table(df, id_col, text_col, n)
-        .groupBy("doc")
-        .agg(F.collect_set("s").alias("ss"))
-    )
+    shsets = sh.groupBy("doc").agg(F.collect_set("s").alias("ss"))
     v1 = shsets.select(F.col("doc").alias("doc1"), F.col("ss").alias("ss1"))
     v2 = shsets.select(F.col("doc").alias("doc2"), F.col("ss").alias("ss2"))
     inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2"))).cast("long")

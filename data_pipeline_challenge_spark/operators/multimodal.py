@@ -23,7 +23,6 @@ in production.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -52,19 +51,32 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: parse the fake header. A real deployment replaces this
-    with PIL/libav; the surrounding Arrow plumbing is unchanged."""
-    try:  # pragma: no cover - real codec path, absent in this container
-        from PIL import Image  # noqa: F401
+def _make_decoder():
+    """STUB decoder factory: the returned closure parses the fake header
+    and is fully self-contained (stdlib only) so every mapInPandas closure
+    that captures it ships by value — executors need no package install.
+    A real deployment swaps the body for PIL/libav; the surrounding Arrow
+    plumbing is unchanged."""
+    import struct as _struct
 
-        raise NotImplementedError("real image decode not wired in this environment")
-    except ImportError:
-        pass
-    if payload[:4] != _MAGIC:
-        raise ValueError("unknown container")
-    (w, h) = struct.unpack("<HH", payload[5:9])
-    return int(w), int(h), len(payload) - 9
+    magic = _MAGIC
+
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        try:  # pragma: no cover - real codec path, absent in this container
+            from PIL import Image  # noqa: F401
+
+            raise NotImplementedError("real image decode not wired in this environment")
+        except ImportError:
+            pass
+        if payload[:4] != magic:
+            raise ValueError("unknown container")
+        (w, h) = _struct.unpack("<HH", payload[5:9])
+        return int(w), int(h), len(payload) - 9
+
+    return decode
+
+
+_decode_payload = _make_decoder()  # driver-side convenience/unit-test handle
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -76,22 +88,28 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     """Per-image features via Arrow-batched mapInPandas (filter pushdown on
     ``kind`` happens BEFORE decode — only image rows reach Python)."""
 
+    decode = _make_decoder()  # closure: ships by value with `run`
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, nb = _decode_payload(bytes(payload))
+                w, h, nb = decode(bytes(payload))
                 out.append(
                     (
                         mid,
                         w,
                         h,
                         nb,
-                        hashlib.sha1(bytes(payload)).hexdigest(),
+                        _hashlib.sha1(bytes(payload)).hexdigest(),
                         round(w / h, 6),
                     )
                 )
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 out, columns=["media_id", "width", "height", "body_bytes", "sha1", "aspect"]
             )
 
@@ -108,14 +126,18 @@ def sample_video_frames(media: DataFrame, frames_per_video: int = 4) -> DataFram
     ``frames_per_video`` deterministic frame fingerprints."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 for k in range(frames_per_video):
                     frame = raw[9 + k :: frames_per_video]  # deterministic stride sample
-                    out.append((mid, k, hashlib.sha1(frame).hexdigest()))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_sha1"])
+                    out.append((mid, k, _hashlib.sha1(frame).hexdigest()))
+            yield _pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_sha1"])
 
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         run, FRAME_SCHEMA
@@ -131,15 +153,20 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
     batch. Output plugs directly into operators/similarity.py."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
         for pdf in batches:
             ids, vecs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 seed = int.from_bytes(
-                    hashlib.sha1(bytes(payload)).digest()[:4], "big"
+                    _hashlib.sha1(bytes(payload)).digest()[:4], "big"
                 )
-                vec = np.random.RandomState(seed).standard_normal(dim).astype(np.float32)
+                vec = _np.random.RandomState(seed).standard_normal(dim).astype(_np.float32)
                 ids.append(mid)
                 vecs.append(vec.tolist())
-            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+            yield _pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return media.select("media_id", "payload").mapInPandas(run, EMBED_SCHEMA)

@@ -17,7 +17,6 @@ same primitives.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -46,12 +45,6 @@ def knn_bruteforce(
     return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic random hyperplanes (fixed seed → stable buckets)."""
-    rng = np.random.RandomState(_LSH_SEED)
-    return rng.standard_normal((dim, n_planes)).astype(np.float64)
-
-
 def with_lsh_bucket(
     embeddings: DataFrame,
     dim: int,
@@ -64,13 +57,19 @@ def with_lsh_bucket(
     Arrow-batched: each batch is one (batch_size × dim) @ (dim × n_planes)
     matmul — vectorized, no per-row Python."""
 
+    seed = _LSH_SEED
+
     @pandas_udf("long")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        planes = _hyperplanes(dim, n_planes)
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        # self-contained (stdlib/numpy only): ships by value to executors
+        import numpy as _np
+        import pandas as _pd
+
+        planes = _np.random.RandomState(seed).standard_normal((dim, n_planes))
+        mat = _np.stack(vecs.to_numpy()).astype(_np.float64)
         bits = (mat @ planes) > 0
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(bits @ weights)
+        weights = (1 << _np.arange(n_planes)).astype(_np.int64)
+        return _pd.Series(bits @ weights)
 
     return embeddings.withColumn(out_col, bucket_udf(F.col(vec_col)))
 

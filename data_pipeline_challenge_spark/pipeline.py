@@ -67,11 +67,24 @@ class ProductWarehouse:
         return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(self.products_path))
 
     def _overwrite_products(self, df: DataFrame) -> None:
-        """Write-new + atomic swap (readers never see a half-written table)."""
+        """Write-new + atomic swap (readers never see a half-written table).
+
+        Layout: range-partitioned + sorted by code, so every parquet file
+        owns a disjoint code range — point lookups (op 15) prune to one
+        file via min/max stats, and the next merge's shuffle reads
+        pre-clustered data. (On a lakehouse table this is bucketBy(code) /
+        liquid clustering; range+sort is the plain-parquet equivalent.)
+        """
         tmp = self.dir / "products.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(str(tmp))
+        nparts = max(1, self.spark.sparkContext.defaultParallelism // 4)
+        (
+            df.repartitionByRange(nparts, "code")
+            .sortWithinPartitions("code")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
         old = self.dir / "products.old"
         if old.exists():
             shutil.rmtree(old)

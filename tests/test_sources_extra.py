@@ -1,0 +1,113 @@
+"""Tests: JSONL conversion (splittable landing) + custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_challenge_spark.catalog import load_events
+from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+from data_pipeline_challenge_spark.sources.jsonl import array_to_jsonl, iter_json_array
+from data_pipeline_challenge_spark.sources.landing import upload
+from data_pipeline_challenge_spark.streaming.stateful import (
+    running_user_stats,
+    running_user_stats_batch,
+)
+
+from .fixtures import products_basic, write_json
+
+
+def test_iter_json_array_streaming_tokenizer(tmp_path):
+    recs = [
+        {"code": "A", "nested": {"x": [1, 2, {"y": "}]"}]}, "s": 'tricky "quoted" ]}'},
+        {"code": "B", "t": "commas, inside, strings"},
+        {"code": "C"},
+    ]
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(recs, ensure_ascii=False))
+    assert list(iter_json_array(p, chunk_bytes=7)) == recs  # tiny chunks: cross-boundary safety
+
+    (tmp_path / "bad.json").write_text('[{"code": "A"}, {"code": ')
+    with pytest.raises(ValueError):
+        list(iter_json_array(tmp_path / "bad.json"))
+    (tmp_path / "notarray.json").write_text('{"code": "A"}')
+    with pytest.raises(ValueError):
+        list(iter_json_array(tmp_path / "notarray.json"))
+    (tmp_path / "empty.json").write_text("[]")
+    assert list(iter_json_array(tmp_path / "empty.json")) == []
+
+
+def test_array_to_jsonl_chunks_and_ingest_parity(spark, tmp_path, landing, warehouse):
+    """Chunked JSONL landing produces the same product table as the raw
+    array file — the at-scale landing path is semantics-preserving."""
+    recs = products_basic(120)
+    src = tmp_path / "products.json"
+    write_json(src, recs)
+    chunks = array_to_jsonl(src, tmp_path / "chunks", records_per_file=50)
+    assert [c.name for c in chunks] == [
+        "products.part00000.jsonl",
+        "products.part00001.jsonl",
+        "products.part00002.jsonl",
+    ]
+    assert sum(1 for c in chunks for _ in open(c)) == 120
+
+    # ingest the chunks (3 parallel parse tasks instead of 1)
+    for c in chunks:
+        upload(c, landing)
+    wh = ProductWarehouse(spark, warehouse)
+    wh.ingest(landing)
+    jsonl_table = {
+        (r["code"], r["product_name"], tuple(sorted(r["attrs"].items())))
+        for r in wh.products().collect()
+    }
+
+    wh2 = ProductWarehouse(spark, tmp_path / "wh2")
+    landing2 = tmp_path / "landing2"
+    upload(src, landing2)
+    wh2.ingest(landing2)
+    array_table = {
+        (r["code"], r["product_name"], tuple(sorted(r["attrs"].items())))
+        for r in wh2.products().collect()
+    }
+    assert jsonl_table == array_table
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    per-user state equals the one-shot batch aggregation."""
+    ev = load_events(spark, "/root/testdata/sf0.001").select("user_id", "ts", "value")
+    # split by TIME into two source files → most users appear in BOTH
+    # micro-batches, so state must accumulate across batches
+    mid = ev.approxQuantile("value", [0.5], 0.0)[0]
+    half1 = ev.filter(F.col("value") <= mid)
+    half2 = ev.filter(F.col("value") > mid)
+    src = tmp_path / "src"
+    half1.coalesce(1).write.mode("append").parquet(str(src))
+    half2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a user's row on every batch that touches it;
+    # n_events grows monotonically, so the final state is the max-n row
+    rows = spark.table("state_out").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_event_us"])
+    expected = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_event_us"])
+        for r in running_user_stats_batch(ev).collect()
+    }
+    assert final == expected
