@@ -97,6 +97,91 @@ def ann_topk(
     return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_fit_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """Fit IVF coarse centroids: spherical k-means on a driver-side sample.
+
+    The sample (few thousand rows) is the only data that ever leaves the
+    executors; at 100 TB this is exactly how IVF indexes are built — train
+    the coarse quantizer on a sample, then assign the full table
+    distributed. Deterministic: seeded init, fixed iterations, Lloyd
+    updates on L2-normalized vectors (cosine geometry).
+    Returns an (n_clusters × dim) float64 numpy array."""
+    import numpy as np
+
+    rows = embeddings.select(vec_col).limit(sample_size).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (Arrow-batched matmul)."""
+    cents = [list(map(float, c)) for c in centroids]  # plain lists: pickle-safe
+
+    @pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        C = _np.array(cents, dtype=_np.float64)
+        mat = _np.stack(vecs.to_numpy()).astype(_np.float64)
+        mat /= _np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        return _pd.Series((mat @ C.T).argmax(axis=1).astype("int32"))
+
+    return embeddings.withColumn(out_col, assign_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine over only the ``n_probe``
+    clusters nearest to the query — the scan shrinks by ~n_probe/n_clusters.
+
+    At scale the assigned table is written partitioned by cluster so a
+    probe reads only those partitions (partition pruning does the work)."""
+    import numpy as np
+
+    centroids = ivf_fit_centroids(embeddings, n_clusters=n_clusters, vec_col=vec_col)
+    qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    qvec /= max(np.linalg.norm(qvec), 1e-12)
+    probe = np.argsort(-(centroids @ qvec))[:n_probe].tolist()
+
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
+    cand = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
+    sims = cand.crossJoin(q).select(
+        F.col(id_col), cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim")
+    )
+    return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,

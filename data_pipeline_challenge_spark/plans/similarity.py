@@ -124,6 +124,25 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_top10",
+    None,  # k-means trained on a sample — engine-specific, rows-only.
+    tags=("similarity", "ann", "ivf"),
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors of vec_id=0: spherical-k-means
+    coarse quantizer (driver-trained on a sample, deterministic), probe the
+    4 nearest of 16 clusters, exact cosine within them."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != _QUERY_ID), qvec, k=10, n_clusters=16, n_probe=4
+    )
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
     "lsh_bucket_histogram",
     None,  # bucket ids from seeded projection — rows-only.
     tags=("similarity", "lsh"),

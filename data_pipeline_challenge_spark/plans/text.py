@@ -238,6 +238,57 @@ def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer count (letters / digits / punctuation runs —
+    the pre-tokenization split BPE vocabularies apply) next to the plain
+    whitespace count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint_rolling",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                       [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)],
+                       (a, b) -> (a * 31 + b) % 1000000007) END AS rolling_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) folded over
+    code points — the incremental-hash primitive behind shingle hashing,
+    expressed as a pure Catalyst aggregate fold (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), "
+        "0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0).cast("long")).otherwise(fp).alias("rolling_fp"),
+    )
+
+
+@query(
     "text_bigram_top20",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -24,6 +24,7 @@ from data_pipeline_challenge_spark.operators.multimodal import (
 )
 from data_pipeline_challenge_spark.operators.similarity import (
     ann_topk,
+    ivf_topk,
     knn_bruteforce,
 )
 
@@ -154,3 +155,8 @@ def test_knn_and_ann_agree_on_clustered_vectors(spark):
     assert set(ann) & {1, 2, 3, 4, 5}  # cluster members share the bucket
     for v in ann:
         assert v in set(knn) or v >= 6
+
+    # IVF: the tight cluster lands in one coarse cell; probing 4/8 cells
+    # must recover the true top-5 exactly
+    ivf = [r["vec_id"] for r in ivf_topk(rest, qvec, k=5, n_clusters=8, n_probe=4).collect()]
+    assert set(ivf) == {1, 2, 3, 4, 5}
