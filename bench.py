@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pandas
 import sys
 import time
 from pathlib import Path
@@ -60,10 +62,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM warmup outside the timed region (codegen, parquet footer cache).
+    # Warmup outside the timed region: JVM codegen + parquet footer cache,
+    # and one trivial pandas_udf so Python worker processes exist before
+    # the ANN queries are timed (workers are reused across queries).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pandas.Series) -> pandas.Series:
+        return s
+
+    spark.range(1000).select(_warm(col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, qd in sorted(bench_queries().items()):

@@ -21,8 +21,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..catalog import load_table
 from .registry import query
 
-# Revenue expression used by several queries (TPC-H convention).
-_REV = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+def _rev():
+    """Revenue expression (TPC-H convention). Built lazily: constructing a
+    Column requires an active SparkContext in classic PySpark, and this
+    module must import cleanly before the driver creates its session."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -58,8 +61,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REV), 2).alias("sum_disc_price"),
-            F.round(F.sum(_REV * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -105,7 +108,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -151,7 +154,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
 
 
@@ -249,7 +252,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.round(F.sum(_REV), 2).alias("revenue"),
+            F.round(F.sum(_rev()), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
