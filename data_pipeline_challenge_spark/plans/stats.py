@@ -196,6 +196,50 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    """
+    SELECT s_suppkey, s_name, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.salted_join) — the oracle is the
+    PLAIN join: salting must be a pure physical rewrite with identical
+    results, which this query proves on every run."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    return (
+        salted_join(li, supp, key="l_suppkey", salt=8)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"), "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "multimodal_image_features",
+    None,  # synthetic media + stub decoder — deterministic, rows-only.
+    tags=("multimodal", "mapinpandas"),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a declared query: deterministic synthetic
+    media table → Arrow-batched decode (stub codec) → per-image features.
+    sf_dir is unused (no binary table in the test data); the synthetic
+    generator is seeded so the rows-only check is stable."""
+    from ..operators.multimodal import decode_image_features, synth_media
+
+    media = synth_media(spark, n=96, seed=42)
+    return decode_image_features(media)
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

@@ -161,6 +161,32 @@ def test_streaming_late_data_dropped(spark, tmp_path):
     assert all(r["n_events"] == 2 for r in out2)
 
 
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast join: streaming events enriched with a
+    static dimension (the streaming analog of the batch star join)."""
+    stream_ev, batch_ev = _events_stream(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "view", "purchase", "signup", "error"]],
+        "event_type string, type_label string",
+    )
+    enriched = stream_ev.join(F.broadcast(dim), "event_type").groupBy("type_label").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["type_label"]: r["count"] for r in spark.table("enriched_out").collect()}
+    expected = {
+        r["event_type"].upper(): r["count"]
+        for r in batch_ev.groupBy("event_type").count().collect()
+    }
+    assert got == expected
+
+
 def test_streaming_dedup_latest(spark, tmp_path):
     """Continuously maintained latest-per-key view (complete mode) matches
     the batch window query."""
