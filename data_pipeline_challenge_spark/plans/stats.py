@@ -8,6 +8,7 @@ and an equi+range self-join on the events stream.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -192,6 +193,155 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.floor(gap_us / F.lit(1_000_000)).cast("long").alias("gap_s"),
         )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global aggregate — the pushdown
+    showcase (every predicate reaches the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS ma3_cents_sum,
+           CAST(count(*) OVER w AS INT) AS n_window
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving window per customer (bounded frame), emitted as exact
+    integer cents + frame size: windowed AVG of doubles differs in the last
+    ulp across engines (summation order), which flips round() on boundary
+    values — integer arithmetic is the deterministic formulation."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("ma3_cents_sum"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_window"),
+    )
+
+
+@query(
+    "window_spend_rank",
+    """
+    WITH spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           round(total, 2) AS total_spend,
+           round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS spend_prank,
+           round(cume_dist()    OVER (ORDER BY total, o_custkey), 6) AS spend_cume
+    FROM spend
+    """,
+    tags=("window", "agg"),
+)
+def window_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global customer-spend percentile (percent_rank + cume_dist over an
+    aggregate — single ordered window, the top-N-percent segmentation
+    primitive)."""
+    from pyspark.sql import Window
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    w = Window.orderBy("total", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        F.round("total", 2).alias("total_spend"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_prank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+    )
+
+
+@query(
+    "events_hourly_profile",
+    """
+    SELECT CAST((epoch_us(ts) // 1000000 // 3600) % 24 AS INT) AS hour_utc,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY hour_utc
+    """,
+    tags=("events", "agg"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity histogram via pure epoch arithmetic (no
+    session-timezone dependence)."""
+    from ..catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    hour = ((F.col("ts_ns") / F.lit(1_000_000_000)).cast("long") / 3600 % 24).cast("int")
+    return ev.groupBy(hour.alias("hour_utc")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "udaf_geometric_mean",
+    """
+    SELECT o_orderstatus,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "udaf", "pandas"),
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as an Arrow grouped-agg pandas UDF, oracle-checked
+    against its SQL identity exp(avg(ln x)) — the UDAF surface, proven
+    numerically equivalent to the relational formulation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as _np
+
+        return float(_np.exp(_np.log(v.to_numpy()).mean()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geo_mean_price")
     )
 
 
