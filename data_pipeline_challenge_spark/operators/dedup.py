@@ -138,29 +138,36 @@ def minhash_lsh_pairs(
     jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
     estimate)."""
     rows_per_band = num_hashes // bands
-    # One shingle explode feeds BOTH the signatures and the verification
-    # sets — cache it so the parse/explode runs once.
-    sh = _shingle_table(df, id_col, text_col, n).cache()
-    aggs = [
-        F.min(F.pmod(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("s"))), F.lit(_MH_MOD))).alias(
-            f"mh_{j}"
-        )
-        for j in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs).cache()
+    # ONE groupBy computes both the signature (as an array) and the distinct
+    # shingle set — a single shuffle over the exploded shingles feeds
+    # banding, the sketch estimate, and the exact verification.
+    sh = _shingle_table(df, id_col, text_col, n)
+    mh_arr = F.array(
+        *[
+            F.min(
+                F.pmod(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("s"))), F.lit(_MH_MOD))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    per_doc = (
+        sh.groupBy("doc")
+        .agg(mh_arr.alias("mh"), F.collect_set("s").alias("ss"))
+        .cache()
+    )
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "bh"
-                ),
+                F.xxhash64(
+                    *[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col("doc"), F.explode(band_structs).alias("bb")).select(
+    banded = per_doc.select(F.col("doc"), F.explode(band_structs).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a = banded.alias("a")
@@ -176,39 +183,31 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Sketch estimate: fraction of agreeing hash slots.
-    s1 = sig.select(
-        F.col("doc").alias("doc1"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)]
+    # Two joins bring each side's (signature, shingle set); the sketch
+    # estimate is the agreeing-slot fraction (zip_with), the exact jaccard
+    # an array intersection — both scale with |candidates| only (at 100 TB
+    # the all-pairs inverted join is exactly what LSH exists to avoid).
+    p1 = per_doc.select(
+        F.col("doc").alias("doc1"), F.col("mh").alias("mh1"), F.col("ss").alias("ss1")
     )
-    s2 = sig.select(
-        F.col("doc").alias("doc2"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)]
+    p2 = per_doc.select(
+        F.col("doc").alias("doc2"), F.col("mh").alias("mh2"), F.col("ss").alias("ss2")
     )
-    agree = sum(
-        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0) for j in range(num_hashes)
+    agree = F.size(
+        F.filter(
+            F.zip_with("mh1", "mh2", lambda x, y: x == y), lambda m: m
+        )
     )
-    est = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .withColumn("jaccard_est", (agree / F.lit(num_hashes)).cast("double"))
-        .select("doc1", "doc2", "jaccard_est")
-    )
-
-    # Exact verification restricted to candidate pairs: join the candidates
-    # to per-doc distinct shingle SETS and intersect arrays — cost scales
-    # with |candidates|, not with all overlapping pairs (at 100 TB the
-    # all-pairs inverted join is exactly what LSH exists to avoid).
-    shsets = sh.groupBy("doc").agg(F.collect_set("s").alias("ss"))
-    v1 = shsets.select(F.col("doc").alias("doc1"), F.col("ss").alias("ss1"))
-    v2 = shsets.select(F.col("doc").alias("doc2"), F.col("ss").alias("ss2"))
     inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2"))).cast("long")
     out = (
-        est.join(v1, "doc1")
-        .join(v2, "doc2")
-        .withColumn(
-            "jaccard",
-            inter / (F.size("ss1") + F.size("ss2") - inter).cast("double"),
+        cand.join(p1, "doc1")
+        .join(p2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (agree / F.lit(num_hashes)).cast("double").alias("jaccard_est"),
+            (inter / (F.size("ss1") + F.size("ss2") - inter).cast("double")).alias("jaccard"),
         )
-        .select("doc1", "doc2", "jaccard_est", "jaccard")
     )
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
