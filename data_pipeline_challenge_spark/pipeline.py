@@ -79,12 +79,18 @@ class ProductWarehouse:
         if tmp.exists():
             shutil.rmtree(tmp)
         nparts = max(1, self.spark.sparkContext.defaultParallelism // 4)
-        (
-            df.repartitionByRange(nparts, "code")
-            .sortWithinPartitions("code")
-            .write.mode("overwrite")
-            .parquet(str(tmp))
-        )
+        # repartitionByRange runs a separate range-sampling job first; cache
+        # the merge result so sampling + write don't compute it twice.
+        df = df.cache()
+        try:
+            (
+                df.repartitionByRange(nparts, "code")
+                .sortWithinPartitions("code")
+                .write.mode("overwrite")
+                .parquet(str(tmp))
+            )
+        finally:
+            df.unpersist()
         old = self.dir / "products.old"
         if old.exists():
             shutil.rmtree(old)
