@@ -144,6 +144,43 @@ def sample_video_frames(media: DataFrame, frames_per_video: int = 4) -> DataFram
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, rms_proxy double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Per-audio features (STUB codec: interprets the fake header's (w, h)
+    as (sample_rate/10, channels) and the body as 8-bit samples — a real
+    deployment swaps in soundfile/libav, the Arrow plumbing stays)."""
+
+    decode = _make_decoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                w, _h, nb = decode(raw)
+                sample_rate = w * 10
+                body = _np.frombuffer(raw[9:], dtype=_np.uint8).astype(_np.float64)
+                rms = float(_np.sqrt((body**2).mean())) if nb else 0.0
+                out.append(
+                    (mid, sample_rate, nb, round(nb / sample_rate, 6), round(rms, 6))
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples", "duration_s", "rms_proxy"],
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
 EMBED_SCHEMA = "media_id long, embedding array<float>"
 
 

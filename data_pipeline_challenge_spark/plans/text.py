@@ -289,6 +289,34 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_windows",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+        SELECT doc_id,
+               unnest([{idx: i - 1,
+                        chunk: array_to_string(toks[(i-1)*10+1 : least((i-1)*10+10, len(toks))], ' '),
+                        n: least(len(toks) - (i-1)*10, 10)}
+                       for i in range(1, CAST(ceil(greatest(len(toks) - 10, 0) / 10.0) AS INT) + 2)]) AS u
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx, u.chunk AS chunk,
+           CAST(u.n AS INT) AS n_tokens
+    FROM c
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10-token document chunking (operators/chunking.chunk_tokens) —
+    the long-document windowing step of a training-data pipeline, as a pure
+    Catalyst transform."""
+    from ..operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", size=10)
+
+
+@query(
     "text_bigram_top20",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

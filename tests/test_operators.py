@@ -69,11 +69,54 @@ def test_multimodal_decode_and_frames(spark):
     assert frames.count() == 4 * n_videos  # 1→N expansion
     assert frames.select("media_id").distinct().count() == n_videos
 
+    from data_pipeline_challenge_spark.operators.multimodal import extract_audio_features
+
+    audio = extract_audio_features(media)
+    arows = audio.collect()
+    assert len(arows) == media.filter(F.col("kind") == "audio").count()
+    assert all(r["duration_s"] > 0 and r["rms_proxy"] > 0 for r in arows)
+
     # determinism: same payloads → identical embeddings on re-run
     e1 = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
     e2 = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
     assert e1 == e2
     assert all(len(v) == 16 for v in e1.values())
+
+
+def test_chunking_udtf_matches_catalyst(spark):
+    """The UDTF chunker and the pure-Catalyst chunker implement identical
+    semantics — incl. overlapping windows (stride < size) and short docs."""
+    from data_pipeline_challenge_spark.operators.chunking import (
+        chunk_text_udtf,
+        chunk_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l m n o p q r s t u v w x y"),  # 25 toks
+            (1, "one two three"),  # shorter than one window
+            (2, "x " * 9 + "x"),  # exactly one window (10 toks)
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("chunk_docs")
+    for size, stride in [(10, 10), (10, 5), (7, 3)]:
+        catalyst = {
+            tuple(r)
+            for r in chunk_tokens(docs, "doc_id", "text", size=size, stride=stride).collect()
+        }
+        spark.udtf.register("chunk_text_tf", chunk_text_udtf(size=size, stride=stride))
+        via_udtf = {
+            tuple(r)
+            for r in spark.sql(
+                """
+                SELECT t.doc_id, t.chunk_idx, t.chunk, t.n_tokens
+                FROM chunk_docs d, LATERAL chunk_text_tf(d.doc_id, d.text) t
+                """
+            ).collect()
+        }
+        assert catalyst == via_udtf, (size, stride)
+        assert len(catalyst) > 3
 
 
 def test_merge_null_vs_absent_attrs(spark):
