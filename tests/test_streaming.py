@@ -187,6 +187,29 @@ def test_stream_static_join(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_drop_duplicates(spark, tmp_path):
+    """Built-in streaming dedup: dropDuplicates on a key set with a
+    watermark bounding the dedup state (first occurrence wins)."""
+    stream_ev, batch_ev = _events_stream(spark, tmp_path)
+    q = (
+        stream_ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("dd_out").collect()}
+    expected = {
+        tuple(r) for r in batch_ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == expected
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join: purchases joined to the same user's
     signups within a bounded event-time interval (the stateful join whose
