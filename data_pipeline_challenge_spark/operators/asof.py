@@ -29,18 +29,30 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     suffix: str = "_asof",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join (right.ts <= left.ts, latest wins; ties on equal
     timestamps take the right row — the right side sorts first at equal ts).
     Returns all left columns + ``<payload><suffix>`` columns (null when no
-    prior right row exists)."""
+    prior right row exists).
+
+    ``right_tiebreak`` names a right column (typically its unique id) used
+    as the final window sort key: when two right rows share (key, ts), the
+    MAX tiebreak row is carried deterministically across runs and
+    partitionings — any oracle must dedupe the right side by the same rule.
+    """
     lcols = left.columns
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    r_tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    # Left rows sort after right rows at equal ts via __side; a null __tb
+    # on the left keeps the tiebreak from reordering left rows.
+    l_tb = F.lit(None).cast("long") if right_tiebreak else F.lit(0)
 
     l_tag = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        l_tb.alias("__tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_payload) + ">"
@@ -50,6 +62,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        r_tb.cast("long").alias("__tb"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
         ).alias("__l"),
@@ -57,7 +70,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = (

@@ -67,7 +67,9 @@ def chunk_text_udtf(size: int = 10, stride: int | None = None):
     @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_tokens: int")
     class ChunkText:
         def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
-            toks = text.split(" ") if text else []
+            # Mirror the Catalyst twin exactly: split('', ' ') -> [''] (one
+            # empty token → one chunk); only a NULL text yields nothing.
+            toks = text.split(" ") if text is not None else []
             if not toks:
                 return
             idx = 0

@@ -13,8 +13,11 @@ Reproduces the semantics of the Mongo bulk upsert
 Spark-first design: one ``groupBy(code)`` — the only shuffle — with
 ``collect_list(struct(...))`` sorted by (generation, seq); the newest
 element supplies the spine, and the attrs maps are folded oldest→newest
-with ``map_concat`` under ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` so newer
-keys overwrite and older keys survive. No window pass, no self-join.
+with ``map_concat(map_filter(acc, key ∉ newer), newer)`` so newer keys
+overwrite and older keys survive. The fold is structurally collision-free,
+so it works under any ``spark.sql.mapKeyDedupPolicy`` — no session conf is
+touched (mutating the caller's session would silently change map_concat
+semantics for unrelated queries). No window pass, no self-join.
 
 Scale notes: versions-per-key is small (weekly files), so the collected
 struct list stays tiny; for hot keys AQE skew handling applies. On a real
@@ -29,12 +32,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 _MERGE_COLS = ("code", "product_name", "file_id", "last_modified_at_company", "attrs")
-
-
-def _ensure_dedup_policy(df: DataFrame) -> None:
-    # map_concat must take the newer key on collision (documented behavior
-    # of $set-style merge); EXCEPTION (the default) would abort the fold.
-    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
 def merge_products(
@@ -54,7 +51,6 @@ def merge_products(
     engine's exactly-once upgrade of the reference's at-least-once
     redelivery (SURVEY §2, mq.py:169-175).
     """
-    _ensure_dedup_policy(batch)
     b = batch.select(
         F.lit(1).alias("gen"),
         F.col(seq_col).cast("long").alias("ord"),
@@ -102,7 +98,18 @@ def merge_products(
             F.aggregate(
                 "vs",
                 F.create_map().cast("map<string,string>"),
-                lambda acc, x: F.map_concat(acc, F.coalesce(x["attrs"], F.create_map().cast("map<string,string>"))),
+                # newer map wins per key: drop acc keys the newer map holds,
+                # then concat — no duplicate keys ever reach map_concat, so
+                # the fold is dedup-policy-independent.
+                lambda acc, x: F.map_concat(
+                    F.map_filter(
+                        acc,
+                        lambda k, _v: ~F.map_contains_key(
+                            F.coalesce(x["attrs"], F.create_map().cast("map<string,string>")), k
+                        ),
+                    ),
+                    F.coalesce(x["attrs"], F.create_map().cast("map<string,string>")),
+                ),
             ).alias("attrs"),
         )
         .select(

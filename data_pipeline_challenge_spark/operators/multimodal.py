@@ -62,14 +62,14 @@ def _make_decoder():
     magic = _MAGIC
 
     def decode(payload: bytes) -> tuple[int, int, int]:
-        try:  # pragma: no cover - real codec path, absent in this container
-            from PIL import Image  # noqa: F401
-
-            raise NotImplementedError("real image decode not wired in this environment")
-        except ImportError:
-            pass
+        # Magic check FIRST: FAKE payloads always take the stub path, so an
+        # installed Pillow never breaks synthetic-media queries. Real
+        # containers (PNG/JPEG/...) are the honestly-unimplemented branch —
+        # swap this raise for a PIL/libav decode in production.
         if payload[:4] != magic:
-            raise ValueError("unknown container")
+            raise NotImplementedError(
+                "real media decode not wired in this environment (non-FAKE container)"
+            )
         (w, h) = _struct.unpack("<HH", payload[5:9])
         return int(w), int(h), len(payload) - 9
 

@@ -103,6 +103,7 @@ def ivf_fit_centroids(
     sample_size: int = 4096,
     n_iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
     """Fit IVF coarse centroids: spherical k-means on a driver-side sample.
@@ -110,12 +111,23 @@ def ivf_fit_centroids(
     The sample (few thousand rows) is the only data that ever leaves the
     executors; at 100 TB this is exactly how IVF indexes are built — train
     the coarse quantizer on a sample, then assign the full table
-    distributed. Deterministic: seeded init, fixed iterations, Lloyd
-    updates on L2-normalized vectors (cosine geometry).
+    distributed. Deterministic: the sample is an order-stable seeded
+    hash-sample on the id column (xxhash64 of id + seed, take the smallest
+    ``sample_size``) — independent of partition/scan order, uniform over
+    ids; then seeded init, fixed iterations, Lloyd updates on L2-normalized
+    vectors (cosine geometry).
     Returns an (n_clusters × dim) float64 numpy array."""
     import numpy as np
 
-    rows = embeddings.select(vec_col).limit(sample_size).collect()
+    rows = (
+        embeddings.select(
+            vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h")
+        )
+        .orderBy("__h", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
     rng = np.random.RandomState(seed)
@@ -168,7 +180,9 @@ def ivf_topk(
     probe reads only those partitions (partition pruning does the work)."""
     import numpy as np
 
-    centroids = ivf_fit_centroids(embeddings, n_clusters=n_clusters, vec_col=vec_col)
+    centroids = ivf_fit_centroids(
+        embeddings, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
     qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
     qvec /= max(np.linalg.norm(qvec), 1e-12)
     probe = np.argsort(-(centroids @ qvec))[:n_probe].tolist()

@@ -208,7 +208,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.event_id AS signup_event_id_asof,
            (epoch_us(p.ts) - epoch_us(s.ts)) // 1000000 AS secs_since_signup
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (
+        -- mirror the engine's tie rule: equal (user_id, ts) → max event_id
+        SELECT user_id, ts, max(event_id) AS event_id
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ) s
       ON p.user_id = s.user_id AND p.ts >= s.ts
     """,
     tags=("events", "asof", "join"),
@@ -228,6 +232,7 @@ def events_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         purchases, signups, key="user_id", left_ts="ts", right_ts="s_ts",
         right_payload=["s_event_id", "s_ts"], suffix="",
+        right_tiebreak="s_event_id",
     )
     return joined.select(
         "event_id",

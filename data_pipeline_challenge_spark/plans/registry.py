@@ -58,11 +58,110 @@ def query(
     return deco
 
 
+# Names the driver's capped correctness run did NOT reach in round 1
+# (CORRECTNESS_r01.json stopped at 50 of 77). Enumerate these first so the
+# next driver round verifies them; already-green queries re-verify after.
+_DRIVER_PRIORITY = (
+    "stats_corr_covar",
+    "array_agg_suppliers_by_nation",
+    "grouping_sets_sql",
+    "exists_subquery_sql",
+    "scalar_levenshtein",
+    "range_join_event_pairs",
+    "q6_forecast_revenue",
+    "window_moving_avg",
+    "window_spend_rank",
+    "events_hourly_profile",
+    "udaf_geometric_mean",
+    "join_salted_skew",
+    "multimodal_image_features",
+    "distinct_flag_status",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard_top20",
+    "text_token_count_bpe",
+    "text_fingerprint_rolling",
+    "text_chunk_windows",
+    "text_bigram_top20",
+    "text_source_lang_profile",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+)
+
+# Names with a green round-1 driver row — re-verify these last.
+_R1_CHECKED = frozenset((
+    "agg_approx_count_distinct",
+    "agg_count_distinct",
+    "agg_orders_by_status",
+    "ann_ivf_top10",
+    "ann_lsh_top10",
+    "case_when_price_buckets",
+    "cube_order_counts",
+    "embedding_centroids_by_label",
+    "embedding_near_pairs",
+    "embedding_norms",
+    "events_asof_purchase_signup",
+    "events_json_extract",
+    "events_latest_per_user",
+    "events_pivot_type_counts",
+    "events_rate_by_type",
+    "events_session_windows",
+    "events_sliding_hour",
+    "events_tumbling_hour",
+    "having_nation_counts",
+    "join_anti_customers_without_orders",
+    "join_broadcast_star",
+    "join_full_outer_nation_presence",
+    "join_outer_customer_order_counts",
+    "join_semi_customers_with_big_orders",
+    "knn_cosine_top20",
+    "lsh_bucket_histogram",
+    "pivot_order_priority",
+    "point_lookup_key",
+    "q10_returned_items",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "rollup_revenue",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "search_name_exact",
+    "search_name_partial",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_nations",
+    "stats_percentiles",
+    "subquery_above_avg_orders",
+    "subquery_correlated_max_order",
+    "topk_orders",
+    "window_rank_orders_per_customer",
+    "window_running_revenue",
+    "window_share_of_nation",
+))
+
+
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules on first use so the registry is populated.
     from . import events, relational, similarity, stats, text  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered: dict[str, QueryDef] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    # Then queries with no round-1 row at all (added since), then the
+    # already-green rest.
+    for name, qd in _REGISTRY.items():
+        if name not in _R1_CHECKED:
+            ordered.setdefault(name, qd)
+    for name, qd in _REGISTRY.items():
+        ordered.setdefault(name, qd)
+    return ordered
 
 
 def queries_callables() -> dict[str, QueryFn]:

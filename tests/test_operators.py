@@ -54,6 +54,24 @@ def test_asof_join_semantics(spark):
     assert out[(2, 10)] is None  # key never on right
 
 
+def test_asof_join_tiebreak_deterministic(spark):
+    """Two right rows at identical (key, ts): the max-tiebreak row is
+    carried, regardless of input/partition order."""
+    left = spark.createDataFrame([(1, _ts(10))], "k long, lt timestamp")
+    for right_rows in (
+        [(1, _ts(8), 100, "lo"), (1, _ts(8), 200, "hi")],
+        [(1, _ts(8), 200, "hi"), (1, _ts(8), 100, "lo")],  # reversed arrival
+    ):
+        right = spark.createDataFrame(
+            right_rows, "k long, rt timestamp, rid long, v string"
+        ).repartition(4)
+        (row,) = asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            right_payload=["v"], right_tiebreak="rid",
+        ).collect()
+        assert row["v_asof"] == "hi"
+
+
 def test_multimodal_decode_and_frames(spark):
     media = synth_media(spark, 30)
     feats = decode_image_features(media)
@@ -96,6 +114,8 @@ def test_chunking_udtf_matches_catalyst(spark):
             (0, "a b c d e f g h i j k l m n o p q r s t u v w x y"),  # 25 toks
             (1, "one two three"),  # shorter than one window
             (2, "x " * 9 + "x"),  # exactly one window (10 toks)
+            (3, ""),  # empty string: ONE empty-token chunk in both twins
+            (4, None),  # NULL text: no chunks in both twins
         ],
         "doc_id long, text string",
     )
@@ -117,6 +137,8 @@ def test_chunking_udtf_matches_catalyst(spark):
         }
         assert catalyst == via_udtf, (size, stride)
         assert len(catalyst) > 3
+        assert (3, 0, "", 1) in catalyst  # '' → one single-empty-token chunk
+        assert not any(r[0] == 4 for r in catalyst)  # NULL → nothing
 
 
 def test_merge_null_vs_absent_attrs(spark):
