@@ -72,15 +72,32 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_shared: int = 1,
+    max_doc_freq: int | None = 512,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing >= min_shared shingles.
+    """N-gram Jaccard for every pair sharing >= min_shared shingles.
 
     Inverted-index join: explode shingles, self-join on the shingle value,
     count intersections, then combine with per-doc set sizes. Returns
-    (doc1, doc2, inter, n1, n2, jaccard). At very large scale raise
-    ``min_shared`` / apply prefix filtering before the join; frequency-cap
-    hot shingles to avoid quadratic blowup on boilerplate."""
+    (doc1, doc2, inter, n1, n2, jaccard).
+
+    ``max_doc_freq`` (DEFAULT ON) drops shingles appearing in more than
+    that many documents before the self-join — a single boilerplate
+    shingle shared by 1M docs would otherwise contribute ~10¹² candidate
+    pairs. Dropped shingles are excluded from BOTH the intersection and
+    the per-doc sizes, so jaccard stays a true Jaccard over the capped
+    shingle space (the standard df-cap/prefix-filter semantics). Hot
+    shingles are by construction few (≤ total_shingles/K), so the filter
+    is a broadcast anti-join — no extra shuffle of the big table. Pass
+    ``None`` for the exact uncapped variant (small corpora only)."""
     sh = _shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,9 +155,9 @@ def minhash_lsh_pairs(
     jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
     estimate)."""
     rows_per_band = num_hashes // bands
-    # ONE groupBy computes both the signature (as an array) and the distinct
-    # shingle set — a single shuffle over the exploded shingles feeds
-    # banding, the sketch estimate, and the exact verification.
+    # ONE groupBy computes the signature array + the distinct-shingle COUNT
+    # (k+1 longs per doc — map-side combinable; the shuffle payload never
+    # carries shingle SETS, which at corpus scale would dominate it).
     sh = _shingle_table(df, id_col, text_col, n)
     mh_arr = F.array(
         *[
@@ -152,7 +169,7 @@ def minhash_lsh_pairs(
     )
     per_doc = (
         sh.groupBy("doc")
-        .agg(mh_arr.alias("mh"), F.collect_set("s").alias("ss"))
+        .agg(mh_arr.alias("mh"), F.count(F.lit(1)).alias("n_sh"))
         .cache()
     )
 
@@ -183,30 +200,48 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Two joins bring each side's (signature, shingle set); the sketch
-    # estimate is the agreeing-slot fraction (zip_with), the exact jaccard
-    # an array intersection — both scale with |candidates| only (at 100 TB
-    # the all-pairs inverted join is exactly what LSH exists to avoid).
+    # Sketch estimate: two joins bring each side's signature + set size
+    # (k+1 longs — never the shingle sets themselves).
     p1 = per_doc.select(
-        F.col("doc").alias("doc1"), F.col("mh").alias("mh1"), F.col("ss").alias("ss1")
+        F.col("doc").alias("doc1"), F.col("mh").alias("mh1"), F.col("n_sh").alias("n1")
     )
     p2 = per_doc.select(
-        F.col("doc").alias("doc2"), F.col("mh").alias("mh2"), F.col("ss").alias("ss2")
+        F.col("doc").alias("doc2"), F.col("mh").alias("mh2"), F.col("n_sh").alias("n2")
     )
     agree = F.size(
         F.filter(
             F.zip_with("mh1", "mh2", lambda x, y: x == y), lambda m: m
         )
     )
-    inter = F.size(F.array_intersect(F.col("ss1"), F.col("ss2"))).cast("long")
+    est = cand.join(p1, "doc1").join(p2, "doc2").select(
+        "doc1", "doc2",
+        (agree / F.lit(num_hashes)).cast("double").alias("jaccard_est"),
+        "n1", "n2",
+    )
+
+    # Exact verification re-joins the candidate pairs against the shingle
+    # table (candidate-restricted inverted join): the intersection count is
+    # a groupBy over rows that exist only for candidate pairs, so memory
+    # per task is O(1) and no full shingle set ever crosses a shuffle —
+    # the corpus-scale shape the collect_set variant lacked.
+    s1 = sh.select(F.col("doc").alias("doc1"), "s")
+    s2 = sh.select(F.col("doc").alias("doc2"), "s")
+    inter = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "s"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     out = (
-        cand.join(p1, "doc1")
-        .join(p2, "doc2")
+        est.join(inter, ["doc1", "doc2"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
         .select(
             "doc1",
             "doc2",
-            (agree / F.lit(num_hashes)).cast("double").alias("jaccard_est"),
-            (inter / (F.size("ss1") + F.size("ss2") - inter).cast("double")).alias("jaccard"),
+            "jaccard_est",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
         )
     )
     if min_jaccard > 0:

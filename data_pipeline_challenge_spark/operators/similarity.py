@@ -196,18 +196,104 @@ def ivf_topk(
     return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_near_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via tiled block matmul — the
+    scale path for the near-pairs query.
+
+    Exact all-pairs at a low threshold is inherently O(n²) FLOPs; the
+    scale question is whether O(n²) ROWS ever hit a shuffle. Here they
+    don't:
+
+    1. each vector gets a deterministic block id (xxhash64 % n_blocks) and
+       is replicated to the n_blocks block-PAIRS it participates in — the
+       shuffle is n_blocks × the table, not n²;
+    2. one Arrow batch per block-pair runs a single numpy matmul over its
+       tile and emits ONLY the candidate (id1, id2) ids above
+       ``threshold - margin`` — BLAS compute, zero per-row Python, no
+       quadratic materialization;
+    3. candidates re-join the embedding table and the final similarity is
+       recomputed with the sequential left-fold :func:`cosine` expression,
+       so emitted values are bit-identical to a naive all-pairs engine
+       (the matmul margin absorbs BLAS-vs-fold rounding skew).
+
+    At 100 TB, n_blocks scales with the cluster so each tile fits executor
+    memory; replication cost is n_blocks × input, the classic distributed
+    matrix-product tradeoff. Returns (id1, id2, sim) with id1 < id2."""
+    margin = 1e-6
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # Replicate each row to every block-pair (min(blk,j), max(blk,j)).
+    pairs = tagged.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("p1"),
+        F.greatest("blk", "other").alias("p2"),
+    )
+
+    thr = float(threshold) - margin
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained closure (numpy/pandas only): ships by value
+        import numpy as _np
+        import pandas as _pd
+
+        p1, p2 = int(pdf["p1"].iloc[0]), int(pdf["p2"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        mat = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+        mat /= _np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-300)
+        if p1 == p2:
+            sims = mat @ mat.T
+            i_idx, j_idx = _np.nonzero(_np.triu(sims >= thr, k=1))
+            id1, id2 = ids[i_idx], ids[j_idx]
+        else:
+            a_mask = pdf["blk"].to_numpy() == p1
+            A, B = mat[a_mask], mat[~a_mask]
+            ida, idb = ids[a_mask], ids[~a_mask]
+            sims = A @ B.T
+            i_idx, j_idx = _np.nonzero(sims >= thr)
+            id1, id2 = ida[i_idx], idb[j_idx]
+        lo = _np.minimum(id1, id2)
+        hi = _np.maximum(id1, id2)
+        return _pd.DataFrame({"id1": lo, "id2": hi})
+
+    cand = pairs.groupBy("p1", "p2").applyInPandas(run, "id1 long, id2 long")
+
+    e1 = embeddings.select(F.col(id_col).alias("id1"), as_double(F.col(vec_col)).alias("v1"))
+    e2 = embeddings.select(F.col(id_col).alias("id2"), as_double(F.col(vec_col)).alias("v2"))
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding near-dup detection).
+    """All pairs with cosine >= threshold — the NAIVE all-pairs self-join.
 
-    Implemented as a self cross-join at test scale; at 100 TB the identical
-    verification runs after LSH candidate generation (join the bucketed
-    table to itself on bucket instead of crossJoin) — see
-    :func:`with_lsh_bucket`."""
+    Kept as the small-scale cross-check twin of
+    :func:`cosine_near_pairs_blocked` (which the declared query runs);
+    this form materializes O(n²) rows and must not be used at scale."""
     a = embeddings.select(F.col(id_col).alias("id1"), as_double(F.col(vec_col)).alias("v1"))
     b = embeddings.select(F.col(id_col).alias("id2"), as_double(F.col(vec_col)).alias("v2"))
     return (

@@ -36,7 +36,12 @@ from .schema import (
     STATUS_PROCESSED,
     STATUS_PROCESSED_WITH_ERRORS,
 )
-from .sources.json_ingest import MALFORMED_SEQ, read_bronze
+from .sources.json_ingest import (
+    CHUNK_RECORDS,
+    MALFORMED_SEQ,
+    SPLIT_THRESHOLD_BYTES,
+    read_bronze_splittable,
+)
 from .sources.landing import discover_new_files, gc_file
 from .sources.ledger import LedgerStore
 
@@ -58,6 +63,9 @@ class ProductWarehouse:
         self.dir = Path(warehouse_dir)
         self.products_path = self.dir / "products"
         self.ledger = LedgerStore(spark, self.dir)
+        # Splittable-parse knobs (tests shrink them to exercise chunking).
+        self.split_threshold_bytes = SPLIT_THRESHOLD_BYTES
+        self.chunk_records = CHUNK_RECORDS
 
     # -- products table ------------------------------------------------------
 
@@ -119,7 +127,21 @@ class ProductWarehouse:
         if not new_paths:
             return report
 
-        bronze = read_bronze(self.spark, [str(p) for p in new_paths]).cache()
+        # Large array files fan out into JSONL chunks (scratch is derived
+        # data, wiped after the batch); conversion failures take the
+        # whole-file-failure path below without touching executors.
+        import tempfile
+
+        self.dir.mkdir(parents=True, exist_ok=True)
+        scratch = Path(tempfile.mkdtemp(prefix="jsonl_scratch_", dir=self.dir))
+        bronze, conv_failed = read_bronze_splittable(
+            self.spark,
+            [str(p) for p in new_paths],
+            scratch,
+            threshold_bytes=self.split_threshold_bytes,
+            chunk_records=self.chunk_records,
+        )
+        bronze = bronze.cache()
         try:
             # Per-file counters in one aggregation (SURVEY §2 ops 6,13):
             # total counts every array element (valid or not), like the
@@ -140,6 +162,13 @@ class ProductWarehouse:
                 )
                 .collect()
             }
+            for fid in conv_failed:
+                stats[fid] = {
+                    "total_records": 0,
+                    "records_processed": 0,
+                    "records_failed": 0,
+                    "malformed": 1,
+                }
 
             # Merge only records from well-formed files (a malformed file
             # ingests nothing: file_splitter.py:74-81 fails before publish).
@@ -158,16 +187,24 @@ class ProductWarehouse:
                 )
             )
             # Cross-file ordering: files sorted by landing name (timestamped)
-            # — later uploads win, matching queue arrival order.
-            file_order = {Path(p).name: i for i, p in enumerate(sorted(new_paths))}
-            order_expr = F.coalesce(
-                *[
-                    F.when(F.col("file_id") == fid, F.lit(i * 10_000_000_000))
-                    for fid, i in file_order.items()
-                ],
-                F.lit(0),
-            ) + F.col("seq") if file_order else F.col("seq")
-            valid = valid.withColumn("seq", order_expr.cast("long"))
+            # — later uploads win, matching queue arrival order. A tiny
+            # broadcast-joined (file_id → ord) table keeps the expression
+            # tree constant-depth no matter how many files the batch holds.
+            file_order = [(Path(p).name, i) for i, p in enumerate(sorted(new_paths))]
+            order_df = self.spark.createDataFrame(
+                file_order, "file_id string, __ford long"
+            )
+            valid = (
+                valid.join(F.broadcast(order_df), "file_id", "left")
+                .withColumn(
+                    "seq",
+                    (
+                        F.coalesce(F.col("__ford"), F.lit(0)) * F.lit(10_000_000_000)
+                        + F.col("seq")
+                    ).cast("long"),
+                )
+                .drop("__ford")
+            )
 
             existing = self.products() if self.products_path.exists() else None
             merged = merge_products(existing, valid)
@@ -213,4 +250,5 @@ class ProductWarehouse:
             self.ledger.append(events)
         finally:
             bronze.unpersist()
+            shutil.rmtree(scratch, ignore_errors=True)
         return report

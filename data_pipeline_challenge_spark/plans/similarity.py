@@ -15,7 +15,7 @@ from ..catalog import load_table
 from ..operators.similarity import (
     ann_topk,
     centroids_by_label,
-    cosine_near_pairs,
+    cosine_near_pairs_blocked,
     knn_bruteforce,
     with_lsh_bucket,
 )
@@ -101,9 +101,14 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (τ=0.35 — the test embeddings
-    are near-orthogonal, so the threshold is set where pairs exist)."""
+    are near-orthogonal, so the threshold is set where pairs exist).
+
+    Runs the EXACT tiled block-matmul plan (no O(n²) row materialization,
+    no nested-loop join — pinned by tests/test_plans_physical.py); the
+    final similarity is the left-fold cosine, so values hash-match the
+    naive all-pairs oracle bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = cosine_near_pairs(emb, threshold=0.35)
+    out = cosine_near_pairs_blocked(emb, threshold=0.35)
     return out.select("id1", "id2", F.round("sim", 6).alias("sim"))
 
 

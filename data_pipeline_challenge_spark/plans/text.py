@@ -202,12 +202,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_top20",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh0 AS (
         SELECT doc_id,
                unnest(list_distinct([array_to_string(t[i:i+2], ' ')
                                      for i in range(1, len(t) - 1)])) AS s
         FROM toks WHERE len(t) >= 3
     ),
+    -- df-cap mirror of the engine's max_doc_freq=512 hot-shingle filter
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 512),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
@@ -226,10 +229,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar document pairs by exact 3-gram Jaccard via the
-    inverted-index self-join (never materializes the n² cross product)."""
+    """Top-20 most-similar document pairs by 3-gram Jaccard via the
+    inverted-index self-join with the default-on hot-shingle df-cap
+    (never materializes the n² cross product; boilerplate shingles are
+    dropped before the join — the oracle mirrors the cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, max_doc_freq=512)
     return (
         pairs.select("doc1", "doc2", "inter", F.round("jaccard", 6).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "doc1", "doc2")

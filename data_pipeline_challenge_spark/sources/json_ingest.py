@@ -27,6 +27,8 @@ documents this delta (SURVEY §2 op 4 "JSONL preferred at scale").
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import BRONZE_SCHEMA
@@ -34,11 +36,11 @@ from ..schema import BRONZE_SCHEMA
 MALFORMED_SEQ = -1  # sentinel bronze row emitted for an unparseable file
 
 
-def _make_file_parser():
-    """Build the executor-side parser. Fully self-contained (stdlib only, no
-    references to this module's globals) so it pickles by value."""
+def _make_normalizer():
+    """Build the record normalizer closure. Fully self-contained (stdlib
+    only, no references to this module's globals) so it pickles by value —
+    shared by the whole-file parser and the envelope-line parser."""
     import json as _json
-    import posixpath as _pp
 
     DROPPED = ("id", "_id")
 
@@ -69,6 +71,16 @@ def _make_file_parser():
             return (file_id, seq, code, None, None, False, "non_string_product_name")
         attrs = {k: canon(v) for k, v in rec.items() if k not in ("code", "product_name")}
         return (file_id, seq, code, name, attrs, True, None)
+
+    return normalize
+
+
+def _make_file_parser():
+    """Build the executor-side whole-file parser (ships by value)."""
+    import json as _json
+    import posixpath as _pp
+
+    normalize = _make_normalizer()
 
     def parse_file(kv):
         path, payload = kv
@@ -122,3 +134,92 @@ def read_bronze(spark: SparkSession, paths: list[str]) -> DataFrame:
     rdd = spark.sparkContext.binaryFiles(",".join(paths), minPartitions=len(paths))
     rows = rdd.flatMap(parser)
     return spark.createDataFrame(rows, BRONZE_SCHEMA)
+
+
+# -- splittable parse: array → envelope-JSONL fan-out ------------------------
+
+SPLIT_THRESHOLD_BYTES = 4 << 20  # array files above this are chunked
+CHUNK_RECORDS = 100_000  # records per JSONL chunk file (upload granularity)
+
+
+def _looks_like_array(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(64).lstrip()[:1] == b"["
+
+
+def _make_envelope_parser():
+    """Parse one envelope-JSONL line ``{"f","q","r"}`` into a bronze tuple
+    (self-contained closure: ships by value)."""
+    import json as _json
+
+    normalize = _make_normalizer()
+
+    def parse_line(line):
+        env = _json.loads(line)
+        return normalize(env["r"], env["f"], env["q"])
+
+    return parse_line
+
+
+def read_bronze_splittable(
+    spark: SparkSession,
+    paths: list[str],
+    scratch_dir,
+    threshold_bytes: int = SPLIT_THRESHOLD_BYTES,
+    chunk_records: int = CHUNK_RECORDS,
+) -> tuple[DataFrame, list[str]]:
+    """read_bronze with large-array fan-out — the at-scale parse path.
+
+    A top-level JSON array is ONE parse unit (a 100 GB weekly delivery
+    would run on one core — sources/jsonl.py docstring). Array files above
+    ``threshold_bytes`` are stream-rewritten (constant memory, the
+    reference's ijson discipline: file_splitter.py:117-120) into
+    envelope-JSONL chunks in ``scratch_dir``: every line carries its own
+    ``(file_id, global_seq, record)``, so the chunks are read back with
+    Spark's native newline-splitting text source — parallelism comes from
+    ``spark.sql.files.maxPartitionBytes``, NOT the file count, and a
+    single huge delivery fans out across every executor while keeping the
+    original file identity and the global record order the ordered-upsert
+    semantics need.
+
+    A file that fails conversion (malformed JSON) never reaches the
+    executors; its id is returned in the second element so the caller can
+    apply the whole-file-failure contract (status=failed, file retained).
+
+    Returns ``(bronze_df, conversion_failed_file_ids)``.
+    """
+    import posixpath
+    from pathlib import Path
+
+    from .jsonl import array_to_jsonl
+
+    whole_files: list[str] = []
+    chunk_paths: list[str] = []
+    conv_failed: list[str] = []
+    for p in map(str, paths):
+        try:
+            is_big_array = os.path.getsize(p) >= threshold_bytes and _looks_like_array(p)
+        except OSError:
+            is_big_array = False
+        if not is_big_array:
+            whole_files.append(p)
+            continue
+        try:
+            chunks = array_to_jsonl(
+                p,
+                scratch_dir,
+                records_per_file=chunk_records,
+                basename=Path(p).name,
+                envelope_file_id=Path(p).name,
+            )
+            chunk_paths.extend(str(c) for c in chunks)
+        except ValueError:  # incl. JSONDecodeError/UnicodeDecodeError
+            conv_failed.append(posixpath.basename(p))
+
+    df = read_bronze(spark, whole_files)
+    if chunk_paths:
+        parser = _make_envelope_parser()
+        lines = spark.read.text(chunk_paths)
+        rows = lines.rdd.map(lambda row, _p=parser: _p(row.value))
+        df = df.unionByName(spark.createDataFrame(rows, BRONZE_SCHEMA))
+    return df, conv_failed

@@ -86,11 +86,20 @@ def array_to_jsonl(
     dst_dir: str | Path,
     records_per_file: int = 50_000,
     basename: str | None = None,
+    envelope_file_id: str | None = None,
 ) -> list[Path]:
     """Stream-convert an array-JSON file to numbered JSONL chunk files.
 
     Returns the chunk paths. Each chunk is an independent parse unit for
-    read_bronze (one executor task per chunk)."""
+    read_bronze (one executor task per chunk).
+
+    With ``envelope_file_id``, every line is wrapped as
+    ``{"f": file_id, "q": global_seq, "r": record}`` — record identity and
+    order ride IN the line, so chunk files are consumable by Spark's
+    native newline-splitting text reader with NO per-file task mapping:
+    any split of any chunk yields correctly-attributed records. This is
+    what makes the converted delivery fully splittable at scale (a single
+    100 GB chunk still fans out into maxPartitionBytes-sized tasks)."""
     src = Path(src)
     dst = Path(dst_dir)
     dst.mkdir(parents=True, exist_ok=True)
@@ -99,6 +108,7 @@ def array_to_jsonl(
     out = None
     n_in_file = 0
     idx = 0
+    seq = 0
     try:
         for rec in iter_json_array(src):
             if out is None or n_in_file >= records_per_file:
@@ -109,8 +119,15 @@ def array_to_jsonl(
                 out_paths.append(p)
                 idx += 1
                 n_in_file = 0
-            out.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            if envelope_file_id is not None:
+                line = json.dumps(
+                    {"f": envelope_file_id, "q": seq, "r": rec}, ensure_ascii=False
+                )
+            else:
+                line = json.dumps(rec, ensure_ascii=False)
+            out.write(line + "\n")
             n_in_file += 1
+            seq += 1
     finally:
         if out:
             out.close()

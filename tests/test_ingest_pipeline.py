@@ -250,3 +250,79 @@ def test_cross_file_ordering(spark, warehouse, landing, tmp_path):
     wh = ProductWarehouse(spark, warehouse)
     wh.ingest(landing)
     assert wh.products().filter(F.col("code") == "X").collect()[0]["product_name"] == "from-b"
+
+
+def test_large_array_file_splits_into_parallel_tasks(spark, warehouse, landing, tmp_path):
+    """A big top-level-array delivery must NOT parse as one executor task:
+    above the threshold it is stream-converted to JSONL chunks (one task
+    each), while file identity, global record order (last-wins upsert),
+    and counters all report against the ORIGINAL landing file."""
+    from data_pipeline_challenge_spark.sources.json_ingest import (
+        read_bronze_splittable,
+    )
+
+    n = 500
+    recs = [{"code": f"C{i:05d}", "product_name": f"p{i}", "n": i} for i in range(n)]
+    # same code early and late, landing in different chunks: later seq wins
+    recs[10] = {"code": "DUP", "product_name": "early"}
+    recs[490] = {"code": "DUP", "product_name": "late"}
+    lf = _land(landing, tmp_path, "big_array.json", recs)
+
+    # chunking layer in isolation: one landed file → many parse tasks.
+    # Parallelism comes from maxPartitionBytes over the envelope-JSONL
+    # scratch, so even ONE converted file fans out; shrink the knob to
+    # prove the split at test size.
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 4096)
+    try:
+        df, failed = read_bronze_splittable(
+            spark,
+            [lf.location],
+            tmp_path / "scratch",
+            threshold_bytes=1024,
+            chunk_records=50,
+        )
+        assert failed == []
+        assert df.rdd.getNumPartitions() >= 4  # single delivery, many tasks
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert len(rows) == n
+    assert {r["file_id"] for r in rows} == {lf.file_id}  # identity restored
+    assert sorted(r["seq"] for r in rows) == list(range(n))  # global order
+
+    # full pipeline over the chunked parse
+    wh = ProductWarehouse(spark, warehouse)
+    wh.split_threshold_bytes = 1024
+    wh.chunk_records = 50
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id] == {
+        "status": STATUS_PROCESSED,
+        "total_records": n,
+        "records_processed": n,
+        "records_failed": 0,
+    }
+    products = wh.products()
+    assert products.count() == n - 1  # DUP collapsed to one row
+    assert (
+        products.filter(F.col("code") == "DUP").collect()[0]["product_name"] == "late"
+    )
+    # scratch chunks were wiped with the batch
+    assert not any(p.name.startswith("jsonl_scratch_") for p in wh.dir.iterdir())
+
+
+def test_malformed_large_array_fails_whole_file(spark, warehouse, landing, tmp_path):
+    """Conversion failure (truncated array) takes the whole-file-failure
+    path: status=failed, nothing ingested, landing file retained
+    (file_splitter.py:74-81)."""
+    good = [{"code": f"G{i}", "product_name": "g"} for i in range(40)]
+    text = json.dumps(good)[:-10]  # truncate: unterminated array
+    lf = _land(landing, tmp_path, "broken_big.json", text)
+    wh = ProductWarehouse(spark, warehouse)
+    wh.split_threshold_bytes = 64
+    wh.chunk_records = 10
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id]["status"] == STATUS_FAILED
+    assert report.files[lf.file_id]["records_processed"] == 0
+    assert wh.products().count() == 0
+    assert lf.location in list_landed(landing)  # retained for inspection

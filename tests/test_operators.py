@@ -195,6 +195,25 @@ def test_dedup_on_controlled_corpus(spark):
     assert sh.get((0, 1)) == 0  # identical text → identical simhash
 
 
+def test_jaccard_doc_freq_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by every doc must not create the n²
+    candidate blowup: with the df-cap on, only genuinely-similar pairs
+    survive; with the cap off, the boilerplate alone pairs everyone."""
+    boiler = "all rights reserved worldwide"  # 4 toks → 2 shared 3-shingles
+    docs = [(i, f"{boiler} unique{i} body{i} text{i} words{i}") for i in range(30)]
+    docs.append((100, docs[0][1]))  # planted exact dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = jaccard_pairs(df, "doc_id", "text", max_doc_freq=None)
+    assert uncapped.count() == 31 * 30 // 2  # boilerplate pairs everyone
+
+    capped = jaccard_pairs(df, "doc_id", "text", max_doc_freq=5)
+    rows = capped.collect()
+    assert {(r["doc1"], r["doc2"]) for r in rows} == {(0, 100)}
+    (planted,) = rows
+    assert planted["jaccard"] == 1.0  # capped space: both docs identical
+
+
 def test_knn_and_ann_agree_on_clustered_vectors(spark):
     """ANN probing the query bucket finds the true near neighbors when they
     are genuinely close (same LSH bucket)."""

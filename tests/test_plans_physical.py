@@ -85,6 +85,20 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_near_pairs_has_no_allpairs_join(spark):
+    """embedding_near_pairs must run the tiled block-matmul plan: candidate
+    generation in FlatMapGroupsInPandas, verification via hash joins — no
+    nested-loop/cartesian O(n²) row materialization anywhere."""
+    plan = plan_of(spark, "embedding_near_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the tiled matmul stage
+    # candidate re-verification joins are hash joins on the pair ids
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 @pytest.mark.parametrize("name", ["events_tumbling_hour", "agg_orders_by_status"])
 def test_aggs_have_partial_phase(spark, name):
     """Partial (map-side) aggregation before the shuffle — the property
