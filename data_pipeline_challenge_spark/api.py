@@ -1,0 +1,250 @@
+"""Thin HTTP shim — the reference's API surface over the Spark engine.
+
+Binds the engine's library operators to the reference's four routes with
+their exact response shapes and 404 semantics
+(/root/reference/app/api/main.py:59-184, app/schemas.py:18-56):
+
+- ``POST /upload``                            → landing.upload + an
+  ``uploaded`` ledger event (UploadedFile.insert equivalent)
+- ``GET /upload/status/{file_id}``            → ledger.status_of
+- ``GET /product/find/code/{code}``           → operators.find.find_by_code
+- ``GET /product/find/name/partial/{name}``   → find_name_partial (top 20,
+  live regex metacharacters — the reference's injection quirk)
+- ``GET /product/find/name/exact/{name}``     → find_name_exact (no limit;
+  the reference's code, not its docstring)
+
+Wire-format fidelity notes:
+
+- the find-name responses are ``{"products": [...]}`` with NO search_term
+  key: the reference code builds one, but FastAPI's
+  ``response_model=MultipleProducts`` strips it before serialization —
+  we reproduce the wire shape, not the dead code;
+- the ``uploaded`` status serializes as the reference enum VALUE
+  ``"uploaded - waiting for processing"`` (models.py:28-33);
+- product JSON carries every preserved attr, decoded from the canonical
+  attrs map (the reference's ``extra = "allow"`` behavior).
+
+Documented divergence: the reference processes uploads asynchronously via
+RabbitMQ consumers; here processing is the Spark batch/streaming job, so
+the shim exposes ``POST /admin/ingest`` (engine extension) to run one
+ingest round in-process — production deployments run
+``streaming/ingest_stream.py`` against the same landing dir instead.
+
+Stdlib-only (http.server); one Spark driver serves all handler threads.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import unquote
+
+from pyspark.sql import SparkSession
+
+from .operators.find import find_by_code, find_name_exact, find_name_partial
+from .pipeline import ProductWarehouse
+from .schema import STATUS_UPLOADED
+from .sources.landing import upload as land_upload
+
+# Internal status → reference wire value (models.py:28-33: only the
+# pending state has a decorated enum value).
+_WIRE_STATUS = {STATUS_UPLOADED: "uploaded - waiting for processing"}
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser: returns (filename, payload,
+    part_content_type) of the ``file`` field, or None."""
+    m = re.search(r"boundary=([^;]+)", content_type)
+    if not m:
+        return None
+    boundary = b"--" + m.group(1).strip().strip('"').encode()
+    for part in body.split(boundary):
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        headtext = head.decode("utf-8", "replace")
+        if 'name="file"' in headtext:
+            fn = re.search(r'filename="([^"]*)"', headtext)
+            ct = re.search(r"Content-Type:\s*([^\r\n]+)", headtext, re.I)
+            return (
+                fn.group(1) if fn else "upload.json",
+                payload.rsplit(b"\r\n", 1)[0],  # strip CRLF before boundary
+                ct.group(1).strip() if ct else "application/octet-stream",
+            )
+    return None
+
+
+def _product_dict(row) -> dict:
+    """Serialize a product row the way the reference serializes a Product
+    document: spine fields + every preserved extra attr (decoded from the
+    canonical-JSON attrs map)."""
+    ts = row["last_modified_at_company"]
+    d = {
+        "code": row["code"],
+        "product_name": row["product_name"],
+        "file_id": row["file_id"],
+        "last_modified_at_company": ts.isoformat() if ts is not None else None,
+    }
+    for k, v in (row["attrs"] or {}).items():
+        d[k] = json.loads(v)
+    return d
+
+
+class ApiServer:
+    """The shim server. ``port=0`` picks a free port (tests)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str | Path,
+        landing_dir: str | Path,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.warehouse = ProductWarehouse(spark, warehouse_dir)
+        self.landing_dir = Path(landing_dir)
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "ApiServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- route bodies (plain dict in / dict+status out) ----------------------
+
+    def do_upload(self, filename: str, payload: bytes, content_type: str):
+        lf = land_upload(
+            payload, self.landing_dir, orig_name=filename, content_type=content_type
+        )
+        # UploadedFile.insert() equivalent: the pending ledger event that
+        # makes GET /upload/status work before processing runs.
+        import datetime as dt
+
+        self.warehouse.ledger.append(
+            [
+                {
+                    "file_id": lf.file_id,
+                    "filename": lf.filename,
+                    "location": lf.location,
+                    "uploaded_at": dt.datetime.utcfromtimestamp(lf.uploaded_at),
+                    "content_type": lf.content_type,
+                    "status": STATUS_UPLOADED,
+                    "total_records": 0,
+                    "records_processed": 0,
+                    "records_failed": 0,
+                }
+            ]
+        )
+        return 200, {
+            "message": "File uploaded successfully!",
+            "filename": filename,
+            "file_id": lf.file_id,
+            "status_url": f"http://{self.host}:{self.port}/upload/status/{lf.file_id}",
+        }
+
+    def do_status(self, file_id: str):
+        s = self.warehouse.ledger.status_of(file_id)
+        if s is None:
+            return 404, {"detail": "There is no file with this id"}
+        return 200, {
+            "filename": s["filename"],
+            "status": _WIRE_STATUS.get(s["status"], s["status"]),
+            "uploaded_at": s["uploaded_at"].isoformat() if s["uploaded_at"] else None,
+            "total_records": s["total_records"],
+            "records_processed": s["records_processed"],
+            "records_failed": s["records_failed"],
+        }
+
+    def do_find_code(self, code: str):
+        rows = find_by_code(self.warehouse.products(), code).collect()
+        if not rows:
+            return 404, {"detail": "There is no product with this code."}
+        return 200, _product_dict(rows[0])
+
+    def do_find_partial(self, term: str):
+        rows = find_name_partial(self.warehouse.products(), term).collect()
+        return 200, {"products": [_product_dict(r) for r in rows]}
+
+    def do_find_exact(self, term: str):
+        rows = find_name_exact(self.warehouse.products(), term).collect()
+        return 200, {"products": [_product_dict(r) for r in rows]}
+
+    def do_ingest(self):
+        report = self.warehouse.ingest(self.landing_dir)
+        return 200, {"files": report.files, "total_processed": report.total_processed}
+
+
+def _make_handler(server: ApiServer):
+    routes_get = (
+        (re.compile(r"^/upload/status/([^/]+)$"), server.do_status),
+        (re.compile(r"^/product/find/code/([^/]+)$"), server.do_find_code),
+        (re.compile(r"^/product/find/name/partial/([^/]+)$"), server.do_find_partial),
+        (re.compile(r"^/product/find/name/exact/([^/]+)$"), server.do_find_exact),
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, status: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 - http.server contract
+            for pat, fn in routes_get:
+                m = pat.match(self.path)
+                if m:
+                    try:
+                        self._send(*fn(unquote(m.group(1))))
+                    except Exception as exc:  # pragma: no cover - defensive
+                        self._send(500, {"detail": str(exc)})
+                    return
+            self._send(404, {"detail": "Not Found"})
+
+        def do_POST(self):  # noqa: N802 - http.server contract
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length)
+            try:
+                if self.path == "/upload":
+                    ctype = self.headers.get("Content-Type", "")
+                    if ctype.startswith("multipart/form-data"):
+                        part = _parse_multipart(body, ctype)
+                        if part is None:
+                            self._send(
+                                422,
+                                {
+                                    "detail": "There was an error while uploading "
+                                    "your file. Please try again."
+                                },
+                            )
+                            return
+                        self._send(*server.do_upload(*part))
+                    else:
+                        # raw-body convenience: filename via X-Filename
+                        fn = self.headers.get("X-Filename", "upload.json")
+                        self._send(*server.do_upload(fn, body, ctype or "application/json"))
+                elif self.path == "/admin/ingest":
+                    self._send(*server.do_ingest())
+                else:
+                    self._send(404, {"detail": "Not Found"})
+            except Exception as exc:  # pragma: no cover - defensive
+                self._send(500, {"detail": str(exc)})
+
+    return Handler

@@ -84,14 +84,21 @@ def list_landed(landing_dir: str | Path) -> list[str]:
 
 
 def discover_new_files(landing_dir: str | Path, ledger_current: DataFrame | None) -> list[str]:
-    """Batch-mode event source: landed files not yet in the ledger
-    (anti-join replaces queue consumption, SURVEY §2 op 3)."""
+    """Batch-mode event source: landed files whose latest ledger status is
+    not yet terminal (anti-join replaces queue consumption, SURVEY §2
+    op 3). A file with only an ``uploaded`` event — the HTTP shim appends
+    one at POST /upload, like the reference's UploadedFile.insert() — is
+    still pending and must be discovered; processed/failed files are not."""
     landed = list_landed(landing_dir)
     if ledger_current is None or not landed:
         return landed
+    terminal = ("processed", "processed_with_errors", "failed")
     seen = {
         r["file_id"]
-        for r in ledger_current.select("file_id").distinct().collect()
+        for r in ledger_current.filter(F.col("status").isin(*terminal))
+        .select("file_id")
+        .distinct()
+        .collect()
     }
     return [p for p in landed if Path(p).name not in seen]
 

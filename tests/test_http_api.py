@@ -1,0 +1,100 @@
+"""End-to-end HTTP shim test: upload → status → ingest → status → find,
+all over real HTTP against the reference's route/shape/404 contract
+(/root/reference/app/api/main.py:59-184)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from data_pipeline_challenge_spark.api import ApiServer
+
+
+def _req(url: str, data: bytes | None = None, headers: dict | None = None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _multipart(filename: str, payload: bytes) -> tuple[bytes, str]:
+    boundary = "graftboundary123"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+        f"Content-Type: application/json\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture
+def api(spark, tmp_path):
+    server = ApiServer(spark, tmp_path / "wh", tmp_path / "landing").start()
+    yield server
+    server.stop()
+
+
+def test_http_upload_status_find_e2e(api):
+    base = f"http://{api.host}:{api.port}"
+    recs = [
+        {"code": "0001", "product_name": "Choco Bar", "brands": "AcmE", "n": 1},
+        {"code": "0002", "product_name": "choco bar deluxe"},
+        {"code": "0003", "product_name": None, "x": [1, 2]},
+        {"code": 42, "product_name": "bad code"},  # numeric code → rejected
+    ]
+    body, ctype = _multipart("products.json", json.dumps(recs).encode())
+
+    # upload: reference response shape (schemas.py:18-25)
+    status, up = _req(f"{base}/upload", data=body, headers={"Content-Type": ctype})
+    assert status == 200
+    assert up["message"] == "File uploaded successfully!"
+    assert up["filename"] == "products.json"
+    fid = up["file_id"]
+    assert up["status_url"].endswith(f"/upload/status/{fid}")
+
+    # status before processing: the reference enum wire value
+    status, st = _req(up["status_url"])
+    assert status == 200
+    assert st["status"] == "uploaded - waiting for processing"
+    assert st["filename"] == "products.json"
+    assert st["total_records"] == 0
+
+    # unknown file id → 404 with the reference detail
+    status, err = _req(f"{base}/upload/status/nope")
+    assert status == 404 and err == {"detail": "There is no file with this id"}
+
+    # run one ingest round (engine stand-in for the queue consumers)
+    status, rep = _req(f"{base}/admin/ingest", data=b"")
+    assert status == 200 and rep["total_processed"] == 3
+
+    status, st = _req(f"{base}/upload/status/{fid}")
+    assert st["status"] == "processed_with_errors"  # 1 rejected record
+    assert st["total_records"] == 4
+    assert st["records_processed"] == 3
+    assert st["records_failed"] == 1
+
+    # find by code: product JSON carries decoded extra attrs
+    status, p = _req(f"{base}/product/find/code/0001")
+    assert status == 200
+    assert p["product_name"] == "Choco Bar"
+    assert p["brands"] == "AcmE" and p["n"] == 1  # attrs decoded, types kept
+    assert p["file_id"] == fid
+
+    status, err = _req(f"{base}/product/find/code/9999")
+    assert status == 404 and err == {"detail": "There is no product with this code."}
+
+    # partial: case-insensitive contains, wire shape has ONLY "products"
+    status, res = _req(f"{base}/product/find/name/partial/CHOCO")
+    assert status == 200 and set(res) == {"products"}
+    assert {p["code"] for p in res["products"]} == {"0001", "0002"}
+
+    # exact: case-sensitive, no limit
+    status, res = _req(f"{base}/product/find/name/exact/Choco%20Bar")
+    assert {p["code"] for p in res["products"]} == {"0001"}
+    status, res = _req(f"{base}/product/find/name/exact/choco%20bar")
+    assert res["products"] == []
