@@ -1,0 +1,207 @@
+"""Corpus-curation query inventory: the operations a training-data pipeline
+runs between "raw documents" and "training set".
+
+Same contract as the rest of the registry: identical aliases on both sides,
+floats rounded, integer/string sort keys under every LIMIT, no
+timezone-dependent outputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_events, load_table
+from ..operators.graph import connected_components
+from ..operators.similarity import cosine_near_pairs_blocked
+from .registry import query
+
+
+@query(
+    "dup_cluster_components",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ), e AS (
+        SELECT id1 AS v, id2 AS w FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+        SELECT v, w AS r FROM e
+        UNION
+        SELECT reach.v, e.w FROM reach JOIN e ON reach.r = e.v
+    ), lab AS (
+        SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v
+    )
+    SELECT component, count(*) AS n_members, max(v) AS max_member
+    FROM lab GROUP BY component
+    """,
+    tags=("dedup", "graph", "corpus"),
+    bench=True,
+)
+def dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the
+    embedding-cosine near-pair graph (τ=0.35), one row per cluster with its
+    canonical id (min member). Pairs → clusters is the step that makes
+    dedup actually droppable: keep one doc per component.
+
+    The pair set is the exact tiled-matmul near-pairs plan (hash-matches
+    the all-pairs oracle); components come from iterative min-label
+    propagation (operators/graph.py) whose fixpoint is
+    partitioning-independent. The oracle reaches the same fixpoint via a
+    recursive-CTE transitive closure — feasible at sf0.01, which is the
+    point: the oracle checks semantics, the engine path is the one that
+    scales."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("vertex").alias("max_member"),
+    )
+
+
+@query(
+    "sample_hash_split",
+    """
+    WITH s AS (
+        SELECT source, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM s GROUP BY split, source
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by content-free key hash: doc_id →
+    md5 → first byte < 0xe6 (≈90%) is train. The standard reproducible
+    split for corpora — stable under re-runs, re-partitioning, and engine
+    choice (md5 hex is md5 hex everywhere), unlike ``rand()``-based
+    sampling. Profiled per (split, source) to keep the check compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+    ).otherwise("eval")
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "tfidf_top20",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ORDER BY tf.tf DESC, df.df ASC, tf.term, tf.doc_id
+    LIMIT 20
+    """,
+    tags=("text", "corpus", "agg"),
+)
+def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most distinctive (doc, term) pairs by TF-IDF. The ranking key
+    is the integer pair (tf DESC, df ASC) plus (term, doc_id) tiebreaks —
+    monotone in tf·ln(N/df) along each axis and engine-stable where a
+    float sort key could flip on a ULP of ``ln``; the tfidf value itself is
+    reported rounded.
+
+    Shape at scale: explode → two keyed aggregations (both with map-side
+    partial combine) → join on term. The scalar N broadcasts; the df join
+    shuffles on term, which is the correct key at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), "term", "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH s AS (
+        SELECT user_id, min(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, min(e.ts) AS t_view
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t_signup
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM v) AS n_view_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+    tags=("events", "funnel", "agg"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → view → purchase funnel: each stage counts users
+    whose first qualifying event strictly follows their previous stage's
+    first event. Three keyed min-aggregations chained by join on user_id —
+    the same partitioning key every stage, so at scale the shuffles line up
+    (and with a user-bucketed table they disappear). Timestamps compared at
+    µs precision on both engines; only counts are emitted."""
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )

@@ -148,7 +148,15 @@ _R1_CHECKED = frozenset((
 
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules on first use so the registry is populated.
-    from . import events, relational, similarity, stats, text  # noqa: F401
+    from . import (  # noqa: F401
+        corpus,
+        events,
+        relational,
+        relational_deep,
+        similarity,
+        stats,
+        text,
+    )
 
     ordered: dict[str, QueryDef] = {}
     for name in _DRIVER_PRIORITY:

@@ -15,6 +15,7 @@ from data_pipeline_challenge_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_near_pairs,
 )
+from data_pipeline_challenge_spark.operators.graph import connected_components
 from data_pipeline_challenge_spark.operators.merge import merge_products
 from data_pipeline_challenge_spark.operators.multimodal import (
     decode_image_features,
@@ -244,3 +245,26 @@ def test_knn_and_ann_agree_on_clustered_vectors(spark):
     # must recover the true top-5 exactly
     ivf = [r["vec_id"] for r in ivf_topk(rest, qvec, k=5, n_clusters=8, n_probe=4).collect()]
     assert set(ivf) == {1, 2, 3, 4, 5}
+
+
+def test_connected_components_chain_triangle_and_isolated_edge(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    # triangle 10-11-12, lone edge 20-21.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
