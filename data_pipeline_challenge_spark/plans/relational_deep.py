@@ -11,7 +11,7 @@ deterministic ORDER BY under every LIMIT, no raw timestamps in outputs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from .registry import query
@@ -340,11 +340,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length decile profile (corpus curation diagnostic). The
     NTILE order carries doc_id as tiebreaker so tied lengths bin
-    identically in any engine."""
+    identically in any engine; binning runs on the distributed global-rank
+    operator (operators/ranking.py), not Spark's single-partition global
+    window."""
+    from ..operators.ranking import with_global_ntile
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
     return (
-        docs.select("doc_id", "n_chars", F.ntile(10).over(w).cast("long").alias("decile"))
+        with_global_ntile(
+            docs.select("doc_id", "n_chars"), ("n_chars", "doc_id"), 10, out="decile"
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

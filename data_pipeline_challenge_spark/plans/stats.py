@@ -277,21 +277,26 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global customer-spend percentile (percent_rank + cume_dist over an
-    aggregate — single ordered window, the top-N-percent segmentation
-    primitive)."""
-    from pyspark.sql import Window
+    aggregate — the top-N-percent segmentation primitive). Runs on the
+    distributed global-rank operator (range partition + per-partition
+    offsets, operators/ranking.py) instead of the single-partition window
+    Spark would use for ``OVER (ORDER BY ...)``; the (total, o_custkey)
+    key is a total order, so the arithmetic is SQL-exact."""
+    from ..operators.ranking import with_global_rank_stats
 
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("total"))
     )
-    w = Window.orderBy("total", "o_custkey")
-    return spend.select(
+    ranked = with_global_rank_stats(
+        spend, ("total", "o_custkey"), percent_rank_col="__pr", cume_dist_col="__cd"
+    )
+    return ranked.select(
         "o_custkey",
         F.round("total", 2).alias("total_spend"),
-        F.round(F.percent_rank().over(w), 6).alias("spend_prank"),
-        F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+        F.round("__pr", 6).alias("spend_prank"),
+        F.round("__cd", 6).alias("spend_cume"),
     )
 
 

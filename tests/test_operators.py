@@ -268,3 +268,47 @@ def test_connected_components_chain_triangle_and_isolated_edge(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_global_ranking_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from data_pipeline_challenge_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_rank_stats,
+        with_global_row_number,
+    )
+
+    # 173 rows with heavy ties on v — doc-style skew; (v, i) is total.
+    rows = [(i, i % 7) for i in range(173)]
+    df = spark.createDataFrame(rows, "i long, v long").repartition(8)
+    w = Window.orderBy("v", "i")
+    expected = {
+        (r.i, r.rn, r.t, round(r.pr, 9), round(r.cd, 9))
+        for r in df.select(
+            "i",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(10).over(w).cast("long").alias("t"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked, total = with_global_row_number(df, ("v", "i"), out="rn")
+    assert total == 173
+    tiled = with_global_ntile(df, ("v", "i"), 10, out="t")
+    stats = with_global_rank_stats(df, ("v", "i"), "pr", "cd")
+    rn_map = {r.i: r.rn for r in ranked.collect()}
+    t_map = {r.i: r.t for r in tiled.collect()}
+    got = {
+        (r.i, rn_map[r.i], t_map[r.i], round(r.pr, 9), round(r.cd, 9))
+        for r in stats.collect()
+    }
+    assert got == expected
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark):
+    from data_pipeline_challenge_spark.operators.ranking import with_global_ntile
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "i long")
+    got = {(r.i, r.tile) for r in with_global_ntile(df, ("i",), 10).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}

@@ -105,3 +105,33 @@ def test_aggs_have_partial_phase(spark, name):
     that makes these one-pass at 100 TB."""
     plan = plan_of(spark, name)
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+@pytest.mark.parametrize("name", ["doc_length_deciles", "window_spend_rank"])
+def test_global_ranks_avoid_single_partition_window(spark, name):
+    """Global NTILE/percent_rank must run the range-partition + offset plan
+    (operators/ranking.py): every Window node keeps a partition spec, so no
+    stage funnels the full input into one task."""
+    plan = plan_of(spark, name)
+    # A global window compiles to `Exchange SinglePartition` + an
+    # unpartitioned windowspec; the ranking operator must produce neither.
+    assert "Exchange SinglePartition" not in plan, name
+    assert "windowspecdefinition(" in plan  # the local rank window exists...
+    assert "windowspecdefinition(__rank_pid" in plan  # ...partitioned by pid
+
+
+def test_new_tpch_deep_join_shapes(spark):
+    plan = plan_of(spark, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # n1, n2, region at minimum
+    plan18 = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan18
+    plan22 = plan_of(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan22
+
+
+def test_tfidf_partial_agg_and_topk(spark):
+    plan = plan_of(spark, "tfidf_top20")
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+    assert "partial_count" in plan or "HashAggregate" in plan
