@@ -74,9 +74,11 @@ def main() -> None:
     def _warm(s: pandas.Series) -> pandas.Series:
         return s
 
-    spark.range(1000).select(_warm(col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # one partition per core so every reusable Python worker pre-imports
+    # pandas before any timed Arrow stage
+    spark.range(0, 32_000, 1, spark.sparkContext.defaultParallelism).select(
+        _warm(col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, qd in sorted(bench_queries().items()):

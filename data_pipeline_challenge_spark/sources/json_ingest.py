@@ -161,6 +161,25 @@ def _make_envelope_parser():
     return parse_line
 
 
+def _make_envelope_batch_parser():
+    """Arrow-batched envelope parser for ``mapInPandas``: one pandas
+    DataFrame of bronze columns per input batch of text lines. Batch
+    transfer (Arrow) instead of per-row pickling — the envelope parse is
+    the ingest hot path. Self-contained closure: ships by value."""
+    import pandas as _pd
+
+    parse_line = _make_envelope_parser()
+    cols = ["file_id", "seq", "code", "product_name", "attrs", "valid", "reject_reason"]
+
+    def parse_batches(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                [parse_line(v) for v in pdf["value"]], columns=cols
+            )
+
+    return parse_batches
+
+
 def read_bronze_splittable(
     spark: SparkSession,
     paths: list[str],
@@ -216,10 +235,20 @@ def read_bronze_splittable(
         except ValueError:  # incl. JSONDecodeError/UnicodeDecodeError
             conv_failed.append(posixpath.basename(p))
 
-    df = read_bronze(spark, whole_files)
+    chunk_df = None
     if chunk_paths:
-        parser = _make_envelope_parser()
         lines = spark.read.text(chunk_paths)
-        rows = lines.rdd.map(lambda row, _p=parser: _p(row.value))
-        df = df.unionByName(spark.createDataFrame(rows, BRONZE_SCHEMA))
-    return df, conv_failed
+        # Big batches split naturally into maxPartitionBytes-sized scan
+        # tasks; a small batch would land on a handful of partitions and
+        # parse on a handful of cores — fan it out (the shuffle is tiny by
+        # construction of the branch).
+        target = spark.sparkContext.defaultParallelism
+        total_bytes = sum(os.path.getsize(p) for p in chunk_paths)
+        if total_bytes < 32 << 20 and lines.rdd.getNumPartitions() < target:
+            lines = lines.repartition(target)
+        chunk_df = lines.mapInPandas(_make_envelope_batch_parser(), BRONZE_SCHEMA)
+    if chunk_df is None:
+        return read_bronze(spark, whole_files), conv_failed
+    if not whole_files:
+        return chunk_df, conv_failed
+    return read_bronze(spark, whole_files).unionByName(chunk_df), conv_failed
