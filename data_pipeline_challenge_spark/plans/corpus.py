@@ -205,3 +205,115 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+@query(
+    "stratified_sample_per_source",
+    """
+    SELECT doc_id, source, samp_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS samp_rank
+        FROM documents
+    ) WHERE samp_rank <= 10
+    """,
+    tags=("sampling", "corpus", "window"),
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per source, selected by deterministic key hash
+    (operators/sampling.py). Exact per-stratum counts with a run- and
+    engine-stable pick — what `df.sample(fraction)` cannot give — via a
+    partitioned window, so it scales with the stratum count."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, ("source",), 10, "doc_id").select(
+        "doc_id", "source", "samp_rank"
+    )
+
+
+@query(
+    "top_terms_per_lang",
+    """
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+        SELECT lang, term, count(*) AS cnt
+        FROM toks WHERE term <> '' GROUP BY lang, term
+    )
+    SELECT lang, term, cnt, rnk FROM (
+        SELECT lang, term, cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+        FROM tc
+    ) WHERE rnk <= 5
+    """,
+    tags=("text", "corpus", "window"),
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language — grouped top-k via a lang-partitioned
+    window over pre-aggregated counts (two partial-agg shuffles + a
+    partitioned rank; never a global sort)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    return tc.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 5
+    )
+
+
+@query(
+    "stopword_pruned_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    stop AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS cnt FROM t GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 10
+        )
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE term NOT IN (SELECT term FROM stop))
+               AS n_content_tokens
+    FROM t GROUP BY doc_id
+    """,
+    tags=("text", "corpus"),
+)
+def stopword_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts before/after dropping the corpus's own
+    top-10 most frequent terms (dynamic stopword pruning — the list is
+    computed from the data, broadcast back, and applied in one pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    stop = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(10)
+        .select(F.col("term").alias("stop_term"), F.lit(1).alias("__is_stop"))
+    )
+    return (
+        t.join(
+            F.broadcast(stop), F.col("term") == F.col("stop_term"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__is_stop").isNull(), 1).otherwise(0)).alias(
+                "n_content_tokens"
+            ),
+        )
+    )
