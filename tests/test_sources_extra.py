@@ -111,3 +111,47 @@ def test_stateful_running_user_stats(spark, tmp_path):
         for r in running_user_stats_batch(ev).collect()
     }
     assert final == expected
+
+
+def test_iter_json_array_property_roundtrip(tmp_path):
+    """The streaming tokenizer must agree with json.loads on every valid
+    array-of-objects document, at adversarial chunk boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    json_values = st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(10**12), max_value=10**12)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text(max_size=20),
+        lambda inner: st.lists(inner, max_size=4)
+        | st.dictionaries(st.text(max_size=8), inner, max_size=4),
+        max_leaves=12,
+    )
+    arrays = st.lists(st.dictionaries(st.text(max_size=8), json_values, max_size=5), max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=arrays, chunk=st.integers(min_value=1, max_value=64), indent=st.sampled_from([None, 1]))
+    def check(recs, chunk, indent):
+        p = tmp_path / "prop.json"
+        p.write_text(json.dumps(recs, ensure_ascii=False, indent=indent))
+        assert list(iter_json_array(p, chunk_bytes=chunk)) == recs
+
+    check()
+
+
+def test_iter_json_array_rejects_malformed_variants(tmp_path):
+    cases = {
+        "trail.json": '[{"a": 1}] trailing',
+        "elem.json": '[{"a": 1}, 42]',
+        "unterm.json": '[{"a": 1}',
+        "deep_bad.json": '[{"a": {"b": }}]',
+        "not_utf8.json": None,  # written as bytes below
+    }
+    (tmp_path / "not_utf8.json").write_bytes(b'[{"a": "\xff\xfe"}]')
+    for name, content in cases.items():
+        if content is not None:
+            (tmp_path / name).write_text(content)
+        with pytest.raises(ValueError):
+            list(iter_json_array(tmp_path / name))
