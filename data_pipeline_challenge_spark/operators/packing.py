@@ -1,0 +1,78 @@
+"""Sequence packing — fill fixed-capacity training bins with documents.
+
+The step between "chunked corpus" and "training batches": concatenate
+documents (or chunks) into sequences of at most ``capacity`` tokens so a
+training run wastes no padding. The packer is the greedy sequential
+first-fit used by most LLM data pipelines: walk the group in a
+deterministic order, keep appending while the next item fits, else open a
+new bin. An item larger than ``capacity`` gets a bin of its own (it is the
+chunker's job to cut those down first).
+
+Greedy sequential packing is a prefix-dependent recurrence (bin of row *n*
+depends on the running fill after rows 1..n-1), so it is not expressible as
+a window function. It runs as an Arrow-batched ``applyInPandas`` per group:
+one shuffle on the group key, then a linear in-memory walk of each group.
+
+100 TB design: the group key bounds both state and skew. Pack per
+(source, shard) — a shard being e.g. ``pmod(hash(doc_id), n_shards)`` — so
+every group holds a bounded number of rows regardless of corpus size, and
+the walk stays O(group). Packing quality is unaffected: bins never cross
+groups by construction. The per-group walk carries only (order, tokens),
+never the text payload; the caller re-joins bin ids to text afterwards if
+it needs packed text bytes.
+
+Reference parity: the reference pipeline has no packing operator (its unit
+of work is the product record, file_splitter.py chunks by count at
+file_splitter.py:117-130); this is a north-star extension from the brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Assign each row a ``bin`` (0-based, per group) by greedy sequential
+    first-fit over rows sorted by ``order_col`` within ``group_col``.
+
+    Returns (group_col, order_col, token_col, bin bigint). Deterministic:
+    the order column must be unique per group (doc_id here), so the walk —
+    and therefore every bin id — is partitioning-independent.
+    """
+    schema = (
+        f"{group_col} string, {order_col} bigint, {token_col} bigint, bin bigint"
+    )
+    gc, oc, tc = group_col, order_col, token_col
+    cap = capacity
+
+    def make_packer():
+        # Nested so cloudpickle ships it by value (repo closure convention,
+        # see sources/json_ingest.py docstring).
+        def pack(pdf):
+            pdf = pdf.sort_values(oc, kind="mergesort").reset_index(drop=True)
+            bins = []
+            fill = 0
+            cur = 0
+            for tok in pdf[tc]:
+                t = int(tok)
+                if bins and fill + t > cap:
+                    cur += 1
+                    fill = t
+                else:
+                    fill += t
+                bins.append(cur)
+            pdf = pdf[[gc, oc, tc]].copy()
+            pdf["bin"] = bins
+            return pdf
+
+        return pack
+
+    slim = df.select(gc, oc, tc)
+    return slim.groupBy(gc).applyInPandas(make_packer(), schema=schema)

@@ -1,0 +1,51 @@
+"""Column profiling — per-column data-quality stats in ONE table scan.
+
+The pipeline-health op a warehouse runs on every landed batch: null rate
+and distinct cardinality per column, shaped long (one row per column) so
+downstream drift checks can diff two profiles with a plain join.
+
+Plan shape: a single wide aggregation computes every per-column stat in
+one pass, then a ``stack`` unpivot reshapes driver-free. Multiple exact
+``count(DISTINCT col)`` in one aggregate become a single Expand-based
+multi-distinct (one scan, one shuffle) — versus the naive one-scan-per-
+column loop an orchestration script would run (N scans of a 100 TB table).
+For approximate profiles at scale, pass ``exact=False`` to use HLL
+(``approx_count_distinct``) and keep the aggregation fully partial-merge
+(no Expand).
+
+Reference parity: the reference tracks only per-file record counters
+(file_splitter.py:114-130); per-column profiling is a north-star extension.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
+    """Profile ``cols`` of ``df`` → (column string, n_rows bigint,
+    n_nulls bigint, n_distinct bigint), one output row per column, one scan
+    of the input. ``n_distinct`` excludes NULL (SQL COUNT DISTINCT rule)."""
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(c).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column, n_nulls, n_distinct)"
+        ),
+        F.col("__rows").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

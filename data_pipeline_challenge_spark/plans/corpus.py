@@ -317,3 +317,101 @@ def stopword_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pack_greedy_bins",
+    """
+    WITH RECURSIVE t AS (
+        SELECT source, doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ), r AS (
+        SELECT source, rn, tok, CAST(0 AS BIGINT) AS bin, tok AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.rn, t.tok,
+               CASE WHEN r.fill + t.tok <= 120 THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + t.tok <= 120 THEN r.fill + t.tok ELSE t.tok END
+        FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+    )
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens,
+           round(sum(tok) * 1.0 / 120, 4) AS fill_ratio
+    FROM r GROUP BY source, bin
+    """,
+    tags=("packing", "corpus"),
+    bench=True,
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy sequential first-fit of each source's
+    documents (doc_id order) into 120-token training bins, reported as one
+    row per bin with its fill ratio. The packer itself is the
+    applyInPandas recurrence in operators/packing.py (one shuffle on the
+    group key, linear walk per group); the recursive-CTE oracle replays the
+    identical recurrence row by row — feasible at sf0.01, which is the
+    point: the oracle checks the recurrence, the engine path is the one
+    that scales."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    packed = pack_sequences(toks, "source", "doc_id", "tok", capacity=120)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+        F.round(F.sum("tok") / F.lit(120.0), 4).alias("fill_ratio"),
+    )
+
+
+@query(
+    "profile_orders_columns",
+    """
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+           count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    """,
+    tags=("profiling", "corpus"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile of ``orders`` in ONE scan
+    (operators/profiling.py: wide multi-distinct aggregate + stack
+    unpivot). The oracle is the naive per-column UNION ALL — six scans —
+    making the test also a statement of why the operator exists."""
+    from ..operators.profiling import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    return profile_columns(orders, cols).withColumnRenamed("column", "col_name")

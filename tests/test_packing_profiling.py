@@ -1,0 +1,67 @@
+"""Sequence packing + column profiling operator tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_pipeline_challenge_spark.operators.packing import pack_sequences
+from data_pipeline_challenge_spark.operators.profiling import profile_columns
+
+
+def _pack(spark, rows, capacity):
+    df = spark.createDataFrame(rows, "g string, ord bigint, tok bigint")
+    out = pack_sequences(df, "g", "ord", "tok", capacity=capacity)
+    return {(r["g"], r["ord"]): r["bin"] for r in out.collect()}
+
+
+def test_pack_greedy_differs_from_cumsum_split(spark):
+    # tokens 60,70,60 at capacity 120: greedy first-fit opens a new bin for
+    # the 70 (60+70 > 120), whereas cumsum-slicing would co-locate 60+70.
+    got = _pack(spark, [("a", 1, 60), ("a", 2, 70), ("a", 3, 60)], 120)
+    assert got == {("a", 1): 0, ("a", 2): 1, ("a", 3): 2}
+
+
+def test_pack_fills_and_oversized_item_gets_own_bin(spark):
+    rows = [("a", 1, 50), ("a", 2, 50), ("a", 3, 20), ("a", 4, 500), ("a", 5, 10)]
+    got = _pack(spark, rows, 120)
+    # 50+50+20 = 120 fits exactly; 500 (oversized) alone; 10 starts fresh.
+    assert got == {
+        ("a", 1): 0,
+        ("a", 2): 0,
+        ("a", 3): 0,
+        ("a", 4): 1,
+        ("a", 5): 2,
+    }
+
+
+def test_pack_groups_are_independent_and_order_driven(spark):
+    rows = [("b", 10, 100), ("a", 2, 100), ("a", 1, 100), ("b", 11, 10)]
+    got = _pack(spark, rows, 110)
+    # Bins restart per group; within a group assignment follows ord.
+    assert got == {("a", 1): 0, ("a", 2): 1, ("b", 10): 0, ("b", 11): 0}
+
+
+def test_profile_columns_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "y")], "a bigint, b string"
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 4
+    assert rows["a"]["n_nulls"] == 1
+    assert rows["a"]["n_distinct"] == 2  # NULL excluded, SQL rule
+    assert rows["b"]["n_nulls"] == 1
+    assert rows["b"]["n_distinct"] == 2
+
+
+def test_profile_columns_approx_mode_single_scan(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    out = profile_columns(df, ["a", "b"], exact=False)
+    rows = {r["column"]: r for r in out.collect()}
+    # HLL is approximate: wide tolerance on the big column, exact-ish small.
+    assert abs(rows["a"]["n_distinct"] - 1000) <= 50
+    assert rows["b"]["n_distinct"] == 7
+    # No Expand operator in the approximate plan (stays partial-merge).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
