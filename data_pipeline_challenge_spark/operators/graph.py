@@ -38,6 +38,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return (vertex, component) with component = min reachable vertex id.
 
@@ -51,12 +52,16 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     # The loop operates on the *pair graph*, which is orders of magnitude
-    # smaller than the corpus. When it fits comfortably in one task, run the
-    # iteration single-partition — per-round cost becomes one task instead
-    # of a full shuffle round-trip. Above the threshold, keep the session's
-    # shuffle parallelism (the joins below all key on vertex id).
-    if sym.count() < 1_000_000:
-        sym = sym.coalesce(1).localCheckpoint(eager=True)
+    # smaller than the corpus. When it fits comfortably in one task, skip
+    # the iteration entirely: a partition-local union-find over the
+    # single-partition edge list computes the exact fixpoint in ONE job,
+    # versus diameter-many join+agg+collect rounds (each a scheduler
+    # round-trip even at one task). The result is identical — component =
+    # min reachable vertex id — and order-independent, because the final
+    # partition structure of union-find does not depend on union order.
+    # Above the threshold, fall through to the distributed iteration.
+    if sym.count() < small_graph_threshold:
+        return _union_find_single_task(sym)
 
     labels = (
         sym.select("v").distinct().withColumn("component", F.col("v")).localCheckpoint(eager=True)
@@ -85,3 +90,53 @@ def connected_components(
         prev_sum = new_sum
 
     return labels.select(F.col("v").alias("vertex"), "component")
+
+
+def _union_find_single_task(sym: DataFrame) -> DataFrame:
+    """Exact components of a small symmetric edge list in one Spark job:
+    coalesce to one partition, run union-find with path compression inside
+    ``mapInPandas`` (Arrow batches in, one labels batch out). The worker
+    function is a nested closure so cloudpickle ships it by value (repo
+    convention, see sources/json_ingest.py docstring)."""
+
+    def make_uf():
+        def run(batches):
+            import pandas as pd
+
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for pdf in batches:
+                for v, w in zip(pdf["v"], pdf["w"]):
+                    v, w = int(v), int(w)
+                    parent.setdefault(v, v)
+                    parent.setdefault(w, w)
+                    rv, rw = find(v), find(w)
+                    if rv != rw:
+                        parent[rw] = rv
+            # component = min member id, independent of union order.
+            comp_min: dict[int, int] = {}
+            for v in parent:
+                r = find(v)
+                if r not in comp_min or v < comp_min[r]:
+                    comp_min[r] = v
+            if parent:
+                yield pd.DataFrame(
+                    {
+                        "vertex": list(parent.keys()),
+                        "component": [comp_min[find(v)] for v in parent],
+                    }
+                )
+
+        return run
+
+    return sym.coalesce(1).mapInPandas(
+        make_uf(), schema="vertex bigint, component bigint"
+    )

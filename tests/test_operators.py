@@ -265,6 +265,29 @@ def test_connected_components_chain_triangle_and_isolated_edge(spark):
     }
 
 
+
+def test_connected_components_paths_agree(spark):
+    # The single-task union-find and the distributed iteration must produce
+    # identical labels on the same graph (threshold=0 forces the iterative
+    # path, which small graphs normally skip).
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 9), (9, 8), (10, 11), (11, 12), (20, 21)],
+        "src long, dst long",
+    )
+    uf = {(r.vertex, r.component) for r in connected_components(edges, "src", "dst").collect()}
+    it = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            edges, "src", "dst", small_graph_threshold=0
+        ).collect()
+    }
+    assert uf == it
+    assert uf == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (8, 1), (9, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
