@@ -415,3 +415,78 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     ]
     return profile_columns(orders, cols).withColumnRenamed("column", "col_name")
+
+
+@query(
+    "decontam_eval_overlap",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+    SELECT tr.doc_id AS doc_id,
+           count(DISTINCT tr.s) AS n_shared,
+           count(DISTINCT ev.eval_doc) AS n_eval_docs
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+    tags=("decontam", "corpus"),
+    bench=True,
+)
+def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat source src0 as the held-out eval
+    set and report, per training document (all other sources), how many
+    distinct 3-gram shingles and eval docs it overlaps. The eval shingle
+    table broadcasts — the training corpus is scanned once and never
+    shuffled (operators/decontam.py)."""
+    from ..operators.decontam import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    return contamination_report(tr, ev, "doc_id", "text", n=3)
+
+
+@query(
+    "corpus_mix_weighted",
+    """
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE CAST(substr(source, 4) AS INT) % 3
+                    WHEN 0 THEN 'ff' WHEN 1 THEN '80' ELSE '1a' END AS thr
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < thr
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS kept_rate
+    FROM w GROUP BY source
+    """,
+    tags=("sampling", "corpus"),
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-source keep rates (declared tiers
+    ~100% / ~50% / ~10% by source index mod 3) applied with the same
+    md5-of-key rule as the train/eval split — reproducible across runs,
+    engines, and partitionings, unlike rand()-based sampling. One scan,
+    one partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, F.lit("ff"))
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, F.lit("80"))
+        .otherwise(F.lit("1a"))
+    )
+    kept = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thr).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+        F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("kept_rate"),
+    )

@@ -65,3 +65,25 @@ def test_profile_columns_approx_mode_single_scan(spark):
     # No Expand operator in the approximate plan (stays partial-merge).
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_contamination_report_counts(spark):
+    from data_pipeline_challenge_spark.operators.decontam import contamination_report
+
+    # eval doc 100 = "a b c d"; eval doc 101 = "x y z".
+    ev = spark.createDataFrame(
+        [(100, "a b c d"), (101, "x y z")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shares "a b c","b c d" with 100
+            (2, "x y z w"),     # shares "x y z" with 101
+            (3, "p q r s"),     # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared"], r["n_eval_docs"])
+        for r in contamination_report(tr, ev, "doc_id", "text", n=3).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1)}  # doc 3 absent (no overlap)
