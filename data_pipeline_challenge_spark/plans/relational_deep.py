@@ -358,3 +358,199 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing part
+    and lineitem columns. The optimizer stress is disjunction handling:
+    Catalyst pushes the part-only disjuncts (brand IN ..., size <= 25)
+    below the join so the broadcast build side shrinks before the mixed
+    residual applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 20) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 25) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS value
+    FROM pv
+    WHERE value > (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0008
+                   FROM lineitem)
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem revenue standing in for partsupp value):
+    parts whose total revenue exceeds a scalar-subquery fraction of the
+    corpus total. One keyed aggregation + one broadcast scalar — the
+    HAVING-against-global-total pattern. The unrounded value feeds the
+    comparison on both engines; only the output is rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("value"))
+    total = li.agg((F.sum(_rev()) * F.lit(0.0008)).alias("thr"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "semi", "anti", "subquery", "tpch"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (shipdate vs orderdate+90d standing in for the
+    missing commit/receipt dates): suppliers who were the ONLY late
+    shipper on a finished multi-supplier order. The classic
+    semi-join + anti-join pair against the same fact table, keyed on
+    l_orderkey both times so the shuffles align."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    deadline = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    l1 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > deadline)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # EXISTS: some other supplier on the order (any lineitem row).
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    sole = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other supplier was ALSO late on that order.
+    late_others = l1.select(
+        F.col("l_orderkey").alias("a_k"), F.col("l_suppkey").alias("a_s")
+    )
+    sole = sole.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("a_k")) & (F.col("l_suppkey") != F.col("a_s")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(floor(l_extendedprice * 1000000 / l_quantity + 0.5)
+                        AS BIGINT)) / count(*) / 1000000.0 AS unit_cost
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+    FROM cost c
+    WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+      AND c.l_partkey <= 200
+    """,
+    tags=("join", "subquery", "correlated", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (observed unit price standing in for ps_supplycost):
+    per part, the ASIA supplier(s) with the minimum average unit cost —
+    the correlated-min-over-a-derived-table pattern, decorrelated into a
+    self-join against a keyed min. The per-pair mean deliberately contains
+    NO float rounding: Spark round() rounds the shortest decimal string
+    (HALF_UP) while DuckDB rounds the true binary value, so they disagree
+    on representable midpoints (396.12125 -> .1213 vs .1212, observed at
+    sf0.1). Instead each unit price becomes integer micros
+    (floor(x*1e6+0.5) — floor, integer sum, and int/int division are
+    IEEE-identical in both engines), making the mean, the keyed min, and
+    the tie equality bit-reproducible. The l_partkey cap bounds the
+    output like Q2's LIMIT without needing a sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = s.join(
+        F.broadcast(n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    cost = (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.lit(1000000.0) / F.col("l_quantity")
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_k")).agg(
+        F.min("unit_cost").alias("b_min")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_k")) & (F.col("unit_cost") == F.col("b_min")),
+        )
+        .filter(F.col("l_partkey") <= 200)
+        .select("l_partkey", "l_suppkey", "unit_cost")
+    )
