@@ -161,3 +161,39 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS x,
+               list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) AS scale
+    FROM embeddings
+    ), q AS (
+        SELECT vec_id, label, scale,
+               CASE WHEN scale = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+                    ELSE list_transform(x, v -> CAST(least(127, floor(v / scale * 127 + 0.5)) AS BIGINT))
+               END AS qv
+        FROM e
+    )
+    SELECT vec_id, label, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_abs_sum,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_norm2,
+           CAST(list_sum(list_transform(qv, v -> CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_saturated
+    FROM q
+    """,
+    tags=("similarity", "vector", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization report (scale + exact
+    integer stats of the code vector). Pure Catalyst map — no shuffle, no
+    Python — the shape that quantizes 100 TB of embeddings as fast as it
+    can read them. The comparison is engine-stable because every reported
+    aggregate is an exact integer and the scale is an untouched double
+    (operators/quantization.py)."""
+    from ..operators.quantization import quantization_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_stats(emb, ["vec_id", "label"], "embedding")

@@ -87,3 +87,25 @@ def test_contamination_report_counts(spark):
         for r in contamination_report(tr, ev, "doc_id", "text", n=3).collect()
     }
     assert got == {1: (2, 1), 2: (1, 1)}  # doc 3 absent (no overlap)
+
+
+def test_int8_quantization_edges_and_plan(spark):
+    from data_pipeline_challenge_spark.operators.quantization import quantization_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5]),   # x=+scale clamps to 127, -scale -> -127
+            (2, [0.0, 0.0, 0.0]),    # zero vector: scale 0, all codes 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = quantization_stats(df, ["vec_id"], "embedding")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    # codes for vec 1: [127, -127, 64] (floor(0.5*127+0.5)=floor(64)=64)
+    assert rows[1]["q_sum"] == 64 and rows[1]["q_abs_sum"] == 318
+    assert rows[1]["q_norm2"] == 127**2 * 2 + 64**2
+    assert rows[1]["n_saturated"] == 2
+    assert rows[2]["scale"] == 0.0 and rows[2]["q_norm2"] == 0
+    # Pure map: no exchange anywhere in the plan.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
