@@ -135,3 +135,36 @@ def test_tfidf_partial_agg_and_topk(spark):
     plan = plan_of(spark, "tfidf_top20")
     assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    # The training side must never shuffle: eval shingles broadcast.
+    plan = plan_of(spark, "decontam_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_part_disjuncts_pushed_below_join(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    # Catalyst extracts the part-only disjunction (brand IN/Or + size) and
+    # pushes it to the part scan below the broadcast join.
+    assert "BroadcastHashJoin" in plan
+    scan_filters = plan.split("PushedFilters")
+    assert any("p_brand" in seg.split("\n")[0] for seg in scan_filters[1:])
+
+
+def test_q21_semi_and_anti_join_forms(spark):
+    plan = plan_of(spark, "q21_sole_late_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_shuffle_payload_is_slim(spark):
+    # The packer shuffles only (group, order, token) — never the text.
+    plan = plan_of(spark, "pack_greedy_bins")
+    assert "text" not in plan.split("Exchange")[1].split("\n")[0]
+
+
+def test_quantize_plan_is_shuffle_free(spark):
+    plan = plan_simple(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
