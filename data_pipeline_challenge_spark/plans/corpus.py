@@ -490,3 +490,122 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).alias("n_kept"),
         F.round(F.sum(kept) / F.count(F.lit(1)), 4).alias("kept_rate"),
     )
+
+
+@query(
+    "doc_repetition_filter",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2_total,
+               CAST(CASE WHEN len(t) >= 2 THEN
+                    len(list_distinct([array_to_string(t[i:i+1], ' ')
+                                       for i in range(1, len(t))]))
+                    ELSE 0 END AS BIGINT) AS n2_distinct,
+               CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3_total,
+               CAST(CASE WHEN len(t) >= 3 THEN
+                    len(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)]))
+                    ELSE 0 END AS BIGINT) AS n3_distinct
+        FROM t
+    )
+    SELECT doc_id, n2_total, n2_distinct, n3_total, n3_distinct,
+           round(CASE WHEN n2_total = 0 THEN 0.0
+                      ELSE 1.0 - n2_distinct * 1.0 / n2_total END, 4) AS dup2_frac,
+           round(CASE WHEN n3_total = 0 THEN 0.0
+                      ELSE 1.0 - n3_distinct * 1.0 / n3_total END, 4) AS dup3_frac
+    FROM g
+    """,
+    tags=("text", "quality", "corpus"),
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition stats (the Gopher-rules repetition
+    filter): per doc, total vs distinct 2-/3-gram counts and the duplicate
+    fraction. Integer counts compare exactly; the fractions are ratios of
+    small integers, which cannot land on round-4 midpoints. Pure map +
+    array ops — no shuffle."""
+    from ..functions.textfn import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n2_total = F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint")
+    n3_total = F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint")
+    n2_distinct = F.size(word_shingles(toks, 2)).cast("bigint")
+    n3_distinct = F.size(word_shingles(toks, 3)).cast("bigint")
+    frac = lambda d, t: F.round(  # noqa: E731
+        F.when(t == 0, F.lit(0.0)).otherwise(F.lit(1.0) - d / t), 4
+    )
+    return docs.select(
+        "doc_id",
+        n2_total.alias("n2_total"),
+        n2_distinct.alias("n2_distinct"),
+        n3_total.alias("n3_total"),
+        n3_distinct.alias("n3_distinct"),
+        frac(n2_distinct, n2_total).alias("dup2_frac"),
+        frac(n3_distinct, n3_total).alias("dup3_frac"),
+    )
+
+
+@query(
+    "source_vocab_overlap_top20",
+    """
+    WITH v AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), vv AS (SELECT source, term FROM v WHERE term <> ''),
+    sizes AS (SELECT source, count(*) AS n FROM vv GROUP BY source),
+    inter AS (
+        SELECT a.source AS source1, b.source AS source2, count(*) AS inter
+        FROM vv a JOIN vv b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source1, source2, inter, sa.n AS n1, sb.n AS n2,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source1
+    JOIN sizes sb ON sb.source = source2
+    ORDER BY jaccard DESC, source1, source2
+    LIMIT 20
+    """,
+    tags=("text", "corpus", "jaccard"),
+)
+def source_vocab_overlap_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (which corpora say the
+    same things?) — the same inverted-index shape as document Jaccard but
+    keyed at source granularity, so the candidate space is sources², not
+    documents². Integer (inter, n1, n2) plus deterministic (source1,
+    source2) tiebreak under the LIMIT."""
+    docs = load_table(spark, sf_dir, "documents")
+    vv = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = vv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vv.alias("a"), vv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source1"), F.col("b.source").alias("source2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("source").alias("source1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("source2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "source1")
+        .join(F.broadcast(s2), "source2")
+        .select(
+            "source1",
+            "source2",
+            "inter",
+            "n1",
+            "n2",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "source1", "source2")
+        .limit(20)
+    )
