@@ -82,13 +82,29 @@ def ann_topk(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    cosine within it. Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute)."""
+    """Approximate top-k: probe the query's LSH bucket, then exact cosine
+    within it. Recall is tunable two ways: fewer planes → bigger buckets,
+    and ``probe_hamming=1`` → multi-probe (also scan the n_planes buckets
+    one bit-flip away — the standard multi-probe LSH recall lift at
+    (n_planes+1)× probe cost, still a vanishing fraction of the corpus).
+
+    The probe set expands on the BROADCAST side (one row per probe
+    bucket), so the big table still sees one broadcast hash join keyed on
+    its bucket column and never shuffles; a vector lives in exactly one
+    bucket, so multi-probe cannot duplicate candidates."""
     bucketed = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
-    q_bucketed = with_lsh_bucket(query.select(F.col(vec_col)), dim, n_planes, vec_col).select(
+    q_row = with_lsh_bucket(query.select(F.col(vec_col)), dim, n_planes, vec_col).select(
         F.col("bucket").alias("q_bucket"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    probes = [F.col("q_bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    q_bucketed = q_row.select(
+        F.explode(F.array(*probes)).alias("q_bucket"), "q_vec"
     )
     cand = bucketed.join(
         F.broadcast(q_bucketed), F.col("bucket") == F.col("q_bucket"), "inner"

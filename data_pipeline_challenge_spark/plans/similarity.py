@@ -197,3 +197,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantization_stats(emb, ["vec_id", "label"], "embedding")
+
+
+@query(
+    "ann_recall_eval",
+    None,  # seeded engine-side LSH/IVF hashing — no SQL oracle, rows-only
+    tags=("similarity", "ann", "eval"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@10 of the hyperplane-LSH and IVF paths
+    against exact brute force, for the standard query vector. One row per
+    method with integer hit counts — the measurement a pipeline needs
+    before trusting an approximate index at corpus scale (run per
+    parameter sweep: n_planes / n_probe trade recall vs probe cost).
+    Deterministic: seeded projections and k-means sample, integer
+    tie-breaks everywhere, so the rows-only replay is stable."""
+    from ..operators.similarity import ann_topk, ivf_topk, knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    rest = emb.filter(F.col("vec_id") != _QUERY_ID)
+    k = 10
+    exact = {r["vec_id"] for r in knn_bruteforce(rest, qvec, k=k).collect()}
+    # Bucket count must track corpus size: single-probe hyperplane LSH
+    # recalls nothing when buckets hold fewer vectors than k (12 planes =
+    # 4096 buckets over 500 vectors -> empty probe). 5 planes = 32 buckets
+    # keeps expected bucket size >> k at every test sf; the multi-probe row
+    # measures the standard Hamming-1 recall lift at 6x probe cost.
+    lsh1 = {r["vec_id"] for r in ann_topk(rest, qvec, dim=_DIM, k=k, n_planes=5).collect()}
+    lshm = {
+        r["vec_id"]
+        for r in ann_topk(
+            rest, qvec, dim=_DIM, k=k, n_planes=5, probe_hamming=1
+        ).collect()
+    }
+    ivf = {r["vec_id"] for r in ivf_topk(rest, qvec, k=k).collect()}
+    rows = [
+        ("lsh_single_probe", len(exact & lsh1), k),
+        ("lsh_multi_probe_h1", len(exact & lshm), k),
+        ("ivf", len(exact & ivf), k),
+    ]
+    out = spark.createDataFrame(rows, "method string, n_hit long, k long")
+    return out.select(
+        "method",
+        "n_hit",
+        "k",
+        F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k"),
+    )
