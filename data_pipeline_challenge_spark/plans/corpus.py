@@ -609,3 +609,58 @@ def source_vocab_overlap_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "source1", "source2")
         .limit(20)
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '2001-06-01 00:00:00'
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '2001-09-01 00:00:00'
+          AND o_orderkey % 13 <> 0
+    ), d AS (
+        SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                    WHEN new.o_orderkey IS NULL THEN 'removed'
+                    WHEN old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                     AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+                    THEN 'unchanged' ELSE 'changed' END AS change_type
+        FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    SELECT change_type, count(*) AS n_rows FROM d GROUP BY change_type
+    """,
+    tags=("diff", "cdc", "corpus"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: two deterministic versions of the orders table
+    (three months of new rows, every 7th price doubled, every 13th key
+    deleted) classified added/removed/changed/unchanged by
+    operators/diff.table_diff — one full-outer shuffle on the key,
+    null-safe column compare — then counted per class."""
+    from ..operators.diff import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff_old = F.lit("2001-06-01 00:00:00").cast("timestamp_ntz")
+    cutoff_new = F.lit("2001-09-01 00:00:00").cast("timestamp_ntz")
+    old = o.filter(F.col("o_orderdate") < cutoff_old).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter((F.col("o_orderdate") < cutoff_new) & (F.col("o_orderkey") % 13 != 0))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    d = table_diff(old, new, ["o_orderkey"])
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_rows"))

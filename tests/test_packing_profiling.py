@@ -109,3 +109,38 @@ def test_int8_quantization_edges_and_plan(spark):
     # Pure map: no exchange anywhere in the plan.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_table_diff_classification(spark):
+    from data_pipeline_challenge_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (3, "c", 7)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 5), (3, "CHANGED", 7), (4, "d", None)], "k long, s string, v long"
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # null-safe: (2, None==None on v is impossible here, but 1 has None v and
+    # is removed; add an explicit null-vs-null pair)
+    old2 = spark.createDataFrame([(1, None)], "k long, v string")
+    new2 = spark.createDataFrame([(1, None)], "k long, v string")
+    assert table_diff(old2, new2, ["k"]).collect()[0]["change_type"] == "unchanged"
+
+
+def test_compact_parquet_dir_reduces_files_and_keeps_data(spark, tmp_path):
+    from data_pipeline_challenge_spark.operators.maintenance import compact_parquet_dir
+
+    p = tmp_path / "tbl"
+    df = spark.range(10000).selectExpr("id", "id % 17 AS grp")
+    df.repartition(40).write.parquet(str(p))
+    before = len(list(p.rglob("*.parquet")))
+    rep = compact_parquet_dir(spark, p, target_file_bytes=1 << 30, sort_col="id")
+    after_files = list(p.rglob("*.parquet"))
+    assert rep.files_before == before and before >= 40
+    assert rep.files_after == len(after_files) == 1
+    assert rep.rows == 10000
+    got = spark.read.parquet(str(p))
+    assert got.count() == 10000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
