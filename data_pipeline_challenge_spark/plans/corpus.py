@@ -664,3 +664,122 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table_diff(old, new, ["o_orderkey"])
     return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ), e AS (
+        SELECT id1 AS v, id2 AS w FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+        SELECT v, w AS r FROM e
+        UNION
+        SELECT reach.v, e.w FROM reach JOIN e ON reach.r = e.v
+    ), lab AS (
+        SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v
+    ), nrm AS (
+        SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ), ranked AS (
+        SELECT lab.component, lab.v AS vec_id, nrm.nrm,
+               row_number() OVER (PARTITION BY lab.component
+                                  ORDER BY nrm.nrm DESC, lab.v) AS rn
+        FROM lab JOIN nrm ON nrm.vec_id = lab.v
+    )
+    SELECT component, vec_id AS survivor_id, round(nrm, 6) AS survivor_norm,
+           (SELECT count(*) FROM lab l2 WHERE l2.component = ranked.component) - 1
+               AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "corpus"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of near-dup removal: per duplicate cluster, KEEP the
+    best member (max L2 norm, min id on ties) and count what gets
+    dropped. Composes the near-pair plan, connected components, and an
+    argmax expressed as max(struct(norm, -vec_id)) — one aggregation, no
+    window over the full table. The norm is a sequential left-fold double
+    (bit-equal to DuckDB), so tie membership is engine-stable."""
+    from ..functions.vectorfn import as_double, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    norms = emb.select(
+        F.col("vec_id").alias("vertex"),
+        l2_norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    best = (
+        labels.join(norms, "vertex")
+        .groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("nrm"), (-F.col("vertex")).alias("neg_id"))).alias("b"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+    return best.select(
+        "component",
+        (-F.col("b.neg_id")).alias("survivor_id"),
+        F.round("b.nrm", 6).alias("survivor_norm"),
+        "n_dropped",
+    )
+
+
+@query(
+    "sample_token_budget",
+    """
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, tok,
+               sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM c WHERE cum - tok < 2000 GROUP BY source
+    """,
+    tags=("sampling", "corpus"),
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a TOKEN budget: per source, take documents in the
+    deterministic md5-of-key order until 2000 tokens are reached (a doc is
+    taken if the budget was not yet exhausted when it arrived, so the
+    budget can overshoot by at most one document). Token budgets — not row
+    counts — are what training mixes are specified in. One window over
+    (source), keyed cumulative sum, engine-stable order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("bigint")
+        .alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.filter(F.col("cum") - F.col("tok") < 2000)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens"))
+    )
