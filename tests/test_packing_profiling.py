@@ -144,3 +144,82 @@ def test_compact_parquet_dir_reduces_files_and_keeps_data(spark, tmp_path):
     got = spark.read.parquet(str(p))
     assert got.count() == 10000
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
+
+
+def test_pack_sequences_property_vs_reference(spark):
+    """Greedy packing on Spark must equal a plain-Python reference packer
+    on randomized corpora (sizes, capacities, group counts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.operators.packing import pack_sequences
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2", "g3"]),
+                st.integers(min_value=0, max_value=10**6),
+                st.integers(min_value=0, max_value=300),
+            ),
+            max_size=40,
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+        cap=st.integers(min_value=1, max_value=250),
+    )
+    def check(rows, cap):
+        expected = {}
+        by_group = {}
+        for g, o, t in sorted(rows):
+            by_group.setdefault(g, []).append((o, t))
+        for g, items in by_group.items():
+            fill, cur, first = 0, 0, True
+            for o, t in items:
+                if not first and fill + t > cap:
+                    cur += 1
+                    fill = t
+                else:
+                    fill += t
+                first = False
+                expected[(g, o)] = cur
+        df = spark.createDataFrame(rows, "g string, ord bigint, tok bigint")
+        got = {
+            (r["g"], r["ord"]): r["bin"]
+            for r in pack_sequences(df, "g", "ord", "tok", capacity=cap).collect()
+        }
+        assert got == expected
+
+    check()
+
+
+def test_table_diff_property_vs_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.operators.diff import table_diff
+
+    snap = st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        max_size=20,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(old=snap, new=snap)
+    def check(old, new):
+        expected = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                expected[k] = "added"
+            elif k not in new:
+                expected[k] = "removed"
+            elif old[k] == new[k]:
+                expected[k] = "unchanged"
+            else:
+                expected[k] = "changed"
+        o = spark.createDataFrame(list(old.items()) or [(None, None)], "k long, v long").filter("k IS NOT NULL")
+        n = spark.createDataFrame(list(new.items()) or [(None, None)], "k long, v long").filter("k IS NOT NULL")
+        got = {r["k"]: r["change_type"] for r in table_diff(o, n, ["k"]).collect()}
+        assert got == expected
+
+    check()
