@@ -155,3 +155,29 @@ def test_iter_json_array_rejects_malformed_variants(tmp_path):
             (tmp_path / name).write_text(content)
         with pytest.raises(ValueError):
             list(iter_json_array(tmp_path / name))
+
+
+def test_json_array_datasource_reads_and_flags_malformed(spark, tmp_path):
+    from data_pipeline_challenge_spark.sources.json_array_source import (
+        JsonArrayDataSource,
+    )
+
+    good = tmp_path / "good.json"
+    good.write_text('[{"code": "a", "n": 1}, {"code": "b", "extra": [1, 2]}]')
+    bad = tmp_path / "bad.json"
+    bad.write_text('[{"code": "a"},')
+
+    spark.dataSource.register(JsonArrayDataSource)
+    df = (
+        spark.read.format("json_array")
+        .option("paths", f"{good},{bad}")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    rows = {(r["file_id"], r["seq"]): r["value"] for r in df.collect()}
+    assert rows[("good.json", 0)] == '{"code":"a","n":1}'
+    assert rows[("good.json", 1)] == '{"code":"b","extra":[1,2]}'
+    # Malformed file: parsed prefix + sentinel; consumers drop the file_id.
+    assert rows[("bad.json", -1)] is None
+    assert rows[("bad.json", 0)] == '{"code":"a"}'
+    assert len(rows) == 4
