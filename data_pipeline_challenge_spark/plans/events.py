@@ -264,3 +264,42 @@ def events_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_retention_weekly",
+    """
+    WITH t AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_ns(ts) // (CAST(7 AS BIGINT) * 86400 * 1000000000)
+                    AS BIGINT) AS wk
+        FROM events
+    ), f AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM t GROUP BY user_id
+    )
+    SELECT f.cohort_wk, t.wk - f.cohort_wk AS weeks_since,
+           count(*) AS n_users
+    FROM t JOIN f ON t.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "retention", "agg"),
+)
+def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-activity week,
+    counted in every later week they return. Week ids are pure epoch
+    integer division on ``ts_ns`` — timezone-agnostic by construction
+    (calendar month/day extraction would read differently under the
+    driver's unknown session timezone). Two keyed aggregations joined on
+    user_id — the same shuffle key throughout, so the exchanges line up
+    (and vanish on a user-bucketed table). The distinct-per-week set is
+    reduced BEFORE the join, so the join input is (users × active weeks),
+    not raw events."""
+    ev = load_events(spark, sf_dir)
+    wk = F.floor(F.col("ts_ns") / F.lit(7 * 86400 * 1_000_000_000)).cast("bigint")
+    t = ev.select("user_id", wk.alias("wk")).distinct()
+    f = t.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        t.join(f, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -89,3 +89,68 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
         )
         .select("user_id", "n_events", "sum_value", "last_event_us")
     )
+
+
+def _make_processor():
+    """Build the Spark 4 ``StatefulProcessor`` twin of the GroupState
+    update function. Defined inside a factory so the class cloudpickles by
+    value (repo closure convention)."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "totals", "n long, s double, last_us long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            got = self._state.get()
+            n, s, last_us = got if got is not None else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                if len(pdf):
+                    us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                    last_us = max(last_us, int(us.max()))
+            self._state.update((n, s, last_us))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [round(s, 2)],
+                    "last_event_us": [last_us],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return RunningUserStats()
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals on the Spark 4
+    ``transformWithStateInPandas`` API (typed per-key ValueState, timer
+    support, rescalable RocksDB-backed state) — the successor to
+    applyInPandasWithState; both are kept so the engine covers each
+    stateful API generation. Semantics identical to
+    :func:`running_user_stats`; the stream==batch equivalence test drives
+    both against :func:`running_user_stats_batch`.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (the TWS driver worker's control channel) — the
+    test skips where protobuf is absent; applyInPandasWithState is the
+    path exercised everywhere."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

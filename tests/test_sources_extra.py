@@ -181,3 +181,57 @@ def test_json_array_datasource_reads_and_flags_malformed(spark, tmp_path):
     assert rows[("bad.json", -1)] is None
     assert rows[("bad.json", 0)] == '{"code":"a"}'
     assert len(rows) == 4
+
+
+def test_stateful_running_user_stats_tws(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API) accumulates across
+    micro-batches identically to the batch aggregation."""
+    # The TWS driver worker speaks protobuf to the JVM state server;
+    # without the protobuf package the query cannot even initialize.
+    pytest.importorskip("google.protobuf.descriptor")
+    from data_pipeline_challenge_spark.streaming.stateful import (
+        running_user_stats_batch,
+        running_user_stats_tws,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001").select("user_id", "ts", "value")
+    mid = ev.approxQuantile("value", [0.5], 0.0)[0]
+    src = tmp_path / "src"
+    ev.filter(F.col("value") <= mid).coalesce(1).write.mode("append").parquet(str(src))
+    ev.filter(F.col("value") > mid).coalesce(1).write.mode("append").parquet(str(src))
+
+    # TWS requires the RocksDB state store (the rescalable production
+    # backend); scope the conf to this test and restore after.
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    rows = spark.table("tws_out").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_event_us"])
+    expected = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_event_us"])
+        for r in running_user_stats_batch(ev).collect()
+    }
+    assert final == expected
