@@ -235,3 +235,47 @@ def test_stateful_running_user_stats_tws(spark, tmp_path):
         for r in running_user_stats_batch(ev).collect()
     }
     assert final == expected
+
+
+def test_json_array_datasource_streaming_tails_directory(spark, tmp_path):
+    """The streaming flavor consumes files arriving across micro-batches
+    exactly once (SimpleDataSourceStreamReader offsets)."""
+    from data_pipeline_challenge_spark.sources.json_array_source import (
+        JsonArrayDataSource,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.json").write_text('[{"k": 1}, {"k": 2}]')
+    (land / "b.json").write_text('[{"k": 3}]')
+
+    spark.dataSource.register(JsonArrayDataSource)
+    out = tmp_path / "out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("json_array").option("dir", str(land)).load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_ja"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second run restarts from the checkpoint: a new file lands, only IT
+    # is consumed (exactly-once across restarts)
+    (land / "c.json").write_text('[{"k": 4}]')
+    run_once()
+    rows = sorted(
+        (r["file_id"], r["seq"], r["value"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert rows == [
+        ("a.json", 0, '{"k":1}'),
+        ("a.json", 1, '{"k":2}'),
+        ("b.json", 0, '{"k":3}'),
+        ("c.json", 0, '{"k":4}'),
+    ]
