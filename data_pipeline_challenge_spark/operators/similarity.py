@@ -334,3 +334,61 @@ def centroids_by_label(
         exploded.groupBy(label_col, (F.col("pos0") + 1).cast("int").alias("pos"))
         .agg(F.avg("x").alias("centroid_val"))
     )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    index_dir,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the assigned table written PARTITIONED BY
+    cluster (each cluster = one parquet directory) plus the centroids as a
+    tiny JSON sidecar. This is the durable form of what :func:`ivf_topk`
+    computes in-flight — at corpus scale the index is built once and every
+    probe afterwards reads only its ``n_probe`` partitions via partition
+    pruning (pinned by ``test_ivf_indexed_probe_prunes_partitions``)."""
+    import json
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    centroids = ivf_fit_centroids(embeddings, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(str(index_dir / "assigned"))
+    (index_dir / "centroids.json").write_text(
+        json.dumps([[float(x) for x in c] for c in centroids])
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: rank centroids driver-side, then scan
+    ONLY the probed cluster partitions (the ``cluster IN (...)`` filter is
+    a partition filter, not a data filter — pruning happens at planning,
+    before any file is opened)."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    index_dir = Path(index_dir)
+    centroids = np.array(json.loads((index_dir / "centroids.json").read_text()))
+    qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    qvec /= max(np.linalg.norm(qvec), 1e-12)
+    probe = [int(p) for p in np.argsort(-(centroids @ qvec))[:n_probe]]
+
+    assigned = spark.read.parquet(str(index_dir / "assigned"))
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
+    sims = cand.crossJoin(q).select(
+        F.col(id_col), cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim")
+    )
+    return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)

@@ -223,3 +223,38 @@ def test_table_diff_property_vs_reference(spark):
         assert got == expected
 
     check()
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index probes via PARTITION pruning: the cluster
+    filter resolves at planning time and non-probed partitions are never
+    read; results equal the in-flight ivf_topk."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    idx = tmp_path / "ivf"
+    ivf_build_index(rest, idx, n_clusters=8)
+    out = ivf_topk_indexed(spark, idx, qvec, k=5, n_probe=3)
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cluster" in seg  # pruning is a partition filter, not a scan filter
+
+    got = [(r["vec_id"], round(r["sim"], 9)) for r in out.collect()]
+    expected = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_topk(rest, qvec, k=5, n_clusters=8, n_probe=3).collect()
+    ]
+    assert got == expected
