@@ -402,3 +402,65 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain DISTINCT projection (hash aggregate, map-side partial)."""
     return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "histogram_order_totals",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_total,
+           round(max(o_totalprice), 2) AS max_total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram", "stats"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: declared 50k-wide buckets,
+    top-clamped at bucket 9. Integer bucket ids from floor division —
+    engine-stable — with one partial-agg shuffle; the shape of every
+    dashboard distribution panel."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
+@query(
+    "events_time_rollup",
+    """
+    WITH t AS (
+        SELECT CAST(epoch_ns(ts) // (CAST(7 AS BIGINT) * 86400 * 1000000000) AS BIGINT) AS wk,
+               CAST((epoch_ns(ts) // (CAST(86400 AS BIGINT) * 1000000000)) % 7 AS BIGINT) AS dow,
+               CAST((epoch_ns(ts) // (CAST(3600 AS BIGINT) * 1000000000)) % 24 AS BIGINT) AS hr,
+               value
+        FROM events
+    )
+    SELECT wk, dow, hr, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM t
+    GROUP BY ROLLUP (wk, dow, hr)
+    """,
+    tags=("events", "rollup", "agg"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level time-hierarchy rollup (week → day-of-week → hour) over
+    events, all levels from epoch integer arithmetic on ts_ns — fully
+    timezone-agnostic, unlike calendar extraction under an unknown session
+    timezone. One Expand-based aggregation produces every hierarchy level
+    in a single pass."""
+    ev = load_events(spark, sf_dir)
+    ns = F.col("ts_ns")
+    t = ev.select(
+        F.floor(ns / F.lit(7 * 86400 * 1_000_000_000)).cast("bigint").alias("wk"),
+        (F.floor(ns / F.lit(86400 * 1_000_000_000)) % 7).cast("bigint").alias("dow"),
+        (F.floor(ns / F.lit(3600 * 1_000_000_000)) % 24).cast("bigint").alias("hr"),
+        "value",
+    )
+    return t.rollup("wk", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
