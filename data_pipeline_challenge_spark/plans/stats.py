@@ -464,3 +464,44 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "topn_orders_per_segment",
+    """
+    WITH r AS (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM r WHERE rn <= 3
+    """,
+    tags=("window", "topn", "agg"),
+)
+def topn_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment — the generic top-N-per-group.
+    The rank predicate is recognized by Spark's WindowGroupLimit rewrite:
+    each shuffle partition keeps only its local top-3 per group BEFORE the
+    final window sort, so the full table is never globally sorted and the
+    shuffle payload is bounded by groups×N (pinned in
+    test_plans_physical). Deterministic tie-break on o_orderkey."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

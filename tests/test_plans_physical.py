@@ -168,3 +168,11 @@ def test_pack_shuffle_payload_is_slim(spark):
 def test_quantize_plan_is_shuffle_free(spark):
     plan = plan_simple(spark, "embedding_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    # The rank<=N predicate must trigger the WindowGroupLimit rewrite:
+    # partial per-partition top-N before the final sort, no global sort of
+    # the full join output.
+    plan = plan_of(spark, "topn_orders_per_segment")
+    assert "WindowGroupLimit" in plan
