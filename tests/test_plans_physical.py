@@ -176,3 +176,39 @@ def test_topn_per_group_uses_window_group_limit(spark):
     # the full join output.
     plan = plan_of(spark, "topn_orders_per_segment")
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_injects_on_fact_dim_join(spark):
+    """Runtime bloom-filter semi-join reduction is ON (session default):
+    a selective dim side injects might_contain into the fact scan of a
+    shuffle join. At sf the application side is tiny, so the size gate is
+    zeroed test-scope; at 100 TB the default 10 GB gate passes naturally."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
