@@ -212,3 +212,38 @@ def test_runtime_bloom_filter_injects_on_fact_dim_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling is ON and actually fires: a hot-key join
+    partition gets split at runtime (skew=true in the final SMJ). Scoped
+    thresholds shrink 'skewed' to test scale; the mechanism is identical
+    at 100 TB. Note the consumer must not require the join's hash
+    partitioning (a groupBy on the join key would veto the split)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(2_000).select((F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        j.collect()
+        final = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "skew=true" in final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
