@@ -505,3 +505,45 @@ def topn_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+@query(
+    "revenue_weekly_growth",
+    """
+    WITH w AS (
+        SELECT CAST(floor(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) / 7)
+                    AS BIGINT) AS wk,
+               o_totalprice
+        FROM orders
+    ), r AS (
+        SELECT wk, round(sum(o_totalprice), 2) AS revenue FROM w GROUP BY wk
+    )
+    SELECT wk, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY wk), 2) AS delta
+    FROM r
+    """,
+    tags=("window", "agg", "stats"),
+)
+def revenue_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue delta: epoch-day week buckets (tz-free),
+    keyed sum, then lag over the AGGREGATED series. The global-order
+    window runs on the post-aggregation table — a few hundred rows per
+    decade of data regardless of fact size — so the single-partition sort
+    that would be a scale bug on raw data is free here."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ: to_date is timezone-free, so epoch-day
+    # floor division gives the same week id in any session timezone
+    # (order dates are midnight-aligned, so day == full-ts granularity).
+    wk = F.floor(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")) / 7
+    ).cast("bigint")
+    r = o.groupBy(wk.alias("wk")).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("wk")
+    return r.select(
+        "wk",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
