@@ -4,12 +4,18 @@ Runs the bench-flagged queries from the declared inventory at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]``. Each query is forced end-to-end with the noop
 sink (full computation, no driver collect cost).
+
+Each query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+per-query MEDIAN is reported — a single run on a shared box has ~2× load
+variance (round 3 recorded a phantom 64% "regression" on byte-identical
+code), and the median of 3 is robust to one contended run.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 
 import pandas
 import sys
@@ -80,13 +86,22 @@ def main() -> None:
         _warm(col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, qd in sorted(bench_queries().items()):
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    timings["ingest_50k_products"] = round(_ingest_bench(spark, n=50_000), 3)
+    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    for name, qd in sorted(bench_queries().items()):
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
+    ingest_runs = [round(_ingest_bench(spark, n=50_000), 3) for _ in range(n_runs)]
+    all_runs["ingest_50k_products"] = ingest_runs
+    timings["ingest_50k_products"] = round(statistics.median(ingest_runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "raw_runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
