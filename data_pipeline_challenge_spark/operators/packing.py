@@ -29,7 +29,30 @@ file_splitter.py:117-130); this is a north-star extension from the brief.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def _make_packer(keep_cols: list[str], oc: str, tc: str, cap: int):
+    # Nested so cloudpickle ships it by value (repo closure convention,
+    # see sources/json_ingest.py docstring).
+    def pack(pdf):
+        pdf = pdf.sort_values(oc, kind="mergesort").reset_index(drop=True)
+        bins = []
+        fill = 0
+        cur = 0
+        for tok in pdf[tc]:
+            t = int(tok)
+            if bins and fill + t > cap:
+                cur += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(cur)
+        pdf = pdf[keep_cols].copy()
+        pdf["bin"] = bins
+        return pdf
+
+    return pack
 
 
 def pack_sequences(
@@ -45,34 +68,58 @@ def pack_sequences(
     Returns (group_col, order_col, token_col, bin bigint). Deterministic:
     the order column must be unique per group (doc_id here), so the walk —
     and therefore every bin id — is partitioning-independent.
+
+    A bare group key is the oracle-twin form: exact greedy semantics over
+    the whole group, but one Python task walks the entire group, so it is
+    only safe when every group is known-bounded. The scale path is
+    :func:`pack_sequences_sharded`.
     """
     schema = (
         f"{group_col} string, {order_col} bigint, {token_col} bigint, bin bigint"
     )
     gc, oc, tc = group_col, order_col, token_col
-    cap = capacity
-
-    def make_packer():
-        # Nested so cloudpickle ships it by value (repo closure convention,
-        # see sources/json_ingest.py docstring).
-        def pack(pdf):
-            pdf = pdf.sort_values(oc, kind="mergesort").reset_index(drop=True)
-            bins = []
-            fill = 0
-            cur = 0
-            for tok in pdf[tc]:
-                t = int(tok)
-                if bins and fill + t > cap:
-                    cur += 1
-                    fill = t
-                else:
-                    fill += t
-                bins.append(cur)
-            pdf = pdf[[gc, oc, tc]].copy()
-            pdf["bin"] = bins
-            return pdf
-
-        return pack
-
     slim = df.select(gc, oc, tc)
-    return slim.groupBy(gc).applyInPandas(make_packer(), schema=schema)
+    packer = _make_packer([gc, oc, tc], oc, tc, capacity)
+    return slim.groupBy(gc).applyInPandas(packer, schema=schema)
+
+
+def pack_sequences_sharded(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 64,
+    shard: Column | None = None,
+) -> DataFrame:
+    """Shard-bounded greedy packing: the 100 TB form of
+    :func:`pack_sequences`.
+
+    A corpus has few sources, so grouping by bare ``source`` would hand one
+    unbounded Python task billions of rows. Here each group is split into
+    ``n_shards`` deterministic shards — by default
+    ``pmod(xxhash64(order_col), n_shards)`` — and the greedy first-fit walk
+    runs per (group, shard). Every applyInPandas task then holds
+    ~|group|/n_shards rows regardless of corpus size; raise ``n_shards``
+    with the corpus and the walk stays O(bounded). Bins never cross shards,
+    so packing quality is unchanged within a shard and the only cost is at
+    most one under-filled tail bin per shard.
+
+    ``shard`` overrides the shard expression (e.g. ``pmod(col, n)`` on a
+    numeric key so an external SQL oracle can replay the exact recurrence).
+
+    Returns (group_col, shard int, order_col, token_col, bin bigint); bin
+    ids are 0-based per (group, shard). Deterministic and
+    partitioning-independent for a unique order column: the shard of a row
+    is a pure function of its key, and the walk order within a shard is
+    fully specified by ``order_col``.
+    """
+    gc, oc, tc = group_col, order_col, token_col
+    if shard is None:
+        shard = F.pmod(F.xxhash64(F.col(oc)), F.lit(n_shards))
+    schema = (
+        f"{gc} string, shard int, {oc} bigint, {tc} bigint, bin bigint"
+    )
+    slim = df.select(gc, oc, tc).withColumn("shard", shard.cast("int"))
+    packer = _make_packer([gc, "shard", oc, tc], oc, tc, capacity)
+    return slim.groupBy(gc, "shard").applyInPandas(packer, schema=schema)
