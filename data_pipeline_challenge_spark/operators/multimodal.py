@@ -1,8 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 North-star capability (BASELINE.json). The design is the part that must be
-real at 100 TB; the codec is not available in this container, so decode is
-stubbed (deterministic fake behind an import-try — clearly marked below):
+real at 100 TB; decode resolves per-payload: FAKE containers parse a
+deterministic stub header (so test/oracle rows are codec-independent),
+real containers use Pillow when installed, else a pure-stdlib
+PNG/GIF/JPEG header parse (see ``_make_decoder``):
 
 - media rows are ``(media_id long, kind string, payload binary,
   meta map<string,string>)`` — the payload is opaque to Catalyst, columnar
@@ -14,11 +16,10 @@ stubbed (deterministic fake behind an import-try — clearly marked below):
   — at scale set it so batch_rows × max_payload fits the executor;
 - frame sampling shows the 1→N row shape (UDTF-style) that video work needs.
 
-STUB NOTE: ``decode_image_features``/``extract_audio_features`` parse OUR
-OWN fake header format (see ``synth_media``) when Pillow/soundfile are
-absent. The Spark-side plumbing — schemas, batching, partitioning, 1→N
-expansion — is real and tested; swap ``_decode_payload`` for a real codec
-in production.
+STUB NOTE: ``extract_audio_features`` still interprets only the fake
+header format (see ``synth_media``) — soundfile/libav are the production
+swap there. The Spark-side plumbing — schemas, batching, partitioning,
+1→N expansion — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -52,26 +53,83 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
 
 
 def _make_decoder():
-    """STUB decoder factory: the returned closure parses the fake header
-    and is fully self-contained (stdlib only) so every mapInPandas closure
-    that captures it ships by value — executors need no package install.
-    A real deployment swaps the body for PIL/libav; the surrounding Arrow
-    plumbing is unchanged."""
+    """Decoder factory: the returned closure is fully self-contained
+    (stdlib + optional Pillow, imported inside) so every mapInPandas
+    closure that captures it ships by value — executors need no package
+    install. Decode resolution order:
+
+    1. FAKE containers always take the stub path, so synthetic-media
+       oracle rows never change regardless of what is installed.
+    2. Real containers use Pillow when importable (full pixel decode —
+       the production branch).
+    3. Without Pillow, PNG/GIF/JPEG dimensions are parsed from the
+       container headers in pure stdlib (IHDR / logical-screen / SOF
+       scan) — real metadata extraction, no codec needed.
+    4. Anything else raises NotImplementedError (honest gap: wire
+       libav/ffmpeg for exotic containers in production).
+    """
     import struct as _struct
 
     magic = _MAGIC
+    png_sig = b"\x89PNG\r\n\x1a\n"
+
+    def _png_dims(p: bytes) -> tuple[int, int]:
+        # 8B signature, 4B chunk len, b"IHDR", then w:u32be h:u32be.
+        if p[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w, h = _struct.unpack(">II", p[16:24])
+        return int(w), int(h)
+
+    def _gif_dims(p: bytes) -> tuple[int, int]:
+        w, h = _struct.unpack("<HH", p[6:10])
+        return int(w), int(h)
+
+    def _jpeg_dims(p: bytes) -> tuple[int, int]:
+        # Scan marker segments for a frame header (SOF0-15, minus DHT/JPG/
+        # DAC which share the range but aren't frames).
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = _struct.unpack(">H", p[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _struct.unpack(">HH", p[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
 
     def decode(payload: bytes) -> tuple[int, int, int]:
-        # Magic check FIRST: FAKE payloads always take the stub path, so an
-        # installed Pillow never breaks synthetic-media queries. Real
-        # containers (PNG/JPEG/...) are the honestly-unimplemented branch —
-        # swap this raise for a PIL/libav decode in production.
-        if payload[:4] != magic:
+        if payload[:4] == magic:
+            (w, h) = _struct.unpack("<HH", payload[5:9])
+            return int(w), int(h), len(payload) - 9
+        try:  # production branch: full decode when Pillow is installed
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                w, h = im.size
+                im.load()  # force a real pixel decode, not just the header
+            return int(w), int(h), len(payload)
+        except ImportError:
+            pass
+        # stdlib header parse: real container metadata without a codec
+        if payload[:8] == png_sig:
+            w, h = _png_dims(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _gif_dims(payload)
+        elif payload[:2] == b"\xff\xd8":
+            w, h = _jpeg_dims(payload)
+        else:
             raise NotImplementedError(
-                "real media decode not wired in this environment (non-FAKE container)"
+                "unrecognized media container and Pillow not installed"
             )
-        (w, h) = _struct.unpack("<HH", payload[5:9])
-        return int(w), int(h), len(payload) - 9
+        return int(w), int(h), len(payload)
 
     return decode
 

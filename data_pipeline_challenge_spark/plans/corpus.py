@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_events, load_table
+from ..operators.dedup import minhash_lsh_pairs
 from ..operators.graph import connected_components
 from ..operators.similarity import cosine_near_pairs_blocked
 from .registry import query
@@ -57,6 +58,34 @@ def dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
     labels = connected_components(pairs, src="id1", dst="id2")
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("vertex").alias("max_member"),
+    )
+
+
+@query(
+    "dup_cluster_components_ann",
+    None,  # xxhash64-seeded MinHash pair graph — engine-specific, rows-only.
+    tags=("dedup", "graph", "corpus", "ann"),
+)
+def dup_cluster_components_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``dup_cluster_components``: the pair graph comes
+    from MinHash+LSH bucket collisions (linear candidate generation,
+    exact-Jaccard verified at τ=0.5) instead of the exact tiled matmul,
+    then feeds the same connected-components fixpoint. At 100 TB this is
+    the path that survives — no O(n²) FLOPs anywhere; the exact query
+    remains the sf0.01 semantic anchor (see
+    tests/test_operators.py::test_ann_clusters_match_exact_on_controlled_corpus).
+
+    Deterministic across replays: every hash is seeded xxhash64, the LSH
+    band join is a pure function of signatures, and the CC fixpoint is
+    partitioning-independent (component = min reachable vertex id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, min_jaccard=0.5
+    )
+    labels = connected_components(pairs, src="doc1", dst="doc2")
     return labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("vertex").alias("max_member"),

@@ -17,7 +17,10 @@ from data_pipeline_challenge_spark.operators.dedup import (
 )
 from data_pipeline_challenge_spark.operators.graph import connected_components
 from data_pipeline_challenge_spark.operators.merge import merge_products
+import pytest
+
 from data_pipeline_challenge_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_image_features,
     embed_media,
     sample_video_frames,
@@ -100,6 +103,84 @@ def test_multimodal_decode_and_frames(spark):
     e2 = {r["media_id"]: r["embedding"] for r in embed_media(media).collect()}
     assert e1 == e2
     assert all(len(v) == 16 for v in e1.values())
+
+
+def _make_real_png(w: int, h: int) -> bytes:
+    """A genuine, spec-valid RGB PNG built with stdlib only (CRC'd chunks,
+    zlib-compressed scanlines) — viewable in any image tool."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    scanlines = b"".join(b"\x00" + bytes([i % 256] * (3 * w)) for i in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_image_containers_decode(spark):
+    """Non-FAKE containers must decode through the same Arrow pipeline:
+    a real PNG (and GIF/JPEG headers) yield true dimensions — via Pillow
+    when installed, else the stdlib header parse. An unrecognized container
+    stays an honest NotImplementedError."""
+    import struct
+
+    import pytest as _pytest
+
+    png = _make_real_png(37, 21)
+    gif = b"GIF89a" + struct.pack("<HH", 640, 480) + b"\x00" * 20
+    # Minimal JPEG marker stream: SOI, APP0, SOF0 (h=77, w=55), EOI.
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 77, 55) + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(png), {}),
+            (1, "image", bytearray(gif), {}),
+            (2, "image", bytearray(jpeg), {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (37, 21)
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert (got[2]["width"], got[2]["height"]) == (55, 77)
+    assert got[0]["body_bytes"] == len(png)
+    assert got[0]["aspect"] == round(37 / 21, 6)
+
+    with _pytest.raises(Exception, match="NotImplementedError|unrecognized"):
+        bogus = spark.createDataFrame(
+            [(9, "image", bytearray(b"NOTAFORMAT" * 4), {})], MEDIA_SCHEMA
+        )
+        decode_image_features(bogus).collect()
+
+
+def test_real_png_full_decode_with_pillow(spark):
+    """Skippable production-branch check: when Pillow is installed the same
+    PNG goes through a full pixel decode (im.load())."""
+    _pil = pytest.importorskip("PIL.Image")
+    import io
+
+    png = _make_real_png(5, 4)
+    im = _pil.open(io.BytesIO(png))
+    assert im.size == (5, 4)
+    media = spark.createDataFrame([(0, "image", bytearray(png), {})], MEDIA_SCHEMA)
+    (row,) = decode_image_features(media).collect()
+    assert (row["width"], row["height"]) == (5, 4)
 
 
 def test_chunking_udtf_matches_catalyst(spark):
@@ -291,6 +372,52 @@ def test_connected_components_paths_agree(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges).count() == 0
+
+
+def test_ann_clusters_match_exact_on_controlled_corpus(spark):
+    """The MinHash+LSH pair graph (the 100 TB path behind
+    dup_cluster_components_ann) must recover the same duplicate clusters as
+    the exhaustive exact-Jaccard pair graph on a corpus with planted
+    near-dup groups, and be deterministic across replays."""
+    base_a = "the quick brown fox jumps over the lazy dog and runs far away to town tonight"
+    base_b = "spark engines shuffle data across executors while catalyst optimizes each logical plan"
+    docs = [
+        (0, base_a),
+        (1, base_a),  # exact dup of 0
+        (2, base_a + " again"),  # near dup of 0/1
+        (10, base_b),
+        # Appended-token near dup (j≈0.9): high enough that the 8-band LSH
+        # hit probability is ~1 — a mid-similarity edit (j≈0.54) has only
+        # ~50% band-collision odds and is legitimately missable by design.
+        (11, base_b + " nightly"),
+        (20, "entirely unrelated words about cooking pasta with garlic and fresh basil leaves"),
+        (21, "another singleton document mentioning telescopes galaxies and the night sky above"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def clusters(pairs):
+        labels = connected_components(pairs, src="doc1", dst="doc2")
+        return {
+            (r["component"], r["n_members"])
+            for r in labels.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .collect()
+        }
+
+    exact = clusters(
+        jaccard_pairs(df, "doc_id", "text").filter(F.col("jaccard") >= 0.5)
+    )
+    ann = clusters(
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8, min_jaccard=0.5)
+    )
+    assert exact == ann == {(0, 3), (10, 2)}  # singletons emit no edges
+
+    # Deterministic across replays: seeded hashes + partitioning-independent
+    # fixpoint → identical pair rows and identical clusters on a re-run.
+    again = clusters(
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=8, min_jaccard=0.5)
+    )
+    assert again == ann
 
 
 def test_global_ranking_matches_single_partition_window(spark):
