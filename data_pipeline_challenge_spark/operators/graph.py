@@ -5,20 +5,26 @@ must become duplicate *clusters* so exactly one canonical document per
 cluster survives dedup. That grouping is a connected-components problem on
 the pair graph.
 
-Algorithm: iterative min-label propagation expressed as DataFrame joins —
-each vertex repeatedly adopts the smallest component id among itself and
-its neighbors. Labels only ever decrease, so the fixpoint (no label
-changed) is exact and deterministic: every vertex ends with the minimum
-vertex id reachable from it, independent of partitioning or join order.
+Three execution paths behind one API, picked by graph size:
+
+- small graphs (the common case — the near-dup pair graph is orders of
+  magnitude smaller than the corpus): partition-local union-find in ONE
+  Spark job;
+- large graphs: alternating large-star/small-star contraction (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  each round is a groupBy-min plus a join, and the star graph contracts
+  in O(log n) rounds even on adversarial long-chain/high-diameter
+  graphs (plain min-label propagation needs diameter-many rounds);
+- ``algorithm="label_prop"`` keeps the simple propagation available as a
+  semantic cross-check (tests pin all three paths to identical labels).
+
+Every path computes the same deterministic fixpoint: component = min
+vertex id reachable, independent of partitioning and join order.
 
 100 TB notes:
-- Each iteration is one shuffle join (edges × labels on vertex id) plus one
-  map-side-combinable min-aggregation; rounds needed = graph diameter.
-  Duplicate clusters are short chains / dense blobs (diameter ~ a few), so
-  this converges in 3-5 rounds in practice. For adversarial long-chain
-  graphs, swap the propagation body for the large-star/small-star rewrite
-  (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  which converges in O(log n) rounds over the same join primitive.
+- Each star round is one shuffle join (edges × per-vertex min) plus one
+  map-side-combinable min-aggregation; the edge count never grows
+  (contraction only rewires), so round cost is bounded by the input.
 - ``localCheckpoint`` after every round truncates the lineage so the plan
   does not grow with iteration count (on a cluster, prefer a reliable
   ``checkpoint`` dir so recomputation-on-failure does not cascade).
@@ -39,12 +45,16 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     small_graph_threshold: int = 1_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Return (vertex, component) with component = min reachable vertex id.
 
     Vertices are the union of edge endpoints (isolated vertices never
     appear in an edge list; callers wanting singletons can union them in
     afterwards with component = their own id).
+
+    ``algorithm``: "auto" (union-find below ``small_graph_threshold``,
+    star contraction above), "star", or "label_prop".
     """
     # Symmetric edge list: propagate along both directions of each edge.
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
@@ -59,9 +69,16 @@ def connected_components(
     # round-trip even at one task). The result is identical — component =
     # min reachable vertex id — and order-independent, because the final
     # partition structure of union-find does not depend on union order.
-    # Above the threshold, fall through to the distributed iteration.
-    if sym.count() < small_graph_threshold:
+    # Above the threshold, fall through to the distributed star contraction.
+    if algorithm == "auto":
+        algorithm = "uf" if sym.count() < small_graph_threshold else "star"
+    if algorithm == "uf":
         return _union_find_single_task(sym)
+    if algorithm == "star":
+        labels, _rounds = _star_contraction(sym, max_iter=max_iter)
+        return labels
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
 
     labels = (
         sym.select("v").distinct().withColumn("component", F.col("v")).localCheckpoint(eager=True)
@@ -90,6 +107,79 @@ def connected_components(
         prev_sum = new_sum
 
     return labels.select(F.col("v").alias("vertex"), "component")
+
+
+def _star_contraction(sym: DataFrame, max_iter: int = 25) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction over a symmetric edge
+    list; returns (labels DataFrame, rounds used). O(log n) rounds on any
+    graph (Kiveris et al., SoCC'14 — public algorithm, reimplemented here
+    as DataFrame ops from the paper's operator definitions).
+
+    large-star: every vertex u computes m = min(N(u) ∪ {u}) and rewires
+    its LARGER neighbors (v > u) to m. small-star: edges oriented
+    (u=max, v=min); u rewires its smaller neighbors ∪ itself to
+    m = min(N_<(u) ∪ {u}). Both steps preserve connectivity and strictly
+    flatten the graph toward stars rooted at each component's min vertex;
+    the fixpoint (edge set unchanged) is exactly those stars."""
+    all_vertices = sym.select("v").distinct().localCheckpoint(eager=True)
+
+    def _checksum(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("v", "w"), F.lit(2**61 - 1)).cast("decimal(38,0)")).alias(
+                "h"
+            ),
+        ).collect()[0]
+
+    # Current edge set, arbitrary orientation; no self-loops.
+    e = sym.filter(F.col("v") != F.col("w"))
+    prev = _checksum(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: symmetric view, rewire larger neighbors to the min.
+        s = e.union(e.select(F.col("w").alias("v"), F.col("v").alias("w")))
+        mins = (
+            s.groupBy("v")
+            .agg(F.min("w").alias("mw"))
+            .select("v", F.least("mw", F.col("v")).alias("m"))
+        )
+        e = (
+            s.filter(F.col("w") > F.col("v"))
+            .join(mins, "v")
+            .select(F.col("w").alias("v"), F.col("m").alias("w"))
+            .filter(F.col("v") != F.col("w"))
+            .distinct()
+        )
+        # -- small-star: orient (max → min), rewire small side ∪ self to min.
+        o = e.select(
+            F.greatest("v", "w").alias("v"), F.least("v", "w").alias("w")
+        ).distinct()
+        mins = o.groupBy("v").agg(F.min("w").alias("m"))  # w < v, so min(N ∪ {v}) = min(w)
+        e = (
+            o.join(mins, "v")
+            .select(F.col("w").alias("v"), F.col("m").alias("w"))
+            .union(mins.select(F.col("v"), F.col("m").alias("w")))
+            .filter(F.col("v") != F.col("w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+
+    # At the fixpoint e is a star forest: (leaf → root). Roots (and any
+    # vertex isolated by self-loop removal) label themselves.
+    leaf = e.groupBy("v").agg(F.min("w").alias("component"))
+    labels = (
+        all_vertices.join(leaf, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            F.coalesce("component", F.col("v")).alias("component"),
+        )
+    )
+    return labels, rounds
 
 
 def _union_find_single_task(sym: DataFrame) -> DataFrame:

@@ -348,26 +348,47 @@ def test_connected_components_chain_triangle_and_isolated_edge(spark):
 
 
 def test_connected_components_paths_agree(spark):
-    # The single-task union-find and the distributed iteration must produce
-    # identical labels on the same graph (threshold=0 forces the iterative
-    # path, which small graphs normally skip).
+    # All three execution paths — single-task union-find, star contraction
+    # (the distributed default), and plain label propagation — must produce
+    # identical labels on the same graph.
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 9), (9, 8), (10, 11), (11, 12), (20, 21)],
         "src long, dst long",
     )
-    uf = {(r.vertex, r.component) for r in connected_components(edges, "src", "dst").collect()}
-    it = {
-        (r.vertex, r.component)
-        for r in connected_components(
-            edges, "src", "dst", small_graph_threshold=0
-        ).collect()
-    }
-    assert uf == it
-    assert uf == {
+    expect = {
         (1, 1), (2, 1), (3, 1), (4, 1), (8, 1), (9, 1),
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+    for kwargs in (
+        {},
+        {"small_graph_threshold": 0},  # auto → star
+        {"algorithm": "star"},
+        {"algorithm": "label_prop"},
+    ):
+        got = {
+            (r.vertex, r.component)
+            for r in connected_components(edges, "src", "dst", **kwargs).collect()
+        }
+        assert got == expect, kwargs
+
+
+def test_star_contraction_log_rounds_on_long_chain(spark):
+    # A 256-vertex path graph has diameter 255: label propagation needs
+    # ~255 rounds, star contraction must finish in O(log n) — the whole
+    # point of the Kiveris et al. rewrite for adversarial graphs.
+    from data_pipeline_challenge_spark.operators.graph import _star_contraction
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    fwd = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    sym = fwd.union(fwd.select(F.col("w").alias("v"), F.col("v").alias("w")))
+    labels, rounds = _star_contraction(sym, max_iter=30)
+    got = {(r.vertex, r.component) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 12, rounds  # ~log2(256)=8 plus slack; far below diameter
 
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
