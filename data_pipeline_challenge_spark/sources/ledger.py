@@ -9,11 +9,23 @@ Counters are computed by aggregation over the bronze layer, so the
 reference's total=0 completion race (file_splitter.py:72 vs
 data_processor.py:126-141 — SURVEY §2 op 14) cannot exist here: the batch
 job is the unit of completion. Intentional, documented divergence.
+
+Point-status fast path: the reference serves ``GET /upload/status`` with
+an O(1) keyed read (``UploadedFile.get``, api/main.py:106-127). Replaying
+the whole event log per status call would instead be O(events). So every
+``append`` also incrementally compacts a **current-state table**
+(``<warehouse>/ledger_state``): latest event per file_id, range-partitioned
+and sorted by file_id, rewritten via tmp-dir + atomic swap. ``status_of``
+is then a single pushed-down point filter over one row per file — min/max
+file stats prune to one parquet file, no window, no shuffle. The winner
+rule (max by event_ts, then status) is associative, so folding new events
+into the previous winners equals recomputing over the full log.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -28,9 +40,14 @@ class LedgerStore:
     def __init__(self, spark: SparkSession, warehouse_dir: str | Path):
         self.spark = spark
         self.path = str(Path(warehouse_dir) / "ledger")
+        self.state_path = str(Path(warehouse_dir) / "ledger_state")
 
     def exists(self) -> bool:
         return Path(self.path).exists() and any(Path(self.path).iterdir())
+
+    def _state_exists(self) -> bool:
+        p = Path(self.state_path)
+        return p.exists() and any(p.iterdir())
 
     def read_events(self) -> DataFrame:
         if not self.exists():
@@ -38,7 +55,11 @@ class LedgerStore:
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def append(self, rows: list[dict]) -> None:
-        """Append status-event rows; fills event_ts if absent."""
+        """Append status-event rows; fills event_ts if absent.
+
+        Also folds the new events into the compacted current-state table
+        so point-status reads stay keyed lookups (see module docstring).
+        """
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         full = [{"event_ts": now, **r} for r in rows]
         df = self.spark.createDataFrame(
@@ -46,20 +67,68 @@ class LedgerStore:
             LEDGER_SCHEMA,
         )
         df.write.mode("append").parquet(self.path)
+        self._compact(df)
 
-    def current(self) -> DataFrame:
-        """Latest event per file_id — the queryable ledger state
-        (GET /upload/status equivalent, api/main.py:106-127)."""
+    @staticmethod
+    def _latest_per_file(events: DataFrame) -> DataFrame:
         w = Window.partitionBy("file_id").orderBy(
             F.col("event_ts").desc(), F.col("status").desc()
         )
         return (
-            self.read_events()
-            .withColumn("rn", F.row_number().over(w))
+            events.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
 
+    def _compact(self, new_events: DataFrame) -> None:
+        """state' = latest-per-file_id over (previous state ∪ new events).
+
+        The previous state already holds exactly one winner row per file,
+        so the fold touches O(files) rows, never the full event log. The
+        rewrite is tmp-dir + atomic rename (readers never see a partial
+        table), range-partitioned + sorted by file_id so a point filter
+        prunes to one parquet file via min/max stats.
+        """
+        base = (
+            self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
+            if self._state_exists()
+            else self.spark.createDataFrame([], LEDGER_SCHEMA)
+        )
+        merged = self._latest_per_file(base.unionByName(new_events))
+        tmp = Path(self.state_path + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        nparts = max(1, self.spark.sparkContext.defaultParallelism // 8)
+        (
+            merged.repartitionByRange(nparts, "file_id")
+            .sortWithinPartitions("file_id")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        old = Path(self.state_path + ".old")
+        if old.exists():
+            shutil.rmtree(old)
+        state = Path(self.state_path)
+        if state.exists():
+            state.rename(old)
+        tmp.rename(state)
+        if old.exists():
+            shutil.rmtree(old)
+
+    def current(self) -> DataFrame:
+        """Latest event per file_id — the queryable ledger state
+        (GET /upload/status equivalent, api/main.py:106-127).
+
+        Served from the compacted state table when present (one row per
+        file, no window replay); falls back to replaying the event log
+        for warehouses written before compaction existed.
+        """
+        if self._state_exists():
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
+        return self._latest_per_file(self.read_events())
+
     def status_of(self, file_id: str) -> dict | None:
+        """Keyed point lookup: pushed-down equality filter over the
+        compacted state — the reference's ``UploadedFile.get`` analog."""
         rows = self.current().filter(F.col("file_id") == file_id).collect()
         return rows[0].asDict() if rows else None

@@ -326,3 +326,67 @@ def test_malformed_large_array_fails_whole_file(spark, warehouse, landing, tmp_p
     assert report.files[lf.file_id]["records_processed"] == 0
     assert wh.products().count() == 0
     assert lf.location in list_landed(landing)  # retained for inspection
+
+
+def test_ledger_point_status_fast_path(spark, warehouse, landing, tmp_path):
+    """GET /upload/status must be a keyed point lookup, not an event-log
+    replay — the reference's O(1) ``UploadedFile.get``
+    (api/main.py:106-127). Pins: (a) every append compacts a
+    current-state table, (b) ``status_of`` reads it with a pushed-down
+    file_id filter and NO window/shuffle in the plan, (c) the compacted
+    state equals the full-log replay after multi-event histories."""
+    lf1 = _land(landing, tmp_path, "a.json", products_basic(10))
+    lf2 = _land(landing, tmp_path, "b.json", "not json at all")
+    wh = ProductWarehouse(spark, warehouse)
+    # pre-ingest 'uploaded' events (the API route writes these), then the
+    # ingest outcome events — two events per file in the log.
+    import datetime as dt
+
+    for lf in (lf1, lf2):
+        wh.ledger.append(
+            [
+                {
+                    "file_id": lf.file_id,
+                    "filename": lf.filename,
+                    "location": lf.location,
+                    "uploaded_at": dt.datetime.utcfromtimestamp(lf.uploaded_at),
+                    "content_type": "application/json",
+                    "status": "uploaded",
+                    "total_records": 0,
+                    "records_processed": 0,
+                    "records_failed": 0,
+                }
+            ]
+        )
+    wh.ingest(landing)
+
+    # (a) compacted state exists and holds exactly one row per file
+    assert wh.ledger._state_exists()
+    state = spark.read.parquet(wh.ledger.state_path)
+    assert state.count() == 2
+    assert state.select("file_id").distinct().count() == 2
+
+    # (b) point-lookup plan: scan of ledger_state with the equality filter
+    # pushed to parquet; no Window, no Exchange (would mean log replay)
+    q = wh.ledger.current().filter(F.col("file_id") == lf1.file_id)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "ledger_state" in plan
+    assert "PushedFilters: [IsNotNull(file_id), EqualTo(file_id" in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
+
+    # (c) semantics: compacted winners == full-log replay winners
+    replay = {
+        r["file_id"]: (r["status"], r["records_processed"])
+        for r in wh.ledger._latest_per_file(wh.ledger.read_events()).collect()
+    }
+    compacted = {
+        r["file_id"]: (r["status"], r["records_processed"])
+        for r in wh.ledger.current().collect()
+    }
+    assert compacted == replay
+    assert wh.ledger.status_of(lf1.file_id)["status"] == STATUS_PROCESSED
+    assert wh.ledger.status_of(lf2.file_id)["status"] == STATUS_FAILED
+    assert wh.ledger.status_of("nope") is None

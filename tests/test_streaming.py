@@ -271,3 +271,48 @@ def test_streaming_dedup_latest(spark, tmp_path):
     got = {tuple(r) for r in spark.table("latest_out").collect()}
     expected = {tuple(r) for r in dedup_latest_per_key(batch_ev).collect()}
     assert got == expected
+
+
+def test_streaming_large_array_splits_in_microbatch(spark, warehouse, landing, tmp_path, monkeypatch):
+    """Parity with the batch splittable-parse test: one oversized
+    top-level-array delivery landed through the STREAM must fan out into a
+    multi-task parse inside the foreachBatch body (the batch twin is
+    tests/test_ingest_pipeline.py::test_large_array_file_splits_into_parallel_tasks).
+    Captures the bronze partition count by wrapping the splittable reader
+    the micro-batch calls."""
+    from data_pipeline_challenge_spark import pipeline as pipeline_mod
+    from data_pipeline_challenge_spark.sources.json_ingest import (
+        read_bronze_splittable,
+    )
+
+    n = 500
+    recs = [{"code": f"S{i:05d}", "product_name": f"p{i}"} for i in range(n)]
+    src = tmp_path / "big_stream.json"
+    write_json(src, recs)
+    lf = upload(src, landing)
+
+    seen: list[int] = []
+
+    def recording_reader(spark_, paths, scratch, **kw):
+        df, failed = read_bronze_splittable(spark_, paths, scratch, **kw)
+        seen.append(df.rdd.getNumPartitions())
+        return df, failed
+
+    monkeypatch.setattr(pipeline_mod, "read_bronze_splittable", recording_reader)
+
+    wh = ProductWarehouse(spark, warehouse)
+    wh.split_threshold_bytes = 1024  # force the JSONL-chunk conversion
+    wh.chunk_records = 50
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 4096)
+    try:
+        drain_ingest_stream(spark, landing, wh, tmp_path / "ckpt_big")
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    # the micro-batch ran the splittable reader and it fanned out
+    assert seen, "foreachBatch never invoked the splittable reader"
+    assert max(seen) >= 4, f"single-task parse inside micro-batch: {seen}"
+    assert wh.products().count() == n
+    assert wh.ledger.status_of(lf.file_id)["status"] == "processed"
+    assert wh.ledger.status_of(lf.file_id)["total_records"] == n
