@@ -404,6 +404,68 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_greedy_bins_sharded",
+    """
+    WITH RECURSIVE t AS (
+        SELECT source, CAST(doc_id % 8 AS INT) AS shard, doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
+               row_number() OVER (PARTITION BY source, doc_id % 8
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), r AS (
+        SELECT source, shard, rn, tok, CAST(0 AS BIGINT) AS bin, tok AS fill
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.shard, t.rn, t.tok,
+               CASE WHEN r.fill + t.tok <= 120 THEN r.bin ELSE r.bin + 1 END,
+               CASE WHEN r.fill + t.tok <= 120 THEN r.fill + t.tok ELSE t.tok END
+        FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
+                     AND t.rn = r.rn + 1
+    )
+    SELECT source, shard, bin, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM r GROUP BY source, shard, bin
+    """,
+    tags=("packing", "corpus"),
+)
+def pack_greedy_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``pack_greedy_bins``: greedy first-fit packing per
+    (source, shard) so no single Python task ever walks an unbounded group.
+    Here the shard is ``pmod(doc_id, 8)`` — a pure function of the order
+    key that DuckDB can replay exactly (``doc_id % 8`` on non-negative
+    ids), so the recursive-CTE oracle re-runs the identical recurrence per
+    (source, shard). Production uses the default ``pmod(xxhash64(order),
+    n_shards)`` shard; the semantics (bins never cross shards, walk order
+    within a shard fixed by the order column) are the same."""
+    from ..operators.packing import pack_sequences_sharded
+
+    docs = load_table(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    packed = pack_sequences_sharded(
+        toks,
+        "source",
+        "doc_id",
+        "tok",
+        capacity=120,
+        n_shards=8,
+        shard=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.groupBy("source", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
+
+
+@query(
     "profile_orders_columns",
     """
     SELECT 'o_custkey' AS col_name, count(*) AS n_rows,

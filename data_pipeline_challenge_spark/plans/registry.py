@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,131 +59,41 @@ def query(
     return deco
 
 
-# Names with NO driver CORRECTNESS row after rounds 1-3 (the driver's
-# per-round run is capped at 50 queries; CORRECTNESS_r0{1,2,3}.json
-# together cover 100 of 113). Enumerate these first so round 4 verifies
-# them; already-green queries re-verify after.
-_DRIVER_PRIORITY = (
-    "ann_recall_eval",
-    "doc_length_deciles",
-    "embedding_quantize_int8",
-    "events_time_rollup",
-    "histogram_order_totals",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_rich_customers",
-    "revenue_weekly_growth",
-    "topn_orders_per_segment",
-)
+def _driver_verified_names() -> frozenset[str]:
+    """Names with a GREEN driver row in any past round.
 
-# Names with a green driver row in any of rounds 1-3 (union of
-# CORRECTNESS_r01/r02/r03 keys) — re-verify these last so queries added
-# since (no row yet) sort ahead of them.
-_DRIVER_CHECKED = frozenset((
-    "agg_approx_count_distinct",
-    "agg_count_distinct",
-    "agg_orders_by_status",
-    "ann_ivf_top10",
-    "ann_lsh_top10",
-    "array_agg_suppliers_by_nation",
-    "case_when_price_buckets",
-    "corpus_mix_weighted",
-    "cube_order_counts",
-    "decontam_eval_overlap",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_top20",
-    "dedup_simhash",
-    "dedup_survivors",
-    "distinct_flag_status",
-    "doc_repetition_filter",
-    "dup_cluster_components",
-    "embedding_centroids_by_label",
-    "embedding_near_pairs",
-    "embedding_norms",
-    "events_asof_purchase_signup",
-    "events_funnel",
-    "events_hourly_profile",
-    "events_json_extract",
-    "events_latest_per_user",
-    "events_pivot_type_counts",
-    "events_rate_by_type",
-    "events_retention_weekly",
-    "events_session_windows",
-    "events_sliding_hour",
-    "events_tumbling_hour",
-    "exists_subquery_sql",
-    "grouping_sets_sql",
-    "having_nation_counts",
-    "join_anti_customers_without_orders",
-    "join_broadcast_star",
-    "join_full_outer_nation_presence",
-    "join_outer_customer_order_counts",
-    "join_salted_skew",
-    "join_semi_customers_with_big_orders",
-    "knn_cosine_top20",
-    "lsh_bucket_histogram",
-    "multimodal_image_features",
-    "pack_greedy_bins",
-    "pivot_order_priority",
-    "point_lookup_key",
-    "profile_orders_columns",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_late_shipments",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "range_join_event_pairs",
-    "rollup_revenue",
-    "sample_hash_split",
-    "sample_token_budget",
-    "scalar_date_funcs",
-    "scalar_levenshtein",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "search_name_exact",
-    "search_name_partial",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_nations",
-    "snapshot_diff_orders",
-    "source_vocab_overlap_top20",
-    "stats_corr_covar",
-    "stats_percentiles",
-    "stopword_pruned_stats",
-    "stratified_sample_per_source",
-    "subquery_above_avg_orders",
-    "subquery_correlated_max_order",
-    "text_bigram_top20",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_fingerprint_rolling",
-    "text_lang_id",
-    "text_quality_score",
-    "text_source_lang_profile",
-    "text_token_count_bpe",
-    "text_token_stats",
-    "tfidf_top20",
-    "top_terms_per_lang",
-    "topk_orders",
-    "udaf_geometric_mean",
-    "window_moving_avg",
-    "window_rank_orders_per_customer",
-    "window_running_revenue",
-    "window_share_of_nation",
-    "window_spend_rank",
-))
+    The driver's per-round correctness run is capped (50 queries), so
+    enumeration order decides what gets checked. Rather than a
+    hand-maintained list that goes stale each round (the round-3 failure
+    mode), read the driver's own ``CORRECTNESS_r*.json`` artifacts at the
+    repo root: a query counts as verified iff some round recorded it with
+    no error and matching rows (hash too, when an oracle was present).
+    Anything else — never sampled, or sampled and failed — sorts first so
+    the next driver run covers it.
+    """
+    import json
+
+    seen: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # rows-only-by-design query whose weaker check already ran
+                if row.get("spark_rows") is not None:
+                    seen.add(name)
+            elif not row.get("err") and row.get("rows_match") and row.get(
+                "hash_match", True
+            ):
+                seen.add(name)
+    return frozenset(seen)
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -197,15 +108,14 @@ def all_queries() -> dict[str, QueryDef]:
         text,
     )
 
+    # Never-verified (or previously failing) queries enumerate first so the
+    # driver's capped sample always spends its budget where there is no
+    # green row yet; verified queries re-verify after.
+    verified = _driver_verified_names()
     ordered: dict[str, QueryDef] = {}
-    for name in _DRIVER_PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
-    # Then queries with no driver row at all (added since round 3), then
-    # the already-green rest.
     for name, qd in _REGISTRY.items():
-        if name not in _DRIVER_CHECKED:
-            ordered.setdefault(name, qd)
+        if name not in verified:
+            ordered[name] = qd
     for name, qd in _REGISTRY.items():
         ordered.setdefault(name, qd)
     return ordered

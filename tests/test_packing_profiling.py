@@ -41,6 +41,63 @@ def test_pack_groups_are_independent_and_order_driven(spark):
     assert got == {("a", 1): 0, ("a", 2): 1, ("b", 10): 0, ("b", 11): 0}
 
 
+def test_pack_sharded_matches_per_shard_reference(spark):
+    """Sharded packing must equal the plain packer run per (group, shard):
+    sharding changes the grouping, never the recurrence."""
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+
+    rows = [("a", o, 40 + (o % 3) * 30) for o in range(1, 41)] + [
+        ("b", o, 90) for o in range(1, 6)
+    ]
+    expected = {}
+    by_gs = {}
+    for g, o, t in rows:
+        by_gs.setdefault((g, o % 4), []).append((o, t))
+    for (g, sh), items in by_gs.items():
+        fill, cur, first = 0, 0, True
+        for o, t in sorted(items):
+            if not first and fill + t > 120:
+                cur += 1
+                fill = t
+            else:
+                fill += t
+            first = False
+            expected[(g, sh, o)] = cur
+
+    df = spark.createDataFrame(rows, "g string, ord bigint, tok bigint")
+    out = pack_sequences_sharded(
+        df, "g", "ord", "tok", capacity=120, n_shards=4,
+        shard=F.pmod(F.col("ord"), F.lit(4)),
+    )
+    got = {(r["g"], r["shard"], r["ord"]): r["bin"] for r in out.collect()}
+    assert got == expected
+
+
+def test_pack_sharded_bounds_group_rows_on_skew(spark):
+    """On a skewed corpus (one giant source) the default xxhash64 shard must
+    keep every applyInPandas group bounded near |group|/n_shards — the
+    property that makes the sharded form the 100 TB path."""
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+
+    n_big, n_shards = 4000, 16
+    rows = [("big", o, 10) for o in range(n_big)] + [("tiny", o, 10) for o in range(5)]
+    df = spark.createDataFrame(rows, "g string, ord bigint, tok bigint")
+    out = pack_sequences_sharded(df, "g", "ord", "tok", capacity=120, n_shards=n_shards)
+    sizes = {
+        (r["g"], r["shard"]): r["n"]
+        for r in out.groupBy("g", "shard").agg(F.count("*").alias("n")).collect()
+    }
+    big_sizes = [n for (g, _), n in sizes.items() if g == "big"]
+    assert len(big_sizes) == n_shards  # xxhash64 spread hit every shard
+    assert sum(big_sizes) == n_big
+    # no shard more than 2x the even split — the walk is O(bounded)
+    assert max(big_sizes) <= 2 * (n_big // n_shards)
+
+
 def test_profile_columns_nulls_and_distinct(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (2, "y"), (None, "y")], "a bigint, b string"
