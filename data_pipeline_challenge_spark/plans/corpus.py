@@ -407,10 +407,10 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_greedy_bins_sharded",
     """
     WITH RECURSIVE t AS (
-        SELECT source, CAST(doc_id % 8 AS INT) AS shard, doc_id,
+        SELECT source, CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard, doc_id,
                CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tok,
-               row_number() OVER (PARTITION BY source, doc_id % 8
+               row_number() OVER (PARTITION BY source, ((doc_id % 8) + 8) % 8
                                   ORDER BY doc_id) AS rn
         FROM documents
     ), r AS (
@@ -433,8 +433,10 @@ def pack_greedy_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of ``pack_greedy_bins``: greedy first-fit packing per
     (source, shard) so no single Python task ever walks an unbounded group.
     Here the shard is ``pmod(doc_id, 8)`` — a pure function of the order
-    key that DuckDB can replay exactly (``doc_id % 8`` on non-negative
-    ids), so the recursive-CTE oracle re-runs the identical recurrence per
+    key that DuckDB can replay exactly (``((doc_id % 8) + 8) % 8``, which
+    matches pmod even for negative ids — DuckDB's bare ``%`` yields
+    negative remainders), so the recursive-CTE oracle re-runs the identical
+    recurrence per
     (source, shard). Production uses the default ``pmod(xxhash64(order),
     n_shards)`` shard; the semantics (bins never cross shards, walk order
     within a shard fixed by the order column) are the same."""

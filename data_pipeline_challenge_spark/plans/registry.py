@@ -86,8 +86,11 @@ def _driver_verified_names() -> frozenset[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("err") == "no_oracle":
-                # rows-only-by-design query whose weaker check already ran
-                if row.get("spark_rows") is not None:
+                # rows-only-by-design query whose weaker check already ran;
+                # require at least one row so an errored/empty later run
+                # re-prioritizes (ADVICE r4)
+                rows = row.get("spark_rows")
+                if isinstance(rows, int) and rows > 0:
                     seen.add(name)
             elif not row.get("err") and row.get("rows_match") and row.get(
                 "hash_match", True

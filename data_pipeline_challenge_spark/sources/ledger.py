@@ -13,18 +13,30 @@ job is the unit of completion. Intentional, documented divergence.
 Point-status fast path: the reference serves ``GET /upload/status`` with
 an O(1) keyed read (``UploadedFile.get``, api/main.py:106-127). Replaying
 the whole event log per status call would instead be O(events). So every
-``append`` also incrementally compacts a **current-state table**
-(``<warehouse>/ledger_state``): latest event per file_id, range-partitioned
-and sorted by file_id, rewritten via tmp-dir + atomic swap. ``status_of``
+``append`` also incrementally compacts a **current-state table**: latest
+event per file_id, range-partitioned and sorted by file_id. ``status_of``
 is then a single pushed-down point filter over one row per file — min/max
 file stats prune to one parquet file, no window, no shuffle. The winner
 rule (max by event_ts, then status) is associative, so folding new events
 into the previous winners equals recomputing over the full log.
+
+Durability of the state table: data is written to a versioned directory
+(``ledger_state.v{N}``) and published by atomically replacing the
+``ledger_state`` symlink (``os.replace`` of a sibling symlink — readers
+resolve either the old or the new version, never a partial table). If the
+state table is ever absent while the event log is not (a legacy warehouse,
+or a crash between writing a version and publishing the symlink), both
+``current()`` and the next compaction fold seed from the full event log —
+the state table is a cache of the log, so losing it is always recoverable.
+Writers are assumed single-process per warehouse dir (the ProductWarehouse
+driver); the event log itself is append-only and never rewritten.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import os
+import re
 import shutil
 from pathlib import Path
 
@@ -80,40 +92,76 @@ class LedgerStore:
             .drop("rn")
         )
 
+    def _versions(self) -> list[Path]:
+        pat = re.compile(re.escape(Path(self.state_path).name) + r"\.v(\d+)$")
+        parent = Path(self.state_path).parent
+        if not parent.exists():
+            return []
+        found = [
+            (int(m.group(1)), p)
+            for p in parent.iterdir()
+            if (m := pat.match(p.name))
+        ]
+        return [p for _, p in sorted(found)]
+
     def _compact(self, new_events: DataFrame) -> None:
         """state' = latest-per-file_id over (previous state ∪ new events).
 
         The previous state already holds exactly one winner row per file,
-        so the fold touches O(files) rows, never the full event log. The
-        rewrite is tmp-dir + atomic rename (readers never see a partial
-        table), range-partitioned + sorted by file_id so a point filter
-        prunes to one parquet file via min/max stats.
+        so the fold touches O(files) rows, never the full event log — but
+        when the state table is absent while events exist (legacy
+        warehouse, or a crash before the symlink publish), the fold seeds
+        from the full log instead, so no pre-existing file's status is
+        lost and the next append self-heals the cache. ``new_events`` was
+        already appended to the log before this is called, so the
+        log-seeded fold double-counts them harmlessly (the winner rule is
+        idempotent). Publication is an atomic symlink replace; see the
+        module docstring.
         """
-        base = (
-            self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
-            if self._state_exists()
-            else self.spark.createDataFrame([], LEDGER_SCHEMA)
-        )
+        if self._state_exists():
+            base = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
+        elif self.exists():
+            base = self._latest_per_file(self.read_events())
+        else:
+            base = self.spark.createDataFrame([], LEDGER_SCHEMA)
         merged = self._latest_per_file(base.unionByName(new_events))
-        tmp = Path(self.state_path + ".tmp")
-        if tmp.exists():
-            shutil.rmtree(tmp)
+
+        versions = self._versions()
+        next_n = (
+            int(versions[-1].name.rsplit(".v", 1)[1]) + 1 if versions else 1
+        )
+        new_dir = Path(f"{self.state_path}.v{next_n}")
+        if new_dir.exists():
+            shutil.rmtree(new_dir)
         nparts = max(1, self.spark.sparkContext.defaultParallelism // 8)
         (
             merged.repartitionByRange(nparts, "file_id")
             .sortWithinPartitions("file_id")
             .write.mode("overwrite")
-            .parquet(str(tmp))
+            .parquet(str(new_dir))
         )
-        old = Path(self.state_path + ".old")
-        if old.exists():
-            shutil.rmtree(old)
+
         state = Path(self.state_path)
-        if state.exists():
-            state.rename(old)
-        tmp.rename(state)
-        if old.exists():
-            shutil.rmtree(old)
+        if state.exists() and not state.is_symlink():
+            # Pre-symlink warehouse: retire the real directory. The brief
+            # gap before the publish below is covered by the event-log
+            # fallback in current()/_compact().
+            legacy = Path(self.state_path + ".legacy")
+            if legacy.exists():
+                shutil.rmtree(legacy)
+            state.rename(legacy)
+        swap = Path(self.state_path + ".swap")
+        if swap.is_symlink() or swap.exists():
+            swap.unlink()
+        swap.symlink_to(new_dir.name)
+        os.replace(swap, state)  # atomic: readers see old xor new version
+
+        for p in self._versions():
+            if p != new_dir:
+                shutil.rmtree(p, ignore_errors=True)
+        legacy = Path(self.state_path + ".legacy")
+        if legacy.exists():
+            shutil.rmtree(legacy, ignore_errors=True)
 
     def current(self) -> DataFrame:
         """Latest event per file_id — the queryable ledger state
