@@ -42,19 +42,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TimestampType (µs, truncated from ns).
+    """events with ``ts`` as a proper TimestampType (µs precision).
 
-    Also keeps ``ts_ns`` (the raw nanosecond epoch long) so downstream
+    Also keeps ``ts_ns`` (the nanosecond epoch long) so downstream
     windowing can emit timezone-agnostic epoch values with pure arithmetic.
+
+    The file's physical ts type has varied across driver generations —
+    INT64(TIMESTAMP_NANOS) (read as a raw long via nanosAsLong),
+    TIMESTAMP_NTZ (µs, isAdjustedToUTC=false), or plain TIMESTAMP — so all
+    three normalize to the same canonical pair: ``ts_ns`` = epoch nanos
+    treating the file's wall-clock as UTC (matching DuckDB/Arrow's naive
+    read), and ``ts`` = ``timestamp_micros(epoch_us)``, whose instant is
+    session-timezone-independent. NTZ→epoch uses pure NTZ interval
+    arithmetic (``timestampdiff`` against an NTZ epoch literal), never a
+    session-timezone cast.
     """
     tune(spark)  # ensure nanosAsLong is on even on an externally built session
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes)["ts"] == "bigint":
-        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    # already a timestamp (e.g. future driver regenerates with µs precision)
-    return raw.withColumn("ts_ns", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long"))
+    t = dict(raw.dtypes)["ts"]
+    if t == "bigint":
+        ts_ns = F.col("ts")
+        us = F.floor(F.col("ts") / F.lit(1000)).cast("long")
+    elif t == "timestamp_ntz":
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long")
+        ts_ns = us * F.lit(1000)
+    else:
+        us = F.unix_micros(F.col("ts")).cast("long")
+        ts_ns = us * F.lit(1000)
+    return raw.withColumn("ts_ns", ts_ns.cast("long")).withColumn(
+        "ts", F.timestamp_micros(us)
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
