@@ -57,3 +57,24 @@ def distinct_token_ratio(toks: Column) -> Column:
     return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
         F.lit(0.0)
     )
+
+def top_token_fraction(toks: Column) -> Column:
+    """Fraction of the document occupied by its single most-frequent token
+    (0.0 for empty docs) — the Gopher-style repetition signal. Quadratic in
+    tokens-per-doc but linear in documents, all inside codegen'd
+    higher-order array functions, so it scales with the corpus."""
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda x: F.size(F.filter(toks, lambda y: y == x)),
+    )
+    return F.when(
+        F.size(toks) > 0, F.array_max(counts).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def scrub_tokens(toks: Column, denylist: tuple[str, ...], mask: str = "[TERM]") -> Column:
+    """Replace every denylisted token with ``mask``, preserving positions —
+    the redaction primitive for PII/term scrubbing. Pure array transform."""
+    return F.transform(
+        toks, lambda x: F.when(x.isin(*denylist), F.lit(mask)).otherwise(x)
+    )

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..functions.textfn import (
+    top_token_fraction,
+    scrub_tokens,
     STOPWORDS,
     distinct_token_ratio,
     normalized_fingerprint,
@@ -404,3 +406,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs within hamming distance 16 via 16-bit band join."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+
+
+# Denylist for the term-scrub query — fixed and tiny by declaration (the
+# oracle embeds the same list); a production pipeline would broadcast-join
+# a denylist table instead, which is the same plan shape at any list size.
+_SCRUB_TERMS = ("customer", "vector", "stream", "merge")
+_SCRUB_SQL = ", ".join(f"'{w}'" for w in _SCRUB_TERMS)
+
+
+@query(
+    "quality_gopher_filter",
+    """
+    WITH t AS (
+        SELECT source, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+        SELECT source,
+               len(toks) AS n_tokens,
+               len(array_to_string(toks, '')) * 1.0 / len(toks) AS mean_len,
+               list_max(list_transform(list_distinct(toks),
+                        x -> len(list_filter(toks, y -> y = x))))
+                 * 1.0 / len(toks) AS top_frac
+        FROM t
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(CASE WHEN n_tokens BETWEEN 20 AND 80
+                       AND mean_len >= 3.0 AND mean_len <= 10.0
+                       AND top_frac <= 0.12 THEN 1 END) AS n_kept,
+           round(avg(top_frac), 4) AS avg_top_frac,
+           round(avg(mean_len), 4) AS avg_mean_len
+    FROM m GROUP BY source
+    """,
+    tags=("text", "quality", "filter"),
+)
+def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021's rule family):
+    token-count bounds, mean-token-length bounds, and a repetition cap on
+    the most-frequent-token fraction; reports kept/total per source. All
+    rules are codegen'd array expressions evaluated in one scan — at 100 TB
+    this is a map-only pass with a tiny per-source partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = F.length(F.array_join(toks, "")).cast("double") / n
+    topf = top_token_fraction(toks)
+    keep = (
+        n.between(20, 80)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (topf <= 0.12)
+    )
+    return (
+        docs.select("source", n.alias("n"), mean_len.alias("ml"), topf.alias("tf"),
+                    keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.round(F.avg("tf"), 4).alias("avg_top_frac"),
+            F.round(F.avg("ml"), 4).alias("avg_mean_len"),
+        )
+    )
+
+
+@query(
+    "text_term_scrub",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN ({_SCRUB_SQL}))) AS n_scrubbed,
+           md5(array_to_string(list_transform(toks,
+               x -> CASE WHEN x IN ({_SCRUB_SQL}) THEN '[TERM]' ELSE x END),
+               ' ')) AS scrubbed_fp
+    FROM t
+    """,
+    tags=("text", "scrub", "redaction"),
+)
+def text_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist redaction (the PII-scrub primitive): every denylisted
+    token is masked in place; emits per-doc scrub counts plus an md5 of
+    the scrubbed text so the oracle certifies the exact redacted output
+    without shipping it. Map-only, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scrubbed = F.array_join(scrub_tokens(toks, _SCRUB_TERMS), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x.isin(*_SCRUB_TERMS))).cast("long").alias(
+            "n_scrubbed"
+        ),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )

@@ -247,3 +247,41 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    # the NOT IN supplier exclusion and the part-dim join both broadcast;
+    # the lineitem side shuffles only for the distinct-count aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_nested_subquery_is_broadcast_semi(spark):
+    plan = plan_of(spark, "q20_promotable_suppliers")
+    # both semi-joins broadcast: supplier table never shuffles
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_fact_filter_pushed_below_join(spark):
+    plan = plan_of(spark, "q12_shipping_speed_priority")
+    # the shipdate range must reach the lineitem parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_gopher_filter_is_map_only_plus_tiny_agg(spark):
+    plan = plan_of(spark, "quality_gopher_filter")
+    # one scan, one partial agg, one exchange on source — no join, no window
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in rs and "doc_id" not in rs  # prunes unused columns
+
+
+def test_term_scrub_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_term_scrub")
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -279,3 +279,44 @@ def test_json_array_datasource_streaming_tails_directory(spark, tmp_path):
         ("b.json", 0, '{"k":3}'),
         ("c.json", 0, '{"k":4}'),
     ]
+
+
+def test_load_events_normalizes_all_ts_encodings(spark, tmp_path):
+    """events.parquet's physical ts type has changed across driver
+    generations: INT64(TIMESTAMP_NANOS), TIMESTAMP_NTZ(us), and plain
+    TIMESTAMP(us). load_events must yield the identical (ts, ts_ns) pair
+    for the same wall-clock instants under every encoding — and do it
+    without consulting the session timezone (regression for the
+    regenerated-testdata breakage where unix_micros rejected NTZ)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.catalog import load_events
+
+    wall_us = [0, 1_700_000_123_456_789, 1_800_000_000_000_000]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    encodings = {
+        "nanos": pa.array([u * 1000 for u in wall_us], pa.timestamp("ns")),
+        "ntz_us": pa.array(wall_us, pa.timestamp("us")),
+        "tz_us": pa.array(wall_us, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}), str(d / "events.parquet")
+        )
+        df = load_events(spark, str(d))
+        rows = sorted(
+            (r["event_id"], r["ts_ns"], str(r["ts"])) for r in df.collect()
+        )
+        got[name] = rows
+        assert [r[1] for r in rows] == [u * 1000 for u in wall_us], name
+    assert got["nanos"] == got["ntz_us"] == got["tz_us"]
