@@ -1,0 +1,94 @@
+"""Incremental time-bucket rollup maintenance (hypertable-style).
+
+A continuous aggregate over an append-only event stream: raw events fold
+into per-(bucket, event_type) partial aggregates once, and every later
+read — coarser granularities, new batches arriving, backfills — works on
+the partials without rescanning raw history. This is the shape that makes
+a 100 TB events table queryable: the hourly rollup is ~n_types×n_hours
+rows regardless of raw volume, merging a new batch touches only the
+buckets the batch lands in, and day/week/month views re-aggregate the
+hourly table (bounded) instead of the raw one (unbounded).
+
+Correctness rests on every kept measure being associative + commutative:
+counts and integer sums add, min/max fold, so
+``merge(rollup(A), rollup(B)) == rollup(A ∪ B)`` exactly. The value sum is
+kept as **integer cents** (``floor(value*100 + 0.5)`` per event) — double
+sums are only associative up to rounding order, which would make the
+incremental path diverge from a full recompute (and from a SQL oracle) in
+the last ulp; integer sums make both bit-identical.
+
+Buckets are epoch arithmetic on ``ts_ns`` (timezone-agnostic), matching
+plans/events.py conventions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_NS_PER_HOUR = 3600 * 1_000_000_000
+
+# measure columns every rollup level carries
+MEASURES = ("n_events", "sum_cents", "min_value", "max_value")
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Fold raw events (needs ``ts_ns``, ``event_type``, ``value``) into
+    per-(hour-bucket, type) partials. One shuffle on the bucket key with
+    map-side partial aggregation — the only pass that ever reads raw."""
+    return (
+        events.select(
+            F.floor(F.col("ts_ns") / F.lit(_NS_PER_HOUR))
+            .cast("bigint")
+            .alias("bucket_hr"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            "value",
+        )
+        .groupBy("bucket_hr", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two partial-aggregate tables (e.g. yesterday's rollup + a
+    new batch's). Union + re-fold: buckets untouched by the delta pass
+    through unchanged; shared buckets combine associatively. At scale both
+    sides are already tiny relative to raw, and writing the result
+    partitioned by bucket range turns the update into touched-partition
+    overwrites only."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket_hr", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def reaggregate(rollup: DataFrame, hours_per_bucket: int) -> DataFrame:
+    """Coarsen an hourly rollup to ``hours_per_bucket``-hour buckets (24 =
+    daily, 168 = weekly) by pure partial-aggregate combination — raw
+    events are never touched. The output keeps the same measure columns,
+    so it can itself be merged or coarsened further."""
+    return (
+        rollup.withColumn(
+            "bucket",
+            F.floor(F.col("bucket_hr") / F.lit(hours_per_bucket)).cast("bigint"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

@@ -303,3 +303,31 @@ def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_rollup_day_from_hour",
+    """
+    SELECT CAST(epoch_ns(ts) // (CAST(86400 AS BIGINT) * 1000000000)
+                AS BIGINT) AS bucket,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "rollup", "incremental"),
+)
+def events_rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily continuous-aggregate view computed the hypertable way: fold
+    raw events into the hourly rollup once (operators/rollup.py), then
+    re-aggregate the partials 24→1 — raw is scanned exactly once and the
+    day view touches only ~n_types×n_hours rows. The oracle aggregates
+    raw straight to days; hash equality proves the two-level partial
+    fold is exactly associative (integer-cent sums, count, min/max)."""
+    from ..operators.rollup import hourly_rollup, reaggregate
+
+    ev = load_events(spark, sf_dir)
+    return reaggregate(hourly_rollup(ev), 24)

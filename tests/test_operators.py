@@ -483,3 +483,48 @@ def test_global_ntile_fewer_rows_than_tiles(spark):
     df = spark.createDataFrame([(1,), (2,), (3,)], "i long")
     got = {(r.i, r.tile) for r in with_global_ntile(df, ("i",), 10).collect()}
     assert got == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """merge(rollup(A), rollup(B)) must equal rollup(A ∪ B) bit-exactly —
+    the invariant that lets a 100 TB events table maintain its continuous
+    aggregate per batch instead of rescanning history. Also checks that
+    coarsening commutes with merging (day view from merged hourlies ==
+    day view from the full rollup)."""
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.operators.rollup import (
+        hourly_rollup,
+        merge_rollups,
+        reaggregate,
+    )
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    def key(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "bucket_hr", "event_type", "n_events", "sum_cents",
+                "min_value", "max_value",
+            ).collect()
+        }
+
+    full = hourly_rollup(ev)
+    merged = merge_rollups(hourly_rollup(a), hourly_rollup(b))
+    assert key(merged) == key(full)
+
+    def dkey(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "bucket", "event_type", "n_events", "sum_cents",
+                "min_value", "max_value",
+            ).collect()
+        }
+
+    assert dkey(reaggregate(merged, 24)) == dkey(reaggregate(full, 24))
+    # an empty delta is the identity
+    empty = hourly_rollup(ev.filter(F.lit(False)))
+    assert key(merge_rollups(full, empty)) == key(full)
