@@ -392,3 +392,146 @@ def ivf_topk_indexed(
         F.col(id_col), cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim")
     )
     return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def pq_fit_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit product-quantization codebooks: split the (L2-normalized)
+    vector into ``m`` contiguous subspaces and run seeded k-means with
+    ``n_codes`` centroids in each, on the same deterministic driver-side
+    hash-sample the IVF trainer uses. Only the sample leaves the
+    executors; the full table is encoded distributed afterwards.
+    Returns a list of m (n_codes × dim/m) float64 arrays."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h")
+        )
+        .orderBy("__h", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+    dim = mat.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for i in range(m):
+        sub = mat[:, i * dsub : (i + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)]
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its m nearest-subspace-centroid codes
+    (Arrow-batched). The code column is m small ints — at 100 TB the
+    encoded table is ~dim/m × 8/64 the byte volume of raw float vectors,
+    and it's what ADC scans read instead of the embeddings."""
+    books = [[list(map(float, c)) for c in b] for b in codebooks]
+
+    @pandas_udf("array<int>")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        B = [_np.array(b, dtype=_np.float64) for b in books]
+        mat = _np.stack(vecs.to_numpy()).astype(_np.float64)
+        mat /= _np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        dsub = B[0].shape[1]
+        codes = []
+        for i, cents in enumerate(B):
+            sub = mat[:, i * dsub : (i + 1) * dsub]
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes.append(d2.argmin(axis=1))
+        stacked = _np.stack(codes, axis=1).astype("int32")
+        return _pd.Series(list(stacked))
+
+    return embeddings.withColumn(out_col, encode_udf(F.col(vec_col)))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k: asymmetric-distance shortlist + exact rerank.
+
+    The query builds an m×n_codes lookup table of subspace dot products
+    against the codebooks; each encoded vector's ADC score is m table
+    lookups summed — no float vector is read during the shortlist scan.
+    The LUT ships as a Catalyst array literal, so scoring is pure
+    codegen'd expression work (the pandas UDF runs only in the one-off
+    encode pass). The top ``shortlist_factor×k`` ADC candidates are then
+    reranked with exact cosine — the standard PQ serving shape: at 100 TB
+    the exact pass reads only the shortlist's vectors (a keyed semi-join
+    against the embedding table), so quantization error affects which
+    candidates are considered, never their final ordering."""
+    import numpy as np
+
+    books = pq_fit_codebooks(
+        embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    qvec /= max(np.linalg.norm(qvec), 1e-12)
+    dsub = len(qvec) // m
+    lut = [
+        [float(np.dot(qvec[i * dsub : (i + 1) * dsub], c)) for c in books[i]]
+        for i in range(m)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+
+    encoded = pq_encode(embeddings, books, vec_col)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(lut_col, i + F.lit(1)),
+            F.element_at(F.col("pq_code"), i + F.lit(1)) + F.lit(1),
+        ),
+    )
+    shortlist = (
+        encoded.select(F.col(id_col), F.col(vec_col), score.alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(shortlist_factor * k)
+    )
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
+    return (
+        shortlist.crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -148,6 +148,26 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_top10",
+    None,  # codebooks trained on a seeded sample — engine-specific, rows-only.
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 neighbors of vec_id=0:
+    8 subspaces x 16 codes trained on the deterministic driver sample,
+    vectors encoded to 8 small ints, ADC-shortlisted via the query's
+    lookup table (a Catalyst array literal — the shortlist scan never
+    touches a float vector), then exact-cosine reranked. Deterministic:
+    seeded sample/init, integer tie-breaks."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    out = pq_topk(emb.filter(F.col("vec_id") != _QUERY_ID), qvec, k=10)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
     "lsh_bucket_histogram",
     None,  # bucket ids from seeded projection — rows-only.
     tags=("similarity", "lsh"),
@@ -212,7 +232,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter sweep: n_planes / n_probe trade recall vs probe cost).
     Deterministic: seeded projections and k-means sample, integer
     tie-breaks everywhere, so the rows-only replay is stable."""
-    from ..operators.similarity import ann_topk, ivf_topk, knn_bruteforce
+    from ..operators.similarity import ann_topk, ivf_topk, knn_bruteforce, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
@@ -232,10 +252,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     ivf = {r["vec_id"] for r in ivf_topk(rest, qvec, k=k).collect()}
+    pq = {r["vec_id"] for r in pq_topk(rest, qvec, k=k).collect()}
     rows = [
         ("lsh_single_probe", len(exact & lsh1), k),
         ("lsh_multi_probe_h1", len(exact & lshm), k),
         ("ivf", len(exact & ivf), k),
+        ("pq_adc", len(exact & pq), k),
     ]
     out = spark.createDataFrame(rows, "method string, n_hit long, k long")
     return out.select(

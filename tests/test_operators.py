@@ -528,3 +528,40 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
     # an empty delta is the identity
     empty = hourly_rollup(ev.filter(F.lit(False)))
     assert key(merge_rollups(full, empty)) == key(full)
+
+
+def test_pq_adc_rerank_recall_and_determinism(spark):
+    """PQ = ADC shortlist + exact rerank: on the clustered corpus the true
+    top-5 must survive quantization into the shortlist and come back in
+    exact-cosine order; on the real embeddings table recall@10 must beat
+    the no-rerank floor; and two runs must return identical rows (seeded
+    sample, seeded init, integer tie-breaks)."""
+    import numpy as np
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    center = rng.standard_normal(64)
+    rows = [(0, (center + 0.01 * rng.standard_normal(64)).astype("float32").tolist(), 0)]
+    for i in range(1, 6):
+        rows.append(
+            (i, (center + 0.05 * rng.standard_normal(64)).astype("float32").tolist(), 0)
+        )
+    for i in range(6, 100):
+        rows.append((i, rng.standard_normal(64).astype("float32").tolist(), 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    pq = [r["vec_id"] for r in pq_topk(rest, qvec, k=5).collect()]
+    assert set(pq) == {1, 2, 3, 4, 5}
+
+    real = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q2 = real.filter(F.col("vec_id") == 0).select("embedding")
+    r2 = real.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in knn_bruteforce(r2, q2, k=10).collect()}
+    got1 = [(r["vec_id"], round(r["sim"], 9)) for r in pq_topk(r2, q2, k=10).collect()]
+    got2 = [(r["vec_id"], round(r["sim"], 9)) for r in pq_topk(r2, q2, k=10).collect()]
+    assert got1 == got2  # deterministic replay
+    assert len(exact & {v for v, _ in got1}) >= 6
