@@ -1,0 +1,122 @@
+"""Continuous-aggregate maintenance over a streaming events source.
+
+The streaming face of ``operators/rollup.py`` (the hypertable refresh
+policy analog): events files arriving in a directory fold into the hourly
+rollup table per micro-batch — raw events are read exactly once, and the
+rollup stays query-ready at all times. Downstream day/week views
+re-aggregate the rollup, never raw history.
+
+Exactly-once without a transactional sink: the rollup publish is
+versioned by micro-batch id. Each batch writes ``data.v{batch_id}`` (tmp
+dir + atomic rename) and repoints the ``current`` symlink. On restart
+after a crash, Spark replays the last uncommitted batch; the sink sees an
+existing version dir with ``>= batch_id`` and skips the merge (repairing
+the symlink if the crash hit between rename and publish), so a replayed
+batch can never double-count into the sums. This is the idempotent-sink
+half of the exactly-once contract (the checkpoointed file source is the
+other half) — same discipline as sources/ledger.py's state publish.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.rollup import hourly_rollup, merge_rollups
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _versions(rollup_dir: Path) -> list[tuple[int, Path]]:
+    if not rollup_dir.exists():
+        return []
+    out = []
+    for p in rollup_dir.iterdir():
+        name = p.name
+        if name.startswith("data.v") and name[6:].isdigit():
+            out.append((int(name[6:]), p))
+    return sorted(out)
+
+
+def _publish(rollup_dir: Path, version_dir: Path) -> None:
+    swap = rollup_dir / "current.swap"
+    if swap.is_symlink() or swap.exists():
+        swap.unlink()
+    swap.symlink_to(version_dir.name)
+    os.replace(swap, rollup_dir / "current")
+
+
+def current_rollup(spark: SparkSession, rollup_dir: str | Path) -> DataFrame | None:
+    """The latest published rollup, or None before the first batch."""
+    versions = _versions(Path(rollup_dir))
+    if not versions:
+        return None
+    return spark.read.parquet(str(versions[-1][1]))
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    events_dir: str | Path,
+    rollup_dir: str | Path,
+    checkpoint_dir: str | Path,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream events parquet files into the incrementally-maintained
+    hourly rollup. ``available_now=True`` drains what's landed and stops
+    (the refresh-job trigger); ``False`` runs continuously."""
+    rdir = Path(rollup_dir)
+    rdir.mkdir(parents=True, exist_ok=True)
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(events_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _versions(rdir)
+        if versions and versions[-1][0] >= batch_id:
+            # crash-replay of an already-folded batch: never re-merge;
+            # repair the symlink if the crash preceded the publish
+            _publish(rdir, versions[-1][1])
+            return
+        ev = batch_df.withColumn(
+            "ts_ns",
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ).cast("long")
+                * F.lit(1000)
+            ),
+        )
+        delta = hourly_rollup(ev)
+        base = current_rollup(spark, rdir)
+        merged = delta if base is None else merge_rollups(base, delta)
+
+        tmp = rdir / f"data.v{batch_id}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        final = rdir / f"data.v{batch_id}"
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+        _publish(rdir, final)
+        for _, p in _versions(rdir)[:-1]:
+            shutil.rmtree(p, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

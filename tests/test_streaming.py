@@ -316,3 +316,98 @@ def test_streaming_large_array_splits_in_microbatch(spark, warehouse, landing, t
     assert wh.products().count() == n
     assert wh.ledger.status_of(lf.file_id)["status"] == "processed"
     assert wh.ledger.status_of(lf.file_id)["total_records"] == n
+
+
+def test_streaming_rollup_incremental_equals_batch(spark, tmp_path):
+    """The streaming continuous aggregate must equal a batch recompute
+    over everything landed, across multiple micro-batches and a restart,
+    and a replayed batch id must be a no-op (exactly-once sink)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.rollup import hourly_rollup
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rollup_dir = tmp_path / "rollup"
+    ckpt = tmp_path / "ckpt_rollup"
+
+    def land(name, rows):
+        ids, us, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(events_dir / name),
+        )
+
+    H = 3_600_000_000  # one hour in micros
+    land("a.parquet", [(1, 0 * H, "view", 1.25), (2, 0 * H + 1, "view", 2.5),
+                       (3, 1 * H, "buy", 10.0)])
+    land("b.parquet", [(4, 1 * H + 5, "view", 0.75), (5, 2 * H, "buy", -3.125)])
+
+    def run():
+        q = start_rollup_stream(
+            spark, events_dir, rollup_dir, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    run()  # two files -> two micro-batches folded incrementally
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "bucket_hr", "event_type", "n_events", "sum_cents",
+                "min_value", "max_value",
+            ).collect()
+        }
+
+    batch_all = spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(events_dir)).withColumn(
+        "ts_ns",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long") * F.lit(1000),
+    )
+    assert norm(current_rollup(spark, rollup_dir)) == norm(hourly_rollup(batch_all))
+
+    # restart with a third file: only the delta is consumed, result still
+    # equals the full recompute
+    land("c.parquet", [(6, 0 * H + 7, "view", 4.0), (7, 3 * H, "refund", 8.5)])
+    run()
+    batch_all2 = spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(events_dir)).withColumn(
+        "ts_ns",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long") * F.lit(1000),
+    )
+    after_restart = norm(current_rollup(spark, rollup_dir))
+    assert after_restart == norm(hourly_rollup(batch_all2))
+
+    # crash-replay simulation: re-running an old batch id must not
+    # double-count (versioned publish skips it)
+    from data_pipeline_challenge_spark.streaming import rollup_stream as rs
+
+    assert rs._versions(rollup_dir)[-1][0] >= 0
+    q = start_rollup_stream(spark, events_dir, rollup_dir, tmp_path / "ckpt2",
+                            max_files_per_trigger=None)
+    q.awaitTermination(120)  # new checkpoint replays ALL files as batch 0
+    # batch 0 <= last folded version, so the sink must skip the re-merge
+    assert norm(current_rollup(spark, rollup_dir)) == after_restart
