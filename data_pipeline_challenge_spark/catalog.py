@@ -64,9 +64,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_ns = F.col("ts")
         us = F.floor(F.col("ts") / F.lit(1000)).cast("long")
     elif t == "timestamp_ntz":
-        us = F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).cast("long")
+        us = ntz_epoch_us(F.col("ts"))
         ts_ns = us * F.lit(1000)
     else:
         us = F.unix_micros(F.col("ts")).cast("long")
@@ -74,6 +72,28 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts_ns", ts_ns.cast("long")).withColumn(
         "ts", F.timestamp_micros(us)
     )
+
+
+def ntz_epoch_us(ts) -> "F.Column":
+    """Epoch microseconds of a TIMESTAMP_NTZ wall-clock read as UTC.
+
+    Pure field arithmetic — days via ``unix_date``, then wall
+    hour/minute/fractional-second — with NO timestamp-timezone cast
+    anywhere. The obvious alternative (``timestampdiff`` against an NTZ
+    epoch literal) resolves through a cast to session-zone TIMESTAMP, and
+    a wall time that falls inside the session zone's DST spring-forward
+    gap shifts by the gap width (verified: 2025-03-09 02:30 under
+    America/New_York moved 1h). Field extraction on NTZ has no such
+    failure mode under any session timezone.
+    """
+    # second() truncates; date_part SECOND keeps the fraction as decimal
+    sec_us = (F.date_part(F.lit("SECOND"), ts) * F.lit(1_000_000)).cast("long")
+    return (
+        F.unix_date(F.to_date(ts)).cast("long") * F.lit(86_400_000_000)
+        + F.hour(ts).cast("long") * F.lit(3_600_000_000)
+        + F.minute(ts).cast("long") * F.lit(60_000_000)
+        + sec_us
+    ).cast("long")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

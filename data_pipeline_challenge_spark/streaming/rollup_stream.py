@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..catalog import ntz_epoch_us
 from ..operators.rollup import hourly_rollup, merge_rollups
 
 EVENTS_SCHEMA = (
@@ -89,14 +90,7 @@ def start_rollup_stream(
             _publish(rdir, versions[-1][1])
             return
         ev = batch_df.withColumn(
-            "ts_ns",
-            (
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-                ).cast("long")
-                * F.lit(1000)
-            ),
+            "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
         )
         delta = hourly_rollup(ev)
         base = current_rollup(spark, rdir)

@@ -293,30 +293,39 @@ def test_load_events_normalizes_all_ts_encodings(spark, tmp_path):
 
     from data_pipeline_challenge_spark.catalog import load_events
 
-    wall_us = [0, 1_700_000_123_456_789, 1_800_000_000_000_000]
+    # the third instant's UTC wall time (2025-03-09 02:30) falls inside
+    # America/New_York's spring-forward gap — a session-timezone cast in
+    # the NTZ path would shift it by 1h (see catalog.ntz_epoch_us)
+    wall_us = [0, 1_700_000_123_456_789, 1_741_487_400_000_000, 1_800_000_000_000_000]
     base = {
-        "event_id": pa.array([1, 2, 3], pa.int64()),
-        "user_id": pa.array([10, 20, 30], pa.int64()),
-        "event_type": pa.array(["a", "b", "c"]),
-        "value": pa.array([1.0, 2.0, 3.0]),
-        "props": pa.array(["{}", "{}", "{}"]),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([10, 20, 30, 40], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "props": pa.array(["{}"] * 4),
     }
     encodings = {
         "nanos": pa.array([u * 1000 for u in wall_us], pa.timestamp("ns")),
         "ntz_us": pa.array(wall_us, pa.timestamp("us")),
         "tz_us": pa.array(wall_us, pa.timestamp("us", tz="UTC")),
     }
-    got = {}
-    for name, ts_arr in encodings.items():
-        d = tmp_path / name
-        d.mkdir()
-        pq.write_table(
-            pa.table({**base, "ts": ts_arr}), str(d / "events.parquet")
-        )
-        df = load_events(spark, str(d))
-        rows = sorted(
-            (r["event_id"], r["ts_ns"], str(r["ts"])) for r in df.collect()
-        )
-        got[name] = rows
-        assert [r[1] for r in rows] == [u * 1000 for u in wall_us], name
-    assert got["nanos"] == got["ntz_us"] == got["tz_us"]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # hostile-driver condition: a DST session timezone
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {}
+        for name, ts_arr in encodings.items():
+            d = tmp_path / name
+            d.mkdir()
+            pq.write_table(
+                pa.table({**base, "ts": ts_arr}), str(d / "events.parquet")
+            )
+            df = load_events(spark, str(d))
+            rows = sorted(
+                (r["event_id"], r["ts_ns"]) for r in df.collect()
+            )
+            got[name] = rows
+            assert [r[1] for r in rows] == [u * 1000 for u in wall_us], name
+        assert got["nanos"] == got["ntz_us"] == got["tz_us"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

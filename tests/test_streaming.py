@@ -374,14 +374,13 @@ def test_streaming_rollup_incremental_equals_batch(spark, tmp_path):
             ).collect()
         }
 
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+
     batch_all = spark.read.schema(
         "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string"
     ).parquet(str(events_dir)).withColumn(
-        "ts_ns",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).cast("long") * F.lit(1000),
+        "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
     )
     assert norm(current_rollup(spark, rollup_dir)) == norm(hourly_rollup(batch_all))
 
@@ -393,10 +392,7 @@ def test_streaming_rollup_incremental_equals_batch(spark, tmp_path):
         "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string"
     ).parquet(str(events_dir)).withColumn(
-        "ts_ns",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).cast("long") * F.lit(1000),
+        "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
     )
     after_restart = norm(current_rollup(spark, rollup_dir))
     assert after_restart == norm(hourly_rollup(batch_all2))
