@@ -24,11 +24,16 @@ Wire-format fidelity notes:
 - product JSON carries every preserved attr, decoded from the canonical
   attrs map (the reference's ``extra = "allow"`` behavior).
 
-Documented divergence: the reference processes uploads asynchronously via
-RabbitMQ consumers; here processing is the Spark batch/streaming job, so
-the shim exposes ``POST /admin/ingest`` (engine extension) to run one
-ingest round in-process — production deployments run
-``streaming/ingest_stream.py`` against the same landing dir instead.
+Async processing parity: the reference's ``POST /upload`` returns
+immediately and RabbitMQ consumers process in the background
+(api/main.py:90-103, mq.py:162-181). ``ApiServer(auto_process=True)``
+reproduces that topology in-process — a daemon consumer thread drains the
+landing dir on a poll interval (the prefetch-loop analog), so a client
+sees ``uploaded - waiting for processing`` flip to ``processed`` without
+any extra call. The explicit ``POST /admin/ingest`` (engine extension)
+remains for deployments that schedule ingestion externally, and
+production-scale deployments run ``streaming/ingest_stream.py`` against
+the same landing dir instead.
 
 Stdlib-only (http.server); one Spark driver serves all handler threads.
 """
@@ -103,25 +108,54 @@ class ApiServer:
         landing_dir: str | Path,
         host: str = "127.0.0.1",
         port: int = 0,
+        auto_process: bool = False,
+        poll_interval: float = 0.5,
     ):
         self.warehouse = ProductWarehouse(spark, warehouse_dir)
         self.landing_dir = Path(landing_dir)
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
+        self._auto_process = auto_process
+        self._poll_interval = poll_interval
+        self._stop_evt = threading.Event()
+        self._consumer: threading.Thread | None = None
 
     # -- lifecycle -----------------------------------------------------------
 
     def start(self) -> "ApiServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self._auto_process:
+            self._consumer = threading.Thread(target=self._consume_loop, daemon=True)
+            self._consumer.start()
         return self
 
     def stop(self) -> None:
+        self._stop_evt.set()
+        if self._consumer:
+            self._consumer.join(timeout=60)
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+    def _consume_loop(self) -> None:
+        """The queue-consumer analog: drain pending landed files each tick.
+
+        ``ingest`` is idempotent (anti-join discovery + idempotent merge),
+        so an error in one round is retried naturally on the next tick —
+        the reference's redelivery semantics without its poison-message
+        loop (a malformed file is marked failed once and never rediscovered).
+        """
+        import sys
+        import traceback
+
+        while not self._stop_evt.wait(self._poll_interval):
+            try:
+                self.warehouse.ingest(self.landing_dir)
+            except Exception:  # noqa: BLE001 - consumer must outlive bad rounds
+                traceback.print_exc(file=sys.stderr)
 
     # -- route bodies (plain dict in / dict+status out) ----------------------
 

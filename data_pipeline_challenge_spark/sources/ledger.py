@@ -38,6 +38,7 @@ import datetime as dt
 import os
 import re
 import shutil
+import threading
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -53,6 +54,11 @@ class LedgerStore:
         self.spark = spark
         self.path = str(Path(warehouse_dir) / "ledger")
         self.state_path = str(Path(warehouse_dir) / "ledger_state")
+        # In-process append serialization: the API's upload thread and the
+        # background processor share one store, and the compaction's
+        # read-merge-publish is not safe to interleave. Cross-process
+        # writers remain out of scope (module docstring).
+        self._write_lock = threading.Lock()
 
     def exists(self) -> bool:
         return Path(self.path).exists() and any(Path(self.path).iterdir())
@@ -78,8 +84,9 @@ class LedgerStore:
             [tuple(r.get(f.name) for f in LEDGER_SCHEMA.fields) for r in full],
             LEDGER_SCHEMA,
         )
-        df.write.mode("append").parquet(self.path)
-        self._compact(df)
+        with self._write_lock:
+            df.write.mode("append").parquet(self.path)
+            self._compact(df)
 
     @staticmethod
     def _latest_per_file(events: DataFrame) -> DataFrame:

@@ -98,3 +98,38 @@ def test_http_upload_status_find_e2e(api):
     assert {p["code"] for p in res["products"]} == {"0001"}
     status, res = _req(f"{base}/product/find/name/exact/choco%20bar")
     assert res["products"] == []
+
+
+def test_http_async_background_processing(spark, tmp_path):
+    """Reference topology parity: POST /upload returns immediately and the
+    background consumer thread processes the file with NO further call —
+    the client just polls the status URL until the queue consumer analog
+    has run (api/main.py:90-103, mq.py:162-181)."""
+    import time
+
+    server = ApiServer(
+        spark, tmp_path / "wh", tmp_path / "landing",
+        auto_process=True, poll_interval=0.2,
+    ).start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        recs = [{"code": f"{i:04d}", "product_name": f"Async {i}"} for i in range(7)]
+        body, ctype = _multipart("async.json", json.dumps(recs).encode())
+        status, up = _req(f"{base}/upload", data=body, headers={"Content-Type": ctype})
+        assert status == 200
+        fid = up["file_id"]
+
+        deadline = time.time() + 120
+        st = None
+        while time.time() < deadline:
+            _, st = _req(f"{base}/upload/status/{fid}")
+            if st["status"] == "processed":
+                break
+            time.sleep(0.3)
+        assert st is not None and st["status"] == "processed", st
+        assert st["total_records"] == 7 and st["records_processed"] == 7
+
+        status, found = _req(f"{base}/product/find/code/0003")
+        assert status == 200 and found["product_name"] == "Async 3"
+    finally:
+        server.stop()
