@@ -876,3 +876,109 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens"))
     )
+
+
+@query(
+    "docs_embedding_label_profile",
+    """
+    SELECT e.label, d.lang,
+           count(*) AS n_docs,
+           round(avg(d.n_chars), 4) AS avg_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "join", "multimodal"),
+)
+def docs_embedding_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal metadata join: text documents keyed to their embedding
+    rows (doc_id = vec_id), profiled by embedding label × language — the
+    join every multimodal corpus runs between modality tables. At 100 TB
+    both tables are bucketed on the shared key so this joins co-located;
+    here it is a plain shuffled equi-join on one key."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_length_trim",
+    """
+    WITH r AS (
+        SELECT source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM r WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY source
+    """,
+    tags=("corpus", "filter", "window"),
+)
+def corpus_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-trimming corpus pruner: drop each source's shortest and
+    longest 10% of documents by percent_rank — rank arithmetic
+    ((rank-1)/(n-1)) is integer-derived and engine-exact, unlike
+    interpolated quantile cutoffs whose float interpolation can disagree
+    across engines at the keep/drop boundary. Per-source window over a
+    single scan; at scale the rank runs per source partition and the
+    filter is map-side after the window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        d.withColumn("pr", pr)
+        .filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "top_words_per_lang",
+    """
+    WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+        SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2
+    ), r AS (
+        SELECT lang, word, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, word) AS BIGINT) AS rn
+        FROM c
+    )
+    SELECT lang, word, n, rn FROM r WHERE rn <= 5
+    """,
+    tags=("corpus", "text", "topn"),
+)
+def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language: explode → two-phase count → per-group
+    top-N. The rank predicate triggers Spark's WindowGroupLimit rewrite,
+    so each shuffle partition forwards only its local top-5 per language —
+    the exploded token table (the 100 TB part) is never globally sorted."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -285,3 +285,16 @@ def test_term_scrub_is_shuffle_free(spark):
     plan = plan_of(spark, "text_term_scrub")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_top_words_per_lang_uses_window_group_limit(spark):
+    plan = plan_of(spark, "top_words_per_lang")
+    assert "WindowGroupLimit" in plan
+    assert "Generate" in plan  # the explode runs before the two-phase count
+
+
+def test_corpus_length_trim_single_window_pass(spark):
+    plan = plan_of(spark, "corpus_length_trim")
+    # one window over source partitions, then agg — no join, no extra sort
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
