@@ -173,7 +173,9 @@ class ApiServer:
                     "file_id": lf.file_id,
                     "filename": lf.filename,
                     "location": lf.location,
-                    "uploaded_at": dt.datetime.utcfromtimestamp(lf.uploaded_at),
+                    "uploaded_at": dt.datetime.fromtimestamp(
+                        lf.uploaded_at, dt.timezone.utc
+                    ).replace(tzinfo=None),
                     "content_type": lf.content_type,
                     "status": STATUS_UPLOADED,
                     "total_records": 0,

@@ -95,3 +95,52 @@ def test_merge_matches_reference_upsert_semantics(spark_prop, batches):
         for r in table.collect()
     }
     assert got == oracle_apply(batches)
+
+
+# -- rollup merge associativity -------------------------------------------
+
+event_st = st.tuples(
+    st.integers(min_value=0, max_value=4 * 3600 * 1_000_000_000),  # ts_ns, 4h span
+    st.sampled_from(["view", "buy", "refund"]),
+    st.floats(
+        min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+    ),
+)
+events_st = st.lists(event_st, min_size=0, max_size=30)
+
+
+@settings(
+    max_examples=10,  # each example runs Spark jobs; keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=events_st, b=events_st)
+def test_rollup_merge_associative_property(spark, a, b):
+    """merge(rollup(A), rollup(B)) == rollup(A ∪ B) for arbitrary event
+    batches — including negative values (floor-based cent quantization),
+    empty batches, and bucket-straddling timestamps. This is the invariant
+    the streaming continuous aggregate rests on."""
+    from data_pipeline_challenge_spark.operators.rollup import (
+        hourly_rollup,
+        merge_rollups,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(ns, t, v) for ns, t, v in rows],
+            "ts_ns long, event_type string, value double",
+        )
+
+    full = hourly_rollup(df_of(a + b))
+    merged = merge_rollups(hourly_rollup(df_of(a)), hourly_rollup(df_of(b)))
+
+    def key(df):
+        return sorted(
+            (
+                r["bucket_hr"], r["event_type"], r["n_events"], r["sum_cents"],
+                r["min_value"], r["max_value"],
+            )
+            for r in df.collect()
+        )
+
+    assert key(merged) == key(full)
