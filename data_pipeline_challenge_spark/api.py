@@ -247,10 +247,18 @@ def _make_handler(server: ApiServer):
             for pat, fn in routes_get:
                 m = pat.match(self.path)
                 if m:
-                    try:
-                        self._send(*fn(unquote(m.group(1))))
-                    except Exception as exc:  # pragma: no cover - defensive
-                        self._send(500, {"detail": str(exc)})
+                    # one retry: a read can race the products/ledger-state
+                    # atomic swap (background consumer mid-publish); the
+                    # second resolution sees the new table
+                    for attempt in range(2):
+                        try:
+                            result = fn(unquote(m.group(1)))
+                            break
+                        except Exception as exc:  # noqa: BLE001
+                            if attempt == 1:  # pragma: no cover - defensive
+                                self._send(500, {"detail": str(exc)})
+                                return
+                    self._send(*result)
                     return
             self._send(404, {"detail": "Not Found"})
 

@@ -163,9 +163,13 @@ class LedgerStore:
         swap.symlink_to(new_dir.name)
         os.replace(swap, state)  # atomic: readers see old xor new version
 
-        for p in self._versions():
-            if p != new_dir:
-                shutil.rmtree(p, ignore_errors=True)
+        # Retain the immediately-previous version: a reader that resolved
+        # the symlink just before the repoint may still be scanning the old
+        # directory. Only versions at least two swaps old are deleted, so a
+        # reader's window would have to span two full compactions to race
+        # the cleanup.
+        for p in self._versions()[:-2]:
+            shutil.rmtree(p, ignore_errors=True)
         legacy = Path(self.state_path + ".legacy")
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)
@@ -184,6 +188,23 @@ class LedgerStore:
 
     def status_of(self, file_id: str) -> dict | None:
         """Keyed point lookup: pushed-down equality filter over the
-        compacted state — the reference's ``UploadedFile.get`` analog."""
-        rows = self.current().filter(F.col("file_id") == file_id).collect()
+        compacted state — the reference's ``UploadedFile.get`` analog.
+
+        Retries once on a torn read: if a concurrent compaction retires
+        the state version this reader resolved (possible only when the
+        read spans two full compactions), the retry resolves the fresh
+        symlink; the terminal fallback replays the event log, which is
+        append-only and therefore always readable.
+        """
+        for _ in range(2):
+            try:
+                rows = self.current().filter(F.col("file_id") == file_id).collect()
+                return rows[0].asDict() if rows else None
+            except Exception:  # noqa: BLE001 - state version raced a compaction
+                continue
+        rows = (
+            self._latest_per_file(self.read_events())
+            .filter(F.col("file_id") == file_id)
+            .collect()
+        )
         return rows[0].asDict() if rows else None
