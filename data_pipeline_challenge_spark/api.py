@@ -160,29 +160,39 @@ class ApiServer:
     # -- route bodies (plain dict in / dict+status out) ----------------------
 
     def do_upload(self, filename: str, payload: bytes, content_type: str):
-        lf = land_upload(
-            payload, self.landing_dir, orig_name=filename, content_type=content_type
-        )
-        # UploadedFile.insert() equivalent: the pending ledger event that
-        # makes GET /upload/status work before processing runs.
         import datetime as dt
 
-        self.warehouse.ledger.append(
-            [
-                {
-                    "file_id": lf.file_id,
-                    "filename": lf.filename,
-                    "location": lf.location,
-                    "uploaded_at": dt.datetime.fromtimestamp(
-                        lf.uploaded_at, dt.timezone.utc
-                    ).replace(tzinfo=None),
-                    "content_type": lf.content_type,
-                    "status": STATUS_UPLOADED,
-                    "total_records": 0,
-                    "records_processed": 0,
-                    "records_failed": 0,
-                }
-            ]
+        # UploadedFile.insert() equivalent: the pending ledger event that
+        # makes GET /upload/status work before processing runs. It MUST be
+        # appended before the file becomes visible in the landing dir —
+        # otherwise the background consumer can discover/process/gc the
+        # file first, and this later-timestamped 'uploaded' event would win
+        # the latest-per-file fold, leaving the status pending forever.
+        def ledger_insert(lf) -> None:
+            self.warehouse.ledger.append(
+                [
+                    {
+                        "file_id": lf.file_id,
+                        "filename": lf.filename,
+                        "location": lf.location,
+                        "uploaded_at": dt.datetime.fromtimestamp(
+                            lf.uploaded_at, dt.timezone.utc
+                        ).replace(tzinfo=None),
+                        "content_type": lf.content_type,
+                        "status": STATUS_UPLOADED,
+                        "total_records": 0,
+                        "records_processed": 0,
+                        "records_failed": 0,
+                    }
+                ]
+            )
+
+        lf = land_upload(
+            payload,
+            self.landing_dir,
+            orig_name=filename,
+            content_type=content_type,
+            before_visible=ledger_insert,
         )
         return 200, {
             "message": "File uploaded successfully!",

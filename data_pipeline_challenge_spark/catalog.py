@@ -53,16 +53,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     three normalize to the same canonical pair: ``ts_ns`` = epoch nanos
     treating the file's wall-clock as UTC (matching DuckDB/Arrow's naive
     read), and ``ts`` = ``timestamp_micros(epoch_us)``, whose instant is
-    session-timezone-independent. NTZ→epoch uses pure NTZ interval
-    arithmetic (``timestampdiff`` against an NTZ epoch literal), never a
-    session-timezone cast.
+    session-timezone-independent. NTZ→epoch is derived by pure field
+    arithmetic (``unix_date`` + wall hour/minute/fractional-second — see
+    :func:`ntz_epoch_us`), never a session-timezone cast, so DST gaps in
+    the session zone cannot shift it.
     """
     tune(spark)  # ensure nanosAsLong is on even on an externally built session
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = dict(raw.dtypes)["ts"]
     if t == "bigint":
         ts_ns = F.col("ts")
-        us = F.floor(F.col("ts") / F.lit(1000)).cast("long")
+        # exact long floor division: double division of an epoch-ns long
+        # can misround within an ulp (256 ns) of a µs boundary
+        us = F.expr("(ts - pmod(ts, 1000)) div 1000").cast("long")
     elif t == "timestamp_ntz":
         us = ntz_epoch_us(F.col("ts"))
         ts_ns = us * F.lit(1000)

@@ -32,15 +32,25 @@ _NS_PER_HOUR = 3600 * 1_000_000_000
 MEASURES = ("n_events", "sum_cents", "min_value", "max_value")
 
 
+def _floordiv(col_name: str, divisor: int) -> "F.Column":
+    """Exact floor division of a long column, entirely in long arithmetic.
+
+    ``F.col(x) / lit`` is double division in Spark; at epoch-nanosecond
+    magnitude a double's ulp is 256 ns, so a genuine ns-precision value
+    within ~128 ns below a bucket boundary could round ONTO the boundary
+    and misbucket vs an exact integer oracle. Subtracting the (always
+    non-negative) ``pmod`` remainder first makes the numerator an exact
+    multiple, so ``div``'s truncation equals floor for any sign."""
+    return F.expr(f"({col_name} - pmod({col_name}, {divisor})) div {divisor}")
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Fold raw events (needs ``ts_ns``, ``event_type``, ``value``) into
     per-(hour-bucket, type) partials. One shuffle on the bucket key with
     map-side partial aggregation — the only pass that ever reads raw."""
     return (
         events.select(
-            F.floor(F.col("ts_ns") / F.lit(_NS_PER_HOUR))
-            .cast("bigint")
-            .alias("bucket_hr"),
+            _floordiv("ts_ns", _NS_PER_HOUR).cast("bigint").alias("bucket_hr"),
             "event_type",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
             "value",
@@ -55,16 +65,19 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_rollups(
+    existing: DataFrame, delta: DataFrame, key: str = "bucket_hr"
+) -> DataFrame:
     """Combine two partial-aggregate tables (e.g. yesterday's rollup + a
     new batch's). Union + re-fold: buckets untouched by the delta pass
     through unchanged; shared buckets combine associatively. At scale both
     sides are already tiny relative to raw, and writing the result
     partitioned by bucket range turns the update into touched-partition
-    overwrites only."""
+    overwrites only. ``key`` names the bucket column — ``bucket_hr`` for
+    hourly tables, ``bucket`` for :func:`reaggregate` output."""
     return (
         existing.unionByName(delta)
-        .groupBy("bucket_hr", "event_type")
+        .groupBy(key, "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("sum_cents").alias("sum_cents"),
@@ -77,12 +90,14 @@ def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
 def reaggregate(rollup: DataFrame, hours_per_bucket: int) -> DataFrame:
     """Coarsen an hourly rollup to ``hours_per_bucket``-hour buckets (24 =
     daily, 168 = weekly) by pure partial-aggregate combination — raw
-    events are never touched. The output keeps the same measure columns,
-    so it can itself be merged or coarsened further."""
+    events are never touched. The output keeps the same measure columns
+    under the key column ``bucket``, so it can itself be merged
+    (``merge_rollups(a, b, key="bucket")``) — it cannot be coarsened
+    further by this function, whose input key is hourly by definition."""
     return (
         rollup.withColumn(
             "bucket",
-            F.floor(F.col("bucket_hr") / F.lit(hours_per_bucket)).cast("bigint"),
+            _floordiv("bucket_hr", hours_per_bucket).cast("bigint"),
         )
         .groupBy("bucket", "event_type")
         .agg(

@@ -295,7 +295,10 @@ def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced BEFORE the join, so the join input is (users × active weeks),
     not raw events."""
     ev = load_events(spark, sf_dir)
-    wk = F.floor(F.col("ts_ns") / F.lit(7 * 86400 * 1_000_000_000)).cast("bigint")
+    # exact long floor division — double division misbuckets genuine
+    # ns-precision values within an ulp of a week boundary
+    _wk_ns = 7 * 86400 * 1_000_000_000
+    wk = F.expr(f"(ts_ns - pmod(ts_ns, {_wk_ns})) div {_wk_ns}").cast("bigint")
     t = ev.select("user_id", wk.alias("wk")).distinct()
     f = t.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (

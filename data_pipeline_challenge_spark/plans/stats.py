@@ -316,7 +316,12 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_events
 
     ev = load_events(spark, sf_dir)
-    hour = ((F.col("ts_ns") / F.lit(1_000_000_000)).cast("long") / 3600 % 24).cast("int")
+    # exact long arithmetic end-to-end (double division truncates wrong
+    # within an ulp of an hour boundary at epoch-ns magnitude)
+    _hr_ns = 3600 * 1_000_000_000
+    hour = F.expr(
+        f"cast(pmod((ts_ns - pmod(ts_ns, {_hr_ns})) div {_hr_ns}, 24) as int)"
+    )
     return ev.groupBy(hour.alias("hour_utc")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -453,11 +458,14 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone. One Expand-based aggregation produces every hierarchy level
     in a single pass."""
     ev = load_events(spark, sf_dir)
-    ns = F.col("ts_ns")
+
+    def fdiv(d: int) -> F.Column:  # exact long floor division (no doubles)
+        return F.expr(f"(ts_ns - pmod(ts_ns, {d})) div {d}")
+
     t = ev.select(
-        F.floor(ns / F.lit(7 * 86400 * 1_000_000_000)).cast("bigint").alias("wk"),
-        (F.floor(ns / F.lit(86400 * 1_000_000_000)) % 7).cast("bigint").alias("dow"),
-        (F.floor(ns / F.lit(3600 * 1_000_000_000)) % 24).cast("bigint").alias("hr"),
+        fdiv(7 * 86400 * 1_000_000_000).cast("bigint").alias("wk"),
+        (fdiv(86400 * 1_000_000_000) % 7).cast("bigint").alias("dow"),
+        (fdiv(3600 * 1_000_000_000) % 24).cast("bigint").alias("hr"),
         "value",
     )
     return t.rollup("wk", "dow", "hr").agg(

@@ -38,12 +38,22 @@ def upload(
     landing_dir: str | Path,
     orig_name: str | None = None,
     content_type: str = "application/json",
+    before_visible=None,
 ) -> LandedFile:
     """Land a file atomically; returns its ledger identity.
 
     Accepts a path (copied in 1 MiB chunks, api/main.py:73-75) or raw
     bytes. The destination name carries a timestamp + random token so
     re-uploads of the same client filename never collide (api/main.py:66-68).
+
+    ``before_visible`` (optional ``LandedFile -> None``) runs after the
+    bytes are durably written but BEFORE the atomic rename that makes the
+    file discoverable. The HTTP shim appends the ``uploaded`` ledger event
+    here: if the event were appended after the rename, a background
+    consumer could discover + process + gc the file first, and the
+    later-timestamped ``uploaded`` event would then win the
+    latest-per-file fold — the file stuck pending forever. If the
+    callback raises, the tmp file is removed and nothing becomes visible.
     """
     landing = Path(landing_dir)
     landing.mkdir(parents=True, exist_ok=True)
@@ -63,14 +73,21 @@ def upload(
     else:
         with open(src, "rb") as inp, open(tmp, "wb") as out:
             shutil.copyfileobj(inp, out, length=1024 * 1024)
-    os.replace(tmp, final)  # atomic: visible only when complete
-    return LandedFile(
+    lf = LandedFile(
         file_id=final_name,
         filename=orig,
         location=str(final),
         uploaded_at=float(ts),
         content_type=content_type,
     )
+    if before_visible is not None:
+        try:
+            before_visible(lf)
+        except BaseException:
+            tmp.unlink(missing_ok=True)
+            raise
+    os.replace(tmp, final)  # atomic: visible only when complete
+    return lf
 
 
 def list_landed(landing_dir: str | Path) -> list[str]:

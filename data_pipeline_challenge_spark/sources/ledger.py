@@ -44,7 +44,15 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..schema import LEDGER_SCHEMA
+from ..schema import (
+    LEDGER_SCHEMA,
+    STATUS_FAILED,
+    STATUS_PROCESSED,
+    STATUS_PROCESSED_WITH_ERRORS,
+    STATUS_PROCESSING,
+)
+
+_TERMINAL_STATUSES = (STATUS_PROCESSED, STATUS_PROCESSED_WITH_ERRORS, STATUS_FAILED)
 
 
 class LedgerStore:
@@ -90,8 +98,19 @@ class LedgerStore:
 
     @staticmethod
     def _latest_per_file(events: DataFrame) -> DataFrame:
+        # Tie-break on equal event_ts ranks lifecycle PROGRESS, not the
+        # status string (alphabetically 'uploaded' would beat 'processed'):
+        # terminal > processing > uploaded. A same-microsecond
+        # uploaded/processed pair must resolve to processed, or the file
+        # reads as pending forever. The (event_ts, rank, status) max is
+        # associative, so incremental compaction == full-log replay.
+        progress = (
+            F.when(F.col("status").isin(*_TERMINAL_STATUSES), F.lit(2))
+            .when(F.col("status") == STATUS_PROCESSING, F.lit(1))
+            .otherwise(F.lit(0))
+        )
         w = Window.partitionBy("file_id").orderBy(
-            F.col("event_ts").desc(), F.col("status").desc()
+            F.col("event_ts").desc(), progress.desc(), F.col("status").desc()
         )
         return (
             events.withColumn("rn", F.row_number().over(w))

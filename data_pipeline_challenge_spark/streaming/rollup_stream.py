@@ -56,8 +56,22 @@ def _publish(rollup_dir: Path, version_dir: Path) -> None:
 
 
 def current_rollup(spark: SparkSession, rollup_dir: str | Path) -> DataFrame | None:
-    """The latest published rollup, or None before the first batch."""
-    versions = _versions(Path(rollup_dir))
+    """The latest published rollup, or None before the first batch.
+
+    Resolves the ``current`` symlink ONCE at planning time and reads the
+    pinned version directory — so the publish is load-bearing, and a
+    concurrent batch repointing the symlink can't swap files out from
+    under an in-flight scan (the resolved version survives two further
+    publishes before cleanup touches it, same retention as
+    sources/ledger.py). Falls back to the newest version dir when the
+    symlink is absent (pre-first-publish crash window)."""
+    rdir = Path(rollup_dir)
+    cur = rdir / "current"
+    if cur.is_symlink():
+        target = rdir / os.readlink(cur)
+        if target.exists():
+            return spark.read.parquet(str(target))
+    versions = _versions(rdir)
     if not versions:
         return None
     return spark.read.parquet(str(versions[-1][1]))
@@ -105,7 +119,10 @@ def start_rollup_stream(
             shutil.rmtree(final)
         tmp.rename(final)
         _publish(rdir, final)
-        for _, p in _versions(rdir)[:-1]:
+        # Retain the immediately-previous version: a reader that resolved
+        # the symlink just before this publish may still be scanning it.
+        # Only versions two publishes old are deleted (ledger.py discipline).
+        for _, p in _versions(rdir)[:-2]:
             shutil.rmtree(p, ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
