@@ -474,6 +474,37 @@ def pq_encode(
     return embeddings.withColumn(out_col, encode_udf(F.col(vec_col)))
 
 
+def _pq_adc_lut(qvec, books) -> list[list[float]]:
+    """m×n_codes table of subspace dot products for one (already
+    L2-normalized) query vector — the per-query half of asymmetric
+    distance computation."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(qvec) // m
+    return [
+        [float(np.dot(qvec[i * dsub : (i + 1) * dsub], c)) for c in books[i]]
+        for i in range(m)
+    ]
+
+
+def _pq_adc_score(lut: list[list[float]], code_col: str = "pq_code"):
+    """ADC score of an encoded vector: m LUT lookups summed. The LUT ships
+    as a Catalyst array literal, so the scan is pure codegen'd expression
+    work — no float vector and no Python anywhere in the scoring path."""
+    m = len(lut)
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(lut_col, i + F.lit(1)),
+            F.element_at(F.col(code_col), i + F.lit(1)) + F.lit(1),
+        ),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -503,23 +534,10 @@ def pq_topk(
     )
     qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
     qvec /= max(np.linalg.norm(qvec), 1e-12)
-    dsub = len(qvec) // m
-    lut = [
-        [float(np.dot(qvec[i * dsub : (i + 1) * dsub], c)) for c in books[i]]
-        for i in range(m)
-    ]
-    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    lut = _pq_adc_lut(qvec, books)
 
     encoded = pq_encode(embeddings, books, vec_col)
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(
-            F.element_at(lut_col, i + F.lit(1)),
-            F.element_at(F.col("pq_code"), i + F.lit(1)) + F.lit(1),
-        ),
-    )
+    score = _pq_adc_score(lut)
     shortlist = (
         encoded.select(F.col(id_col), F.col(vec_col), score.alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
@@ -528,6 +546,102 @@ def pq_topk(
     q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
     return (
         shortlist.crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_build_index(
+    embeddings: DataFrame,
+    index_dir,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index: fit codebooks once (driver sample), encode
+    the FULL table once, and persist ``(id, pq_code)`` parquet plus the
+    codebooks as a tiny JSON sidecar — the durable twin of what
+    :func:`pq_topk` computes in-flight, mirroring
+    :func:`ivf_build_index`/:func:`ivf_topk_indexed`.
+
+    This is the shape that survives 100×: the encode pass (the only
+    pandas-UDF stage) runs exactly once at build time; every query
+    afterwards ADC-scans the code table — m small ints per vector, ~1/32
+    the byte volume of raw float64 vectors — in pure codegen'd expression
+    work, and touches float vectors only for its k×shortlist_factor
+    rerank candidates."""
+    import json
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+    books = pq_fit_codebooks(
+        embeddings,
+        m=m,
+        n_codes=n_codes,
+        sample_size=sample_size,
+        n_iters=n_iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    (
+        pq_encode(embeddings, books, vec_col)
+        .select(id_col, "pq_code")
+        .write.mode("overwrite")
+        .parquet(str(index_dir / "codes"))
+    )
+    (index_dir / "codebooks.json").write_text(
+        json.dumps([[[float(x) for x in c] for c in b] for b in books])
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    index_dir,
+    query: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    shortlist_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve PQ top-k from a persisted index: ADC-shortlist over the code
+    table (no pandas UDF, no float vector reads — pinned by
+    ``test_pq_indexed_plan_reads_code_table``), then exact-cosine rerank by
+    fetching ONLY the shortlist's vectors from ``embeddings`` via a
+    broadcast keyed join (the shortlist is k×shortlist_factor rows — tiny).
+    Same codebook/LUT/score arithmetic as :func:`pq_topk`, so both paths
+    return identical rows."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    index_dir = Path(index_dir)
+    books = [np.array(b) for b in json.loads((index_dir / "codebooks.json").read_text())]
+    qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    qvec /= max(np.linalg.norm(qvec), 1e-12)
+    lut = _pq_adc_lut(qvec, books)
+
+    codes = spark.read.parquet(str(index_dir / "codes"))
+    shortlist = (
+        codes.select(F.col(id_col), _pq_adc_score(lut).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(shortlist_factor * k)
+    )
+    cand = embeddings.join(F.broadcast(shortlist.select(id_col)), id_col)
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
+    return (
+        cand.crossJoin(q)
         .select(
             F.col(id_col),
             cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim"),

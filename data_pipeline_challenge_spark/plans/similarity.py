@@ -168,6 +168,38 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_top10_indexed",
+    None,  # codebooks trained on a seeded sample — engine-specific, rows-only.
+    tags=("similarity", "ann", "pq", "index"),
+)
+def ann_pq_top10_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index serving path for PQ top-10 — the 100 TB shape:
+    ``pq_build_index`` encodes the corpus ONCE into a compact
+    ``(vec_id, pq_code)`` table (the only pandas-UDF stage, at build time);
+    the query then ADC-scans the code table with a Catalyst-literal lookup
+    table and fetches float vectors only for its 100-row rerank shortlist
+    via a broadcast keyed join. Same seeded codebooks and score arithmetic
+    as ``ann_pq_top10``, so both return identical rows (pinned by
+    ``test_pq_indexed_matches_inflight``)."""
+    import tempfile
+
+    from ..operators.similarity import pq_build_index, pq_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    rest = emb.filter(F.col("vec_id") != _QUERY_ID)
+    # The index is rebuilt per invocation into a fresh scratch dir: the
+    # driver regenerates testdata between rounds, so caching across runs
+    # would serve codes fit on stale vectors. The dir must outlive this
+    # function (the returned DataFrame reads it lazily), so it is not
+    # deleted here — it lives under the OS tempdir.
+    idx = tempfile.mkdtemp(prefix="pq_index_")
+    pq_build_index(rest, idx)
+    out = pq_topk_indexed(spark, idx, qvec, rest, k=10)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
     "lsh_bucket_histogram",
     None,  # bucket ids from seeded projection — rows-only.
     tags=("similarity", "lsh"),

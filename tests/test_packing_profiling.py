@@ -315,3 +315,56 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
         for r in ivf_topk(rest, qvec, k=5, n_clusters=8, n_probe=3).collect()
     ]
     assert got == expected
+
+
+def _pq_fixture(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import pq_build_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx = tmp_path / "pq"
+    pq_build_index(rest, idx)
+    return qvec, rest, idx
+
+
+def test_pq_indexed_matches_inflight(spark, tmp_path):
+    """The persisted-index serving path returns exactly the rows the
+    in-flight pq_topk computes (same seeded codebooks, same LUT/score
+    arithmetic, same rerank) — the index changes cost, never results."""
+    from data_pipeline_challenge_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_indexed,
+    )
+
+    qvec, rest, idx = _pq_fixture(spark, tmp_path)
+    base = [
+        (r["vec_id"], round(r["sim"], 9)) for r in pq_topk(rest, qvec, k=10).collect()
+    ]
+    indexed = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in pq_topk_indexed(spark, idx, qvec, rest, k=10).collect()
+    ]
+    assert indexed == base and len(indexed) == 10
+
+
+def test_pq_indexed_plan_reads_code_table(spark, tmp_path):
+    """The serving plan ADC-scans the persisted code table and contains NO
+    pandas-UDF stage: the encode pass ran once at build time, so a query
+    at 100 TB reads m-small-int codes, not float vectors, and never pays
+    Python. Float vectors appear only via the broadcast-keyed rerank."""
+    from data_pipeline_challenge_spark.operators.similarity import pq_topk_indexed
+
+    qvec, rest, idx = _pq_fixture(spark, tmp_path)
+    out = pq_topk_indexed(spark, idx, qvec, rest, k=10)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "pq/codes" in plan  # the shortlist scan reads the code table
+    # no Python evaluation anywhere in the serving plan (encode was build-time)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
