@@ -47,12 +47,19 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition ahead of explode-heavy work. A small-doc table often
-    arrives as one parquet split, which would serialize the whole shingle
-    pipeline onto one core; the shuffle is tiny (raw text) compared to the
-    exploded data it parallelizes. Keyed so downstream same-key joins can
-    reuse the partitioning."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(key))
+    """Repartition ahead of explode-heavy work — ONLY when the input is
+    under-parallel. A small-doc table often arrives as one parquet split,
+    which would serialize the whole shingle pipeline onto one core; there
+    the shuffle is tiny (raw text) and buys full parallelism. A corpus at
+    scale already scans as >= defaultParallelism splits, and reshuffling
+    100 TB of raw text before shingling would be a pure waste — so the
+    repartition is skipped (same guard as sources/json_ingest.py's small-
+    batch fan-out). Keyed so downstream same-key joins can reuse the
+    partitioning when the shuffle does happen."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -565,3 +565,23 @@ def test_pq_adc_rerank_recall_and_determinism(spark):
     got2 = [(r["vec_id"], round(r["sim"], 9)) for r in pq_topk(r2, q2, k=10).collect()]
     assert got1 == got2  # deterministic replay
     assert len(exact & {v for v, _ in got1}) >= 6
+
+
+def test_spread_skips_reshuffle_when_already_parallel(spark):
+    """_spread must be a no-op (same DataFrame, no Exchange added) for an
+    input that already has >= defaultParallelism partitions — at corpus
+    scale the input always does, and reshuffling raw text before shingling
+    would be a full-corpus shuffle that buys nothing. Under-parallel
+    inputs (the single-split small-table case) still fan out."""
+    from data_pipeline_challenge_spark.operators.dedup import _spread
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} a b c d") for i in range(64)], "doc long, text string"
+    )
+    wide = df.repartition(8)  # > defaultParallelism (local[4])
+    assert _spread(wide, "doc") is wide
+
+    narrow = df.coalesce(1)
+    out = _spread(narrow, "doc")
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
