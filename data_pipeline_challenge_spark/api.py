@@ -51,8 +51,8 @@ from pyspark.sql import SparkSession
 
 from .operators.find import find_by_code, find_name_exact, find_name_partial
 from .pipeline import ProductWarehouse
-from .schema import STATUS_UPLOADED
-from .sources.landing import upload as land_upload
+from .schema import STATUS_FAILED, STATUS_UPLOADED
+from .sources.landing import discover_new_files, upload as land_upload
 
 # Internal status → reference wire value (models.py:28-33: only the
 # pending state has a decorated enum value).
@@ -110,6 +110,7 @@ class ApiServer:
         port: int = 0,
         auto_process: bool = False,
         poll_interval: float = 0.5,
+        max_attempts: int = 3,
     ):
         self.warehouse = ProductWarehouse(spark, warehouse_dir)
         self.landing_dir = Path(landing_dir)
@@ -118,6 +119,9 @@ class ApiServer:
         self._thread: threading.Thread | None = None
         self._auto_process = auto_process
         self._poll_interval = poll_interval
+        self._max_attempts = max_attempts
+        # file_id -> (attempts_so_far, monotonic time of next allowed try)
+        self._retry_state: dict[str, tuple[int, float]] = {}
         self._stop_evt = threading.Event()
         self._consumer: threading.Thread | None = None
 
@@ -135,7 +139,8 @@ class ApiServer:
         self._stop_evt.set()
         if self._consumer:
             self._consumer.join(timeout=60)
-        self._httpd.shutdown()
+        if self._thread:  # shutdown() blocks forever unless serve_forever ran
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
@@ -143,19 +148,97 @@ class ApiServer:
     def _consume_loop(self) -> None:
         """The queue-consumer analog: drain pending landed files each tick.
 
-        ``ingest`` is idempotent (anti-join discovery + idempotent merge),
-        so an error in one round is retried naturally on the next tick —
-        the reference's redelivery semantics without its poison-message
-        loop (a malformed file is marked failed once and never rediscovered).
+        Failure classification (the bounded middle between the reference's
+        two extremes):
+
+        - **malformed JSON** is a deterministic data error: the pipeline
+          marks the file ``failed`` on its FIRST attempt and retains it
+          (file_splitter.py:74-81 semantics) — no retry, it can never
+          succeed;
+        - **any other exception** (a transient Spark hiccup — OOM, torn
+          external read) is retried up to ``max_attempts`` times with
+          exponential backoff, then marked terminally ``failed``. The
+          reference instead nack-requeues an unhandled consumer exception
+          and redelivers FOREVER (mq.py:162-181, prefetch-1: one poison
+          message wedges the consumer permanently); bounding the retries
+          keeps the transient-recovery behavior without the wedge.
+
+        After a batch-level failure the tick degrades to per-file
+        ingestion, so the failure is attributed to the file that caused it
+        and healthy files in the same batch still process.
         """
+        while not self._stop_evt.wait(self._poll_interval):
+            self._consume_once()
+
+    def _consume_once(self) -> None:
+        """One consumer tick (factored out so tests can drive it directly)."""
+        import sys
+        import time as _time
+        import traceback
+
+        led = self.warehouse.ledger
+        if not self._retry_state:
+            # Fast path: whole pending batch in one idempotent job.
+            try:
+                self.warehouse.ingest(self.landing_dir)
+                return
+            except Exception:  # noqa: BLE001 - consumer must outlive bad rounds
+                traceback.print_exc(file=sys.stderr)
+        # Isolation path: a batch failed (now or in a previous tick) —
+        # process one file at a time so the failure is attributed to the
+        # poison file and everything else still drains.
+        try:
+            pending = discover_new_files(
+                self.landing_dir, led.current() if led.exists() else None
+            )
+        except Exception:  # noqa: BLE001
+            traceback.print_exc(file=sys.stderr)
+            return
+        for path in pending:
+            fid = Path(path).name
+            n_prev, next_try = self._retry_state.get(fid, (0, 0.0))
+            if _time.monotonic() < next_try:
+                continue  # still backing off
+            try:
+                self.warehouse.ingest_paths([path])
+                self._retry_state.pop(fid, None)
+            except Exception:  # noqa: BLE001
+                traceback.print_exc(file=sys.stderr)
+                n = n_prev + 1
+                if n >= self._max_attempts:
+                    self._retry_state.pop(fid, None)
+                    self._mark_failed_terminal(fid, path)
+                else:
+                    backoff = self._poll_interval * (2 ** (n - 1))
+                    self._retry_state[fid] = (n, _time.monotonic() + backoff)
+
+    def _mark_failed_terminal(self, file_id: str, path: str) -> None:
+        """Exhausted retries: terminal ``failed`` event; the landing file
+        is retained for inspection (same contract as malformed files)."""
+        import datetime as dt
         import sys
         import traceback
 
-        while not self._stop_evt.wait(self._poll_interval):
-            try:
-                self.warehouse.ingest(self.landing_dir)
-            except Exception:  # noqa: BLE001 - consumer must outlive bad rounds
-                traceback.print_exc(file=sys.stderr)
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        try:
+            self.warehouse.ledger.append(
+                [
+                    {
+                        "file_id": file_id,
+                        "filename": file_id.split("_", 2)[-1],
+                        "location": str(path),
+                        "uploaded_at": now,
+                        "content_type": "application/json",
+                        "status": STATUS_FAILED,
+                        "total_records": 0,
+                        "records_processed": 0,
+                        "records_failed": 0,
+                    }
+                ]
+            )
+        except Exception:  # noqa: BLE001 - next tick will retry the mark
+            traceback.print_exc(file=sys.stderr)
+            self._retry_state[file_id] = (self._max_attempts - 1, 0.0)
 
     # -- route bodies (plain dict in / dict+status out) ----------------------
 

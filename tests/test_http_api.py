@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import urllib.error
 import urllib.request
+from pathlib import Path
 
 import pytest
 
@@ -131,5 +132,103 @@ def test_http_async_background_processing(spark, tmp_path):
 
         status, found = _req(f"{base}/product/find/code/0003")
         assert status == 200 and found["product_name"] == "Async 3"
+    finally:
+        server.stop()
+
+
+def test_consumer_transient_failure_retries_to_processed(spark, tmp_path):
+    """A transient error (first attempt raises, later ones succeed) must
+    end 'processed' — the consumer retries instead of poisoning the file.
+    The reference would nack-requeue forever (mq.py:162-181); a
+    fail-once design would terminally fail a recoverable file."""
+    server = ApiServer(spark, tmp_path / "wh", tmp_path / "landing")
+    try:
+        orig = server.warehouse.ingest_paths
+        calls = {"n": 0}
+
+        def flaky(paths, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient spark hiccup")
+            return orig(paths, **kw)
+
+        server.warehouse.ingest_paths = flaky
+        recs = [{"code": "7001", "product_name": "Retry Me"}]
+        _, up = server.do_upload("retry.json", json.dumps(recs).encode(), "application/json")
+        server._consume_once()  # batch attempt raises; per-file isolation succeeds
+        _, st = server.do_status(up["file_id"])
+        assert st["status"] == "processed"
+        assert st["records_processed"] == 1
+        assert not server._retry_state
+    finally:
+        server.stop()
+
+
+def test_consumer_malformed_fails_exactly_once(spark, tmp_path):
+    """Malformed JSON is a deterministic data error: failed on the FIRST
+    attempt, file retained, and never re-attempted on later ticks
+    (file_splitter.py:74-81 semantics — no retry can fix bad bytes)."""
+    landing = tmp_path / "landing"
+    server = ApiServer(spark, tmp_path / "wh", landing)
+    try:
+        _, up = server.do_upload("bad.json", b"[{not json", "application/json")
+        fid = up["file_id"]
+        server._consume_once()
+        _, st = server.do_status(fid)
+        assert st["status"] == "failed"
+        assert (landing / fid).exists()  # retained for inspection
+        server._consume_once()  # later ticks must not rediscover it
+        n_events = (
+            server.warehouse.ledger.read_events()
+            .filter(f"file_id = '{fid}'")
+            .count()
+        )
+        assert n_events == 2  # uploaded + failed, nothing more
+    finally:
+        server.stop()
+
+
+def test_consumer_poison_file_bounded_then_terminal_failed(spark, tmp_path):
+    """A file that keeps raising exhausts max_attempts and is terminally
+    marked 'failed' (retained), while a healthy file in the same batch
+    still processes — bounded retry, not the reference's infinite
+    redelivery, and no consumer wedge."""
+    import time
+
+    landing = tmp_path / "landing"
+    server = ApiServer(
+        spark, tmp_path / "wh", landing, poll_interval=0.01, max_attempts=2
+    )
+    try:
+        orig = server.warehouse.ingest_paths
+
+        def poisoned(paths, **kw):
+            # match the basename only: pytest's tmp_path itself contains
+            # the test name (and hence the substring "poison")
+            if any("poison" in Path(p).name for p in paths):
+                raise RuntimeError("always fails")
+            return orig(paths, **kw)
+
+        server.warehouse.ingest_paths = poisoned
+        _, up_bad = server.do_upload("poison.json", b"[]", "application/json")
+        _, up_ok = server.do_upload(
+            "fine.json", json.dumps([{"code": "7002"}]).encode(), "application/json"
+        )
+        server._consume_once()  # batch fails; isolation: ok processes, poison n=1
+        _, st_ok = server.do_status(up_ok["file_id"])
+        assert st_ok["status"] == "processed"
+        time.sleep(0.05)  # clear the first backoff window
+        server._consume_once()  # poison n=2 >= max_attempts -> terminal
+        _, st_bad = server.do_status(up_bad["file_id"])
+        assert st_bad["status"] == "failed"
+        assert (landing / up_bad["file_id"]).exists()  # retained
+        assert not server._retry_state
+        server._consume_once()  # terminal: no rediscovery, no new attempts
+        n_events = (
+            server.warehouse.ledger.read_events()
+            .filter(f"file_id = '{up_bad['file_id']}'")
+            .count()
+        )
+        assert n_events == 2  # uploaded + failed
     finally:
         server.stop()
