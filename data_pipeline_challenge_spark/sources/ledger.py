@@ -28,8 +28,14 @@ state table is ever absent while the event log is not (a legacy warehouse,
 or a crash between writing a version and publishing the symlink), both
 ``current()`` and the next compaction fold seed from the full event log —
 the state table is a cache of the log, so losing it is always recoverable.
-Writers are assumed single-process per warehouse dir (the ProductWarehouse
-driver); the event log itself is append-only and never rewritten.
+
+Concurrent writers: in-process appends serialize on a threading lock; a
+CROSS-process writer (a second ApiServer/ProductWarehouse on the same
+warehouse dir) serializes on an ``flock`` over ``<warehouse>/ledger.lock``
+held across the whole append + read-merge-publish critical section. Each
+compaction re-reads the published state inside the lock, so interleaved
+writers fold each other's events correctly instead of clobbering the
+state symlink. The event log itself is append-only and never rewritten.
 """
 
 from __future__ import annotations
@@ -65,8 +71,9 @@ class LedgerStore:
         # In-process append serialization: the API's upload thread and the
         # background processor share one store, and the compaction's
         # read-merge-publish is not safe to interleave. Cross-process
-        # writers remain out of scope (module docstring).
+        # writers additionally serialize on the flock in _process_lock().
         self._write_lock = threading.Lock()
+        self._lock_path = Path(warehouse_dir) / "ledger.lock"
 
     def exists(self) -> bool:
         return Path(self.path).exists() and any(Path(self.path).iterdir())
@@ -92,9 +99,43 @@ class LedgerStore:
             [tuple(r.get(f.name) for f in LEDGER_SCHEMA.fields) for r in full],
             LEDGER_SCHEMA,
         )
-        with self._write_lock:
+        with self._write_lock, self._process_lock():
             df.write.mode("append").parquet(self.path)
             self._compact(df)
+
+    def _process_lock(self):
+        """Cross-process mutual exclusion for the append + compaction
+        critical section: an exclusive ``flock`` on
+        ``<warehouse>/ledger.lock``, held until the state publish lands. A
+        second writer process BLOCKS here (not fails): since ``_compact``
+        re-reads the published state inside the lock, serialized writers
+        fold each other's events correctly. flock dies with the process,
+        so a crashed writer can never leave the warehouse wedged. No-op on
+        platforms without fcntl."""
+        import contextlib
+
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+
+            @contextlib.contextmanager
+            def _noop():
+                yield
+
+            return _noop()
+
+        @contextlib.contextmanager
+        def _locked():
+            self._lock_path.parent.mkdir(parents=True, exist_ok=True)
+            fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _locked()
 
     @staticmethod
     def _latest_per_file(events: DataFrame) -> DataFrame:

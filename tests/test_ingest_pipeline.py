@@ -511,3 +511,53 @@ def test_ledger_state_swap_is_symlink_publish(spark, warehouse, landing, tmp_pat
     assert after["post-migration"] == "uploaded"
     for fid, st in before.items():
         assert after[fid] == st
+
+
+def _ledger_row(file_id: str, status: str, n: int = 0) -> dict:
+    import datetime as dt
+
+    return {
+        "file_id": file_id,
+        "filename": f"{file_id}.json",
+        "location": f"/landing/{file_id}",
+        "uploaded_at": dt.datetime(2024, 1, 1),
+        "content_type": "application/json",
+        "status": status,
+        "total_records": n,
+        "records_processed": n,
+        "records_failed": 0,
+    }
+
+
+def test_ledger_cross_process_lock_blocks_second_writer(spark, tmp_path):
+    """Two writer processes on one warehouse serialize on the flock: while
+    a peer holds <warehouse>/ledger.lock, append() blocks (not corrupts,
+    not raises) and completes after release — the compaction's
+    read-merge-publish can never interleave across processes."""
+    import fcntl
+    import os
+    import threading
+    import time
+
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    store = LedgerStore(spark, tmp_path)
+    store.append([_ledger_row("f1", "uploaded")])
+
+    # Hold the flock the way a second ApiServer process would (flock on a
+    # separate open file description conflicts even within one process).
+    fd = os.open(tmp_path / "ledger.lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    done = threading.Event()
+    t = threading.Thread(
+        target=lambda: (store.append([_ledger_row("f2", "uploaded")]), done.set()),
+        daemon=True,
+    )
+    t.start()
+    time.sleep(1.5)
+    assert not done.is_set()  # blocked while the peer holds the lock
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    assert done.wait(120)  # proceeds once the peer releases
+    assert store.read_events().count() == 2
+    assert {r["file_id"] for r in store.current().collect()} == {"f1", "f2"}

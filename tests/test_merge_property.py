@@ -144,3 +144,94 @@ def test_rollup_merge_associative_property(spark, a, b):
         )
 
     assert key(merged) == key(full)
+
+
+# -- ledger compaction == full-log replay ----------------------------------
+
+_FILES = ["fa", "fb", "fc"]
+_STATUSES = ["uploaded", "processing", "processed", "processed_with_errors", "failed"]
+
+# One append batch: 1-3 (file, status) events, plus a post-append crash
+# simulation: None, 'unpublish' (symlink lost between version write and
+# publish), or 'drop_state' (whole state cache lost; legacy-warehouse seed).
+batch_st = st.tuples(
+    st.lists(
+        st.tuples(st.sampled_from(_FILES), st.sampled_from(_STATUSES)),
+        min_size=1,
+        max_size=3,
+    ),
+    st.sampled_from([None, "unpublish", "drop_state"]),
+)
+ledger_run_st = st.lists(batch_st, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,  # each example runs several Spark write jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(run=ledger_run_st)
+def test_ledger_compaction_equals_full_log_replay(spark_prop, run):
+    """For ANY interleaving of status events — including crash windows
+    that lose the state symlink or the whole state cache between appends —
+    the incrementally fold-compacted state table must equal a full replay
+    of the append-only event log. This is the invariant that makes the
+    state table a pure cache: losing it can never lose or change a
+    file's status.
+
+    Counters are a deterministic function of (file, status) so that rows
+    tied on the full (event_ts, progress, status) ordering key are
+    identical — the winner among identical rows is arbitrary on both
+    paths, which is exactly when that arbitrariness is harmless."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    spark = spark_prop
+    wh = Path(tempfile.mkdtemp(prefix="ledger_prop_"))
+    try:
+        store = LedgerStore(spark, wh)
+        for events, crash in run:
+            store.append(
+                [
+                    {
+                        "file_id": f,
+                        "filename": f + ".json",
+                        "location": "/landing/" + f,
+                        "uploaded_at": dt.datetime(2024, 1, 1),
+                        "content_type": "application/json",
+                        "status": s,
+                        "total_records": len(s),  # deterministic per status
+                        "records_processed": len(f),
+                        "records_failed": 0,
+                    }
+                    for f, s in events
+                ]
+            )
+            state = Path(store.state_path)
+            if crash == "unpublish" and state.is_symlink():
+                state.unlink()  # crash between version write and publish
+            elif crash == "drop_state":
+                if state.is_symlink():
+                    state.unlink()
+                elif state.exists():
+                    shutil.rmtree(state)
+                for v in store._versions():
+                    shutil.rmtree(v, ignore_errors=True)
+
+        def key(df):
+            return sorted(
+                (
+                    r["file_id"], r["status"], r["total_records"],
+                    r["records_processed"], r["records_failed"], r["event_ts"],
+                )
+                for r in df.collect()
+            )
+
+        replay = store._latest_per_file(store.read_events())
+        assert key(store.current()) == key(replay)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
