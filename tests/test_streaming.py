@@ -407,3 +407,74 @@ def test_streaming_rollup_incremental_equals_batch(spark, tmp_path):
     q.awaitTermination(120)  # new checkpoint replays ALL files as batch 0
     # batch 0 <= last folded version, so the sink must skip the re-merge
     assert norm(current_rollup(spark, rollup_dir)) == after_restart
+
+
+def test_packing_stream_equals_batch(spark, tmp_path):
+    """The incrementally-maintained packed table must equal the batch
+    sharded packer over everything landed — across multiple micro-batches
+    and a restart with new data. This proves shard ids are a stable pure
+    function of the order key across micro-batches: if a row could change
+    shard between batches, the repack-touched-shards fold would diverge
+    from the full batch pack."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "packed"
+    ckpt = tmp_path / "ckpt_pack"
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land(name, rows):
+        src, ids, toks = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(src),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    land("a.parquet", [("web", 1, 60), ("web", 2, 50), ("books", 3, 90)])
+    land("b.parquet", [("web", 4, 40), ("books", 5, 30), ("web", 6, 80)])
+
+    def run():
+        q = start_packing_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run()  # two files -> two micro-batches folded incrementally
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+        }
+
+    def batch_pack():
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        return pack_sequences_sharded(
+            full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+        )
+
+    assert norm(current_packed(spark, out_dir)) == norm(batch_pack())
+
+    # restart with a third file: only touched shards repack, result still
+    # equals the full batch pack (stable shards + full-shard recompute)
+    land("c.parquet", [("web", 7, 55), ("books", 8, 25), ("news", 9, 10)])
+    run()
+    assert norm(current_packed(spark, out_dir)) == norm(batch_pack())
