@@ -585,3 +585,64 @@ def test_spread_skips_reshuffle_when_already_parallel(spark):
     out = _spread(narrow, "doc")
     assert out is not narrow
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_jaccard_df_cap_bounds_skewed_boilerplate(spark):
+    """Skew stress for the hot-shingle cap: one boilerplate shingle shared
+    by half the corpus must not explode candidate pairs, and the capped
+    jaccard must apply the cap on BOTH sides (intersection AND per-doc
+    sizes), matching a pure-Python oracle of the capped semantics."""
+    from itertools import combinations
+
+    from data_pipeline_challenge_spark.operators.dedup import jaccard_pairs
+
+    docs = []
+    # 100 boilerplate docs: share exactly one hot 3-gram ("click here now"),
+    # everything else unique per doc
+    for i in range(100):
+        docs.append((i, f"click here now a{i} b{i} c{i}"))
+    # 96 fully unique docs
+    for i in range(100, 196):
+        docs.append((i, f"x{i} y{i} z{i} q{i}"))
+    # a genuine near-dup pair with no hot shingle
+    docs.append((300, "alpha beta gamma delta epsilon"))
+    docs.append((301, "alpha beta gamma delta zeta"))
+    # a pair sharing the hot shingle AND one legitimate shingle: the cap
+    # must drop the hot one from the intersection and from n1/n2 alike
+    docs.append((400, "click here now p q"))
+    docs.append((401, "click here now p z"))
+    df = spark.createDataFrame(docs, "doc long, text string")
+
+    cap = 50
+
+    def shingle_set(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {d: shingle_set(t) for d, t in docs}
+    freq = {}
+    for s_set in sh.values():
+        for s in s_set:
+            freq[s] = freq.get(s, 0) + 1
+    hot = {s for s, c in freq.items() if c > cap}
+    capped_sh = {d: s - hot for d, s in sh.items()}
+    expected = {}
+    for d1, d2 in combinations(sorted(sh), 2):
+        inter = len(capped_sh[d1] & capped_sh[d2])
+        if inter >= 1:
+            n1, n2 = len(capped_sh[d1]), len(capped_sh[d2])
+            expected[(d1, d2)] = (inter, n1, n2, inter / (n1 + n2 - inter))
+
+    got = {
+        (r["doc1"], r["doc2"]): (r["inter"], r["n1"], r["n2"], r["jaccard"])
+        for r in jaccard_pairs(df, "doc", "text", n=3, max_doc_freq=cap).collect()
+    }
+    assert got == expected
+    assert len(got) == 2  # bounded: the 100-doc boilerplate block yields none
+    # both-sides semantics, explicitly: hot shingle out of inter AND sizes
+    assert got[(400, 401)] == (1, 2, 2, 1.0 / 3.0)
+
+    # the blowup the cap prevents: uncapped, the hot shingle alone creates
+    # C(102,2) candidate pairs from boilerplate docs
+    n_uncapped = jaccard_pairs(df, "doc", "text", n=3, max_doc_freq=None).count()
+    assert n_uncapped == 102 * 101 // 2 + 1
