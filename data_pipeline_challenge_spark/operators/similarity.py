@@ -113,6 +113,74 @@ def ann_topk(
     return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def lsh_build_index(
+    embeddings: DataFrame,
+    index_dir,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index: the bucketed table written PARTITIONED BY
+    bucket plus a tiny JSON sidecar of the projection parameters — the
+    durable twin of what :func:`ann_topk` computes in-flight (which runs
+    the pandas-UDF bucket matmul over the FULL table per query). Built
+    once; every probe afterwards reads only its probed bucket partitions
+    via planning-time partition pruning, and the serving plan contains no
+    Python at all (the query's own bucket is computed driver-side)."""
+    import json
+    from pathlib import Path
+
+    index_dir = Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+    bucketed = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        str(index_dir / "bucketed")
+    )
+    (index_dir / "lsh_meta.json").write_text(
+        json.dumps({"dim": dim, "n_planes": n_planes, "seed": _LSH_SEED})
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_dir,
+    query: DataFrame,
+    k: int = 10,
+    probe_hamming: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted LSH index: compute the query's bucket driver-side
+    with the SAME seeded projection the index used, expand multi-probe
+    buckets (Hamming-1 bit flips), then scan ONLY those bucket partitions
+    — ``bucket IN (...)`` resolves as a partition filter at planning time.
+    Returns the same rows as the in-flight :func:`ann_topk` for the same
+    parameters (pinned by ``test_lsh_indexed_matches_inflight``)."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    index_dir = Path(index_dir)
+    meta = json.loads((index_dir / "lsh_meta.json").read_text())
+    dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+    planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+    qvec = np.array(query.select(vec_col).first()[0], dtype=np.float64)
+    bits = (qvec @ planes) > 0
+    bucket = int(bits @ (1 << np.arange(n_planes)).astype(np.int64))
+    probes = [bucket]
+    if probe_hamming >= 1:
+        probes += [bucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = spark.read.parquet(str(index_dir / "bucketed"))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
+    sims = cand.crossJoin(q).select(
+        F.col(id_col), cosine(as_double(F.col(vec_col)), F.col("q_vec")).alias("sim")
+    )
+    return sims.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_fit_centroids(
     embeddings: DataFrame,
     n_clusters: int = 16,

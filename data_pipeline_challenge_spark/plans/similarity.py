@@ -129,6 +129,35 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_lsh_top10_indexed",
+    None,  # seeded random-hyperplane buckets — engine-specific, rows-only.
+    tags=("similarity", "ann", "lsh", "index"),
+)
+def ann_lsh_top10_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index serving path for hyperplane-LSH top-10 — the
+    100 TB shape: ``lsh_build_index`` writes the bucketed table ONCE,
+    partitioned by bucket (the only pandas-UDF stage, at build time); the
+    query computes its own bucket driver-side with the same seeded
+    projection and scans only the probed partitions via planning-time
+    partition pruning — zero Python in the serving plan. Same buckets and
+    cosine as ``ann_lsh_top10``, so both return identical rows (pinned by
+    ``test_lsh_indexed_matches_inflight``)."""
+    import tempfile
+
+    from ..operators.similarity import lsh_build_index, lsh_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    rest = emb.filter(F.col("vec_id") != _QUERY_ID)
+    # Rebuilt per invocation into a fresh scratch dir (testdata regenerates
+    # between rounds; the dir must outlive this function for the lazy read).
+    idx = tempfile.mkdtemp(prefix="lsh_index_")
+    lsh_build_index(rest, idx, dim=_DIM, n_planes=8)
+    out = lsh_topk_indexed(spark, idx, qvec, k=10)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
     "ann_ivf_top10",
     None,  # k-means trained on a sample — engine-specific, rows-only.
     tags=("similarity", "ann", "ivf"),

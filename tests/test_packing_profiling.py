@@ -368,3 +368,65 @@ def test_pq_indexed_plan_reads_code_table(spark, tmp_path):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_lsh_indexed_matches_inflight(spark, tmp_path):
+    """The persisted-index LSH probe returns exactly the rows of the
+    in-flight ann_topk (same seeded projection, same buckets, same
+    cosine), single- and multi-probe alike."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        ann_topk,
+        lsh_build_index,
+        lsh_topk_indexed,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx = tmp_path / "lsh"
+    lsh_build_index(rest, idx, dim=64, n_planes=5)
+    for hamming in (0, 1):
+        base = [
+            (r["vec_id"], round(r["sim"], 9))
+            for r in ann_topk(
+                rest, qvec, dim=64, k=10, n_planes=5, probe_hamming=hamming
+            ).collect()
+        ]
+        indexed = [
+            (r["vec_id"], round(r["sim"], 9))
+            for r in lsh_topk_indexed(
+                spark, idx, qvec, k=10, probe_hamming=hamming
+            ).collect()
+        ]
+        assert indexed == base and len(indexed) == 10
+
+
+def test_lsh_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The persisted LSH probe is a PARTITION filter resolved at planning
+    time — non-probed bucket partitions are never read — and the serving
+    plan contains no Python stage (the bucket matmul ran at build time;
+    the query's own bucket is driver-side numpy)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_topk_indexed,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx = tmp_path / "lsh"
+    lsh_build_index(rest, idx, dim=64, n_planes=5)
+    out = lsh_topk_indexed(spark, idx, qvec, k=10, probe_hamming=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bucket" in seg  # pruning is a partition filter, not a scan filter
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
