@@ -105,16 +105,26 @@ def discover_new_files(landing_dir: str | Path, ledger_current: DataFrame | None
     not yet terminal (anti-join replaces queue consumption, SURVEY §2
     op 3). A file with only an ``uploaded`` event — the HTTP shim appends
     one at POST /upload, like the reference's UploadedFile.insert() — is
-    still pending and must be discovered; processed/failed files are not."""
+    still pending and must be discovered; processed/failed files are not.
+
+    Driver traffic is bounded by the PENDING set, not ledger history: the
+    landed names (small — files awaiting processing) broadcast into a
+    semi-join against the ledger, and only the terminal ids among them
+    come back. Collecting the whole terminal side instead would grow with
+    every file ever processed — unbounded over a warehouse's lifetime."""
     landed = list_landed(landing_dir)
     if ledger_current is None or not landed:
         return landed
     terminal = ("processed", "processed_with_errors", "failed")
+    spark = ledger_current.sparkSession
+    landed_df = spark.createDataFrame(
+        [(Path(p).name,) for p in landed], "file_id string"
+    )
     seen = {
         r["file_id"]
         for r in ledger_current.filter(F.col("status").isin(*terminal))
+        .join(F.broadcast(landed_df), "file_id", "left_semi")
         .select("file_id")
-        .distinct()
         .collect()
     }
     return [p for p in landed if Path(p).name not in seen]
