@@ -22,6 +22,7 @@ is a Delta/Iceberg MERGE INTO and the swap disappears).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -69,13 +70,54 @@ class ProductWarehouse:
 
     # -- products table ------------------------------------------------------
 
+    def _product_versions(self) -> list[Path]:
+        """Versioned table dirs ``products.v{N}``, sorted by N."""
+        import re
+
+        pat = re.compile(r"^products\.v(\d+)$")
+        if not self.dir.exists():
+            return []
+        found = [
+            (int(m.group(1)), p)
+            for p in self.dir.iterdir()
+            if (m := pat.match(p.name))
+        ]
+        return [p for _, p in sorted(found)]
+
     def products(self) -> DataFrame:
-        if not self.products_path.exists() or not any(self.products_path.iterdir()):
-            return self.spark.createDataFrame([], PRODUCT_SCHEMA)
-        return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(self.products_path))
+        """The current products table.
+
+        Resolves the ``products`` symlink ONCE at planning time and reads
+        the pinned version directory (two-version retention, same reader
+        discipline as sources/ledger.py) — a concurrent merge publishing a
+        new version can't delete files out from under an in-flight scan.
+        Falls back to a legacy real directory (pre-versioning warehouse)
+        or the newest version dir (crash between write and publish)."""
+        p = self.products_path
+        if p.is_symlink():
+            target = p.parent / os.readlink(p)
+            if target.exists():
+                return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(target))
+        elif p.exists() and any(p.iterdir()):
+            return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(p))
+        versions = self._product_versions()
+        if versions:
+            return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(versions[-1]))
+        return self.spark.createDataFrame([], PRODUCT_SCHEMA)
+
+    def _has_products(self) -> bool:
+        p = self.products_path
+        if p.is_symlink():
+            return True
+        if p.exists() and any(p.iterdir()):
+            return True
+        return bool(self._product_versions())
 
     def _overwrite_products(self, df: DataFrame) -> None:
-        """Write-new + atomic swap (readers never see a half-written table).
+        """Write a new version dir + atomic symlink publish (readers never
+        see a half-written table, and a reader mid-scan on the previous
+        version survives: only versions two publishes old are deleted —
+        the discipline sources/ledger.py and the streaming sinks use).
 
         Layout: range-partitioned + sorted by code, so every parquet file
         owns a disjoint code range — point lookups (op 15) prune to one
@@ -83,9 +125,13 @@ class ProductWarehouse:
         pre-clustered data. (On a lakehouse table this is bucketBy(code) /
         liquid clustering; range+sort is the plain-parquet equivalent.)
         """
-        tmp = self.dir / "products.tmp"
-        if tmp.exists():
-            shutil.rmtree(tmp)
+        versions = self._product_versions()
+        next_n = (
+            int(versions[-1].name.rsplit(".v", 1)[1]) + 1 if versions else 1
+        )
+        new_dir = self.dir / f"products.v{next_n}"
+        if new_dir.exists():
+            shutil.rmtree(new_dir)
         nparts = max(1, self.spark.sparkContext.defaultParallelism // 4)
         # repartitionByRange runs a separate range-sampling job first; cache
         # the merge result so sampling + write don't compute it twice.
@@ -95,18 +141,31 @@ class ProductWarehouse:
                 df.repartitionByRange(nparts, "code")
                 .sortWithinPartitions("code")
                 .write.mode("overwrite")
-                .parquet(str(tmp))
+                .parquet(str(new_dir))
             )
         finally:
             df.unpersist()
-        old = self.dir / "products.old"
-        if old.exists():
-            shutil.rmtree(old)
-        if self.products_path.exists():
-            self.products_path.rename(old)
-        tmp.rename(self.products_path)
-        if old.exists():
-            shutil.rmtree(old)
+
+        state = self.products_path
+        if state.exists() and not state.is_symlink():
+            # Pre-versioning warehouse: retire the real directory. The
+            # brief gap before the publish below is covered by the
+            # newest-version fallback in products().
+            legacy = self.dir / "products.legacy"
+            if legacy.exists():
+                shutil.rmtree(legacy)
+            state.rename(legacy)
+        swap = self.dir / "products.swap"
+        if swap.is_symlink() or swap.exists():
+            swap.unlink()
+        swap.symlink_to(new_dir.name)
+        os.replace(swap, state)  # atomic: readers see old xor new version
+
+        for p in self._product_versions()[:-2]:
+            shutil.rmtree(p, ignore_errors=True)
+        legacy = self.dir / "products.legacy"
+        if legacy.exists():
+            shutil.rmtree(legacy, ignore_errors=True)
 
     # -- ingestion -----------------------------------------------------------
 
@@ -206,7 +265,7 @@ class ProductWarehouse:
                 .drop("__ford")
             )
 
-            existing = self.products() if self.products_path.exists() else None
+            existing = self.products() if self._has_products() else None
             merged = merge_products(existing, valid)
             self._overwrite_products(merged)
 

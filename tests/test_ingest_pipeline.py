@@ -561,3 +561,32 @@ def test_ledger_cross_process_lock_blocks_second_writer(spark, tmp_path):
     assert done.wait(120)  # proceeds once the peer releases
     assert store.read_events().count() == 2
     assert {r["file_id"] for r in store.current().collect()} == {"f1", "f2"}
+
+
+def test_products_reader_survives_concurrent_republish(spark, tmp_path, landing):
+    """A reader that planned against the current products version must
+    still be able to scan after a concurrent merge publishes a new
+    version: versions are symlink-published with two-version retention
+    (the ledger/rollup discipline), not renamed over."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+
+    pinned = wh.products()  # resolves + pins the current version dir
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    wh.ingest(landing)  # publishes a new version
+
+    # the pinned plan still scans its (retained) version
+    assert {r["code"] for r in pinned.collect()} == {"0001"}
+    # a fresh resolution sees the merged table
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+    # the published path is a symlink now; retention keeps <= 2 versions
+    assert (tmp_path / "wh" / "products").is_symlink()
+    assert len(wh._product_versions()) <= 2
