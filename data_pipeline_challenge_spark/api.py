@@ -340,9 +340,11 @@ def _make_handler(server: ApiServer):
             for pat, fn in routes_get:
                 m = pat.match(self.path)
                 if m:
-                    # one retry: a read can race the products/ledger-state
-                    # atomic swap (background consumer mid-publish); the
-                    # second resolution sees the new table
+                    # one retry, defense-in-depth: products and ledger state
+                    # are version-published with two-version retention, so a
+                    # torn read now needs a scan spanning TWO background
+                    # publishes; if that ever happens, the second resolution
+                    # pins the fresh version
                     for attempt in range(2):
                         try:
                             result = fn(unquote(m.group(1)))

@@ -8,10 +8,15 @@ optionally re-sorting so each output file owns a disjoint key range (the
 layout the point-lookup path prunes against, see
 pipeline._overwrite_products).
 
-The rewrite is write-new + atomic swap — readers never see a half-written
-table, same discipline as the products table swap. The reference has no
-equivalent (Mongo compacts internally); this is the parquet-lake
-counterpart of that invisible maintenance.
+The rewrite is write-new + atomic swap: a crash mid-compaction can never
+leave a half-written table (the original survives until the swap). It is
+an OFFLINE utility, though — the swap renames the live directory, so a
+reader scanning during the swap loses its planned file paths. Run it in a
+maintenance window (or on a snapshot), unlike the engine's versioned
+tables (products / ledger state / streaming sinks), whose symlink publish
+plus two-version retention serves concurrent readers. On a lakehouse
+table this whole utility is OPTIMIZE / rewrite_data_files, where the
+format's commit protocol makes it safe online.
 """
 
 from __future__ import annotations
