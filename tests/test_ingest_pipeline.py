@@ -590,3 +590,65 @@ def test_products_reader_survives_concurrent_republish(spark, tmp_path, landing)
     # the published path is a symlink now; retention keeps <= 2 versions
     assert (tmp_path / "wh" / "products").is_symlink()
     assert len(wh._product_versions()) <= 2
+
+
+def test_products_legacy_dir_migrates_to_versioned(spark, tmp_path, landing):
+    """A pre-versioning warehouse (products as a REAL directory) must keep
+    serving reads, and the next merge must migrate it to the versioned
+    symlink layout without losing rows."""
+    import json
+    import os
+    import shutil
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+
+    # Rewind to the legacy layout: real directory, no versions, no symlink.
+    p = tmp_path / "wh" / "products"
+    target = p.parent / os.readlink(p)
+    p.unlink()
+    shutil.copytree(target, p)
+    for v in wh._product_versions():
+        shutil.rmtree(v)
+    assert p.is_dir() and not p.is_symlink()
+    assert {r["code"] for r in wh.products().collect()} == {"0001"}
+
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    wh.ingest(landing)
+    assert (tmp_path / "wh" / "products").is_symlink()  # migrated
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+    assert not (tmp_path / "wh" / "products.legacy").exists()
+
+
+def test_ledger_tiebreak_ranks_terminal_over_uploaded(spark):
+    """On an exact event_ts tie, the latest-per-file winner must be the
+    lifecycle-later status (terminal > processing > uploaded) — the
+    alphabetic fallback alone would rank 'uploaded' above 'processed' and
+    re-pend a finished file."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.schema import LEDGER_SCHEMA
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    ts = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def row(status):
+        return ("f1", "f1.json", "/landing/f1", ts, "application/json",
+                status, 5, 5, 0, ts)
+
+    for pair, want in (
+        (("uploaded", "processed"), "processed"),
+        (("processed", "uploaded"), "processed"),
+        (("uploaded", "failed"), "failed"),
+        (("processing", "uploaded"), "processing"),
+        (("processed_with_errors", "processing"), "processed_with_errors"),
+    ):
+        df = spark.createDataFrame([row(s) for s in pair], LEDGER_SCHEMA)
+        got = LedgerStore._latest_per_file(df).collect()
+        assert len(got) == 1 and got[0]["status"] == want, (pair, want)
