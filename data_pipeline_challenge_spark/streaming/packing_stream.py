@@ -4,8 +4,8 @@ The streaming face of ``operators/packing.py``'s sharded packer: corpus
 increments arriving as parquet files fold into a maintained packed table
 per micro-batch. Greedy packing is prefix-dependent, so a shard's bins
 cannot be extended row-by-row without state — instead each micro-batch
-REPACKS exactly the (group, shard) keys it touches, over all rows seen so
-far for those shards. A row's shard is a pure function of its order key
+REPACKS exactly the shards it touches, over all rows seen so far for
+those shards. A row's shard is a pure function of its order key
 (``pmod(xxhash64(order_col), n_shards)``), so shard membership is stable
 across micro-batches and any new row for a shard re-touches it; therefore
 after the stream drains, every shard's bins were last computed over its
@@ -13,15 +13,30 @@ full row set and the packed table equals the batch
 ``pack_sequences_sharded`` over the whole corpus exactly
 (``test_packing_stream_equals_batch``).
 
-Cost per micro-batch is O(touched shards × shard size), never O(corpus):
-the same bounded-recompute discipline as ``rollup_stream.py``, with the
-same versioned idempotent sink (versioned dirs + atomic symlink publish +
-two-version retention; replayed batches skip the fold and repair the
-symlink, so exactly-once holds without a transactional sink).
+Cost per micro-batch is O(touched shards × shard size), never O(corpus),
+and both halves of that claim are structural:
+
+- **Scan side**: the accumulated rows store is PARTITIONED BY SHARD
+  (``rows/ingest_batch=B/shard=S/``) and the history read filters with a
+  driver-side ``shard IN (touched)`` literal — a static partition filter,
+  so planning-time partition pruning means untouched shards' files are
+  never even listed, let alone scanned (pinned by
+  ``test_packing_stream_incremental_cost``).
+- **Write side**: each published version is laid out ``shard=S/`` and
+  only touched shards are written fresh; every untouched shard's files
+  are HARD-LINKED from the previous version (an O(#files) metadata op —
+  parquet files are immutable here, and two-version retention plus the
+  atomic symlink publish keeps pinned readers safe exactly as before).
+
+Same versioned idempotent sink as ``rollup_stream.py`` (versioned dirs +
+atomic symlink publish + two-version retention; replayed batches skip the
+fold and repair the symlink, so exactly-once holds without a
+transactional sink).
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -37,8 +52,6 @@ def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
     """The latest published packed table, or None before the first batch.
     Resolves the ``current`` symlink once at planning time (pinned version
     dir, two-version retention — see rollup_stream.current_rollup)."""
-    import os
-
     rdir = Path(out_dir)
     cur = rdir / "current"
     if cur.is_symlink():
@@ -49,6 +62,39 @@ def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
     if not versions:
         return None
     return spark.read.parquet(str(versions[-1][1]))
+
+
+def touched_history(
+    spark: SparkSession, rows_dir: str | Path, touched_shards: list[int]
+) -> DataFrame:
+    """All rows ever landed for the given shards — a partition-pruned scan.
+
+    ``shard`` is a partition column of the rows store and
+    ``touched_shards`` is a driver-side literal list, so the ``isin``
+    lands in ``PartitionFilters`` and untouched shards' directories are
+    pruned at planning time (never listed/scanned). This is what bounds
+    the per-batch scan to O(touched shards), not O(corpus)."""
+    return (
+        spark.read.parquet(str(rows_dir))
+        .filter(F.col("shard").isin([int(s) for s in touched_shards]))
+        .drop("ingest_batch", "shard")
+    )
+
+
+def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> None:
+    """Hard-link every ``shard=S`` partition dir of ``prev_dir`` with
+    ``S not in skip_shards`` into ``new_dir``. Metadata-only (os.link):
+    untouched shards cost O(#files), not O(bytes). Safe because packed
+    parquet files are immutable — versions are only ever created whole
+    and rmtree'd, never edited in place."""
+    for shard_dir in prev_dir.glob("shard=*"):
+        try:
+            s = int(shard_dir.name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if s in skip_shards:
+            continue
+        shutil.copytree(shard_dir, new_dir / shard_dir.name, copy_function=os.link)
 
 
 def start_packing_stream(
@@ -87,30 +133,33 @@ def start_packing_stream(
             _publish(odir, versions[-1][1])
             return
         slim = batch_df.select(gc, oc, tc).withColumn("shard", shard_of)
-        # Accumulate this batch's rows under a per-batch partition dir —
-        # overwrite makes a replayed append idempotent.
-        slim.write.mode("overwrite").parquet(str(rows_dir / f"ingest_batch={batch_id}"))
-
-        touched = slim.select(gc, "shard").distinct()
-        seen = (
-            spark.read.parquet(str(rows_dir))
-            .drop("ingest_batch")
-            .join(F.broadcast(touched), [gc, "shard"], "inner")
+        # Accumulate this batch's rows under a per-batch partition dir,
+        # sub-partitioned by shard (the pruning key for every later
+        # history scan) — overwrite makes a replayed append idempotent.
+        slim.write.partitionBy("shard").mode("overwrite").parquet(
+            str(rows_dir / f"ingest_batch={batch_id}")
         )
+
+        # Driver-side touched-shard list: bounded by n_shards, and a
+        # LITERAL, so the history filter below is a static partition
+        # filter (planning-time pruning), not a post-scan join.
+        touched = sorted(
+            r["shard"] for r in slim.select("shard").distinct().collect()
+        )
+        seen = touched_history(spark, rows_dir, touched)
         repacked = pack_sequences_sharded(
             seen, gc, oc, tc, capacity, n_shards=n_shards
         )
-        prev = current_packed(spark, odir)
-        if prev is None:
-            merged = repacked
-        else:
-            kept = prev.join(F.broadcast(touched), [gc, "shard"], "left_anti")
-            merged = kept.unionByName(repacked)
 
         tmp = odir / f"data.v{batch_id}.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(str(tmp))
+        # Touched shards are written fresh (full-shard recompute — greedy
+        # bins are prefix-dependent); everything else is hard-linked from
+        # the previous version, so write cost is O(touched shards).
+        repacked.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
+        if versions:
+            _link_shard_dirs(versions[-1][1], tmp, skip_shards=set(touched))
         final = odir / f"data.v{batch_id}"
         if final.exists():
             shutil.rmtree(final)

@@ -235,3 +235,93 @@ def test_ledger_compaction_equals_full_log_replay(spark_prop, run):
         assert key(store.current()) == key(replay)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# -- packing stream shard invariance ---------------------------------------
+
+# Arbitrary corpus rows split arbitrarily across micro-batch files, with
+# doc_ids assigned by a random permutation so arrival order and pack order
+# (doc_id within shard) are decoupled.
+_pack_batches_st = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from(["web", "books"]), st.integers(1, 120)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+).flatmap(
+    lambda bs: st.permutations(range(1, sum(len(b) for b in bs) + 1)).map(
+        lambda ids: (bs, list(ids))
+    )
+)
+
+
+@settings(
+    max_examples=5,  # each example drains a full streaming query
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(arrival=_pack_batches_st)
+def test_packing_stream_invariant_to_arrival_order(spark, arrival):
+    """For ANY rows, ANY split into micro-batches, and ANY doc_id-vs-arrival
+    permutation, the drained incremental packed table equals the batch
+    ``pack_sequences_sharded`` over the union — shard membership is a pure
+    function of the order key and a touched shard is always recomputed over
+    its full history, so arrival order can never leak into bin assignment."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    batches, ids = arrival
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    root = Path(tempfile.mkdtemp(prefix="pack_prop_"))
+    try:
+        corpus_dir = root / "corpus"
+        corpus_dir.mkdir()
+        it = iter(ids)
+        for i, batch in enumerate(batches):
+            src, toks = zip(*batch)
+            pq.write_table(
+                pa.table(
+                    {
+                        "source": pa.array(src),
+                        "doc_id": pa.array([next(it) for _ in batch], pa.int64()),
+                        "n_tokens": pa.array(toks, pa.int64()),
+                    }
+                ),
+                str(corpus_dir / f"b{i}.parquet"),
+            )
+        q = start_packing_stream(
+            spark, corpus_dir, root / "packed", root / "ckpt", SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        def norm(df):
+            return {
+                tuple(r)
+                for r in df.select(
+                    "source", "shard", "doc_id", "n_tokens", "bin"
+                ).collect()
+            }
+
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        expected = pack_sequences_sharded(
+            full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+        )
+        assert norm(current_packed(spark, root / "packed")) == norm(expected)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

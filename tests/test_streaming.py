@@ -478,3 +478,107 @@ def test_packing_stream_equals_batch(spark, tmp_path):
     land("c.parquet", [("web", 7, 55), ("books", 8, 25), ("news", 9, 10)])
     run()
     assert norm(current_packed(spark, out_dir)) == norm(batch_pack())
+
+
+def test_packing_stream_incremental_cost(spark, tmp_path):
+    """The packing stream's per-batch cost is O(touched shards), and both
+    halves are pinned structurally: (a) the rows-store history scan is a
+    static partition-pruned read (the touched-shard ``isin`` lands in
+    ``PartitionFilters``, so untouched shards' files are never listed);
+    (b) a new version rewrites ONLY touched shards — every untouched
+    shard's files are hard links to the previous version's files
+    (inode-identical, metadata-only), never re-read or re-written."""
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+        touched_history,
+    )
+
+    N_SHARDS = 8
+    # Resolve doc_id -> shard with the engine's own hash so the two
+    # batches are guaranteed to touch disjoint shards.
+    by_shard: dict[int, list[int]] = {}
+    for r in (
+        spark.createDataFrame([(i,) for i in range(1, 300)], "doc_id long")
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
+        )
+        .collect()
+    ):
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    shards = sorted(s for s in by_shard if len(by_shard[s]) >= 3)
+    s1, s2 = shards[0], shards[1]
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "packed"
+    ckpt = tmp_path / "ckpt_pack"
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land(name, ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(["web"] * len(ids)),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array([40] * len(ids), pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    def run():
+        q = start_packing_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    land("a.parquet", by_shard[s1][:3])
+    run()  # batch 0 -> data.v0, shard s1 only
+    land("b.parquet", by_shard[s2][:3])
+    run()  # batch 1 -> data.v1, touches s2 only
+
+    v0, v1 = out_dir / "data.v0", out_dir / "data.v1"
+    assert v0.exists() and v1.exists()
+
+    def inodes(d: Path) -> list[int]:
+        return sorted(p.stat().st_ino for p in d.glob("*.parquet"))
+
+    # Untouched shard s1: v1's files are hard links of v0's (not rewritten).
+    assert inodes(v1 / f"shard={s1}"), "untouched shard missing from v1"
+    assert inodes(v1 / f"shard={s1}") == inodes(v0 / f"shard={s1}")
+    # Touched shard s2: fresh files in v1, absent from v0 (disjoint batches).
+    assert inodes(v1 / f"shard={s2}")
+    assert not (v0 / f"shard={s2}").exists()
+
+    # The history scan for batch 1's touched shards is partition-pruned:
+    # the shard isin literal is a PartitionFilter, and only s2's rows come
+    # back even though s1's rows are also in the store.
+    hist = touched_history(spark, out_dir / "rows", [s2])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "shard" in seg
+    assert sorted(r["doc_id"] for r in hist.collect()) == sorted(by_shard[s2][:3])
+
+    # And the maintained table still equals the batch pack over everything.
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    expected = pack_sequences_sharded(
+        full, "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS
+    )
+    norm = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+    }
+    assert norm(current_packed(spark, out_dir)) == norm(expected)
