@@ -27,6 +27,24 @@ from ..functions.vectorfn import as_double, cosine
 _LSH_SEED = 42
 
 
+def lsh_planes_for_corpus(
+    n_vectors: int, k: int, bucket_multiple: int = 4, max_planes: int = 24
+) -> int:
+    """Plane count that keeps the EXPECTED bucket size at least
+    ``bucket_multiple * k`` vectors, so a single-bucket probe can fill a
+    top-k (an under-provisioned plane count leaves buckets with fewer than
+    k vectors and the probe under-fills — the failure mode the recall
+    harness documents). ``2**planes`` buckets over ``n_vectors`` rows →
+    choose ``planes = log2(n / (bucket_multiple·k))``, clamped to
+    [1, max_planes]; the cap bounds probe-set fan-out for multi-probe at
+    planet scale (24 planes = 16M buckets serves ~1e10 vectors at 4k=40
+    per bucket)."""
+    import math
+
+    target_buckets = max(2, n_vectors // max(1, bucket_multiple * k))
+    return max(1, min(max_planes, int(math.log2(target_buckets))))
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query: DataFrame,

@@ -8,6 +8,8 @@ declared rows-only.
 
 from __future__ import annotations
 
+import atexit as _atexit
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -17,12 +19,45 @@ from ..operators.similarity import (
     centroids_by_label,
     cosine_near_pairs_blocked,
     knn_bruteforce,
+    lsh_planes_for_corpus,
     with_lsh_bucket,
 )
 from .registry import query
 
 _DIM = 64
 _QUERY_ID = 0  # the query vector: embedding of vec_id 0 (exists at every sf)
+
+# Scratch dirs for indexes rebuilt per invocation (testdata regenerates
+# between rounds, so cross-run caching would serve stale indexes). The
+# returned DataFrame reads its index lazily, so the dir must outlive the
+# builder function — instead of leaking one dir per invocation, each tag
+# keeps exactly ONE live dir: the previous invocation's dir is removed when
+# the next one is created (by then its DataFrame has been materialized),
+# and whatever remains is removed at interpreter exit.
+_SCRATCH: dict[str, str] = {}
+
+
+def _sweep_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
+_atexit.register(_sweep_scratch)
+
+
+def _scratch_dir(tag: str) -> str:
+    import shutil
+    import tempfile
+
+    old = _SCRATCH.pop(tag, None)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{tag}_")
+    _SCRATCH[tag] = d
+    return d
 
 
 @query(
@@ -119,12 +154,18 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id=0: probe only the query's
-    random-hyperplane LSH bucket (8 planes → 256 buckets), exact cosine
-    within the bucket. The 100 TB ANN path."""
+    """Approximate top-10 neighbors of vec_id=0: probe the query's
+    random-hyperplane LSH bucket plus its Hamming-1 neighbors, exact cosine
+    within them. The plane count derives from the corpus count
+    (``lsh_planes_for_corpus``: expected bucket size ≥ 4k) so a probe holds
+    enough candidates to FILL a top-10 at every sf — a fixed plane count
+    under-fills k on small corpora and over-fills probe cost on large ones.
+    The 100 TB ANN path."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
-    out = ann_topk(emb.filter(F.col("vec_id") != _QUERY_ID), qvec, dim=_DIM, k=10, n_planes=8)
+    rest = emb.filter(F.col("vec_id") != _QUERY_ID)
+    n_planes = lsh_planes_for_corpus(rest.count(), k=10)
+    out = ann_topk(rest, qvec, dim=_DIM, k=10, n_planes=n_planes, probe_hamming=1)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
@@ -139,21 +180,22 @@ def ann_lsh_top10_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by bucket (the only pandas-UDF stage, at build time); the
     query computes its own bucket driver-side with the same seeded
     projection and scans only the probed partitions via planning-time
-    partition pruning — zero Python in the serving plan. Same buckets and
-    cosine as ``ann_lsh_top10``, so both return identical rows (pinned by
+    partition pruning — zero Python in the serving plan. Same
+    corpus-derived plane count, buckets, Hamming-1 probe set, and cosine
+    as ``ann_lsh_top10``, so both return identical rows (pinned by
     ``test_lsh_indexed_matches_inflight``)."""
-    import tempfile
-
     from ..operators.similarity import lsh_build_index, lsh_topk_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
     rest = emb.filter(F.col("vec_id") != _QUERY_ID)
-    # Rebuilt per invocation into a fresh scratch dir (testdata regenerates
-    # between rounds; the dir must outlive this function for the lazy read).
-    idx = tempfile.mkdtemp(prefix="lsh_index_")
-    lsh_build_index(rest, idx, dim=_DIM, n_planes=8)
-    out = lsh_topk_indexed(spark, idx, qvec, k=10)
+    # Rebuilt per invocation into a managed scratch dir (testdata
+    # regenerates between rounds; _scratch_dir keeps one live dir per tag
+    # and sweeps the previous one, so repeated runs don't leak copies).
+    idx = _scratch_dir("lsh_index")
+    n_planes = lsh_planes_for_corpus(rest.count(), k=10)
+    lsh_build_index(rest, idx, dim=_DIM, n_planes=n_planes)
+    out = lsh_topk_indexed(spark, idx, qvec, k=10, probe_hamming=1)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
@@ -210,19 +252,17 @@ def ann_pq_top10_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a broadcast keyed join. Same seeded codebooks and score arithmetic
     as ``ann_pq_top10``, so both return identical rows (pinned by
     ``test_pq_indexed_matches_inflight``)."""
-    import tempfile
-
     from ..operators.similarity import pq_build_index, pq_topk_indexed
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
     rest = emb.filter(F.col("vec_id") != _QUERY_ID)
-    # The index is rebuilt per invocation into a fresh scratch dir: the
+    # The index is rebuilt per invocation into a managed scratch dir: the
     # driver regenerates testdata between rounds, so caching across runs
     # would serve codes fit on stale vectors. The dir must outlive this
-    # function (the returned DataFrame reads it lazily), so it is not
-    # deleted here — it lives under the OS tempdir.
-    idx = tempfile.mkdtemp(prefix="pq_index_")
+    # function (the returned DataFrame reads it lazily) — _scratch_dir
+    # keeps one live dir per tag, sweeping the previous invocation's.
+    idx = _scratch_dir("pq_index")
     pq_build_index(rest, idx)
     out = pq_topk_indexed(spark, idx, qvec, rest, k=10)
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
@@ -312,11 +352,22 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             rest, qvec, dim=_DIM, k=k, n_planes=5, probe_hamming=1
         ).collect()
     }
+    # The headline configuration ann_lsh_top10 actually serves: plane count
+    # derived from the corpus size (expected bucket >= 4k) + Hamming-1
+    # probing — records the k-fill/recall this registration achieves.
+    headline_planes = lsh_planes_for_corpus(rest.count(), k=k)
+    lshh = {
+        r["vec_id"]
+        for r in ann_topk(
+            rest, qvec, dim=_DIM, k=k, n_planes=headline_planes, probe_hamming=1
+        ).collect()
+    }
     ivf = {r["vec_id"] for r in ivf_topk(rest, qvec, k=k).collect()}
     pq = {r["vec_id"] for r in pq_topk(rest, qvec, k=k).collect()}
     rows = [
         ("lsh_single_probe", len(exact & lsh1), k),
         ("lsh_multi_probe_h1", len(exact & lshm), k),
+        ("lsh_headline_derived_planes_h1", len(exact & lshh), k),
         ("ivf", len(exact & ivf), k),
         ("pq_adc", len(exact & pq), k),
     ]

@@ -430,3 +430,35 @@ def test_lsh_indexed_probe_prunes_partitions(spark, tmp_path):
     assert "bucket" in seg  # pruning is a partition filter, not a scan filter
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_headline_fills_k(spark):
+    """The registered headline LSH queries must actually FILL a top-10:
+    the plane count derives from the corpus (expected bucket size >= 4k)
+    and Hamming-1 probing covers an unluckily-split neighborhood, so the
+    serving registration can't under-fill k the way a fixed plane count
+    does on a small corpus. In-flight and indexed twins stay identical."""
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_planes_for_corpus,
+    )
+    from data_pipeline_challenge_spark.plans.similarity import (
+        ann_lsh_top10,
+        ann_lsh_top10_indexed,
+    )
+
+    # derivation: expected bucket size >= 4k at every magnitude, capped
+    assert lsh_planes_for_corpus(500, 10) == 3  # 8 buckets, ~62/bucket
+    assert lsh_planes_for_corpus(2000, 10) == 5  # 32 buckets
+    assert lsh_planes_for_corpus(10**9, 10) == 24  # capped fan-out
+    assert lsh_planes_for_corpus(1, 10) == 1  # degenerate corpus
+
+    inflight = [
+        (r["vec_id"], r["sim"])
+        for r in ann_lsh_top10(spark, "/root/testdata/sf0.001").collect()
+    ]
+    indexed = [
+        (r["vec_id"], r["sim"])
+        for r in ann_lsh_top10_indexed(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert len(inflight) == 10
+    assert inflight == indexed
