@@ -8,19 +8,28 @@ optionally re-sorting so each output file owns a disjoint key range (the
 layout the point-lookup path prunes against, see
 pipeline._overwrite_products).
 
-The rewrite is write-new + atomic swap: a crash mid-compaction can never
-leave a half-written table (the original survives until the swap). It is
-an OFFLINE utility, though — the swap renames the live directory, so a
-reader scanning during the swap loses its planned file paths. Run it in a
-maintenance window (or on a snapshot), unlike the engine's versioned
-tables (products / ledger state / streaming sinks), whose symlink publish
-plus two-version retention serves concurrent readers. On a lakehouse
-table this whole utility is OPTIMIZE / rewrite_data_files, where the
-format's commit protocol makes it safe online.
+Two forms:
+
+- :func:`compact_published_table` — ONLINE, for the engine's
+  version-published tables (products / ledger state / streaming sinks:
+  ``<prefix>.v{N}`` dirs behind an atomically-replaced symlink). The
+  compacted copy becomes version N+1 published through the same symlink
+  swap with two-version retention, so a reader planned against the old
+  version keeps scanning it safely — the lakehouse
+  OPTIMIZE-under-commit-protocol shape. Readers need no coordination;
+  concurrent WRITERS do (hold the table's writer lock — see
+  ``ProductWarehouse.compact_products`` — or compact a stream sink while
+  its stream is not running).
+- :func:`compact_parquet_dir` — OFFLINE, for plain (unversioned) parquet
+  dirs: write-new + atomic rename. A crash can never leave a half-written
+  table, but the rename swaps the live directory, so run it only without
+  concurrent readers (a maintenance window or a snapshot).
 """
 
 from __future__ import annotations
 
+import os
+import re
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
@@ -75,4 +84,97 @@ def compact_parquet_dir(
     shutil.rmtree(old)
 
     after = len([p for p in path.rglob("*.parquet") if p.is_file()])
+    return CompactionReport(len(parts), after, total, rows)
+
+
+def compact_published_table(
+    spark: SparkSession,
+    symlink_path: str | Path,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+    partition_by: list[str] | None = None,
+) -> CompactionReport:
+    """Online compaction for a version-published table: read the CURRENT
+    version behind ``symlink_path`` (e.g. ``<wh>/products`` →
+    ``products.v3``, or a stream sink's ``<dir>/current`` → ``data.v5``),
+    rewrite it into ~target-sized files as the NEXT version dir, and
+    publish via the same atomic symlink replace + two-version retention
+    every writer of these tables uses. A reader that resolved the symlink
+    before the publish keeps scanning its pinned version (it survives one
+    further publish before cleanup); new readers plan against the
+    compacted files.
+
+    ``partition_by`` preserves a partitioned layout (the packed table's
+    ``shard=S/`` dirs must survive compaction or the incremental packer's
+    touched-shard rewrite breaks). The ``_folded_batch`` marker, when the
+    source version carries one (stream sinks), is carried forward — a
+    compacted version folds no new batch, so the stream's replay-skip
+    must keep answering with the last REAL batch id.
+
+    Writer coordination is the CALLER's job: hold the table's writer lock
+    (products/ledger), or compact a stream sink only while its stream is
+    stopped. Readers need none.
+    """
+    link = Path(symlink_path)
+    if not link.is_symlink():
+        raise ValueError(
+            f"{link} is not a published-table symlink; for a plain parquet "
+            "dir use compact_parquet_dir (offline)"
+        )
+    cur = link.parent / os.readlink(link)
+    m = re.match(r"^(?P<prefix>.+)\.v(?P<n>\d+)$", cur.name)
+    if not m:
+        raise ValueError(f"current version {cur.name!r} is not a .v{{N}} dir")
+    prefix, cur_n = m.group("prefix"), int(m.group("n"))
+    parent = cur.parent
+    vpat = re.compile(re.escape(prefix) + r"\.v(\d+)$")
+    versions = sorted(
+        (int(vm.group(1)), p)
+        for p in parent.iterdir()
+        if (vm := vpat.match(p.name))
+    )
+
+    parts = [p for p in cur.rglob("*.parquet") if p.is_file()]
+    total = sum(p.stat().st_size for p in parts)
+    n_out = max(1, -(-total // target_file_bytes))
+
+    df = spark.read.parquet(str(cur))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.coalesce(n_out)
+
+    next_n = versions[-1][0] + 1
+    tmp = parent / f"{prefix}.v{next_n}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
+    rows = spark.read.parquet(str(tmp)).count()
+    marker = cur / "_folded_batch"
+    (tmp / "_folded_batch").write_text(
+        marker.read_text() if marker.exists() else str(cur_n)
+    )
+    final = parent / f"{prefix}.v{next_n}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+
+    swap = parent / f"{link.name}.swap"
+    if swap.is_symlink() or swap.exists():
+        swap.unlink()
+    swap.symlink_to(final.name)
+    os.replace(swap, link)  # atomic: readers see old xor new version
+
+    versions = sorted(
+        (int(vm.group(1)), p)
+        for p in parent.iterdir()
+        if (vm := vpat.match(p.name))
+    )
+    for _, p in versions[:-2]:
+        shutil.rmtree(p, ignore_errors=True)
+
+    after = len([p for p in final.rglob("*.parquet") if p.is_file()])
     return CompactionReport(len(parts), after, total, rows)

@@ -67,6 +67,43 @@ class ProductWarehouse:
         # Splittable-parse knobs (tests shrink them to exercise chunking).
         self.split_threshold_bytes = SPLIT_THRESHOLD_BYTES
         self.chunk_records = CHUNK_RECORDS
+        self._products_lock_path = self.dir / "products.lock"
+
+    def _products_lock(self):
+        """Cross-process mutual exclusion for the products
+        read-merge-publish critical section (and compaction): an exclusive
+        ``flock`` on ``<warehouse>/products.lock``, the ledger.lock
+        discipline. Without it two concurrent merges both compute
+        ``products.v{N+1}``: one rmtrees the dir the other just published
+        and the last symlink swap silently drops the other writer's rows.
+        A second writer BLOCKS here (not fails); since the merge re-reads
+        the published table inside the lock, serialized writers fold each
+        other's rows correctly. flock dies with the process — a crashed
+        writer can never wedge the warehouse. No-op without fcntl."""
+        import contextlib
+
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+
+            @contextlib.contextmanager
+            def _noop():
+                yield
+
+            return _noop()
+
+        @contextlib.contextmanager
+        def _locked():
+            self._products_lock_path.parent.mkdir(parents=True, exist_ok=True)
+            fd = os.open(self._products_lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _locked()
 
     # -- products table ------------------------------------------------------
 
@@ -92,7 +129,13 @@ class ProductWarehouse:
         discipline as sources/ledger.py) — a concurrent merge publishing a
         new version can't delete files out from under an in-flight scan.
         Falls back to a legacy real directory (pre-versioning warehouse)
-        or the newest version dir (crash between write and publish)."""
+        or the newest COMPLETE version dir (crash between write and
+        publish). Completeness = the ``_SUCCESS`` marker: a version dir
+        left half-written by a crash mid-write is indistinguishable from
+        a written-but-unpublished one by name alone, and trusting it
+        would propagate a torn table into the next merge — better to
+        treat it as absent (the ledger/event log makes re-ingest
+        self-healing)."""
         p = self.products_path
         if p.is_symlink():
             target = p.parent / os.readlink(p)
@@ -100,10 +143,15 @@ class ProductWarehouse:
                 return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(target))
         elif p.exists() and any(p.iterdir()):
             return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(p))
-        versions = self._product_versions()
+        versions = self._complete_product_versions()
         if versions:
             return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(versions[-1]))
         return self.spark.createDataFrame([], PRODUCT_SCHEMA)
+
+    def _complete_product_versions(self) -> list[Path]:
+        """Version dirs safe to fall back on: only those whose write
+        finished (``_SUCCESS`` present)."""
+        return [v for v in self._product_versions() if (v / "_SUCCESS").exists()]
 
     def _has_products(self) -> bool:
         p = self.products_path
@@ -111,7 +159,7 @@ class ProductWarehouse:
             return True
         if p.exists() and any(p.iterdir()):
             return True
-        return bool(self._product_versions())
+        return bool(self._complete_product_versions())
 
     def _overwrite_products(self, df: DataFrame) -> None:
         """Write a new version dir + atomic symlink publish (readers never
@@ -166,6 +214,27 @@ class ProductWarehouse:
         legacy = self.dir / "products.legacy"
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)
+
+    def compact_products(self, target_file_bytes: int = 128 << 20):
+        """Online small-file compaction of the products table: the
+        compacted copy becomes the next ``products.v{N}`` published
+        through the same atomic symlink swap as a merge, so concurrent
+        readers (pinned to their resolved version, two-version retention)
+        are safe; concurrent WRITERS are excluded by the products flock —
+        a merge waits for the compaction, then reads the compacted table.
+        Keeps the range-partitioned/sorted-by-code layout the point-lookup
+        path prunes against. No-op before the first published version."""
+        from .operators.maintenance import compact_published_table
+
+        with self._products_lock():
+            if not self.products_path.is_symlink():
+                return None
+            return compact_published_table(
+                self.spark,
+                self.products_path,
+                target_file_bytes=target_file_bytes,
+                sort_col="code",
+            )
 
     # -- ingestion -----------------------------------------------------------
 
@@ -265,9 +334,14 @@ class ProductWarehouse:
                 .drop("__ford")
             )
 
-            existing = self.products() if self._has_products() else None
-            merged = merge_products(existing, valid)
-            self._overwrite_products(merged)
+            # The products read-merge-publish is the cross-process critical
+            # section: the read resolves the symlink at PLANNING time, so
+            # the lock must cover plan + write + publish, or two merges
+            # race to the same next version and one silently loses rows.
+            with self._products_lock():
+                existing = self.products() if self._has_products() else None
+                merged = merge_products(existing, valid)
+                self._overwrite_products(merged)
 
             # Ledger events + landing GC.
             events = []

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.packing import pack_sequences_sharded
-from .rollup_stream import _publish, _versions
+from .rollup_stream import _last_folded, _mark_folded, _next_version, _publish, _versions
 
 
 def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -126,12 +126,13 @@ def start_packing_stream(
     shard_of = F.pmod(F.xxhash64(F.col(oc)), F.lit(n_shards)).cast("int")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _versions(odir)
-        if versions and versions[-1][0] >= batch_id:
+        last = _last_folded(odir)
+        if last is not None and last >= batch_id:
             # crash-replay of an already-folded batch: skip the fold,
             # repair the symlink if the crash preceded the publish
-            _publish(odir, versions[-1][1])
+            _publish(odir, _versions(odir)[-1][1])
             return
+        versions = _versions(odir)
         slim = batch_df.select(gc, oc, tc).withColumn("shard", shard_of)
         # Accumulate this batch's rows under a per-batch partition dir,
         # sub-partitioned by shard (the pruning key for every later
@@ -151,7 +152,8 @@ def start_packing_stream(
             seen, gc, oc, tc, capacity, n_shards=n_shards
         )
 
-        tmp = odir / f"data.v{batch_id}.tmp"
+        next_n = _next_version(odir, batch_id)
+        tmp = odir / f"data.v{next_n}.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
         # Touched shards are written fresh (full-shard recompute — greedy
@@ -160,7 +162,8 @@ def start_packing_stream(
         repacked.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
         if versions:
             _link_shard_dirs(versions[-1][1], tmp, skip_shards=set(touched))
-        final = odir / f"data.v{batch_id}"
+        _mark_folded(tmp, batch_id)  # before rename: marker is never absent
+        final = odir / f"data.v{next_n}"
         if final.exists():
             shutil.rmtree(final)
         tmp.rename(final)

@@ -55,6 +55,40 @@ def _publish(rollup_dir: Path, version_dir: Path) -> None:
     os.replace(swap, rollup_dir / "current")
 
 
+def _mark_folded(version_dir: Path, batch_id: int) -> None:
+    """Record the highest micro-batch id folded into this version. The
+    underscore prefix keeps the marker invisible to parquet readers."""
+    (version_dir / "_folded_batch").write_text(str(batch_id))
+
+
+def _last_folded(table_dir: Path) -> int | None:
+    """Highest micro-batch id folded into the latest version, or None
+    before the first publish — the replay-skip authority. Version NUMBERS
+    are only a publish order: online compaction
+    (operators/maintenance.compact_published_table) creates new versions
+    with no new batch folded, so the skip check must read the marker, not
+    the version number, or the first post-compaction batch would be
+    swallowed. Dirs written before the marker existed used the batch id AS
+    the version number, hence the fallback."""
+    versions = _versions(table_dir)
+    if not versions:
+        return None
+    n, p = versions[-1]
+    marker = p / "_folded_batch"
+    if marker.exists():
+        return int(marker.read_text().strip())
+    return n
+
+
+def _next_version(table_dir: Path, batch_id: int) -> int:
+    """Version number for the dir folding ``batch_id``: strictly above
+    every existing version (compaction may have advanced past the batch
+    id), aligned with the batch id when nothing else intervened."""
+    versions = _versions(table_dir)
+    top = versions[-1][0] + 1 if versions else 0
+    return max(top, batch_id)
+
+
 def current_rollup(spark: SparkSession, rollup_dir: str | Path) -> DataFrame | None:
     """The latest published rollup, or None before the first batch.
 
@@ -97,11 +131,11 @@ def start_rollup_stream(
     stream = reader.parquet(str(events_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _versions(rdir)
-        if versions and versions[-1][0] >= batch_id:
+        last = _last_folded(rdir)
+        if last is not None and last >= batch_id:
             # crash-replay of an already-folded batch: never re-merge;
             # repair the symlink if the crash preceded the publish
-            _publish(rdir, versions[-1][1])
+            _publish(rdir, _versions(rdir)[-1][1])
             return
         ev = batch_df.withColumn(
             "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
@@ -110,11 +144,13 @@ def start_rollup_stream(
         base = current_rollup(spark, rdir)
         merged = delta if base is None else merge_rollups(base, delta)
 
-        tmp = rdir / f"data.v{batch_id}.tmp"
+        next_n = _next_version(rdir, batch_id)
+        tmp = rdir / f"data.v{next_n}.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
         merged.write.mode("overwrite").parquet(str(tmp))
-        final = rdir / f"data.v{batch_id}"
+        _mark_folded(tmp, batch_id)  # before rename: marker is never absent
+        final = rdir / f"data.v{next_n}"
         if final.exists():
             shutil.rmtree(final)
         tmp.rename(final)

@@ -652,3 +652,121 @@ def test_ledger_tiebreak_ranks_terminal_over_uploaded(spark):
         df = spark.createDataFrame([row(s) for s in pair], LEDGER_SCHEMA)
         got = LedgerStore._latest_per_file(df).collect()
         assert len(got) == 1 and got[0]["status"] == want, (pair, want)
+
+
+def test_compact_products_online_reader_survives(spark, tmp_path, landing):
+    """Online compaction publishes the compacted copy as the next version
+    through the symlink-swap protocol: a reader planned against the
+    pre-compaction version keeps scanning it (two-version retention), new
+    readers see the same rows in fewer files, and a later merge continues
+    the version chain from the compacted table."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    # two merges -> multi-file version dirs in the chain
+    for i, name in enumerate("ab"):
+        upload(
+            json.dumps(
+                [{"code": f"{i}{j:03d}", "product_name": name} for j in range(20)]
+            ).encode(),
+            landing,
+            orig_name=f"{name}.json",
+        )
+        wh.ingest(landing)
+
+    pinned = wh.products()  # resolves + pins the pre-compaction version
+    before = {r["code"] for r in pinned.collect()}
+
+    rep = wh.compact_products(target_file_bytes=1 << 30)  # -> 1 file
+    assert rep is not None
+    assert rep.files_after <= rep.files_before
+    assert rep.files_after == 1
+
+    # pinned plan still scans its retained version after the publish
+    assert {r["code"] for r in pinned.collect()} == before
+    # fresh resolution reads the compacted version, same rows
+    assert {r["code"] for r in wh.products().collect()} == before
+    assert (tmp_path / "wh" / "products").is_symlink()
+    assert len(wh._product_versions()) <= 2
+
+    # a merge after compaction continues the chain without losing rows
+    upload(json.dumps([{"code": "zzzz", "product_name": "C"}]).encode(),
+           landing, orig_name="c.json")
+    wh.ingest(landing)
+    assert {r["code"] for r in wh.products().collect()} == before | {"zzzz"}
+
+
+def test_products_cross_process_lock_blocks_second_merger(spark, tmp_path, landing):
+    """While a peer process holds <warehouse>/products.lock, a merge's
+    read-merge-publish blocks (not corrupts, not races to the same next
+    version) and completes after release — the products twin of the
+    ledger flock test."""
+    import fcntl
+    import json
+    import os
+    import threading
+    import time
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+
+    fd = os.open(tmp_path / "wh" / "products.lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    done = threading.Event()
+    t = threading.Thread(
+        target=lambda: (wh.ingest(landing), done.set()), daemon=True
+    )
+    t.start()
+    time.sleep(1.5)
+    assert not done.is_set()  # merge blocked at the critical section
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    assert done.wait(120)
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+
+
+def test_products_fallback_ignores_torn_version(spark, tmp_path, landing):
+    """The newest-version fallback (no symlink) must not trust a version
+    dir without _SUCCESS: a crash mid-write leaves a torn table that a
+    merge would otherwise propagate. An older complete version wins; with
+    no complete version at all the table reads as absent."""
+    import json
+    import os
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+
+    whdir = tmp_path / "wh"
+    (whdir / "products").unlink()  # crash window: version written, unpublished
+    # a half-written next version: files but no _SUCCESS
+    torn = whdir / "products.v99"
+    torn.mkdir()
+    published = [v for v in wh._product_versions() if v.name != "products.v99"]
+    src = next(p for p in published[-1].iterdir() if p.suffix == ".parquet")
+    (torn / src.name).write_bytes(src.read_bytes()[: len(src.read_bytes()) // 2])
+
+    # fallback skips the torn v99 and serves the newest COMPLETE version
+    assert {r["code"] for r in wh.products().collect()} == {"0001"}
+
+    # with no complete version, the table is absent (empty), not torn
+    for v in wh._product_versions():
+        s = v / "_SUCCESS"
+        if s.exists():
+            os.remove(s)
+    assert wh.products().count() == 0
+    assert not wh._has_products()

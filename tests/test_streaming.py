@@ -582,3 +582,150 @@ def test_packing_stream_incremental_cost(spark, tmp_path):
         for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
     }
     assert norm(current_packed(spark, out_dir)) == norm(expected)
+
+
+def test_stream_sink_compaction_preserves_replay(spark, tmp_path):
+    """Online compaction of a stream-maintained sink must not desynchronize
+    the replay-skip: compaction creates a NEW version with no new batch
+    folded, so the skip authority is the _folded_batch marker, not the
+    version number — without it, the first post-compaction micro-batch
+    would be silently swallowed (version N+1 already exists >= batch id).
+    Exercised on both maintained sinks: the hourly rollup and the sharded
+    packed table (whose shard=S layout must survive compaction)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+    from data_pipeline_challenge_spark.operators.maintenance import (
+        compact_published_table,
+    )
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.operators.rollup import hourly_rollup
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    H = 3_600_000_000  # one hour in micros
+
+    # --- rollup sink -------------------------------------------------------
+    events_dir = tmp_path / "ev_in"
+    events_dir.mkdir()
+    rollup_dir = tmp_path / "rollup"
+
+    def land_events(name, rows):
+        ids, us, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(events_dir / name),
+        )
+
+    def run_rollup():
+        q = start_rollup_stream(
+            spark, events_dir, rollup_dir, tmp_path / "ck_r",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    land_events("a.parquet", [(1, 0 * H, "view", 1.25), (2, 1 * H, "buy", 10.0)])
+    land_events("b.parquet", [(3, 1 * H + 5, "view", 0.75)])
+    run_rollup()  # batches 0,1 -> data.v0, data.v1
+
+    rep = compact_published_table(
+        spark, rollup_dir / "current", target_file_bytes=1 << 30
+    )
+    assert rep.files_after == 1
+
+    # the next real batch must FOLD, not be skipped as a replay
+    land_events("c.parquet", [(4, 2 * H, "buy", -3.125), (5, 0 * H + 9, "view", 4.0)])
+    run_rollup()
+
+    batch_all = spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(str(events_dir)).withColumn(
+        "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
+    )
+
+    def norm_r(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "bucket_hr", "event_type", "n_events", "sum_cents",
+                "min_value", "max_value",
+            ).collect()
+        }
+
+    assert norm_r(current_rollup(spark, rollup_dir)) == norm_r(hourly_rollup(batch_all))
+
+    # --- packed sink (partitioned layout must survive) ---------------------
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    packed_dir = tmp_path / "packed"
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land_docs(name, rows):
+        src, ids, toks = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(src),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    def run_pack():
+        q = start_packing_stream(
+            spark, corpus_dir, packed_dir, tmp_path / "ck_p", SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    land_docs("a.parquet", [("web", 1, 60), ("web", 2, 50), ("books", 3, 90)])
+    land_docs("b.parquet", [("web", 4, 40), ("books", 5, 30)])
+    run_pack()
+
+    rep = compact_published_table(
+        spark, packed_dir / "current", target_file_bytes=1 << 30,
+        partition_by=["shard"],
+    )
+    assert rep.rows == 5
+    # partitioned layout survives compaction (incremental packer needs it)
+    cur = packed_dir / "current"
+    import os as _os
+
+    assert list((packed_dir / _os.readlink(cur)).glob("shard=*"))
+
+    land_docs("c.parquet", [("web", 6, 80), ("news", 7, 10)])
+    run_pack()
+
+    def norm_p(df):
+        return {
+            tuple(r)
+            for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+        }
+
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    expected = pack_sequences_sharded(
+        full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+    )
+    assert norm_p(current_packed(spark, packed_dir)) == norm_p(expected)
