@@ -35,7 +35,16 @@ warehouse dir) serializes on an ``flock`` over ``<warehouse>/ledger.lock``
 held across the whole append + read-merge-publish critical section. Each
 compaction re-reads the published state inside the lock, so interleaved
 writers fold each other's events correctly instead of clobbering the
-state symlink. The event log itself is append-only and never rewritten.
+state symlink.
+
+Event-log growth bound: each append lands one small parquet file in the
+``ledger`` tail; once the tail exceeds ``TAIL_MAX_FILES`` files it is
+checkpointed — events already reflected in the published state fold into
+a compacted ``ledger_hist`` version (symlink-published, two-version
+retention) and the tail truncates (``_checkpoint_events``). The log's
+file count and every replay fallback are therefore bounded by
+O(file_ids + tail), not O(all transitions ever), no matter how old the
+warehouse is.
 """
 
 from __future__ import annotations
@@ -64,10 +73,16 @@ _TERMINAL_STATUSES = (STATUS_PROCESSED, STATUS_PROCESSED_WITH_ERRORS, STATUS_FAI
 class LedgerStore:
     """Parquet-backed append-only ledger under ``<warehouse>/ledger``."""
 
+    #: Append-tail checkpoint threshold: once the tail holds more small
+    #: parquet files than this, _checkpoint_events folds superseded
+    #: transitions into the compacted history and truncates the tail.
+    TAIL_MAX_FILES = 64
+
     def __init__(self, spark: SparkSession, warehouse_dir: str | Path):
         self.spark = spark
         self.path = str(Path(warehouse_dir) / "ledger")
         self.state_path = str(Path(warehouse_dir) / "ledger_state")
+        self.hist_path = str(Path(warehouse_dir) / "ledger_hist")
         # In-process append serialization: the API's upload thread and the
         # background processor share one store, and the compaction's
         # read-merge-publish is not safe to interleave. Cross-process
@@ -75,23 +90,61 @@ class LedgerStore:
         self._write_lock = threading.Lock()
         self._lock_path = Path(warehouse_dir) / "ledger.lock"
 
+    def _tail_files(self) -> list[Path]:
+        p = Path(self.path)
+        if not p.exists():
+            return []
+        return sorted(f for f in p.iterdir() if f.suffix == ".parquet")
+
+    def _hist_dir(self) -> Path | None:
+        """The published compacted-history version dir, if any."""
+        p = Path(self.hist_path)
+        if p.is_symlink():
+            target = p.parent / os.readlink(p)
+            if target.exists():
+                return target
+        versions = self._versions(self.hist_path)
+        return versions[-1] if versions else None
+
     def exists(self) -> bool:
-        return Path(self.path).exists() and any(Path(self.path).iterdir())
+        return bool(self._tail_files()) or self._hist_dir() is not None
 
     def _state_exists(self) -> bool:
         p = Path(self.state_path)
         return p.exists() and any(p.iterdir())
 
     def read_events(self) -> DataFrame:
-        if not self.exists():
+        """The queryable event log: compacted history ∪ append tail.
+
+        After a checkpoint the history holds one WINNER row per file (a
+        valid event row — superseded transitions are dropped, reference
+        parity: the reference keeps one mutable document per file and no
+        transition history at all), so this is bounded by O(files +
+        tail), never O(all transitions ever). The winner rule is
+        idempotent and associative, so every fold/replay over this view
+        equals a replay over the full historical log
+        (``test_ledger_compaction_equals_full_log_replay``).
+        """
+        parts = []
+        hist = self._hist_dir()
+        if hist is not None:
+            parts.append(self.spark.read.schema(LEDGER_SCHEMA).parquet(str(hist)))
+        if self._tail_files():
+            parts.append(self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path))
+        if not parts:
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
-        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def append(self, rows: list[dict]) -> None:
         """Append status-event rows; fills event_ts if absent.
 
         Also folds the new events into the compacted current-state table
-        so point-status reads stay keyed lookups (see module docstring).
+        so point-status reads stay keyed lookups (see module docstring),
+        and checkpoints the append tail once it exceeds TAIL_MAX_FILES
+        small files so a long-lived warehouse's event log stays bounded.
         """
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         full = [{"event_ts": now, **r} for r in rows]
@@ -102,6 +155,7 @@ class LedgerStore:
         with self._write_lock, self._process_lock():
             df.write.mode("append").parquet(self.path)
             self._compact(df)
+            self._checkpoint_events()
 
     def _process_lock(self):
         """Cross-process mutual exclusion for the append + compaction
@@ -159,9 +213,10 @@ class LedgerStore:
             .drop("rn")
         )
 
-    def _versions(self) -> list[Path]:
-        pat = re.compile(re.escape(Path(self.state_path).name) + r"\.v(\d+)$")
-        parent = Path(self.state_path).parent
+    def _versions(self, base: str | None = None) -> list[Path]:
+        base = base or self.state_path
+        pat = re.compile(re.escape(Path(base).name) + r"\.v(\d+)$")
+        parent = Path(base).parent
         if not parent.exists():
             return []
         found = [
@@ -170,6 +225,59 @@ class LedgerStore:
             if (m := pat.match(p.name))
         ]
         return [p for _, p in sorted(found)]
+
+    def _checkpoint_events(self) -> None:
+        """Bound the event log (called inside the write locks): once the
+        append tail exceeds TAIL_MAX_FILES small parquet files, fold it
+        into a new compacted-history version and truncate the tail.
+
+        The history content is exactly the published STATE winners — one
+        row per file_id, themselves valid LEDGER_SCHEMA events — so every
+        event already reflected in the state is folded and superseded
+        transitions are dropped (the reference keeps no transition
+        history either: one mutable document per file). Cost per
+        checkpoint is O(file_ids), never O(all events ever); the log's
+        file count is bounded by TAIL_MAX_FILES + the history's few
+        files regardless of warehouse age.
+
+        Publish discipline matches the state table: versioned dir +
+        atomic symlink replace + two-version retention, so a reader
+        mid-scan on the previous history survives. Tail files are listed
+        BEFORE the fold and deleted only after the publish; writers are
+        flock-serialized, so no concurrent append can land into the
+        deleted set."""
+        tail = self._tail_files()
+        if len(tail) <= self.TAIL_MAX_FILES:
+            return
+        # The state table was just folded from (prev state ∪ this append)
+        # under this same lock, so it reflects every tail event.
+        winners = self._latest_per_file(self.read_events())
+
+        versions = self._versions(self.hist_path)
+        next_n = (
+            int(versions[-1].name.rsplit(".v", 1)[1]) + 1 if versions else 1
+        )
+        new_dir = Path(f"{self.hist_path}.v{next_n}")
+        if new_dir.exists():
+            shutil.rmtree(new_dir)
+        (
+            winners.coalesce(1)
+            .sortWithinPartitions("file_id")
+            .write.mode("overwrite")
+            .parquet(str(new_dir))
+        )
+
+        hist = Path(self.hist_path)
+        swap = Path(self.hist_path + ".swap")
+        if swap.is_symlink() or swap.exists():
+            swap.unlink()
+        swap.symlink_to(new_dir.name)
+        os.replace(swap, hist)  # atomic: readers see old xor new history
+
+        for f in tail:
+            f.unlink(missing_ok=True)
+        for p in self._versions(self.hist_path)[:-2]:
+            shutil.rmtree(p, ignore_errors=True)
 
     def _compact(self, new_events: DataFrame) -> None:
         """state' = latest-per-file_id over (previous state ∪ new events).

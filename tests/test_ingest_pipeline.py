@@ -770,3 +770,51 @@ def test_products_fallback_ignores_torn_version(spark, tmp_path, landing):
             os.remove(s)
     assert wh.products().count() == 0
     assert not wh._has_products()
+
+
+def test_ledger_event_log_stays_bounded(spark, tmp_path):
+    """A long-lived warehouse's event log must not accrete one small file
+    per append forever: past TAIL_MAX_FILES the tail checkpoints into a
+    compacted ledger_hist version (winners only, symlink-published,
+    two-version retention) and truncates, so file count stays bounded
+    while every file's CURRENT status — including transitions that
+    happened before a checkpoint — survives replay."""
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    store = LedgerStore(spark, tmp_path)
+    store.TAIL_MAX_FILES = 3
+
+    for i in range(8):
+        store.append([_ledger_row(f"f{i}", "uploaded")])
+    # transition an early file AFTER its upload event was checkpointed
+    store.append([_ledger_row("f0", "processed")])
+    for i in range(8, 12):
+        store.append([_ledger_row(f"f{i}", "uploaded")])
+
+    # bounded: the tail can hold at most TAIL_MAX_FILES+1 files before the
+    # next append checkpoints it; history is a handful of compacted files
+    assert len(store._tail_files()) <= store.TAIL_MAX_FILES + 1
+    assert (tmp_path / "ledger_hist").is_symlink()
+    assert len(store._versions(store.hist_path)) <= 2
+
+    # nothing lost: every file readable, the pre-checkpoint transition won
+    replay = {
+        r["file_id"]: r["status"]
+        for r in store._latest_per_file(store.read_events()).collect()
+    }
+    assert set(replay) == {f"f{i}" for i in range(12)}
+    assert replay["f0"] == "processed"
+    current = {r["file_id"]: r["status"] for r in store.current().collect()}
+    assert current == replay
+    assert store.status_of("f0")["status"] == "processed"
+
+    # recovery still works with the state cache gone (hist ∪ tail suffices)
+    import shutil
+
+    state = tmp_path / "ledger_state"
+    if state.is_symlink():
+        state.unlink()
+    for v in store._versions():
+        shutil.rmtree(v, ignore_errors=True)
+    recovered = {r["file_id"]: r["status"] for r in store.current().collect()}
+    assert recovered == replay
