@@ -167,6 +167,18 @@ class ApiServer:
         ingestion, so the failure is attributed to the file that caused it
         and healthy files in the same batch still process.
         """
+        import sys
+        import traceback
+
+        # Startup janitor: resolve 'uploaded' events orphaned by a crash
+        # in the append-then-rename publish window of a PREVIOUS process
+        # (finish surviving tmp renames; fail aged eventless uploads) so
+        # no status is stuck pending forever. In-flight uploads of THIS
+        # process are protected by the age guard.
+        try:
+            self.warehouse.reap_orphaned_uploads(self.landing_dir)
+        except Exception:  # noqa: BLE001 - janitor must not kill the consumer
+            traceback.print_exc(file=sys.stderr)
         while not self._stop_evt.wait(self._poll_interval):
             self._consume_once()
 
@@ -194,6 +206,14 @@ class ApiServer:
         except Exception:  # noqa: BLE001
             traceback.print_exc(file=sys.stderr)
             return
+        # Prune retry entries whose file is no longer pending (removed
+        # out-of-band, or ingested/terminally marked by another process):
+        # a leaked entry would pin this consumer in the slow per-file
+        # isolation path forever, since only a local ingest/mark pops it.
+        pending_ids = {Path(p).name for p in pending}
+        for fid in list(self._retry_state):
+            if fid not in pending_ids:
+                self._retry_state.pop(fid, None)
         for path in pending:
             fid = Path(path).name
             n_prev, next_try = self._retry_state.get(fid, (0, 0.0))

@@ -36,6 +36,7 @@ from .schema import (
     STATUS_FAILED,
     STATUS_PROCESSED,
     STATUS_PROCESSED_WITH_ERRORS,
+    STATUS_UPLOADED,
 )
 from .sources.json_ingest import (
     CHUNK_RECORDS,
@@ -235,6 +236,70 @@ class ProductWarehouse:
                 target_file_bytes=target_file_bytes,
                 sort_col="code",
             )
+
+    def reap_orphaned_uploads(
+        self, landing_dir: str | Path, min_age_seconds: float = 60.0
+    ) -> list[str]:
+        """Crash janitor for the upload publish window: the HTTP shim
+        appends the ``uploaded`` ledger event BEFORE the atomic rename
+        that makes the landing file visible (sources/landing.py), so a
+        crash (or failed rename) in between leaves an event for a file
+        that never landed. Discovery is filesystem-driven — nothing can
+        ever resolve that event, and GET /upload/status would report
+        pending forever.
+
+        For each ``uploaded``-status file with no landing file:
+
+        - if its ``.tmp`` sibling survives, FINISH the interrupted rename
+          (``before_visible`` runs only after the bytes are durably
+          written, so a tmp alongside an appended event is complete) —
+          the upload resurrects and processes normally;
+        - else, once older than ``min_age_seconds`` (guards the benign
+          in-flight window between append and rename), mark it terminally
+          ``failed`` — the same contract as an exhausted retry.
+
+        Returns the file_ids marked failed. Driver traffic is bounded by
+        the PENDING upload set, never ledger history."""
+        if not self.ledger.exists():
+            return []
+        landing = Path(landing_dir)
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        reaped: list[str] = []
+        events: list[dict] = []
+        rows = (
+            self.ledger.current()
+            .filter(F.col("status") == STATUS_UPLOADED)
+            .select("file_id", "filename", "location", "uploaded_at")
+            .collect()
+        )
+        for r in rows:
+            fid = r["file_id"]
+            if (landing / fid).exists():
+                continue  # landed; discovery will resolve it
+            tmp = landing / f".{fid}.tmp"
+            if tmp.exists():
+                os.replace(tmp, landing / fid)  # finish the publish
+                continue
+            age = (now - r["uploaded_at"]).total_seconds() if r["uploaded_at"] else None
+            if age is not None and age < min_age_seconds:
+                continue  # benign in-flight window
+            events.append(
+                {
+                    "file_id": fid,
+                    "filename": r["filename"],
+                    "location": r["location"],
+                    "uploaded_at": r["uploaded_at"] or now,
+                    "content_type": "application/json",
+                    "status": STATUS_FAILED,
+                    "total_records": 0,
+                    "records_processed": 0,
+                    "records_failed": 0,
+                }
+            )
+            reaped.append(fid)
+        if events:
+            self.ledger.append(events)
+        return reaped
 
     # -- ingestion -----------------------------------------------------------
 

@@ -232,3 +232,82 @@ def test_consumer_poison_file_bounded_then_terminal_failed(spark, tmp_path):
         assert n_events == 2  # uploaded + failed
     finally:
         server.stop()
+
+
+def test_reap_orphaned_uploads(spark, tmp_path):
+    """An 'uploaded' event whose landing file never appeared (crash in the
+    append-then-rename publish window) must not stay pending forever: a
+    surviving tmp file gets its rename finished (the bytes are complete by
+    contract), an aged eventless orphan is marked terminally failed, and a
+    fresh in-flight upload is left alone."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+
+    def uploaded_event(fid, age_s):
+        ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(
+            seconds=age_s
+        )
+        return {
+            "file_id": fid,
+            "filename": fid.split("_", 2)[-1],
+            "location": str(landing / fid),
+            "uploaded_at": ts,
+            "event_ts": ts,
+            "content_type": "application/json",
+            "status": "uploaded",
+            "total_records": 0,
+            "records_processed": 0,
+            "records_failed": 0,
+        }
+
+    # aged orphan: event, no file, no tmp
+    wh.ledger.append([uploaded_event("100_tok1_dead.json", age_s=600)])
+    # crash between bytes-written and rename: event + complete tmp
+    wh.ledger.append([uploaded_event("101_tok2_interrupted.json", age_s=600)])
+    (landing / ".101_tok2_interrupted.json.tmp").write_bytes(
+        json.dumps([{"code": "0042", "product_name": "Lazarus"}]).encode()
+    )
+    # fresh in-flight upload: event only, too young to reap
+    wh.ledger.append([uploaded_event("102_tok3_inflight.json", age_s=1)])
+
+    reaped = wh.reap_orphaned_uploads(landing, min_age_seconds=60)
+    assert reaped == ["100_tok1_dead.json"]
+
+    statuses = {
+        r["file_id"]: r["status"] for r in wh.ledger.current().collect()
+    }
+    assert statuses["100_tok1_dead.json"] == "failed"
+    assert statuses["102_tok3_inflight.json"] == "uploaded"  # untouched
+    # the interrupted upload resurrected: file visible, still pending,
+    # and a normal ingest resolves it
+    assert (landing / "101_tok2_interrupted.json").exists()
+    assert statuses["101_tok2_interrupted.json"] == "uploaded"
+    wh.ingest(landing)
+    assert wh.ledger.status_of("101_tok2_interrupted.json")["status"] == "processed"
+    assert {r["code"] for r in wh.products().collect()} == {"0042"}
+
+
+def test_consumer_retry_state_prunes_vanished_files(spark, tmp_path):
+    """A _retry_state entry whose file is no longer pending (removed
+    out-of-band or resolved by another process) must be pruned, or the
+    consumer stays in the slow per-file isolation path forever."""
+    server = ApiServer(spark, tmp_path / "wh", tmp_path / "landing")
+    try:
+        # a tracked file that no longer exists anywhere
+        server._retry_state["999_gone_ghost.json"] = (1, 0.0)
+        # plus a healthy upload so the tick has real work
+        recs = [{"code": "8001", "product_name": "Still Here"}]
+        _, up = server.do_upload("ok.json", json.dumps(recs).encode(), "application/json")
+        server._consume_once()  # isolation path (retry state non-empty)
+        assert server._retry_state == {}  # ghost pruned, healthy popped
+        _, st = server.do_status(up["file_id"])
+        assert st["status"] == "processed"
+        # next tick takes the fast path again (no retry state to trap it)
+        server._consume_once()
+    finally:
+        server.stop()
