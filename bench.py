@@ -62,6 +62,59 @@ def _ingest_bench(spark, n: int) -> float:
     return elapsed
 
 
+def _indexed_ann_probes(spark, sf_dir: str, n_runs: int) -> dict[str, list[float]]:
+    """Serving-shape ANN timings: build each persisted index ONCE
+    (untimed — at scale a build is amortized over millions of probes),
+    then time the pure probe paths (planning-time partition pruning, no
+    Python in the serving plan). These are the numbers that matter at
+    100 TB; the registered ``ann_*_indexed`` queries rebuild their index
+    per invocation for oracle hermeticity and therefore time build+probe."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk_indexed,
+        lsh_build_index,
+        lsh_planes_for_corpus,
+        lsh_topk_indexed,
+        pq_build_index,
+        pq_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter("vec_id != 0")
+    idx = Path(tempfile.mkdtemp(prefix="bench_ann_idx_"))
+    n_planes = lsh_planes_for_corpus(rest.count(), k=10)
+    lsh_build_index(rest, idx, dim=64, n_planes=n_planes)
+    ivf_build_index(rest, idx, n_clusters=16)
+    pq_build_index(rest, idx)
+
+    probes = {
+        "ann_lsh_probe_indexed": lambda: lsh_topk_indexed(
+            spark, idx, qvec, k=10, probe_hamming=1
+        ),
+        "ann_ivf_probe_indexed": lambda: ivf_topk_indexed(
+            spark, idx, qvec, k=10, n_probe=4
+        ),
+        "ann_pq_probe_indexed": lambda: pq_topk_indexed(spark, idx, qvec, rest, k=10),
+    }
+    out: dict[str, list[float]] = {}
+    for name, fn in probes.items():
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        out[name] = runs
+    shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -96,6 +149,10 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
+    for name, runs in _indexed_ann_probes(spark, sf_dir, n_runs).items():
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 

@@ -190,7 +190,9 @@ def lsh_topk_indexed(
     if probe_hamming >= 1:
         probes += [bucket ^ (1 << i) for i in range(n_planes)]
 
-    bucketed = spark.read.parquet(str(index_dir / "bucketed"))
+    bucketed = _with_increments(
+        spark, index_dir / "bucketed", index_dir / "bucketed_inc"
+    )
     cand = bucketed.filter(F.col("bucket").isin(probes))
     q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
     sims = cand.crossJoin(q).select(
@@ -471,7 +473,9 @@ def ivf_topk_indexed(
     qvec /= max(np.linalg.norm(qvec), 1e-12)
     probe = [int(p) for p in np.argsort(-(centroids @ qvec))[:n_probe]]
 
-    assigned = spark.read.parquet(str(index_dir / "assigned"))
+    assigned = _with_increments(
+        spark, index_dir / "assigned", index_dir / "assigned_inc"
+    )
     cand = assigned.filter(F.col("cluster").isin(probe))
     q = F.broadcast(query.select(as_double(F.col(vec_col)).alias("q_vec")))
     sims = cand.crossJoin(q).select(
@@ -690,6 +694,119 @@ def pq_build_index(
     )
 
 
+# -- incremental index maintenance ------------------------------------------
+#
+# A persisted index is built once, but the corpus keeps growing: each
+# micro-batch of newly-ingested vectors is encoded with the index's FROZEN
+# parameters (the seeded LSH projection / persisted IVF centroids / PQ
+# codebooks — retraining is an offline rebuild, standard ANN practice) and
+# written as an increment the serving readers union with the base table.
+# Layout per family: ``<table>_inc/ingest_batch=B/...`` with the SAME
+# pruning partition column as the base, so planning-time partition pruning
+# applies to increments exactly as to the base. Each increment dir is
+# written tmp+atomic-rename and keyed by micro-batch id, so a crash-replay
+# overwrites its own dir (idempotent) and a fresh-checkpoint replay is
+# skipped by the batch-id guard in streaming/index_stream.py.
+
+
+def _write_increment(df: DataFrame, inc_root, batch_id: int, partition_by=None) -> None:
+    import shutil
+    from pathlib import Path
+
+    inc_root = Path(inc_root)
+    inc_root.mkdir(parents=True, exist_ok=True)
+    tmp = inc_root.parent / f".{inc_root.name}.b{batch_id}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(tmp))
+    final = inc_root / f"ingest_batch={batch_id}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+
+
+def _with_increments(spark, base, inc) -> DataFrame:
+    """The full index table: base ∪ increments (if any). Both sides carry
+    the pruning column as a partition column, so a driver-side
+    ``isin`` filter prunes partitions on each."""
+    from pathlib import Path
+
+    df = spark.read.parquet(str(base))
+    inc = Path(inc)
+    if inc.exists() and any(inc.iterdir()):
+        df = df.unionByName(spark.read.parquet(str(inc)).drop("ingest_batch"))
+    return df
+
+
+def last_index_increment(index_dir) -> int:
+    """Highest micro-batch id already folded into any increment store of
+    this index dir, or -1 — the fresh-checkpoint replay guard."""
+    import re as _re
+    from pathlib import Path
+
+    top = -1
+    for name in ("bucketed_inc", "assigned_inc", "codes_inc"):
+        root = Path(index_dir) / name
+        if not root.exists():
+            continue
+        for p in root.iterdir():
+            m = _re.match(r"^ingest_batch=(\d+)$", p.name)
+            if m:
+                top = max(top, int(m.group(1)))
+    return top
+
+
+def append_index_increments(
+    batch_df: DataFrame,
+    index_dir,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[str]:
+    """Fold one micro-batch of new vectors into every persisted index
+    present under ``index_dir`` (detected by its parameter sidecar).
+    Returns the families updated. Cost is O(batch) per family — the batch
+    is encoded with frozen parameters and appended; nothing existing is
+    read or rewritten."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    index_dir = Path(index_dir)
+    updated: list[str] = []
+
+    meta_p = index_dir / "lsh_meta.json"
+    if meta_p.exists():
+        meta = json.loads(meta_p.read_text())
+        bucketed = with_lsh_bucket(batch_df, meta["dim"], meta["n_planes"], vec_col)
+        _write_increment(
+            bucketed, index_dir / "bucketed_inc", batch_id, partition_by="bucket"
+        )
+        updated.append("lsh")
+
+    cent_p = index_dir / "centroids.json"
+    if cent_p.exists():
+        centroids = np.array(json.loads(cent_p.read_text()))
+        assigned = ivf_assign(batch_df, centroids, vec_col)
+        _write_increment(
+            assigned, index_dir / "assigned_inc", batch_id, partition_by="cluster"
+        )
+        updated.append("ivf")
+
+    books_p = index_dir / "codebooks.json"
+    if books_p.exists():
+        books = [np.array(b) for b in json.loads(books_p.read_text())]
+        codes = pq_encode(batch_df, books, vec_col).select(id_col, "pq_code")
+        _write_increment(codes, index_dir / "codes_inc", batch_id)
+        updated.append("pq")
+
+    return updated
+
+
 def pq_topk_indexed(
     spark,
     index_dir,
@@ -718,7 +835,7 @@ def pq_topk_indexed(
     qvec /= max(np.linalg.norm(qvec), 1e-12)
     lut = _pq_adc_lut(qvec, books)
 
-    codes = spark.read.parquet(str(index_dir / "codes"))
+    codes = _with_increments(spark, index_dir / "codes", index_dir / "codes_inc")
     shortlist = (
         codes.select(F.col(id_col), _pq_adc_score(lut).alias("adc_score"))
         .orderBy(F.col("adc_score").desc(), F.col(id_col))

@@ -1,0 +1,71 @@
+"""Incremental ANN index maintenance from a streaming vector source.
+
+The persisted LSH / IVF / PQ indexes (operators/similarity.py) are built
+once; without maintenance, serving goes stale the moment the corpus
+stream lands new vectors. This stream folds each micro-batch of newly
+ingested vectors into every index present under ``index_dir`` —
+detected by its parameter sidecar — by encoding the batch with the
+index's FROZEN parameters (seeded hyperplanes / persisted centroids /
+persisted codebooks; retraining is an offline rebuild, standard ANN
+practice) and appending an increment the serving readers union with the
+base table (``_with_increments``). The pruning partition column (bucket
+/ cluster) is preserved on increments, so indexed probes keep their
+planning-time partition pruning over base AND increments.
+
+Exactly-once without a transactional sink, the repo's standard recipe:
+each increment is keyed by micro-batch id (``ingest_batch=B``) and
+written tmp + atomic rename, so a crash-replay of the same batch
+overwrites its own directory (idempotent); a fresh-checkpoint replay of
+already-folded files is skipped by the ``last_index_increment`` guard.
+Per-batch cost is O(batch) per family — nothing existing is read or
+rewritten (contrast: the packed/rollup sinks must merge; an index
+increment is pure append).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.similarity import append_index_increments, last_index_increment
+
+
+def start_index_stream(
+    spark: SparkSession,
+    vectors_dir: str | Path,
+    index_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream parquet files of new vectors into the increments of every
+    persisted index under ``index_dir``. ``vectors_dir`` must hold only
+    vectors NOT in the base build (the base snapshot and the increment
+    feed are disjoint by construction in an ingest pipeline — the base is
+    built from a snapshot, the stream consumes arrivals after it).
+    ``available_now=True`` drains what's landed and stops."""
+    idx = Path(index_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(vectors_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_index_increment(idx):
+            return  # fresh-checkpoint replay of an already-folded batch
+        append_index_increments(
+            batch_df, idx, batch_id, id_col=id_col, vec_col=vec_col
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -729,3 +729,118 @@ def test_stream_sink_compaction_preserves_replay(spark, tmp_path):
         full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
     )
     assert norm_p(current_packed(spark, packed_dir)) == norm_p(expected)
+
+
+def test_index_stream_equals_batch(spark, tmp_path):
+    """Incrementally-maintained ANN indexes must equal a batch encode of
+    the full corpus with the same FROZEN parameters, for all three
+    families at once (LSH buckets are seeded-deterministic; IVF uses the
+    persisted centroids; PQ the persisted codebooks), and the indexed
+    serving paths must return the frozen-parameter in-flight results over
+    the full corpus. Replays — same checkpoint and fresh checkpoint —
+    must not duplicate increments."""
+    import json
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        _with_increments,
+        ann_topk,
+        ivf_assign,
+        ivf_build_index,
+        lsh_build_index,
+        lsh_topk_indexed,
+        pq_build_index,
+        pq_encode,
+        with_lsh_bucket,
+    )
+    from data_pipeline_challenge_spark.streaming.index_stream import (
+        start_index_stream,
+    )
+
+    import numpy as np
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = emb.filter("vec_id != 0")
+    base = full.filter("vec_id < 300")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+
+    idx = tmp_path / "idx"
+    lsh_build_index(base, idx, dim=64, n_planes=4)
+    ivf_build_index(base, idx, n_clusters=8)
+    pq_build_index(base, idx)
+
+    vectors_dir = tmp_path / "vec_in"
+    vectors_dir.mkdir()
+    for lo, hi in ((300, 400), (400, 500)):
+        full.filter(f"vec_id >= {lo} and vec_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(vectors_dir))
+
+    def run(ckpt):
+        q = start_index_stream(
+            spark, vectors_dir, idx, ckpt, emb.schema,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run(tmp_path / "ck1")  # two part files -> increments folded
+
+    # LSH: maintained buckets == one seeded bucket pass over the full corpus
+    got_lsh = {
+        (r["vec_id"], r["bucket"])
+        for r in _with_increments(spark, idx / "bucketed", idx / "bucketed_inc")
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    want_lsh = {
+        (r["vec_id"], r["bucket"])
+        for r in with_lsh_bucket(full, dim=64, n_planes=4)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert got_lsh == want_lsh
+
+    # IVF: maintained assignment == frozen-centroid assignment of the corpus
+    centroids = np.array(json.loads((idx / "centroids.json").read_text()))
+    got_ivf = {
+        (r["vec_id"], r["cluster"])
+        for r in _with_increments(spark, idx / "assigned", idx / "assigned_inc")
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    want_ivf = {
+        (r["vec_id"], r["cluster"])
+        for r in ivf_assign(full, centroids).select("vec_id", "cluster").collect()
+    }
+    assert got_ivf == want_ivf
+
+    # PQ: maintained codes == frozen-codebook encode of the corpus
+    books = [np.array(b) for b in json.loads((idx / "codebooks.json").read_text())]
+    got_pq = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in _with_increments(spark, idx / "codes", idx / "codes_inc").collect()
+    }
+    want_pq = {
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq_encode(full, books).select("vec_id", "pq_code").collect()
+    }
+    assert got_pq == want_pq
+
+    # serving stays fresh: indexed probe == in-flight over the FULL corpus
+    got_topk = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in lsh_topk_indexed(spark, idx, qvec, k=10, probe_hamming=1).collect()
+    ]
+    want_topk = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk(full, qvec, dim=64, k=10, n_planes=4, probe_hamming=1).collect()
+    ]
+    assert got_topk == want_topk
+
+    # replays cannot duplicate: same checkpoint (no new files), then a
+    # FRESH checkpoint replaying everything as batch 0
+    n_before = len(got_lsh)
+    run(tmp_path / "ck1")
+    run(tmp_path / "ck2")
+    got_after = _with_increments(spark, idx / "bucketed", idx / "bucketed_inc").count()
+    assert got_after == n_before
