@@ -97,13 +97,24 @@ class LedgerStore:
         return sorted(f for f in p.iterdir() if f.suffix == ".parquet")
 
     def _hist_dir(self) -> Path | None:
-        """The published compacted-history version dir, if any."""
+        """The published compacted-history version dir, if any. The
+        no-symlink fallback only trusts a COMPLETE version (``_SUCCESS``
+        present): a crash mid-checkpoint-write leaves a torn hist dir,
+        and the tail it would have folded is still intact (tail files are
+        deleted only after the publish), so ignoring the torn dir loses
+        nothing. A complete-but-unpublished hist double-counts its events
+        with the still-intact tail — harmless, the winner rule is
+        idempotent."""
         p = Path(self.hist_path)
         if p.is_symlink():
             target = p.parent / os.readlink(p)
             if target.exists():
                 return target
-        versions = self._versions(self.hist_path)
+        versions = [
+            v
+            for v in self._versions(self.hist_path)
+            if (v / "_SUCCESS").exists()
+        ]
         return versions[-1] if versions else None
 
     def exists(self) -> bool:

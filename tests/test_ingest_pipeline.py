@@ -818,3 +818,25 @@ def test_ledger_event_log_stays_bounded(spark, tmp_path):
         shutil.rmtree(v, ignore_errors=True)
     recovered = {r["file_id"]: r["status"] for r in store.current().collect()}
     assert recovered == replay
+
+
+def test_ledger_hist_fallback_ignores_torn_version(spark, tmp_path):
+    """A crash mid-checkpoint leaves a torn ledger_hist version with no
+    symlink published and the tail intact; the hist fallback must ignore
+    the torn dir (no _SUCCESS) so reads keep working from the tail."""
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    store = LedgerStore(spark, tmp_path)
+    store.append([_ledger_row("f1", "uploaded")])
+    store.append([_ledger_row("f2", "processed")])
+
+    torn = tmp_path / "ledger_hist.v1"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"\x00not parquet")
+
+    replay = {
+        r["file_id"]: r["status"]
+        for r in store._latest_per_file(store.read_events()).collect()
+    }
+    assert replay == {"f1": "uploaded", "f2": "processed"}
+    assert store.status_of("f2")["status"] == "processed"
