@@ -86,7 +86,11 @@ def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> No
     ``S not in skip_shards`` into ``new_dir``. Metadata-only (os.link):
     untouched shards cost O(#files), not O(bytes). Safe because packed
     parquet files are immutable — versions are only ever created whole
-    and rmtree'd, never edited in place."""
+    and rmtree'd, never edited in place. (Hard links assume a POSIX
+    filesystem — the local/HDFS deployment; on an object store the same
+    O(touched) contract comes from a manifest listing per-version file
+    sets instead of physical directories, i.e. a table format's commit
+    log. The directory layout here is the plain-parquet stand-in.)"""
     for shard_dir in prev_dir.glob("shard=*"):
         try:
             s = int(shard_dir.name.split("=", 1)[1])

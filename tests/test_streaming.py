@@ -844,3 +844,13 @@ def test_index_stream_equals_batch(spark, tmp_path):
     run(tmp_path / "ck2")
     got_after = _with_increments(spark, idx / "bucketed", idx / "bucketed_inc").count()
     assert got_after == n_before
+
+    # pruning survives maintenance: the indexed probe's plan partition-
+    # filters on bucket for BOTH the base scan and the increment scan
+    probe = lsh_topk_indexed(spark, idx, qvec, k=10, probe_hamming=1)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    segs = [seg.split("\n")[0] for seg in plan.split("PartitionFilters")[1:]]
+    assert len(segs) >= 2  # base + increments
+    assert all("bucket" in seg for seg in segs)
