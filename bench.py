@@ -104,14 +104,16 @@ def _indexed_ann_probes(spark, sf_dir: str, n_runs: int) -> dict[str, list[float
         "ann_pq_probe_indexed": lambda: pq_topk_indexed(spark, idx, qvec, rest, k=10),
     }
     out: dict[str, list[float]] = {}
-    for name, fn in probes.items():
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        out[name] = runs
-    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        for name, fn in probes.items():
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            out[name] = runs
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     return out
 
 

@@ -104,12 +104,16 @@ def compact_published_table(
     further publish before cleanup); new readers plan against the
     compacted files.
 
-    ``partition_by`` preserves a partitioned layout (the packed table's
-    ``shard=S/`` dirs must survive compaction or the incremental packer's
-    touched-shard rewrite breaks). The ``_folded_batch`` marker, when the
-    source version carries one (stream sinks), is carried forward — a
-    compacted version folds no new batch, so the stream's replay-skip
-    must keep answering with the last REAL batch id.
+    A partitioned layout is PRESERVED by default: when ``partition_by``
+    is None, the current version's single-level ``col=value`` dirs are
+    detected and re-applied (the packed table's ``shard=S/`` dirs must
+    survive compaction or the incremental packer's touched-shard rewrite
+    silently drops untouched shards a batch later). Pass an explicit
+    list — or ``[]`` to deliberately flatten — to override. The
+    ``_folded_batch`` marker, when the source version carries one
+    (stream sinks), is carried forward — a compacted version folds no
+    new batch, so the stream's replay-skip must keep answering with the
+    last REAL batch id.
 
     Writer coordination is the CALLER's job: hold the table's writer lock
     (products/ledger), or compact a stream sink only while its stream is
@@ -133,6 +137,17 @@ def compact_published_table(
         for p in parent.iterdir()
         if (vm := vpat.match(p.name))
     )
+
+    if partition_by is None:
+        # Preserve the current version's partition layout unless the
+        # caller explicitly overrides (None = auto; [] = flatten).
+        detected = {
+            p.name.split("=", 1)[0]
+            for p in cur.iterdir()
+            if p.is_dir() and "=" in p.name and not p.name.startswith("_")
+        }
+        if len(detected) == 1:
+            partition_by = sorted(detected)
 
     parts = [p for p in cur.rglob("*.parquet") if p.is_file()]
     total = sum(p.stat().st_size for p in parts)
@@ -168,12 +183,23 @@ def compact_published_table(
     swap.symlink_to(final.name)
     os.replace(swap, link)  # atomic: readers see old xor new version
 
+    # Retention must rank only COMPLETE versions: a torn higher-numbered
+    # dir (crash remnant — writers are caller-coordinated, so it can't be
+    # in-flight) would otherwise displace the just-retired live version
+    # from the keep-2 window while a pinned reader is still scanning it.
+    # Torn dirs are dead weight — delete them outright.
     versions = sorted(
         (int(vm.group(1)), p)
         for p in parent.iterdir()
         if (vm := vpat.match(p.name))
     )
-    for _, p in versions[:-2]:
+    complete = []
+    for n, p in versions:
+        if p == final or (p / "_SUCCESS").exists():
+            complete.append((n, p))
+        else:
+            shutil.rmtree(p, ignore_errors=True)
+    for _, p in complete[:-2]:
         shutil.rmtree(p, ignore_errors=True)
 
     after = len([p for p in final.rglob("*.parquet") if p.is_file()])

@@ -742,21 +742,38 @@ def _with_increments(spark, base, inc) -> DataFrame:
 
 
 def last_index_increment(index_dir) -> int:
-    """Highest micro-batch id already folded into any increment store of
-    this index dir, or -1 — the fresh-checkpoint replay guard."""
+    """Highest micro-batch id folded into EVERY present index family (the
+    MIN across families), or -1 — the fresh-checkpoint replay guard.
+
+    Min, not max: a crash between per-family increment writes leaves the
+    batch folded into some families only; a max-based guard would skip
+    the replay and silently lose the batch for the families written
+    later forever. With min, the replay re-runs ``append_index_increments``
+    — idempotent per family (each overwrites its own batch dir) — and
+    fills the missing ones. A family counts as present when its parameter
+    sidecar exists; one with a sidecar but no increments yet reports -1,
+    which correctly forces the fold."""
     import re as _re
     from pathlib import Path
 
-    top = -1
-    for name in ("bucketed_inc", "assigned_inc", "codes_inc"):
-        root = Path(index_dir) / name
-        if not root.exists():
+    index_dir = Path(index_dir)
+    per_family: list[int] = []
+    for sidecar, inc_name in (
+        ("lsh_meta.json", "bucketed_inc"),
+        ("centroids.json", "assigned_inc"),
+        ("codebooks.json", "codes_inc"),
+    ):
+        if not (index_dir / sidecar).exists():
             continue
-        for p in root.iterdir():
-            m = _re.match(r"^ingest_batch=(\d+)$", p.name)
-            if m:
-                top = max(top, int(m.group(1)))
-    return top
+        top = -1
+        root = index_dir / inc_name
+        if root.exists():
+            for p in root.iterdir():
+                m = _re.match(r"^ingest_batch=(\d+)$", p.name)
+                if m:
+                    top = max(top, int(m.group(1)))
+        per_family.append(top)
+    return min(per_family) if per_family else -1
 
 
 def append_index_increments(

@@ -73,38 +73,16 @@ class ProductWarehouse:
     def _products_lock(self):
         """Cross-process mutual exclusion for the products
         read-merge-publish critical section (and compaction): an exclusive
-        ``flock`` on ``<warehouse>/products.lock``, the ledger.lock
-        discipline. Without it two concurrent merges both compute
-        ``products.v{N+1}``: one rmtrees the dir the other just published
-        and the last symlink swap silently drops the other writer's rows.
-        A second writer BLOCKS here (not fails); since the merge re-reads
+        ``flock`` on ``<warehouse>/products.lock`` (shared implementation:
+        ``locking.file_lock``, the ledger.lock discipline). Without it two
+        concurrent merges both compute ``products.v{N+1}``: one rmtrees
+        the dir the other just published and the last symlink swap
+        silently drops the other writer's rows. Since the merge re-reads
         the published table inside the lock, serialized writers fold each
-        other's rows correctly. flock dies with the process — a crashed
-        writer can never wedge the warehouse. No-op without fcntl."""
-        import contextlib
+        other's rows correctly."""
+        from .locking import file_lock
 
-        try:
-            import fcntl
-        except ImportError:  # pragma: no cover - non-POSIX fallback
-
-            @contextlib.contextmanager
-            def _noop():
-                yield
-
-            return _noop()
-
-        @contextlib.contextmanager
-        def _locked():
-            self._products_lock_path.parent.mkdir(parents=True, exist_ok=True)
-            fd = os.open(self._products_lock_path, os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-
-        return _locked()
+        return file_lock(self._products_lock_path)
 
     # -- products table ------------------------------------------------------
 
@@ -210,7 +188,18 @@ class ProductWarehouse:
         swap.symlink_to(new_dir.name)
         os.replace(swap, state)  # atomic: readers see old xor new version
 
-        for p in self._product_versions()[:-2]:
+        # Retention ranks only COMPLETE versions: a torn higher-numbered
+        # crash remnant must not displace the just-retired live version
+        # from the keep-2 window (a pinned reader may still be scanning
+        # it). Writers hold the products flock, so an incomplete dir here
+        # is never in-flight — delete it outright.
+        complete = []
+        for p in self._product_versions():
+            if p == new_dir or (p / "_SUCCESS").exists():
+                complete.append(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in complete[:-2]:
             shutil.rmtree(p, ignore_errors=True)
         legacy = self.dir / "products.legacy"
         if legacy.exists():
@@ -250,10 +239,15 @@ class ProductWarehouse:
 
         For each ``uploaded``-status file with no landing file:
 
-        - if its ``.tmp`` sibling survives, FINISH the interrupted rename
+        - if its ``.tmp`` sibling survives AND the event is older than
+          ``min_age_seconds``, FINISH the interrupted rename
           (``before_visible`` runs only after the bytes are durably
           written, so a tmp alongside an appended event is complete) —
-          the upload resurrects and processes normally;
+          the upload resurrects and processes normally. The age guard
+          matters here too: a FRESH tmp belongs to a LIVE upload whose
+          own rename is microseconds away — stealing it would make the
+          uploader's ``os.replace`` raise and 500 a request that
+          actually landed;
         - else, once older than ``min_age_seconds`` (guards the benign
           in-flight window between append and rename), mark it terminally
           ``failed`` — the same contract as an exhausted retry.
@@ -276,13 +270,16 @@ class ProductWarehouse:
             fid = r["file_id"]
             if (landing / fid).exists():
                 continue  # landed; discovery will resolve it
-            tmp = landing / f".{fid}.tmp"
-            if tmp.exists():
-                os.replace(tmp, landing / fid)  # finish the publish
-                continue
             age = (now - r["uploaded_at"]).total_seconds() if r["uploaded_at"] else None
             if age is not None and age < min_age_seconds:
-                continue  # benign in-flight window
+                continue  # benign in-flight window (rename or tmp write live)
+            tmp = landing / f".{fid}.tmp"
+            if tmp.exists():
+                try:
+                    os.replace(tmp, landing / fid)  # finish the publish
+                except FileNotFoundError:
+                    pass  # the (slow) uploader's own rename won the race
+                continue
             events.append(
                 {
                     "file_id": fid,

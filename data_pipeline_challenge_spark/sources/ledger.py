@@ -171,36 +171,13 @@ class LedgerStore:
     def _process_lock(self):
         """Cross-process mutual exclusion for the append + compaction
         critical section: an exclusive ``flock`` on
-        ``<warehouse>/ledger.lock``, held until the state publish lands. A
-        second writer process BLOCKS here (not fails): since ``_compact``
+        ``<warehouse>/ledger.lock``, held until the state publish lands
+        (shared implementation: ``locking.file_lock``). Since ``_compact``
         re-reads the published state inside the lock, serialized writers
-        fold each other's events correctly. flock dies with the process,
-        so a crashed writer can never leave the warehouse wedged. No-op on
-        platforms without fcntl."""
-        import contextlib
+        fold each other's events correctly."""
+        from ..locking import file_lock
 
-        try:
-            import fcntl
-        except ImportError:  # pragma: no cover - non-POSIX fallback
-
-            @contextlib.contextmanager
-            def _noop():
-                yield
-
-            return _noop()
-
-        @contextlib.contextmanager
-        def _locked():
-            self._lock_path.parent.mkdir(parents=True, exist_ok=True)
-            fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-
-        return _locked()
+        return file_lock(self._lock_path)
 
     @staticmethod
     def _latest_per_file(events: DataFrame) -> DataFrame:
@@ -261,8 +238,14 @@ class LedgerStore:
         if len(tail) <= self.TAIL_MAX_FILES:
             return
         # The state table was just folded from (prev state ∪ this append)
-        # under this same lock, so it reflects every tail event.
-        winners = self._latest_per_file(self.read_events())
+        # under this same lock, so it already IS the winner set — read it
+        # plain (one row per file, no shuffle/window) instead of
+        # re-folding hist ∪ tail; the window fold is only the fallback
+        # for a state-less warehouse.
+        if self._state_exists():
+            winners = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
+        else:
+            winners = self._latest_per_file(self.read_events())
 
         versions = self._versions(self.hist_path)
         next_n = (
@@ -287,7 +270,13 @@ class LedgerStore:
 
         for f in tail:
             f.unlink(missing_ok=True)
-        for p in self._versions(self.hist_path)[:-2]:
+        complete = []
+        for p in self._versions(self.hist_path):
+            if p == new_dir or (p / "_SUCCESS").exists():
+                complete.append(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in complete[:-2]:
             shutil.rmtree(p, ignore_errors=True)
 
     def _compact(self, new_events: DataFrame) -> None:
@@ -346,8 +335,16 @@ class LedgerStore:
         # the symlink just before the repoint may still be scanning the old
         # directory. Only versions at least two swaps old are deleted, so a
         # reader's window would have to span two full compactions to race
-        # the cleanup.
-        for p in self._versions()[:-2]:
+        # the cleanup. Rank only COMPLETE versions for the keep-2 window: a
+        # torn higher-numbered crash remnant (writers hold the flock, so it
+        # can't be in-flight) must not displace the just-retired live dir.
+        complete = []
+        for p in self._versions():
+            if p == new_dir or (p / "_SUCCESS").exists():
+                complete.append(p)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in complete[:-2]:
             shutil.rmtree(p, ignore_errors=True)
         legacy = Path(self.state_path + ".legacy")
         if legacy.exists():
@@ -372,8 +369,11 @@ class LedgerStore:
         Retries once on a torn read: if a concurrent compaction retires
         the state version this reader resolved (possible only when the
         read spans two full compactions), the retry resolves the fresh
-        symlink; the terminal fallback replays the event log, which is
-        append-only and therefore always readable.
+        symlink. The terminal fallback replays the event-log view
+        (hist ∪ tail) — itself retried, because a concurrent writer's
+        tail CHECKPOINT can unlink tail files between this reader's
+        planning and execution; a re-plan lists the fresh hist + tail,
+        which together always cover every event.
         """
         for _ in range(2):
             try:
@@ -381,9 +381,15 @@ class LedgerStore:
                 return rows[0].asDict() if rows else None
             except Exception:  # noqa: BLE001 - state version raced a compaction
                 continue
-        rows = (
-            self._latest_per_file(self.read_events())
-            .filter(F.col("file_id") == file_id)
-            .collect()
-        )
-        return rows[0].asDict() if rows else None
+        last_exc = None
+        for _ in range(3):
+            try:
+                rows = (
+                    self._latest_per_file(self.read_events())
+                    .filter(F.col("file_id") == file_id)
+                    .collect()
+                )
+                return rows[0].asDict() if rows else None
+            except Exception as exc:  # noqa: BLE001 - raced a tail checkpoint
+                last_exc = exc
+        raise last_exc

@@ -840,3 +840,35 @@ def test_ledger_hist_fallback_ignores_torn_version(spark, tmp_path):
     }
     assert replay == {"f1": "uploaded", "f2": "processed"}
     assert store.status_of("f2")["status"] == "processed"
+
+
+def test_products_retention_skips_torn_versions(spark, tmp_path, landing):
+    """Version retention must rank only COMPLETE versions: a torn
+    higher-numbered crash remnant (no _SUCCESS) is deleted outright and
+    must not displace the just-retired live version from the keep-2
+    window — a pinned reader may still be scanning it."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+
+    # torn crash remnant with a HIGHER version number than the live one
+    torn = tmp_path / "wh" / "products.v99"
+    torn.mkdir()
+    (torn / "part-0.parquet").write_bytes(b"\x00torn")
+
+    pinned = wh.products()  # pins the current (pre-merge) version
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    wh.ingest(landing)  # publishes the next version + runs retention
+
+    assert not torn.exists()  # crash remnant cleaned, not retained
+    # the pinned pre-merge version survived retention (keep-2 of complete)
+    assert {r["code"] for r in pinned.collect()} == {"0001"}
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+    assert len(wh._product_versions()) <= 2

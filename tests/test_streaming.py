@@ -854,3 +854,28 @@ def test_index_stream_equals_batch(spark, tmp_path):
     segs = [seg.split("\n")[0] for seg in plan.split("PartitionFilters")[1:]]
     assert len(segs) >= 2  # base + increments
     assert all("bucket" in seg for seg in segs)
+
+
+def test_index_increment_guard_uses_min_across_families(tmp_path):
+    """The fresh-checkpoint replay guard must report the min folded batch
+    across PRESENT index families, not the max: a crash between
+    per-family writes leaves later families missing the batch, and a
+    max-based skip would lose it for them forever (the re-run is safe —
+    per-family increment writes are idempotent overwrites)."""
+    from data_pipeline_challenge_spark.operators.similarity import (
+        last_index_increment,
+    )
+
+    idx = tmp_path / "idx"
+    (idx / "bucketed_inc" / "ingest_batch=3").mkdir(parents=True)
+    (idx / "assigned_inc" / "ingest_batch=3").mkdir(parents=True)
+    (idx / "assigned_inc" / "ingest_batch=2").mkdir(parents=True)
+    (idx / "lsh_meta.json").write_text("{}")
+    assert last_index_increment(idx) == 3  # only lsh present
+    (idx / "centroids.json").write_text("[]")
+    assert last_index_increment(idx) == 3  # both complete through 3
+    # crash scenario: pq family exists but batch 3 never landed for it
+    (idx / "codebooks.json").write_text("[]")
+    assert last_index_increment(idx) == -1  # forces the re-fold
+    (idx / "codes_inc" / "ingest_batch=2").mkdir(parents=True)
+    assert last_index_increment(idx) == 2  # batch 3 still re-folds
