@@ -704,12 +704,13 @@ def test_stream_sink_compaction_preserves_replay(spark, tmp_path):
     land_docs("b.parquet", [("web", 4, 40), ("books", 5, 30)])
     run_pack()
 
+    # default args: the shard=S layout must be AUTO-detected and preserved
+    # (a flattening compaction would silently break the incremental
+    # packer's untouched-shard reuse one batch later)
     rep = compact_published_table(
-        spark, packed_dir / "current", target_file_bytes=1 << 30,
-        partition_by=["shard"],
+        spark, packed_dir / "current", target_file_bytes=1 << 30
     )
     assert rep.rows == 5
-    # partitioned layout survives compaction (incremental packer needs it)
     cur = packed_dir / "current"
     import os as _os
 
