@@ -731,13 +731,17 @@ def _write_increment(df: DataFrame, inc_root, batch_id: int, partition_by=None) 
 def _with_increments(spark, base, inc) -> DataFrame:
     """The full index table: base ∪ increments (if any). Both sides carry
     the pruning column as a partition column, so a driver-side
-    ``isin`` filter prunes partitions on each."""
+    ``isin`` filter prunes partitions on each. The increment side goes
+    through ``batchstore.read_batch_store`` so a consolidated store (see
+    :func:`compact_index_increments`) serves the same view."""
     from pathlib import Path
+
+    from ..batchstore import read_batch_store
 
     df = spark.read.parquet(str(base))
     inc = Path(inc)
-    if inc.exists() and any(inc.iterdir()):
-        df = df.unionByName(spark.read.parquet(str(inc)).drop("ingest_batch"))
+    if inc.exists() and any(inc.glob("ingest_batch=*")):
+        df = df.unionByName(read_batch_store(spark, inc).drop("ingest_batch"))
     return df
 
 
@@ -752,28 +756,59 @@ def last_index_increment(index_dir) -> int:
     — idempotent per family (each overwrites its own batch dir) — and
     fills the missing ones. A family counts as present when its parameter
     sidecar exists; one with a sidecar but no increments yet reports -1,
-    which correctly forces the fold."""
-    import re as _re
+    which correctly forces the fold. Per-family ids come from
+    ``batchstore.last_batch_id``, which also covers batches folded away
+    by :func:`compact_index_increments`."""
     from pathlib import Path
+
+    from ..batchstore import last_batch_id
 
     index_dir = Path(index_dir)
     per_family: list[int] = []
-    for sidecar, inc_name in (
-        ("lsh_meta.json", "bucketed_inc"),
-        ("centroids.json", "assigned_inc"),
-        ("codebooks.json", "codes_inc"),
-    ):
+    for sidecar, inc_name in _INDEX_FAMILIES:
         if not (index_dir / sidecar).exists():
             continue
-        top = -1
-        root = index_dir / inc_name
-        if root.exists():
-            for p in root.iterdir():
-                m = _re.match(r"^ingest_batch=(\d+)$", p.name)
-                if m:
-                    top = max(top, int(m.group(1)))
-        per_family.append(top)
+        per_family.append(last_batch_id(index_dir / inc_name))
     return min(per_family) if per_family else -1
+
+
+_INDEX_FAMILIES = (
+    ("lsh_meta.json", "bucketed_inc"),
+    ("centroids.json", "assigned_inc"),
+    ("codebooks.json", "codes_inc"),
+)
+_INDEX_FAMILY_PARTITIONS = {
+    "bucketed_inc": ["bucket"],
+    "assigned_inc": ["cluster"],
+    "codes_inc": None,
+}
+
+
+def compact_index_increments(spark, index_dir) -> dict[str, int]:
+    """OFFLINE maintenance for the persisted indexes' increment stores:
+    each accretes one ``ingest_batch=B`` dir per micro-batch forever,
+    and partition DISCOVERY lists them all even though probes prune
+    their files. Folds every present family's live batches into one
+    consolidated partition (crash-safe marker protocol, ``batchstore``),
+    preserving the family's pruning partition column, so directory count
+    resets while serving reads are unchanged. Run while the index stream
+    is NOT running. Returns {family_store: dirs_folded}."""
+    from pathlib import Path
+
+    from ..batchstore import consolidate_batch_store
+
+    index_dir = Path(index_dir)
+    folded: dict[str, int] = {}
+    for sidecar, inc_name in _INDEX_FAMILIES:
+        if not (index_dir / sidecar).exists():
+            continue
+        store = index_dir / inc_name
+        if not store.exists():
+            continue
+        folded[inc_name] = consolidate_batch_store(
+            spark, store, partition_by=_INDEX_FAMILY_PARTITIONS[inc_name]
+        )
+    return folded
 
 
 def append_index_increments(

@@ -44,6 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..batchstore import consolidate_batch_store, read_batch_store
 from ..operators.packing import pack_sequences_sharded
 from .rollup_stream import _last_folded, _mark_folded, _next_version, _publish, _versions
 
@@ -73,11 +74,29 @@ def touched_history(
     ``touched_shards`` is a driver-side literal list, so the ``isin``
     lands in ``PartitionFilters`` and untouched shards' directories are
     pruned at planning time (never listed/scanned). This is what bounds
-    the per-batch scan to O(touched shards), not O(corpus)."""
+    the per-batch scan to O(touched shards), not O(corpus). The read
+    goes through ``batchstore.read_batch_store`` so a consolidated rows
+    store (see :func:`compact_rows_store`) serves the same view."""
     return (
-        spark.read.parquet(str(rows_dir))
+        read_batch_store(spark, rows_dir)
         .filter(F.col("shard").isin([int(s) for s in touched_shards]))
         .drop("ingest_batch", "shard")
+    )
+
+
+def compact_rows_store(spark: SparkSession, out_dir: str | Path) -> int:
+    """OFFLINE maintenance for the packing stream's rows store: the store
+    accretes one ``ingest_batch=B`` directory per micro-batch forever,
+    and although partition pruning keeps SCANS bounded, partition
+    DISCOVERY must still list every batch dir — O(#batches ever). This
+    folds all live batches into one consolidated partition (crash-safe
+    marker protocol, ``batchstore``), resetting the directory count to
+    O(n_shards) while ``touched_history`` keeps returning the identical
+    view. Run while the packing stream is NOT running; the packed table
+    itself is compacted separately with
+    ``maintenance.compact_published_table``. Returns dirs folded."""
+    return consolidate_batch_store(
+        spark, Path(out_dir) / "rows", partition_by=["shard"]
     )
 
 

@@ -880,3 +880,165 @@ def test_index_increment_guard_uses_min_across_families(tmp_path):
     assert last_index_increment(idx) == -1  # forces the re-fold
     (idx / "codes_inc" / "ingest_batch=2").mkdir(parents=True)
     assert last_index_increment(idx) == 2  # batch 3 still re-folds
+
+
+def test_rows_store_consolidation(spark, tmp_path):
+    """The packing rows store accretes one ingest_batch dir per
+    micro-batch; offline consolidation must fold them into one partition
+    (bounding partition-DISCOVERY cost) while touched_history serves the
+    identical view, and the stream must keep folding new batches
+    correctly afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.batchstore import _read_marker
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        compact_rows_store,
+        current_packed,
+        start_packing_stream,
+        touched_history,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "packed"
+    ckpt = tmp_path / "ckpt"
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land(name, rows):
+        src, ids, toks = zip(*rows)
+        pq.write_table(
+            pa.table({
+                "source": pa.array(src),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }),
+            str(corpus_dir / name),
+        )
+
+    def run():
+        q = start_packing_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    land("a.parquet", [("web", 1, 60), ("web", 2, 50), ("books", 3, 90)])
+    land("b.parquet", [("web", 4, 40), ("books", 5, 30)])
+    run()  # batches 0,1
+
+    before = {
+        tuple(r)
+        for r in touched_history(spark, out_dir / "rows", list(range(4))).collect()
+    }
+    assert compact_rows_store(spark, out_dir) == 2
+    rows_dir = out_dir / "rows"
+    assert [p.name for p in rows_dir.glob("ingest_batch=*")] == ["ingest_batch=-1"]
+    marker = _read_marker(rows_dir)
+    assert marker == {"consolidated": -1, "through": 1}
+    after = {
+        tuple(r)
+        for r in touched_history(spark, rows_dir, list(range(4))).collect()
+    }
+    assert after == before
+
+    # the stream keeps working: new batch folds, equality holds
+    land("c.parquet", [("web", 6, 80), ("news", 7, 10)])
+    run()
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    expected = pack_sequences_sharded(
+        full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+    )
+    norm = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+    }
+    assert norm(current_packed(spark, out_dir)) == norm(expected)
+    # a second consolidation folds the new batch into generation -2
+    assert compact_rows_store(spark, out_dir) >= 1
+    assert norm(current_packed(spark, out_dir)) == norm(expected)
+    assert touched_history(spark, rows_dir, list(range(4))).count() == 7
+
+
+def test_index_increment_consolidation(spark, tmp_path):
+    """Offline consolidation of the ANN increment stores: directory count
+    resets, probes serve the identical rows, a fresh-checkpoint replay of
+    folded batches cannot duplicate (they land <= through and the reader
+    excludes them), and new increments after the fold stay visible."""
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        _with_increments,
+        ann_topk,
+        compact_index_increments,
+        ivf_build_index,
+        last_index_increment,
+        lsh_build_index,
+        lsh_topk_indexed,
+        pq_build_index,
+    )
+    from data_pipeline_challenge_spark.streaming.index_stream import (
+        start_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = emb.filter("vec_id != 0")
+    base = full.filter("vec_id < 300")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+
+    idx = tmp_path / "idx"
+    lsh_build_index(base, idx, dim=64, n_planes=4)
+    ivf_build_index(base, idx, n_clusters=8)
+    pq_build_index(base, idx)
+
+    vectors_dir = tmp_path / "vec_in"
+    vectors_dir.mkdir()
+    for lo, hi in ((300, 400), (400, 450)):
+        full.filter(f"vec_id >= {lo} and vec_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(vectors_dir))
+
+    def run(ckpt):
+        q = start_index_stream(
+            spark, vectors_dir, idx, ckpt, emb.schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(180)
+
+    run(tmp_path / "ck1")  # batches 0,1 per family
+
+    def topk():
+        return [
+            (r["vec_id"], round(r["sim"], 9))
+            for r in lsh_topk_indexed(spark, idx, qvec, k=10, probe_hamming=1).collect()
+        ]
+
+    before = topk()
+    folded = compact_index_increments(spark, idx)
+    assert folded == {"bucketed_inc": 2, "assigned_inc": 2, "codes_inc": 2}
+    assert [p.name for p in (idx / "bucketed_inc").glob("ingest_batch=*")] == [
+        "ingest_batch=-1"
+    ]
+    assert topk() == before
+    assert last_index_increment(idx) == 1  # guard still covers folded ids
+
+    # fresh checkpoint: replay of folded batches must not duplicate
+    n_before = _with_increments(spark, idx / "bucketed", idx / "bucketed_inc").count()
+    run(tmp_path / "ck2")
+    assert (
+        _with_increments(spark, idx / "bucketed", idx / "bucketed_inc").count()
+        == n_before
+    )
+
+    # new vectors after the fold land in a fresh batch and stay visible
+    full.filter("vec_id >= 450").coalesce(1).write.mode("append").parquet(
+        str(vectors_dir)
+    )
+    run(tmp_path / "ck1")
+    want = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ann_topk(full, qvec, dim=64, k=10, n_planes=4, probe_hamming=1).collect()
+    ]
+    assert topk() == want
