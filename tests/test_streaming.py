@@ -584,6 +584,100 @@ def test_packing_stream_incremental_cost(spark, tmp_path):
     assert norm(current_packed(spark, out_dir)) == norm(expected)
 
 
+def test_packing_stream_arrival_order_invariance(spark, tmp_path):
+    """Hypothesis property (VERDICT r6 task 7): for RANDOM corpora split
+    into RANDOM arrival files, the drained packing stream's maintained
+    table equals the batch ``pack_sequences_sharded`` over the union —
+    i.e. the incremental touched-shard fold is invariant to how rows were
+    partitioned across micro-batches. Generalizes the two fixed fixtures
+    above: greedy bins are prefix-dependent, so any bug that let a shard's
+    fold depend on arrival grouping (partial-history scan, missed touch,
+    stale hard-linked shard) shows up as a divergence here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    N_SHARDS = 4
+    counter = {"n": 0}
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from(["web", "books"]),
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda r: r[1],  # unique order key across the corpus
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_st, data=st.data(), cap=st.integers(min_value=1, max_value=150))
+    def check(rows, data, cap):
+        n_files = data.draw(st.integers(min_value=1, max_value=3), label="n_files")
+        assignment = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_files - 1),
+                min_size=len(rows),
+                max_size=len(rows),
+            ),
+            label="file_of_row",
+        )
+        counter["n"] += 1
+        base = tmp_path / f"ex{counter['n']}"
+        corpus_dir = base / "corpus"
+        corpus_dir.mkdir(parents=True)
+
+        for f in range(n_files):
+            part = [r for r, a in zip(rows, assignment) if a == f]
+            if not part:
+                continue
+            src, ids, toks = zip(*part)
+            pq.write_table(
+                pa.table(
+                    {
+                        "source": pa.array(src),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "n_tokens": pa.array(toks, pa.int64()),
+                    }
+                ),
+                str(corpus_dir / f"f{f}.parquet"),
+            )
+
+        q = start_packing_stream(
+            spark, corpus_dir, base / "packed", base / "ckpt", SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=cap, n_shards=N_SHARDS,
+            max_files_per_trigger=1,  # one micro-batch per arrival file
+        )
+        q.awaitTermination(300)
+
+        norm = lambda df: {  # noqa: E731
+            tuple(r)
+            for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+        }
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        expected = pack_sequences_sharded(
+            full, "source", "doc_id", "n_tokens", capacity=cap, n_shards=N_SHARDS
+        )
+        assert norm(current_packed(spark, base / "packed")) == norm(expected)
+
+    check()
+
+
 def test_stream_sink_compaction_preserves_replay(spark, tmp_path):
     """Online compaction of a stream-maintained sink must not desynchronize
     the replay-skip: compaction creates a NEW version with no new batch
