@@ -36,6 +36,8 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+from ..versioning import retire_versions
+
 
 @dataclass
 class CompactionReport:
@@ -183,24 +185,18 @@ def compact_published_table(
     swap.symlink_to(final.name)
     os.replace(swap, link)  # atomic: readers see old xor new version
 
-    # Retention must rank only COMPLETE versions: a torn higher-numbered
-    # dir (crash remnant — writers are caller-coordinated, so it can't be
-    # in-flight) would otherwise displace the just-retired live version
-    # from the keep-2 window while a pinned reader is still scanning it.
-    # Torn dirs are dead weight — delete them outright.
-    versions = sorted(
-        (int(vm.group(1)), p)
-        for p in parent.iterdir()
-        if (vm := vpat.match(p.name))
+    # Retention keeps exactly {new version, the version readers were
+    # pinned to before this publish} — see versioning.retire_versions for
+    # why ranking "newest complete" instead would delete the just-retired
+    # live dir when a complete-but-unpublished crash remnant exists.
+    retire_versions(
+        (
+            p
+            for p in parent.iterdir()
+            if vpat.match(p.name)
+        ),
+        keep=(final, cur),
     )
-    complete = []
-    for n, p in versions:
-        if p == final or (p / "_SUCCESS").exists():
-            complete.append((n, p))
-        else:
-            shutil.rmtree(p, ignore_errors=True)
-    for _, p in complete[:-2]:
-        shutil.rmtree(p, ignore_errors=True)
 
     after = len([p for p in final.rglob("*.parquet") if p.is_file()])
     return CompactionReport(len(parts), after, total, rows)

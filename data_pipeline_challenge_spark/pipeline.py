@@ -46,6 +46,7 @@ from .sources.json_ingest import (
 )
 from .sources.landing import discover_new_files, gc_file
 from .sources.ledger import LedgerStore
+from .versioning import retire_versions
 
 
 @dataclass
@@ -174,6 +175,20 @@ class ProductWarehouse:
             df.unpersist()
 
         state = self.products_path
+        # What readers could be pinned to before this publish: the
+        # symlink target, or — symlink-less crash window — the newest
+        # complete version the products() fallback ranks first.
+        prev_read = None
+        if state.is_symlink():
+            target = state.parent / os.readlink(state)
+            if target.exists():
+                prev_read = target
+        else:
+            complete_before = [
+                v for v in self._complete_product_versions() if v != new_dir
+            ]
+            if complete_before:
+                prev_read = complete_before[-1]
         if state.exists() and not state.is_symlink():
             # Pre-versioning warehouse: retire the real directory. The
             # brief gap before the publish below is covered by the
@@ -188,19 +203,12 @@ class ProductWarehouse:
         swap.symlink_to(new_dir.name)
         os.replace(swap, state)  # atomic: readers see old xor new version
 
-        # Retention ranks only COMPLETE versions: a torn higher-numbered
-        # crash remnant must not displace the just-retired live version
-        # from the keep-2 window (a pinned reader may still be scanning
-        # it). Writers hold the products flock, so an incomplete dir here
-        # is never in-flight — delete it outright.
-        complete = []
-        for p in self._product_versions():
-            if p == new_dir or (p / "_SUCCESS").exists():
-                complete.append(p)
-            else:
-                shutil.rmtree(p, ignore_errors=True)
-        for p in complete[:-2]:
-            shutil.rmtree(p, ignore_errors=True)
+        # Retain exactly {new, previously-read}: a crash remnant —
+        # torn OR complete-but-unpublished — must not displace the
+        # just-retired live version from retention while a pinned reader
+        # is still scanning it (see versioning.retire_versions). Writers
+        # hold the products flock, so nothing else is in-flight.
+        retire_versions(self._product_versions(), keep=(new_dir, prev_read))
         legacy = self.dir / "products.legacy"
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)
@@ -225,6 +233,11 @@ class ProductWarehouse:
                 target_file_bytes=target_file_bytes,
                 sort_col="code",
             )
+
+    #: content_type stamped on reaper-authored ``failed`` events, so a
+    #: mis-reap (the TOCTOU below) is distinguishable from an ingest
+    #: failure — only reaper-failed files are eligible for resurrection.
+    REAPED_CONTENT_TYPE = "application/x-reaped-orphan"
 
     def reap_orphaned_uploads(
         self, landing_dir: str | Path, min_age_seconds: float = 60.0
@@ -252,8 +265,21 @@ class ProductWarehouse:
           in-flight window between append and rename), mark it terminally
           ``failed`` — the same contract as an exhausted retry.
 
+        The failed mark has a TOCTOU: an uploader stalled past the age
+        guard can complete its rename between this janitor's existence
+        check and the event append, terminally failing a file that DID
+        land (discovery skips terminal statuses — silent drop). Two
+        defenses: the landing check is re-run immediately before the
+        append (shrinking the window from ``min_age_seconds`` to
+        microseconds), and reaper events carry ``REAPED_CONTENT_TYPE``
+        so the next janitor pass RESURRECTS any reaper-failed file that
+        is, after all, present in landing (appends a fresh ``uploaded``
+        event; discovery then processes it normally). A mis-reap
+        therefore self-heals one pass later instead of dropping data;
+        ingest-failed files (normal content_type) are never resurrected.
+
         Returns the file_ids marked failed. Driver traffic is bounded by
-        the PENDING upload set, never ledger history."""
+        the PENDING upload set plus prior reaps, never ledger history."""
         if not self.ledger.exists():
             return []
         landing = Path(landing_dir)
@@ -262,12 +288,36 @@ class ProductWarehouse:
         events: list[dict] = []
         rows = (
             self.ledger.current()
-            .filter(F.col("status") == STATUS_UPLOADED)
-            .select("file_id", "filename", "location", "uploaded_at")
+            .filter(
+                (F.col("status") == STATUS_UPLOADED)
+                | (
+                    (F.col("status") == STATUS_FAILED)
+                    & (F.col("content_type") == self.REAPED_CONTENT_TYPE)
+                )
+            )
+            .select("file_id", "filename", "location", "uploaded_at", "status")
             .collect()
         )
         for r in rows:
             fid = r["file_id"]
+            if r["status"] == STATUS_FAILED:
+                # A previous pass reaped this file, yet it exists in the
+                # landing dir: the mis-reap race above. Resurrect it.
+                if (landing / fid).exists():
+                    events.append(
+                        {
+                            "file_id": fid,
+                            "filename": r["filename"],
+                            "location": r["location"],
+                            "uploaded_at": r["uploaded_at"] or now,
+                            "content_type": "application/json",
+                            "status": STATUS_UPLOADED,
+                            "total_records": 0,
+                            "records_processed": 0,
+                            "records_failed": 0,
+                        }
+                    )
+                continue
             if (landing / fid).exists():
                 continue  # landed; discovery will resolve it
             age = (now - r["uploaded_at"]).total_seconds() if r["uploaded_at"] else None
@@ -280,13 +330,15 @@ class ProductWarehouse:
                 except FileNotFoundError:
                     pass  # the (slow) uploader's own rename won the race
                 continue
+            if (landing / fid).exists():
+                continue  # rename landed since the first check (TOCTOU)
             events.append(
                 {
                     "file_id": fid,
                     "filename": r["filename"],
                     "location": r["location"],
                     "uploaded_at": r["uploaded_at"] or now,
-                    "content_type": "application/json",
+                    "content_type": self.REAPED_CONTENT_TYPE,
                     "status": STATUS_FAILED,
                     "total_records": 0,
                     "records_processed": 0,

@@ -59,6 +59,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..versioning import retire_versions
 from ..schema import (
     LEDGER_SCHEMA,
     STATUS_FAILED,
@@ -261,6 +262,7 @@ class LedgerStore:
             .parquet(str(new_dir))
         )
 
+        prev_hist = self._hist_dir()  # what readers could be pinned to
         hist = Path(self.hist_path)
         swap = Path(self.hist_path + ".swap")
         if swap.is_symlink() or swap.exists():
@@ -270,14 +272,10 @@ class LedgerStore:
 
         for f in tail:
             f.unlink(missing_ok=True)
-        complete = []
-        for p in self._versions(self.hist_path):
-            if p == new_dir or (p / "_SUCCESS").exists():
-                complete.append(p)
-            else:
-                shutil.rmtree(p, ignore_errors=True)
-        for p in complete[:-2]:
-            shutil.rmtree(p, ignore_errors=True)
+        # Keep {new, previously-read}; a complete-but-unpublished crash
+        # remnant must not displace the just-retired live version from
+        # retention (see versioning.retire_versions).
+        retire_versions(self._versions(self.hist_path), keep=(new_dir, prev_hist))
 
     def _compact(self, new_events: DataFrame) -> None:
         """state' = latest-per-file_id over (previous state ∪ new events).
@@ -317,7 +315,12 @@ class LedgerStore:
         )
 
         state = Path(self.state_path)
-        if state.exists() and not state.is_symlink():
+        prev_state = None  # what readers could be pinned to pre-publish
+        if state.is_symlink():
+            target = state.parent / os.readlink(state)
+            if target.exists():
+                prev_state = target
+        elif state.exists():
             # Pre-symlink warehouse: retire the real directory. The brief
             # gap before the publish below is covered by the event-log
             # fallback in current()/_compact().
@@ -331,21 +334,14 @@ class LedgerStore:
         swap.symlink_to(new_dir.name)
         os.replace(swap, state)  # atomic: readers see old xor new version
 
-        # Retain the immediately-previous version: a reader that resolved
-        # the symlink just before the repoint may still be scanning the old
-        # directory. Only versions at least two swaps old are deleted, so a
-        # reader's window would have to span two full compactions to race
-        # the cleanup. Rank only COMPLETE versions for the keep-2 window: a
-        # torn higher-numbered crash remnant (writers hold the flock, so it
-        # can't be in-flight) must not displace the just-retired live dir.
-        complete = []
-        for p in self._versions():
-            if p == new_dir or (p / "_SUCCESS").exists():
-                complete.append(p)
-            else:
-                shutil.rmtree(p, ignore_errors=True)
-        for p in complete[:-2]:
-            shutil.rmtree(p, ignore_errors=True)
+        # Retain exactly {new, previously-published}: a reader that
+        # resolved the symlink just before the repoint may still be
+        # scanning the old directory, and a complete-but-unpublished
+        # crash remnant must not displace it from retention (see
+        # versioning.retire_versions; ledger state has no version-dir
+        # fallback reader — a symlink-less warehouse replays the event
+        # log — so the symlink target is the only pinnable dir).
+        retire_versions(self._versions(), keep=(new_dir, prev_state))
         legacy = Path(self.state_path + ".legacy")
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)

@@ -772,6 +772,45 @@ def test_products_fallback_ignores_torn_version(spark, tmp_path, landing):
     assert not wh._has_products()
 
 
+def test_retention_keeps_pinned_version_over_crash_remnant(spark, tmp_path, landing):
+    """A COMPLETE but never-published version — the remnant of a crash
+    between the version rename and the symlink replace — must not displace
+    the just-retired live version from retention: ranking 'newest complete'
+    would delete the directory a pinned reader is still scanning, while
+    keeping a stale dir no reader can reach. Retention keeps {new,
+    previously-published} by identity instead."""
+    import json
+    import shutil
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    whdir = tmp_path / "wh"
+    wh = ProductWarehouse(spark, whdir)
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    wh.ingest(landing)
+
+    live = (whdir / "products").resolve()  # the published version
+    # Crash remnant: a complete (has _SUCCESS) higher version that was
+    # never published.
+    shutil.copytree(live, whdir / "products.v99")
+
+    pinned = wh.products()  # a reader pinned to the live version
+    upload(json.dumps([{"code": "0003", "product_name": "C"}]).encode(),
+           landing, orig_name="c.json")
+    wh.ingest(landing)  # publishes v100
+
+    assert live.exists(), "just-retired published version was deleted"
+    assert not (whdir / "products.v99").exists(), "stale remnant retained"
+    assert (whdir / "products").resolve().name == "products.v100"
+    assert pinned.count() == 2  # the pinned scan still serves
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002", "0003"}
+
+
 def test_ledger_event_log_stays_bounded(spark, tmp_path):
     """A long-lived warehouse's event log must not accrete one small file
     per append forever: past TAIL_MAX_FILES the tail checkpoints into a

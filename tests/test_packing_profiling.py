@@ -203,6 +203,35 @@ def test_compact_parquet_dir_reduces_files_and_keeps_data(spark, tmp_path):
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
 
 
+def test_compact_published_table_retention_over_crash_remnant(spark, tmp_path):
+    """compact_published_table's retention keeps {compacted, previously
+    published} by identity: a complete-but-unpublished higher version (its
+    own crash window's remnant) is swept, and the version readers were
+    pinned to survives the publish."""
+    import os
+    import shutil
+
+    from data_pipeline_challenge_spark.operators.maintenance import (
+        compact_published_table,
+    )
+
+    base = tmp_path / "tbl"
+    base.mkdir()
+    v0 = base / "data.v0"
+    spark.range(100).coalesce(1).write.parquet(str(v0))
+    (base / "current").symlink_to("data.v0")
+    # crash remnant: complete v1 that was never published
+    shutil.copytree(v0, base / "data.v1")
+
+    rep = compact_published_table(spark, base / "current")
+    assert rep.rows == 100
+    cur = os.readlink(base / "current")
+    assert cur == "data.v2"
+    assert v0.exists(), "previously published version was deleted"
+    assert not (base / "data.v1").exists(), "stale remnant retained"
+    assert spark.read.parquet(str(base / "current")).count() == 100
+
+
 def test_pack_sequences_property_vs_reference(spark):
     """Greedy packing on Spark must equal a plain-Python reference packer
     on randomized corpora (sizes, capacities, group counts)."""
