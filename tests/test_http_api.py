@@ -292,6 +292,65 @@ def test_reap_orphaned_uploads(spark, tmp_path):
     assert {r["code"] for r in wh.products().collect()} == {"0042"}
 
 
+def test_reap_misreap_self_heals(spark, tmp_path):
+    """The reap TOCTOU: an uploader stalled past the age guard completes
+    its rename after the janitor's existence check, so the janitor
+    terminally fails a file that DID land — and discovery skips terminal
+    statuses. Reaper-failed events are marked, so the next janitor pass
+    must resurrect any marked file that is present in landing (back to
+    'uploaded'; normal ingest then resolves it), while an ingest-failed
+    (malformed, retained) file is never resurrected."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+
+    fid = "100_tok9_racer.json"
+    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(
+        seconds=600
+    )
+    wh.ledger.append([
+        {
+            "file_id": fid,
+            "filename": "racer.json",
+            "location": str(landing / fid),
+            "uploaded_at": ts,
+            "event_ts": ts,
+            "content_type": "application/json",
+            "status": "uploaded",
+            "total_records": 0,
+            "records_processed": 0,
+            "records_failed": 0,
+        }
+    ])
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == [fid]
+    # …the stalled uploader's rename lands just after the reap:
+    (landing / fid).write_bytes(
+        json.dumps([{"code": "0077", "product_name": "Survivor"}]).encode()
+    )
+    # a genuinely malformed, ingest-failed file must stay failed
+    bad = upload(b"this is not json", landing, orig_name="bad.json")
+    wh.ingest(landing)  # racer is terminal-failed → skipped; bad fails
+    assert wh.ledger.status_of(bad.file_id)["status"] == "failed"
+
+    # next janitor pass resurrects the mis-reaped file only
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == []
+    statuses = {r["file_id"]: r["status"] for r in wh.ledger.current().collect()}
+    assert statuses[fid] == "uploaded"
+    assert statuses[bad.file_id] == "failed"
+
+    wh.ingest(landing)
+    assert wh.ledger.status_of(fid)["status"] == "processed"
+    assert {r["code"] for r in wh.products().collect()} == {"0077"}
+    # resurrection converges: nothing left to reap or resurrect
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == []
+    assert wh.ledger.status_of(fid)["status"] == "processed"
+
+
 def test_consumer_retry_state_prunes_vanished_files(spark, tmp_path):
     """A _retry_state entry whose file is no longer pending (removed
     out-of-band or resolved by another process) must be pruned, or the
