@@ -90,6 +90,22 @@ def read_batch_store(spark: SparkSession, store: str | Path) -> DataFrame:
     return df.filter(F.col("ingest_batch") >= 0)
 
 
+def _sweep_stale(store: Path, marker: dict) -> int:
+    """Delete every batch dir the marker's view already excludes (older
+    consolidated dirs, folded positives) — the post-commit cleanup of a
+    fold, also re-runnable standalone to finish a fold that crashed
+    after its marker swap. Returns dirs removed."""
+    cons, through = int(marker["consolidated"]), int(marker["through"])
+    swept = 0
+    for n, p in _batch_dirs(store):
+        if n == cons:
+            continue
+        if n < 0 or n <= through:
+            shutil.rmtree(p, ignore_errors=True)
+            swept += 1
+    return swept
+
+
 def consolidate_batch_store(
     spark: SparkSession,
     store: str | Path,
@@ -97,8 +113,14 @@ def consolidate_batch_store(
 ) -> int:
     """Fold every live batch partition into one consolidated partition
     (see module docstring for the crash-safety argument). Returns the
-    number of directories folded (0 = nothing to do). OFFLINE: the
-    owning stream must not be running."""
+    number of directories folded or swept (0 = nothing to do). OFFLINE:
+    the owning stream must not be running.
+
+    A re-run with no new batches still sweeps directories a crashed
+    fold's marker already excludes — otherwise a fold that died between
+    its marker swap and its cleanup would leave the stale dirs listed by
+    every partition discovery until some future batch triggered another
+    productive fold (never, on a quiesced store)."""
     store = Path(store)
     dirs = _batch_dirs(store)
     marker = _read_marker(store)
@@ -108,7 +130,7 @@ def consolidate_batch_store(
     if len(live_positive) <= 1 and marker is None:
         return 0  # a single batch dir gains nothing
     if not live_positive and marker is not None:
-        return 0  # already consolidated, nothing new
+        return _sweep_stale(store, marker)  # crash-leftover cleanup only
 
     through = max(
         live_positive + ([int(marker["through"])] if marker else [])
@@ -128,15 +150,9 @@ def consolidate_batch_store(
         shutil.rmtree(final)
     tmp.rename(final)
 
+    new_marker = {"consolidated": new_id, "through": through}
     mtmp = store / (_MARKER + ".tmp")
-    mtmp.write_text(json.dumps({"consolidated": new_id, "through": through}))
+    mtmp.write_text(json.dumps(new_marker))
     os.replace(mtmp, store / _MARKER)  # the commit point
 
-    folded = 0
-    for n, p in _batch_dirs(store):
-        if n == new_id:
-            continue
-        if n < 0 or n <= through:
-            shutil.rmtree(p, ignore_errors=True)
-            folded += 1
-    return folded
+    return _sweep_stale(store, new_marker)

@@ -745,18 +745,27 @@ def _with_increments(spark, base, inc) -> DataFrame:
     return df
 
 
-def last_index_increment(index_dir) -> int:
-    """Highest micro-batch id folded into EVERY present index family (the
-    MIN across families), or -1 — the fresh-checkpoint replay guard.
+def index_increment_bounds(index_dir) -> tuple[int, int]:
+    """(lo, hi) of the last folded micro-batch id across present index
+    families — the stream's replay-guard authority (both -1 when no
+    family has increments).
 
-    Min, not max: a crash between per-family increment writes leaves the
-    batch folded into some families only; a max-based guard would skip
-    the replay and silently lose the batch for the families written
-    later forever. With min, the replay re-runs ``append_index_increments``
-    — idempotent per family (each overwrites its own batch dir) — and
-    fills the missing ones. A family counts as present when its parameter
-    sidecar exists; one with a sidecar but no increments yet reports -1,
-    which correctly forces the fold. Per-family ids come from
+    The stream skips a batch only when ``batch_id <= lo`` (folded into
+    EVERY family — min, not max, because a crash between per-family
+    writes leaves the batch folded into some families only, and a
+    max-based skip would silently lose it for the families written
+    later), and folds when ``batch_id >= hi`` (a new batch, or a replay
+    of the top batch refilling laggard families — idempotent, each
+    family overwrites its own batch dir). The zone BETWEEN the bounds is
+    unreachable under one checkpoint (batch ids only grow), so hitting
+    it means the stores disagree with the stream's numbering — e.g. a
+    family was built with a sidecar but empty increments (reports -1)
+    while a FRESH checkpoint renumbers the replay from 0: folding that
+    renumbered batch would append every replayed vector under new batch
+    ids alongside the old ones, silently duplicating candidates in the
+    already-folded families. The stream raises instead (see
+    ``start_index_stream``). A family counts as present when its
+    parameter sidecar exists; per-family ids come from
     ``batchstore.last_batch_id``, which also covers batches folded away
     by :func:`compact_index_increments`."""
     from pathlib import Path
@@ -769,7 +778,15 @@ def last_index_increment(index_dir) -> int:
         if not (index_dir / sidecar).exists():
             continue
         per_family.append(last_batch_id(index_dir / inc_name))
-    return min(per_family) if per_family else -1
+    if not per_family:
+        return (-1, -1)
+    return (min(per_family), max(per_family))
+
+
+def last_index_increment(index_dir) -> int:
+    """The ``lo`` bound of :func:`index_increment_bounds` — the highest
+    micro-batch id folded into EVERY present family, or -1."""
+    return index_increment_bounds(index_dir)[0]
 
 
 _INDEX_FAMILIES = (

@@ -29,7 +29,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import append_index_increments, last_index_increment
+from ..operators.similarity import append_index_increments, index_increment_bounds
 
 
 def start_index_stream(
@@ -57,8 +57,27 @@ def start_index_stream(
     stream = reader.parquet(str(vectors_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_index_increment(idx):
-            return  # fresh-checkpoint replay of an already-folded batch
+        lo, hi = index_increment_bounds(idx)
+        if batch_id <= lo:
+            return  # replay of a batch already folded into every family
+        if batch_id < hi:
+            # Unreachable under one checkpoint (ids only grow): the
+            # increment stores disagree with this stream's numbering —
+            # typically a family was (re)built into an index_dir whose
+            # other families hold increments, and the checkpoint was
+            # reset, renumbering the replay from 0. Folding would
+            # duplicate every replayed vector into the already-folded
+            # families under new batch ids. Refuse loudly: either
+            # restore the original checkpoint (numbering resumes and the
+            # new family fills forward from its base snapshot), or
+            # rebuild ALL families from one snapshot and start a fresh
+            # checkpoint over post-snapshot arrivals only.
+            raise RuntimeError(
+                f"index increment stores at {idx} disagree with stream "
+                f"batch numbering (batch {batch_id}, per-family bounds "
+                f"[{lo}, {hi}]): restore the original checkpoint or "
+                "rebuild all index families from one snapshot"
+            )
         append_index_increments(
             batch_df, idx, batch_id, id_col=id_col, vec_col=vec_col
         )

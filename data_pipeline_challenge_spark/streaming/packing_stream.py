@@ -95,9 +95,106 @@ def compact_rows_store(spark: SparkSession, out_dir: str | Path) -> int:
     view. Run while the packing stream is NOT running; the packed table
     itself is compacted separately with
     ``maintenance.compact_published_table``. Returns dirs folded."""
+    migrate_legacy_layout(spark, out_dir)  # pre-shard-layout warehouses
     return consolidate_batch_store(
         spark, Path(out_dir) / "rows", partition_by=["shard"]
     )
+
+
+def migrate_legacy_layout(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
+    """One-time upgrade of a warehouse written by the pre-shard-layout
+    packer (rows batches stored FLAT with ``shard`` as a data column;
+    packed versions flat) to the current layout. Without it the first
+    post-upgrade batch either wedges (mixed partition depths under
+    ``rows/`` make partition discovery throw) or silently DROPS every
+    untouched shard (``_link_shard_dirs`` finds no ``shard=`` dirs to link
+    in a flat previous version). Runs automatically from
+    :func:`start_packing_stream` and :func:`compact_rows_store`; a no-op
+    (two cheap globs) on current-layout warehouses. Cost when it does
+    fire is one read+rewrite of the store — O(history), once.
+
+    Crash-safe: the rows store is rewritten beside the live one and
+    swapped via ``rename(rows → rows.old); rename(rows.migrated → rows)``
+    — a crash between the renames is finished at the next entry; the
+    packed table is migrated as a NEW version carrying the previous
+    ``_folded_batch`` forward, through the normal atomic publish.
+    Returns {"rows_batches": migrated, "packed_versions": 0|1}."""
+    odir = Path(out_dir)
+    rows_dir = odir / "rows"
+    migrated_root = odir / "rows.migrated"
+    old_root = odir / "rows.old"
+    report = {"rows_batches": 0, "packed_versions": 0}
+
+    # Finish a crashed swap: rows was renamed away but the migrated store
+    # not yet renamed in (or the retired store not yet deleted).
+    if not rows_dir.exists() and migrated_root.exists():
+        migrated_root.rename(rows_dir)
+    if old_root.exists():
+        shutil.rmtree(old_root, ignore_errors=True)
+
+    if rows_dir.exists():
+        batch_dirs = sorted(
+            p for p in rows_dir.glob("ingest_batch=*") if p.is_dir()
+        )
+        has_rows = lambda p: any(  # noqa: E731
+            f.suffix == ".parquet" for f in p.rglob("*") if f.is_file()
+        )
+        legacy = [
+            p
+            for p in batch_dirs
+            if not any(p.glob("shard=*")) and has_rows(p)
+        ]
+        if legacy:
+            if migrated_root.exists():
+                shutil.rmtree(migrated_root)  # half-written prior attempt
+            for p in batch_dirs:
+                if not has_rows(p):
+                    continue  # an empty batch contributes nothing
+                # Per-dir read: legacy dirs carry shard as a data column,
+                # current ones as a partition column — either way this
+                # yields the same columns without tripping mixed-depth
+                # partition discovery over the whole store.
+                df = spark.read.parquet(str(p)).withColumn(
+                    "shard", F.col("shard").cast("int")
+                )
+                df.write.partitionBy("shard").mode("overwrite").parquet(
+                    str(migrated_root / p.name)
+                )
+            marker = rows_dir / "_consolidated.json"
+            if marker.exists():  # batchstore view filter survives migration
+                shutil.copy2(marker, migrated_root / marker.name)
+            report["rows_batches"] = len(legacy)
+            rows_dir.rename(old_root)
+            migrated_root.rename(rows_dir)
+            shutil.rmtree(old_root, ignore_errors=True)
+
+    versions = _versions(odir)
+    if versions:
+        top_n, top = versions[-1]
+        flat = not any(top.glob("shard=*")) and any(
+            f.suffix == ".parquet" for f in top.iterdir() if f.is_file()
+        )
+        if flat:
+            folded = _last_folded(odir)
+            next_n = top_n + 1
+            tmp = odir / f"data.v{next_n}.tmp"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            df = spark.read.parquet(str(top)).withColumn(
+                "shard", F.col("shard").cast("int")
+            )
+            df.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
+            if folded is not None:
+                _mark_folded(tmp, folded)
+            final = odir / f"data.v{next_n}"
+            if final.exists():
+                shutil.rmtree(final)
+            tmp.rename(final)
+            _publish(odir, final)
+            for _, p in _versions(odir)[:-2]:
+                shutil.rmtree(p, ignore_errors=True)
+            report["packed_versions"] = 1
+    return report
 
 
 def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> None:
@@ -138,6 +235,7 @@ def start_packing_stream(
     table. ``available_now=True`` drains what's landed and stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    migrate_legacy_layout(spark, odir)  # pre-shard-layout warehouses
     rows_dir = odir / "rows"
     gc, oc, tc = group_col, order_col, token_col
 
@@ -166,9 +264,14 @@ def start_packing_stream(
 
         # Driver-side touched-shard list: bounded by n_shards, and a
         # LITERAL, so the history filter below is a static partition
-        # filter (planning-time pruning), not a post-scan join.
+        # filter (planning-time pruning), not a post-scan join. Read it
+        # off the batch dir just written — its shard= partition dirs ARE
+        # the touched set — instead of a second scan + distinct shuffle
+        # of the batch input (the overwrite above replaced the whole
+        # dir, so a replayed batch can't see stale shard dirs).
         touched = sorted(
-            r["shard"] for r in slim.select("shard").distinct().collect()
+            int(p.name.split("=", 1)[1])
+            for p in (rows_dir / f"ingest_batch={batch_id}").glob("shard=*")
         )
         seen = touched_history(spark, rows_dir, touched)
         repacked = pack_sequences_sharded(

@@ -584,6 +584,95 @@ def test_packing_stream_incremental_cost(spark, tmp_path):
     assert norm(current_packed(spark, out_dir)) == norm(expected)
 
 
+def test_packing_stream_migrates_legacy_flat_layout(spark, tmp_path):
+    """Upgrading a warehouse written by the pre-shard-layout packer (rows
+    batches flat with shard as a DATA column; packed versions flat, no
+    _folded_batch marker) must neither wedge partition discovery with
+    mixed directory depths nor drop untouched shards (a flat previous
+    version has no shard= dirs for the hard-link pass to carry forward).
+    migrate_legacy_layout rewrites both stores once; the next drain then
+    folds new data correctly and the maintained table equals the batch
+    pack over everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "packed"
+    out_dir.mkdir()
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    N_SHARDS = 4
+
+    def land(name, rows, mtime):
+        src, ids, toks = zip(*rows)
+        p = corpus_dir / name
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(src),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                }
+            ),
+            str(p),
+        )
+        os.utime(p, (mtime, mtime))
+
+    land("a.parquet", [("web", 1, 60), ("web", 2, 50), ("books", 3, 90)], 1_000_000)
+
+    # Build the LEGACY on-disk state the old packer left behind: flat rows
+    # batch (shard as data column), flat packed version named by batch id,
+    # no marker, symlink published.
+    first = spark.read.schema(SCHEMA).parquet(str(corpus_dir)).withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
+    )
+    first.write.mode("overwrite").parquet(str(out_dir / "rows" / "ingest_batch=0"))
+    packed0 = pack_sequences_sharded(
+        first.drop("shard"), "source", "doc_id", "n_tokens", capacity=100,
+        n_shards=N_SHARDS,
+    )
+    packed0.write.mode("overwrite").parquet(str(out_dir / "data.v0"))
+    (out_dir / "current").symlink_to("data.v0")
+
+    # New data lands; a fresh checkpoint replays a.parquet as batch 0
+    # (skipped — version v0 already folded batch 0) and folds b as batch 1.
+    land("b.parquet", [("web", 4, 40), ("books", 5, 30), ("news", 6, 80)], 2_000_000)
+    q = start_packing_stream(
+        spark, corpus_dir, out_dir, tmp_path / "ckpt", SCHEMA,
+        "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    # Both stores are shard-partitioned now (no mixed depths, no flat
+    # version for the link pass to miss)…
+    for b in (out_dir / "rows").glob("ingest_batch=*"):
+        assert any(b.glob("shard=*")), f"{b.name} not shard-partitioned"
+    cur = out_dir / "current"
+    assert any((out_dir / os.readlink(cur)).glob("shard=*"))
+
+    # …and the maintained table equals the batch pack over everything.
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    expected = pack_sequences_sharded(
+        full, "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS
+    )
+    norm = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+    }
+    assert norm(current_packed(spark, out_dir)) == norm(expected)
+
+
 def test_packing_stream_arrival_order_invariance(spark, tmp_path):
     """Hypothesis property (VERDICT r6 task 7): for RANDOM corpora split
     into RANDOM arrival files, the drained packing stream's maintained
@@ -974,6 +1063,82 @@ def test_index_increment_guard_uses_min_across_families(tmp_path):
     assert last_index_increment(idx) == -1  # forces the re-fold
     (idx / "codes_inc" / "ingest_batch=2").mkdir(parents=True)
     assert last_index_increment(idx) == 2  # batch 3 still re-folds
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        index_increment_bounds,
+    )
+
+    # The (lo, hi) bounds drive the stream's three-way guard: skip at or
+    # below lo, fold at or above hi, refuse in between (stores disagree
+    # with the stream's numbering — see the renumbering test below).
+    assert index_increment_bounds(idx) == (2, 3)
+
+
+def test_index_stream_refuses_renumbered_checkpoint(spark, tmp_path):
+    """A freshly-built family (sidecar present, increments empty) under an
+    index_dir whose OTHER families hold increments, combined with a reset
+    checkpoint renumbering the replay from 0, must fail loudly instead of
+    folding: the fold would append every replayed vector under new batch
+    ids alongside the old increments, silently duplicating candidates in
+    the already-folded families."""
+    import numpy as np
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_build_index,
+    )
+    from data_pipeline_challenge_spark.streaming.index_stream import (
+        start_index_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = tmp_path / "idx"
+    lsh_build_index(emb, idx, dim=8, n_planes=3)
+    # LSH already folded increments through batch 5 (numbering of the
+    # original checkpoint)…
+    (idx / "bucketed_inc" / "ingest_batch=5").mkdir(parents=True)
+    # …then an IVF index is built into the same dir (sidecar, no
+    # increments) and the stream is restarted with a FRESH checkpoint.
+    (idx / "centroids.json").write_text("[[0,0,0,0,0,0,0,0]]")
+
+    vdir = tmp_path / "vec_in"
+    vdir.mkdir()
+    emb.coalesce(1).write.mode("append").parquet(str(vdir))
+    q = start_index_stream(
+        spark, vdir, idx, tmp_path / "ckpt_fresh", emb.schema
+    )
+    with pytest.raises(Exception, match="disagree with stream batch numbering"):
+        q.awaitTermination(180)
+
+
+def test_batchstore_rerun_sweeps_crash_leftovers(spark, tmp_path):
+    """A fold that crashes after its marker swap but before its cleanup
+    leaves stale batch dirs the marker already excludes. A re-run with no
+    new batches must sweep them (they are what the consolidation exists
+    to bound) instead of early-returning 'nothing to do' — on a quiesced
+    store nothing else would ever remove them."""
+    from data_pipeline_challenge_spark.batchstore import (
+        consolidate_batch_store,
+        read_batch_store,
+    )
+
+    store = tmp_path / "store"
+    for b in (0, 1):
+        spark.range(5).withColumn("v", F.lit(b)).write.parquet(
+            str(store / f"ingest_batch={b}")
+        )
+    assert consolidate_batch_store(spark, store) == 2
+
+    # crash simulation: a folded dir resurfaces (cleanup never ran)
+    spark.range(5).withColumn("v", F.lit(1)).write.parquet(
+        str(store / "ingest_batch=1")
+    )
+    assert consolidate_batch_store(spark, store) == 1  # swept, not skipped
+    assert not (store / "ingest_batch=1").exists()
+    assert read_batch_store(spark, store).count() == 10  # view unchanged
 
 
 def test_rows_store_consolidation(spark, tmp_path):
