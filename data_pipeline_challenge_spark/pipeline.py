@@ -14,9 +14,17 @@ The job is the unit of completion, so the reference's counter race
 is a no-op (idempotent merge + ledger anti-join) — the exactly-once
 upgrade of at-least-once queue redelivery.
 
-Storage: plain parquet, rewritten via tmp-dir + atomic swap (the local
-stand-in for a transactional table format; on a production lake this step
-is a Delta/Iceberg MERGE INTO and the swap disappears).
+Storage: plain parquet behind a versioned atomic-symlink publish (the
+local stand-in for a transactional table format). Writes are
+MERGE-ON-READ once a base version is published: each ingest batch lands
+as a small ``products.v{N}.d{k}`` delta dir (one batch-merged row per
+code) instead of rewriting the table, ``products()`` composes
+base ∪ deltas without shuffling the base, and every
+``delta_fold_threshold`` deltas the composed view is materialized as the
+next base version — the amortized rewrite. On a production lake this
+maps to Delta/Iceberg MERGE INTO with deletion-vector/merge-on-read
+semantics; the 100 TB argument is the same: a 50k-record weekly file
+must cost O(batch), not O(table).
 """
 
 from __future__ import annotations
@@ -70,6 +78,11 @@ class ProductWarehouse:
         self.split_threshold_bytes = SPLIT_THRESHOLD_BYTES
         self.chunk_records = CHUNK_RECORDS
         self._products_lock_path = self.dir / "products.lock"
+        #: Merge-on-read fold cadence: once a published base version has
+        #: this many delta dirs, the next ingest folds them into a new
+        #: base (the amortized full rewrite). 0/None disables deltas —
+        #: every merge rewrites the full table (the pre-delta behavior).
+        self.delta_fold_threshold: int | None = 8
 
     def _products_lock(self):
         """Cross-process mutual exclusion for the products
@@ -101,32 +114,92 @@ class ProductWarehouse:
         ]
         return [p for _, p in sorted(found)]
 
-    def products(self) -> DataFrame:
-        """The current products table.
-
-        Resolves the ``products`` symlink ONCE at planning time and reads
-        the pinned version directory (two-version retention, same reader
-        discipline as sources/ledger.py) — a concurrent merge publishing a
-        new version can't delete files out from under an in-flight scan.
-        Falls back to a legacy real directory (pre-versioning warehouse)
-        or the newest COMPLETE version dir (crash between write and
-        publish). Completeness = the ``_SUCCESS`` marker: a version dir
-        left half-written by a crash mid-write is indistinguishable from
-        a written-but-unpublished one by name alone, and trusting it
-        would propagate a torn table into the next merge — better to
-        treat it as absent (the ledger/event log makes re-ingest
-        self-healing)."""
+    def _resolve_products_dir(self) -> Path | None:
+        """The directory ``products()`` reads — resolved ONCE so the scan
+        is pinned: the symlink target, a legacy real directory
+        (pre-versioning warehouse), or the newest COMPLETE version dir
+        (crash between write and publish). Completeness = ``_SUCCESS``: a
+        half-written crash remnant is indistinguishable from a
+        written-but-unpublished version by name alone, and trusting it
+        would propagate a torn table into the next merge — better absent
+        (the ledger/event log makes re-ingest self-healing)."""
         p = self.products_path
         if p.is_symlink():
             target = p.parent / os.readlink(p)
             if target.exists():
-                return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(target))
+                return target
         elif p.exists() and any(p.iterdir()):
-            return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(p))
+            return p
         versions = self._complete_product_versions()
-        if versions:
-            return self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(versions[-1]))
-        return self.spark.createDataFrame([], PRODUCT_SCHEMA)
+        return versions[-1] if versions else None
+
+    def _delta_dirs(self, base: Path) -> list[Path]:
+        """COMPLETE merge-on-read delta dirs of a versioned base, in
+        fold order (``products.v{N}.d{k}``, ascending k). Torn deltas
+        (no ``_SUCCESS``) are ignored — writers are flock-serialized, so
+        a torn delta is always the LAST one (a crash mid-write), never a
+        gap in the fold order."""
+        import re
+
+        if not re.match(r"^products\.v\d+$", base.name):
+            return []  # legacy real dir: the delta protocol never ran
+        pat = re.compile(re.escape(base.name) + r"\.d(\d+)$")
+        found = [
+            (int(m.group(1)), q)
+            for q in self.dir.iterdir()
+            if (m := pat.match(q.name)) and (q / "_SUCCESS").exists()
+        ]
+        return [q for _, q in sorted(found)]
+
+    def products(self) -> DataFrame:
+        """The current products table.
+
+        Resolves the read target ONCE at planning time (pinned version
+        directory + its delta dirs; retention keeps both through one
+        further publish, same reader discipline as sources/ledger.py) —
+        a concurrent merge publishing a new version or folding deltas
+        can't delete files out from under an in-flight scan. With
+        merge-on-read deltas present, the returned plan composes
+        base ∪ deltas without ever shuffling the base (see
+        ``_compose_with_deltas``)."""
+        target = self._resolve_products_dir()
+        if target is None:
+            return self.spark.createDataFrame([], PRODUCT_SCHEMA)
+        base = self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(target))
+        deltas = self._delta_dirs(target)
+        if not deltas:
+            return base
+        return self._compose_with_deltas(base, deltas)
+
+    def _compose_with_deltas(
+        self, base: DataFrame, delta_dirs: list[Path]
+    ) -> DataFrame:
+        """Merge-on-read: the table IS base ∪ deltas folded per code.
+
+        The $set field-survival fold is associative, so folding
+        (base row, delta₁ row, … deltaₖ row) per code — each delta
+        already one batch-merged row per code — equals the sequential
+        full merges it replaced. Shape for 100 TB: the delta code set
+        broadcasts into a semi/anti join pair, so the BASE is never
+        shuffled (no SortMergeJoin, pinned by
+        ``test_products_delta_view_never_shuffles_base``); only the
+        matched slice (bounded by delta size) plus the stacked deltas
+        enter the ``merge_products`` groupBy. This is the
+        Delta-Lake-style merge-on-read read path; ``ingest_paths`` folds
+        the deltas into a new base version at
+        ``delta_fold_threshold``, amortizing the full rewrite that every
+        merge used to pay."""
+        stacked = None
+        for k, d in enumerate(delta_dirs):
+            df = self.spark.read.schema(PRODUCT_SCHEMA).parquet(str(d)).withColumn(
+                "__dgen", F.lit(k).cast("long")
+            )
+            stacked = df if stacked is None else stacked.unionByName(df)
+        codes = stacked.select("code").distinct()
+        hit = base.join(F.broadcast(codes), "code", "left_semi")
+        miss = base.join(F.broadcast(codes), "code", "left_anti")
+        folded = merge_products(hit, stacked, seq_col="__dgen")
+        return miss.unionByName(folded)
 
     def _complete_product_versions(self) -> list[Path]:
         """Version dirs safe to fall back on: only those whose write
@@ -141,7 +214,7 @@ class ProductWarehouse:
             return True
         return bool(self._complete_product_versions())
 
-    def _overwrite_products(self, df: DataFrame) -> None:
+    def _overwrite_products(self, df: DataFrame, n_files: int | None = None) -> None:
         """Write a new version dir + atomic symlink publish (readers never
         see a half-written table, and a reader mid-scan on the previous
         version survives: only versions two publishes old are deleted —
@@ -160,7 +233,7 @@ class ProductWarehouse:
         new_dir = self.dir / f"products.v{next_n}"
         if new_dir.exists():
             shutil.rmtree(new_dir)
-        nparts = max(1, self.spark.sparkContext.defaultParallelism // 4)
+        nparts = n_files or max(1, self.spark.sparkContext.defaultParallelism // 4)
         # repartitionByRange runs a separate range-sampling job first; cache
         # the merge result so sampling + write don't compute it twice.
         df = df.cache()
@@ -209,9 +282,54 @@ class ProductWarehouse:
         # is still scanning it (see versioning.retire_versions). Writers
         # hold the products flock, so nothing else is in-flight.
         retire_versions(self._product_versions(), keep=(new_dir, prev_read))
+        # Merge-on-read delta dirs live and die with their base version:
+        # a retained base keeps its deltas (a pinned reader's composed
+        # plan spans both); a retired base's deltas are unreachable.
+        import re
+
+        live = {v.name for v in self._product_versions()}
+        dpat = re.compile(r"^(products\.v\d+)\.d\d+$")
+        for q in list(self.dir.iterdir()):
+            m = dpat.match(q.name)
+            if m and m.group(1) not in live:
+                shutil.rmtree(q, ignore_errors=True)
         legacy = self.dir / "products.legacy"
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)
+
+    def _append_delta(self, delta: DataFrame, base: Path) -> Path:
+        """Publish one batch-merged delta dir beside its base version
+        (``{base}.d{k}``, tmp + atomic rename; called under the products
+        flock). Torn deltas from a crashed append are swept here — safe,
+        nothing else can be writing — and their k is reused."""
+        import re
+
+        pat = re.compile(re.escape(base.name) + r"\.d(\d+)$")
+        ks = []
+        for q in list(self.dir.iterdir()):
+            m = pat.match(q.name)
+            if not m:
+                continue
+            if (q / "_SUCCESS").exists():
+                ks.append(int(m.group(1)))
+            else:
+                shutil.rmtree(q, ignore_errors=True)
+        k = max(ks, default=0) + 1
+        tmp = self.dir / f"{base.name}.d{k}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        nparts = max(1, self.spark.sparkContext.defaultParallelism // 16)
+        (
+            delta.coalesce(nparts)
+            .sortWithinPartitions("code")
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        final = self.dir / f"{base.name}.d{k}"
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+        return final
 
     def compact_products(self, target_file_bytes: int = 128 << 20):
         """Online small-file compaction of the products table: the
@@ -222,11 +340,36 @@ class ProductWarehouse:
         a merge waits for the compaction, then reads the compacted table.
         Keeps the range-partitioned/sorted-by-code layout the point-lookup
         path prunes against. No-op before the first published version."""
-        from .operators.maintenance import compact_published_table
+        from .operators.maintenance import CompactionReport, compact_published_table
 
         with self._products_lock():
             if not self.products_path.is_symlink():
                 return None
+            base_dir = self._resolve_products_dir()
+            deltas = self._delta_dirs(base_dir) if base_dir is not None else []
+            if deltas:
+                # Live merge-on-read deltas: fold AND compact in ONE
+                # publish — compact_published_table reads only the
+                # symlink target (it would silently drop delta rows),
+                # and folding first then compacting would publish twice
+                # in a row, evicting the version a reader pinned just
+                # before the call (the contract is: a pinned version
+                # survives ONE publish). The composed view materializes
+                # through the normal versioned publish with compaction's
+                # file sizing.
+                parts = [
+                    f
+                    for d in (base_dir, *deltas)
+                    for f in Path(d).rglob("*.parquet")
+                    if f.is_file()
+                ]
+                total = sum(f.stat().st_size for f in parts)
+                n_out = max(1, -(-total // target_file_bytes))
+                self._overwrite_products(self.products(), n_files=n_out)
+                new_dir = self._resolve_products_dir()
+                after = [f for f in new_dir.rglob("*.parquet") if f.is_file()]
+                rows = self.spark.read.parquet(str(new_dir)).count()
+                return CompactionReport(len(parts), len(after), total, rows)
             return compact_published_table(
                 self.spark,
                 self.products_path,
@@ -453,9 +596,30 @@ class ProductWarehouse:
             # the lock must cover plan + write + publish, or two merges
             # race to the same next version and one silently loses rows.
             with self._products_lock():
-                existing = self.products() if self._has_products() else None
-                merged = merge_products(existing, valid)
-                self._overwrite_products(merged)
+                base_dir = (
+                    self._resolve_products_dir()
+                    if self.products_path.is_symlink()
+                    else None
+                )
+                if base_dir is not None and self.delta_fold_threshold:
+                    # Merge-on-read: a published base exists, so this
+                    # batch lands as a small delta dir instead of a full
+                    # table rewrite — at 100 TB a 50k-record file must
+                    # not rewrite billions of rows. The batch is folded
+                    # to one row per code first (idempotent under
+                    # crash-replay: re-appending the same content is a
+                    # $set no-op in the composed view).
+                    delta = merge_products(None, valid)
+                    self._append_delta(delta, base_dir)
+                    if len(self._delta_dirs(base_dir)) >= self.delta_fold_threshold:
+                        # Amortized rewrite: materialize the composed
+                        # view as the next base version (readers pinned
+                        # to old base + deltas survive one publish).
+                        self._overwrite_products(self.products())
+                else:
+                    existing = self.products() if self._has_products() else None
+                    merged = merge_products(existing, valid)
+                    self._overwrite_products(merged)
 
             # Ledger events + landing GC.
             events = []

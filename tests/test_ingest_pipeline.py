@@ -787,6 +787,7 @@ def test_retention_keeps_pinned_version_over_crash_remnant(spark, tmp_path, land
 
     whdir = tmp_path / "wh"
     wh = ProductWarehouse(spark, whdir)
+    wh.delta_fold_threshold = None  # exercise the publish path per merge
     upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
            landing, orig_name="a.json")
     wh.ingest(landing)
@@ -809,6 +810,128 @@ def test_retention_keeps_pinned_version_over_crash_remnant(spark, tmp_path, land
     assert (whdir / "products").resolve().name == "products.v100"
     assert pinned.count() == 2  # the pinned scan still serves
     assert {r["code"] for r in wh.products().collect()} == {"0001", "0002", "0003"}
+
+
+def test_products_delta_view_equals_always_fold(spark, tmp_path, landing):
+    """Merge-on-read equivalence: a warehouse accumulating delta dirs must
+    serve EXACTLY the table a warehouse folding every merge serves — same
+    landed files, same order, overlapping codes, $set field-survival
+    semantics (absent attr keys survive, explicit nulls overwrite),
+    last-wins within and across files."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh_delta = ProductWarehouse(spark, tmp_path / "wh_delta")  # deltas on
+    wh_fold = ProductWarehouse(spark, tmp_path / "wh_fold")
+    wh_fold.delta_fold_threshold = None  # fold every merge (pre-delta path)
+
+    rounds = [
+        [{"code": "A", "product_name": "a1", "k1": "v1", "k2": "v2"},
+         {"code": "B", "product_name": "b1", "k1": "w1"}],
+        [{"code": "A", "product_name": None, "k2": "v2x", "k3": "v3"},
+         {"code": "C", "product_name": "c1"}],
+        [{"code": "B", "product_name": "b2", "k9": None},
+         {"code": "A", "product_name": "a3"},
+         {"code": "A", "product_name": "a4", "k1": "v1z"}],  # intra-file dup
+    ]
+    for i, recs in enumerate(rounds):
+        upload(json.dumps(recs).encode(), landing, orig_name=f"r{i}.json")
+        wh_delta.ingest(landing, delete_processed=False)
+        wh_fold.ingest(landing)  # deletes processed; next round starts clean
+
+    def norm(wh):
+        return {
+            r["code"]: (
+                r["product_name"],
+                r["file_id"],
+                tuple(sorted(r["attrs"].items())),
+            )
+            for r in wh.products().collect()
+        }
+
+    # the delta warehouse really is on the delta path
+    base = wh_delta._resolve_products_dir()
+    assert len(wh_delta._delta_dirs(base)) == 2  # rounds 2 and 3
+    assert norm(wh_delta) == norm(wh_fold)
+
+
+def test_products_delta_fold_and_retention(spark, tmp_path, landing):
+    """Delta lifecycle: merges append delta dirs without publishing a new
+    base until delta_fold_threshold, the fold publishes the composed view
+    as the next base, and a reader pinned to old base + deltas survives
+    exactly one publish (the old base and ITS deltas die together at the
+    following one)."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    whdir = tmp_path / "wh"
+    wh = ProductWarehouse(spark, whdir)
+    wh.delta_fold_threshold = 2
+
+    def land_and_ingest(i):
+        upload(json.dumps([{"code": f"{i:04d}", "product_name": f"p{i}"}]).encode(),
+               landing, orig_name=f"f{i}.json")
+        wh.ingest(landing)
+
+    land_and_ingest(1)  # empty warehouse -> full write v1
+    assert (whdir / "products").resolve().name == "products.v1"
+    land_and_ingest(2)  # -> v1.d1, no new base
+    assert (whdir / "products.v1.d1").exists()
+    assert (whdir / "products").resolve().name == "products.v1"
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+
+    pinned = wh.products()  # composed plan over v1 + v1.d1
+    land_and_ingest(3)  # -> v1.d2, threshold reached -> fold -> v2
+    assert (whdir / "products").resolve().name == "products.v2"
+    # pinned reader survives the fold: old base AND its deltas retained
+    assert (whdir / "products.v1").exists()
+    assert (whdir / "products.v1.d1").exists()
+    assert {r["code"] for r in pinned.collect()} == {"0001", "0002"}
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002", "0003"}
+
+    land_and_ingest(4)  # -> v2.d1
+    land_and_ingest(5)  # -> v2.d2 -> fold -> v3; v1 + its deltas retired
+    assert (whdir / "products").resolve().name == "products.v3"
+    assert not (whdir / "products.v1").exists()
+    assert not (whdir / "products.v1.d1").exists()
+    assert (whdir / "products.v2").exists()  # previously-read, retained
+    assert {r["code"] for r in wh.products().collect()} == {
+        "0001", "0002", "0003", "0004", "0005"
+    }
+
+
+def test_products_delta_view_never_shuffles_base(spark, tmp_path, landing):
+    """The composed merge-on-read plan must never shuffle the base table:
+    the delta code set broadcasts (semi/anti), so at 100 TB a small-batch
+    upsert's READ path costs O(deltas), not a base repartition. No
+    SortMergeJoin anywhere in the plan."""
+    import json
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    for i in range(2):
+        upload(
+            json.dumps(
+                [{"code": f"{i}{j:03d}", "product_name": "x"} for j in range(50)]
+            ).encode(),
+            landing,
+            orig_name=f"f{i}.json",
+        )
+        wh.ingest(landing)
+    base = wh._resolve_products_dir()
+    assert wh._delta_dirs(base)  # composed path active
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        wh.products()._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_ledger_event_log_stays_bounded(spark, tmp_path):
@@ -892,6 +1015,7 @@ def test_products_retention_skips_torn_versions(spark, tmp_path, landing):
     from data_pipeline_challenge_spark.sources.landing import upload
 
     wh = ProductWarehouse(spark, tmp_path / "wh")
+    wh.delta_fold_threshold = None  # exercise the publish path per merge
     upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
            landing, orig_name="a.json")
     wh.ingest(landing)
