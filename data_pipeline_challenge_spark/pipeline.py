@@ -134,11 +134,18 @@ class ProductWarehouse:
         return versions[-1] if versions else None
 
     def _delta_dirs(self, base: Path) -> list[Path]:
-        """COMPLETE merge-on-read delta dirs of a versioned base, in
-        fold order (``products.v{N}.d{k}``, ascending k). Torn deltas
-        (no ``_SUCCESS``) are ignored — writers are flock-serialized, so
-        a torn delta is always the LAST one (a crash mid-write), never a
-        gap in the fold order."""
+        """COMMITTED merge-on-read delta dirs of a versioned base, in
+        fold order (``products.v{N}.d{k}``, ascending k). Commitment is
+        the engine's OWN ``_delta_commit`` marker, written into the tmp
+        dir before the atomic rename — deliberately not parquet's
+        ``_SUCCESS``, which is a committer artifact a session conf can
+        turn off (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+        false``, routine on object stores); a delta invisible for lack
+        of ``_SUCCESS`` would be ingested data silently dropped AND
+        swept, with the landing file already GC'd. Because the marker
+        precedes the rename, every final-named delta dir carries it;
+        a dir without one is foreign (partial copy) and is ignored,
+        never deleted here."""
         import re
 
         if not re.match(r"^products\.v\d+$", base.name):
@@ -147,7 +154,7 @@ class ProductWarehouse:
         found = [
             (int(m.group(1)), q)
             for q in self.dir.iterdir()
-            if (m := pat.match(q.name)) and (q / "_SUCCESS").exists()
+            if (m := pat.match(q.name)) and (q / "_delta_commit").exists()
         ]
         return [q for _, q in sorted(found)]
 
@@ -282,42 +289,40 @@ class ProductWarehouse:
         # is still scanning it (see versioning.retire_versions). Writers
         # hold the products flock, so nothing else is in-flight.
         retire_versions(self._product_versions(), keep=(new_dir, prev_read))
-        # Merge-on-read delta dirs live and die with their base version:
-        # a retained base keeps its deltas (a pinned reader's composed
-        # plan spans both); a retired base's deltas are unreachable.
-        import re
-
-        live = {v.name for v in self._product_versions()}
-        dpat = re.compile(r"^(products\.v\d+)\.d\d+$")
-        for q in list(self.dir.iterdir()):
-            m = dpat.match(q.name)
-            if m and m.group(1) not in live:
-                shutil.rmtree(q, ignore_errors=True)
+        self._sweep_orphan_deltas()
         legacy = self.dir / "products.legacy"
         if legacy.exists():
             shutil.rmtree(legacy, ignore_errors=True)
 
-    def _append_delta(self, delta: DataFrame, base: Path) -> Path:
-        """Publish one batch-merged delta dir beside its base version
-        (``{base}.d{k}``, tmp + atomic rename; called under the products
-        flock). Torn deltas from a crashed append are swept here — safe,
-        nothing else can be writing — and their k is reused."""
+    def _sweep_orphan_deltas(self) -> None:
+        """Merge-on-read delta dirs (and their crashed tmps) live and die
+        with their base version: a retained base keeps its deltas (a
+        pinned reader's composed plan spans both); once the base is
+        retired its deltas are unreachable. Run after every retention
+        pass — including the no-deltas compaction branch, whose
+        ``compact_published_table`` retires bases without knowing the
+        delta protocol exists."""
         import re
 
-        pat = re.compile(re.escape(base.name) + r"\.d(\d+)$")
-        ks = []
+        live = {v.name for v in self._product_versions()}
+        dpat = re.compile(r"^(products\.v\d+)\.d\d+(\.tmp)?$")
         for q in list(self.dir.iterdir()):
-            m = pat.match(q.name)
-            if not m:
-                continue
-            if (q / "_SUCCESS").exists():
-                ks.append(int(m.group(1)))
-            else:
+            m = dpat.match(q.name)
+            if m and m.group(1) not in live:
                 shutil.rmtree(q, ignore_errors=True)
+
+    def _append_delta(self, delta: DataFrame, base: Path) -> Path:
+        """Publish one batch-merged delta dir beside its base version
+        (``{base}.d{k}``, write to tmp + ``_delta_commit`` marker +
+        atomic rename; called under the products flock). Tmp dirs of
+        crashed appends to THIS base are swept first — safe, nothing
+        else can be writing — and the committed k sequence continues
+        past them."""
+        for q in self.dir.glob(f"{base.name}.d*.tmp"):
+            shutil.rmtree(q, ignore_errors=True)
+        ks = [int(d.name.rsplit(".d", 1)[1]) for d in self._delta_dirs(base)]
         k = max(ks, default=0) + 1
         tmp = self.dir / f"{base.name}.d{k}.tmp"
-        if tmp.exists():
-            shutil.rmtree(tmp)
         nparts = max(1, self.spark.sparkContext.defaultParallelism // 16)
         (
             delta.coalesce(nparts)
@@ -325,9 +330,11 @@ class ProductWarehouse:
             .write.mode("overwrite")
             .parquet(str(tmp))
         )
+        # Commit marker BEFORE the rename: a final-named dir is therefore
+        # always complete, independent of the parquet committer's
+        # _SUCCESS conf (see _delta_dirs).
+        (tmp / "_delta_commit").write_text("")
         final = self.dir / f"{base.name}.d{k}"
-        if final.exists():
-            shutil.rmtree(final)
         tmp.rename(final)
         return final
 
@@ -370,12 +377,16 @@ class ProductWarehouse:
                 after = [f for f in new_dir.rglob("*.parquet") if f.is_file()]
                 rows = self.spark.read.parquet(str(new_dir)).count()
                 return CompactionReport(len(parts), len(after), total, rows)
-            return compact_published_table(
+            rep = compact_published_table(
                 self.spark,
                 self.products_path,
                 target_file_bytes=target_file_bytes,
                 sort_col="code",
             )
+            # compact_published_table retires bases without knowing the
+            # delta protocol; orphaned delta dirs must not leak.
+            self._sweep_orphan_deltas()
+            return rep
 
     #: content_type stamped on reaper-authored ``failed`` events, so a
     #: mis-reap (the TOCTOU below) is distinguishable from an ingest
@@ -591,35 +602,53 @@ class ProductWarehouse:
                 .drop("__ford")
             )
 
+            # A batch with zero valid records has nothing to merge: skip
+            # the products write entirely (the old path rewrote the full
+            # table for nothing; the delta path would append an empty
+            # delta that stacks into every composed plan and advances
+            # the fold counter toward a pointless O(table) rewrite).
+            # Ledger events and GC below still run.
+            has_valid = any(
+                s["malformed"] != 1 and s["records_processed"] > 0
+                for s in stats.values()
+            )
             # The products read-merge-publish is the cross-process critical
             # section: the read resolves the symlink at PLANNING time, so
             # the lock must cover plan + write + publish, or two merges
             # race to the same next version and one silently loses rows.
-            with self._products_lock():
-                base_dir = (
-                    self._resolve_products_dir()
-                    if self.products_path.is_symlink()
-                    else None
-                )
-                if base_dir is not None and self.delta_fold_threshold:
-                    # Merge-on-read: a published base exists, so this
-                    # batch lands as a small delta dir instead of a full
-                    # table rewrite — at 100 TB a 50k-record file must
-                    # not rewrite billions of rows. The batch is folded
-                    # to one row per code first (idempotent under
-                    # crash-replay: re-appending the same content is a
-                    # $set no-op in the composed view).
-                    delta = merge_products(None, valid)
-                    self._append_delta(delta, base_dir)
-                    if len(self._delta_dirs(base_dir)) >= self.delta_fold_threshold:
-                        # Amortized rewrite: materialize the composed
-                        # view as the next base version (readers pinned
-                        # to old base + deltas survive one publish).
-                        self._overwrite_products(self.products())
-                else:
-                    existing = self.products() if self._has_products() else None
-                    merged = merge_products(existing, valid)
-                    self._overwrite_products(merged)
+            if has_valid:
+                with self._products_lock():
+                    base_dir = (
+                        self._resolve_products_dir()
+                        if self.products_path.is_symlink()
+                        else None
+                    )
+                    if base_dir is not None and self.delta_fold_threshold:
+                        # Merge-on-read: a published base exists, so this
+                        # batch lands as a small delta dir instead of a
+                        # full table rewrite — at 100 TB a 50k-record
+                        # file must not rewrite billions of rows. The
+                        # batch is folded to one row per code first
+                        # (idempotent under crash-replay: re-appending
+                        # the same content is a $set no-op in the
+                        # composed view).
+                        delta = merge_products(None, valid)
+                        self._append_delta(delta, base_dir)
+                        if (
+                            len(self._delta_dirs(base_dir))
+                            >= self.delta_fold_threshold
+                        ):
+                            # Amortized rewrite: materialize the composed
+                            # view as the next base version (readers
+                            # pinned to old base + deltas survive one
+                            # publish).
+                            self._overwrite_products(self.products())
+                    else:
+                        existing = (
+                            self.products() if self._has_products() else None
+                        )
+                        merged = merge_products(existing, valid)
+                        self._overwrite_products(merged)
 
             # Ledger events + landing GC.
             events = []

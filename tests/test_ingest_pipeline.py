@@ -934,6 +934,56 @@ def test_products_delta_view_never_shuffles_base(spark, tmp_path, landing):
     assert "BroadcastHashJoin" in plan
 
 
+def test_products_delta_commit_marker_and_orphan_sweep(spark, tmp_path, landing):
+    """Delta commitment must not depend on parquet's _SUCCESS (a
+    committer artifact sessions can disable — losing it must not make
+    ingested data invisible); an all-invalid batch must not append an
+    empty delta or advance the fold counter; and retired bases' delta
+    dirs (and crashed tmps) are swept even when the base is retired by
+    the delta-blind compact_published_table branch."""
+    import json
+    import os
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    whdir = tmp_path / "wh"
+    wh = ProductWarehouse(spark, whdir)
+    upload(json.dumps([{"code": "0001", "product_name": "A"}]).encode(),
+           landing, orig_name="a.json")
+    wh.ingest(landing)  # base v1
+    upload(json.dumps([{"code": "0002", "product_name": "B"}]).encode(),
+           landing, orig_name="b.json")
+    wh.ingest(landing)  # delta v1.d1
+
+    # _SUCCESS is not load-bearing: remove it, rows must still serve
+    succ = whdir / "products.v1.d1" / "_SUCCESS"
+    if succ.exists():
+        os.remove(succ)
+    assert (whdir / "products.v1.d1" / "_delta_commit").exists()
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+
+    # an all-invalid batch appends nothing and folds nothing
+    upload(b"this is not json", landing, orig_name="bad.json")
+    wh.ingest(landing)
+    base = wh._resolve_products_dir()
+    assert len(wh._delta_dirs(base)) == 1
+    assert base.name == "products.v1"
+
+    # fold+compact (deltas live) -> v2; old base + delta retained
+    wh.compact_products(target_file_bytes=1 << 30)
+    assert (whdir / "products.v1.d1").exists()
+    # plant a crashed tmp of the retired-soon base
+    (whdir / "products.v1.d9.tmp").mkdir()
+    # compact again (no deltas) -> v3 via compact_published_table;
+    # v1 retires and its delta dirs/tmps must not leak
+    wh.compact_products(target_file_bytes=1 << 30)
+    assert not (whdir / "products.v1").exists()
+    assert not (whdir / "products.v1.d1").exists()
+    assert not (whdir / "products.v1.d9.tmp").exists()
+    assert {r["code"] for r in wh.products().collect()} == {"0001", "0002"}
+
+
 def test_ledger_event_log_stays_bounded(spark, tmp_path):
     """A long-lived warehouse's event log must not accrete one small file
     per append forever: past TAIL_MAX_FILES the tail checkpoints into a
