@@ -420,26 +420,50 @@ class ProductWarehouse:
           ``failed`` — the same contract as an exhausted retry.
 
         The failed mark has a TOCTOU: an uploader stalled past the age
-        guard can complete its rename between this janitor's existence
-        check and the event append, terminally failing a file that DID
-        land (discovery skips terminal statuses — silent drop). Two
-        defenses: the landing check is re-run immediately before the
-        append (shrinking the window from ``min_age_seconds`` to
-        microseconds), and reaper events carry ``REAPED_CONTENT_TYPE``
-        so the next janitor pass RESURRECTS any reaper-failed file that
-        is, after all, present in landing (appends a fresh ``uploaded``
-        event; discovery then processes it normally). A mis-reap
-        therefore self-heals one pass later instead of dropping data;
-        ingest-failed files (normal content_type) are never resurrected.
+        guard can complete its rename after this janitor's existence
+        check, terminally failing a file that DID land (discovery skips
+        terminal statuses — silent drop). Three defenses: the landing
+        check is re-run just before the event is queued; the append
+        itself is CONDITIONAL (``skip_if_terminal`` — checked inside the
+        ledger's write locks, so a concurrent ingest that
+        discovered-processed-GC'd the file in the janitor's
+        decide-to-append window wins, and the janitor's stale ``failed``
+        is dropped rather than overriding ``processed``); and reaper
+        events carry ``REAPED_CONTENT_TYPE`` so the NEXT janitor pass
+        RESURRECTS any reaper-failed file that is, after all, present in
+        landing (appends a fresh ``uploaded`` event; discovery then
+        processes it normally). A mis-reap therefore self-heals one pass
+        later instead of dropping data; ingest-failed files (normal
+        content_type) are never resurrected.
 
-        Returns the file_ids marked failed. Driver traffic is bounded by
-        the PENDING upload set plus prior reaps, never ledger history."""
+        Eligibility for resurrection spans ONE pass: a reaper-failed
+        file still absent at the next pass is re-marked with the normal
+        content_type (same ``failed`` status — an audit no-op) and
+        leaves the checked set, so the per-pass driver traffic stays
+        bounded by pending uploads + files reaped since the last pass,
+        not every orphan in warehouse history.
+
+        Returns the file_ids marked failed this pass."""
         if not self.ledger.exists():
             return []
         landing = Path(landing_dir)
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        reaped: list[str] = []
-        events: list[dict] = []
+        reap_events: list[dict] = []
+        other_events: list[dict] = []  # resurrections + retirements
+
+        def event(r, status, content_type):
+            return {
+                "file_id": r["file_id"],
+                "filename": r["filename"],
+                "location": r["location"],
+                "uploaded_at": r["uploaded_at"] or now,
+                "content_type": content_type,
+                "status": status,
+                "total_records": 0,
+                "records_processed": 0,
+                "records_failed": 0,
+            }
+
         rows = (
             self.ledger.current()
             .filter(
@@ -455,21 +479,20 @@ class ProductWarehouse:
         for r in rows:
             fid = r["file_id"]
             if r["status"] == STATUS_FAILED:
-                # A previous pass reaped this file, yet it exists in the
-                # landing dir: the mis-reap race above. Resurrect it.
                 if (landing / fid).exists():
-                    events.append(
-                        {
-                            "file_id": fid,
-                            "filename": r["filename"],
-                            "location": r["location"],
-                            "uploaded_at": r["uploaded_at"] or now,
-                            "content_type": "application/json",
-                            "status": STATUS_UPLOADED,
-                            "total_records": 0,
-                            "records_processed": 0,
-                            "records_failed": 0,
-                        }
+                    # A previous pass reaped this file, yet it exists in
+                    # the landing dir: the mis-reap race. Resurrect it.
+                    other_events.append(
+                        event(r, STATUS_UPLOADED, "application/json")
+                    )
+                else:
+                    # Still absent one pass later: genuinely orphaned.
+                    # Re-mark with the normal content_type so it leaves
+                    # the resurrection-eligible set — without this, every
+                    # orphan ever reaped would be collected and stat()ed
+                    # on every future pass, forever.
+                    other_events.append(
+                        event(r, STATUS_FAILED, "application/json")
                     )
                 continue
             if (landing / fid).exists():
@@ -486,22 +509,14 @@ class ProductWarehouse:
                 continue
             if (landing / fid).exists():
                 continue  # rename landed since the first check (TOCTOU)
-            events.append(
-                {
-                    "file_id": fid,
-                    "filename": r["filename"],
-                    "location": r["location"],
-                    "uploaded_at": r["uploaded_at"] or now,
-                    "content_type": self.REAPED_CONTENT_TYPE,
-                    "status": STATUS_FAILED,
-                    "total_records": 0,
-                    "records_processed": 0,
-                    "records_failed": 0,
-                }
-            )
-            reaped.append(fid)
-        if events:
-            self.ledger.append(events)
+            reap_events.append(event(r, STATUS_FAILED, self.REAPED_CONTENT_TYPE))
+        if other_events:
+            self.ledger.append(other_events)
+        reaped: list[str] = []
+        if reap_events:
+            # Conditional: dropped inside the ledger locks for any file a
+            # concurrent ingest already drove to a terminal status.
+            reaped = self.ledger.append(reap_events, skip_if_terminal=True)
         return reaped
 
     # -- ingestion -----------------------------------------------------------

@@ -150,24 +150,49 @@ class LedgerStore:
             out = out.unionByName(p)
         return out
 
-    def append(self, rows: list[dict]) -> None:
-        """Append status-event rows; fills event_ts if absent.
+    def append(self, rows: list[dict], skip_if_terminal: bool = False) -> list[str]:
+        """Append status-event rows; fills event_ts if absent. Returns
+        the file_ids actually appended.
 
         Also folds the new events into the compacted current-state table
         so point-status reads stay keyed lookups (see module docstring),
         and checkpoints the append tail once it exceeds TAIL_MAX_FILES
         small files so a long-lived warehouse's event log stays bounded.
-        """
+
+        ``skip_if_terminal=True`` drops, INSIDE the write locks, any row
+        whose file already has a terminal status. This is the janitor's
+        conditional append: its reap decision is made outside the lock,
+        and a concurrent ingest can discover-process-GC the same file
+        before the janitor's batch lands — an unconditional append would
+        then commit a later-timestamped ``failed`` over ``processed``
+        (with the landing file already gone, so resurrection could never
+        fire). Serializing the status check with the append closes that
+        interleaving; normal pipeline appends (upload, ingest results)
+        never set it — their transitions are the source of truth."""
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         full = [{"event_ts": now, **r} for r in rows]
-        df = self.spark.createDataFrame(
-            [tuple(r.get(f.name) for f in LEDGER_SCHEMA.fields) for r in full],
-            LEDGER_SCHEMA,
-        )
         with self._write_lock, self._process_lock():
+            if skip_if_terminal and full and self.exists():
+                fids = [r["file_id"] for r in full]
+                terminal = {
+                    r["file_id"]
+                    for r in self.current()
+                    .filter(F.col("file_id").isin(fids))
+                    .filter(F.col("status").isin(*_TERMINAL_STATUSES))
+                    .select("file_id")
+                    .collect()
+                }
+                full = [r for r in full if r["file_id"] not in terminal]
+            if not full:
+                return []
+            df = self.spark.createDataFrame(
+                [tuple(r.get(f.name) for f in LEDGER_SCHEMA.fields) for r in full],
+                LEDGER_SCHEMA,
+            )
             df.write.mode("append").parquet(self.path)
             self._compact(df)
             self._checkpoint_events()
+            return [r["file_id"] for r in full]
 
     def _process_lock(self):
         """Cross-process mutual exclusion for the append + compaction
@@ -248,6 +273,12 @@ class LedgerStore:
         else:
             winners = self._latest_per_file(self.read_events())
 
+        # What readers could be pinned to, captured BEFORE the new dir
+        # exists: in the no-symlink crash window _hist_dir() falls back
+        # to the newest complete version, and capturing it after the
+        # write would resolve to the new dir itself — retention would
+        # then delete the version fallback readers are actually on.
+        prev_hist = self._hist_dir()
         versions = self._versions(self.hist_path)
         next_n = (
             int(versions[-1].name.rsplit(".v", 1)[1]) + 1 if versions else 1
@@ -262,7 +293,6 @@ class LedgerStore:
             .parquet(str(new_dir))
         )
 
-        prev_hist = self._hist_dir()  # what readers could be pinned to
         hist = Path(self.hist_path)
         swap = Path(self.hist_path + ".swap")
         if swap.is_symlink() or swap.exists():

@@ -46,7 +46,15 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import consolidate_batch_store, read_batch_store
 from ..operators.packing import pack_sequences_sharded
-from .rollup_stream import _last_folded, _mark_folded, _next_version, _publish, _versions
+from ..versioning import retire_versions
+from .rollup_stream import (
+    _last_folded,
+    _mark_folded,
+    _next_version,
+    _prev_read_target,
+    _publish,
+    _versions,
+)
 
 
 def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -175,6 +183,7 @@ def migrate_legacy_layout(spark: SparkSession, out_dir: str | Path) -> dict[str,
             f.suffix == ".parquet" for f in top.iterdir() if f.is_file()
         )
         if flat:
+            prev = _prev_read_target(odir)  # before the new dir exists
             folded = _last_folded(odir)
             next_n = top_n + 1
             tmp = odir / f"data.v{next_n}.tmp"
@@ -191,8 +200,11 @@ def migrate_legacy_layout(spark: SparkSession, out_dir: str | Path) -> dict[str,
                 shutil.rmtree(final)
             tmp.rename(final)
             _publish(odir, final)
-            for _, p in _versions(odir)[:-2]:
-                shutil.rmtree(p, ignore_errors=True)
+            # {new, previously-read} by identity: a legacy crash remnant
+            # outranking the symlink target must not displace it.
+            retire_versions(
+                (p for _, p in _versions(odir)), keep=(final, prev)
+            )
             report["packed_versions"] = 1
     return report
 
@@ -253,6 +265,7 @@ def start_packing_stream(
             # repair the symlink if the crash preceded the publish
             _publish(odir, _versions(odir)[-1][1])
             return
+        prev = _prev_read_target(odir)  # before any new dir exists
         versions = _versions(odir)
         slim = batch_df.select(gc, oc, tc).withColumn("shard", shard_of)
         # Accumulate this batch's rows under a per-batch partition dir,
@@ -294,8 +307,13 @@ def start_packing_stream(
             shutil.rmtree(final)
         tmp.rename(final)
         _publish(odir, final)
-        for _, p in _versions(odir)[:-2]:
-            shutil.rmtree(p, ignore_errors=True)
+        # {new, previously-read} by identity — a complete-but-unpublished
+        # compaction remnant must not displace the pinned version (see
+        # rollup_stream._prev_read_target). Untouched-shard hard links
+        # keep their inodes alive even when the link SOURCE version is
+        # retired here, so linking from the newest version above stays
+        # safe.
+        retire_versions((p for _, p in _versions(odir)), keep=(final, prev))
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

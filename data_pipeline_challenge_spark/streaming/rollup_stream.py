@@ -29,6 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import ntz_epoch_us
 from ..operators.rollup import hourly_rollup, merge_rollups
+from ..versioning import retire_versions
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
@@ -45,6 +46,26 @@ def _versions(rollup_dir: Path) -> list[tuple[int, Path]]:
         if name.startswith("data.v") and name[6:].isdigit():
             out.append((int(name[6:]), p))
     return sorted(out)
+
+
+def _prev_read_target(table_dir: Path) -> Path | None:
+    """What a reader could be pinned to BEFORE the next publish: the
+    ``current`` symlink target, or — no symlink (pre-first-publish crash
+    window) — the newest version dir the ``current_*()`` fallback ranks
+    first. Must be captured BEFORE the new version dir is created, or
+    the fallback resolves to the new dir itself and retention
+    (``versioning.retire_versions``: keep {new, previously-read}) would
+    delete the directory readers are actually scanning. Rank-based
+    keep-2 retention is NOT equivalent: a complete-but-unpublished
+    remnant of a crashed ``compact_published_table`` outranks the
+    published version and would displace it from the window."""
+    cur = table_dir / "current"
+    if cur.is_symlink():
+        target = table_dir / os.readlink(cur)
+        if target.exists():
+            return target
+    versions = _versions(table_dir)
+    return versions[-1][1] if versions else None
 
 
 def _publish(rollup_dir: Path, version_dir: Path) -> None:
@@ -137,6 +158,7 @@ def start_rollup_stream(
             # repair the symlink if the crash preceded the publish
             _publish(rdir, _versions(rdir)[-1][1])
             return
+        prev = _prev_read_target(rdir)  # before any new dir exists
         ev = batch_df.withColumn(
             "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
         )
@@ -155,11 +177,11 @@ def start_rollup_stream(
             shutil.rmtree(final)
         tmp.rename(final)
         _publish(rdir, final)
-        # Retain the immediately-previous version: a reader that resolved
-        # the symlink just before this publish may still be scanning it.
-        # Only versions two publishes old are deleted (ledger.py discipline).
-        for _, p in _versions(rdir)[:-2]:
-            shutil.rmtree(p, ignore_errors=True)
+        # Retain {new, previously-read} by identity: a reader that
+        # resolved the symlink just before this publish may still be
+        # scanning it, and a complete-but-unpublished compaction remnant
+        # must not displace it (see _prev_read_target).
+        retire_versions((p for _, p in _versions(rdir)), keep=(final, prev))
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

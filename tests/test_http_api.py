@@ -351,6 +351,53 @@ def test_reap_misreap_self_heals(spark, tmp_path):
     assert wh.ledger.status_of(fid)["status"] == "processed"
 
 
+def test_reap_conditional_append_and_orphan_retirement(spark, tmp_path):
+    """Two janitor-hardening contracts: (1) the reaper's failed mark is a
+    CONDITIONAL append — if a concurrent ingest drove the file to a
+    terminal status in the janitor's decide-to-append window, the stale
+    'failed' is dropped inside the ledger locks instead of overriding
+    'processed'; (2) a reaped orphan still absent at the NEXT pass is
+    retired from the resurrection-eligible set (content_type reverts),
+    so per-pass driver traffic doesn't grow with every orphan ever."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    def ev(fid, status, age_s=600, content_type="application/json"):
+        t = ts - dt.timedelta(seconds=age_s)
+        return {
+            "file_id": fid, "filename": fid, "location": str(landing / fid),
+            "uploaded_at": t, "event_ts": t, "content_type": content_type,
+            "status": status, "total_records": 0, "records_processed": 0,
+            "records_failed": 0,
+        }
+
+    # (1) skip_if_terminal: a processed file cannot be demoted to failed
+    wh.ledger.append([ev("200_tok_done.json", "processed")])
+    assert wh.ledger.append(
+        [ev("200_tok_done.json", "failed")], skip_if_terminal=True
+    ) == []
+    assert wh.ledger.status_of("200_tok_done.json")["status"] == "processed"
+
+    # (2) orphan lifecycle: reap -> still absent next pass -> retired
+    wh.ledger.append([ev("201_tok_gone.json", "uploaded")])
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == [
+        "201_tok_gone.json"
+    ]
+    row = wh.ledger.status_of("201_tok_gone.json")
+    assert row["status"] == "failed"
+    assert row["content_type"] == wh.REAPED_CONTENT_TYPE
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == []
+    row = wh.ledger.status_of("201_tok_gone.json")
+    assert row["status"] == "failed"
+    assert row["content_type"] == "application/json"  # retired from the set
+
+
 def test_consumer_retry_state_prunes_vanished_files(spark, tmp_path):
     """A _retry_state entry whose file is no longer pending (removed
     out-of-band or resolved by another process) must be pruned, or the

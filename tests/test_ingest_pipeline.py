@@ -772,6 +772,51 @@ def test_products_fallback_ignores_torn_version(spark, tmp_path, landing):
     assert not wh._has_products()
 
 
+def test_ledger_hist_retention_in_no_symlink_window(spark, tmp_path):
+    """A checkpoint running while the hist symlink is missing (crash
+    between a previous checkpoint's version write and its symlink swap)
+    must retain the version fallback readers are pinned to: prev_hist is
+    captured BEFORE the new version dir exists, because afterwards the
+    newest-complete fallback resolves to the new dir itself and
+    retention would delete the readers' version."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    ledger = LedgerStore(spark, tmp_path / "wh")
+    ledger.TAIL_MAX_FILES = 1
+    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    def ev(i, status="uploaded"):
+        return {
+            "file_id": f"f{i}", "filename": f"f{i}", "location": "x",
+            "uploaded_at": ts, "event_ts": ts, "content_type": "application/json",
+            "status": status, "total_records": 0, "records_processed": 0,
+            "records_failed": 0,
+        }
+
+    for i in range(3):
+        ledger.append([ev(i)])  # exceeds TAIL_MAX_FILES -> checkpoints
+    hist_versions = ledger._versions(ledger.hist_path)
+    assert hist_versions, "expected a checkpointed history version"
+    v_prev = hist_versions[-1]
+
+    # crash window: symlink gone, fallback readers pin v_prev
+    import os
+
+    os.unlink(ledger.hist_path)
+    # exactly ONE more checkpoint (tail refills past the threshold):
+    # retention must keep {new, v_prev}, not resolve prev to the
+    # just-written version and delete v_prev
+    while ledger._versions(ledger.hist_path)[-1] == v_prev:
+        ledger.append([ev(10 + len(ledger._tail_files()))])
+
+    assert v_prev.exists(), "fallback readers' hist version was deleted"
+    # and the full view still serves the original files
+    served = {r["file_id"] for r in ledger.current().collect()}
+    assert {f"f{i}" for i in range(3)} <= served
+
+
 def test_retention_keeps_pinned_version_over_crash_remnant(spark, tmp_path, landing):
     """A COMPLETE but never-published version — the remnant of a crash
     between the version rename and the symlink replace — must not displace

@@ -584,6 +584,55 @@ def test_packing_stream_incremental_cost(spark, tmp_path):
     assert norm(current_packed(spark, out_dir)) == norm(expected)
 
 
+def test_stream_sink_retention_keeps_pinned_over_compaction_remnant(spark, tmp_path):
+    """A stream sink's per-batch retention must keep {new, previously-
+    published} by IDENTITY: a complete-but-unpublished remnant of a
+    crashed compact_published_table outranks the published version, and
+    rank-based keep-2 would delete the directory a pinned reader is
+    scanning after only one further publish."""
+    import os
+    import shutil
+
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    events_dir = tmp_path / "ev_in"
+    events_dir.mkdir()
+    rollup_dir = tmp_path / "rollup"
+
+    def land(name, hour):
+        df = spark.createDataFrame(
+            [(1, f"2024-01-01 {hour:02d}:00:00", 7, "view", 1.0, "{}")],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).selectExpr(
+            "event_id", "cast(ts_s as timestamp_ntz) as ts", "user_id",
+            "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+        src = next((tmp_path / f"stage_{name}").glob("*.parquet"))
+        shutil.copy(src, events_dir / f"{name}.parquet")
+
+    land("a", 1)
+    q = start_rollup_stream(spark, events_dir, rollup_dir, tmp_path / "ck")
+    q.awaitTermination(120)
+    published = (rollup_dir / "current").resolve()
+
+    # crashed-compaction remnant: complete copy, higher version, unpublished
+    shutil.copytree(published, rollup_dir / "data.v50")
+
+    land("b", 2)
+    q = start_rollup_stream(spark, events_dir, rollup_dir, tmp_path / "ck")
+    q.awaitTermination(120)
+
+    assert published.exists(), "previously-published version was deleted"
+    assert not (rollup_dir / "data.v50").exists(), "stale remnant retained"
+    cur = (rollup_dir / "current").resolve()
+    assert os.readlink(rollup_dir / "current") == cur.name
+    assert current_rollup(spark, rollup_dir).count() == 2  # both hours
+
+
 def test_packing_stream_migrates_legacy_flat_layout(spark, tmp_path):
     """Upgrading a warehouse written by the pre-shard-layout packer (rows
     batches flat with shard as a DATA column; packed versions flat, no
