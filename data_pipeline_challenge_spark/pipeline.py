@@ -83,6 +83,10 @@ class ProductWarehouse:
         #: base (the amortized full rewrite). 0/None disables deltas —
         #: every merge rewrites the full table (the pre-delta behavior).
         self.delta_fold_threshold: int | None = 8
+        #: How long a reaped orphan stays resurrection-eligible before
+        #: the janitor retires it from the checked set (see
+        #: reap_orphaned_uploads).
+        self.reap_retire_after_seconds: float = 3600.0
 
     def _products_lock(self):
         """Cross-process mutual exclusion for the products
@@ -436,12 +440,21 @@ class ProductWarehouse:
         later instead of dropping data; ingest-failed files (normal
         content_type) are never resurrected.
 
-        Eligibility for resurrection spans ONE pass: a reaper-failed
-        file still absent at the next pass is re-marked with the normal
-        content_type (same ``failed`` status — an audit no-op) and
-        leaves the checked set, so the per-pass driver traffic stays
-        bounded by pending uploads + files reaped since the last pass,
-        not every orphan in warehouse history.
+        Eligibility for resurrection is TIME-BOUNDED, not eternal: a
+        reaper-failed file still absent ``reap_retire_after_seconds``
+        after its reap is re-marked with the normal content_type (same
+        ``failed`` status — an audit no-op) and leaves the checked set,
+        so per-pass driver traffic stays bounded by pending uploads +
+        recent reaps, not every orphan in warehouse history. The TTL
+        (not one-pass) eligibility plus a final existence re-check keep
+        the permanently-unrecoverable window (a rename that stalls past
+        the TTL and then lands inside the append latency) vanishingly
+        small; even then the file remains visible in the landing dir.
+        Resurrect/retire events are compare-and-append (``expect``):
+        they commit only while the file's ledger row still matches this
+        pass's snapshot, so a concurrent janitor's resurrection — and
+        any ``processed`` that followed it — is never regressed by this
+        process's stale event.
 
         Returns the file_ids marked failed this pass."""
         if not self.ledger.exists():
@@ -464,6 +477,7 @@ class ProductWarehouse:
                 "records_failed": 0,
             }
 
+        expect: dict[str, tuple[str, str]] = {}
         rows = (
             self.ledger.current()
             .filter(
@@ -473,24 +487,38 @@ class ProductWarehouse:
                     & (F.col("content_type") == self.REAPED_CONTENT_TYPE)
                 )
             )
-            .select("file_id", "filename", "location", "uploaded_at", "status")
+            .select(
+                "file_id", "filename", "location", "uploaded_at", "status",
+                "event_ts",
+            )
             .collect()
         )
         for r in rows:
             fid = r["file_id"]
             if r["status"] == STATUS_FAILED:
+                expect[fid] = (STATUS_FAILED, self.REAPED_CONTENT_TYPE)
                 if (landing / fid).exists():
                     # A previous pass reaped this file, yet it exists in
                     # the landing dir: the mis-reap race. Resurrect it.
                     other_events.append(
                         event(r, STATUS_UPLOADED, "application/json")
                     )
-                else:
-                    # Still absent one pass later: genuinely orphaned.
-                    # Re-mark with the normal content_type so it leaves
-                    # the resurrection-eligible set — without this, every
-                    # orphan ever reaped would be collected and stat()ed
-                    # on every future pass, forever.
+                    continue
+                reap_age = (
+                    (now - r["event_ts"]).total_seconds()
+                    if r["event_ts"]
+                    else None
+                )
+                if (
+                    reap_age is not None
+                    and reap_age > self.reap_retire_after_seconds
+                    and not (landing / fid).exists()  # final re-check
+                ):
+                    # Still absent long after the reap: genuinely
+                    # orphaned. Re-mark with the normal content_type so
+                    # it leaves the resurrection-eligible set — without
+                    # this, every orphan ever reaped would be collected
+                    # and stat()ed on every future pass, forever.
                     other_events.append(
                         event(r, STATUS_FAILED, "application/json")
                     )
@@ -511,7 +539,10 @@ class ProductWarehouse:
                 continue  # rename landed since the first check (TOCTOU)
             reap_events.append(event(r, STATUS_FAILED, self.REAPED_CONTENT_TYPE))
         if other_events:
-            self.ledger.append(other_events)
+            # Compare-and-append: resurrect/retire only while the row
+            # still matches this pass's snapshot (a concurrent janitor
+            # may have resurrected — and a consumer processed — first).
+            self.ledger.append(other_events, expect=expect)
         reaped: list[str] = []
         if reap_events:
             # Conditional: dropped inside the ledger locks for any file a

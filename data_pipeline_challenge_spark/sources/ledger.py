@@ -150,7 +150,12 @@ class LedgerStore:
             out = out.unionByName(p)
         return out
 
-    def append(self, rows: list[dict], skip_if_terminal: bool = False) -> list[str]:
+    def append(
+        self,
+        rows: list[dict],
+        skip_if_terminal: bool = False,
+        expect: dict[str, tuple[str, str]] | None = None,
+    ) -> list[str]:
         """Append status-event rows; fills event_ts if absent. Returns
         the file_ids actually appended.
 
@@ -159,30 +164,49 @@ class LedgerStore:
         and checkpoints the append tail once it exceeds TAIL_MAX_FILES
         small files so a long-lived warehouse's event log stays bounded.
 
-        ``skip_if_terminal=True`` drops, INSIDE the write locks, any row
-        whose file already has a terminal status. This is the janitor's
-        conditional append: its reap decision is made outside the lock,
-        and a concurrent ingest can discover-process-GC the same file
-        before the janitor's batch lands — an unconditional append would
-        then commit a later-timestamped ``failed`` over ``processed``
-        (with the landing file already gone, so resurrection could never
-        fire). Serializing the status check with the append closes that
-        interleaving; normal pipeline appends (upload, ingest results)
-        never set it — their transitions are the source of truth."""
+        Two CONDITIONAL forms for writers whose decision was made outside
+        the locks (the upload janitor — normal pipeline appends never set
+        either; their transitions are the source of truth):
+
+        - ``skip_if_terminal=True`` drops, INSIDE the write locks, any
+          row whose file already has a terminal status: a concurrent
+          ingest can discover-process-GC a file before the janitor's
+          reap batch lands, and an unconditional append would commit a
+          later-timestamped ``failed`` over ``processed`` (landing file
+          already gone, so resurrection could never fire).
+        - ``expect={file_id: (status, content_type)}`` is
+          compare-and-append: a row commits only while its file's
+          CURRENT (status, content_type) still equals the snapshot the
+          decision was based on. The janitor's resurrect/retire events
+          use it so a concurrent janitor's resurrection (followed by a
+          consumer's ``processed``) is never regressed by this
+          process's stale ``uploaded``/``failed``."""
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         full = [{"event_ts": now, **r} for r in rows]
         with self._write_lock, self._process_lock():
-            if skip_if_terminal and full and self.exists():
+            if (skip_if_terminal or expect) and full and self.exists():
                 fids = [r["file_id"] for r in full]
-                terminal = {
-                    r["file_id"]
+                cur = {
+                    r["file_id"]: (r["status"], r["content_type"])
                     for r in self.current()
                     .filter(F.col("file_id").isin(fids))
-                    .filter(F.col("status").isin(*_TERMINAL_STATUSES))
-                    .select("file_id")
+                    .select("file_id", "status", "content_type")
                     .collect()
                 }
-                full = [r for r in full if r["file_id"] not in terminal]
+                if skip_if_terminal:
+                    full = [
+                        r
+                        for r in full
+                        if cur.get(r["file_id"], ("", ""))[0]
+                        not in _TERMINAL_STATUSES
+                    ]
+                if expect:
+                    full = [
+                        r
+                        for r in full
+                        if r["file_id"] not in expect
+                        or cur.get(r["file_id"]) == expect[r["file_id"]]
+                    ]
             if not full:
                 return []
             df = self.spark.createDataFrame(

@@ -59,18 +59,14 @@ from .rollup_stream import (
 
 def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
     """The latest published packed table, or None before the first batch.
-    Resolves the ``current`` symlink once at planning time (pinned version
-    dir, two-version retention — see rollup_stream.current_rollup)."""
-    rdir = Path(out_dir)
-    cur = rdir / "current"
-    if cur.is_symlink():
-        target = rdir / os.readlink(cur)
-        if target.exists():
-            return spark.read.parquet(str(target))
-    versions = _versions(rdir)
-    if not versions:
+    Resolves the ``current`` symlink once at planning time (pinned
+    version dir — see rollup_stream.current_rollup; resolution delegates
+    to ``_prev_read_target`` so what readers pin and what retention
+    keeps can never drift)."""
+    target = _prev_read_target(Path(out_dir))
+    if target is None:
         return None
-    return spark.read.parquet(str(versions[-1][1]))
+    return spark.read.parquet(str(target))
 
 
 def touched_history(

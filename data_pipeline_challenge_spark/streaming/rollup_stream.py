@@ -116,20 +116,15 @@ def current_rollup(spark: SparkSession, rollup_dir: str | Path) -> DataFrame | N
     Resolves the ``current`` symlink ONCE at planning time and reads the
     pinned version directory — so the publish is load-bearing, and a
     concurrent batch repointing the symlink can't swap files out from
-    under an in-flight scan (the resolved version survives two further
-    publishes before cleanup touches it, same retention as
-    sources/ledger.py). Falls back to the newest version dir when the
-    symlink is absent (pre-first-publish crash window)."""
-    rdir = Path(rollup_dir)
-    cur = rdir / "current"
-    if cur.is_symlink():
-        target = rdir / os.readlink(cur)
-        if target.exists():
-            return spark.read.parquet(str(target))
-    versions = _versions(rdir)
-    if not versions:
+    under an in-flight scan (the resolved version survives one further
+    publish before cleanup touches it). Falls back to the newest version
+    dir when the symlink is absent (pre-first-publish crash window).
+    Resolution delegates to ``_prev_read_target`` — retention keeps
+    exactly what this resolves, so the two rules cannot drift."""
+    target = _prev_read_target(Path(rollup_dir))
+    if target is None:
         return None
-    return spark.read.parquet(str(versions[-1][1]))
+    return spark.read.parquet(str(target))
 
 
 def start_rollup_stream(

@@ -384,7 +384,7 @@ def test_reap_conditional_append_and_orphan_retirement(spark, tmp_path):
     ) == []
     assert wh.ledger.status_of("200_tok_done.json")["status"] == "processed"
 
-    # (2) orphan lifecycle: reap -> still absent next pass -> retired
+    # (2) orphan lifecycle: reap -> still absent past the TTL -> retired
     wh.ledger.append([ev("201_tok_gone.json", "uploaded")])
     assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == [
         "201_tok_gone.json"
@@ -392,10 +392,27 @@ def test_reap_conditional_append_and_orphan_retirement(spark, tmp_path):
     row = wh.ledger.status_of("201_tok_gone.json")
     assert row["status"] == "failed"
     assert row["content_type"] == wh.REAPED_CONTENT_TYPE
+    # within the TTL the orphan stays resurrection-eligible
+    assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == []
+    assert (
+        wh.ledger.status_of("201_tok_gone.json")["content_type"]
+        == wh.REAPED_CONTENT_TYPE
+    )
+    # past the TTL it is retired from the checked set
+    wh.reap_retire_after_seconds = 0.0
     assert wh.reap_orphaned_uploads(landing, min_age_seconds=60) == []
     row = wh.ledger.status_of("201_tok_gone.json")
     assert row["status"] == "failed"
     assert row["content_type"] == "application/json"  # retired from the set
+
+    # (3) compare-and-append: a stale resurrect/retire is dropped when
+    # the row no longer matches the snapshot it was decided from
+    wh.ledger.append([ev("202_tok_race.json", "processed")])
+    assert wh.ledger.append(
+        [ev("202_tok_race.json", "uploaded")],
+        expect={"202_tok_race.json": ("failed", wh.REAPED_CONTENT_TYPE)},
+    ) == []
+    assert wh.ledger.status_of("202_tok_race.json")["status"] == "processed"
 
 
 def test_consumer_retry_state_prunes_vanished_files(spark, tmp_path):
