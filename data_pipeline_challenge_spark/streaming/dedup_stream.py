@@ -1,0 +1,220 @@
+"""Incremental exact-dedup against history — the streaming face of
+``operators/dedup.exact_duplicates``.
+
+A training-data pipeline at 100 TB ingests continuously, and exact dedup
+must not re-scan the corpus per arrival: only NOVEL documents (first
+occurrence of a normalized-text fingerprint, ever) may flow downstream.
+This stream maintains two structures under ``out_dir``:
+
+- ``docs/`` — the novel-document store: exactly one row per distinct
+  fingerprint ever seen, the first-arrival winner (earliest micro-batch,
+  then smallest id — deterministic under replay). Downstream consumers
+  read this instead of the raw corpus.
+- ``fp_index/`` — the against-history membership index: one
+  ``(fp, fp_prefix)`` row per distinct fingerprint, partitioned by
+  ``fp_prefix = pmod(xxhash64(fp), n_prefix)``. Hash-only, so it is
+  orders of magnitude smaller than the corpus (a 100 TB corpus of ~1e11
+  docs is a few TB of fingerprints).
+
+Per-micro-batch cost is O(batch) + O(touched-prefix slice of the index),
+never O(corpus), and each half is structural:
+
+- the batch folds to one winner per fp (one batch-sized shuffle);
+- the membership probe scans the index pruned to the batch's touched
+  prefixes — a driver-side literal ``isin`` that lands in
+  ``PartitionFilters`` (planning-time pruning; untouched prefixes' files
+  are never listed) — and joins it against the BROADCAST batch
+  fingerprint set (semi join, build side = batch), so the index is
+  never shuffled (pinned by ``test_dedup_stream_index_never_shuffled``);
+- appends are pure: one new ``ingest_batch=B`` dir per store per batch
+  (tmp + atomic rename), nothing existing is read back or rewritten.
+
+Exactly-once without a transactional sink, the repo's standard recipe:
+both stores key their increment dirs by micro-batch id, ``docs`` is
+written before ``fp_index``, and the replay guard skips a batch only
+when it is folded into BOTH stores (min across stores, mirroring
+``index_stream``'s bounds rule) — a crash between the two writes
+replays into an index that does not yet contain the batch, so the novel
+set recomputes identically and the docs dir is overwritten with the
+same content. A fresh-checkpoint renumbered replay lands at-or-below
+the guard and is skipped, so nothing duplicates.
+
+Directory growth is bounded the same way as every micro-batch store
+here: ``compact_dedup_store`` folds both stores' live batches into one
+consolidated partition (``batchstore`` crash-safe marker protocol,
+offline — run while the stream is stopped).
+
+Near-dup (MinHash/SimHash) streaming maintenance composes on top: feed
+``docs/`` (already exact-deduped) into the batch LSH operators, or the
+persisted-index increments of ``index_stream`` for the embedding path.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..functions.textfn import normalized_fingerprint
+
+
+def _prefix_of(fp_col, n_prefix: int):
+    return F.pmod(F.xxhash64(fp_col), F.lit(n_prefix)).cast("int")
+
+
+def history_fps(
+    spark: SparkSession, out_dir: str | Path, touched_prefixes: list[int]
+) -> DataFrame:
+    """Fingerprints ever seen in the given prefix partitions — a
+    partition-pruned scan of the membership index. ``touched_prefixes``
+    is a driver-side literal, so the ``isin`` is a static partition
+    filter (untouched prefixes never listed). Goes through
+    ``batchstore.read_batch_store`` so a consolidated index serves the
+    identical view."""
+    store = Path(out_dir) / "fp_index"
+    return (
+        read_batch_store(spark, store)
+        .filter(F.col("fp_prefix").isin([int(p) for p in touched_prefixes]))
+        .select("fp")
+    )
+
+
+def current_novel_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """The maintained novel-document table (one row per distinct
+    fingerprint, first-arrival winner), or None before the first batch."""
+    store = Path(out_dir) / "docs"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, store).drop("ingest_batch")
+
+
+def compact_dedup_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
+    """OFFLINE maintenance: fold each store's accumulated per-batch dirs
+    into one consolidated partition (crash-safe marker protocol,
+    ``batchstore``) so partition discovery stays O(1) on a long-lived
+    warehouse. Run while the dedup stream is NOT running. Returns
+    {store: dirs folded}."""
+    odir = Path(out_dir)
+    out: dict[str, int] = {}
+    for name, part in (("docs", None), ("fp_index", ["fp_prefix"])):
+        store = odir / name
+        if store.exists():
+            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+    return out
+
+
+def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> None:
+    """One increment dir, tmp + atomic rename (idempotent overwrite on
+    replay) — the ``similarity._write_increment`` discipline."""
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(tmp))
+    final = store / f"ingest_batch={batch_id}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    corpus_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    n_prefix: int = 256,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream corpus parquet files through against-history exact dedup.
+    ``available_now=True`` drains what's landed and stops."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    fp_store = odir / "fp_index"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(corpus_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Folded into BOTH stores ⇒ replay is a no-op. min, not max: a
+        # crash between the docs and fp_index writes leaves docs ahead,
+        # and a max-based skip would permanently drop the batch from the
+        # index (every one of its fps would re-emit as novel forever).
+        if batch_id <= min(last_batch_id(docs_store), last_batch_id(fp_store)):
+            return
+
+        with_fp = batch_df.withColumn(
+            "fp", normalized_fingerprint(F.col(text_col))
+        )
+        # Intra-batch winner per fingerprint: smallest id — deterministic,
+        # so a crash-replay recomputes the identical novel set. One
+        # batch-sized shuffle.
+        w = Window.partitionBy("fp").orderBy(F.col(id_col))
+        winners = (
+            with_fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        # Driver-side touched-prefix literal (bounded by n_prefix): the
+        # membership probe below prunes the index to these partitions at
+        # planning time.
+        touched = sorted(
+            r["p"]
+            for r in winners.select(
+                _prefix_of(F.col("fp"), n_prefix).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            # Empty micro-batch: nothing novel by construction — skip the
+            # store appends entirely (an empty ingest_batch dir per idle
+            # trigger would accrete forever). The replay guard staying
+            # behind is harmless: a replayed empty batch re-skips here.
+            return
+        batch_fps = winners.select("fp")
+        if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):
+            # Which batch fps exist in history: prefix-pruned index scan,
+            # semi-joined against the BROADCAST batch set — the index is
+            # streamed map-side, never shuffled, never rewritten.
+            hits = history_fps(spark, odir, touched).join(
+                F.broadcast(batch_fps), "fp", "left_semi"
+            )
+            novel = winners.join(F.broadcast(hits), "fp", "left_anti")
+        else:
+            novel = winners
+        novel = novel.cache()
+        try:
+            # docs BEFORE fp_index (see module docstring's crash argument).
+            _append(novel, docs_store, batch_id)
+            _append(
+                novel.select(
+                    "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
+                ),
+                fp_store,
+                batch_id,
+                partition_by="fp_prefix",
+            )
+        finally:
+            novel.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1350,3 +1350,146 @@ def test_index_increment_consolidation(spark, tmp_path):
         for r in ann_topk(full, qvec, dim=64, k=10, n_planes=4, probe_hamming=1).collect()
     ]
     assert topk() == want
+
+
+def test_dedup_stream_emits_only_novel(spark, tmp_path):
+    """Against-history exact dedup: across micro-batches and a restart,
+    the docs store holds exactly one row per distinct fingerprint — the
+    first-arrival winner (earliest batch, then smallest id) — and a
+    duplicate arriving later is never re-emitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        current_novel_docs,
+        start_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "dedup"
+    ckpt = tmp_path / "ckpt_dedup"
+    SCHEMA = "doc_id long, text string"
+
+    import os as _os
+
+    _mtime = [1_700_000_000]
+
+    def land(name, rows):
+        ids, texts = zip(*rows)
+        p = corpus_dir / name
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            str(p),
+        )
+        # FileStreamSource orders batches by mtime; equal stamps make the
+        # arrival order (and thus the first-arrival winner) ambiguous.
+        _mtime[0] += 10
+        _os.utime(p, (_mtime[0], _mtime[0]))
+
+    def run():
+        q = start_dedup_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "doc_id", "text", n_prefix=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    # batch 0: intra-batch dup (ids 2,5 same normalized text; min id wins)
+    land("a.parquet", [(2, "Hello  World"), (5, "hello world"), (3, "alpha")])
+    # batch 1: cross-batch dup of "hello world" + one novel doc
+    land("b.parquet", [(9, " HELLO   world "), (7, "beta")])
+    run()
+
+    docs = current_novel_docs(spark, out_dir)
+    kept = {r["fp"]: r["doc_id"] for r in docs.collect()}
+    assert len(kept) == 3  # hello-world, alpha, beta
+    # first-arrival winner: batch 0's id=2, not 5 (intra) and not 9 (cross)
+    hw_ids = sorted(r["doc_id"] for r in docs.filter(F.col("doc_id").isin(2, 5, 9)).collect())
+    assert hw_ids == [2]
+
+    # restart with new data: dup of alpha + novel gamma
+    land("c.parquet", [(11, "ALPHA"), (12, "gamma")])
+    run()
+    docs = current_novel_docs(spark, out_dir)
+    ids = sorted(r["doc_id"] for r in docs.collect())
+    assert ids == [2, 3, 7, 12]
+
+    # replay from a fresh checkpoint folds nothing twice
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    assert sorted(r["doc_id"] for r in current_novel_docs(spark, out_dir).collect()) == [2, 3, 7, 12]
+
+
+def test_dedup_stream_probe_pruned_and_never_shuffles_index(spark, tmp_path):
+    """The membership probe's cost shape, pinned structurally: the index
+    scan is partition-pruned to the batch's touched prefixes (the isin
+    lands in PartitionFilters), and the probe joins broadcast-batch vs
+    streamed index — no SortMergeJoin, no index-side shuffle Exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        compact_dedup_store,
+        current_novel_docs,
+        history_fps,
+        start_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "dedup"
+    ckpt = tmp_path / "ckpt_dedup"
+    SCHEMA = "doc_id long, text string"
+
+    def land(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(corpus_dir / name),
+        )
+
+    land("a.parquet", [(i, f"doc number {i}") for i in range(40)])
+    q = start_dedup_stream(
+        spark, corpus_dir, out_dir, ckpt, SCHEMA,
+        "doc_id", "text", n_prefix=8,
+    )
+    q.awaitTermination(180)
+
+    hist = history_fps(spark, out_dir, [3])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "fp_prefix" in seg
+
+    # The probe shape the stream builds: pruned index vs broadcast batch.
+    batch_fps = spark.createDataFrame(
+        [("00",), ("11",)], "fp string"
+    )
+    hits = history_fps(spark, out_dir, [0, 1]).join(
+        F.broadcast(batch_fps), "fp", "left_semi"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # Consolidation preserves the reader view (and the pruned scan shape).
+    before = {r["fp"] for r in current_novel_docs(spark, out_dir).select("fp").collect()}
+    folded = compact_dedup_store(spark, out_dir)
+    assert folded["fp_index"] >= 0
+    after = {r["fp"] for r in current_novel_docs(spark, out_dir).select("fp").collect()}
+    assert before == after
+    # history still serves every fp through the consolidated store
+    all_fps = {
+        r["fp"] for r in history_fps(spark, out_dir, list(range(8))).collect()
+    }
+    assert all_fps == before
