@@ -144,27 +144,25 @@ def minhash_signatures(
     return sh.groupBy(F.col("doc")).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def banded_minhash_tables(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    min_jaccard: float = 0.0,
-) -> DataFrame:
-    """MinHash + banded LSH near-duplicate candidate pairs, verified with
-    exact Jaccard. Returns (doc1, doc2, jaccard_est, jaccard).
-
-    Pipeline: signatures → explode into ``bands`` band-hashes → self-join on
-    (band index, band hash) → distinct candidate pairs → exact verification
-    via the inverted-index jaccard join restricted to candidates.
-    jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
-    estimate)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three tables every MinHash-LSH consumer needs, from one shingle
+    pass: ``(sh, per_doc, banded)`` where ``sh`` = (doc, s) exploded
+    shingles, ``per_doc`` = (doc, mh array, n_sh) — CACHED, one groupBy
+    computing the signature array + the distinct-shingle COUNT (k+1 longs
+    per doc, map-side combinable; the shuffle payload never carries
+    shingle SETS, which at corpus scale would dominate it) — and
+    ``banded`` = (doc, band, bh) band-hash rows. Shared by the batch
+    self-join pair finder (:func:`minhash_lsh_pairs`) and the streaming
+    against-history probe (``streaming/near_dedup_stream.py``), so both
+    compute bit-identical signatures."""
     rows_per_band = num_hashes // bands
-    # ONE groupBy computes the signature array + the distinct-shingle COUNT
-    # (k+1 longs per doc — map-side combinable; the shuffle payload never
-    # carries shingle SETS, which at corpus scale would dominate it).
     sh = _shingle_table(df, id_col, text_col, n)
     mh_arr = F.array(
         *[
@@ -194,6 +192,29 @@ def minhash_lsh_pairs(
     banded = per_doc.select(F.col("doc"), F.explode(band_structs).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
+    return sh, per_doc, banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidate pairs, verified with
+    exact Jaccard. Returns (doc1, doc2, jaccard_est, jaccard).
+
+    Pipeline: signatures → explode into ``bands`` band-hashes → self-join on
+    (band index, band hash) → distinct candidate pairs → exact verification
+    via the inverted-index jaccard join restricted to candidates.
+    jaccard_est is the fraction of agreeing minhashes (the unbiased sketch
+    estimate)."""
+    sh, per_doc, banded = banded_minhash_tables(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -206,13 +227,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
+    return verify_candidate_pairs(
+        cand, sh, per_doc, sh, per_doc, num_hashes=num_hashes, min_jaccard=min_jaccard
+    )
 
+
+def verify_candidate_pairs(
+    cand: DataFrame,
+    sh1: DataFrame,
+    per_doc1: DataFrame,
+    sh2: DataFrame,
+    per_doc2: DataFrame,
+    num_hashes: int = 32,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Sketch-estimate + exact-Jaccard verification of candidate pairs
+    ``(doc1, doc2)``, with doc1 resolved against side-1 tables and doc2
+    against side-2 (both sides as produced by
+    :func:`banded_minhash_tables`). Sides may be the same corpus (the
+    batch self-join path) or different ones (the streaming
+    against-history probe, where side 1 is the bounded fetched-candidate
+    slice of the kept-docs store). Cost is restricted to candidate rows
+    on every join — no full shingle set ever crosses a shuffle."""
     # Sketch estimate: two joins bring each side's signature + set size
     # (k+1 longs — never the shingle sets themselves).
-    p1 = per_doc.select(
+    p1 = per_doc1.select(
         F.col("doc").alias("doc1"), F.col("mh").alias("mh1"), F.col("n_sh").alias("n1")
     )
-    p2 = per_doc.select(
+    p2 = per_doc2.select(
         F.col("doc").alias("doc2"), F.col("mh").alias("mh2"), F.col("n_sh").alias("n2")
     )
     agree = F.size(
@@ -231,8 +273,8 @@ def minhash_lsh_pairs(
     # a groupBy over rows that exist only for candidate pairs, so memory
     # per task is O(1) and no full shingle set ever crosses a shuffle —
     # the corpus-scale shape the collect_set variant lacked.
-    s1 = sh.select(F.col("doc").alias("doc1"), "s")
-    s2 = sh.select(F.col("doc").alias("doc2"), "s")
+    s1 = sh1.select(F.col("doc").alias("doc1"), "s")
+    s2 = sh2.select(F.col("doc").alias("doc2"), "s")
     inter = (
         cand.join(s1, "doc1")
         .join(s2, ["doc2", "s"])

@@ -1,0 +1,310 @@
+"""Incremental NEAR-dedup (MinHash + LSH) against history — the
+probabilistic sibling of ``dedup_stream``.
+
+Maintains a near-duplicate-free corpus under continuous ingestion: a new
+document is KEPT iff (a) it survives intra-batch near-dedup (the batch
+LSH pipeline: ``minhash_lsh_pairs`` → connected components → min-id
+survivor per cluster) and (b) it has no verified near-duplicate
+(exact Jaccard ≥ ``min_jaccard``) among previously-KEPT documents. This
+is the production corpus-maintenance semantic — dedup against the
+retained set, greedy first-arrival-wins — deliberately NOT a global
+transitive re-clustering of all history per batch (which would be
+O(corpus); offline re-clustering stays the batch operators' job).
+
+Stores under ``out_dir``:
+
+- ``docs/`` — kept documents (id, text, ``doc_prefix`` partition column:
+  ``pmod(xxhash64(id), n_prefix)``), so the verification step's
+  candidate fetch is a partition-pruned keyed read;
+- ``band_index/`` — one (band, bh, doc) row per kept doc per LSH band,
+  partitioned by ``bh_prefix = pmod(xxhash64(band, bh), n_prefix)`` —
+  the against-history candidate probe.
+
+Per-batch cost is O(batch + collision candidates), never O(corpus):
+
+- signatures/bands for the batch: one shingle pass (the shared
+  ``banded_minhash_tables``, bit-identical to the batch operator);
+- the probe scans the band index pruned to the batch's touched bucket
+  prefixes (driver-literal ``isin`` → ``PartitionFilters``) and
+  semi-joins it against the BROADCAST batch bucket set — the index is
+  never shuffled;
+- per-bucket candidate fan-out is capped (``bucket_cap``, smallest doc
+  ids win — deterministic): history holds only KEPT docs, so buckets
+  cannot crowd with exact duplicates, but a family of just-distinct
+  near-misses could still accrete; the cap bounds the verify join at
+  the standard LSH recall trade-off and is recorded honestly here
+  rather than hidden;
+- verification fetches ONLY candidate old docs (prefix-pruned +
+  broadcast-semi keyed read of ``docs/``), re-shingles that bounded
+  slice, and runs the shared candidate-restricted exact-Jaccard join
+  (``verify_candidate_pairs``).
+
+Exactly-once follows ``dedup_stream``'s recipe: both stores key
+increment dirs by micro-batch id (tmp + atomic rename, idempotent
+overwrite), ``docs`` is written before ``band_index``, and the replay
+guard skips only batches folded into BOTH stores — a crash between the
+writes replays against an index without the batch, recomputing the
+identical kept set (all winner rules are deterministic). Offline
+consolidation (``compact_near_dedup_store``) reuses the batchstore
+marker protocol.
+
+Short documents (fewer than ``n`` tokens) have no shingles, hence no
+signature or bands: they are always kept and never candidates — the
+same blind spot as the batch operator, inherent to shingle sketches.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..operators.dedup import banded_minhash_tables, verify_candidate_pairs
+from ..operators.graph import connected_components
+
+
+def _prefix(col, n_prefix: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_prefix)).cast("int")
+
+
+def _band_prefix(band_col, bh_col, n_prefix: int):
+    return F.pmod(F.xxhash64(band_col, bh_col), F.lit(n_prefix)).cast("int")
+
+
+def current_kept_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """The maintained near-duplicate-free document table, or None before
+    the first batch."""
+    store = Path(out_dir) / "docs"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, store).drop("ingest_batch")
+
+
+def history_buckets(
+    spark: SparkSession, out_dir: str | Path, touched_prefixes: list[int]
+) -> DataFrame:
+    """(band, bh, doc) rows of kept docs in the touched bucket-prefix
+    partitions — planning-time pruned (the literal ``isin`` lands in
+    ``PartitionFilters``)."""
+    store = Path(out_dir) / "band_index"
+    return (
+        read_batch_store(spark, store)
+        .filter(F.col("bh_prefix").isin([int(p) for p in touched_prefixes]))
+        .select("band", "bh", "doc")
+    )
+
+
+def compact_near_dedup_store(
+    spark: SparkSession, out_dir: str | Path
+) -> dict[str, int]:
+    """OFFLINE: fold each store's per-batch dirs into one consolidated
+    partition (crash-safe marker protocol). Run while the stream is NOT
+    running."""
+    odir = Path(out_dir)
+    out: dict[str, int] = {}
+    for name, part in (("docs", ["doc_prefix"]), ("band_index", ["bh_prefix"])):
+        store = odir / name
+        if store.exists():
+            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+    return out
+
+
+def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> None:
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(tmp))
+    final = store / f"ingest_batch={batch_id}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+
+
+def start_near_dedup_stream(
+    spark: SparkSession,
+    corpus_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.8,
+    n_prefix: int = 256,
+    bucket_cap: int = 64,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream corpus parquet files through against-history near-dedup.
+    ``available_now=True`` drains what's landed and stops."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    band_store = odir / "band_index"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(corpus_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
+            return
+        batch = batch_df.select(id_col, text_col).cache()
+        cached = [batch]
+        try:
+            sh_new, per_new, banded_new = banded_minhash_tables(
+                batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+            )
+            cached.append(per_new)  # banded_minhash_tables caches per_doc
+
+            # (a) intra-batch near-dedup: self-join candidates → verified
+            # pairs → connected components → min-id survivor per cluster.
+            a, b = banded_new.alias("a"), banded_new.alias("b")
+            intra_cand = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+                .distinct()
+            )
+            intra = verify_candidate_pairs(
+                intra_cand, sh_new, per_new, sh_new, per_new,
+                num_hashes=num_hashes, min_jaccard=min_jaccard,
+            )
+            comp = connected_components(
+                intra.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+            )
+            drop_intra = (
+                comp.filter(F.col("vertex") != F.col("component"))
+                .select(F.col("vertex").alias("doc"))
+            )
+            kept = batch.join(
+                F.broadcast(drop_intra),
+                batch[id_col] == drop_intra["doc"],
+                "left_anti",
+            )
+            kept_banded = banded_new.join(
+                F.broadcast(drop_intra), "doc", "left_anti"
+            )
+
+            # (b) against-history probe, only if an index exists.
+            if band_store.exists() and any(band_store.glob("ingest_batch=*")):
+                touched = sorted(
+                    r["p"]
+                    for r in kept_banded.select(
+                        _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                if touched:
+                    batch_buckets = kept_banded.select("band", "bh").distinct()
+                    hits = history_buckets(spark, odir, touched).join(
+                        F.broadcast(batch_buckets), ["band", "bh"], "left_semi"
+                    )
+                    # Deterministic per-bucket candidate cap (smallest old
+                    # ids win) — bounds the verify join under bucket crowding.
+                    wcap = Window.partitionBy("band", "bh").orderBy(F.col("doc"))
+                    hits = (
+                        hits.withColumn("__rk", F.row_number().over(wcap))
+                        .filter(F.col("__rk") <= bucket_cap)
+                        .drop("__rk")
+                    )
+                    cross_cand = (
+                        kept_banded.join(
+                            F.broadcast(
+                                hits.select(
+                                    "band", "bh", F.col("doc").alias("doc1")
+                                )
+                            ),
+                            ["band", "bh"],
+                        )
+                        .select("doc1", F.col("doc").alias("doc2"))
+                        .distinct()
+                        .cache()
+                    )
+                    cached.append(cross_cand)
+                    old_ids = cross_cand.select(
+                        F.col("doc1").alias(id_col)
+                    ).distinct()
+                    old_prefixes = sorted(
+                        r["p"]
+                        for r in old_ids.select(
+                            _prefix(F.col(id_col), n_prefix).alias("p")
+                        )
+                        .distinct()
+                        .collect()
+                    )
+                    old_docs = (
+                        read_batch_store(spark, docs_store)
+                        .filter(F.col("doc_prefix").isin(old_prefixes))
+                        .join(F.broadcast(old_ids), id_col, "left_semi")
+                        .select(id_col, text_col)
+                    )
+                    sh_old, per_old, _ = banded_minhash_tables(
+                        old_docs, id_col, text_col,
+                        n=n, num_hashes=num_hashes, bands=bands,
+                    )
+                    cached.append(per_old)
+                    matched = (
+                        verify_candidate_pairs(
+                            cross_cand, sh_old, per_old, sh_new, per_new,
+                            num_hashes=num_hashes, min_jaccard=min_jaccard,
+                        )
+                        .select(F.col("doc2").alias("doc"))
+                        .distinct()
+                    )
+                    kept = kept.join(
+                        F.broadcast(matched),
+                        kept[id_col] == matched["doc"],
+                        "left_anti",
+                    )
+                    kept_banded = kept_banded.join(
+                        F.broadcast(matched), "doc", "left_anti"
+                    )
+
+            kept = kept.withColumn(
+                "doc_prefix", _prefix(F.col(id_col), n_prefix)
+            ).cache()
+            cached.append(kept)
+            if not kept.take(1):
+                return  # everything was a duplicate: append nothing
+            # docs BEFORE band_index (crash-replay argument above).
+            _append(kept, docs_store, batch_id, partition_by="doc_prefix")
+            _append(
+                kept_banded.select(
+                    "band",
+                    "bh",
+                    "doc",
+                    _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias(
+                        "bh_prefix"
+                    ),
+                ),
+                band_store,
+                batch_id,
+                partition_by="bh_prefix",
+            )
+        finally:
+            for c in cached:
+                c.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

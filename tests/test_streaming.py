@@ -1493,3 +1493,146 @@ def test_dedup_stream_probe_pruned_and_never_shuffles_index(spark, tmp_path):
         r["fp"] for r in history_fps(spark, out_dir, list(range(8))).collect()
     }
     assert all_fps == before
+
+
+def _near_corpus_land(corpus_dir, mtime_box):
+    """Helper bound into the near-dedup tests: parquet writer with forced
+    mtime order (FileStreamSource batches by mtime)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def land(name, rows):
+        ids, texts = zip(*rows)
+        p = corpus_dir / name
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(p),
+        )
+        mtime_box[0] += 10
+        _os.utime(p, (mtime_box[0], mtime_box[0]))
+
+    return land
+
+
+def test_near_dedup_stream_first_arrival_survivors(spark, tmp_path):
+    """Streaming MinHash near-dedup against history: intra-batch clusters
+    keep the min id; a later-batch near-dup of a KEPT doc is dropped; a
+    genuinely novel doc is kept — across micro-batches, a restart, and a
+    fresh-checkpoint replay."""
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        current_kept_docs,
+        start_near_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "near"
+    ckpt = tmp_path / "ckpt_near"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    nearA = base + " today"                   # near-dup of base
+    nearB = base + " again tomorrow"          # near-dup of base (transitive-safe)
+    other = (
+        "spark catalyst rewrites declarative plans into whole stage "
+        "codegen pipelines that stream columnar batches through the jvm"
+    )
+
+    def run():
+        q = start_near_dedup_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "doc_id", "text", min_jaccard=0.5, n_prefix=8,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    # batch 0: intra-batch cluster {4, 9} (min id 4 wins) + one distinct
+    land("a.parquet", [(9, nearA), (4, base), (30, other)])
+    # batch 1: near-dup of the kept base (id 4) + a novel doc
+    land("b.parquet", [(12, nearB), (50, "completely fresh text about "
+                                         "sequence packing and token budgets "
+                                         "for large language model training")])
+    run()
+    kept = sorted(r["doc_id"] for r in current_kept_docs(spark, out_dir).collect())
+    assert kept == [4, 30, 50]
+
+    # restart with another near-dup of base and one more novel doc
+    land("c.parquet", [(2, base + " always"), (60, "yet another unrelated "
+                                                   "document mentioning parquet "
+                                                   "row groups and min max stats "
+                                                   "for file pruning at scale")])
+    run()
+    kept = sorted(r["doc_id"] for r in current_kept_docs(spark, out_dir).collect())
+    assert kept == [4, 30, 50, 60]
+
+    # fresh-checkpoint replay folds nothing twice
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    kept = sorted(r["doc_id"] for r in current_kept_docs(spark, out_dir).collect())
+    assert kept == [4, 30, 50, 60]
+
+
+def test_near_dedup_stream_probe_shape_and_consolidation(spark, tmp_path):
+    """Cost-shape pins: the band-index probe is partition-pruned (the
+    bucket-prefix isin lands in PartitionFilters) and never shuffles the
+    index (no SortMergeJoin in the probe plan); store consolidation
+    preserves the reader view."""
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        compact_near_dedup_store,
+        current_kept_docs,
+        history_buckets,
+        start_near_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "near"
+    ckpt = tmp_path / "ckpt_near"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    land("a.parquet", [
+        (i, f"document number {i} about topic {i % 7} with enough distinct "
+            f"words {i * 3} to form shingles {i * 5} reliably {i * 11}")
+        for i in range(30)
+    ])
+    q = start_near_dedup_stream(
+        spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+        min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(240)
+
+    hist = history_buckets(spark, out_dir, [2, 5])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bh_prefix" in seg
+
+    probe = history_buckets(spark, out_dir, [0, 1]).join(
+        F.broadcast(
+            spark.createDataFrame([(0, 1)], "band int, bh long")
+        ),
+        ["band", "bh"],
+        "left_semi",
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    before = {r["doc_id"] for r in current_kept_docs(spark, out_dir).collect()}
+    compact_near_dedup_store(spark, out_dir)
+    after = {r["doc_id"] for r in current_kept_docs(spark, out_dir).collect()}
+    assert before == after
+    all_buckets = history_buckets(spark, out_dir, list(range(8))).count()
+    assert all_buckets > 0
