@@ -325,3 +325,106 @@ def test_packing_stream_invariant_to_arrival_order(spark, arrival):
         assert norm(current_packed(spark, root / "packed")) == norm(expected)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- dedup stream fingerprint-set invariance ---------------------------------
+
+# Arbitrary documents (drawn from a small text pool so duplicates are
+# frequent) split arbitrarily across micro-batch files, with doc_ids
+# assigned by a random permutation.
+_TEXT_POOL = [
+    "the quick brown fox",
+    "The  Quick   Brown Fox",   # same fingerprint after normalization
+    "pack sequences into bins",
+    "spark catalyst optimizer",
+    "SPARK catalyst OPTIMIZER",  # same fingerprint after normalization
+    "ledger event replay",
+]
+
+_dedup_batches_st = st.lists(
+    st.lists(st.sampled_from(_TEXT_POOL), min_size=1, max_size=5),
+    min_size=1,
+    max_size=3,
+).flatmap(
+    lambda bs: st.permutations(range(1, sum(len(b) for b in bs) + 1)).map(
+        lambda ids: (bs, list(ids))
+    )
+)
+
+
+@settings(
+    max_examples=5,  # each example drains a full streaming query
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(arrival=_dedup_batches_st)
+def test_dedup_stream_fp_set_invariant_to_arrival_order(spark, arrival):
+    """For ANY documents, ANY split into micro-batches, and ANY
+    doc_id-vs-arrival permutation: the drained novel-docs store holds
+    exactly ONE row per distinct normalized fingerprint, and its
+    fingerprint SET equals the batch ``exact_duplicates`` distinct set
+    over the union. (The kept doc_id itself is first-arrival-wins by
+    DESIGN, so it is order-dependent — the invariant is the set and the
+    one-per-fp cardinality.)"""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.functions.textfn import (
+        normalized_fingerprint,
+    )
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        current_novel_docs,
+        start_dedup_stream,
+    )
+
+    batches, ids = arrival
+    SCHEMA = "doc_id long, text string"
+    root = Path(tempfile.mkdtemp(prefix="dedup_prop_"))
+    try:
+        corpus_dir = root / "corpus"
+        corpus_dir.mkdir()
+        it = iter(ids)
+        mtime = 1_700_000_000
+        import os as _os
+
+        for i, batch in enumerate(batches):
+            p = corpus_dir / f"b{i}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([next(it) for _ in batch], pa.int64()),
+                        "text": pa.array(list(batch)),
+                    }
+                ),
+                str(p),
+            )
+            mtime += 10
+            _os.utime(p, (mtime, mtime))
+        q = start_dedup_stream(
+            spark, corpus_dir, root / "dedup", root / "ckpt", SCHEMA,
+            "doc_id", "text", n_prefix=4, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        docs = current_novel_docs(spark, root / "dedup")
+        got = [r["fp"] for r in docs.select("fp").collect()]
+        assert len(got) == len(set(got))  # one row per fingerprint
+
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        expected = {
+            r["fp"]
+            for r in full.select(
+                normalized_fingerprint(F.col("text")).alias("fp")
+            )
+            .distinct()
+            .collect()
+        }
+        assert set(got) == expected
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
