@@ -392,6 +392,72 @@ class ProductWarehouse:
             self._sweep_orphan_deltas()
             return rep
 
+    def vacuum(
+        self,
+        landing_dir: str | Path | None = None,
+        target_file_bytes: int = 128 << 20,
+        compact_min_files: int = 16,
+        scratch_min_age_seconds: float = 86_400.0,
+    ) -> dict:
+        """One-call periodic maintenance — the nightly-job entrypoint
+        bundling every upkeep pass a long-lived warehouse needs:
+
+        1. sweep ``jsonl_scratch_*`` dirs orphaned by a killed ingest
+           (the in-process ``finally`` cleans them, but ``kill -9``
+           between ``mkdtemp`` and that ``finally`` leaks the dir
+           forever). Age-gated by ``scratch_min_age_seconds`` (default
+           24 h) so a LIVE ingest's scratch is never swept — ingest
+           batches complete in minutes; the same in-flight-window
+           reasoning as ``reap_orphaned_uploads``'s age guard;
+        2. run the upload janitor (when ``landing_dir`` is given) —
+           crash-orphaned 'uploaded' events resolve instead of pending
+           forever;
+        3. fold outstanding merge-on-read deltas and compact the
+           products table (``compact_products``) when there is anything
+           to fold or the table is fragmented past
+           ``compact_min_files`` parquet files. Online-safe for readers
+           (versioned publish); concurrent writers serialize on the
+           products flock.
+
+        The ledger needs no entry here: its tail self-checkpoints on
+        append (``TAIL_MAX_FILES``). Streaming-sink stores
+        (packing/index/dedup) are maintained by their own
+        ``compact_*``/``consolidate`` calls while their stream is
+        stopped — they live outside the warehouse dir and their offline
+        contract can't be verified from here.
+
+        Returns ``{"scratch_swept": int, "reaped": [file_id, ...],
+        "compaction": CompactionReport | None}``."""
+        import time as _time
+
+        report: dict = {"scratch_swept": 0, "reaped": [], "compaction": None}
+        now = _time.time()
+        for p in self.dir.glob("jsonl_scratch_*"):
+            try:
+                aged = now - p.stat().st_mtime > scratch_min_age_seconds
+            except OSError:
+                continue  # concurrently removed by its own ingest
+            if aged:
+                shutil.rmtree(p, ignore_errors=True)
+                report["scratch_swept"] += 1
+        if landing_dir is not None:
+            report["reaped"] = self.reap_orphaned_uploads(landing_dir)
+        if self.products_path.is_symlink():
+            base = self._resolve_products_dir()
+            deltas = self._delta_dirs(base) if base is not None else []
+            n_files = len(
+                [
+                    f
+                    for d in (base, *deltas)
+                    if d is not None
+                    for f in Path(d).rglob("*.parquet")
+                    if f.is_file()
+                ]
+            )
+            if deltas or n_files > compact_min_files:
+                report["compaction"] = self.compact_products(target_file_bytes)
+        return report
+
     #: content_type stamped on reaper-authored ``failed`` events, so a
     #: mis-reap (the TOCTOU below) is distinguishable from an ingest
     #: failure — only reaper-failed files are eligible for resurrection.

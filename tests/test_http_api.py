@@ -434,3 +434,84 @@ def test_consumer_retry_state_prunes_vanished_files(spark, tmp_path):
         server._consume_once()
     finally:
         server.stop()
+
+
+def test_vacuum_bundles_maintenance(spark, tmp_path):
+    """The one-call nightly pass: aged crash-orphaned jsonl scratch dirs
+    are swept (fresh ones kept), the upload janitor runs, outstanding
+    merge-on-read deltas fold into a compacted base, and the products
+    content is unchanged."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    wh.delta_fold_threshold = 100  # keep deltas outstanding for the test
+
+    # Two ingest batches: base version + one delta dir.
+    from .fixtures import write_json
+
+    for i, codes in enumerate((["0001", "0002"], ["0002", "0003"])):
+        src = tmp_path / f"w{i}.json"
+        write_json(src, [{"code": c, "product_name": f"p{c}"} for c in codes])
+        from data_pipeline_challenge_spark.sources.landing import upload
+
+        upload(src, landing)
+        wh.ingest(landing)
+    base = wh._resolve_products_dir()
+    assert wh._delta_dirs(base), "expected an outstanding delta"
+    before = sorted(
+        (r["code"], r["product_name"]) for r in wh.products().collect()
+    )
+
+    # Crash-orphaned scratch: one aged (sweep), one fresh (keep).
+    old_scratch = wh.dir / "jsonl_scratch_dead"
+    old_scratch.mkdir()
+    (old_scratch / "x.jsonl").write_text("{}")
+    aged = _time.time() - 100_000
+    _os.utime(old_scratch, (aged, aged))
+    fresh_scratch = wh.dir / "jsonl_scratch_live"
+    fresh_scratch.mkdir()
+
+    # Aged orphaned upload event (no landing file).
+    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None) - dt.timedelta(
+        seconds=600
+    )
+    wh.ledger.append(
+        [
+            {
+                "file_id": "900_tok_dead.json",
+                "filename": "dead.json",
+                "location": str(landing / "900_tok_dead.json"),
+                "uploaded_at": ts,
+                "event_ts": ts,
+                "content_type": "application/json",
+                "status": "uploaded",
+                "total_records": 0,
+                "records_processed": 0,
+                "records_failed": 0,
+            }
+        ]
+    )
+
+    report = wh.vacuum(landing_dir=landing)
+
+    assert report["scratch_swept"] == 1
+    assert not old_scratch.exists() and fresh_scratch.exists()
+    assert report["reaped"] == ["900_tok_dead.json"]
+    assert report["compaction"] is not None
+    # deltas folded into the new base; content identical
+    new_base = wh._resolve_products_dir()
+    assert not wh._delta_dirs(new_base)
+    after = sorted(
+        (r["code"], r["product_name"]) for r in wh.products().collect()
+    )
+    assert after == before
+
+    # Nothing outstanding: a second vacuum is a cheap no-op.
+    report2 = wh.vacuum(landing_dir=landing)
+    assert report2["compaction"] is None and report2["scratch_swept"] == 0
