@@ -25,7 +25,8 @@ never O(corpus), and each half is structural:
   ``PartitionFilters`` (planning-time pruning; untouched prefixes' files
   are never listed) — and joins it against the BROADCAST batch
   fingerprint set (semi join, build side = batch), so the index is
-  never shuffled (pinned by ``test_dedup_stream_index_never_shuffled``);
+  never shuffled (pinned by
+  ``test_dedup_stream_probe_pruned_and_never_shuffles_index``);
 - appends are pure: one new ``ingest_batch=B`` dir per store per batch
   (tmp + atomic rename), nothing existing is read back or rewritten.
 
@@ -114,10 +115,16 @@ def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> Non
     tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
-    writer = df.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(str(tmp))
+        # One file per partition value: hash-cluster rows onto tasks by
+        # the partition column first, or every task writes a sliver into
+        # every value's dir (n_prefix x tasks small files per batch —
+        # the accretion the offline consolidation exists to fix, created
+        # needlessly fast).
+        df = df.repartition(F.col(partition_by))
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
+    else:
+        df.write.mode("overwrite").parquet(str(tmp))
     final = store / f"ingest_batch={batch_id}"
     if final.exists():
         shutil.rmtree(final)

@@ -118,10 +118,16 @@ def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> Non
     tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
-    writer = df.write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(str(tmp))
+        # One file per partition value: hash-cluster rows onto tasks by
+        # the partition column first, or every task writes a sliver into
+        # every value's dir (n_prefix x tasks small files per batch —
+        # the accretion the offline consolidation exists to fix, created
+        # needlessly fast).
+        df = df.repartition(F.col(partition_by))
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
+    else:
+        df.write.mode("overwrite").parquet(str(tmp))
     final = store / f"ingest_batch={batch_id}"
     if final.exists():
         shutil.rmtree(final)
