@@ -1,0 +1,157 @@
+"""Streaming decontamination gate — benchmark-overlap filtering at
+ingest time.
+
+The batch operator (``operators/decontam.contamination_report``) answers
+"which docs in this corpus leak eval n-grams"; a production pipeline
+wants that answered BEFORE contaminated docs enter the training corpus.
+This stream gates each arriving micro-batch against a fixed evaluation
+set: documents sharing at least ``min_shared`` distinct word-``n``-grams
+with any eval doc are diverted to a ``contaminated/`` audit store
+(with their overlap counts — the evidence, not just the verdict);
+everything else flows to ``docs/``.
+
+Per-batch cost is O(batch), full stop — unlike the dedup streams there
+is no history probe at all: the eval side is a benchmark (thousands of
+docs, not billions), its shingle table is computed ONCE at stream start,
+cached, and broadcast into each batch's join, so the arriving corpus is
+scanned once per batch and never shuffled (the batch operator's 100 TB
+argument, inherited verbatim).
+
+Exactly-once: the ``dedup_stream`` recipe — both stores key increment
+dirs by micro-batch id (tmp + atomic rename, idempotent overwrite),
+``docs`` before ``contaminated``, replay guard skips only batches folded
+into both, the gate verdict is a pure function of (batch, eval set) so a
+replay recomputes it identically. Offline consolidation via
+``batchstore``.
+
+A changed eval set changes the verdict function: rebuild the gate
+(new out_dir + fresh checkpoint) rather than mutating a live one —
+already-admitted docs are re-checked by an offline
+``contamination_report`` over ``docs/``, the standard re-screen.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..operators.dedup import _shingle_table
+
+
+def current_clean_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """Documents admitted by the gate so far, or None before the first
+    batch."""
+    store = Path(out_dir) / "docs"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, store).drop("ingest_batch")
+
+
+def contamination_log(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """Diverted documents with their overlap evidence (n_shared,
+    n_eval_docs), or None if nothing was ever diverted."""
+    store = Path(out_dir) / "contaminated"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, store).drop("ingest_batch")
+
+
+def compact_decontam_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
+    """OFFLINE: fold per-batch dirs of both stores (crash-safe marker
+    protocol). Run while the gate stream is NOT running."""
+    odir = Path(out_dir)
+    out: dict[str, int] = {}
+    for name in ("docs", "contaminated"):
+        store = odir / name
+        if store.exists():
+            out[name] = consolidate_batch_store(spark, store)
+    return out
+
+
+def _append(df: DataFrame, store: Path, batch_id: int) -> None:
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(str(tmp))
+    final = store / f"ingest_batch={batch_id}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+
+
+def start_decontam_stream(
+    spark: SparkSession,
+    corpus_dir: str | Path,
+    eval_df: DataFrame,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 1,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream corpus parquet files through the decontamination gate
+    against ``eval_df`` (a static benchmark table with ``id_col`` /
+    ``text_col``). ``available_now=True`` drains what's landed and
+    stops."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    cont_store = odir / "contaminated"
+
+    # Eval shingles once, cached across micro-batches (benchmark-sized).
+    ev = (
+        _shingle_table(eval_df, id_col, text_col, n)
+        .select(F.col("doc").alias("eval_doc"), "s")
+        .cache()
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(corpus_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= min(last_batch_id(docs_store), last_batch_id(cont_store)):
+            return
+        batch = batch_df.cache()
+        try:
+            tr = _shingle_table(batch, id_col, text_col, n)
+            overlap = (
+                tr.join(F.broadcast(ev), "s")
+                .groupBy(F.col("doc").alias(id_col))
+                .agg(
+                    F.count_distinct("s").alias("n_shared"),
+                    F.count_distinct("eval_doc").alias("n_eval_docs"),
+                )
+                .filter(F.col("n_shared") >= min_shared)
+                .cache()
+            )
+            try:
+                contaminated = batch.join(overlap, id_col, "inner")
+                clean = batch.join(
+                    F.broadcast(overlap.select(id_col)), id_col, "left_anti"
+                )
+                # docs BEFORE contaminated (replay-guard ordering).
+                _append(clean, docs_store, batch_id)
+                _append(contaminated, cont_store, batch_id)
+            finally:
+                overlap.unpersist()
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1636,3 +1636,75 @@ def test_near_dedup_stream_probe_shape_and_consolidation(spark, tmp_path):
     assert before == after
     all_buckets = history_buckets(spark, out_dir, list(range(8))).count()
     assert all_buckets > 0
+
+
+def test_decontam_stream_gates_at_ingest(spark, tmp_path):
+    """Streaming decontamination gate: docs sharing >= min_shared
+    word-n-grams with the eval set divert to the contaminated store with
+    overlap evidence; clean docs flow through; verdicts match the batch
+    contamination_report over the union; replay folds nothing twice."""
+    from data_pipeline_challenge_spark.operators.decontam import (
+        contamination_report,
+    )
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        contamination_log,
+        current_clean_docs,
+        start_decontam_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "gate"
+    ckpt = tmp_path / "ckpt_gate"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_df = spark.createDataFrame(
+        [
+            (900, "the held out benchmark asks about the tallest mountain on earth"),
+        ],
+        "doc_id long, text string",
+    )
+
+    leaky = "students wrote that the tallest mountain on earth is everest"
+    clean1 = "spark shuffles hash partitioned data between executor stages"
+    clean2 = "parquet row groups carry min max statistics for pruning"
+
+    land("a.parquet", [(1, leaky), (2, clean1)])
+    land("b.parquet", [(3, clean2)])
+
+    def run():
+        q = start_decontam_stream(
+            spark, corpus_dir, eval_df, out_dir, ckpt, SCHEMA,
+            "doc_id", "text", min_shared=2, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run()
+    clean_ids = sorted(r["doc_id"] for r in current_clean_docs(spark, out_dir).collect())
+    assert clean_ids == [2, 3]
+    log = {r["doc_id"]: (r["n_shared"], r["n_eval_docs"])
+           for r in contamination_log(spark, out_dir).collect()}
+    assert set(log) == {1}
+    n_shared, n_eval = log[1]
+    assert n_shared >= 2 and n_eval == 1
+
+    # Verdict parity with the batch operator over the full corpus.
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    batch_report = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_report(full, eval_df, "doc_id", "text").collect()
+        if r["n_shared"] >= 2
+    }
+    assert set(batch_report) == set(log)
+    assert batch_report[1] == n_shared
+
+    # Fresh-checkpoint replay is a no-op.
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    assert sorted(
+        r["doc_id"] for r in current_clean_docs(spark, out_dir).collect()
+    ) == [2, 3]
+    assert contamination_log(spark, out_dir).count() == 1
