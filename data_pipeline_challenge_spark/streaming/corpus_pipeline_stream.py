@@ -1,0 +1,132 @@
+"""The composed training-corpus ingestion pipeline — one stream, three
+gates.
+
+A production training-data pipeline runs its screens in sequence on
+every arriving batch: benchmark decontamination, then exact dedup
+against everything ever kept, then near-dedup (MinHash+LSH) against the
+kept set. This module chains the three gates' ``fold_batch`` cores
+inside a SINGLE ``foreachBatch``, so one checkpointed file source drives
+the whole funnel:
+
+    corpus files ──▶ decontam gate ──▶ exact dedup ──▶ near dedup
+                     (eval overlap      (novel fps      (no verified
+                      diverted +         only)           near-dup among
+                      logged)                            kept docs)
+
+``out_dir`` layout: ``decontam/``, ``exact/``, ``near/`` — each stage's
+OWN standard store layout (audit log, fingerprint index, band index),
+so every stage's readers, consolidation helpers, and cost shapes are
+exactly those of its standalone stream. The final corpus is
+``near/docs`` (:func:`current_corpus`).
+
+Crash consistency across stages: each stage keys its increments by the
+shared micro-batch id and its ``fold_batch`` is idempotent — an
+already-folded stage returns its STORED increment instead of
+re-folding. A crash mid-pipeline (stage k done, stage k+1 not) replays
+the batch: stages ≤ k skip-and-return their stored output, stages > k
+fold it — no stage ever sees a different input for the same batch id,
+because every stage's verdict is a deterministic function of (its
+stores before the batch, the batch). Per-batch cost is the sum of the
+stages' costs: O(batch) for the gate, O(batch + touched-prefix index
+slices) for the dedups — never O(corpus).
+
+Offline maintenance composes the stages' own helpers
+(:func:`compact_pipeline_stores`); run it only after a clean drain —
+consolidation removes per-batch increment dirs, which the
+crash-mid-pipeline replay path above reads.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from . import decontam_stream, dedup_stream, near_dedup_stream
+
+
+def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """The fully-screened corpus (what survived all three gates), or None
+    before the first batch."""
+    return near_dedup_stream.current_kept_docs(spark, Path(out_dir) / "near")
+
+
+def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
+    """OFFLINE: consolidate every stage's per-batch stores. Run only
+    after a clean drain (stream stopped, no crash-replay pending)."""
+    odir = Path(out_dir)
+    out: dict = {}
+    if (odir / "decontam").exists():
+        out["decontam"] = decontam_stream.compact_decontam_store(
+            spark, odir / "decontam"
+        )
+    out["exact"] = dedup_stream.compact_dedup_store(spark, odir / "exact")
+    out["near"] = near_dedup_stream.compact_near_dedup_store(spark, odir / "near")
+    return out
+
+
+def start_corpus_pipeline_stream(
+    spark: SparkSession,
+    corpus_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame | None = None,
+    n: int = 3,
+    min_shared: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.8,
+    n_prefix: int = 256,
+    bucket_cap: int = 64,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream corpus parquet files through the full screening funnel.
+    ``eval_df=None`` omits the decontamination stage.
+    ``available_now=True`` drains what's landed and stops."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+
+    ev = (
+        decontam_stream.eval_shingles(eval_df, id_col, text_col, n)
+        if eval_df is not None
+        else None
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(corpus_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur: DataFrame | None = batch_df
+        if ev is not None:
+            cur = decontam_stream.fold_batch(
+                spark, odir / "decontam", cur, batch_id, ev,
+                id_col=id_col, text_col=text_col, n=n, min_shared=min_shared,
+            )
+            if cur is None:
+                return
+        cur = dedup_stream.fold_batch(
+            spark, odir / "exact", cur, batch_id,
+            id_col=id_col, text_col=text_col, n_prefix=n_prefix,
+        )
+        if cur is None:
+            return
+        near_dedup_stream.fold_batch(
+            spark, odir / "near", cur, batch_id,
+            id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
+            bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
+            bucket_cap=bucket_cap,
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

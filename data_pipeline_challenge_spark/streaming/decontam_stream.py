@@ -85,6 +85,78 @@ def _append(df: DataFrame, store: Path, batch_id: int) -> None:
     tmp.rename(final)
 
 
+def eval_shingles(eval_df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """The eval set's shingle table, cached — compute ONCE per stream (or
+    per composed pipeline) and pass to every ``fold_batch`` call."""
+    return (
+        _shingle_table(eval_df, id_col, text_col, n)
+        .select(F.col("doc").alias("eval_doc"), "s")
+        .cache()
+    )
+
+
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    batch_df: DataFrame,
+    batch_id: int,
+    ev: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame | None:
+    """Gate ONE micro-batch against the eval shingle table ``ev`` (from
+    :func:`eval_shingles`) — the per-batch core, exposed so
+    ``corpus_pipeline_stream`` can chain the gates inside a single
+    ``foreachBatch``. Returns this batch's CLEAN rows read back from the
+    just-written increment dir, or None for an empty batch. Idempotent:
+    an already-folded batch returns its stored increment without
+    re-folding."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    cont_store = odir / "contaminated"
+
+    def _stored() -> DataFrame | None:
+        inc = docs_store / f"ingest_batch={batch_id}"
+        return spark.read.parquet(str(inc)) if inc.exists() else None
+
+    if batch_id <= min(last_batch_id(docs_store), last_batch_id(cont_store)):
+        return _stored()
+    batch = batch_df.cache()
+    try:
+        if not batch.take(1):
+            # Empty micro-batch: skip the appends (an empty increment
+            # dir per idle trigger would accrete forever); the guard
+            # staying behind is harmless — a replay re-skips here.
+            return None
+        tr = _shingle_table(batch, id_col, text_col, n)
+        overlap = (
+            tr.join(F.broadcast(ev), "s")
+            .groupBy(F.col("doc").alias(id_col))
+            .agg(
+                F.count_distinct("s").alias("n_shared"),
+                F.count_distinct("eval_doc").alias("n_eval_docs"),
+            )
+            .filter(F.col("n_shared") >= min_shared)
+            .cache()
+        )
+        try:
+            contaminated = batch.join(overlap, id_col, "inner")
+            clean = batch.join(
+                F.broadcast(overlap.select(id_col)), id_col, "left_anti"
+            )
+            # docs BEFORE contaminated (replay-guard ordering).
+            _append(clean, docs_store, batch_id)
+            _append(contaminated, cont_store, batch_id)
+        finally:
+            overlap.unpersist()
+    finally:
+        batch.unpersist()
+    return _stored()
+
+
 def start_decontam_stream(
     spark: SparkSession,
     corpus_dir: str | Path,
@@ -105,15 +177,9 @@ def start_decontam_stream(
     stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    docs_store = odir / "docs"
-    cont_store = odir / "contaminated"
 
     # Eval shingles once, cached across micro-batches (benchmark-sized).
-    ev = (
-        _shingle_table(eval_df, id_col, text_col, n)
-        .select(F.col("doc").alias("eval_doc"), "s")
-        .cache()
-    )
+    ev = eval_shingles(eval_df, id_col, text_col, n)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -121,33 +187,10 @@ def start_decontam_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= min(last_batch_id(docs_store), last_batch_id(cont_store)):
-            return
-        batch = batch_df.cache()
-        try:
-            tr = _shingle_table(batch, id_col, text_col, n)
-            overlap = (
-                tr.join(F.broadcast(ev), "s")
-                .groupBy(F.col("doc").alias(id_col))
-                .agg(
-                    F.count_distinct("s").alias("n_shared"),
-                    F.count_distinct("eval_doc").alias("n_eval_docs"),
-                )
-                .filter(F.col("n_shared") >= min_shared)
-                .cache()
-            )
-            try:
-                contaminated = batch.join(overlap, id_col, "inner")
-                clean = batch.join(
-                    F.broadcast(overlap.select(id_col)), id_col, "left_anti"
-                )
-                # docs BEFORE contaminated (replay-guard ordering).
-                _append(clean, docs_store, batch_id)
-                _append(contaminated, cont_store, batch_id)
-            finally:
-                overlap.unpersist()
-        finally:
-            batch.unpersist()
+        fold_batch(
+            spark, odir, batch_df, batch_id, ev,
+            id_col=id_col, text_col=text_col, n=n, min_shared=min_shared,
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -131,6 +131,100 @@ def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> Non
     tmp.rename(final)
 
 
+
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n_prefix: int = 256,
+) -> DataFrame | None:
+    """Fold ONE micro-batch through against-history exact dedup — the
+    per-batch core, exposed so ``corpus_pipeline_stream`` can chain it
+    with the other gates inside a single ``foreachBatch``.
+
+    Returns this batch's ADMITTED (novel) rows read back from the
+    just-written increment dir — the downstream stage's input — or None
+    when nothing was admitted. Idempotent: a batch already folded into
+    both stores returns its stored increment without re-folding (the
+    crash-mid-pipeline replay path: an earlier gate skips, later gates
+    still get its output)."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    fp_store = odir / "fp_index"
+
+    def _stored() -> DataFrame | None:
+        inc = docs_store / f"ingest_batch={batch_id}"
+        return (
+            spark.read.parquet(str(inc)).drop("ingest_batch")
+            if inc.exists()
+            else None
+        )
+
+    # Folded into BOTH stores ⇒ replay is a no-op. min, not max: a
+    # crash between the docs and fp_index writes leaves docs ahead,
+    # and a max-based skip would permanently drop the batch from the
+    # index (every one of its fps would re-emit as novel forever).
+    if batch_id <= min(last_batch_id(docs_store), last_batch_id(fp_store)):
+        return _stored()
+
+    with_fp = batch_df.withColumn("fp", normalized_fingerprint(F.col(text_col)))
+    # Intra-batch winner per fingerprint: smallest id — deterministic,
+    # so a crash-replay recomputes the identical novel set. One
+    # batch-sized shuffle.
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    winners = (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # Driver-side touched-prefix literal (bounded by n_prefix): the
+    # membership probe below prunes the index to these partitions at
+    # planning time.
+    touched = sorted(
+        r["p"]
+        for r in winners.select(_prefix_of(F.col("fp"), n_prefix).alias("p"))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        # Empty micro-batch: nothing novel by construction — skip the
+        # store appends entirely (an empty ingest_batch dir per idle
+        # trigger would accrete forever). The replay guard staying
+        # behind is harmless: a replayed empty batch re-skips here.
+        return None
+    batch_fps = winners.select("fp")
+    if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):
+        # Which batch fps exist in history: prefix-pruned index scan,
+        # semi-joined against the BROADCAST batch set — the index is
+        # streamed map-side, never shuffled, never rewritten.
+        hits = history_fps(spark, odir, touched).join(
+            F.broadcast(batch_fps), "fp", "left_semi"
+        )
+        novel = winners.join(F.broadcast(hits), "fp", "left_anti")
+    else:
+        novel = winners
+    novel = novel.cache()
+    try:
+        # docs BEFORE fp_index (see module docstring's crash argument).
+        _append(novel, docs_store, batch_id)
+        _append(
+            novel.select(
+                "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
+            ),
+            fp_store,
+            batch_id,
+            partition_by="fp_prefix",
+        )
+    finally:
+        novel.unpersist()
+    return _stored()
+
+
 def start_dedup_stream(
     spark: SparkSession,
     corpus_dir: str | Path,
@@ -147,8 +241,6 @@ def start_dedup_stream(
     ``available_now=True`` drains what's landed and stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    docs_store = odir / "docs"
-    fp_store = odir / "fp_index"
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -156,68 +248,10 @@ def start_dedup_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Folded into BOTH stores ⇒ replay is a no-op. min, not max: a
-        # crash between the docs and fp_index writes leaves docs ahead,
-        # and a max-based skip would permanently drop the batch from the
-        # index (every one of its fps would re-emit as novel forever).
-        if batch_id <= min(last_batch_id(docs_store), last_batch_id(fp_store)):
-            return
-
-        with_fp = batch_df.withColumn(
-            "fp", normalized_fingerprint(F.col(text_col))
+        fold_batch(
+            spark, odir, batch_df, batch_id,
+            id_col=id_col, text_col=text_col, n_prefix=n_prefix,
         )
-        # Intra-batch winner per fingerprint: smallest id — deterministic,
-        # so a crash-replay recomputes the identical novel set. One
-        # batch-sized shuffle.
-        w = Window.partitionBy("fp").orderBy(F.col(id_col))
-        winners = (
-            with_fp.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
-        # Driver-side touched-prefix literal (bounded by n_prefix): the
-        # membership probe below prunes the index to these partitions at
-        # planning time.
-        touched = sorted(
-            r["p"]
-            for r in winners.select(
-                _prefix_of(F.col("fp"), n_prefix).alias("p")
-            )
-            .distinct()
-            .collect()
-        )
-        if not touched:
-            # Empty micro-batch: nothing novel by construction — skip the
-            # store appends entirely (an empty ingest_batch dir per idle
-            # trigger would accrete forever). The replay guard staying
-            # behind is harmless: a replayed empty batch re-skips here.
-            return
-        batch_fps = winners.select("fp")
-        if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):
-            # Which batch fps exist in history: prefix-pruned index scan,
-            # semi-joined against the BROADCAST batch set — the index is
-            # streamed map-side, never shuffled, never rewritten.
-            hits = history_fps(spark, odir, touched).join(
-                F.broadcast(batch_fps), "fp", "left_semi"
-            )
-            novel = winners.join(F.broadcast(hits), "fp", "left_anti")
-        else:
-            novel = winners
-        novel = novel.cache()
-        try:
-            # docs BEFORE fp_index (see module docstring's crash argument).
-            _append(novel, docs_store, batch_id)
-            _append(
-                novel.select(
-                    "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
-                ),
-                fp_store,
-                batch_id,
-                partition_by="fp_prefix",
-            )
-        finally:
-            novel.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -134,6 +134,182 @@ def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> Non
     tmp.rename(final)
 
 
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.8,
+    n_prefix: int = 256,
+    bucket_cap: int = 64,
+) -> DataFrame | None:
+    """Fold ONE micro-batch through against-history near-dedup — the
+    per-batch core, exposed so ``corpus_pipeline_stream`` can chain the
+    gates inside a single ``foreachBatch``. Returns this batch's KEPT
+    rows read back from the just-written increment dir (the downstream
+    stage's input), or None when everything was a duplicate. Idempotent:
+    an already-folded batch returns its stored increment without
+    re-folding."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    docs_store = odir / "docs"
+    band_store = odir / "band_index"
+
+    def _stored() -> DataFrame | None:
+        inc = docs_store / f"ingest_batch={batch_id}"
+        return spark.read.parquet(str(inc)) if inc.exists() else None
+
+    if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
+        return _stored()
+    batch = batch_df.select(id_col, text_col).cache()
+    cached = [batch]
+    try:
+        sh_new, per_new, banded_new = banded_minhash_tables(
+            batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+        )
+        cached.append(per_new)  # banded_minhash_tables caches per_doc
+
+        # (a) intra-batch near-dedup: self-join candidates → verified
+        # pairs → connected components → min-id survivor per cluster.
+        a, b = banded_new.alias("a"), banded_new.alias("b")
+        intra_cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+            .distinct()
+        )
+        intra = verify_candidate_pairs(
+            intra_cand, sh_new, per_new, sh_new, per_new,
+            num_hashes=num_hashes, min_jaccard=min_jaccard,
+        )
+        comp = connected_components(
+            intra.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        )
+        drop_intra = (
+            comp.filter(F.col("vertex") != F.col("component"))
+            .select(F.col("vertex").alias("doc"))
+        )
+        kept = batch.join(
+            F.broadcast(drop_intra),
+            batch[id_col] == drop_intra["doc"],
+            "left_anti",
+        )
+        kept_banded = banded_new.join(
+            F.broadcast(drop_intra), "doc", "left_anti"
+        )
+
+        # (b) against-history probe, only if an index exists.
+        if band_store.exists() and any(band_store.glob("ingest_batch=*")):
+            touched = sorted(
+                r["p"]
+                for r in kept_banded.select(
+                    _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+            if touched:
+                batch_buckets = kept_banded.select("band", "bh").distinct()
+                hits = history_buckets(spark, odir, touched).join(
+                    F.broadcast(batch_buckets), ["band", "bh"], "left_semi"
+                )
+                # Deterministic per-bucket candidate cap (smallest old
+                # ids win) — bounds the verify join under bucket crowding.
+                wcap = Window.partitionBy("band", "bh").orderBy(F.col("doc"))
+                hits = (
+                    hits.withColumn("__rk", F.row_number().over(wcap))
+                    .filter(F.col("__rk") <= bucket_cap)
+                    .drop("__rk")
+                )
+                cross_cand = (
+                    kept_banded.join(
+                        F.broadcast(
+                            hits.select(
+                                "band", "bh", F.col("doc").alias("doc1")
+                            )
+                        ),
+                        ["band", "bh"],
+                    )
+                    .select("doc1", F.col("doc").alias("doc2"))
+                    .distinct()
+                    .cache()
+                )
+                cached.append(cross_cand)
+                old_ids = cross_cand.select(
+                    F.col("doc1").alias(id_col)
+                ).distinct()
+                old_prefixes = sorted(
+                    r["p"]
+                    for r in old_ids.select(
+                        _prefix(F.col(id_col), n_prefix).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                old_docs = (
+                    read_batch_store(spark, docs_store)
+                    .filter(F.col("doc_prefix").isin(old_prefixes))
+                    .join(F.broadcast(old_ids), id_col, "left_semi")
+                    .select(id_col, text_col)
+                )
+                sh_old, per_old, _ = banded_minhash_tables(
+                    old_docs, id_col, text_col,
+                    n=n, num_hashes=num_hashes, bands=bands,
+                )
+                cached.append(per_old)
+                matched = (
+                    verify_candidate_pairs(
+                        cross_cand, sh_old, per_old, sh_new, per_new,
+                        num_hashes=num_hashes, min_jaccard=min_jaccard,
+                    )
+                    .select(F.col("doc2").alias("doc"))
+                    .distinct()
+                )
+                kept = kept.join(
+                    F.broadcast(matched),
+                    kept[id_col] == matched["doc"],
+                    "left_anti",
+                )
+                kept_banded = kept_banded.join(
+                    F.broadcast(matched), "doc", "left_anti"
+                )
+
+        kept = kept.withColumn(
+            "doc_prefix", _prefix(F.col(id_col), n_prefix)
+        ).cache()
+        cached.append(kept)
+        if not kept.take(1):
+            return  # everything was a duplicate: append nothing
+        # docs BEFORE band_index (crash-replay argument above).
+        _append(kept, docs_store, batch_id, partition_by="doc_prefix")
+        _append(
+            kept_banded.select(
+                "band",
+                "bh",
+                "doc",
+                _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias(
+                    "bh_prefix"
+                ),
+            ),
+            band_store,
+            batch_id,
+            partition_by="bh_prefix",
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+    return _stored()
+
+
 def start_near_dedup_stream(
     spark: SparkSession,
     corpus_dir: str | Path,
@@ -155,8 +331,6 @@ def start_near_dedup_stream(
     ``available_now=True`` drains what's landed and stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    docs_store = odir / "docs"
-    band_store = odir / "band_index"
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -164,149 +338,12 @@ def start_near_dedup_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
-            return
-        batch = batch_df.select(id_col, text_col).cache()
-        cached = [batch]
-        try:
-            sh_new, per_new, banded_new = banded_minhash_tables(
-                batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
-            )
-            cached.append(per_new)  # banded_minhash_tables caches per_doc
-
-            # (a) intra-batch near-dedup: self-join candidates → verified
-            # pairs → connected components → min-id survivor per cluster.
-            a, b = banded_new.alias("a"), banded_new.alias("b")
-            intra_cand = (
-                a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a.doc") < F.col("b.doc")),
-                )
-                .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
-                .distinct()
-            )
-            intra = verify_candidate_pairs(
-                intra_cand, sh_new, per_new, sh_new, per_new,
-                num_hashes=num_hashes, min_jaccard=min_jaccard,
-            )
-            comp = connected_components(
-                intra.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-            )
-            drop_intra = (
-                comp.filter(F.col("vertex") != F.col("component"))
-                .select(F.col("vertex").alias("doc"))
-            )
-            kept = batch.join(
-                F.broadcast(drop_intra),
-                batch[id_col] == drop_intra["doc"],
-                "left_anti",
-            )
-            kept_banded = banded_new.join(
-                F.broadcast(drop_intra), "doc", "left_anti"
-            )
-
-            # (b) against-history probe, only if an index exists.
-            if band_store.exists() and any(band_store.glob("ingest_batch=*")):
-                touched = sorted(
-                    r["p"]
-                    for r in kept_banded.select(
-                        _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias("p")
-                    )
-                    .distinct()
-                    .collect()
-                )
-                if touched:
-                    batch_buckets = kept_banded.select("band", "bh").distinct()
-                    hits = history_buckets(spark, odir, touched).join(
-                        F.broadcast(batch_buckets), ["band", "bh"], "left_semi"
-                    )
-                    # Deterministic per-bucket candidate cap (smallest old
-                    # ids win) — bounds the verify join under bucket crowding.
-                    wcap = Window.partitionBy("band", "bh").orderBy(F.col("doc"))
-                    hits = (
-                        hits.withColumn("__rk", F.row_number().over(wcap))
-                        .filter(F.col("__rk") <= bucket_cap)
-                        .drop("__rk")
-                    )
-                    cross_cand = (
-                        kept_banded.join(
-                            F.broadcast(
-                                hits.select(
-                                    "band", "bh", F.col("doc").alias("doc1")
-                                )
-                            ),
-                            ["band", "bh"],
-                        )
-                        .select("doc1", F.col("doc").alias("doc2"))
-                        .distinct()
-                        .cache()
-                    )
-                    cached.append(cross_cand)
-                    old_ids = cross_cand.select(
-                        F.col("doc1").alias(id_col)
-                    ).distinct()
-                    old_prefixes = sorted(
-                        r["p"]
-                        for r in old_ids.select(
-                            _prefix(F.col(id_col), n_prefix).alias("p")
-                        )
-                        .distinct()
-                        .collect()
-                    )
-                    old_docs = (
-                        read_batch_store(spark, docs_store)
-                        .filter(F.col("doc_prefix").isin(old_prefixes))
-                        .join(F.broadcast(old_ids), id_col, "left_semi")
-                        .select(id_col, text_col)
-                    )
-                    sh_old, per_old, _ = banded_minhash_tables(
-                        old_docs, id_col, text_col,
-                        n=n, num_hashes=num_hashes, bands=bands,
-                    )
-                    cached.append(per_old)
-                    matched = (
-                        verify_candidate_pairs(
-                            cross_cand, sh_old, per_old, sh_new, per_new,
-                            num_hashes=num_hashes, min_jaccard=min_jaccard,
-                        )
-                        .select(F.col("doc2").alias("doc"))
-                        .distinct()
-                    )
-                    kept = kept.join(
-                        F.broadcast(matched),
-                        kept[id_col] == matched["doc"],
-                        "left_anti",
-                    )
-                    kept_banded = kept_banded.join(
-                        F.broadcast(matched), "doc", "left_anti"
-                    )
-
-            kept = kept.withColumn(
-                "doc_prefix", _prefix(F.col(id_col), n_prefix)
-            ).cache()
-            cached.append(kept)
-            if not kept.take(1):
-                return  # everything was a duplicate: append nothing
-            # docs BEFORE band_index (crash-replay argument above).
-            _append(kept, docs_store, batch_id, partition_by="doc_prefix")
-            _append(
-                kept_banded.select(
-                    "band",
-                    "bh",
-                    "doc",
-                    _band_prefix(F.col("band"), F.col("bh"), n_prefix).alias(
-                        "bh_prefix"
-                    ),
-                ),
-                band_store,
-                batch_id,
-                partition_by="bh_prefix",
-            )
-        finally:
-            for c in cached:
-                c.unpersist()
+        fold_batch(
+            spark, odir, batch_df, batch_id,
+            id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
+            bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
+            bucket_cap=bucket_cap,
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -1708,3 +1708,147 @@ def test_decontam_stream_gates_at_ingest(spark, tmp_path):
         r["doc_id"] for r in current_clean_docs(spark, out_dir).collect()
     ) == [2, 3]
     assert contamination_log(spark, out_dir).count() == 1
+
+
+def test_corpus_pipeline_stream_runs_all_gates(spark, tmp_path):
+    """The composed funnel: decontam -> exact dedup -> near dedup in one
+    foreachBatch. A contaminated doc is diverted with evidence, an exact
+    duplicate arriving later is dropped, a near-duplicate of a kept doc
+    is dropped, novel docs flow through — across batches, a restart, and
+    a fresh-checkpoint replay."""
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        contamination_log,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt_pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_df = spark.createDataFrame(
+        [(900, "the benchmark asks which river is the longest river on earth")],
+        "doc_id long, text string",
+    )
+
+    leaky = "my answer said the longest river on earth is the nile river"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    clean1 = "spark shuffles hash partitioned data between executor stages"
+
+    def run():
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+            eval_df=eval_df, min_shared=2, min_jaccard=0.5, n_prefix=8,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+
+    # batch 0: one contaminated, one keeper, one base doc
+    land("a.parquet", [(1, leaky), (2, clean1), (3, base)])
+    # batch 1: exact dup of clean1 (drop), near dup of base (drop), novel
+    land("b.parquet", [
+        (10, "Spark  shuffles hash partitioned DATA between executor stages"),
+        (11, base + " today"),
+        (12, "parquet row groups carry min max statistics for file pruning"),
+    ])
+    run()
+
+    kept = sorted(r["doc_id"] for r in current_corpus(spark, out_dir).collect())
+    assert kept == [2, 3, 12]
+    log = [r["doc_id"] for r in contamination_log(spark, out_dir / "decontam").collect()]
+    assert log == [1]
+
+    # restart: another near-dup of base + one novel doc
+    land("c.parquet", [(20, base + " always"), (21, "ledger events replay "
+                                                    "deterministically into the "
+                                                    "published state table")])
+    run()
+    kept = sorted(r["doc_id"] for r in current_corpus(spark, out_dir).collect())
+    assert kept == [2, 3, 12, 21]
+
+    # fresh-checkpoint replay: nothing folds twice
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    kept = sorted(r["doc_id"] for r in current_corpus(spark, out_dir).collect())
+    assert kept == [2, 3, 12, 21]
+
+
+def test_corpus_pipeline_resumes_after_mid_stage_crash(spark, tmp_path):
+    """Crash-mid-pipeline contract: a batch folded through the first two
+    stages only (the process died before the near stage) is completed on
+    replay — earlier stages skip and hand the near stage their STORED
+    output, and the final corpus equals an uninterrupted run's."""
+    from data_pipeline_challenge_spark.streaming import (
+        decontam_stream,
+        dedup_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+
+    SCHEMA = "doc_id long, text string"
+    eval_df = spark.createDataFrame(
+        [(900, "the benchmark asks which river is the longest river on earth")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, "my answer said the longest river on earth is the nile river"),
+        (2, "spark shuffles hash partitioned data between executor stages"),
+        (2, "spark shuffles hash partitioned data between executor stages"),
+    ]
+
+    def land_into(d):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d.mkdir()
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(d / "a.parquet"),
+        )
+
+    # Control: uninterrupted run.
+    ctrl_in, ctrl_out = tmp_path / "cin", tmp_path / "cout"
+    land_into(ctrl_in)
+    q = start_corpus_pipeline_stream(
+        spark, ctrl_in, ctrl_out, tmp_path / "cckpt", SCHEMA, "doc_id", "text",
+        eval_df=eval_df, min_shared=2, min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    expected = sorted(r["doc_id"] for r in current_corpus(spark, ctrl_out).collect())
+
+    # Crashed run: batch 0 folded through decontam + exact ONLY (as if the
+    # process died before the near stage), then the stream starts fresh.
+    cr_in, cr_out = tmp_path / "xin", tmp_path / "xout"
+    land_into(cr_in)
+    batch0 = spark.read.schema(SCHEMA).parquet(str(cr_in))
+    ev = decontam_stream.eval_shingles(eval_df, "doc_id", "text", 3)
+    mid = decontam_stream.fold_batch(
+        spark, cr_out / "decontam", batch0, 0, ev,
+        id_col="doc_id", text_col="text", min_shared=2,
+    )
+    dedup_stream.fold_batch(
+        spark, cr_out / "exact", mid, 0, id_col="doc_id", text_col="text",
+        n_prefix=8,
+    )
+    assert not (cr_out / "near").exists()  # the "crash" point
+
+    q = start_corpus_pipeline_stream(
+        spark, cr_in, cr_out, tmp_path / "xckpt", SCHEMA, "doc_id", "text",
+        eval_df=eval_df, min_shared=2, min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    got = sorted(r["doc_id"] for r in current_corpus(spark, cr_out).collect())
+    assert got == expected
