@@ -166,8 +166,12 @@ def fold_batch(
 
     if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
         return _stored()
-    batch = batch_df.select(id_col, text_col).cache()
-    cached = [batch]
+    # Full rows ride through to the docs store (the kept corpus must not
+    # lose metadata columns); the signature tables work on the (id, text)
+    # projection only.
+    batch_full = batch_df.cache()
+    batch = batch_full.select(id_col, text_col)
+    cached = [batch_full]
     try:
         sh_new, per_new, banded_new = banded_minhash_tables(
             batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
@@ -198,9 +202,9 @@ def fold_batch(
             comp.filter(F.col("vertex") != F.col("component"))
             .select(F.col("vertex").alias("doc"))
         )
-        kept = batch.join(
+        kept = batch_full.join(
             F.broadcast(drop_intra),
-            batch[id_col] == drop_intra["doc"],
+            batch_full[id_col] == drop_intra["doc"],
             "left_anti",
         )
         kept_banded = banded_new.join(
