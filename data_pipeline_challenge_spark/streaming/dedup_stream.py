@@ -180,6 +180,7 @@ def fold_batch(
         with_fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .cache()  # reused by the touched collect, the probe, both appends
     )
 
     # Driver-side touched-prefix literal (bounded by n_prefix): the
@@ -196,6 +197,7 @@ def fold_batch(
         # store appends entirely (an empty ingest_batch dir per idle
         # trigger would accrete forever). The replay guard staying
         # behind is harmless: a replayed empty batch re-skips here.
+        winners.unpersist()
         return None
     batch_fps = winners.select("fp")
     if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):
@@ -222,6 +224,7 @@ def fold_batch(
         )
     finally:
         novel.unpersist()
+        winners.unpersist()
     return _stored()
 
 

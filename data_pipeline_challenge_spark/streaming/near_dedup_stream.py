@@ -209,7 +209,8 @@ def fold_batch(
         )
         kept_banded = banded_new.join(
             F.broadcast(drop_intra), "doc", "left_anti"
-        )
+        ).cache()  # reused: touched collect, bucket set, cross-cand, append
+        cached.append(kept_banded)
 
         # (b) against-history probe, only if an index exists.
         if band_store.exists() and any(band_store.glob("ingest_batch=*")):
