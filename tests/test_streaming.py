@@ -1852,3 +1852,100 @@ def test_corpus_pipeline_resumes_after_mid_stage_crash(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(r["doc_id"] for r in current_corpus(spark, cr_out).collect())
     assert got == expected
+
+
+def test_embedding_dedup_stream_gates_vectors(spark, tmp_path):
+    """Embedding-cosine near-dedup against a servable LSH index: the
+    first batch bootstraps the base (intra-batch greedy dedup), later
+    batches drop vectors with a >= min_cos match among kept history,
+    the maintained set serves lsh_topk_indexed directly, and replay
+    (restart + fresh checkpoint) folds nothing twice."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_topk_indexed,
+    )
+    from data_pipeline_challenge_spark.streaming.embedding_dedup_stream import (
+        current_kept_vectors,
+        start_embedding_dedup_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    DIM = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    a = unit(rng.standard_normal(DIM))
+    b = unit(rng.standard_normal(DIM))
+    a_jit = unit(a + 0.01 * rng.standard_normal(DIM))   # ~cos 0.9999 with a
+    b_jit = unit(b + 0.01 * rng.standard_normal(DIM))
+    c = unit(rng.standard_normal(DIM))
+
+    vec_dir = tmp_path / "vecs_in"
+    vec_dir.mkdir()
+    idx = tmp_path / "emb_idx"
+    ckpt = tmp_path / "ckpt_emb"
+    SCHEMA = "vec_id long, embedding array<float>"
+    mt = [1_700_000_000]
+    import os as _os
+
+    def land(name, rows):
+        ids, vecs = zip(*rows)
+        p = vec_dir / name
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(p),
+        )
+        mt[0] += 10
+        _os.utime(p, (mt[0], mt[0]))
+
+    def run():
+        q = start_embedding_dedup_stream(
+            spark, vec_dir, idx, ckpt, SCHEMA,
+            min_cos=0.98, n_planes=6, max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    # batch 0 (bootstrap): intra-batch near-dup pair {1: a, 5: a_jit} ->
+    # min id 1 kept; plus one distinct vector.
+    land("a.parquet", [(5, a_jit), (1, a), (2, b)])
+    # batch 1: near-dup of kept a (drop), near-dup of kept b (drop), novel c
+    land("b.parquet", [(10, unit(a + 0.005 * rng.standard_normal(DIM))),
+                       (11, b_jit), (12, c)])
+    run()
+    kept = sorted(r["vec_id"] for r in current_kept_vectors(spark, idx).collect())
+    assert kept == [1, 2, 12]
+
+    # The maintained index serves ANN probes over base + increments.
+    qdf = spark.createDataFrame(
+        [(999, [float(x) for x in a])], SCHEMA
+    ).select("embedding")
+    top = lsh_topk_indexed(spark, idx, qdf, k=3, probe_hamming=1).collect()
+    assert top and top[0]["vec_id"] == 1  # a's twin survived as id 1
+
+    # restart with one more near-dup (of c) and one novel vector
+    d = unit(rng.standard_normal(DIM))
+    land("c.parquet", [(20, unit(c + 0.005 * rng.standard_normal(DIM))), (21, d)])
+    run()
+    kept = sorted(r["vec_id"] for r in current_kept_vectors(spark, idx).collect())
+    assert kept == [1, 2, 12, 21]
+
+    # fresh-checkpoint replay: nothing folds twice
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    kept = sorted(r["vec_id"] for r in current_kept_vectors(spark, idx).collect())
+    assert kept == [1, 2, 12, 21]
