@@ -1,19 +1,23 @@
-"""The composed training-corpus ingestion pipeline — one stream, three
+"""The composed training-corpus ingestion pipeline — one stream, four
 gates.
 
 A production training-data pipeline runs its screens in sequence on
-every arriving batch: benchmark decontamination, then exact dedup
-against everything ever kept, then near-dedup (MinHash+LSH) against the
-kept set. This module chains the three gates' ``fold_batch`` cores
-inside a SINGLE ``foreachBatch``, so one checkpointed file source drives
-the whole funnel:
+every arriving batch: a predicate quality gate, benchmark
+decontamination, exact dedup against everything ever kept, and
+near-dedup (MinHash+LSH) against the kept set. This module chains the
+gates' ``fold_batch`` cores inside a SINGLE ``foreachBatch``, so one
+checkpointed file source drives the whole funnel:
 
-    corpus files ──▶ decontam gate ──▶ exact dedup ──▶ near dedup
-                     (eval overlap      (novel fps      (no verified
-                      diverted +         only)           near-dup among
-                      logged)                            kept docs)
+    corpus files ─▶ quality gate ─▶ decontam ─▶ exact dedup ─▶ near dedup
+                    (predicate,      (eval        (novel fps    (no verified
+                     rejects         overlap       only)         near-dup
+                     audited)        diverted)                   among kept)
 
-``out_dir`` layout: ``decontam/``, ``exact/``, ``near/`` — each stage's
+Cheapest screen first: the quality stage is a pure predicate (one map
+pass), so the stateful gates never pay their probe/index costs for rows
+a Catalyst expression would have dropped.
+
+``out_dir`` layout: ``quality/``, ``decontam/``, ``exact/``, ``near/`` — each stage's
 OWN standard store layout (audit log, fingerprint index, band index),
 so every stage's readers, consolidation helpers, and cost shapes are
 exactly those of its standalone stream. The final corpus is
@@ -40,14 +44,14 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from . import decontam_stream, dedup_stream, near_dedup_stream
+from . import decontam_stream, dedup_stream, filter_gate_stream, near_dedup_stream
 
 
 def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
-    """The fully-screened corpus (what survived all three gates), or None
+    """The fully-screened corpus (what survived every gate), or None
     before the first batch."""
     return near_dedup_stream.current_kept_docs(spark, Path(out_dir) / "near")
 
@@ -57,6 +61,10 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
     after a clean drain (stream stopped, no crash-replay pending)."""
     odir = Path(out_dir)
     out: dict = {}
+    if (odir / "quality").exists():
+        out["quality"] = filter_gate_stream.compact_filter_gate_store(
+            spark, odir / "quality"
+        )
     if (odir / "decontam").exists():
         out["decontam"] = decontam_stream.compact_decontam_store(
             spark, odir / "decontam"
@@ -74,6 +82,7 @@ def start_corpus_pipeline_stream(
     schema: str,
     id_col: str,
     text_col: str,
+    quality_expr: Column | None = None,
     eval_df: DataFrame | None = None,
     n: int = 3,
     min_shared: int = 2,
@@ -86,8 +95,10 @@ def start_corpus_pipeline_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
-    ``eval_df=None`` omits the decontamination stage.
-    ``available_now=True`` drains what's landed and stops."""
+    ``quality_expr=None`` omits the quality stage (pass e.g.
+    ``filter_gate_stream.gopher_keep(text_col)``); ``eval_df=None``
+    omits the decontamination stage. ``available_now=True`` drains
+    what's landed and stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -104,6 +115,12 @@ def start_corpus_pipeline_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         cur: DataFrame | None = batch_df
+        if quality_expr is not None:
+            cur = filter_gate_stream.fold_batch(
+                spark, odir / "quality", cur, batch_id, quality_expr
+            )
+            if cur is None:
+                return
         if ev is not None:
             cur = decontam_stream.fold_batch(
                 spark, odir / "decontam", cur, batch_id, ev,

@@ -1949,3 +1949,79 @@ def test_embedding_dedup_stream_gates_vectors(spark, tmp_path):
     run()
     kept = sorted(r["vec_id"] for r in current_kept_vectors(spark, idx).collect())
     assert kept == [1, 2, 12, 21]
+
+
+def test_filter_gate_and_full_funnel_with_quality(spark, tmp_path):
+    """The stateless predicate gate partitions every row exactly once
+    (keep, reject-with-audit, nulls rejected), and the four-stage funnel
+    with gopher_keep as stage 0 drops a low-quality doc before the
+    stateful gates ever see it."""
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.filter_gate_stream import (
+        current_admitted_docs,
+        gopher_keep,
+        rejected_log,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt_pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    good = ("the archive holds twelve distinct essays about rivers "
+            "mountains forests deserts glaciers and coastal plains "
+            "written by separate authors over several decades")
+    junk = "spam spam spam spam spam spam spam spam spam spam spam spam"  # repetition cap
+    tiny = "too short"                                                    # token floor
+
+    land("a.parquet", [(1, good), (2, junk), (3, tiny)])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+        quality_expr=gopher_keep("text", min_tokens=15, max_tokens=100),
+        min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+
+    assert sorted(
+        r["doc_id"] for r in current_corpus(spark, out_dir).collect()
+    ) == [1]
+    rej = sorted(
+        r["doc_id"] for r in rejected_log(spark, out_dir / "quality").collect()
+    )
+    assert rej == [2, 3]
+    adm = sorted(
+        r["doc_id"]
+        for r in current_admitted_docs(spark, out_dir / "quality").collect()
+    )
+    assert adm == [1]
+
+    # A null text row is rejected, never lost.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    p = corpus_dir / "b.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array([None], pa.string())}),
+        str(p),
+    )
+    _os.utime(p, (1_700_001_000, 1_700_001_000))
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+        quality_expr=gopher_keep("text", min_tokens=15, max_tokens=100),
+        min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    rej = sorted(
+        r["doc_id"] for r in rejected_log(spark, out_dir / "quality").collect()
+    )
+    assert rej == [2, 3, 9]
+    assert sorted(
+        r["doc_id"] for r in current_corpus(spark, out_dir).collect()
+    ) == [1]
