@@ -11,7 +11,11 @@ express.
 
 Works in both worlds:
 - streaming: ``running_user_stats(stream_df)`` — incremental GroupState
-  updates per micro-batch, state evicted via processing-time timeout;
+  updates per micro-batch. State is deliberately NOT timed out
+  (``GroupStateTimeout.NoTimeout``): these are lifetime running totals,
+  and evicting a user's state would silently reset their counts — an
+  operator wanting TTL eviction (e.g. sessionization) would use
+  ``ProcessingTimeTimeout`` and re-emit on expiry instead;
 - batch: the same output computed with one groupBy, for oracle/testing
   parity (``running_user_stats_batch``).
 """
@@ -27,11 +31,31 @@ OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_event_us lo
 STATE_SCHEMA = "n long, s double, last_us long"
 
 
+def _make_round_half_up():
+    """HALF_UP rounding matching Spark's ``F.round`` on doubles (which
+    rounds BigDecimal.valueOf(double) HALF_UP). Python's builtin
+    ``round`` is banker's rounding — it disagrees at exact .005
+    boundaries (round(0.125, 2) = 0.12 vs F.round = 0.13), which would
+    break the advertised stream==batch parity. Returned as a standalone
+    function so state-update closures capture it BY VALUE (cloudpickle)
+    and stay self-contained on executors."""
+
+    def _round_half_up(x: float, digits: int = 2) -> float:
+        import decimal as _d
+
+        q = _d.Decimal(1).scaleb(-digits)
+        return float(_d.Decimal(repr(x)).quantize(q, rounding=_d.ROUND_HALF_UP))
+
+    return _round_half_up
+
+
 def _make_update():
     """Build the GroupState update function as a self-contained closure
     (pickled by value — executors need no package install, same rationale
     as sources/json_ingest.py)."""
     import pandas as _pd
+
+    _round_half_up = _make_round_half_up()
 
     def update(key, pdfs, state):
         (user_id,) = key
@@ -52,7 +76,7 @@ def _make_update():
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "sum_value": [round(s, 2)],
+                "sum_value": [_round_half_up(s)],
                 "last_event_us": [last_us],
             }
         )
@@ -79,13 +103,25 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
 
 def running_user_stats_batch(events: DataFrame) -> DataFrame:
-    """Batch reference implementation of the same semantics (one groupBy)."""
+    """Batch reference implementation of the same semantics (one groupBy).
+
+    ``last_event_us`` must be timezone-agnostic like the streaming
+    closure's wall-clock-as-UTC arithmetic: ``unix_micros`` on a
+    TIMESTAMP_NTZ column resolves through the session zone, so NTZ input
+    goes through ``catalog.ntz_epoch_us`` instead."""
+    from ..catalog import ntz_epoch_us
+
+    ts_us = (
+        ntz_epoch_us(F.col("ts"))
+        if dict(events.dtypes).get("ts") == "timestamp_ntz"
+        else F.unix_micros("ts")
+    )
     return (
         events.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.max(F.unix_micros("ts")).alias("last_event_us"),
+            F.max(ts_us).alias("last_event_us"),
         )
         .select("user_id", "n_events", "sum_value", "last_event_us")
     )
@@ -97,6 +133,8 @@ def _make_processor():
     value (repo closure convention)."""
     import pandas as _pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    _round_half_up = _make_round_half_up()
 
     class RunningUserStats(StatefulProcessor):
         def init(self, handle):
@@ -119,7 +157,7 @@ def _make_processor():
                 {
                     "user_id": [user_id],
                     "n_events": [n],
-                    "sum_value": [round(s, 2)],
+                    "sum_value": [_round_half_up(s)],
                     "last_event_us": [last_us],
                 }
             )

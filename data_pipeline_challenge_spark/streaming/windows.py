@@ -17,6 +17,22 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..catalog import ntz_epoch_us
+
+
+def _epoch_s(ev: DataFrame, col) -> F.Column:
+    """Epoch seconds of a window boundary, timezone-agnostic for BOTH
+    timestamp flavors. A plain TIMESTAMP denotes an instant, so
+    ``unix_timestamp`` is session-zone-independent there; TIMESTAMP_NTZ
+    is a wall clock that ``unix_timestamp`` would resolve through
+    ``spark.sql.session.timeZone`` (shifting every boundary by the zone
+    offset on a session this package did not build) — read it as UTC via
+    field arithmetic instead (``catalog.ntz_epoch_us``, which also
+    documents the DST-gap hazard of cast-based conversions)."""
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        return (ntz_epoch_us(col) / F.lit(1_000_000)).cast("long")
+    return F.unix_timestamp(col)
+
 
 def _with_watermark(events: DataFrame, late_threshold: str | None) -> DataFrame:
     if events.isStreaming and late_threshold:
@@ -32,7 +48,7 @@ def tumbling_counts(
         ev.groupBy(F.window("ts", width).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            _epoch_s(ev, F.col("w.start")).alias("window_start_s"),
             "n_events",
             "sum_value",
         )
@@ -50,7 +66,7 @@ def sliding_counts(
         ev.groupBy(F.window("ts", width, slide).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            _epoch_s(ev, F.col("w.start")).alias("window_start_s"),
             "n_events",
             "sum_value",
         )
@@ -69,8 +85,8 @@ def session_counts(
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
-            F.unix_timestamp(F.col("w.end")).alias("session_end_s"),
+            _epoch_s(ev, F.col("w.start")).alias("session_start_s"),
+            _epoch_s(ev, F.col("w.end")).alias("session_end_s"),
             "n_events",
             "sum_value",
         )

@@ -2025,3 +2025,37 @@ def test_filter_gate_and_full_funnel_with_quality(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in current_corpus(spark, out_dir).collect()
     ) == [1]
+
+
+def test_window_builders_timezone_agnostic_on_ntz(spark):
+    """Window-boundary epochs from TIMESTAMP_NTZ input must not move with
+    spark.sql.session.timeZone: unix_timestamp on NTZ resolves through
+    the session zone (shifting every boundary by the zone offset), so
+    the builders route NTZ through catalog.ntz_epoch_us."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2025, 3, 9, 2, 30), 7, "view", 1.0, ""),
+        (2, dt.datetime(2025, 3, 9, 3, 10), 7, "view", 2.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def starts():
+        return sorted(
+            r["window_start_s"] for r in tumbling_counts(ev, "1 hour").collect()
+        )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    utc = starts()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = starts()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == ny
+    # and the wall clock reads as UTC: 2025-03-09T02:00Z epoch
+    assert utc[0] == 1741485600
