@@ -45,6 +45,49 @@ _MARKER = "_consolidated.json"
 _BATCH_RE = re.compile(r"^ingest_batch=(-?\d+)$")
 
 
+def append_batch_increment(
+    df: DataFrame, store: str | Path, batch_id: int, partition_by: str | None = None
+) -> bool:
+    """Write one micro-batch increment dir (``ingest_batch=B``) into a
+    batch store: tmp + atomic rename, so a crash-replay overwrites its
+    own directory idempotently. The ONE shared implementation of the
+    protocol every streaming gate uses (dedup / near-dedup / decontam /
+    filter gates) — the crash-safety-critical write path must not exist
+    in per-module copies that drift.
+
+    Returns False WITHOUT writing when ``df`` has no rows. Two reasons:
+    a PARTITIONED write of an empty DataFrame produces a directory with
+    no data files at all, and one such dir poisons every later
+    ``spark.read.parquet`` over the store (``UNABLE_TO_INFER_SCHEMA``),
+    wedging the stream on its own replay; and even readable empty dirs
+    would accrete one per idle/all-filtered batch forever. Callers treat
+    False as 'increment absent': their replay guard stays behind the
+    batch id, which is safe because a replayed fold recomputes the same
+    empty result deterministically and re-skips.
+
+    With ``partition_by``, rows are hash-clustered onto tasks by the
+    partition column first — otherwise every task writes a sliver into
+    every partition value's directory (n_values × tasks small files per
+    batch)."""
+    store = Path(store)
+    if not df.take(1):
+        return False
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if partition_by:
+        clustered = df.repartition(F.col(partition_by))
+        clustered.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
+    else:
+        df.write.mode("overwrite").parquet(str(tmp))
+    final = store / f"ingest_batch={batch_id}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+    return True
+
+
 def _read_marker(store: Path) -> dict | None:
     p = store / _MARKER
     if not p.exists():

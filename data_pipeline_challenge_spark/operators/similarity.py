@@ -714,6 +714,12 @@ def _write_increment(df: DataFrame, inc_root, batch_id: int, partition_by=None) 
     from pathlib import Path
 
     inc_root = Path(inc_root)
+    if not df.take(1):
+        # A partitioned write of an empty frame creates a directory with
+        # no data files, which poisons every later read of the store
+        # (UNABLE_TO_INFER_SCHEMA) — skip it; the caller's replay guard
+        # staying behind is safe (a replayed fold recomputes emptiness).
+        return
     inc_root.mkdir(parents=True, exist_ok=True)
     tmp = inc_root.parent / f".{inc_root.name}.b{batch_id}.tmp"
     if tmp.exists():

@@ -32,14 +32,18 @@ already-admitted docs are re-checked by an offline
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+    read_batch_store,
+)
 from ..operators.dedup import _shingle_table
 
 
@@ -71,18 +75,6 @@ def compact_decontam_store(spark: SparkSession, out_dir: str | Path) -> dict[str
         if store.exists():
             out[name] = consolidate_batch_store(spark, store)
     return out
-
-
-def _append(df: DataFrame, store: Path, batch_id: int) -> None:
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(str(tmp))
-    final = store / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
 
 
 def eval_shingles(eval_df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -147,9 +139,12 @@ def fold_batch(
             clean = batch.join(
                 F.broadcast(overlap.select(id_col)), id_col, "left_anti"
             )
-            # docs BEFORE contaminated (replay-guard ordering).
-            _append(clean, docs_store, batch_id)
-            _append(contaminated, cont_store, batch_id)
+            # docs BEFORE contaminated (replay-guard ordering). Either
+            # side may be empty on a given batch; empty increments are
+            # skipped (see append_batch_increment) — the replay guard
+            # staying behind is safe, a refold recomputes the same split.
+            append_batch_increment(clean, docs_store, batch_id)
+            append_batch_increment(contaminated, cont_store, batch_id)
         finally:
             overlap.unpersist()
     finally:

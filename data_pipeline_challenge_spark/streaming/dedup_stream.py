@@ -52,14 +52,18 @@ persisted-index increments of ``index_stream`` for the embedding path.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+    read_batch_store,
+)
 from ..functions.textfn import normalized_fingerprint
 
 
@@ -106,29 +110,6 @@ def compact_dedup_store(spark: SparkSession, out_dir: str | Path) -> dict[str, i
         if store.exists():
             out[name] = consolidate_batch_store(spark, store, partition_by=part)
     return out
-
-
-def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> None:
-    """One increment dir, tmp + atomic rename (idempotent overwrite on
-    replay) — the ``similarity._write_increment`` discipline."""
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    if partition_by:
-        # One file per partition value: hash-cluster rows onto tasks by
-        # the partition column first, or every task writes a sliver into
-        # every value's dir (n_prefix x tasks small files per batch —
-        # the accretion the offline consolidation exists to fix, created
-        # needlessly fast).
-        df = df.repartition(F.col(partition_by))
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
-    else:
-        df.write.mode("overwrite").parquet(str(tmp))
-    final = store / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
 
 
 
@@ -213,8 +194,14 @@ def fold_batch(
     novel = novel.cache()
     try:
         # docs BEFORE fp_index (see module docstring's crash argument).
-        _append(novel, docs_store, batch_id)
-        _append(
+        # An all-duplicate batch admits nothing: append_batch_increment
+        # writes no dirs for an empty frame (a file-less partitioned dir
+        # would poison later store reads, and empty dirs accrete), and
+        # the contract value is None so the composed pipeline
+        # short-circuits instead of running later gates on zero rows.
+        if not append_batch_increment(novel, docs_store, batch_id):
+            return None
+        append_batch_increment(
             novel.select(
                 "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
             ),

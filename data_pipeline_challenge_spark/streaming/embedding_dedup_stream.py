@@ -59,14 +59,17 @@ usual rebuild-from-snapshot path for parameter changes.
 from __future__ import annotations
 
 import json
-import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, last_batch_id
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+)
 from ..functions.vectorfn import as_double, cosine
 from ..operators.similarity import _LSH_SEED, _with_increments, with_lsh_bucket
 
@@ -206,11 +209,15 @@ def fold_batch(
             )
             refs = refs.unionByName(hist)
 
+        # History refs match on ANY id — including new_id == ref_id: a
+        # re-delivered (id, vector) from an at-least-once upstream must
+        # compare against its own kept entry and be dropped, not
+        # appended a second time. The < constraint (which also excludes
+        # self-pairs) applies only to the intra-batch side.
         cand = refs.join(
             F.broadcast(exploded_new),
             (F.col("bucket") == F.col("pbucket"))
-            & (F.col("is_hist") | (F.col("ref_id") < F.col("new_id")))
-            & (F.col("ref_id") != F.col("new_id")),
+            & (F.col("is_hist") | (F.col("ref_id") < F.col("new_id"))),
         )
         dropped = (
             cand.filter(cosine(F.col("ref_vec"), F.col("new_vec")) >= min_cos)
@@ -239,20 +246,15 @@ def fold_batch(
             )
             return _stored()
 
-        inc_store.mkdir(parents=True, exist_ok=True)
-        tmp = idx / f".bucketed_inc.b{batch_id}.tmp"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        (
-            kept.repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(str(tmp))
-        )
-        final = inc_store / f"ingest_batch={batch_id}"
-        if final.exists():
-            shutil.rmtree(final)
-        tmp.rename(final)
+        # An all-duplicate batch keeps nothing: write no increment (a
+        # file-less partitioned dir would poison every later read of the
+        # store AND wedge this very batch's replay on the read-back) and
+        # return None per the contract; the guard staying behind is safe
+        # — a replayed fold recomputes the same empty kept set.
+        if not append_batch_increment(
+            kept, inc_store, batch_id, partition_by="bucket"
+        ):
+            return None
         return _stored()
     finally:
         bucketed.unpersist()

@@ -27,14 +27,18 @@ dropped.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+    read_batch_store,
+)
 from ..functions.textfn import top_token_fraction
 
 
@@ -92,18 +96,6 @@ def compact_filter_gate_store(
     return out
 
 
-def _append(df: DataFrame, store: Path, batch_id: int) -> None:
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(str(tmp))
-    final = store / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
-
-
 def fold_batch(
     spark: SparkSession,
     out_dir: str | Path,
@@ -130,9 +122,13 @@ def fold_batch(
     try:
         if not batch.take(1):
             return None  # empty micro-batch: skip (guard stays behind)
-        # docs BEFORE rejected (replay-guard ordering).
-        _append(batch.filter(keep_expr), docs_store, batch_id)
-        _append(batch.filter(~F.coalesce(keep_expr, F.lit(False))), rej_store, batch_id)
+        # docs BEFORE rejected (replay-guard ordering). Either side may
+        # be empty; empty increments are skipped (append_batch_increment)
+        # and a replayed fold recomputes the same split.
+        append_batch_increment(batch.filter(keep_expr), docs_store, batch_id)
+        append_batch_increment(
+            batch.filter(~F.coalesce(keep_expr, F.lit(False))), rej_store, batch_id
+        )
     finally:
         batch.unpersist()
     return _stored()

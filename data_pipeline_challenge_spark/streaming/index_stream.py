@@ -60,6 +60,13 @@ def start_index_stream(
         lo, hi = index_increment_bounds(idx)
         if batch_id <= lo:
             return  # replay of a batch already folded into every family
+        if not batch_df.take(1):
+            # Empty micro-batch (schema-only file, idle trigger): writing
+            # it would create file-less partitioned increment dirs that
+            # poison every later base∪increments read of each family
+            # (UNABLE_TO_INFER_SCHEMA) while bumping the replay guard so
+            # nothing ever rewrites them. Skip; a replay re-skips.
+            return
         if batch_id < hi:
             # Unreachable under one checkpoint (ids only grow): the
             # increment stores disagree with this stream's numbering —

@@ -55,14 +55,18 @@ same blind spot as the batch operator, inherent to shingle sketches.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, last_batch_id, read_batch_store
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+    read_batch_store,
+)
 from ..operators.dedup import banded_minhash_tables, verify_candidate_pairs
 from ..operators.graph import connected_components
 
@@ -111,27 +115,6 @@ def compact_near_dedup_store(
         if store.exists():
             out[name] = consolidate_batch_store(spark, store, partition_by=part)
     return out
-
-
-def _append(df: DataFrame, store: Path, batch_id: int, partition_by=None) -> None:
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    if partition_by:
-        # One file per partition value: hash-cluster rows onto tasks by
-        # the partition column first, or every task writes a sliver into
-        # every value's dir (n_prefix x tasks small files per batch —
-        # the accretion the offline consolidation exists to fix, created
-        # needlessly fast).
-        df = df.repartition(F.col(partition_by))
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
-    else:
-        df.write.mode("overwrite").parquet(str(tmp))
-    final = store / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
 
 
 def fold_batch(
@@ -292,11 +275,25 @@ def fold_batch(
             "doc_prefix", _prefix(F.col(id_col), n_prefix)
         ).cache()
         cached.append(kept)
-        if not kept.take(1):
-            return  # everything was a duplicate: append nothing
-        # docs BEFORE band_index (crash-replay argument above).
-        _append(kept, docs_store, batch_id, partition_by="doc_prefix")
-        _append(
+        # Materialize BOTH outputs BEFORE any store write: the banded
+        # rows' lineage reads docs_store (the old-docs fetch), and an
+        # uncheckpointed plan would re-execute that read during the band
+        # append — AFTER the docs append just added this batch's own
+        # increment to the very store it scans (read-after-write), on
+        # top of paying the whole probe twice. localCheckpoint cuts the
+        # lineage and pins the pre-write view.
+        kept_banded = kept_banded.localCheckpoint(eager=True)
+        # docs BEFORE band_index (crash-replay argument above). An
+        # all-duplicate batch admits nothing: no dirs are written (a
+        # file-less partitioned dir would poison later store reads) and
+        # the contract value is None. A kept-but-bandless batch (all
+        # docs shorter than the shingle width) writes docs only — the
+        # probe guard tolerates the absent band increment.
+        if not append_batch_increment(
+            kept, docs_store, batch_id, partition_by="doc_prefix"
+        ):
+            return None
+        append_batch_increment(
             kept_banded.select(
                 "band",
                 "bh",

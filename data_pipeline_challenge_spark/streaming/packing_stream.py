@@ -261,6 +261,15 @@ def start_packing_stream(
             # repair the symlink if the crash preceded the publish
             _publish(odir, _versions(odir)[-1][1])
             return
+        if not batch_df.take(1):
+            # Empty micro-batch: a file-less rows/ingest_batch dir from a
+            # partitioned empty write would poison every later history
+            # scan of the rows store (UNABLE_TO_INFER_SCHEMA — fatal on
+            # the very first batch), and a non-first empty batch would
+            # publish a full new version of identical content per idle
+            # trigger. Skip; the _folded_batch guard staying behind is
+            # safe — a replayed empty batch re-skips here.
+            return
         prev = _prev_read_target(odir)  # before any new dir exists
         versions = _versions(odir)
         slim = batch_df.select(gc, oc, tc).withColumn("shard", shard_of)

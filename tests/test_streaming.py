@@ -2059,3 +2059,181 @@ def test_window_builders_timezone_agnostic_on_ntz(spark):
     assert utc == ny
     # and the wall clock reads as UTC: 2025-03-09T02:00Z epoch
     assert utc[0] == 1741485600
+
+
+def test_gates_survive_degenerate_batches(spark, tmp_path):
+    """Regression battery for the empty-increment wedge class: a
+    partitioned write of an empty DataFrame creates a file-less dir that
+    poisons every later read of the store. Each scenario previously
+    wedged or polluted a stream: (a) an all-duplicate batch in the exact
+    gate, (b) a short-docs-only first batch in the near gate (kept but
+    bandless), (c) an all-duplicate batch in the embedding gate, (d) a
+    re-sent (id, vector) pair that must NOT be appended twice."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming import (
+        dedup_stream,
+        near_dedup_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.embedding_dedup_stream import (
+        current_kept_vectors,
+        start_embedding_dedup_stream,
+    )
+
+    # (a) exact gate: batch 1 is entirely duplicates of batch 0.
+    d = tmp_path / "exact"
+    b0 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma delta")],
+                               "doc_id long, text string")
+    assert dedup_stream.fold_batch(spark, d, b0, 0, "doc_id", "text", 4) is not None
+    dup = spark.createDataFrame([(9, "ALPHA  beta"), (8, "gamma   DELTA")],
+                                "doc_id long, text string")
+    assert dedup_stream.fold_batch(spark, d, dup, 1, "doc_id", "text", 4) is None
+    assert not (d / "docs" / "ingest_batch=1").exists()
+    assert not (d / "fp_index" / "ingest_batch=1").exists()
+    # store still readable and correct
+    assert dedup_stream.current_novel_docs(spark, d).count() == 2
+
+    # (b) near gate: first batch all-short docs -> kept, no bands; the
+    # NEXT batch's history probe must not throw.
+    n = tmp_path / "near"
+    shorts = spark.createDataFrame([(1, "hi"), (2, "yo")], "doc_id long, text string")
+    out = near_dedup_stream.fold_batch(spark, n, shorts, 0, "doc_id", "text",
+                                       min_jaccard=0.5, n_prefix=4)
+    assert out is not None and out.count() == 2
+    assert not (n / "band_index" / "ingest_batch=0").exists()
+    longs = spark.createDataFrame(
+        [(3, "a much longer document with plenty of distinct tokens inside")],
+        "doc_id long, text string",
+    )
+    out = near_dedup_stream.fold_batch(spark, n, longs, 1, "doc_id", "text",
+                                       min_jaccard=0.5, n_prefix=4)
+    assert out is not None and out.count() == 1
+    assert near_dedup_stream.current_kept_docs(spark, n).count() == 3
+
+    # (c)+(d) embedding gate via the real stream.
+    rng = np.random.RandomState(3)
+    v1 = rng.standard_normal(8).astype(np.float32)
+    v2 = rng.standard_normal(8).astype(np.float32)
+    vec_dir = tmp_path / "vecs"
+    vec_dir.mkdir()
+    import os as _os
+
+    def land(name, rows, mtime):
+        ids, vecs = zip(*rows)
+        p = vec_dir / name
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                            pa.list_(pa.float32()))}),
+            str(p),
+        )
+        _os.utime(p, (mtime, mtime))
+
+    land("a.parquet", [(1, v1), (2, v2)], 1_700_000_000)
+    # batch 1: the SAME vectors — one under its original id (re-delivery),
+    # one under a new id (plain near-dup). Both must be dropped.
+    land("b.parquet", [(1, v1), (7, v2)], 1_700_000_100)
+    idx = tmp_path / "emb"
+    q = start_embedding_dedup_stream(
+        spark, vec_dir, idx, tmp_path / "ck", "vec_id long, embedding array<float>",
+        min_cos=0.99, n_planes=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    rows = current_kept_vectors(spark, idx).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2]  # no duplicate id-1 row
+    assert not (idx / "bucketed_inc" / "ingest_batch=1").exists()
+
+
+def test_streams_skip_zero_row_files(spark, tmp_path):
+    """A schema-only (zero-row) parquet file used to wedge the packing
+    and index streams fatally: the empty partitioned write left a
+    file-less increment dir that made the very next store read throw.
+    Both streams must now skip the batch and process later files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_topk_indexed,
+    )
+    from data_pipeline_challenge_spark.streaming.index_stream import (
+        start_index_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    # --- packing: empty file FIRST (previously fatal), then real rows.
+    corpus = tmp_path / "pack_in"
+    corpus.mkdir()
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    pq.write_table(
+        pa.table({"source": pa.array([], pa.string()),
+                  "doc_id": pa.array([], pa.int64()),
+                  "n_tokens": pa.array([], pa.int64())}),
+        str(corpus / "empty.parquet"),
+    )
+    _os.utime(corpus / "empty.parquet", (1_700_000_000, 1_700_000_000))
+    pq.write_table(
+        pa.table({"source": pa.array(["web", "web"]),
+                  "doc_id": pa.array([1, 2], pa.int64()),
+                  "n_tokens": pa.array([40, 70], pa.int64())}),
+        str(corpus / "real.parquet"),
+    )
+    _os.utime(corpus / "real.parquet", (1_700_000_100, 1_700_000_100))
+    out = tmp_path / "packed"
+    q = start_packing_stream(
+        spark, corpus, out, tmp_path / "ckp", SCHEMA,
+        "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not (out / "rows" / "ingest_batch=0").exists()
+    got = {tuple(r) for r in current_packed(spark, out)
+           .select("source", "doc_id", "bin").collect()}
+    full = spark.read.schema(SCHEMA).parquet(str(corpus))
+    want = {tuple(r) for r in
+            pack_sequences_sharded(full, "source", "doc_id", "n_tokens", 100, n_shards=4)
+            .select("source", "doc_id", "bin").collect()}
+    assert got == want
+
+    # --- index stream: empty vectors file then a real one.
+    rng = np.random.RandomState(5)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = tmp_path / "idx"
+    lsh_build_index(base, idx, dim=8, n_planes=4)
+    vin = tmp_path / "vec_in"
+    vin.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))}),
+        str(vin / "empty.parquet"),
+    )
+    _os.utime(vin / "empty.parquet", (1_700_000_000, 1_700_000_000))
+    v = [float(x) for x in rng.standard_normal(8)]
+    pq.write_table(
+        pa.table({"vec_id": pa.array([99], pa.int64()),
+                  "embedding": pa.array([v], pa.list_(pa.float32()))}),
+        str(vin / "real.parquet"),
+    )
+    _os.utime(vin / "real.parquet", (1_700_000_100, 1_700_000_100))
+    q = start_index_stream(
+        spark, vin, idx, tmp_path / "cki",
+        "vec_id long, embedding array<float>", max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not (idx / "bucketed_inc" / "ingest_batch=0").exists()
+    qdf = spark.createDataFrame([(0, v)], "vec_id long, embedding array<float>").select("embedding")
+    ids = {r["vec_id"] for r in lsh_topk_indexed(spark, idx, qdf, k=5, probe_hamming=1).collect()}
+    assert 99 in ids  # the post-empty batch folded and serves
