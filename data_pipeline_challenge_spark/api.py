@@ -214,11 +214,21 @@ class ApiServer:
         for fid in list(self._retry_state):
             if fid not in pending_ids:
                 self._retry_state.pop(fid, None)
-        for path in pending:
+        # Landing names are timestamp-prefixed, so sorted order IS upload
+        # order. A file in backoff BLOCKS the files behind it (break, not
+        # continue): skipping ahead would merge a newer file first and a
+        # later successful retry of the older file would then overwrite
+        # the newer data for shared codes — cross-batch last-wins must
+        # follow upload order, as it does within a batch (__ford). The
+        # block is bounded: retries exhaust in max_attempts ticks and the
+        # poison file goes terminal, unblocking the queue — the same
+        # head-of-line semantics as the reference's prefetch-1 consumer,
+        # minus its infinite-redelivery wedge.
+        for path in sorted(pending):
             fid = Path(path).name
             n_prev, next_try = self._retry_state.get(fid, (0, 0.0))
             if _time.monotonic() < next_try:
-                continue  # still backing off
+                break  # still backing off: hold the queue behind it
             try:
                 self.warehouse.ingest_paths([path])
                 self._retry_state.pop(fid, None)
@@ -254,7 +264,14 @@ class ApiServer:
                         "records_processed": 0,
                         "records_failed": 0,
                     }
-                ]
+                ],
+                # Evaluated inside the ledger's write locks: a concurrent
+                # process may have ingested this file successfully while
+                # this consumer was backing off — an unconditional append
+                # would commit a later-timestamped 'failed' over its
+                # 'processed' (landing file already GC'd, so the janitor
+                # could never resurrect it).
+                skip_if_terminal=True,
             )
         except Exception:  # noqa: BLE001 - next tick will retry the mark
             traceback.print_exc(file=sys.stderr)

@@ -70,22 +70,31 @@ def append_batch_increment(
     every partition value's directory (n_values × tasks small files per
     batch)."""
     store = Path(store)
-    if not df.take(1):
-        return False
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    if partition_by:
-        clustered = df.repartition(F.col(partition_by))
-        clustered.write.mode("overwrite").partitionBy(partition_by).parquet(str(tmp))
-    else:
-        df.write.mode("overwrite").parquet(str(tmp))
-    final = store / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
-    return True
+    # Cache across the emptiness probe and the write: both evaluate the
+    # (often join/aggregation-heavy) gate output, and without the cache
+    # every non-empty micro-batch would compute its plan twice.
+    df = df.cache()
+    try:
+        if not df.take(1):
+            return False
+        store.mkdir(parents=True, exist_ok=True)
+        tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        if partition_by:
+            clustered = df.repartition(F.col(partition_by))
+            clustered.write.mode("overwrite").partitionBy(partition_by).parquet(
+                str(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(str(tmp))
+        final = store / f"ingest_batch={batch_id}"
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+        return True
+    finally:
+        df.unpersist()
 
 
 def _read_marker(store: Path) -> dict | None:

@@ -530,6 +530,36 @@ class ProductWarehouse:
         reap_events: list[dict] = []
         other_events: list[dict] = []  # resurrections + retirements
 
+        # Sweep landing files whose ledger status is already
+        # processed/processed_with_errors: ingest appends events BEFORE
+        # GC (the reverse order loses data — see ingest_paths), so a
+        # crash in between leaves fully-merged files in landing that
+        # discovery skips forever. 'failed' files are NOT swept (the
+        # retained-for-inspection contract). Driver traffic is bounded by
+        # the landing listing, mirroring discover_new_files.
+        from .sources.landing import gc_file as _gc
+        from .sources.landing import list_landed
+
+        landed_now = [Path(p).name for p in list_landed(landing)]
+        if landed_now:
+            landed_df = self.spark.createDataFrame(
+                [(n,) for n in landed_now], "file_id string"
+            )
+            done = {
+                r["file_id"]
+                for r in self.ledger.current()
+                .filter(
+                    F.col("status").isin(
+                        STATUS_PROCESSED, STATUS_PROCESSED_WITH_ERRORS
+                    )
+                )
+                .join(F.broadcast(landed_df), "file_id", "left_semi")
+                .select("file_id")
+                .collect()
+            }
+            for n in done:
+                _gc(landing / n)
+
         def event(r, status, content_type):
             return {
                 "file_id": r["file_id"],
@@ -764,6 +794,7 @@ class ProductWarehouse:
 
             # Ledger events + landing GC.
             events = []
+            to_gc: list[str] = []
             for path in new_paths:
                 fid = Path(path).name
                 s = stats.get(
@@ -784,22 +815,37 @@ class ProductWarehouse:
                         "uploaded_at": now,
                         "content_type": "application/json",
                         "status": status,
-                        # on parse failure the reference never writes total_records
-                        # (stays at the model default 0): file_splitter.py:72,74-81
+                        # on parse failure the reference never writes ANY
+                        # counter (all stay at the model default 0):
+                        # file_splitter.py:72,74-81 — and the whole-file
+                        # failure merged nothing, so a nonzero
+                        # records_processed would claim records that are
+                        # NOT in the products table.
                         "total_records": int(s["total_records"]) if s["malformed"] != 1 else 0,
-                        "records_processed": int(s["records_processed"]),
-                        "records_failed": int(s["records_failed"]),
+                        "records_processed": int(s["records_processed"]) if s["malformed"] != 1 else 0,
+                        "records_failed": int(s["records_failed"]) if s["malformed"] != 1 else 0,
                     }
                 )
                 report.files[fid] = {
                     "status": status,
-                    "total_records": int(s["total_records"]),
-                    "records_processed": int(s["records_processed"]),
-                    "records_failed": int(s["records_failed"]),
+                    "total_records": int(s["total_records"]) if s["malformed"] != 1 else 0,
+                    "records_processed": int(s["records_processed"]) if s["malformed"] != 1 else 0,
+                    "records_failed": int(s["records_failed"]) if s["malformed"] != 1 else 0,
                 }
                 if status != STATUS_FAILED and delete_processed:
-                    gc_file(path)
+                    to_gc.append(path)
+            # Ledger events BEFORE landing GC: the reverse order turns a
+            # crash (or a transient append failure) between the two into
+            # files that are merged into products but forever 'uploaded'
+            # in the ledger with no landing file left — undiscoverable,
+            # and then janitor-reaped to a terminal 'failed' for data
+            # that actually ingested. With this order a crash after the
+            # append leaves a processed-status file in landing, which
+            # discovery skips and the janitor sweeps (reap_orphaned_
+            # uploads' terminal-present pass).
             self.ledger.append(events)
+            for path in to_gc:
+                gc_file(path)
         finally:
             bronze.unpersist()
             shutil.rmtree(scratch, ignore_errors=True)

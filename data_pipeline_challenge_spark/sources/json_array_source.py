@@ -74,6 +74,17 @@ class JsonArrayReader(DataSourceReader):
                     seq,
                     json.dumps(rec, sort_keys=True, separators=(",", ":"), ensure_ascii=False),
                 )
+        except FileNotFoundError:
+            # Replay of a committed range can race the pipeline's own
+            # landing GC (a file is deleted after its batch is ingested):
+            # the rows were already delivered in the original run, so a
+            # vanished file yields nothing rather than wedging every
+            # stream restart with an uncaught error. Other OSErrors
+            # (EIO, EACCES — transient environment faults, not data
+            # errors) still propagate: the malformed⇒failed contract is
+            # for bad DATA only, and the consumer's bounded retry owns
+            # transient faults.
+            return
         except ValueError:
             yield (file_id, MALFORMED_SEQ, None)
 
@@ -140,12 +151,14 @@ class JsonArrayStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         current = self._listing()
-        new = [f for f in current if f not in set(start.get("seen", []))]
+        seen = set(start.get("seen", []))  # hoisted: O(n), not O(n²)
+        new = [f for f in current if f not in seen]
         end = {"seen": current}
         return self._rows_for(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        new = [f for f in end.get("seen", []) if f not in set(start.get("seen", []))]
+        seen = set(start.get("seen", []))
+        new = [f for f in end.get("seen", []) if f not in seen]
         return self._rows_for(new)
 
     def commit(self, end: dict) -> None:

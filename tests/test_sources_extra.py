@@ -329,3 +329,27 @@ def test_load_events_normalizes_all_ts_encodings(spark, tmp_path):
         assert got["nanos"] == got["ntz_us"] == got["tz_us"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_json_array_source_replay_tolerates_gcd_file(spark, tmp_path):
+    """readBetweenOffsets replay of a committed range can race the
+    pipeline's landing GC: a vanished file must yield zero rows (its rows
+    were delivered in the original run), not wedge the restart; a
+    present-but-malformed file still takes the sentinel path."""
+    import json as _json
+
+    from data_pipeline_challenge_spark.sources.json_array_source import (
+        JsonArrayDataSource,
+    )
+
+    spark.dataSource.register(JsonArrayDataSource)
+    good = tmp_path / "g.json"
+    good.write_text(_json.dumps([{"code": "1"}]))
+    df = (
+        spark.read.format("json_array")
+        .option("paths", f"{tmp_path}/vanished.json,{good}")
+        .load()
+    )
+    rows = df.collect()
+    assert {r["file_id"] for r in rows} == {"g.json"}
+    assert len(rows) == 1
