@@ -36,7 +36,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from ..versioning import retire_versions
+from ..versioning import retire_versions, swap_symlink
 
 
 @dataclass
@@ -179,11 +179,7 @@ def compact_published_table(
         shutil.rmtree(final)
     tmp.rename(final)
 
-    swap = parent / f"{link.name}.swap"
-    if swap.is_symlink() or swap.exists():
-        swap.unlink()
-    swap.symlink_to(final.name)
-    os.replace(swap, link)  # atomic: readers see old xor new version
+    swap_symlink(link, final.name)  # readers see old xor new version
 
     # Retention keeps exactly {new version, the version readers were
     # pinned to before this publish} — see versioning.retire_versions for

@@ -54,7 +54,7 @@ from .sources.json_ingest import (
 )
 from .sources.landing import discover_new_files, gc_file
 from .sources.ledger import LedgerStore
-from .versioning import retire_versions
+from .versioning import retire_versions, swap_symlink
 
 
 @dataclass
@@ -281,11 +281,7 @@ class ProductWarehouse:
             if legacy.exists():
                 shutil.rmtree(legacy)
             state.rename(legacy)
-        swap = self.dir / "products.swap"
-        if swap.is_symlink() or swap.exists():
-            swap.unlink()
-        swap.symlink_to(new_dir.name)
-        os.replace(swap, state)  # atomic: readers see old xor new version
+        swap_symlink(state, new_dir.name)  # readers see old xor new
 
         # Retain exactly {new, previously-read}: a crash remnant —
         # torn OR complete-but-unpublished — must not displace the

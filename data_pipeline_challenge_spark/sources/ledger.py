@@ -59,7 +59,7 @@ from pathlib import Path
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..versioning import retire_versions
+from ..versioning import retire_versions, swap_symlink
 from ..schema import (
     LEDGER_SCHEMA,
     STATUS_FAILED,
@@ -364,11 +364,7 @@ class LedgerStore:
         )
 
         hist = Path(self.hist_path)
-        swap = Path(self.hist_path + ".swap")
-        if swap.is_symlink() or swap.exists():
-            swap.unlink()
-        swap.symlink_to(new_dir.name)
-        os.replace(swap, hist)  # atomic: readers see old xor new history
+        swap_symlink(hist, new_dir.name)  # readers see old xor new history
 
         for f in tail:
             f.unlink(missing_ok=True)
@@ -441,11 +437,7 @@ class LedgerStore:
             if legacy.exists():
                 shutil.rmtree(legacy)
             state.rename(legacy)
-        swap = Path(self.state_path + ".swap")
-        if swap.is_symlink() or swap.exists():
-            swap.unlink()
-        swap.symlink_to(new_dir.name)
-        os.replace(swap, state)  # atomic: readers see old xor new version
+        swap_symlink(state, new_dir.name)  # readers see old xor new version
 
         # Retain exactly {new, previously-published}: a reader that
         # resolved the symlink just before the repoint may still be

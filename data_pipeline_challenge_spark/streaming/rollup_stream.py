@@ -29,7 +29,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import ntz_epoch_us
 from ..operators.rollup import hourly_rollup, merge_rollups
-from ..versioning import retire_versions
+from ..versioning import retire_versions, swap_symlink
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
@@ -69,11 +69,7 @@ def _prev_read_target(table_dir: Path) -> Path | None:
 
 
 def _publish(rollup_dir: Path, version_dir: Path) -> None:
-    swap = rollup_dir / "current.swap"
-    if swap.is_symlink() or swap.exists():
-        swap.unlink()
-    swap.symlink_to(version_dir.name)
-    os.replace(swap, rollup_dir / "current")
+    swap_symlink(rollup_dir / "current", version_dir.name)
 
 
 def _mark_folded(version_dir: Path, batch_id: int) -> None:

@@ -26,9 +26,25 @@ outright.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import Iterable
+
+
+def swap_symlink(state: Path, target_name: str) -> None:
+    """Atomically repoint ``state`` (the published-table symlink) at a
+    sibling directory: create a ``.swap`` symlink beside it, then
+    ``os.replace`` over the live name — readers resolve strictly the old
+    or the new target, never a missing or half-made link. The ONE shared
+    implementation of the publish commit step (products, ledger state,
+    ledger history, stream sinks, online compaction) — five hand-rolled
+    copies of a crash-safety-critical dance drift; one does not."""
+    swap = state.parent / f"{state.name}.swap"
+    if swap.is_symlink() or swap.exists():
+        swap.unlink()
+    swap.symlink_to(target_name)
+    os.replace(swap, state)
 
 
 def retire_versions(
