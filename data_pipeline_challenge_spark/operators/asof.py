@@ -43,10 +43,17 @@ def asof_join(
     """
     lcols = left.columns
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
-    r_tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    # The tiebreak keeps its NATIVE type: a blanket cast("long") turned a
+    # string/uuid id into NULL for every right row, silently voiding the
+    # determinism guarantee this parameter exists for. The left side's
+    # null placeholder is cast to the same type so the union lines up.
+    tb_type = dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int"
+    r_tb = (
+        F.col(right_tiebreak).cast(tb_type) if right_tiebreak else F.lit(0)
+    )
     # Left rows sort after right rows at equal ts via __side; a null __tb
     # on the left keeps the tiebreak from reordering left rows.
-    l_tb = F.lit(None).cast("long") if right_tiebreak else F.lit(0)
+    l_tb = F.lit(None).cast(tb_type) if right_tiebreak else F.lit(0)
 
     l_tag = left.select(
         F.col(key).alias("__k"),
@@ -62,7 +69,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        r_tb.cast("long").alias("__tb"),
+        r_tb.alias("__tb"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in lcols) + ">"
         ).alias("__l"),

@@ -42,7 +42,12 @@ def chunk_tokens(
         lambda i: F.struct(
             i.cast("int").alias("chunk_idx"),
             F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("chunk"),
-            F.least(F.size(toks) - i * stride, F.lit(size)).cast("int").alias("n_tokens"),
+            # clamp at 0: with stride > size the final chunk can start
+            # past the end (slice yields ""), and the raw difference
+            # would go negative — the UDTF twin emits 0 there.
+            F.greatest(
+                F.least(F.size(toks) - i * stride, F.lit(size)), F.lit(0)
+            ).cast("int").alias("n_tokens"),
         ),
     )
     return (

@@ -161,7 +161,13 @@ def banded_minhash_tables(
     ``banded`` = (doc, band, bh) band-hash rows. Shared by the batch
     self-join pair finder (:func:`minhash_lsh_pairs`) and the streaming
     against-history probe (``streaming/near_dedup_stream.py``), so both
-    compute bit-identical signatures."""
+    compute bit-identical signatures.
+
+    Cache lifecycle: ``per_doc`` stays cached until the caller unpersists
+    it (the streaming gates do, per micro-batch); one-shot batch callers
+    deliberately leave it to Spark's LRU eviction — the plan references
+    it from several join arms, and unpersisting before the final action
+    would recompute the signature groupBy per arm."""
     rows_per_band = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n)
     mh_arr = F.array(
@@ -327,14 +333,18 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 16
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, banded join.
 
     Split the 64-bit signature into 4 16-bit bands; any pair within hamming
-    distance 3 must agree on at least one band (pigeonhole) — we use the
-    same candidate structure with a configurable post-filter. Returns
-    (doc1, doc2, hamming)."""
+    distance 3 must agree on at least one band (pigeonhole), so the default
+    threshold is the bound at which the banded candidates are COMPLETE.
+    Larger ``max_hamming`` values are allowed but best-effort: a pair can
+    differ in up to ``max_hamming`` bits spread one-per-band and never
+    share a band — such pairs are silently absent (the standard banded-LSH
+    recall trade-off; raise the band count, not the threshold, for a
+    stronger guarantee). Returns (doc1, doc2, hamming)."""
     sig = simhash_signatures(df, id_col, text_col).cache()
     bands = F.array(
         *[

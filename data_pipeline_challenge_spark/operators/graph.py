@@ -90,6 +90,7 @@ def connected_components(
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # Neighbor labels flow along edges; keep own label in the running min.
         neighbor = sym.join(labels.withColumnRenamed("v", "w"), "w").select("v", "component")
@@ -103,8 +104,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Min-label propagation needs diameter-many rounds; exhausting
+        # max_iter on a long chain would silently return SPLIT components
+        # — wrong answers are worse than a loud stop. Star contraction
+        # converges in O(log n) rounds regardless of diameter.
+        raise RuntimeError(
+            f"label_prop did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter "
+            "or use algorithm='star'/'auto'"
+        )
 
     return labels.select(F.col("v").alias("vertex"), "component")
 

@@ -60,8 +60,17 @@ def compact_parquet_dir(
     file owns a disjoint range (min/max pruning works); without it, a plain
     coalesce-style rewrite (no shuffle — AQE folds the scan into the
     writer's partitioning).
+
+    Crash posture (offline contract): data is never half-written, but the
+    swap is two renames, so a crash BETWEEN them leaves no live directory
+    at ``path``. A re-run self-heals first: a surviving ``.compact.old``
+    with no live dir is rolled back before compacting (nothing is lost —
+    the old dir is only removed after the new one is in place).
     """
     path = Path(path)
+    old_dir = path.with_name(path.name + ".compact.old")
+    if not path.exists() and old_dir.exists():
+        old_dir.rename(path)  # finish a crashed swap: roll back
     parts = [p for p in path.rglob("*.parquet") if p.is_file()]
     total = sum(p.stat().st_size for p in parts)
     n_out = max(1, -(-total // target_file_bytes))

@@ -710,28 +710,14 @@ def pq_build_index(
 
 
 def _write_increment(df: DataFrame, inc_root, batch_id: int, partition_by=None) -> None:
-    import shutil
-    from pathlib import Path
+    """Delegates to the ONE shared increment protocol
+    (``batchstore.append_batch_increment``): tmp + atomic rename,
+    empty-increment refusal, cache across probe+write, and
+    partition-clustered output — a private copy here had already drifted
+    on the last two."""
+    from ..batchstore import append_batch_increment
 
-    inc_root = Path(inc_root)
-    if not df.take(1):
-        # A partitioned write of an empty frame creates a directory with
-        # no data files, which poisons every later read of the store
-        # (UNABLE_TO_INFER_SCHEMA) — skip it; the caller's replay guard
-        # staying behind is safe (a replayed fold recomputes emptiness).
-        return
-    inc_root.mkdir(parents=True, exist_ok=True)
-    tmp = inc_root.parent / f".{inc_root.name}.b{batch_id}.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(str(tmp))
-    final = inc_root / f"ingest_batch={batch_id}"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
+    append_batch_increment(df, inc_root, batch_id, partition_by=partition_by)
 
 
 def _with_increments(spark, base, inc) -> DataFrame:

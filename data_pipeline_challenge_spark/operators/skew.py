@@ -42,7 +42,16 @@ def salted_join(
     The hot key's rows spread over ``salt`` reducers instead of one. Cost:
     the small side shuffles ``salt``× (it must be genuinely small). Result
     is identical to ``big.join(small, key, how)`` for inner/left joins —
-    property-tested in tests/test_operators.py."""
+    property-tested in tests/test_operators.py. Other join types are
+    REFUSED: the replicated small side would emit its unmatched rows
+    once per salt bucket under right/full/anti semantics — silently
+    wrong row counts are worse than a loud error."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the salt-replicated small side duplicates unmatched rows "
+            "under right/full/semi/anti semantics"
+        )
     big_salted = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     small_rep = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -405,7 +405,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs within hamming distance 16 via 16-bit band join."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+    # default max_hamming=3: the bound at which 4-band candidates are
+    # complete (pigeonhole); 16 previously overstated what the banded
+    # join can deliver.
+    return simhash_near_pairs(docs, "doc_id", "text")
 
 
 # Denylist for the term-scrub query — fixed and tiny by declaration (the

@@ -202,7 +202,7 @@ def test_chunking_udtf_matches_catalyst(spark):
         "doc_id long, text string",
     )
     docs.createOrReplaceTempView("chunk_docs")
-    for size, stride in [(10, 10), (10, 5), (7, 3)]:
+    for size, stride in [(10, 10), (10, 5), (7, 3), (3, 5)]:  # incl. stride > size
         catalyst = {
             tuple(r)
             for r in chunk_tokens(docs, "doc_id", "text", size=size, stride=stride).collect()
@@ -646,3 +646,51 @@ def test_jaccard_df_cap_bounds_skewed_boilerplate(spark):
     # C(102,2) candidate pairs from boilerplate docs
     n_uncapped = jaccard_pairs(df, "doc", "text", n=3, max_doc_freq=None).count()
     assert n_uncapped == 102 * 101 // 2 + 1
+
+
+def test_asof_string_tiebreak_survives(spark):
+    """A string tiebreak column must keep its value (the old cast('long')
+    nulled it, silently voiding the determinism guarantee)."""
+    from data_pipeline_challenge_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "uuid-a", 1.0), (1, 50, "uuid-b", 2.0)],
+        "k long, ts long, rid string, val double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["val"], right_tiebreak="rid",
+    ).collect()
+    assert len(out) == 1
+    # MAX tiebreak (uuid-b) carried deterministically
+    assert out[0]["val_asof"] == 2.0
+
+
+def test_salted_join_refuses_unsupported_how(spark):
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_compact_parquet_dir_heals_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only .compact.old; a
+    re-run must roll it back and complete instead of failing forever."""
+    from data_pipeline_challenge_spark.operators.maintenance import (
+        compact_parquet_dir,
+    )
+
+    p = tmp_path / "t"
+    spark.range(100).write.parquet(str(p))
+    # simulate the crash window: live dir renamed away, tmp never renamed in
+    p.rename(tmp_path / "t.compact.old")
+    rep = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
+    assert rep.rows == 100
+    assert spark.read.parquet(str(p)).count() == 100
