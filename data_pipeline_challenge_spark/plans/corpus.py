@@ -283,7 +283,9 @@ def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per language — grouped top-k via a lang-partitioned
     window over pre-aggregated counts (two partial-agg shuffles + a
-    partitioned rank; never a global sort)."""
+    partitioned rank; never a global sort).
+
+    Differs from ``top_words_per_lang`` ONLY in empty-token handling: this variant FILTERS the empty token consecutive spaces produce, the other counts it — both kept registered as the pair documents the split semantics."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -968,7 +970,9 @@ def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 words per language: explode → two-phase count → per-group
     top-N. The rank predicate triggers Spark's WindowGroupLimit rewrite,
     so each shuffle partition forwards only its local top-5 per language —
-    the exploded token table (the 100 TB part) is never globally sorted."""
+    the exploded token table (the 100 TB part) is never globally sorted.
+
+    Differs from ``top_terms_per_lang`` ONLY in empty-token handling: this variant counts the empty token consecutive spaces produce (split-faithful), the other filters it — both kept registered as the pair documents the split semantics."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")

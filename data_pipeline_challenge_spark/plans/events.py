@@ -83,14 +83,19 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     f"""
     WITH marked AS (
-        SELECT user_id, {_DUCK_EPOCH_S} AS t_s, epoch_us(ts) AS t_us, value,
+        SELECT user_id, event_id, {_DUCK_EPOCH_S} AS t_s, epoch_us(ts) AS t_us, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), sessions AS (
+        -- the running sum MUST use the same (t_us, event_id) order as the
+        -- lag above: ordered by t_us alone, two equal-timestamp events
+        -- could straddle a session boundary nondeterministically (the
+        -- flag-carrying row placed second), splitting what Spark's
+        -- session_window merges
         SELECT user_id, t_s, t_us, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM marked
     )

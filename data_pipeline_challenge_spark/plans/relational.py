@@ -955,7 +955,10 @@ def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    -- avg rounded to cents on BOTH sides: the raw float avg differs
+    -- between engines in the last ulp (summation order), and an order
+    -- landing between the two thresholds would flip row membership
+    WHERE o_totalprice > 1.5 * round((SELECT avg(o_totalprice) FROM orders), 2)
     """,
     tags=("subquery",),
 )
@@ -964,7 +967,7 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row threshold (what Catalyst does for an uncorrelated scalar
     subquery)."""
     orders = load_table(spark, sf_dir, "orders")
-    thresh = orders.agg((F.avg("o_totalprice") * 1.5).alias("thresh"))
+    thresh = orders.agg((F.round(F.avg("o_totalprice"), 2) * 1.5).alias("thresh"))
     return (
         orders.crossJoin(F.broadcast(thresh))
         .filter(F.col("o_totalprice") > F.col("thresh"))

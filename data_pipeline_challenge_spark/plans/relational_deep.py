@@ -17,8 +17,10 @@ from ..catalog import load_table
 from .registry import query
 
 
-def _rev():
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+# TPC-H revenue expression: ONE definition (relational.py) — a drifted
+# second copy would silently split the rounding/casting policy across
+# the two modules' twenty-odd revenue queries.
+from .relational import _rev  # noqa: E402,F401
 
 
 @query(
@@ -290,9 +292,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (
+    WHERE c_acctbal > round((
             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
-          )
+          ), 2)
       AND NOT EXISTS (
             SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
@@ -307,7 +309,12 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery + anti join + aggregate."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    # avg rounded to cents on both sides (engine-stable threshold; see
+    # subquery_above_avg_orders). q17's per-part avg needs no rounding:
+    # integer quantities sum exactly, so that avg is bit-deterministic.
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("ab")
+    )
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))

@@ -34,14 +34,15 @@ _QUERY_ID = 0  # the query vector: embedding of vec_id 0 (exists at every sf)
 # keeps exactly ONE live dir: the previous invocation's dir is removed when
 # the next one is created (by then its DataFrame has been materialized),
 # and whatever remains is removed at interpreter exit.
-_SCRATCH: dict[str, str] = {}
+_SCRATCH: dict[str, list[str]] = {}
 
 
 def _sweep_scratch() -> None:
     import shutil
 
-    for d in _SCRATCH.values():
-        shutil.rmtree(d, ignore_errors=True)
+    for dirs in _SCRATCH.values():
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
     _SCRATCH.clear()
 
 
@@ -49,14 +50,20 @@ _atexit.register(_sweep_scratch)
 
 
 def _scratch_dir(tag: str) -> str:
+    """Fresh scratch dir per invocation, retaining the PREVIOUS one per
+    tag (delete-before-reuse would pull the index out from under a still
+    -referenced lazy DataFrame built by the prior invocation — a re-
+    collect or stage retry would then hit FileNotFound mid-scan). Two
+    live dirs per tag bounds leakage across bench loops; atexit sweeps
+    the rest."""
     import shutil
     import tempfile
 
-    old = _SCRATCH.pop(tag, None)
-    if old:
+    prev = _SCRATCH.get(tag, [])
+    for old in prev[:-1]:  # keep the newest prior dir alive
         shutil.rmtree(old, ignore_errors=True)
     d = tempfile.mkdtemp(prefix=f"{tag}_")
-    _SCRATCH[tag] = d
+    _SCRATCH[tag] = prev[-1:] + [d]
     return d
 
 

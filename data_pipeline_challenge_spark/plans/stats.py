@@ -265,12 +265,14 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_spend_rank",
     """
     WITH spend AS (
-        SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey
+        SELECT o_custkey, sum(o_totalprice) AS total,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey,
            round(total, 2) AS total_spend,
-           round(percent_rank() OVER (ORDER BY total, o_custkey), 6) AS spend_prank,
-           round(cume_dist()    OVER (ORDER BY total, o_custkey), 6) AS spend_cume
+           round(percent_rank() OVER (ORDER BY cents, o_custkey), 6) AS spend_prank,
+           round(cume_dist()    OVER (ORDER BY cents, o_custkey), 6) AS spend_cume
     FROM spend
     """,
     tags=("window", "agg"),
@@ -288,9 +290,13 @@ def window_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("total"))
+        # rank on INTEGER cents: ranking on the raw float sum would make
+        # the order sensitive to last-ulp summation-order differences
+        # between engines (the registry's integer-sort-key rule)
+        .withColumn("cents", F.round(F.col("total") * 100).cast("long"))
     )
     ranked = with_global_rank_stats(
-        spend, ("total", "o_custkey"), percent_rank_col="__pr", cume_dist_col="__cd"
+        spend, ("cents", "o_custkey"), percent_rank_col="__pr", cume_dist_col="__cd"
     )
     return ranked.select(
         "o_custkey",
