@@ -1,2 +1,17 @@
-"""Structured Streaming surface: file-source ingestion with exactly-once
-merge, and event-time windowing with watermarks."""
+"""Structured Streaming surface.
+
+Ingestion: ``ingest_stream`` (file-source ingest, foreachBatch = the
+batch pipeline). Event-time analytics: ``windows`` (tumbling / sliding /
+session builders, batch/stream-agnostic), ``stateful``
+(applyInPandasWithState / transformWithStateInPandas running aggregates).
+Maintained structures, all on the per-batch increment / versioned-publish
+exactly-once recipes: ``rollup_stream`` (continuous aggregate),
+``packing_stream`` (incremental packed table), ``index_stream``
+(persisted-ANN-index increments). Screening gates for a training-data
+corpus — each exposing an idempotent per-batch ``fold_batch`` core:
+``filter_gate_stream`` (stateless predicate / Gopher quality),
+``decontam_stream`` (benchmark overlap), ``dedup_stream`` (exact,
+against history), ``near_dedup_stream`` (MinHash+LSH), and
+``embedding_dedup_stream`` (cosine over a servable LSH index) — composed
+end-to-end by ``corpus_pipeline_stream``.
+"""
