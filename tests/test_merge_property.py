@@ -428,3 +428,118 @@ def test_dedup_stream_fp_set_invariant_to_arrival_order(spark, arrival):
         assert set(got) == expected
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- near-dedup stream invariants -------------------------------------------
+
+# Documents drawn from template families (mutual near-dups within a family,
+# distinct across), split arbitrarily across micro-batch files.
+_ND_FAMILIES = [
+    "the quick brown fox jumps over the lazy dog near the riverbank {}",
+    "spark catalyst rewrites declarative query plans into codegen stages {}",
+    "parquet row groups carry min max statistics enabling file pruning {}",
+]
+_ND_SUFFIX = ["today", "again", "now"]
+
+_nd_batches_st = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2)),  # (family, suffix)
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+).flatmap(
+    lambda bs: st.permutations(range(1, sum(len(b) for b in bs) + 1)).map(
+        lambda ids: (bs, list(ids))
+    )
+)
+
+
+@settings(
+    max_examples=4,  # each example drains a full streaming query
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(arrival=_nd_batches_st)
+def test_near_dedup_stream_semantic_invariants(spark, arrival):
+    """For ANY docs, ANY micro-batch split, and ANY id permutation, the
+    drained near-dedup gate satisfies its contract: (a) every input doc
+    is kept or has a KEPT near-dup partner (verified jaccard >= τ among
+    banding candidates) — nothing silently vanishes; (b) no two KEPT
+    docs that are banding candidates of each other verify at >= τ — the
+    kept set is near-dup-free up to the LSH candidate structure."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.dedup import minhash_lsh_pairs
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        current_kept_docs,
+        start_near_dedup_stream,
+    )
+
+    TAU = 0.5
+    batches, ids = arrival
+    SCHEMA = "doc_id long, text string"
+    root = Path(tempfile.mkdtemp(prefix="nd_prop_"))
+    try:
+        corpus_dir = root / "corpus"
+        corpus_dir.mkdir()
+        it = iter(ids)
+        import os as _os
+
+        mtime = 1_700_000_000
+        for i, batch in enumerate(batches):
+            p = corpus_dir / f"b{i}.parquet"
+            texts = [
+                _ND_FAMILIES[f].format(_ND_SUFFIX[sx]) for f, sx in batch
+            ]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([next(it) for _ in batch], pa.int64()),
+                        "text": pa.array(texts),
+                    }
+                ),
+                str(p),
+            )
+            mtime += 10
+            _os.utime(p, (mtime, mtime))
+        q = start_near_dedup_stream(
+            spark, corpus_dir, root / "near", root / "ckpt", SCHEMA,
+            "doc_id", "text", min_jaccard=TAU, n_prefix=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        kept = {
+            r["doc_id"] for r in current_kept_docs(spark, root / "near").collect()
+        }
+        all_ids = {r["doc_id"] for r in full.collect()}
+        dropped = all_ids - kept
+
+        # All >= τ near-dup pairs over the whole corpus (batch operator).
+        pairs = {
+            (r["doc1"], r["doc2"])
+            for r in minhash_lsh_pairs(
+                full, "doc_id", "text", min_jaccard=TAU
+            ).collect()
+        }
+        partners: dict[int, set[int]] = {}
+        for a, b in pairs:
+            partners.setdefault(a, set()).add(b)
+            partners.setdefault(b, set()).add(a)
+
+        # (a) every dropped doc has a kept near-dup partner
+        for d in dropped:
+            assert partners.get(d, set()) & kept, (d, kept, pairs)
+        # (b) no kept pair verifies at >= τ
+        for a, b in pairs:
+            assert not (a in kept and b in kept), (a, b, kept)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
