@@ -2237,3 +2237,65 @@ def test_streams_skip_zero_row_files(spark, tmp_path):
     qdf = spark.createDataFrame([(0, v)], "vec_id long, embedding array<float>").select("embedding")
     ids = {r["vec_id"] for r in lsh_topk_indexed(spark, idx, qdf, k=5, probe_hamming=1).collect()}
     assert 99 in ids  # the post-empty batch folded and serves
+
+
+def test_embedding_dedup_probe_prunes_bucket_partitions(spark, tmp_path):
+    """The embedding gate's history view is partition-pruned by the probe
+    bucket list on BOTH the base table and the increments (the bucket
+    isin lands in PartitionFilters on each scan), so per-batch probe cost
+    is the probed buckets' slices, never the corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        _with_increments,
+    )
+    from data_pipeline_challenge_spark.streaming.embedding_dedup_stream import (
+        start_embedding_dedup_stream,
+    )
+
+    rng = np.random.RandomState(11)
+    vec_dir = tmp_path / "vecs"
+    vec_dir.mkdir()
+
+    def land(name, ids, mtime):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [
+                            [float(x) for x in rng.standard_normal(8)]
+                            for _ in ids
+                        ],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(vec_dir / name),
+        )
+        _os.utime(vec_dir / name, (mtime, mtime))
+
+    land("a.parquet", list(range(40)), 1_700_000_000)       # bootstrap base
+    land("b.parquet", list(range(100, 120)), 1_700_000_100)  # one increment
+    idx = tmp_path / "emb_idx"
+    q = start_embedding_dedup_stream(
+        spark, vec_dir, idx, tmp_path / "ck",
+        "vec_id long, embedding array<float>", min_cos=0.999, n_planes=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    assert (idx / "bucketed").exists()
+    assert any((idx / "bucketed_inc").glob("ingest_batch=*"))
+
+    hist = _with_increments(spark, idx / "bucketed", idx / "bucketed_inc").filter(
+        F.col("bucket").isin([0, 1])
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    segs = [seg.split("\n")[0] for seg in plan.split("PartitionFilters")[1:]]
+    assert len(segs) >= 2  # base scan AND increment scan both pruned
+    assert all("bucket" in seg for seg in segs)
