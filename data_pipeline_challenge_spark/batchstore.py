@@ -45,6 +45,68 @@ _MARKER = "_consolidated.json"
 _BATCH_RE = re.compile(r"^ingest_batch=(-?\d+)$")
 
 
+def prefix_bucket(col, n_buckets: int, *more_cols):
+    """The gate stores' shared partition-bucket expression:
+    ``pmod(xxhash64(cols...), n) AS int``. One definition — the probe's
+    pruning filter and the store's partition layout must compute the
+    IDENTICAL bucket, and private copies of this expression in each gate
+    had already begun to multiply."""
+    return F.pmod(F.xxhash64(col, *more_cols), F.lit(n_buckets)).cast("int")
+
+
+def cap_per_bucket(df: DataFrame, keys: list[str], order_col: str, cap: int) -> DataFrame:
+    """Deterministic per-bucket fan-out cap (smallest ``order_col`` wins):
+    the standard bound on candidate explosion under bucket crowding,
+    shared by the near-dup gates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def ensure_store_params(out_dir: str | Path, params: dict) -> None:
+    """Persist a gate's store-LAYOUT-defining parameters
+    (``_gate_params.json``, written once, atomically) and REFUSE a
+    restart that disagrees: the partition-bucket moduli and signature
+    shapes are baked into every increment ever written — a fold running
+    with, say, a different ``n_prefix`` would compute touched-prefix
+    lists under the new modulus while history partitions carry the old
+    one, silently missing every historical entry and re-admitting
+    duplicates forever. Layout changes require a rebuild into a fresh
+    store (the embedding gate's ``lsh_meta.json`` is the same contract
+    for its index)."""
+    marker = Path(out_dir) / "_gate_params.json"
+    if marker.exists():
+        existing = json.loads(marker.read_text())
+        if existing != params:
+            raise RuntimeError(
+                f"gate store at {out_dir} was built with {existing}, "
+                f"restart supplied {params}: layout parameters are baked "
+                "into the stored partitions/signatures — rebuild into a "
+                "fresh out_dir instead of changing them in place"
+            )
+        return
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    tmp = Path(out_dir) / "_gate_params.json.tmp"
+    tmp.write_text(json.dumps(params, sort_keys=True))
+    os.replace(tmp, marker)
+
+
+def _empty_sentinel_ids(store: Path) -> list[int]:
+    if not store.exists():
+        return []
+    out = []
+    for p in store.iterdir():
+        m = re.match(r"^\.empty\.b(\d+)$", p.name)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
 def append_batch_increment(
     df: DataFrame, store: str | Path, batch_id: int, partition_by: str | None = None
 ) -> bool:
@@ -55,15 +117,17 @@ def append_batch_increment(
     filter gates) — the crash-safety-critical write path must not exist
     in per-module copies that drift.
 
-    Returns False WITHOUT writing when ``df`` has no rows. Two reasons:
-    a PARTITIONED write of an empty DataFrame produces a directory with
-    no data files at all, and one such dir poisons every later
-    ``spark.read.parquet`` over the store (``UNABLE_TO_INFER_SCHEMA``),
-    wedging the stream on its own replay; and even readable empty dirs
-    would accrete one per idle/all-filtered batch forever. Callers treat
-    False as 'increment absent': their replay guard stays behind the
-    batch id, which is safe because a replayed fold recomputes the same
-    empty result deterministically and re-skips.
+    Returns False when ``df`` has no rows, writing a SENTINEL file
+    (``.empty.b{B}``) instead of a data dir: a PARTITIONED write of an
+    empty DataFrame produces a directory with no data files, and one
+    such dir poisons every later ``spark.read.parquet`` over the store
+    (``UNABLE_TO_INFER_SCHEMA``) — while writing NOTHING would leave
+    ``last_batch_id`` stale after an all-empty fold, letting a
+    fresh-checkpoint renumbered replay pass the gate's guard and
+    OVERWRITE committed earlier increments with different content. The
+    sentinel is dot-prefixed (invisible to parquet listings and the
+    batch-dir regex), counted by ``last_batch_id``, and swept by
+    consolidation once superseded.
 
     With ``partition_by``, rows are hash-clustered onto tasks by the
     partition column first — otherwise every task writes a sliver into
@@ -72,10 +136,30 @@ def append_batch_increment(
     store = Path(store)
     # Cache across the emptiness probe and the write: both evaluate the
     # (often join/aggregation-heavy) gate output, and without the cache
-    # every non-empty micro-batch would compute its plan twice.
-    df = df.cache()
+    # every non-empty micro-batch would compute its plan twice. OWNERSHIP
+    # matters: Spark caching is per logical plan with no refcount, so
+    # unpersisting a frame the CALLER already cached would silently drop
+    # their cache and force a full recompute on their next use — only a
+    # cache this helper itself created is released here.
+    own_cache = not df.is_cached
+    if own_cache:
+        df = df.cache()
     try:
         if not df.take(1):
+            # Record the empty fold with a sentinel FILE (`.empty.b{B}`,
+            # dot-prefixed: invisible to parquet listings and the batch-
+            # dir regex) so last_batch_id still advances: without it a
+            # store whose latest folds were all empty reports a stale id,
+            # and a fresh-checkpoint renumbered replay would pass the
+            # gate's guard and OVERWRITE committed earlier increments
+            # with different content. No data dir is written — a
+            # partitioned empty write leaves a file-less dir that poisons
+            # every later read of the store.
+            store.mkdir(parents=True, exist_ok=True)
+            marker = store / f".empty.b{batch_id}"
+            mtmp = store / f".empty.b{batch_id}.tmp"
+            mtmp.write_text("")
+            os.replace(mtmp, marker)
             return False
         store.mkdir(parents=True, exist_ok=True)
         tmp = store.parent / f".{store.name}.b{batch_id}.tmp"
@@ -94,7 +178,8 @@ def append_batch_increment(
         tmp.rename(final)
         return True
     finally:
-        df.unpersist()
+        if own_cache:
+            df.unpersist()
 
 
 def _read_marker(store: Path) -> dict | None:
@@ -115,10 +200,12 @@ def _batch_dirs(store: Path) -> list[tuple[int, Path]]:
 
 
 def last_batch_id(store: str | Path) -> int:
-    """Highest micro-batch id ever folded into the store (live dirs or
-    consolidated-through), or -1 — the fresh-checkpoint replay guard."""
+    """Highest micro-batch id ever folded into the store — live dirs,
+    consolidated-through, or empty-fold sentinels — or -1. The
+    fresh-checkpoint replay guard."""
     store = Path(store)
     top = max((n for n, _ in _batch_dirs(store) if n >= 0), default=-1)
+    top = max([top, *_empty_sentinel_ids(store)])
     marker = _read_marker(store)
     if marker:
         top = max(top, int(marker["through"]))
@@ -155,6 +242,11 @@ def _sweep_stale(store: Path, marker: dict) -> int:
         if n < 0 or n <= through:
             shutil.rmtree(p, ignore_errors=True)
             swept += 1
+    # Empty-fold sentinels at or below the consolidated horizon are
+    # superseded by the marker's `through` (last_batch_id folds both).
+    for n in _empty_sentinel_ids(store):
+        if n <= through:
+            (store / f".empty.b{n}").unlink(missing_ok=True)
     return swept
 
 

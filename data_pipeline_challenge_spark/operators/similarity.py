@@ -69,13 +69,17 @@ def with_lsh_bucket(
     n_planes: int = 12,
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    seed: int | None = None,
 ) -> DataFrame:
     """Add a random-hyperplane LSH bucket id (int, 2**n_planes buckets).
 
     Arrow-batched: each batch is one (batch_size × dim) @ (dim × n_planes)
-    matmul — vectorized, no per-row Python."""
+    matmul — vectorized, no per-row Python. ``seed`` defaults to the
+    module seed; readers of a PERSISTED index must pass the sidecar's
+    recorded seed (as ``lsh_topk_indexed`` does) so their planes match
+    the index's, whatever constant the module ships with today."""
 
-    seed = _LSH_SEED
+    seed = _LSH_SEED if seed is None else seed
 
     @pandas_udf("long")
     def bucket_udf(vecs: pd.Series) -> pd.Series:

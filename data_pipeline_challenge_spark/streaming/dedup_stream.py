@@ -61,6 +61,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    ensure_store_params,
     last_batch_id,
     read_batch_store,
 )
@@ -68,7 +69,9 @@ from ..functions.textfn import normalized_fingerprint
 
 
 def _prefix_of(fp_col, n_prefix: int):
-    return F.pmod(F.xxhash64(fp_col), F.lit(n_prefix)).cast("int")
+    from ..batchstore import prefix_bucket
+
+    return prefix_bucket(fp_col, n_prefix)
 
 
 def history_fps(
@@ -134,6 +137,10 @@ def fold_batch(
     still get its output)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    # n_prefix is baked into every fp_index partition ever written; a
+    # restart with a different value would probe the wrong partitions
+    # and re-admit every duplicate — refuse loudly instead.
+    ensure_store_params(odir, {"n_prefix": int(n_prefix)})
     docs_store = odir / "docs"
     fp_store = odir / "fp_index"
 
@@ -163,7 +170,20 @@ def fold_batch(
         .drop("__rn")
         .cache()  # reused by the touched collect, the probe, both appends
     )
+    try:
+        return _fold_winners(
+            spark, odir, winners, batch_id, n_prefix, fp_store, docs_store, _stored
+        )
+    finally:
+        # covers every exit, including a transient failure in the probe
+        # collects — a caller that retries per tick must not strand one
+        # cached frame per failed round in the long-lived session
+        winners.unpersist()
 
+
+def _fold_winners(
+    spark, odir, winners, batch_id, n_prefix, fp_store, docs_store, _stored
+):
     # Driver-side touched-prefix literal (bounded by n_prefix): the
     # membership probe below prunes the index to these partitions at
     # planning time.
@@ -178,7 +198,6 @@ def fold_batch(
         # store appends entirely (an empty ingest_batch dir per idle
         # trigger would accrete forever). The replay guard staying
         # behind is harmless: a replayed empty batch re-skips here.
-        winners.unpersist()
         return None
     batch_fps = winners.select("fp")
     if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):
@@ -194,13 +213,14 @@ def fold_batch(
     novel = novel.cache()
     try:
         # docs BEFORE fp_index (see module docstring's crash argument).
-        # An all-duplicate batch admits nothing: append_batch_increment
-        # writes no dirs for an empty frame (a file-less partitioned dir
-        # would poison later store reads, and empty dirs accrete), and
-        # the contract value is None so the composed pipeline
+        # BOTH stores are recorded even for an all-duplicate batch (the
+        # helper leaves an empty-fold sentinel instead of a data dir), so
+        # the min-across-stores guard advances and a fresh-checkpoint
+        # renumbered replay skips the batch instead of overwriting
+        # committed increments with different content. The contract value
+        # stays None when nothing was admitted, so the composed pipeline
         # short-circuits instead of running later gates on zero rows.
-        if not append_batch_increment(novel, docs_store, batch_id):
-            return None
+        admitted = append_batch_increment(novel, docs_store, batch_id)
         append_batch_increment(
             novel.select(
                 "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
@@ -209,9 +229,10 @@ def fold_batch(
             batch_id,
             partition_by="fp_prefix",
         )
+        if not admitted:
+            return None
     finally:
         novel.unpersist()
-        winners.unpersist()
     return _stored()
 
 

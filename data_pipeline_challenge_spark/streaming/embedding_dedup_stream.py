@@ -62,7 +62,7 @@ import json
 from pathlib import Path
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
@@ -156,7 +156,15 @@ def fold_batch(
         meta = json.loads(meta_p.read_text())
 
     bucketed = with_lsh_bucket(
-        batch_df, meta["dim"], meta["n_planes"], vec_col
+        batch_df,
+        meta["dim"],
+        meta["n_planes"],
+        vec_col,
+        # honor the index's RECORDED seed (an externally-built or older
+        # index may differ from the module constant): bucketing new
+        # vectors with different hyperplanes than the base would probe
+        # the wrong buckets and append inconsistently-bucketed increments
+        seed=meta.get("seed"),
     ).cache()
     try:
         if not bucketed.take(1):
@@ -201,12 +209,9 @@ def fold_batch(
                 )
             )
             # Deterministic per-bucket reference cap (smallest ids win).
-            wcap = Window.partitionBy("bucket").orderBy(F.col("ref_id"))
-            hist = (
-                hist.withColumn("__rk", F.row_number().over(wcap))
-                .filter(F.col("__rk") <= bucket_cap)
-                .drop("__rk")
-            )
+            from ..batchstore import cap_per_bucket
+
+            hist = cap_per_bucket(hist, ["bucket"], "ref_id", bucket_cap)
             refs = refs.unionByName(hist)
 
         # History refs match on ANY id — including new_id == ref_id: a

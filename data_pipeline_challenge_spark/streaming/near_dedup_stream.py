@@ -64,6 +64,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    ensure_store_params,
     last_batch_id,
     read_batch_store,
 )
@@ -72,11 +73,15 @@ from ..operators.graph import connected_components
 
 
 def _prefix(col, n_prefix: int):
-    return F.pmod(F.xxhash64(col), F.lit(n_prefix)).cast("int")
+    from ..batchstore import prefix_bucket
+
+    return prefix_bucket(col, n_prefix)
 
 
 def _band_prefix(band_col, bh_col, n_prefix: int):
-    return F.pmod(F.xxhash64(band_col, bh_col), F.lit(n_prefix)).cast("int")
+    from ..batchstore import prefix_bucket
+
+    return prefix_bucket(band_col, n_prefix, bh_col)
 
 
 def current_kept_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -140,6 +145,21 @@ def fold_batch(
     re-folding."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    # The shingle width, signature shape, and prefix modulus are baked
+    # into every band-index row and partition ever written; a restart
+    # with different values computes incomparable band hashes / probes
+    # the wrong partitions — refuse loudly. min_jaccard and bucket_cap
+    # are POLICY (tunable per restart): they change verdicts, not the
+    # stored layout.
+    ensure_store_params(
+        odir,
+        {
+            "n": int(n),
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "n_prefix": int(n_prefix),
+        },
+    )
     docs_store = odir / "docs"
     band_store = odir / "band_index"
 
@@ -212,12 +232,9 @@ def fold_batch(
                 )
                 # Deterministic per-bucket candidate cap (smallest old
                 # ids win) — bounds the verify join under bucket crowding.
-                wcap = Window.partitionBy("band", "bh").orderBy(F.col("doc"))
-                hits = (
-                    hits.withColumn("__rk", F.row_number().over(wcap))
-                    .filter(F.col("__rk") <= bucket_cap)
-                    .drop("__rk")
-                )
+                from ..batchstore import cap_per_bucket
+
+                hits = cap_per_bucket(hits, ["band", "bh"], "doc", bucket_cap)
                 cross_cand = (
                     kept_banded.join(
                         F.broadcast(
@@ -273,7 +290,35 @@ def fold_batch(
 
         kept = kept.withColumn(
             "doc_prefix", _prefix(F.col(id_col), n_prefix)
-        ).cache()
+        )
+        # Re-delivery guard: an at-least-once upstream can re-land a doc
+        # under its ORIGINAL id in a later batch. Shingled docs are
+        # (mostly) caught by the jaccard probe, but a sub-shingle-width
+        # doc has no bands and would re-admit, duplicating its id in the
+        # kept store — so drop any kept id already present in history,
+        # via the same prefix-pruned + broadcast-keyed read the probes
+        # use (bounded by the batch's touched doc prefixes).
+        if docs_store.exists() and any(docs_store.glob("ingest_batch=*")):
+            kept_prefixes = sorted(
+                r["p"]
+                for r in kept.select(F.col("doc_prefix").alias("p"))
+                .distinct()
+                .collect()
+            )
+            if kept_prefixes:
+                resent = (
+                    read_batch_store(spark, docs_store)
+                    .filter(F.col("doc_prefix").isin(kept_prefixes))
+                    .select(id_col)
+                    .join(F.broadcast(kept.select(id_col)), id_col, "left_semi")
+                )
+                kept = kept.join(F.broadcast(resent), id_col, "left_anti")
+                kept_banded = kept_banded.join(
+                    F.broadcast(resent.select(F.col(id_col).alias("doc"))),
+                    "doc",
+                    "left_anti",
+                )
+        kept = kept.cache()
         cached.append(kept)
         # Materialize BOTH outputs BEFORE any store write: the banded
         # rows' lineage reads docs_store (the old-docs fetch), and an
@@ -283,16 +328,16 @@ def fold_batch(
         # top of paying the whole probe twice. localCheckpoint cuts the
         # lineage and pins the pre-write view.
         kept_banded = kept_banded.localCheckpoint(eager=True)
-        # docs BEFORE band_index (crash-replay argument above). An
-        # all-duplicate batch admits nothing: no dirs are written (a
-        # file-less partitioned dir would poison later store reads) and
-        # the contract value is None. A kept-but-bandless batch (all
-        # docs shorter than the shingle width) writes docs only — the
-        # probe guard tolerates the absent band increment.
-        if not append_batch_increment(
+        # docs BEFORE band_index (crash-replay argument above). BOTH
+        # stores are recorded every batch — an empty side (all-duplicate
+        # batch; kept-but-bandless batch of sub-shingle-width docs)
+        # leaves an empty-fold sentinel instead of a data dir, so the
+        # min-across-stores guard advances and a fresh-checkpoint
+        # renumbered replay skips the batch instead of overwriting
+        # committed increments with different content.
+        admitted = append_batch_increment(
             kept, docs_store, batch_id, partition_by="doc_prefix"
-        ):
-            return None
+        )
         append_batch_increment(
             kept_banded.select(
                 "band",
@@ -306,6 +351,8 @@ def fold_batch(
             batch_id,
             partition_by="bh_prefix",
         )
+        if not admitted:
+            return None
     finally:
         for c in cached:
             c.unpersist()

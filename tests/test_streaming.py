@@ -2299,3 +2299,57 @@ def test_embedding_dedup_probe_prunes_bucket_partitions(spark, tmp_path):
     segs = [seg.split("\n")[0] for seg in plan.split("PartitionFilters")[1:]]
     assert len(segs) >= 2  # base scan AND increment scan both pruned
     assert all("bucket" in seg for seg in segs)
+
+
+def test_gate_guards_sentinels_params_and_redelivery(spark, tmp_path):
+    """Round of guard hardening, pinned: (a) a batch whose band side was
+    empty still advances the replay guard via an empty-fold sentinel, so
+    a renumbered replay with different content cannot overwrite the
+    committed docs increment; (b) a restart with different layout
+    parameters is refused loudly; (c) a short doc re-delivered under its
+    original id is not admitted twice."""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming import near_dedup_stream
+
+    d = tmp_path / "near"
+    long1 = "a properly long document with many distinct tokens inside it"
+    b0 = spark.createDataFrame([(1, long1)], "doc_id long, text string")
+    assert near_dedup_stream.fold_batch(
+        spark, d, b0, 0, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    ) is not None
+
+    # batch 1: short docs only -> docs written, band side sentinel'd
+    shorts = spark.createDataFrame([(5, "hi")], "doc_id long, text string")
+    out = near_dedup_stream.fold_batch(
+        spark, d, shorts, 1, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    )
+    assert out is not None and out.count() == 1
+    assert (d / "band_index" / ".empty.b1").exists()
+
+    # (a) renumbered replay of batch 1 with DIFFERENT content: skipped,
+    # committed increment untouched.
+    different = spark.createDataFrame([(9, "totally different short")],
+                                      "doc_id long, text string")
+    replay = near_dedup_stream.fold_batch(
+        spark, d, different, 1, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == [5]
+    kept = near_dedup_stream.current_kept_docs(spark, d)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+
+    # (c) re-delivery of the short doc id in a later batch: not duplicated.
+    redelivered = spark.createDataFrame([(5, "hi")], "doc_id long, text string")
+    out = near_dedup_stream.fold_batch(
+        spark, d, redelivered, 2, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    )
+    assert out is None  # nothing admitted
+    kept = near_dedup_stream.current_kept_docs(spark, d)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+
+    # (b) layout-parameter drift refused.
+    b3 = spark.createDataFrame([(7, long1 + " more")], "doc_id long, text string")
+    with _pytest.raises(RuntimeError, match="layout parameters"):
+        near_dedup_stream.fold_batch(
+            spark, d, b3, 3, "doc_id", "text", min_jaccard=0.5, n_prefix=8
+        )
