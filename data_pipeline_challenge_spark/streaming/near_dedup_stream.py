@@ -308,6 +308,12 @@ def fold_batch(
             if kept_prefixes:
                 resent = (
                     read_batch_store(spark, docs_store)
+                    # exclude THIS batch's own increment: a crash between
+                    # the docs and band writes replays the batch with
+                    # docs/ingest_batch=B already present, and matching
+                    # against it would empty the kept set — the replay
+                    # must recompute the identical admission instead
+                    .filter(F.col("ingest_batch") != batch_id)
                     .filter(F.col("doc_prefix").isin(kept_prefixes))
                     .select(id_col)
                     .join(F.broadcast(kept.select(id_col)), id_col, "left_semi")

@@ -2353,3 +2353,33 @@ def test_gate_guards_sentinels_params_and_redelivery(spark, tmp_path):
         near_dedup_stream.fold_batch(
             spark, d, b3, 3, "doc_id", "text", min_jaccard=0.5, n_prefix=8
         )
+
+
+def test_near_dedup_replay_between_store_writes(spark, tmp_path):
+    """Crash between the docs and band writes: the replay must recompute
+    the identical admission (the re-delivery guard must not match the
+    batch against its own crashed docs increment) and complete the band
+    side."""
+    import shutil as _sh
+
+    from data_pipeline_challenge_spark.streaming import near_dedup_stream
+
+    d = tmp_path / "near"
+    text = "a sufficiently long document carrying many distinct tokens here"
+    b0 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = near_dedup_stream.fold_batch(
+        spark, d, b0, 0, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    )
+    assert out is not None and out.count() == 1
+
+    # Simulate the crash: band increment never landed.
+    for p in (d / "band_index").glob("ingest_batch=0"):
+        _sh.rmtree(p)
+
+    replay = near_dedup_stream.fold_batch(
+        spark, d, b0, 0, "doc_id", "text", min_jaccard=0.5, n_prefix=4
+    )
+    assert replay is not None and replay.count() == 1
+    assert (d / "band_index" / "ingest_batch=0").exists()
+    kept = near_dedup_stream.current_kept_docs(spark, d)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
