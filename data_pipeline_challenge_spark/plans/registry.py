@@ -64,8 +64,8 @@ import functools
 
 @functools.lru_cache(maxsize=1)
 def _driver_verified_names() -> frozenset[str]:
-    """Names with a GREEN driver row in any past round. Cached for the
-    process lifetime: the CORRECTNESS artifacts only change between
+    """Names with a FRESH green driver row in some past round. Cached for
+    the process lifetime: the CORRECTNESS artifacts only change between
     driver rounds (i.e. between processes), and the natural
     queries_callables()/oracles()/bench_queries() sequence re-derived
     the identical frozenset from a full glob+parse three times.
@@ -76,13 +76,34 @@ def _driver_verified_names() -> frozenset[str]:
     mode), read the driver's own ``CORRECTNESS_r*.json`` artifacts at the
     repo root: a query counts as verified iff some round recorded it with
     no error and matching rows (hash too, when an oracle was present).
-    Anything else — never sampled, or sampled and failed — sorts first so
-    the next driver run covers it.
+
+    **Freshness (VERDICT r7 #1):** a green row from round N only counts if
+    the query's source fingerprint at round N (recorded in
+    ``tools/verified_query_hashes.json`` by
+    ``tools/update_verified_hashes.py``; covers the query fn, its
+    same-module constants, and one level of package callees — see
+    ``plans/_source_hash.py``) equals the CURRENT fingerprint. A query
+    whose definition changed since its last green round therefore drifts
+    back to unverified and re-sorts first, so the next driver sample
+    re-checks the NEW semantics instead of trusting a row that attests to
+    the old ones. Rounds missing from the hash file (tool not yet re-run)
+    fall back to name-only matching — the pre-r8 behavior — so a lapse
+    degrades gracefully instead of churning the whole inventory.
     """
     import json
 
-    seen: set[str] = set()
+    from ._source_hash import current_query_hashes
+
     root = Path(__file__).resolve().parents[2]
+    try:
+        round_hashes: dict[str, dict[str, str]] = json.loads(
+            (root / "tools" / "verified_query_hashes.json").read_text()
+        )
+    except (OSError, ValueError):
+        round_hashes = {}
+    current = current_query_hashes()
+
+    seen: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(p.read_text())
@@ -90,8 +111,15 @@ def _driver_verified_names() -> frozenset[str]:
             continue
         if not isinstance(data, dict):
             continue
+        tag = p.stem.replace("CORRECTNESS_", "")  # e.g. "r07"
+        recorded = round_hashes.get(tag)
         for name, row in data.items():
             if not isinstance(row, dict):
+                continue
+            if recorded is not None and recorded.get(name) != current.get(name):
+                # Definition drifted since this round (or fingerprints are
+                # missing for it) — this green row no longer attests to the
+                # current semantics.
                 continue
             if row.get("err") == "no_oracle":
                 # rows-only-by-design query whose weaker check already ran;
