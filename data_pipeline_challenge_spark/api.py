@@ -122,6 +122,11 @@ class ApiServer:
         self._max_attempts = max_attempts
         # file_id -> (attempts_so_far, monotonic time of next allowed try)
         self._retry_state: dict[str, tuple[int, float]] = {}
+        # fid -> frozenset of merge keys (codes) or None=undeterminable;
+        # filled only in the isolation path to let healthy files with
+        # DISJOINT keys merge ahead of a backing-off file (key-aware
+        # head-of-line, ADVICE r7). Pruned alongside _retry_state.
+        self._codes_cache: dict[str, frozenset | None] = {}
         self._stop_evt = threading.Event()
         self._consumer: threading.Thread | None = None
 
@@ -214,33 +219,83 @@ class ApiServer:
         for fid in list(self._retry_state):
             if fid not in pending_ids:
                 self._retry_state.pop(fid, None)
+        for fid in list(self._codes_cache):
+            if fid not in pending_ids:
+                self._codes_cache.pop(fid, None)
         # Landing names are timestamp-prefixed, so sorted order IS upload
-        # order. A file in backoff BLOCKS the files behind it (break, not
-        # continue): skipping ahead would merge a newer file first and a
-        # later successful retry of the older file would then overwrite
-        # the newer data for shared codes — cross-batch last-wins must
-        # follow upload order, as it does within a batch (__ford). The
-        # block is bounded: retries exhaust in max_attempts ticks and the
-        # poison file goes terminal, unblocking the queue — the same
-        # head-of-line semantics as the reference's prefetch-1 consumer,
-        # minus its infinite-redelivery wedge.
+        # order. A file in backoff holds the files behind it ONLY when
+        # they share merge keys: skipping a key-sharing file ahead would
+        # merge newer data first and a later successful retry of the
+        # older file would then overwrite it — cross-batch last-wins must
+        # follow upload order per code, as it does within a batch
+        # (__ford). Files whose key sets are provably DISJOINT from every
+        # held file commute with them, so they merge ahead and a single
+        # poison upload no longer stalls every other tenant's data
+        # (ADVICE r7). A file whose keys can't be determined (unreadable
+        # mid-backoff) conservatively holds everything behind it. The
+        # hold is bounded either way: retries exhaust in max_attempts
+        # ticks and the poison file goes terminal, draining the queue —
+        # the reference's prefetch-1 consumer semantics, minus its
+        # infinite-redelivery wedge.
+        held_codes: set[str] = set()
+        held_unknown = False  # a held file with undeterminable keys
         for path in sorted(pending):
             fid = Path(path).name
             n_prev, next_try = self._retry_state.get(fid, (0, 0.0))
-            if _time.monotonic() < next_try:
-                break  # still backing off: hold the queue behind it
+            backing_off = _time.monotonic() < next_try
+            if backing_off or held_unknown or held_codes:
+                codes = self._file_codes(fid, path)
+                if backing_off or held_unknown or codes is None or (
+                    codes & held_codes
+                ):
+                    # Hold this file too; its keys join the held set so
+                    # anything overlapping IT also waits.
+                    if codes is None:
+                        held_unknown = True
+                    else:
+                        held_codes |= codes
+                    continue
             try:
                 self.warehouse.ingest_paths([path])
                 self._retry_state.pop(fid, None)
+                self._codes_cache.pop(fid, None)
             except Exception:  # noqa: BLE001
                 traceback.print_exc(file=sys.stderr)
                 n = n_prev + 1
                 if n >= self._max_attempts:
                     self._retry_state.pop(fid, None)
+                    self._codes_cache.pop(fid, None)
                     self._mark_failed_terminal(fid, path)
                 else:
                     backoff = self._poll_interval * (2 ** (n - 1))
                     self._retry_state[fid] = (n, _time.monotonic() + backoff)
+                    # Later files this tick only proceed if disjoint.
+                    codes = self._file_codes(fid, path)
+                    if codes is None:
+                        held_unknown = True
+                    else:
+                        held_codes |= codes
+
+    def _file_codes(self, fid: str, path: str) -> frozenset | None:
+        """Merge-key set (``code`` values of records that would upsert) of
+        one landing file, parsed DRIVER-side and cached per fid for the
+        life of its pending-ness. Only consulted in the isolation path, so
+        the cost is one bounded parse per blocked/queued file, not per
+        tick. None = undeterminable (unreadable right now) → callers must
+        assume overlap."""
+        if fid in self._codes_cache:
+            return self._codes_cache[fid]
+        try:
+            payload = Path(path).read_bytes()
+            from .sources.json_ingest import parse_bytes
+
+            codes = frozenset(
+                t[2] for t in parse_bytes(path, payload) if t[5]  # ok rows only
+            )
+        except Exception:  # noqa: BLE001 - unreadable → unknown, hold queue
+            codes = None
+        self._codes_cache[fid] = codes
+        return codes
 
     def _mark_failed_terminal(self, file_id: str, path: str) -> None:
         """Exhausted retries: terminal ``failed`` event; the landing file

@@ -403,7 +403,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs within hamming distance 16 via 16-bit band join."""
+    """SimHash near-pairs within hamming distance 3 via 16-bit band join.
+
+    Output change vs rounds ≤6: the registered query previously reported
+    pairs up to hamming 16, a bound the 4-band candidate join cannot
+    deliver completely (it silently missed qualifying pairs); the r7 fix
+    tightened the default to 3 — the pigeonhole-complete bound — so the
+    result set shrank but is now exhaustive within its stated radius.
+    """
     docs = load_table(spark, sf_dir, "documents")
     # default max_hamming=3: the bound at which 4-band candidates are
     # complete (pigeonhole); 16 previously overstated what the banded

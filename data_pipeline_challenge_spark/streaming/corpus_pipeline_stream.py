@@ -102,11 +102,14 @@ def start_corpus_pipeline_stream(
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
-    ev = (
-        decontam_stream.eval_shingles(eval_df, id_col, text_col, n)
-        if eval_df is not None
-        else None
-    )
+    ev = None
+    if eval_df is not None:
+        # Same drift refusal as a standalone decontam gate: the composed
+        # pipeline's decontam stage pins its verdict parameters too.
+        decontam_stream.pin_decontam_params(
+            odir / "decontam", eval_df, id_col, text_col, n, min_shared
+        )
+        ev = decontam_stream.eval_shingles(eval_df, id_col, text_col, n)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

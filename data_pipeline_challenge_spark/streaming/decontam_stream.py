@@ -41,10 +41,51 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    ensure_store_params,
     last_batch_id,
     read_batch_store,
 )
 from ..operators.dedup import _shingle_table
+
+
+def eval_fingerprint(eval_df: DataFrame, id_col: str, text_col: str) -> str:
+    """Order-insensitive content fingerprint of the eval set: row count +
+    XOR of per-row xxhash64 over (id, text). One benchmark-sized
+    aggregation at stream start — cheap, deterministic, and enough to
+    detect a swapped/edited eval set across restarts."""
+    row = eval_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(
+            F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("x"),
+    ).first()
+    return f"{row['n']}:{row['x']}"
+
+
+def pin_decontam_params(
+    out_dir: str | Path,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_shared: int,
+) -> None:
+    """Pin the gate's VERDICT-defining parameters (shingle width ``n``,
+    ``min_shared``, and the eval set's content fingerprint) with the same
+    ``ensure_store_params`` contract the dedup gates use: a restart that
+    disagrees fails loudly instead of silently changing the gate's
+    semantics mid-store (ADVICE r7). A changed eval set or width means a
+    different verdict function — rebuild into a fresh out_dir and
+    re-screen, per the module docstring."""
+    ensure_store_params(
+        Path(out_dir),
+        {
+            "kind": "decontam",
+            "n": n,
+            "min_shared": min_shared,
+            "eval_fingerprint": eval_fingerprint(eval_df, id_col, text_col),
+        },
+    )
 
 
 def current_clean_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -172,6 +213,7 @@ def start_decontam_stream(
     stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    pin_decontam_params(odir, eval_df, id_col, text_col, n, min_shared)
 
     # Eval shingles once, cached across micro-batches (benchmark-sized).
     ev = eval_shingles(eval_df, id_col, text_col, n)

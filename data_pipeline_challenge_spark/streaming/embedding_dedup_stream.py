@@ -251,11 +251,13 @@ def fold_batch(
             )
             return _stored()
 
-        # An all-duplicate batch keeps nothing: write no increment (a
-        # file-less partitioned dir would poison every later read of the
-        # store AND wedge this very batch's replay on the read-back) and
-        # return None per the contract; the guard staying behind is safe
-        # — a replayed fold recomputes the same empty kept set.
+        # An all-duplicate batch keeps nothing: append_batch_increment
+        # writes no parquet (a file-less partitioned dir would poison
+        # every later read of the store AND wedge this very batch's
+        # replay on the read-back) but DOES drop an ``.empty.b{B}``
+        # sentinel, so the replay guard advances past this empty fold —
+        # a re-delivered batch is recognized as already folded rather
+        # than recomputed.
         if not append_batch_increment(
             kept, inc_store, batch_id, partition_by="bucket"
         ):

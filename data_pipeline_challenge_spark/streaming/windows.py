@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from ..catalog import ntz_epoch_us
 
 
-def _epoch_s(ev: DataFrame, col) -> F.Column:
+def _epoch_s(ev: DataFrame, col, ts_col: str = "ts") -> F.Column:
     """Epoch seconds of a window boundary, timezone-agnostic for BOTH
     timestamp flavors. A plain TIMESTAMP denotes an instant, so
     ``unix_timestamp`` is session-zone-independent there; TIMESTAMP_NTZ
@@ -28,8 +28,22 @@ def _epoch_s(ev: DataFrame, col) -> F.Column:
     ``spark.sql.session.timeZone`` (shifting every boundary by the zone
     offset on a session this package did not build) — read it as UTC via
     field arithmetic instead (``catalog.ntz_epoch_us``, which also
-    documents the DST-gap hazard of cast-based conversions)."""
-    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+    documents the DST-gap hazard of cast-based conversions).
+
+    The flavor is decided by the EVENT-TIME column's dtype (``ts_col`` —
+    the column the window was built over, whose flavor the window
+    boundaries inherit). A missing ``ts_col`` raises instead of silently
+    falling back to the session-zone path: a rename would otherwise
+    reintroduce the timezone dependence this helper exists to remove
+    (ADVICE r7)."""
+    dtypes = dict(ev.dtypes)
+    if ts_col not in dtypes:
+        raise ValueError(
+            f"event-time column {ts_col!r} not in frame (columns: "
+            f"{list(dtypes)}); pass ts_col= so the timestamp flavor can "
+            "be determined without a session-timezone fallback"
+        )
+    if dtypes[ts_col] == "timestamp_ntz":
         return (ntz_epoch_us(col) / F.lit(1_000_000)).cast("long")
     return F.unix_timestamp(col)
 

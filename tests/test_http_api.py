@@ -622,3 +622,70 @@ def test_upload_sanitizes_hostile_filenames(spark, tmp_path):
     rep = wh.ingest(landing)
     assert all(f["status"] == "processed" for f in rep.files.values())
     assert wh.products().count() == 1
+
+
+def test_consumer_disjoint_keys_merge_ahead_of_backoff(spark, tmp_path):
+    """Key-aware head-of-line (ADVICE r7): while an older file is backing
+    off, a later file sharing a merge key must WAIT (cross-batch
+    last-wins per code follows upload order), but a later file whose key
+    set is disjoint commutes and merges ahead — one tenant's poison
+    upload no longer stalls every other tenant."""
+    import time
+
+    landing = tmp_path / "landing"
+    server = ApiServer(
+        spark, tmp_path / "wh", landing, poll_interval=0.01, max_attempts=5
+    )
+    try:
+        orig = server.warehouse.ingest_paths
+        calls = {"n": 0}
+
+        def flaky(paths, **kw):
+            if any("shared_old" in Path(p).name for p in paths):
+                calls["n"] += 1
+                if calls["n"] <= 3:  # batch attempt + two isolation attempts
+                    raise RuntimeError("transient hiccup on the old file")
+            return orig(paths, **kw)
+
+        server.warehouse.ingest_paths = flaky
+        _, up_old = server.do_upload(
+            "shared_old.json",
+            json.dumps([{"code": "HOL1", "product_name": "old"}]).encode(),
+            "application/json",
+        )
+        time.sleep(1.1)  # landing names carry 1s timestamps: force order
+        _, up_shared = server.do_upload(
+            "shared_new.json",
+            json.dumps([{"code": "HOL1", "product_name": "new"}]).encode(),
+            "application/json",
+        )
+        _, up_other = server.do_upload(
+            "other.json",
+            json.dumps([{"code": "HOL2", "product_name": "independent"}]).encode(),
+            "application/json",
+        )
+
+        server._consume_once()  # batch fails; isolation: old n=1 (backoff),
+        # shared held (same code), other merges ahead
+        _, st_other = server.do_status(up_other["file_id"])
+        assert st_other["status"] == "processed"
+        _, st_shared = server.do_status(up_shared["file_id"])
+        assert "waiting" in st_shared["status"]  # held behind same-key file
+
+        time.sleep(0.05)  # clear backoff
+        server._consume_once()  # old still fails (n=2); shared still held
+        _, st_shared = server.do_status(up_shared["file_id"])
+        assert "waiting" in st_shared["status"]
+
+        time.sleep(0.1)
+        server._consume_once()  # old succeeds; shared merges after it
+        for up in (up_old, up_shared):
+            _, st = server.do_status(up["file_id"])
+            assert st["status"] == "processed", st
+        # Last-wins by upload order for the shared code: the NEWER upload's
+        # value survives even though the older file merged later in time.
+        _, found = server.do_find_code("HOL1")
+        assert found["product_name"] == "new"
+        assert not server._retry_state and not server._codes_cache
+    finally:
+        server.stop()

@@ -2383,3 +2383,64 @@ def test_near_dedup_replay_between_store_writes(spark, tmp_path):
     assert (d / "band_index" / "ingest_batch=0").exists()
     kept = near_dedup_stream.current_kept_docs(spark, d)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+
+def test_decontam_gate_refuses_param_and_eval_drift(spark, tmp_path):
+    """The decontam gate's VERDICT-defining parameters (shingle width n,
+    min_shared, eval-set content) are pinned like the dedup gates' layout
+    params (ADVICE r7): a restart that disagrees fails loudly instead of
+    silently changing the gate's semantics mid-store."""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        start_decontam_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "gate"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    land("a.parquet", [(1, "spark shuffles hash partitioned data between stages")])
+    eval_df = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")],
+        "doc_id long, text string",
+    )
+
+    q = start_decontam_stream(
+        spark, corpus_dir, eval_df, out_dir, tmp_path / "ck1", SCHEMA,
+        "doc_id", "text", n=3, min_shared=2,
+    )
+    q.awaitTermination(180)
+
+    # Same parameters + same eval set: restart is fine.
+    q = start_decontam_stream(
+        spark, corpus_dir, eval_df, out_dir, tmp_path / "ck1", SCHEMA,
+        "doc_id", "text", n=3, min_shared=2,
+    )
+    q.awaitTermination(180)
+
+    # Different shingle width: refused before the stream starts.
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh out_dir"):
+        start_decontam_stream(
+            spark, corpus_dir, eval_df, out_dir, tmp_path / "ck2", SCHEMA,
+            "doc_id", "text", n=4, min_shared=2,
+        )
+
+    # Different min_shared: refused.
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh out_dir"):
+        start_decontam_stream(
+            spark, corpus_dir, eval_df, out_dir, tmp_path / "ck3", SCHEMA,
+            "doc_id", "text", n=3, min_shared=1,
+        )
+
+    # Edited eval set (one doc swapped): content fingerprint drifts → refused.
+    eval_df2 = spark.createDataFrame(
+        [(900, "a different benchmark question about rivers instead")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh out_dir"):
+        start_decontam_stream(
+            spark, corpus_dir, eval_df2, out_dir, tmp_path / "ck4", SCHEMA,
+            "doc_id", "text", n=3, min_shared=2,
+        )
