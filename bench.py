@@ -117,9 +117,40 @@ def _indexed_ann_probes(spark, sf_dir: str, n_runs: int) -> dict[str, list[float
     return out
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Mechanical provenance for round-over-round comparisons: the driver
+    regenerates /root/testdata between rounds, and r7's ~+25% uniform
+    bench move was only attributable to data-vs-code via README prose
+    (VERDICT r7 missing #2). Hash the sorted (relative path, size) list —
+    regeneration changes file sizes even at equal scale because the
+    generator reseeds — so two BENCH artifacts agree on whether they ran
+    against the same generation."""
+    import hashlib
+
+    root = Path(sf_dir)
+    entries = sorted(
+        (str(p.relative_to(root)), p.stat().st_size)
+        for p in root.rglob("*")
+        if p.is_file()
+    )
+    h = hashlib.sha256()
+    for rel, size in entries:
+        h.update(f"{rel}:{size}\n".encode())
+    return {
+        "fingerprint": h.hexdigest()[:16],
+        "n_files": len(entries),
+        "total_bytes": sum(size for _, size in entries),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    testdata = _testdata_fingerprint(sf_dir)
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -173,6 +204,16 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "raw_runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Provenance: same-generation runs share testdata.fingerprint;
+                # load averages bracket the run so a contended box is visible
+                # in the artifact itself, not just in README prose.
+                "testdata": testdata,
+                "load_avg_start": load_start,
+                "load_avg_end": (
+                    [round(x, 2) for x in os.getloadavg()]
+                    if hasattr(os, "getloadavg")
+                    else None
+                ),
             }
         )
     )
