@@ -254,11 +254,22 @@ def consolidate_batch_store(
     spark: SparkSession,
     store: str | Path,
     partition_by: list[str] | None = None,
+    up_to: int | None = None,
 ) -> int:
-    """Fold every live batch partition into one consolidated partition
-    (see module docstring for the crash-safety argument). Returns the
-    number of directories folded or swept (0 = nothing to do). OFFLINE:
-    the owning stream must not be running.
+    """Fold live batch partitions into one consolidated partition (see
+    module docstring for the crash-safety argument). Returns the number
+    of directories folded or swept (0 = nothing to do).
+
+    Writer coordination: either run OFFLINE (owning stream stopped — the
+    original contract), or IN-STREAM from the owning stream's own
+    ``foreachBatch`` (see :func:`maybe_consolidate_in_stream`) — the
+    stream is the store's only writer, so its foreachBatch serializes
+    folds against appends with no extra coordination. In-stream callers
+    MUST pass ``up_to = current_batch_id - 1``: the current batch's own
+    increment dir must survive the fold because a crash-replay of that
+    (still-uncommitted) batch reads it back (`_stored()` in every gate,
+    and the composed pipeline feeds it to downstream stages); batches
+    before it are checkpoint-committed and can never be re-delivered.
 
     A re-run with no new batches still sweeps directories a crashed
     fold's marker already excludes — otherwise a fold that died between
@@ -271,17 +282,27 @@ def consolidate_batch_store(
     live_positive = [n for n, _ in dirs if n >= 0]
     if marker:
         live_positive = [n for n in live_positive if n > int(marker["through"])]
+    if up_to is not None:
+        live_positive = [n for n in live_positive if n <= up_to]
     if len(live_positive) <= 1 and marker is None:
         return 0  # a single batch dir gains nothing
     if not live_positive and marker is not None:
         return _sweep_stale(store, marker)  # crash-leftover cleanup only
+    if not live_positive:
+        return 0
 
     through = max(
         live_positive + ([int(marker["through"])] if marker else [])
     )
     new_id = int(marker["consolidated"]) - 1 if marker else -1
 
-    live = read_batch_store(spark, store).drop("ingest_batch")
+    live = read_batch_store(spark, store)
+    if up_to is not None:
+        # Batches past the fold horizon stay in their own live dirs; the
+        # fold must not absorb their rows or the post-fold view
+        # (consolidated ∪ ingest_batch > through) would double-count them.
+        live = live.filter(F.col("ingest_batch") <= up_to)
+    live = live.drop("ingest_batch")
     tmp = store / f".consolidate.{-new_id}.tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -300,3 +321,36 @@ def consolidate_batch_store(
     os.replace(mtmp, store / _MARKER)  # the commit point
 
     return _sweep_stale(store, new_marker)
+
+
+def maybe_consolidate_in_stream(
+    spark: SparkSession,
+    stores: dict[str | Path, list[str] | None],
+    batch_id: int,
+    every: int | None,
+) -> int:
+    """In-stream consolidation hook: called from the owning stream's own
+    ``foreachBatch`` AFTER the batch's appends, folds each store's
+    batches up to ``batch_id - 1`` whenever ``batch_id`` is a positive
+    multiple of ``every``. Removes the stop-the-stream maintenance
+    window: the stream is the store's only writer, so running the fold
+    inside its serialized foreachBatch needs no new coordination, and
+    bounding the fold at ``batch_id - 1`` keeps the current
+    (uncommitted) batch's increment readable for a crash-replay.
+
+    ``stores`` maps store path -> partition_by columns (or None).
+    ``every=None`` disables (offline-only maintenance, the pre-r8
+    contract). Idempotent under replay: a re-delivered trigger batch
+    re-runs the fold, which either finds nothing live below the horizon
+    (already folded — sweep-only) or completes a fold that crashed
+    midway. Returns total dirs folded/swept."""
+    if not every or batch_id <= 0 or batch_id % every != 0:
+        return 0
+    total = 0
+    for store, partition_by in stores.items():
+        store = Path(store)
+        if store.exists():
+            total += consolidate_batch_store(
+                spark, store, partition_by=partition_by, up_to=batch_id - 1
+            )
+    return total

@@ -34,10 +34,12 @@ stores before the batch, the batch). Per-batch cost is the sum of the
 stages' costs: O(batch) for the gate, O(batch + touched-prefix index
 slices) for the dedups — never O(corpus).
 
-Offline maintenance composes the stages' own helpers
-(:func:`compact_pipeline_stores`); run it only after a clean drain —
-consolidation removes per-batch increment dirs, which the
-crash-mid-pipeline replay path above reads.
+Maintenance: the stream consolidates its own stores in-stream every
+``consolidate_every`` batches (bounded at the previous,
+checkpoint-committed batch — the current batch's increment dirs, which
+the crash-mid-pipeline replay path above reads, always survive a fold).
+The offline composition (:func:`compact_pipeline_stores`) remains for
+quiesced warehouses; run it only after a clean drain.
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from . import decontam_stream, dedup_stream, filter_gate_stream, near_dedup_stream
+from ..batchstore import maybe_consolidate_in_stream
 
 
 def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -93,12 +96,15 @@ def start_corpus_pipeline_stream(
     bucket_cap: int = 64,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
     ``filter_gate_stream.gopher_keep(text_col)``); ``eval_df=None``
     omits the decontamination stage. ``available_now=True`` drains
-    what's landed and stops."""
+    what's landed and stops. ``consolidate_every=N`` folds every stage's
+    accumulated batch dirs in-stream each N batches (no stop-the-stream
+    window); ``None`` = offline-only maintenance."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -116,7 +122,7 @@ def start_corpus_pipeline_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(str(corpus_dir))
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def _run_gates(batch_df: DataFrame, batch_id: int) -> None:
         cur: DataFrame | None = batch_df
         if quality_expr is not None:
             cur = filter_gate_stream.fold_batch(
@@ -143,6 +149,21 @@ def start_corpus_pipeline_stream(
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
             bucket_cap=bucket_cap,
         )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _run_gates(batch_df, batch_id)
+        # In-stream consolidation of every stage's stores (bounded at the
+        # previous, checkpoint-committed batch) — runs even when a stage
+        # filtered the whole batch out, so an all-duplicate stretch of
+        # the stream cannot starve maintenance.
+        stores: dict = {}
+        if quality_expr is not None:
+            stores.update(filter_gate_stream._store_map(odir / "quality"))
+        if ev is not None:
+            stores.update(decontam_stream._store_map(odir / "decontam"))
+        stores.update(dedup_stream._store_map(odir / "exact"))
+        stores.update(near_dedup_stream._store_map(odir / "near"))
+        maybe_consolidate_in_stream(spark, stores, batch_id, consolidate_every)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -43,9 +43,18 @@ from ..batchstore import (
     consolidate_batch_store,
     ensure_store_params,
     last_batch_id,
+    maybe_consolidate_in_stream,
     read_batch_store,
 )
 from ..operators.dedup import _shingle_table
+
+# store name -> partition columns; shared by offline compaction and the
+# in-stream consolidation hook so the two can never disagree on layout.
+_STORES: tuple[tuple[str, list | None], ...] = (("docs", None), ("contaminated", None))
+
+
+def _store_map(odir: Path) -> dict:
+    return {odir / name: part for name, part in _STORES}
 
 
 def eval_fingerprint(eval_df: DataFrame, id_col: str, text_col: str) -> str:
@@ -111,10 +120,10 @@ def compact_decontam_store(spark: SparkSession, out_dir: str | Path) -> dict[str
     protocol). Run while the gate stream is NOT running."""
     odir = Path(out_dir)
     out: dict[str, int] = {}
-    for name in ("docs", "contaminated"):
+    for name, part in _STORES:
         store = odir / name
         if store.exists():
-            out[name] = consolidate_batch_store(spark, store)
+            out[name] = consolidate_batch_store(spark, store, partition_by=part)
     return out
 
 
@@ -206,11 +215,14 @@ def start_decontam_stream(
     min_shared: int = 1,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the decontamination gate
     against ``eval_df`` (a static benchmark table with ``id_col`` /
     ``text_col``). ``available_now=True`` drains what's landed and
-    stops."""
+    stops. ``consolidate_every=N`` folds the stores' batch dirs
+    in-stream every N batches (no stop window); ``None`` =
+    offline-only."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     pin_decontam_params(odir, eval_df, id_col, text_col, n, min_shared)
@@ -227,6 +239,9 @@ def start_decontam_stream(
         fold_batch(
             spark, odir, batch_df, batch_id, ev,
             id_col=id_col, text_col=text_col, n=n, min_shared=min_shared,
+        )
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

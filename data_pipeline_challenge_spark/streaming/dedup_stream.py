@@ -61,6 +61,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    maybe_consolidate_in_stream,
     ensure_store_params,
     last_batch_id,
     read_batch_store,
@@ -100,15 +101,28 @@ def current_novel_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | 
     return read_batch_store(spark, store).drop("ingest_batch")
 
 
+# store name -> partition columns; shared by offline compaction and the
+# in-stream consolidation hook so the two can never disagree on layout.
+_STORES: tuple[tuple[str, list[str] | None], ...] = (
+    ("docs", None),
+    ("fp_index", ["fp_prefix"]),
+)
+
+
+def _store_map(odir: Path) -> dict[Path, list[str] | None]:
+    return {odir / name: part for name, part in _STORES}
+
+
 def compact_dedup_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
-    """OFFLINE maintenance: fold each store's accumulated per-batch dirs
-    into one consolidated partition (crash-safe marker protocol,
-    ``batchstore``) so partition discovery stays O(1) on a long-lived
-    warehouse. Run while the dedup stream is NOT running. Returns
+    """Maintenance: fold each store's accumulated per-batch dirs into one
+    consolidated partition (crash-safe marker protocol, ``batchstore``)
+    so partition discovery stays O(1) on a long-lived warehouse. Run
+    while the dedup stream is NOT running — OR let the stream do it
+    itself via ``consolidate_every`` (no stop window needed). Returns
     {store: dirs folded}."""
     odir = Path(out_dir)
     out: dict[str, int] = {}
-    for name, part in (("docs", None), ("fp_index", ["fp_prefix"])):
+    for name, part in _STORES:
         store = odir / name
         if store.exists():
             out[name] = consolidate_batch_store(spark, store, partition_by=part)
@@ -247,9 +261,14 @@ def start_dedup_stream(
     n_prefix: int = 256,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files through against-history exact dedup.
-    ``available_now=True`` drains what's landed and stops."""
+    ``available_now=True`` drains what's landed and stops.
+    ``consolidate_every=N`` folds the stores' accumulated batch dirs
+    in-stream every N batches (bounded at the previous batch, inside the
+    same foreachBatch that owns all writes — no stop window);
+    ``None`` reverts to offline-only maintenance."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -262,6 +281,9 @@ def start_dedup_stream(
         fold_batch(
             spark, odir, batch_df, batch_id,
             id_col=id_col, text_col=text_col, n_prefix=n_prefix,
+        )
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

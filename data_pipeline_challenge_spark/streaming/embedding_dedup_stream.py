@@ -68,6 +68,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    maybe_consolidate_in_stream,
     last_batch_id,
 )
 from ..functions.vectorfn import as_double, cosine
@@ -281,10 +282,13 @@ def start_embedding_dedup_stream(
     bucket_cap: int = 256,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream parquet files of vectors through the embedding near-dedup
     gate into a servable LSH index. ``available_now=True`` drains what's
-    landed and stops."""
+    landed and stops. ``consolidate_every=N`` folds the increment store's
+    batch dirs in-stream every N batches (no stop window); ``None`` =
+    offline-only."""
     idx = Path(index_dir)
     idx.mkdir(parents=True, exist_ok=True)
 
@@ -298,6 +302,10 @@ def start_embedding_dedup_stream(
             spark, idx, batch_df, batch_id,
             id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes,
             min_cos=min_cos, bucket_cap=bucket_cap,
+        )
+        maybe_consolidate_in_stream(
+            spark, {idx / "bucketed_inc": ["bucket"]}, batch_id,
+            consolidate_every,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -37,9 +37,18 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     last_batch_id,
+    maybe_consolidate_in_stream,
     read_batch_store,
 )
 from ..functions.textfn import top_token_fraction
+
+# store name -> partition columns; shared by offline compaction and the
+# in-stream consolidation hook so the two can never disagree on layout.
+_STORES: tuple[tuple[str, list | None], ...] = (("docs", None), ("rejected", None))
+
+
+def _store_map(odir: Path) -> dict:
+    return {odir / name: part for name, part in _STORES}
 
 
 def gopher_keep(
@@ -89,10 +98,10 @@ def compact_filter_gate_store(
     stream is NOT running."""
     odir = Path(out_dir)
     out: dict[str, int] = {}
-    for name in ("docs", "rejected"):
+    for name, part in _STORES:
         store = odir / name
         if store.exists():
-            out[name] = consolidate_batch_store(spark, store)
+            out[name] = consolidate_batch_store(spark, store, partition_by=part)
     return out
 
 
@@ -143,9 +152,12 @@ def start_filter_gate_stream(
     keep_expr: Column,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the predicate gate.
-    ``available_now=True`` drains what's landed and stops."""
+    ``available_now=True`` drains what's landed and stops.
+    ``consolidate_every=N`` folds the stores' batch dirs in-stream every
+    N batches (no stop-the-stream window); ``None`` = offline-only."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -156,6 +168,9 @@ def start_filter_gate_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fold_batch(spark, odir, batch_df, batch_id, keep_expr)
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

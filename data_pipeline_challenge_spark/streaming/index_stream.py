@@ -29,7 +29,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import append_index_increments, index_increment_bounds
+from ..operators.similarity import (
+    _INDEX_FAMILIES,
+    _INDEX_FAMILY_PARTITIONS,
+    append_index_increments,
+    index_increment_bounds,
+)
+from ..batchstore import maybe_consolidate_in_stream
 
 
 def start_index_stream(
@@ -42,9 +48,13 @@ def start_index_stream(
     vec_col: str = "embedding",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream parquet files of new vectors into the increments of every
-    persisted index under ``index_dir``. ``vectors_dir`` must hold only
+    persisted index under ``index_dir``. ``consolidate_every=N`` folds
+    each family's increment dirs in-stream every N batches (bounded at
+    the previous batch, inside the stream's own foreachBatch — no
+    stop-the-stream window); ``None`` = offline-only maintenance. ``vectors_dir`` must hold only
     vectors NOT in the base build (the base snapshot and the increment
     feed are disjoint by construction in an ingest pipeline — the base is
     built from a snapshot, the stream consumes arrivals after it).
@@ -87,6 +97,16 @@ def start_index_stream(
             )
         append_index_increments(
             batch_df, idx, batch_id, id_col=id_col, vec_col=vec_col
+        )
+        maybe_consolidate_in_stream(
+            spark,
+            {
+                idx / inc_name: _INDEX_FAMILY_PARTITIONS[inc_name]
+                for sidecar, inc_name in _INDEX_FAMILIES
+                if (idx / sidecar).exists()
+            },
+            batch_id,
+            consolidate_every,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -66,6 +66,7 @@ from ..batchstore import (
     consolidate_batch_store,
     ensure_store_params,
     last_batch_id,
+    maybe_consolidate_in_stream,
     read_batch_store,
 )
 from ..operators.dedup import banded_minhash_tables, verify_candidate_pairs
@@ -115,11 +116,23 @@ def compact_near_dedup_store(
     running."""
     odir = Path(out_dir)
     out: dict[str, int] = {}
-    for name, part in (("docs", ["doc_prefix"]), ("band_index", ["bh_prefix"])):
+    for name, part in _STORES:
         store = odir / name
         if store.exists():
             out[name] = consolidate_batch_store(spark, store, partition_by=part)
     return out
+
+
+# store name -> partition columns; shared by offline compaction and the
+# in-stream consolidation hook so the two can never disagree on layout.
+_STORES: tuple[tuple[str, list[str] | None], ...] = (
+    ("docs", ["doc_prefix"]),
+    ("band_index", ["bh_prefix"]),
+)
+
+
+def _store_map(odir: Path) -> dict[Path, list[str] | None]:
+    return {odir / name: part for name, part in _STORES}
 
 
 def fold_batch(
@@ -381,9 +394,12 @@ def start_near_dedup_stream(
     bucket_cap: int = 64,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files through against-history near-dedup.
-    ``available_now=True`` drains what's landed and stops."""
+    ``available_now=True`` drains what's landed and stops.
+    ``consolidate_every=N`` folds the stores' batch dirs in-stream every
+    N batches (no stop-the-stream window); ``None`` = offline-only."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -398,6 +414,9 @@ def start_near_dedup_stream(
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
             bucket_cap=bucket_cap,
+        )
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

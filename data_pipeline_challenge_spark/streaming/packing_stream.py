@@ -44,7 +44,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..batchstore import consolidate_batch_store, read_batch_store
+from ..batchstore import (
+    consolidate_batch_store,
+    maybe_consolidate_in_stream,
+    read_batch_store,
+)
 from ..operators.packing import pack_sequences_sharded
 from ..versioning import retire_versions
 from .rollup_stream import (
@@ -238,9 +242,14 @@ def start_packing_stream(
     n_shards: int = 64,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream corpus parquet files into the incrementally-maintained packed
-    table. ``available_now=True`` drains what's landed and stops."""
+    table. ``available_now=True`` drains what's landed and stops.
+    ``consolidate_every=N`` folds the rows store's accumulated batch dirs
+    in-stream every N batches (bounded at the previous batch, inside the
+    same foreachBatch that owns all writes — no stop-the-stream window);
+    ``None`` reverts to offline-only ``compact_rows_store``."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     migrate_legacy_layout(spark, odir)  # pre-shard-layout warehouses
@@ -319,6 +328,9 @@ def start_packing_stream(
         # retired here, so linking from the newest version above stays
         # safe.
         retire_versions((p for _, p in _versions(odir)), keep=(final, prev))
+        maybe_consolidate_in_stream(
+            spark, {rows_dir: ["shard"]}, batch_id, consolidate_every
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -1,0 +1,370 @@
+"""In-stream consolidation (VERDICT r7 next #3): the owning stream's own
+foreachBatch folds its stores' accumulated batch dirs every N batches —
+no stop-the-stream maintenance window — bounded at the previous,
+checkpoint-committed batch so crash-replay read-backs survive.
+
+Every test runs the SAME input through a consolidating stream and a
+non-consolidating twin (or the batch operator) and asserts identical
+results, plus a directory-count assertion across the fold.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_pipeline_challenge_spark.batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    read_batch_store,
+)
+
+
+def _doc_lander(corpus_dir: Path):
+    """Parquet writer with forced mtime order (FileStreamSource batches
+    by mtime)."""
+    box = [1_700_000_000]
+
+    def land(name, rows):
+        ids, texts = zip(*rows)
+        p = corpus_dir / name
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(p),
+        )
+        box[0] += 10
+        os.utime(p, (box[0], box[0]))
+
+    return land
+
+
+def _batch_dirs(store: Path) -> list[int]:
+    return sorted(
+        int(p.name.split("=", 1)[1])
+        for p in store.glob("ingest_batch=*")
+        if p.is_dir()
+    )
+
+
+def test_consolidate_up_to_excludes_newer_batches(spark, tmp_path):
+    """The fold horizon: batches past ``up_to`` keep their own live dirs
+    and their rows are NOT absorbed into the consolidated partition
+    (absorbing them would double-count under the marker view)."""
+    store = tmp_path / "store"
+    for b in range(4):
+        df = spark.createDataFrame([(b * 10 + i,) for i in range(3)], "v long")
+        append_batch_increment(df, store, b)
+
+    folded = consolidate_batch_store(spark, store, up_to=2)
+    assert folded >= 3  # batches 0..2 folded/swept
+    dirs = _batch_dirs(store)
+    assert dirs == [-1, 3]  # one consolidated dir + the untouched batch 3
+    vals = sorted(r["v"] for r in read_batch_store(spark, store).collect())
+    assert vals == sorted(b * 10 + i for b in range(4) for i in range(3))
+
+    # A later unbounded fold absorbs the remainder without double-counting.
+    consolidate_batch_store(spark, store)
+    assert _batch_dirs(store) == [-2]
+    vals = sorted(r["v"] for r in read_batch_store(spark, store).collect())
+    assert vals == sorted(b * 10 + i for b in range(4) for i in range(3))
+
+
+def test_dedup_stream_consolidates_mid_stream(spark, tmp_path):
+    """Exact-dedup gate with ``consolidate_every=2``: five one-file
+    micro-batches (with cross-batch duplicates) drain to the SAME kept
+    set as the non-consolidating twin, consolidation demonstrably fired
+    mid-stream (directory count bounded), and a post-drain restart with
+    new files keeps gating correctly against the folded history."""
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        current_novel_docs,
+        start_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+
+    texts = {
+        0: "alpha document about spark shuffles and partitions",
+        1: "beta document concerning parquet row group statistics",
+        2: "gamma document on broadcast joins and skew salting",
+        3: "delta document regarding watermarks and late data",
+        4: "epsilon document about arrow batches and pandas udfs",
+        5: "zeta document covering codegen stages and whole stage fusion",
+    }
+    land("f0.parquet", [(1, texts[0]), (2, texts[1])])
+    land("f1.parquet", [(3, texts[0]), (4, texts[2])])  # 3 dups 1
+    land("f2.parquet", [(5, texts[3])])
+    land("f3.parquet", [(6, texts[1]), (7, texts[4])])  # 6 dups 2
+    land("f4.parquet", [(8, texts[3]), (9, texts[5])])  # 8 dups 5, 9 novel
+
+    def run(out, ckpt, every):
+        q = start_dedup_stream(
+            spark, corpus_dir, tmp_path / out, tmp_path / ckpt, SCHEMA,
+            "doc_id", "text", n_prefix=8, max_files_per_trigger=1,
+            consolidate_every=every,
+        )
+        q.awaitTermination(180)
+
+    run("cons", "ck_cons", 2)
+    run("plain", "ck_plain", None)
+
+    def kept(out):
+        return sorted(
+            r["doc_id"]
+            for r in current_novel_docs(spark, tmp_path / out).collect()
+        )
+
+    assert kept("cons") == kept("plain") == [1, 2, 4, 5, 7, 9]
+
+    # Directory-count assertion across the fold: the last fold fired at
+    # batch 4 (up_to=3), so each store holds one consolidated dir plus
+    # only batch 4's increment — strictly fewer dirs than the twin.
+    for name in ("docs", "fp_index"):
+        cons_dirs = _batch_dirs(tmp_path / "cons" / name)
+        plain_dirs = _batch_dirs(tmp_path / "plain" / name)
+        assert [d for d in cons_dirs if d >= 0] == [4], (name, cons_dirs)
+        assert min(cons_dirs) < 0, (name, cons_dirs)
+        assert len(cons_dirs) < len(plain_dirs), (name, cons_dirs, plain_dirs)
+
+    # History survives the fold: a restart sees folded fingerprints and
+    # still drops duplicates of batch-0 docs.
+    land("f5.parquet", [(10, texts[2]), (11, "eta genuinely novel text here")])
+    run("cons", "ck_cons", 2)
+    assert kept("cons") == [1, 2, 4, 5, 7, 9, 11]
+
+
+def test_corpus_pipeline_consolidates_mid_stream(spark, tmp_path):
+    """The composed four-gate funnel with ``consolidate_every=2`` drains
+    to the same corpus as the non-consolidating twin; every stage's
+    stores show the fold."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+
+    eval_df = spark.createDataFrame(
+        [(900, "the benchmark asks which mountain is tallest on earth")],
+        "doc_id long, text string",
+    )
+    leaky = "quiz answer the benchmark asks which mountain is tallest on earth"
+    short = "too short"
+    good = [
+        "spark shuffles hash partitioned data between executor stages nicely",
+        "parquet row groups carry min max statistics used for pruning scans",
+        "broadcast joins avoid shuffling the large fact side of the query",
+        "watermarks bound state retention for event time aggregations here",
+    ]
+    land("f0.parquet", [(1, good[0]), (2, short)])
+    land("f1.parquet", [(3, leaky), (4, good[1])])
+    land("f2.parquet", [(5, good[0]), (6, good[2])])  # 5 dups 1
+    land("f3.parquet", [(7, good[3])])
+
+    keep = F.size(F.split(F.col("text"), r"\s+")) >= 5
+
+    def run(out, ckpt, every):
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, tmp_path / out, tmp_path / ckpt, SCHEMA,
+            "doc_id", "text", quality_expr=keep, eval_df=eval_df,
+            n_prefix=8, max_files_per_trigger=1, consolidate_every=every,
+        )
+        q.awaitTermination(240)
+
+    run("cons", "ck_cons", 2)
+    run("plain", "ck_plain", None)
+
+    def corpus(out):
+        return sorted(
+            r["doc_id"] for r in current_corpus(spark, tmp_path / out).collect()
+        )
+
+    assert corpus("cons") == corpus("plain") == [1, 4, 6, 7]
+
+    # The fold fired at batch 2 (up_to=1): every stage store with ≥2
+    # live batches below the horizon carries a consolidated dir holding
+    # batches 0-1, leaving only 2..3 as live positives.
+    folded_somewhere = 0
+    for rel in (
+        "quality/docs", "quality/rejected", "decontam/docs",
+        "decontam/contaminated", "exact/docs", "exact/fp_index",
+        "near/docs", "near/band_index",
+    ):
+        cons_dirs = _batch_dirs(tmp_path / "cons" / rel)
+        plain_dirs = _batch_dirs(tmp_path / "plain" / rel)
+        if any(d < 0 for d in cons_dirs):
+            folded_somewhere += 1
+            assert all(d >= 2 for d in cons_dirs if d >= 0), (rel, cons_dirs)
+            assert len(cons_dirs) <= len(plain_dirs), (rel, cons_dirs, plain_dirs)
+        else:
+            # Fold was a no-op for this store (≤1 batch below the
+            # horizon) — its dirs must match the twin's exactly.
+            assert cons_dirs == plain_dirs, (rel, cons_dirs, plain_dirs)
+    assert folded_somewhere >= 3  # the fold demonstrably ran mid-stream
+
+
+def test_packing_stream_consolidates_mid_stream(spark, tmp_path):
+    """Packing stream with ``consolidate_every=2``: the published packed
+    table still equals the batch sharded packer, and the rows store's
+    directory count is bounded by the fold."""
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        start_packing_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    box = [1_700_000_000]
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land(name, rows):
+        src, ids, toks = zip(*rows)
+        p = corpus_dir / name
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(src),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                }
+            ),
+            str(p),
+        )
+        box[0] += 10
+        os.utime(p, (box[0], box[0]))
+
+    land("a.parquet", [("web", 1, 60), ("books", 2, 90)])
+    land("b.parquet", [("web", 3, 40), ("books", 4, 30)])
+    land("c.parquet", [("web", 5, 55), ("news", 6, 10)])
+    land("d.parquet", [("web", 7, 80), ("books", 8, 25)])
+
+    out_dir = tmp_path / "packed"
+    q = start_packing_stream(
+        spark, corpus_dir, out_dir, tmp_path / "ckpt", SCHEMA,
+        "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        max_files_per_trigger=1, consolidate_every=2,
+    )
+    q.awaitTermination(180)
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "source", "shard", "doc_id", "n_tokens", "bin"
+            ).collect()
+        }
+
+    full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+    expected = pack_sequences_sharded(
+        full, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+    )
+    assert norm(current_packed(spark, out_dir)) == norm(expected)
+
+    rows_dirs = _batch_dirs(out_dir / "rows")
+    # Last fold at batch 2 (up_to=1): consolidated dir + batches 2,3 only.
+    assert [d for d in rows_dirs if d >= 0] == [2, 3], rows_dirs
+    assert min(rows_dirs) < 0, rows_dirs
+
+
+def test_index_stream_consolidates_mid_stream(spark, tmp_path):
+    """Index maintenance stream with ``consolidate_every=2``: the
+    maintained base∪increments view equals an index built from the full
+    vector set in one shot, per family, with increment dirs folded."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        ivf_build_index,
+        lsh_build_index,
+        pq_build_index,
+        _with_increments,
+    )
+    from data_pipeline_challenge_spark.streaming.index_stream import (
+        start_index_stream,
+    )
+
+    rng = np.random.default_rng(7)
+    all_vecs = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    base, arrivals = all_vecs[:30], all_vecs[30:]
+    base_df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+
+    idx = tmp_path / "idx"
+    lsh_build_index(base_df, idx, dim=8, n_planes=4)
+    ivf_build_index(base_df, idx, n_clusters=4)
+    pq_build_index(base_df, idx, m=4, n_codes=8)
+
+    vec_dir = tmp_path / "vec_in"
+    vec_dir.mkdir()
+    box = [1_700_000_000]
+    for i, chunk_start in enumerate(range(0, 30, 10)):
+        chunk = arrivals[chunk_start : chunk_start + 10]
+        ids, vecs = zip(*chunk)
+        p = vec_dir / f"v{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(v) for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(p),
+        )
+        box[0] += 10
+        os.utime(p, (box[0], box[0]))
+
+    q = start_index_stream(
+        spark, vec_dir, idx, tmp_path / "ckpt",
+        "vec_id long, embedding array<float>",
+        max_files_per_trigger=1, consolidate_every=2,
+    )
+    q.awaitTermination(180)
+
+    # The fold fired at batch 2 (up_to=1) for every present family.
+    for inc in ("bucketed_inc", "assigned_inc", "codes_inc"):
+        dirs = _batch_dirs(idx / inc)
+        assert [d for d in dirs if d >= 0] == [2], (inc, dirs)
+        assert min(dirs) < 0, (inc, dirs)
+
+    # Equality with a one-shot build over all vectors, per family.
+    full_df = spark.createDataFrame(
+        all_vecs, "vec_id long, embedding array<float>"
+    )
+    idx_full = tmp_path / "idx_full"
+    lsh_build_index(full_df, idx_full, dim=8, n_planes=4)
+    ivf_build_index(full_df, idx_full, n_clusters=4)
+
+    maintained = (
+        _with_increments(spark, idx / "bucketed", idx / "bucketed_inc")
+        .select("vec_id", "bucket")
+    )
+    fresh = spark.read.parquet(str(idx_full / "bucketed")).select(
+        "vec_id", "bucket"
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # IVF centroids differ between builds (different training set), so
+    # equality there is vs the maintained view's own completeness: every
+    # arrival is present exactly once.
+    assigned = _with_increments(
+        spark, idx / "assigned", idx / "assigned_inc"
+    ).select("vec_id")
+    assert sorted(r["vec_id"] for r in assigned.collect()) == list(range(60))
