@@ -209,10 +209,16 @@ def fold_batch(
                     F.lit(True).alias("is_hist"),
                 )
             )
-            # Deterministic per-bucket reference cap (smallest ids win).
-            from ..batchstore import cap_per_bucket
+            # Deterministic per-bucket reference cap (smallest ids win),
+            # with per-batch cap-pressure audit — a crowded bucket can
+            # push a true near-dup's kept twin past the cap and silently
+            # admit the dup; the audit is the operator's signal.
+            from ..batchstore import CapAudit, cap_per_bucket
 
-            hist = cap_per_bucket(hist, ["bucket"], "ref_id", bucket_cap)
+            hist = cap_per_bucket(
+                hist, ["bucket"], "ref_id", bucket_cap,
+                audit=CapAudit(idx, "bucketed", batch_id),
+            )
             refs = refs.unionByName(hist)
 
         # History refs match on ANY id — including new_id == ref_id: a

@@ -244,10 +244,16 @@ def fold_batch(
                     F.broadcast(batch_buckets), ["band", "bh"], "left_semi"
                 )
                 # Deterministic per-bucket candidate cap (smallest old
-                # ids win) — bounds the verify join under bucket crowding.
-                from ..batchstore import cap_per_bucket
+                # ids win) — bounds the verify join under bucket
+                # crowding, with per-batch cap-pressure audit (a bucket
+                # at the cap can hide a true near-dup's twin: the audit
+                # is the operator's recall-loss signal).
+                from ..batchstore import CapAudit, cap_per_bucket
 
-                hits = cap_per_bucket(hits, ["band", "bh"], "doc", bucket_cap)
+                hits = cap_per_bucket(
+                    hits, ["band", "bh"], "doc", bucket_cap,
+                    audit=CapAudit(odir, "band_index", batch_id),
+                )
                 cross_cand = (
                     kept_banded.join(
                         F.broadcast(

