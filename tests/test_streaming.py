@@ -2546,3 +2546,117 @@ def test_cap_pressure_audit_catches_missed_dup(spark, tmp_path):
     assert rec["cap"] == 1
     assert rec["rows_dropped"] >= 1
     assert rec["buckets_at_cap"] >= 1
+
+
+# Kill-point matrix for the composed funnel (VERDICT r7 next #6): the
+# pipeline writes 8 store increments per batch, in order —
+#   quality/docs, quality/rejected, decontam/docs, decontam/contaminated,
+#   exact/docs, exact/fp_index, near/docs, near/band_index
+# — and a crash immediately AFTER any of them (plus kill-point 0 =
+# before any write) must leave a state the checkpoint replay completes
+# to exactly the no-crash result.
+_KILL_POINTS = list(range(0, 9))
+
+
+@pytest.mark.parametrize("kill_after", _KILL_POINTS)
+def test_corpus_pipeline_crash_matrix(spark, tmp_path, monkeypatch, kill_after):
+    """Inject a hard failure after the ``kill_after``-th completed store
+    write of batch 0 (the write itself lands — the crash window is
+    between writes), let the failed query die, then restart on the SAME
+    checkpoint and assert every stage's drained stores equal the
+    deterministic no-crash outcome."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark import batchstore
+    from data_pipeline_challenge_spark.streaming import (
+        decontam_stream,
+        dedup_stream,
+        filter_gate_stream,
+        near_dedup_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+
+    SCHEMA = "doc_id long, text string"
+    eval_df = spark.createDataFrame(
+        [(900, "the benchmark asks which river is the longest river on earth")],
+        "doc_id long, text string",
+    )
+    good_a = "spark shuffles hash partitioned data between executor stages"
+    good_b = "broadcast joins avoid shuffling the large fact side of queries"
+    rows = [
+        (1, "my answer said the benchmark asks which river is longest"),  # leaks
+        (2, good_a),
+        (3, good_a),                 # exact dup of 2
+        (4, "too short"),            # quality reject
+        (5, good_b),
+        (6, good_b + " indeed"),     # near dup of 5 (jaccard 8/9)
+    ]
+    # Deterministic no-crash outcome (validated by kill_after=0, which
+    # crashes before any write and is therefore a pure replay of the
+    # uninterrupted run):
+    EXPECTED = {
+        "corpus": [2, 5],
+        "quality_rejected": [4],
+        "decontam_contaminated": [1],
+        "exact_novel": [2, 5, 6],
+    }
+
+    cin = tmp_path / "cin"
+    cin.mkdir()
+    ids, texts = zip(*rows)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        str(cin / "a.parquet"),
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    keep = F.size(F.split(F.col("text"), r"\s+")) >= 5
+
+    def start():
+        return start_corpus_pipeline_stream(
+            spark, cin, out, ckpt, SCHEMA, "doc_id", "text",
+            quality_expr=keep, eval_df=eval_df, min_shared=2,
+            min_jaccard=0.5, n_prefix=8,
+        )
+
+    real_append = batchstore.append_batch_increment
+    calls = {"n": 0}
+
+    def crashing_append(df, store, batch_id, partition_by=None):
+        if calls["n"] >= kill_after:
+            raise RuntimeError(f"injected crash before write {calls['n']}")
+        ok = real_append(df, store, batch_id, partition_by=partition_by)
+        calls["n"] += 1
+        if calls["n"] == kill_after:
+            raise RuntimeError(f"injected crash after write {kill_after}")
+        return ok
+
+    for mod in (filter_gate_stream, decontam_stream, dedup_stream,
+                near_dedup_stream):
+        monkeypatch.setattr(mod, "append_batch_increment", crashing_append)
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        raise RuntimeError("query should have failed")  # pragma: no cover
+
+    # The process "restarts": real writes, same checkpoint.
+    for mod in (filter_gate_stream, decontam_stream, dedup_stream,
+                near_dedup_stream):
+        monkeypatch.setattr(mod, "append_batch_increment", real_append)
+    q = start()
+    q.awaitTermination(300)
+
+    assert sorted(
+        r["doc_id"] for r in current_corpus(spark, out).collect()
+    ) == EXPECTED["corpus"]
+    rej = filter_gate_stream.rejected_log(spark, out / "quality")
+    assert sorted(r["doc_id"] for r in rej.collect()) == EXPECTED["quality_rejected"]
+    cont = decontam_stream.contamination_log(spark, out / "decontam")
+    assert sorted(r["doc_id"] for r in cont.collect()) == EXPECTED["decontam_contaminated"]
+    novel = dedup_stream.current_novel_docs(spark, out / "exact")
+    assert sorted(r["doc_id"] for r in novel.collect()) == EXPECTED["exact_novel"]
