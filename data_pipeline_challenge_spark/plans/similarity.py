@@ -371,12 +371,48 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     ivf = {r["vec_id"] for r in ivf_topk(rest, qvec, k=k).collect()}
     pq = {r["vec_id"] for r in pq_topk(rest, qvec, k=k).collect()}
+
+    # MAINTAINED-index staleness rows (VERDICT r7 next #7): a serving
+    # index is built once on a snapshot and then fed increments by
+    # ``streaming/index_stream.py``; its recall must be measured on the
+    # base∪increments view it actually serves, not only on a
+    # freshly-built one. Deterministic 70/30 snapshot/arrival split by
+    # vec_id hash (seeded); arrivals appended through
+    # ``append_index_increments`` — the exact writer the index stream's
+    # foreachBatch calls — then probed via the *_indexed serving paths.
+    from ..operators.similarity import (
+        append_index_increments,
+        ivf_build_index,
+        ivf_topk_indexed,
+        lsh_build_index,
+        lsh_topk_indexed,
+    )
+
+    snap = rest.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(10)) < 7)
+    arrivals = rest.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(10)) >= 7)
+    idx = _scratch_dir("ann_recall_maintained")
+    lsh_build_index(snap, idx, dim=_DIM, n_planes=headline_planes)
+    ivf_build_index(snap, idx, n_clusters=16)
+    append_index_increments(arrivals, idx, batch_id=0)
+    lsh_maint = {
+        r["vec_id"]
+        for r in lsh_topk_indexed(
+            spark, idx, qvec, k=k, probe_hamming=1
+        ).collect()
+    }
+    ivf_maint = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(spark, idx, qvec, k=k, n_probe=4).collect()
+    }
+
     rows = [
         ("lsh_single_probe", len(exact & lsh1), k),
         ("lsh_multi_probe_h1", len(exact & lshm), k),
         ("lsh_headline_derived_planes_h1", len(exact & lshh), k),
         ("ivf", len(exact & ivf), k),
         ("pq_adc", len(exact & pq), k),
+        ("lsh_maintained_base_plus_inc_h1", len(exact & lsh_maint), k),
+        ("ivf_maintained_base_plus_inc", len(exact & ivf_maint), k),
     ]
     out = spark.createDataFrame(rows, "method string, n_hit long, k long")
     return out.select(
