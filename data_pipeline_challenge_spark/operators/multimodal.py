@@ -239,6 +239,95 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, resized boolean"
+)
+
+
+def _make_resizer(max_side: int):
+    """Resizer factory (self-contained closure, ships by value — see
+    ``_make_decoder``). Bounded-resolution normalization, the standard
+    pre-training image step: images whose longest side exceeds
+    ``max_side`` are scaled down aspect-preserving; smaller images pass
+    through untouched (payload identity preserved, ``resized=False``).
+
+    Tier resolution mirrors the decoder:
+
+    1. FAKE containers resize deterministically in the stub format —
+       header rewritten to the new dims, body stride-subsampled to the
+       area ratio — so oracle rows never depend on installed codecs.
+    2. Real containers resize through Pillow when importable (actual
+       pixel resample, re-encoded as PNG — the production branch).
+    3. Otherwise NotImplementedError: a header parse alone cannot
+       produce pixels (honest gap, same contract as the decoder's
+       exotic-container tier).
+    """
+    import struct as _struct
+
+    magic = _MAGIC
+
+    def resize(payload: bytes) -> tuple[bytes, int, int, bool]:
+        if payload[:4] == magic:
+            kind_b = payload[4:5]
+            w, h = _struct.unpack("<HH", payload[5:9])
+            if max(w, h) <= max_side:
+                return payload, int(w), int(h), False
+            scale = max_side / max(w, h)
+            nw = max(1, round(w * scale))
+            nh = max(1, round(h * scale))
+            body = payload[9:]
+            stride = max(1, round(1 / (scale * scale)))
+            new_body = body[::stride]
+            out = magic + kind_b + _struct.pack("<HH", nw, nh) + new_body
+            return out, int(nw), int(nh), True
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                w, h = im.size
+                if max(w, h) <= max_side:
+                    return payload, int(w), int(h), False
+                im.thumbnail((max_side, max_side))
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                nw, nh = im.size
+            return buf.getvalue(), int(nw), int(nh), True
+        except ImportError:
+            raise NotImplementedError(
+                "resizing a real container requires Pillow (header-only "
+                "parsing cannot produce pixels)"
+            ) from None
+
+    return resize
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving downscale of oversized images via Arrow-batched
+    mapInPandas (``kind`` filter pushed down before Python — only image
+    rows cross the Arrow boundary, and at scale
+    ``arrow.maxRecordsPerBatch`` bounds batch_rows × max_payload)."""
+
+    resize = _make_resizer(max_side)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p, w, h, did = resize(bytes(payload))
+                out.append((mid, bytearray(p), w, h, did))
+            yield _pd.DataFrame(
+                out, columns=["media_id", "payload", "width", "height", "resized"]
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
+
+
 EMBED_SCHEMA = "media_id long, embedding array<float>"
 
 

@@ -406,6 +406,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_resize",
+    None,  # synthetic media + stub resizer — deterministic, rows-only.
+    tags=("multimodal", "mapinpandas", "resize"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-resolution image normalization as a declared query:
+    seeded synthetic media → Arrow-batched aspect-preserving downscale
+    (stub codec for FAKE containers; Pillow is the production branch for
+    real ones) → (dims, resized flag, payload size). sf_dir unused (no
+    binary table in the test data); fully seeded so the rows-only check
+    is stable."""
+    from ..operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=96, seed=42)
+    return resize_images(media, max_side=128).select(
+        "media_id",
+        "width",
+        "height",
+        "resized",
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

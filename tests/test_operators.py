@@ -694,3 +694,137 @@ def test_compact_parquet_dir_heals_crashed_swap(spark, tmp_path):
     rep = compact_parquet_dir(spark, p, target_file_bytes=1 << 30)
     assert rep.rows == 100
     assert spark.read.parquet(str(p)).count() == 100
+
+
+def test_resize_images_stub_path(spark):
+    """Aspect-preserving downscale on FAKE containers: oversized images
+    shrink to max_side on the long edge (deterministic stub re-encode),
+    small images pass through payload-identical with resized=False."""
+    import struct
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _MAGIC,
+        resize_images,
+    )
+
+    big = _MAGIC + b"i" + struct.pack("<HH", 400, 300) + bytes(range(256)) * 4
+    small = _MAGIC + b"i" + struct.pack("<HH", 64, 48) + bytes(range(64))
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(big), {}),
+            (1, "image", bytearray(small), {}),
+            (2, "audio", bytearray(small), {}),  # non-image: filtered out
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in resize_images(media, max_side=100).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0]["width"], got[0]["height"]) == (100, 75)
+    assert got[0]["resized"] is True
+    assert len(bytes(got[0]["payload"])) < len(big)
+    # The resized payload is itself a decodable FAKE container.
+    w, h = struct.unpack("<HH", bytes(got[0]["payload"])[5:9])
+    assert (w, h) == (100, 75)
+    assert got[1]["resized"] is False
+    assert bytes(got[1]["payload"]) == small
+
+
+def test_resize_images_real_decode_with_pillow(spark):
+    """Production-branch check (skips cleanly without Pillow): real PNG
+    and JPEG containers go through an actual pixel resample — decoded,
+    thumbnailed, re-encoded — and the output payload is a real image of
+    the reduced dimensions."""
+    _pil = pytest.importorskip("PIL.Image")
+    import io
+
+    from data_pipeline_challenge_spark.operators.multimodal import resize_images
+
+    png = _make_real_png(300, 200)
+    im = _pil.new("RGB", (500, 125), color=(10, 200, 30))
+    jb = io.BytesIO()
+    im.save(jb, format="JPEG")
+    jpeg = jb.getvalue()
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), {}), (1, "image", bytearray(jpeg), {})],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in resize_images(media, max_side=100).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (100, 67)
+    assert (got[1]["width"], got[1]["height"]) == (100, 25)
+    for mid in (0, 1):
+        out = _pil.open(io.BytesIO(bytes(got[mid]["payload"])))
+        assert out.size == (got[mid]["width"], got[mid]["height"])
+
+
+def test_resize_images_real_container_without_pillow_is_honest(spark):
+    """Without Pillow a real container cannot be resampled: the operator
+    raises NotImplementedError instead of silently passing pixels
+    through (skips when Pillow IS installed — then the real branch
+    applies)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: the real branch handles this input")
+    except ImportError:
+        pass
+    from data_pipeline_challenge_spark.operators.multimodal import resize_images
+
+    png = _make_real_png(300, 200)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), {})], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|requires Pillow"):
+        resize_images(media, max_side=100).collect()
+
+
+def test_resizer_pillow_branch_logic_with_injected_module(monkeypatch):
+    """The Pillow tier of the resizer, exercised driver-side with a
+    minimal injected PIL stand-in (this container has no Pillow): the
+    closure must decode → thumbnail → re-encode and report the reduced
+    dims, and pass small images through untouched. Complements the
+    importorskip test that runs the same branch against real Pillow
+    where it is installed."""
+    import io
+    import sys
+    import types
+
+    from data_pipeline_challenge_spark.operators.multimodal import _make_resizer
+
+    class _FakeIm:
+        def __init__(self, size):
+            self.size = size
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def thumbnail(self, box):
+            mw, mh = box
+            w, h = self.size
+            scale = min(mw / w, mh / h, 1.0)
+            self.size = (max(1, round(w * scale)), max(1, round(h * scale)))
+
+        def save(self, buf, format=None):
+            buf.write(b"FAKEPNG:%dx%d" % self.size)
+
+    def _open(bio):
+        w, h = map(int, bio.read().decode().split("x"))
+        return _FakeIm((w, h))
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    resize = _make_resizer(100)
+    payload, w, h, did = resize(b"300x200")
+    assert (w, h, did) == (100, 67, True)
+    assert payload == b"FAKEPNG:100x67"
+    payload, w, h, did = resize(b"80x60")
+    assert (w, h, did) == (80, 60, False)
+    assert payload == b"80x60"  # pass-through is payload-identical
