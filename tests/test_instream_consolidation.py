@@ -368,3 +368,63 @@ def test_index_stream_consolidates_mid_stream(spark, tmp_path):
         spark, idx / "assigned", idx / "assigned_inc"
     ).select("vec_id")
     assert sorted(r["vec_id"] for r in assigned.collect()) == list(range(60))
+
+
+def test_crash_during_in_stream_fold_heals_on_replay(spark, tmp_path, monkeypatch):
+    """A crash INSIDE the in-stream fold — after its marker commit,
+    before its cleanup — fails the trigger batch; the checkpoint replays
+    it, the gate's append guard skips refolding, and the re-run fold
+    sweeps the crash leftovers. Result and view equal the no-crash run."""
+    from data_pipeline_challenge_spark import batchstore
+    from data_pipeline_challenge_spark.streaming import dedup_stream
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        current_novel_docs,
+        start_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+    land("f0.parquet", [(1, "alpha doc about spark shuffles and joins")])
+    land("f1.parquet", [(2, "beta doc about parquet row group statistics")])
+    land("f2.parquet", [(3, "gamma doc about broadcast joins and salting")])
+
+    def run(every):
+        q = start_dedup_stream(
+            spark, corpus_dir, tmp_path / "out", tmp_path / "ckpt", SCHEMA,
+            "doc_id", "text", n_prefix=8, max_files_per_trigger=1,
+            consolidate_every=every,
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # injected crash fails the query; replay heals below
+
+    # Crash after the fold's commit point (marker swapped) but before its
+    # cleanup: _sweep_stale raises once, leaving stale folded dirs behind.
+    real_sweep = batchstore._sweep_stale
+    state = {"crashed": False}
+
+    def crashing_sweep(store, marker):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash after marker commit")
+        return real_sweep(store, marker)
+
+    monkeypatch.setattr(batchstore, "_sweep_stale", crashing_sweep)
+    run(every=2)  # batch 2's fold crashes mid-cleanup → query fails
+    assert state["crashed"]
+
+    # Restart on the same checkpoint: batch 2 replays (its appends skip
+    # via the guard), the fold re-runs and completes the sweep.
+    run(every=2)
+    kept = sorted(
+        r["doc_id"] for r in current_novel_docs(spark, tmp_path / "out").collect()
+    )
+    assert kept == [1, 2, 3]
+    for name in ("docs", "fp_index"):
+        dirs = _batch_dirs(tmp_path / "out" / name)
+        # Folded batches swept; only the consolidated dir + batch 2 live.
+        assert [d for d in dirs if d >= 0] == [2], (name, dirs)
+        assert min(dirs) < 0, (name, dirs)
