@@ -13,20 +13,19 @@ which reconstructs each round's code state from git history). An edited
 query's fingerprint drifts, its old green rows stop counting, and it
 re-sorts first for the next driver sample.
 
-The fingerprint of a query covers, per the r7 judge prescription
-("hash of the query fn + its operator callees"):
+The fingerprint of a query covers the TRANSITIVE closure of its
+package-internal call graph, resolved statically:
 
 - the decorated function's own source, INCLUDING the ``@query(...)``
   decorator call (so oracle-SQL edits also invalidate);
-- the source of every top-level function/class/assignment in the SAME
-  module that the function references by name (module-level constants like
-  ``_STOP_SQL`` participate in semantics);
-- one level of package-internal callees: for every name the function
-  references that was imported from another module of this package
-  (``from ..operators.dedup import simhash_near_pairs``), the source of
-  that top-level definition in the dep module — this is what catches an
-  operator-default change (e.g. r7's ``max_hamming`` 16→3) that never
-  touches the plans module.
+- every top-level function/class/assignment it references — in its own
+  module or imported from another module of this package — and,
+  recursively, everything THOSE reference (cycle-guarded): the r7
+  ``max_hamming`` default change (one level down) and a drifted helper
+  two levels down (``_shingle_table`` under ``minhash_lsh_pairs``) both
+  invalidate their callers;
+- ``from ..x import mod``-style module references fall back to a hash of
+  the whole module text (rare; symbol imports dominate).
 
 Everything here is pure-static (``ast`` over file text, no imports
 executed) so the exact same extraction runs against the current tree and
@@ -54,31 +53,58 @@ def _segment(lines: list[str], node: ast.AST) -> str:
     return "\n".join(lines[start - 1 : node.end_lineno])
 
 
-def _top_level_defs(text: str) -> dict[str, str]:
-    """name -> source for every top-level def/class/assignment in a module."""
-    tree = ast.parse(text)
-    lines = text.splitlines()
-    defs: dict[str, str] = {}
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            defs[node.name] = _segment(lines, node)
-        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
-            targets = node.targets if isinstance(node, ast.Assign) else [node.target]
-            for tgt in targets:
-                if isinstance(tgt, ast.Name):
-                    defs[tgt.id] = _segment(lines, node)
-    return defs
+class _Module:
+    """Parsed view of one package module: top-level definitions (name →
+    (node, source)) and the import map (local name → (dep_module_path,
+    symbol-or-None))."""
+
+    def __init__(self, relpath: str, text: str) -> None:
+        self.relpath = relpath
+        self.ok = True
+        try:
+            self.tree = ast.parse(text)
+        except SyntaxError:
+            self.ok = False
+            self.tree = None
+        self.text = text
+        self.defs: dict[str, tuple[ast.AST, str]] = {}
+        self.imports: dict[str, tuple[str, str | None]] = {}
+        if not self.ok:
+            return
+        lines = text.splitlines()
+        for node in self.tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                self.defs[node.name] = (node, _segment(lines, node))
+            elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+                targets = (
+                    node.targets if isinstance(node, ast.Assign) else [node.target]
+                )
+                for tgt in targets:
+                    if isinstance(tgt, ast.Name):
+                        self.defs[tgt.id] = (node, _segment(lines, node))
+        for node in ast.walk(self.tree):
+            if not isinstance(node, ast.ImportFrom):
+                continue
+            dep: str | None
+            if node.level and node.level > 0:
+                dep = _resolve_relative(relpath, node.level, node.module)
+            elif node.module and node.module.split(".")[0] == PACKAGE:
+                dep = "/".join(node.module.split(".")[1:])
+            else:
+                continue
+            if dep is None:
+                continue
+            for alias in node.names:
+                local = alias.asname or alias.name
+                self.imports[local] = (dep, alias.name)
 
 
 def _resolve_relative(module_relpath: str, level: int, module: str | None) -> str | None:
-    """Resolve a relative import to a package-relative module path.
-
-    ``module_relpath`` is like ``plans/text.py``; returns e.g.
-    ``operators/dedup.py`` (or ``operators/__init__.py`` fallback callers
-    handle via existence checks), or None for out-of-package targets.
-    """
+    """Resolve a relative import to a package-relative module path (no
+    extension), e.g. ``operators/dedup``; None for out-of-package."""
     parts = module_relpath.split("/")[:-1]  # containing package, e.g. ['plans']
-    # level=1 → current package; level=2 → parent; ...
     up = level - 1
     if up > len(parts):
         return None
@@ -87,47 +113,15 @@ def _resolve_relative(module_relpath: str, level: int, module: str | None) -> st
     return "/".join(base + mod_parts)
 
 
-class _ImportMap:
-    """local name -> ("module" | "symbol", dep_module_path_noext, symbol|None)."""
-
-    def __init__(self) -> None:
-        self.names: dict[str, tuple[str, str | None]] = {}
-
-    def add(self, local: str, dep_path: str, symbol: str | None) -> None:
-        self.names[local] = (dep_path, symbol)
-
-
-def _build_import_map(tree: ast.Module, module_relpath: str) -> _ImportMap:
-    imap = _ImportMap()
-    for node in ast.walk(tree):
-        if not isinstance(node, ast.ImportFrom):
-            continue
-        dep: str | None
-        if node.level and node.level > 0:
-            dep = _resolve_relative(module_relpath, node.level, node.module)
-        elif node.module and node.module.split(".")[0] == PACKAGE:
-            dep = "/".join(node.module.split(".")[1:])
-        else:
-            continue
-        if dep is None:
-            continue
-        for alias in node.names:
-            local = alias.asname or alias.name
-            # ``from ..operators import dedup`` imports a MODULE as a name;
-            # ``from ..operators.dedup import foo`` imports a symbol.
-            imap.add(local, dep, alias.name)
-    return imap
-
-
-def _referenced_names(fn: ast.AST) -> tuple[set[str], set[tuple[str, str]]]:
-    """Names and (module_alias, attr) pairs referenced inside a function."""
+def _referenced_names(node: ast.AST) -> tuple[set[str], set[tuple[str, str]]]:
+    """Names and (module_alias, attr) pairs referenced inside a node."""
     plain: set[str] = set()
     attrs: set[tuple[str, str]] = set()
-    for node in ast.walk(fn):
-        if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
-            plain.add(node.id)
-        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
-            attrs.add((node.value.id, node.attr))
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load):
+            plain.add(n.id)
+        elif isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            attrs.add((n.value.id, n.attr))
     return plain, attrs
 
 
@@ -147,43 +141,92 @@ def _is_query_decorator(deco: ast.expr) -> str | None:
     return None
 
 
-def _dep_source(
-    files: dict[str, str],
-    dep_defs_cache: dict[str, dict[str, str]],
-    dep_path: str,
-    symbol: str | None,
-) -> str | None:
-    """Source of ``symbol`` in dep module, module-text hash as fallback."""
-    for candidate in (f"{dep_path}.py", f"{dep_path}/__init__.py"):
-        if candidate in _EXCLUDED_DEPS:
-            return None
-        text = files.get(candidate)
-        if text is None:
-            continue
-        if candidate not in dep_defs_cache:
-            try:
-                dep_defs_cache[candidate] = _top_level_defs(text)
-            except SyntaxError:
-                dep_defs_cache[candidate] = {}
-        defs = dep_defs_cache[candidate]
-        if symbol is not None and symbol in defs:
-            return f"# {candidate}:{symbol}\n" + defs[symbol]
-        if symbol is None:
-            return f"# {candidate} (module)\nsha256:" + hashlib.sha256(
-                text.encode()
-            ).hexdigest()
-        # Symbol imported but not a top-level def in the .py we found — it
-        # may live deeper (re-export) or be the module itself
-        # (``from ..operators import dedup``: alias.name == module name).
-        deeper = f"{dep_path}/{symbol}.py"
-        if deeper in files:
-            return f"# {deeper} (module)\nsha256:" + hashlib.sha256(
-                files[deeper].encode()
-            ).hexdigest()
-        return f"# {candidate}:{symbol} (unresolved)\nsha256:" + hashlib.sha256(
-            text.encode()
-        ).hexdigest()
-    return None
+class _Resolver:
+    """Transitive source collector over the parsed-module cache."""
+
+    def __init__(self, files: dict[str, str]) -> None:
+        self.files = files
+        self._modules: dict[str, _Module | None] = {}
+
+    def module(self, dep_path: str) -> _Module | None:
+        """Module for a package-relative path WITHOUT extension."""
+        for candidate in (f"{dep_path}.py", f"{dep_path}/__init__.py"):
+            if candidate in _EXCLUDED_DEPS:
+                return None
+            if candidate not in self._modules:
+                text = self.files.get(candidate)
+                self._modules[candidate] = (
+                    _Module(candidate, text) if text is not None else None
+                )
+            mod = self._modules[candidate]
+            if mod is not None:
+                return mod
+        return None
+
+    def collect(self, mod: _Module, symbol: str, out: set[str], seen: set) -> None:
+        """Add ``symbol``'s source from ``mod`` plus everything it
+        transitively references inside the package."""
+        key = (mod.relpath, symbol)
+        if key in seen:
+            return
+        seen.add(key)
+        entry = mod.defs.get(symbol)
+        if entry is None:
+            # Re-exported or module-level-unresolvable symbol: module it
+            # may live in as a submodule, else whole-module hash.
+            base = mod.relpath[: -len("/__init__.py")] if mod.relpath.endswith(
+                "/__init__.py"
+            ) else mod.relpath[: -len(".py")]
+            sub = self.module(f"{base}/{symbol}")
+            if sub is not None:
+                out.add(
+                    f"# {sub.relpath} (module)\nsha256:"
+                    + hashlib.sha256(sub.text.encode()).hexdigest()
+                )
+            else:
+                out.add(
+                    f"# {mod.relpath}:{symbol} (unresolved)\nsha256:"
+                    + hashlib.sha256(mod.text.encode()).hexdigest()
+                )
+            return
+        node, src = entry
+        out.add(f"# {mod.relpath}:{symbol}\n{src}")
+        self._collect_refs(mod, node, out, seen, skip_self=symbol)
+
+    def _collect_refs(
+        self, mod: _Module, node: ast.AST, out: set[str], seen: set, skip_self: str
+    ) -> None:
+        plain, attrs = _referenced_names(node)
+        for name in plain:
+            if name == skip_self:
+                continue
+            if name in mod.imports:
+                dep_path, dep_symbol = mod.imports[name]
+                dep_mod = self.module(dep_path)
+                if dep_mod is None:
+                    # Could be ``from ..pkg.sub import x`` where pkg/sub.py
+                    # resolves; module() already tried .py and __init__.
+                    continue
+                if dep_symbol is None:
+                    out.add(
+                        f"# {dep_mod.relpath} (module)\nsha256:"
+                        + hashlib.sha256(dep_mod.text.encode()).hexdigest()
+                    )
+                else:
+                    self.collect(dep_mod, dep_symbol, out, seen)
+            elif name in mod.defs:
+                self.collect(mod, name, out, seen)
+        for alias, attr in attrs:
+            if alias in mod.imports:
+                dep_path, dep_symbol = mod.imports[alias]
+                # ``from ..operators import dedup`` → alias IS a module:
+                # resolve attr inside it.
+                target = (
+                    f"{dep_path}/{dep_symbol}" if dep_symbol is not None else dep_path
+                )
+                sub = self.module(target)
+                if sub is not None and attr in sub.defs:
+                    self.collect(sub, attr, out, seen)
 
 
 def query_hashes(files: dict[str, str]) -> dict[str, str]:
@@ -192,24 +235,19 @@ def query_hashes(files: dict[str, str]) -> dict[str, str]:
     ``files`` maps package-relative paths (``plans/text.py``,
     ``operators/dedup.py``) to their source text. Only ``plans/*.py``
     modules are scanned for ``@query`` registrations; everything else is
-    dependency material.
-    """
+    dependency material for the transitive closure."""
     out: dict[str, str] = {}
-    dep_defs_cache: dict[str, dict[str, str]] = {}
+    resolver = _Resolver(files)
     for relpath in sorted(files):
         if not relpath.startswith("plans/") or relpath.count("/") != 1:
             continue
         if relpath in _EXCLUDED_DEPS or relpath.endswith("__init__.py"):
             continue
-        text = files[relpath]
-        try:
-            tree = ast.parse(text)
-        except SyntaxError:
+        mod = resolver.module(relpath[: -len(".py")])
+        if mod is None or not mod.ok:
             continue
-        lines = text.splitlines()
-        imap = _build_import_map(tree, relpath)
-        local_defs = _top_level_defs(text)
-        for node in tree.body:
+        lines = mod.text.splitlines()
+        for node in mod.tree.body:
             if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 continue
             qname = None
@@ -220,30 +258,9 @@ def query_hashes(files: dict[str, str]) -> dict[str, str]:
             if not qname:
                 continue
             fn_src = _segment(lines, node)
-            plain, attrs = _referenced_names(node)
             dep_srcs: set[str] = set()
-            for name in plain:
-                if name == node.name:
-                    continue
-                if name in imap.names:
-                    dep_path, symbol = imap.names[name]
-                    src = _dep_source(files, dep_defs_cache, dep_path, symbol)
-                    if src is not None:
-                        dep_srcs.add(src)
-                elif name in local_defs:
-                    dep_srcs.add(f"# {relpath}:{name}\n" + local_defs[name])
-            for alias, attr in attrs:
-                if alias in imap.names:
-                    dep_path, symbol = imap.names[alias]
-                    if symbol is not None:
-                        # ``from ..operators import dedup`` → alias is a
-                        # module: resolve attr inside it.
-                        sub = f"{dep_path}/{symbol}" if f"{dep_path}/{symbol}.py" in files else None
-                        target = sub if sub is not None else None
-                        if target is not None:
-                            src = _dep_source(files, dep_defs_cache, target, attr)
-                            if src is not None:
-                                dep_srcs.add(src)
+            seen: set = {(mod.relpath, node.name)}
+            resolver._collect_refs(mod, node, dep_srcs, seen, skip_self=node.name)
             payload = "\n@@\n".join([fn_src] + sorted(dep_srcs))
             out[qname] = hashlib.sha256(payload.encode()).hexdigest()
     return out

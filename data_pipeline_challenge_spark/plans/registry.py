@@ -135,6 +135,37 @@ def _driver_verified_names() -> frozenset[str]:
     return frozenset(seen)
 
 
+@functools.lru_cache(maxsize=1)
+def _edited_since_latest_round() -> frozenset[str]:
+    """Names whose CURRENT fingerprint differs from the latest recorded
+    round's (or that the latest round has no fingerprint for) — i.e.
+    queries new or semantically edited since the most recent CORRECTNESS
+    artifact. With the transitive-closure fingerprint the unverified set
+    can exceed the driver's 50-query sample cap, so ordering must spend
+    the cap on the queries whose semantics are most likely untested:
+    just-edited ones first, then the rest of the unverified backlog
+    (which rotates in over subsequent rounds as earlier samples go
+    green)."""
+    import json
+
+    from ._source_hash import current_query_hashes
+
+    root = Path(__file__).resolve().parents[2]
+    try:
+        round_hashes: dict[str, dict[str, str]] = json.loads(
+            (root / "tools" / "verified_query_hashes.json").read_text()
+        )
+    except (OSError, ValueError):
+        return frozenset()
+    if not round_hashes:
+        return frozenset()
+    latest = round_hashes[max(round_hashes)]
+    current = current_query_hashes()
+    return frozenset(
+        name for name, h in current.items() if latest.get(name) != h
+    )
+
+
 def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules on first use so the registry is populated.
     from . import (  # noqa: F401
@@ -147,14 +178,19 @@ def all_queries() -> dict[str, QueryDef]:
         text,
     )
 
-    # Never-verified (or previously failing) queries enumerate first so the
-    # driver's capped sample always spends its budget where there is no
-    # green row yet; verified queries re-verify after.
+    # The driver's capped sample takes queries in enumeration order, so:
+    # (1) queries edited since the latest verified round (their green
+    # rows, if any, attest to OLD semantics), then (2) the rest of the
+    # unverified backlog, then (3) verified queries for re-confirmation.
     verified = _driver_verified_names()
+    edited = _edited_since_latest_round()
     ordered: dict[str, QueryDef] = {}
     for name, qd in _REGISTRY.items():
-        if name not in verified:
+        if name in edited and name not in verified:
             ordered[name] = qd
+    for name, qd in _REGISTRY.items():
+        if name not in verified:
+            ordered.setdefault(name, qd)
     for name, qd in _REGISTRY.items():
         ordered.setdefault(name, qd)
     return ordered

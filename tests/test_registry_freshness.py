@@ -175,3 +175,45 @@ def test_r7_edited_queries_resort_first():
     order = list(all_queries())
     positions = {t: order.index(t) for t in targets}
     assert all(pos < 50 for pos in positions.values()), positions
+
+
+_DEDUP_MOD_DEEP = '''
+def _shingle_table(df, n=3):
+    return df.limit(n)
+
+def simhash_near_pairs(df, threshold, max_hamming=16):
+    return _shingle_table(df)
+'''
+
+
+def test_transitive_helper_change_invalidates_caller():
+    """Closure depth: a change in a helper the query only reaches through
+    an intermediate operator (query → simhash_near_pairs →
+    _shingle_table) must still drift the query's fingerprint — the
+    one-level scheme missed exactly this shape (r7's e135c40 refactor
+    touched helpers under the operator surface)."""
+    base = query_hashes(_files(dedup_mod=_DEDUP_MOD_DEEP))
+    edited = query_hashes(
+        _files(dedup_mod=_DEDUP_MOD_DEEP.replace("n=3", "n=4"))
+    )
+    assert edited["alpha"] != base["alpha"]
+    assert edited["beta"] == base["beta"]
+
+
+def test_edited_queries_sort_before_unverified_backlog():
+    """When the unverified backlog exceeds the driver's 50-query sample
+    cap, the queries edited since the LATEST recorded round must occupy
+    the front of the ordering — their green rows (if any) attest to old
+    semantics, so they are the most urgent re-checks."""
+    from data_pipeline_challenge_spark.plans.registry import (
+        _driver_verified_names,
+        _edited_since_latest_round,
+        all_queries,
+    )
+
+    edited = _edited_since_latest_round() - _driver_verified_names()
+    if not edited:
+        pytest.skip("no unverified edited queries at this tree state")
+    order = list(all_queries())
+    positions = [order.index(n) for n in edited]
+    assert max(positions) < len(edited), (sorted(edited), positions)
