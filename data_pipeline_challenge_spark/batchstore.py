@@ -16,18 +16,25 @@ Crash-safe without a transactional format, via a marker file:
   consolidated dir from a crashed fold is invisible);
 - a fold writes the new consolidated dir (tmp + atomic rename, id =
   previous consolidated - 1, starting at -1), atomically replaces the
-  marker (``os.replace``), THEN deletes the folded dirs. A crash before
-  the marker swap leaves the old view fully intact; a crash after it
-  leaves stale dirs the reader already excludes and the next fold sweeps;
+  marker (``os.replace``), then sweeps dirs that have been excluded for a
+  FULL fold generation — the dirs this fold just excluded stay on disk
+  until the next fold, so a concurrent reader's already-planned scan
+  (which pinned the previous marker view's files at planning time) is
+  never torn mid-scan (see ``_sweep_stale``). A crash before the marker
+  swap leaves the old view fully intact; a crash after it leaves stale
+  dirs the reader already excludes and a later fold sweeps;
 - batch ids only grow (checkpointed stream), so a post-fold batch is
   always ``> through`` and immediately visible; a FRESH-checkpoint replay
   re-writing an already-folded batch id lands ``<= through`` and stays
   invisible — no duplicates either way.
 
-Consolidation is OFFLINE maintenance: run it while the owning stream is
-not running (the same writer-coordination contract as
-``operators/maintenance.compact_published_table``). Readers need no
-coordination.
+Writer coordination: run consolidation OFFLINE (owning stream stopped),
+or IN-STREAM from the owning stream's own ``foreachBatch``
+(:func:`maybe_consolidate_in_stream`) — the stream is the store's only
+writer, so its serialized foreachBatch needs no extra coordination.
+Readers need no coordination either way: new plans resolve the marker at
+planning time, and already-built plans are protected by the sweep's
+one-generation grace period.
 """
 
 from __future__ import annotations
@@ -304,22 +311,40 @@ def read_batch_store(spark: SparkSession, store: str | Path) -> DataFrame:
 
 
 def _sweep_stale(store: Path, marker: dict) -> int:
-    """Delete every batch dir the marker's view already excludes (older
-    consolidated dirs, folded positives) — the post-commit cleanup of a
-    fold, also re-runnable standalone to finish a fold that crashed
-    after its marker swap. Returns dirs removed."""
+    """Delete every batch dir that has been excluded from the reader view
+    for a FULL fold generation — the post-commit cleanup of a fold, also
+    re-runnable standalone to finish a fold that crashed after its marker
+    swap. Returns dirs removed.
+
+    One-generation GRACE (the batch-store analog of the versioned
+    tables' {new, previously-read} retention): a reader's already-built
+    plan pins the concrete files of the marker view it resolved at
+    planning time; deleting the dirs a fold *just* excluded would tear
+    that plan mid-scan (FileNotFound on an executor) — with in-stream
+    consolidation there is no longer a quiesced window to hide behind.
+    So a fold sweeps only what the PREVIOUS marker already excluded
+    (invisible to every plan younger than one full generation) and
+    leaves its own just-folded dirs (positives in
+    ``(prev_through, through]`` plus the previous consolidated dir) on
+    disk until the NEXT fold. Directory count stays bounded at
+    ~2 generations. Legacy markers (no ``prev_*`` fields) sweep with the
+    old everything-excluded semantics until their next fold writes the
+    current marker shape."""
     cons, through = int(marker["consolidated"]), int(marker["through"])
+    prev_cons = marker.get("prev_consolidated", cons)
+    prev_through = int(marker.get("prev_through", through))
+    keep_neg = {cons} | ({int(prev_cons)} if prev_cons is not None else set())
     swept = 0
     for n, p in _batch_dirs(store):
-        if n == cons:
+        if n in keep_neg:
             continue
-        if n < 0 or n <= through:
+        if n < 0 or n <= prev_through:
             shutil.rmtree(p, ignore_errors=True)
             swept += 1
-    # Empty-fold sentinels at or below the consolidated horizon are
-    # superseded by the marker's `through` (last_batch_id folds both).
+    # Empty-fold sentinels past their grace generation are superseded by
+    # the marker's `through` (last_batch_id folds both).
     for n in _empty_sentinel_ids(store):
-        if n <= through:
+        if n <= prev_through:
             (store / f".empty.b{n}").unlink(missing_ok=True)
     return swept
 
@@ -389,12 +414,19 @@ def consolidate_batch_store(
         shutil.rmtree(final)
     tmp.rename(final)
 
-    new_marker = {"consolidated": new_id, "through": through}
+    new_marker = {
+        "consolidated": new_id,
+        "through": through,
+        # Grace bookkeeping for the reader-safe sweep (see _sweep_stale):
+        # what THIS fold just excluded stays on disk until the next fold.
+        "prev_consolidated": int(marker["consolidated"]) if marker else None,
+        "prev_through": int(marker["through"]) if marker else -1,
+    }
     mtmp = store / (_MARKER + ".tmp")
     mtmp.write_text(json.dumps(new_marker))
     os.replace(mtmp, store / _MARKER)  # the commit point
 
-    return _sweep_stale(store, new_marker)
+    return len(live_positive) + _sweep_stale(store, new_marker)
 
 
 def maybe_consolidate_in_stream(

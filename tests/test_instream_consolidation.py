@@ -60,15 +60,17 @@ def test_consolidate_up_to_excludes_newer_batches(spark, tmp_path):
         append_batch_increment(df, store, b)
 
     folded = consolidate_batch_store(spark, store, up_to=2)
-    assert folded >= 3  # batches 0..2 folded/swept
+    assert folded >= 3  # batches 0..2 folded
     dirs = _batch_dirs(store)
-    assert dirs == [-1, 3]  # one consolidated dir + the untouched batch 3
+    # consolidated dir + grace-kept folded dirs + the untouched batch 3
+    assert dirs == [-1, 0, 1, 2, 3]
     vals = sorted(r["v"] for r in read_batch_store(spark, store).collect())
     assert vals == sorted(b * 10 + i for b in range(4) for i in range(3))
 
-    # A later unbounded fold absorbs the remainder without double-counting.
+    # A later unbounded fold absorbs the remainder without double-counting
+    # and sweeps the now-expired first generation.
     consolidate_batch_store(spark, store)
-    assert _batch_dirs(store) == [-2]
+    assert _batch_dirs(store) == [-2, -1, 3]
     vals = sorted(r["v"] for r in read_batch_store(spark, store).collect())
     assert vals == sorted(b * 10 + i for b in range(4) for i in range(3))
 
@@ -122,15 +124,16 @@ def test_dedup_stream_consolidates_mid_stream(spark, tmp_path):
 
     assert kept("cons") == kept("plain") == [1, 2, 4, 5, 7, 9]
 
-    # Directory-count assertion across the fold: the last fold fired at
-    # batch 4 (up_to=3), so each store holds one consolidated dir plus
-    # only batch 4's increment — strictly fewer dirs than the twin.
+    # Directory assertions across the folds: fold@2 folded batches 0-1
+    # (grace-kept), fold@4 folded 2-3 and swept the expired 0-1 — so each
+    # store holds two consolidated generations, the graced 2-3, and
+    # batch 4's live increment.
     for name in ("docs", "fp_index"):
         cons_dirs = _batch_dirs(tmp_path / "cons" / name)
-        plain_dirs = _batch_dirs(tmp_path / "plain" / name)
-        assert [d for d in cons_dirs if d >= 0] == [4], (name, cons_dirs)
         assert min(cons_dirs) < 0, (name, cons_dirs)
-        assert len(cons_dirs) < len(plain_dirs), (name, cons_dirs, plain_dirs)
+        positives = [d for d in cons_dirs if d >= 0]
+        assert 0 not in positives and 1 not in positives, (name, cons_dirs)
+        assert 4 in positives, (name, cons_dirs)
 
     # History survives the fold: a restart sees folded fingerprints and
     # still drops duplicates of batch-0 docs.
@@ -205,8 +208,11 @@ def test_corpus_pipeline_consolidates_mid_stream(spark, tmp_path):
         plain_dirs = _batch_dirs(tmp_path / "plain" / rel)
         if any(d < 0 for d in cons_dirs):
             folded_somewhere += 1
-            assert all(d >= 2 for d in cons_dirs if d >= 0), (rel, cons_dirs)
-            assert len(cons_dirs) <= len(plain_dirs), (rel, cons_dirs, plain_dirs)
+            # folded positives are grace-kept until the next fold, so the
+            # dir set is the twin's plus the consolidated generation
+            assert set(d for d in cons_dirs if d >= 0) == set(plain_dirs), (
+                rel, cons_dirs, plain_dirs,
+            )
         else:
             # Fold was a no-op for this store (≤1 batch below the
             # horizon) — its dirs must match the twin's exactly.
@@ -275,8 +281,9 @@ def test_packing_stream_consolidates_mid_stream(spark, tmp_path):
     assert norm(current_packed(spark, out_dir)) == norm(expected)
 
     rows_dirs = _batch_dirs(out_dir / "rows")
-    # Last fold at batch 2 (up_to=1): consolidated dir + batches 2,3 only.
-    assert [d for d in rows_dirs if d >= 0] == [2, 3], rows_dirs
+    # Last fold at batch 2 (up_to=1): consolidated dir + grace-kept 0,1 +
+    # live 2,3 (the next fold would sweep 0,1).
+    assert [d for d in rows_dirs if d >= 0] == [0, 1, 2, 3], rows_dirs
     assert min(rows_dirs) < 0, rows_dirs
 
 
@@ -337,10 +344,11 @@ def test_index_stream_consolidates_mid_stream(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    # The fold fired at batch 2 (up_to=1) for every present family.
+    # The fold fired at batch 2 (up_to=1) for every present family:
+    # consolidated dir + grace-kept 0,1 + live batch 2.
     for inc in ("bucketed_inc", "assigned_inc", "codes_inc"):
         dirs = _batch_dirs(idx / inc)
-        assert [d for d in dirs if d >= 0] == [2], (inc, dirs)
+        assert [d for d in dirs if d >= 0] == [0, 1, 2], (inc, dirs)
         assert min(dirs) < 0, (inc, dirs)
 
     # Equality with a one-shot build over all vectors, per family.
@@ -425,6 +433,40 @@ def test_crash_during_in_stream_fold_heals_on_replay(spark, tmp_path, monkeypatc
     assert kept == [1, 2, 3]
     for name in ("docs", "fp_index"):
         dirs = _batch_dirs(tmp_path / "out" / name)
-        # Folded batches swept; only the consolidated dir + batch 2 live.
-        assert [d for d in dirs if d >= 0] == [2], (name, dirs)
+        # Consolidated dir present; folded 0,1 grace-kept; batch 2 live.
+        assert [d for d in dirs if d >= 0] == [0, 1, 2], (name, dirs)
         assert min(dirs) < 0, (name, dirs)
+
+
+def test_pinned_reader_plan_survives_one_fold(spark, tmp_path):
+    """Reader-grace property: a DataFrame whose scan was PLANNED (file
+    listing pinned) before a fold must still execute correctly after the
+    fold commits — the dirs the fold just excluded are grace-kept, the
+    batch-store analog of the versioned tables' pinned-reader retention.
+    Only the SECOND fold may remove them."""
+    store = tmp_path / "store"
+    for b in range(3):
+        df = spark.createDataFrame([(b * 10 + i,) for i in range(4)], "v long")
+        append_batch_increment(df, store, b)
+
+    pinned = read_batch_store(spark, store)
+    pinned.count()  # force planning + file-index materialization
+    expected = sorted(b * 10 + i for b in range(3) for i in range(4))
+
+    consolidate_batch_store(spark, store)  # fold 1: excludes 0..2
+    # The pre-fold plan still reads its pinned dirs successfully.
+    assert sorted(r["v"] for r in pinned.collect()) == expected
+    # A fresh plan serves the consolidated view, same rows.
+    assert sorted(
+        r["v"] for r in read_batch_store(spark, store).collect()
+    ) == expected
+
+    # Second fold (new batch arrives first) sweeps the expired dirs.
+    append_batch_increment(
+        spark.createDataFrame([(99,)], "v long"), store, 3
+    )
+    consolidate_batch_store(spark, store)
+    assert not (store / "ingest_batch=0").exists()
+    assert sorted(
+        r["v"] for r in read_batch_store(spark, store).collect()
+    ) == expected + [99]

@@ -1165,10 +1165,12 @@ def test_index_stream_refuses_renumbered_checkpoint(spark, tmp_path):
 
 def test_batchstore_rerun_sweeps_crash_leftovers(spark, tmp_path):
     """A fold that crashes after its marker swap but before its cleanup
-    leaves stale batch dirs the marker already excludes. A re-run with no
-    new batches must sweep them (they are what the consolidation exists
-    to bound) instead of early-returning 'nothing to do' — on a quiesced
-    store nothing else would ever remove them."""
+    leaves stale batch dirs behind. A re-run with no new batches must
+    sweep the EXPIRED generation (what the previous marker already
+    excluded) instead of early-returning 'nothing to do' — on a quiesced
+    store nothing else would ever remove them. Dirs the latest fold just
+    excluded are grace-kept either way (a concurrent reader's
+    already-built plan may still be scanning them)."""
     from data_pipeline_challenge_spark.batchstore import (
         consolidate_batch_store,
         read_batch_store,
@@ -1179,15 +1181,28 @@ def test_batchstore_rerun_sweeps_crash_leftovers(spark, tmp_path):
         spark.range(5).withColumn("v", F.lit(b)).write.parquet(
             str(store / f"ingest_batch={b}")
         )
-    assert consolidate_batch_store(spark, store) == 2
+    assert consolidate_batch_store(spark, store) == 2  # fold 1: through=1
+    # grace: the just-folded dirs survive fold 1
+    assert (store / "ingest_batch=0").exists()
 
-    # crash simulation: a folded dir resurfaces (cleanup never ran)
+    spark.range(5).withColumn("v", F.lit(2)).write.parquet(
+        str(store / "ingest_batch=2")
+    )
+    assert consolidate_batch_store(spark, store) >= 1  # fold 2: through=2
+    # fold 2 swept generation-1 positives; its own exclusions are graced
+    assert not (store / "ingest_batch=0").exists()
+    assert not (store / "ingest_batch=1").exists()
+    assert (store / "ingest_batch=2").exists()
+    assert (store / "ingest_batch=-1").exists()
+
+    # crash simulation: a generation-1 dir resurfaces (cleanup died)
     spark.range(5).withColumn("v", F.lit(1)).write.parquet(
         str(store / "ingest_batch=1")
     )
     assert consolidate_batch_store(spark, store) == 1  # swept, not skipped
     assert not (store / "ingest_batch=1").exists()
-    assert read_batch_store(spark, store).count() == 10  # view unchanged
+    assert (store / "ingest_batch=2").exists()  # grace generation kept
+    assert read_batch_store(spark, store).count() == 15  # view unchanged
 
 
 def test_rows_store_consolidation(spark, tmp_path):
@@ -1243,11 +1258,19 @@ def test_rows_store_consolidation(spark, tmp_path):
         tuple(r)
         for r in touched_history(spark, out_dir / "rows", list(range(4))).collect()
     }
-    assert compact_rows_store(spark, out_dir) == 2
+    assert compact_rows_store(spark, out_dir) == 2  # both batches folded
     rows_dir = out_dir / "rows"
-    assert [p.name for p in rows_dir.glob("ingest_batch=*")] == ["ingest_batch=-1"]
+    # One-generation grace: the just-folded dirs stay on disk (an
+    # already-planned reader may still be scanning them) until the NEXT
+    # fold sweeps them; the consolidated dir carries the live view.
+    assert sorted(p.name for p in rows_dir.glob("ingest_batch=*")) == [
+        "ingest_batch=-1", "ingest_batch=0", "ingest_batch=1"
+    ]
     marker = _read_marker(rows_dir)
-    assert marker == {"consolidated": -1, "through": 1}
+    assert marker == {
+        "consolidated": -1, "through": 1,
+        "prev_consolidated": None, "prev_through": -1,
+    }
     after = {
         tuple(r)
         for r in touched_history(spark, rows_dir, list(range(4))).collect()
@@ -1266,8 +1289,12 @@ def test_rows_store_consolidation(spark, tmp_path):
         for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
     }
     assert norm(current_packed(spark, out_dir)) == norm(expected)
-    # a second consolidation folds the new batch into generation -2
+    # a second consolidation folds the new batch into generation -2 and
+    # sweeps the FIRST generation's grace dirs (expired for a full fold)
     assert compact_rows_store(spark, out_dir) >= 1
+    assert sorted(p.name for p in rows_dir.glob("ingest_batch=*")) == [
+        "ingest_batch=-1", "ingest_batch=-2", "ingest_batch=2"
+    ]
     assert norm(current_packed(spark, out_dir)) == norm(expected)
     assert touched_history(spark, rows_dir, list(range(4))).count() == 7
 
@@ -1326,9 +1353,10 @@ def test_index_increment_consolidation(spark, tmp_path):
     before = topk()
     folded = compact_index_increments(spark, idx)
     assert folded == {"bucketed_inc": 2, "assigned_inc": 2, "codes_inc": 2}
-    assert [p.name for p in (idx / "bucketed_inc").glob("ingest_batch=*")] == [
-        "ingest_batch=-1"
-    ]
+    # consolidated dir + one grace generation (swept by the next fold)
+    assert sorted(
+        p.name for p in (idx / "bucketed_inc").glob("ingest_batch=*")
+    ) == ["ingest_batch=-1", "ingest_batch=0", "ingest_batch=1"]
     assert topk() == before
     assert last_index_increment(idx) == 1  # guard still covers folded ids
 
