@@ -470,3 +470,57 @@ def test_pinned_reader_plan_survives_one_fold(spark, tmp_path):
     assert sorted(
         r["v"] for r in read_batch_store(spark, store).collect()
     ) == expected + [99]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,  # each example runs Spark jobs; keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.integers(min_value=0, max_value=3),  # rows per batch (0 = empty)
+        min_size=1,
+        max_size=6,
+    ),
+    fold_mask=st.lists(st.booleans(), min_size=6, max_size=6),
+    bounded=st.booleans(),
+)
+def test_batchstore_view_invariant_under_arbitrary_folds(
+    spark_prop, tmp_path_factory, batches, fold_mask, bounded
+):
+    """Semantics pin: whatever interleaving of appends (including empty
+    batches → sentinels) and folds (bounded at the just-written batch or
+    unbounded), the store view ALWAYS equals the union of all non-empty
+    appended batches, and last_batch_id always equals the highest batch
+    ever appended."""
+    from data_pipeline_challenge_spark.batchstore import last_batch_id
+
+    spark = spark_prop
+    store = tmp_path_factory.mktemp("bs") / "store"
+    expected: list[int] = []
+    top = -1
+    for b, n_rows in enumerate(batches):
+        rows = [(b * 10 + i,) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "v long") if rows else (
+            spark.createDataFrame([], "v long")
+        )
+        append_batch_increment(df, store, b)
+        expected.extend(v for (v,) in rows)
+        top = b
+        if fold_mask[b]:
+            consolidate_batch_store(
+                spark, store, up_to=(b - 1) if bounded else None
+            )
+        # Caller contract (same guard as every gate's reader): a store
+        # holding only empty-fold sentinels has no parquet to read.
+        has_data = store.exists() and any(store.glob("ingest_batch=*"))
+        got = sorted(
+            r["v"] for r in read_batch_store(spark, store).collect()
+        ) if has_data else []
+        assert got == sorted(expected), (batches, fold_mask, bounded, b)
+        assert last_batch_id(store) == top
