@@ -72,6 +72,30 @@ def top_token_fraction(toks: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# Pattern-based PII redaction (complements the token-denylist scrub):
+# (regex, mask) applied in order — email before phone before bare id runs,
+# so a digits-only match left behind by an earlier mask still gets caught.
+# Patterns use only RE2-safe syntax (no backrefs/lookaround) so Spark's
+# Java regex engine and the DuckDB oracle's RE2 agree character-for-
+# character; the phone pattern requires a leading '+' so plain long digit
+# runs fall through to the <ID> mask instead.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9][0-9()\-]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]{9,}", "<ID>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails, international-format phone numbers, and long id-like
+    digit runs — the regex tier of PII redaction (the token-denylist tier
+    is :func:`scrub_tokens`). Pure Catalyst ``regexp_replace`` chain:
+    map-only, codegen'd, no Python."""
+    for pat, mask in PII_PATTERNS:
+        text = F.regexp_replace(text, pat, mask)
+    return text
+
+
 def scrub_tokens(toks: Column, denylist: tuple[str, ...], mask: str = "[TERM]") -> Column:
     """Replace every denylisted token with ``mask``, preserving positions —
     the redaction primitive for PII/term scrubbing. Pure array transform."""

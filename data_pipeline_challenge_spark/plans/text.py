@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..functions.textfn import (
+    PII_PATTERNS,
     top_token_fraction,
+    scrub_pii,
     scrub_tokens,
     STOPWORDS,
     distinct_token_ratio,
@@ -423,6 +425,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a denylist table instead, which is the same plan shape at any list size.
 _SCRUB_TERMS = ("customer", "vector", "stream", "merge")
 _SCRUB_SQL = ", ".join(f"'{w}'" for w in _SCRUB_TERMS)
+
+
+# The oracle applies the identical pattern chain with RE2 ('g' = replace
+# all, matching Spark's regexp_replace semantics).
+_PII_SQL_CHAIN = "s"
+for _pat, _mask in PII_PATTERNS:
+    _PII_SQL_CHAIN = f"regexp_replace({_PII_SQL_CHAIN}, '{_pat}', '{_mask}', 'g')"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call +1555-000-' || CAST(doc_id AS VARCHAR)
+                    || ' ref 998877660' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents
+    ), u AS (
+        SELECT doc_id, {_PII_SQL_CHAIN} AS sc FROM t
+    )
+    SELECT doc_id,
+           md5(sc) AS scrubbed_fp,
+           CAST(length(sc) AS BIGINT) AS scrubbed_len
+    FROM u
+    """,
+    tags=("text", "scrub", "pii", "redaction"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier PII redaction: emails, international phone numbers, and
+    long id-like digit runs are masked by a pure-Catalyst regexp_replace
+    chain (map-only, no shuffle, no Python). Deterministic synthetic PII
+    is appended to every document on BOTH sides so the oracle certifies
+    the regex semantics on live matches, not just on text that happens to
+    contain none; the md5 fingerprint certifies the exact redacted
+    output without shipping it."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com call +1555-000-"), did,
+        F.lit(" ref 998877660"), did,
+    )
+    sc = scrub_pii(s)
+    return docs.select(
+        "doc_id",
+        F.md5(sc).alias("scrubbed_fp"),
+        F.length(sc).cast("long").alias("scrubbed_len"),
+    )
 
 
 @query(
