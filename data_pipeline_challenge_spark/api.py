@@ -286,12 +286,18 @@ class ApiServer:
         if fid in self._codes_cache:
             return self._codes_cache[fid]
         try:
-            payload = Path(path).read_bytes()
-            from .sources.json_ingest import parse_bytes
+            # Driver-side parse is bounded: past 64 MiB the key set is
+            # treated as unknown (conservative hold) rather than loading
+            # a huge upload into driver memory every consumer tick.
+            if Path(path).stat().st_size > 64 << 20:
+                codes = None
+            else:
+                payload = Path(path).read_bytes()
+                from .sources.json_ingest import parse_bytes
 
-            codes = frozenset(
-                t[2] for t in parse_bytes(path, payload) if t[5]  # ok rows only
-            )
+                codes = frozenset(
+                    t[2] for t in parse_bytes(path, payload) if t[5]  # ok rows
+                )
         except Exception:  # noqa: BLE001 - unreadable → unknown, hold queue
             codes = None
         self._codes_cache[fid] = codes

@@ -524,3 +524,46 @@ def test_batchstore_view_invariant_under_arbitrary_folds(
         ) if has_data else []
         assert got == sorted(expected), (batches, fold_mask, bounded, b)
         assert last_batch_id(store) == top
+
+
+def test_ann_probe_planned_before_fold_survives_it(spark, tmp_path):
+    """Serving-during-maintenance: an ANN probe whose scan was planned
+    against base∪increments BEFORE a consolidation executes correctly
+    after the fold commits (grace keeps the pinned increment dirs), and
+    a post-fold probe serves identical results."""
+    import numpy as np
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        append_index_increments,
+        compact_index_increments,
+        lsh_build_index,
+        lsh_topk_indexed,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    base_df = spark.createDataFrame(vecs[:20], "vec_id long, embedding array<float>")
+    idx = tmp_path / "idx"
+    lsh_build_index(base_df, idx, dim=8, n_planes=3)
+    for b, lo in enumerate(range(20, 40, 10)):
+        inc = spark.createDataFrame(
+            vecs[lo : lo + 10], "vec_id long, embedding array<float>"
+        )
+        append_index_increments(inc, idx, batch_id=b)
+
+    qvec = spark.createDataFrame(
+        [(vecs[0][1],)], "embedding array<float>"
+    ).select("embedding")
+    pinned = lsh_topk_indexed(spark, idx, qvec, k=5, probe_hamming=1)
+    before = [(r["vec_id"], round(r["sim"], 9)) for r in pinned.collect()]
+
+    assert compact_index_increments(spark, idx)["bucketed_inc"] == 2
+    # The pre-fold plan still executes (its increment dirs are graced)...
+    assert [
+        (r["vec_id"], round(r["sim"], 9)) for r in pinned.collect()
+    ] == before
+    # ...and a fresh post-fold plan serves the identical top-k.
+    fresh = lsh_topk_indexed(spark, idx, qvec, k=5, probe_hamming=1)
+    assert [
+        (r["vec_id"], round(r["sim"], 9)) for r in fresh.collect()
+    ] == before
