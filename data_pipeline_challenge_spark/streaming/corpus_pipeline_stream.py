@@ -171,3 +171,80 @@ def start_corpus_pipeline_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
+    """One-call operational health view of a composed pipeline's stores:
+    per-stage row counts (admitted / diverted), replay horizon, batch-dir
+    counts (is consolidation keeping discovery bounded?), and total cap
+    pressure (is the candidate cap costing recall?). Everything here is
+    store metadata plus one count per populated store — the check an
+    operator runs before trusting an always-on pipeline, without reading
+    any document payloads.
+
+    Returns rows ``(stage, metric, value)`` (value as long; -1 where a
+    stage/store is absent)."""
+    from ..batchstore import last_batch_id, read_cap_audit
+    from . import decontam_stream, dedup_stream, filter_gate_stream, near_dedup_stream
+
+    odir = Path(out_dir)
+    rows: list[tuple[str, str, int]] = []
+
+    def _count(df) -> int:
+        return -1 if df is None else df.count()
+
+    def _store_rows(stage: str, store: Path) -> None:
+        n_dirs = (
+            sum(1 for p in store.glob("ingest_batch=*") if p.is_dir())
+            if store.exists()
+            else -1
+        )
+        rows.append((stage, f"{store.name}_batch_dirs", n_dirs))
+        rows.append(
+            (stage, f"{store.name}_last_batch", last_batch_id(store))
+        )
+
+    if (odir / "quality").exists():
+        rows.append(
+            ("quality", "admitted",
+             _count(filter_gate_stream.current_admitted_docs(spark, odir / "quality")))
+        )
+        rows.append(
+            ("quality", "rejected",
+             _count(filter_gate_stream.rejected_log(spark, odir / "quality")))
+        )
+        for name, _ in filter_gate_stream._STORES:
+            _store_rows("quality", odir / "quality" / name)
+    if (odir / "decontam").exists():
+        rows.append(
+            ("decontam", "clean",
+             _count(decontam_stream.current_clean_docs(spark, odir / "decontam")))
+        )
+        rows.append(
+            ("decontam", "contaminated",
+             _count(decontam_stream.contamination_log(spark, odir / "decontam")))
+        )
+        for name, _ in decontam_stream._STORES:
+            _store_rows("decontam", odir / "decontam" / name)
+    if (odir / "exact").exists():
+        rows.append(
+            ("exact", "novel",
+             _count(dedup_stream.current_novel_docs(spark, odir / "exact")))
+        )
+        for name, _ in dedup_stream._STORES:
+            _store_rows("exact", odir / "exact" / name)
+    if (odir / "near").exists():
+        rows.append(
+            ("near", "kept",
+             _count(near_dedup_stream.current_kept_docs(spark, odir / "near")))
+        )
+        for name, _ in near_dedup_stream._STORES:
+            _store_rows("near", odir / "near" / name)
+        audit = read_cap_audit(odir / "near")
+        rows.append(
+            ("near", "cap_rows_dropped",
+             sum(r.get("rows_dropped", 0) for r in audit))
+        )
+        rows.append(("near", "cap_events", len(audit)))
+
+    return spark.createDataFrame(rows, "stage string, metric string, value long")

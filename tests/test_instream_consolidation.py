@@ -567,3 +567,61 @@ def test_ann_probe_planned_before_fold_survives_it(spark, tmp_path):
     assert [
         (r["vec_id"], round(r["sim"], 9)) for r in fresh.collect()
     ] == before
+
+
+def test_pipeline_report_summarizes_stage_health(spark, tmp_path):
+    """The one-call health view: per-stage admitted/diverted counts,
+    replay horizons, batch-dir counts, and cap pressure — correct
+    against the drained pipeline's known outcome, without reading any
+    payloads."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        pipeline_report,
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+    eval_df = spark.createDataFrame(
+        [(900, "the benchmark asks which mountain is tallest on earth")],
+        "doc_id long, text string",
+    )
+    good = "spark shuffles hash partitioned data between executor stages"
+    land("f0.parquet", [
+        (1, good),
+        (2, "short"),                                         # quality reject
+        (3, "quiz answer the benchmark asks which mountain is tallest"),  # leaks
+        (4, good),                                            # exact dup of 1
+    ])
+    keep = F.size(F.split(F.col("text"), r"\s+")) >= 5
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, tmp_path / "out", tmp_path / "ck", SCHEMA,
+        "doc_id", "text", quality_expr=keep, eval_df=eval_df,
+        min_shared=2, n_prefix=8,
+    )
+    q.awaitTermination(240)
+
+    rep = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in pipeline_report(spark, tmp_path / "out").collect()
+    }
+    assert rep[("quality", "admitted")] == 3
+    assert rep[("quality", "rejected")] == 1
+    assert rep[("decontam", "clean")] == 2
+    assert rep[("decontam", "contaminated")] == 1
+    assert rep[("exact", "novel")] == 1
+    assert rep[("near", "kept")] == 1
+    assert rep[("near", "cap_rows_dropped")] == 0  # healthy: cap never bound
+    # Every populated store reports a replay horizon of batch 0 and at
+    # least one batch dir.
+    for stage, store in (
+        ("quality", "docs"), ("quality", "rejected"),
+        ("decontam", "docs"), ("decontam", "contaminated"),
+        ("exact", "docs"), ("exact", "fp_index"),
+        ("near", "docs"), ("near", "band_index"),
+    ):
+        assert rep[(stage, f"{store}_last_batch")] == 0, (stage, store)
+        assert rep[(stage, f"{store}_batch_dirs")] >= 1, (stage, store)
