@@ -8,10 +8,19 @@ near-dedup (MinHash+LSH) against the kept set. This module chains the
 gates' ``fold_batch`` cores inside a SINGLE ``foreachBatch``, so one
 checkpointed file source drives the whole funnel:
 
-    corpus files ─▶ quality gate ─▶ decontam ─▶ exact dedup ─▶ near dedup
-                    (predicate,      (eval        (novel fps    (no verified
-                     rejects         overlap       only)         near-dup
-                     audited)        diverted)                   among kept)
+    corpus files ─▶ transform ─▶ quality ─▶ decontam ─▶ exact dedup ─▶ near dedup
+                    (stateless    (predicate, (eval      (novel fps    (no verified
+                     normalize/    rejects    overlap     only)         near-dup
+                     redact map)   audited)   diverted)                 among kept)
+
+The optional transform stage (``transform_exprs``) is a stateless
+Catalyst map applied before any screen — canonical normalization or
+PII redaction (``functions.textfn.scrub_pii``) — so every downstream
+verdict, fingerprint, near-dup signature, and the stored kept corpus
+all see the SAME canonical text: two documents differing only in
+redacted spans deduplicate together, and no raw PII ever reaches a
+store. Being deterministic and store-free it needs no replay
+bookkeeping of its own.
 
 Cheapest screen first: the quality stage is a pure predicate (one map
 pass), so the stateful gates never pay their probe/index costs for rows
@@ -87,6 +96,7 @@ def start_corpus_pipeline_stream(
     text_col: str,
     quality_expr: Column | None = None,
     eval_df: DataFrame | None = None,
+    transform_exprs: dict[str, Column] | None = None,
     n: int = 3,
     min_shared: int = 2,
     num_hashes: int = 32,
@@ -101,7 +111,11 @@ def start_corpus_pipeline_stream(
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
     ``filter_gate_stream.gopher_keep(text_col)``); ``eval_df=None``
-    omits the decontamination stage. ``available_now=True`` drains
+    omits the decontamination stage. ``transform_exprs`` maps column
+    name → Catalyst expression, applied to every batch BEFORE any gate
+    (``{text_col: textfn.scrub_pii(F.col(text_col))}`` is the canonical
+    redaction tier) — deterministic and store-free, so crash replay
+    re-derives it identically. ``available_now=True`` drains
     what's landed and stops. ``consolidate_every=N`` folds every stage's
     accumulated batch dirs in-stream each N batches (no stop-the-stream
     window); ``None`` = offline-only maintenance."""
@@ -124,6 +138,8 @@ def start_corpus_pipeline_stream(
 
     def _run_gates(batch_df: DataFrame, batch_id: int) -> None:
         cur: DataFrame | None = batch_df
+        if transform_exprs:
+            cur = cur.withColumns(transform_exprs)
         if quality_expr is not None:
             cur = filter_gate_stream.fold_batch(
                 spark, odir / "quality", cur, batch_id, quality_expr

@@ -1811,6 +1811,60 @@ def test_corpus_pipeline_stream_runs_all_gates(spark, tmp_path):
     assert kept == [2, 3, 12, 21]
 
 
+def test_corpus_pipeline_transform_stage_scrubs_before_gates(spark, tmp_path):
+    """The stateless transform stage canonicalizes text BEFORE any gate:
+    two docs differing only in redacted spans exact-dedup to one, the
+    kept corpus carries the masked form, and the raw PII string appears
+    in NO parquet file anywhere under the pipeline's stores."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_challenge_spark.functions.textfn import scrub_pii
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt_pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    def run():
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+            transform_exprs={"text": scrub_pii(F.col("text"))},
+            min_jaccard=0.9, n_prefix=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+
+    contact = "reach the operator at {} for cluster access credentials"
+    land("a.parquet", [
+        (1, contact.format("alice@example.com")),
+        (2, "parquet row groups carry min max statistics for file pruning"),
+    ])
+    # next batch: the same doc with a DIFFERENT address — identical after
+    # redaction, so the exact gate must drop it against history
+    land("b.parquet", [(10, contact.format("bob@other.org"))])
+    run()
+
+    kept = {r["doc_id"]: r["text"] for r in current_corpus(spark, out_dir).collect()}
+    assert sorted(kept) == [1, 2]
+    assert "<EMAIL>" in kept[1] and "alice@example.com" not in kept[1]
+
+    # The no-raw-PII guarantee holds across EVERY store the pipeline
+    # wrote (docs, fingerprint/band indexes, audits), not just the view.
+    import pyarrow.parquet as pq
+
+    for f in out_dir.rglob("*.parquet"):
+        tbl = pq.read_table(str(f))
+        for col in tbl.column_names:
+            vals = "|".join(str(v) for v in tbl.column(col).to_pylist())
+            assert "alice@example.com" not in vals, f"raw PII in {f}:{col}"
+            assert "bob@other.org" not in vals, f"raw PII in {f}:{col}"
+
+
 def test_corpus_pipeline_resumes_after_mid_stage_crash(spark, tmp_path):
     """Crash-mid-pipeline contract: a batch folded through the first two
     stages only (the process died before the near stage) is completed on
