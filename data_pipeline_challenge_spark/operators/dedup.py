@@ -144,6 +144,32 @@ def minhash_signatures(
     return sh.groupBy(F.col("doc")).agg(*aggs)
 
 
+def minhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """Engine-portable MinHash twin of :func:`minhash_signatures`: the
+    SAME plan shape (one shingle explode → one min-agg groupBy, map-side
+    combinable, k longs per doc on the shuffle) with xxhash64 swapped
+    for the 60-bit prefix of md5 — a hash every SQL engine computes
+    bit-identically, so an external oracle (DuckDB) can reproduce the
+    full signature table and certify the sketch math cross-engine.
+    Production paths keep xxhash64 (one cheap JVM hash vs a full md5
+    digest per shingle×hash); this twin exists because a sketch's
+    correctness is otherwise only testable against itself. Docs with
+    fewer than ``n`` tokens have no shingles and produce no row, exactly
+    as in the production signature table."""
+    sh = _shingle_table(df, id_col, text_col, n)
+
+    def h(j: int):
+        hx = F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))), 1, 15)
+        # 15 hex digits = 60 bits < _MH_MOD, so no reduction is needed:
+        # the raw value IS the hash, on both engines.
+        return F.conv(hx, 16, 10).cast("long")
+
+    aggs = [F.min(h(j)).alias(f"mh_{j}") for j in range(num_hashes)]
+    return sh.groupBy(F.col("doc")).agg(*aggs)
+
+
 def banded_minhash_tables(
     df: DataFrame,
     id_col: str,

@@ -28,6 +28,7 @@ from ..operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
+    minhash_signatures_md5,
     simhash_near_pairs,
 )
 from .registry import query
@@ -397,6 +398,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc1", "doc2", F.round("jaccard_est", 6).alias("jaccard_est"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+# DuckDB rebuild of the md5-based minhash: hex-prefix → bigint via a
+# list fold (no conv() in DuckDB), min-aggregated per doc — reproduces
+# the Spark signature table bit-exactly.
+_MH_HEX2INT = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5({x}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+_MH_MD5_COLS = ",\n           ".join(
+    "min({h}) AS mh_{j}".format(h=_MH_HEX2INT.format(x=f"concat('{j}|', s)"), j=j)
+    for j in range(8)
+)
+
+
+@query(
+    "dedup_minhash_signature_parity",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           {_MH_MD5_COLS}
+    FROM sh GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "minhash"),
+)
+def dedup_minhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine certification of the MinHash sketch math: the full
+    per-doc signature table (8 hashes) computed with the engine-portable
+    md5 hash family, hash-matched bit-exactly against a DuckDB rebuild.
+    The production sketch (`dedup_minhash_lsh`) swaps in xxhash64 for
+    speed but shares every other step — shingling, explode shape, the
+    min-agg groupBy — so this query pins the pipeline that the
+    rows-only LSH queries build on."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_md5(docs, "doc_id", "text", n=3, num_hashes=8)
+    return sig.withColumnRenamed("doc", "doc_id")
 
 
 @query(
