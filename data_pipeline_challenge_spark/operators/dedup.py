@@ -358,6 +358,39 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select("doc", sig.alias("simhash"))
 
 
+def simhash_signatures_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Engine-portable SimHash twin of :func:`simhash_signatures`: the
+    same one-explode / 60-conditional-sums groupBy with xxhash64 swapped
+    for the 60-bit md5 prefix, so a DuckDB oracle reproduces every
+    signature bit-exactly (see :func:`minhash_signatures_md5` for the
+    rationale — a sketch is otherwise only testable against itself).
+    60 bits rather than 64 because the portable hash is the 15-hex-digit
+    md5 prefix; the bit-majority construction is unchanged."""
+    hx = F.substring(F.md5(F.col("t")), 1, 15)
+    toks = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .withColumn("h", F.conv(hx, 16, 10).cast("long"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(60)
+    ]
+    summed = toks.groupBy("doc").agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(60)
+    )
+    return summed.select("doc", sig.alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

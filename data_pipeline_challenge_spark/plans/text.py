@@ -30,6 +30,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures_md5,
     simhash_near_pairs,
+    simhash_signatures_md5,
 )
 from .registry import query
 
@@ -439,6 +440,48 @@ def dedup_minhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFram
     rows-only LSH queries build on."""
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_md5(docs, "doc_id", "text", n=3, num_hashes=8)
+    return sig.withColumnRenamed("doc", "doc_id")
+
+
+# DuckDB rebuild of the md5-based simhash: per-token 60-bit hash, 60
+# conditional bit sums per doc, bit-majority recombined into one long.
+_SH_HASH = _MH_HEX2INT.format(x="t")
+_SH_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(60)
+)
+_SH_BITS = " + ".join(
+    f"(CASE WHEN s_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+    for i in range(60)
+)
+
+
+@query(
+    "dedup_simhash_signature_parity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SH_HASH} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id,
+               {_SH_SUMS}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_SH_BITS} AS simhash
+    FROM sums
+    """,
+    tags=("text", "dedup", "simhash"),
+)
+def dedup_simhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine certification of the SimHash construction: the full
+    per-doc 60-bit signature computed with the engine-portable md5 hash,
+    hash-matched bit-exactly against a DuckDB rebuild of the same
+    bit-majority. The production query (`dedup_simhash`) swaps in
+    xxhash64/64-bit but shares the explode shape, the conditional-sum
+    groupBy, and the banded pairing it feeds."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures_md5(docs, "doc_id", "text")
     return sig.withColumnRenamed("doc", "doc_id")
 
 

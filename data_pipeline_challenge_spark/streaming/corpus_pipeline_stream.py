@@ -59,7 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from . import decontam_stream, dedup_stream, filter_gate_stream, near_dedup_stream
-from ..batchstore import maybe_consolidate_in_stream
+from ..batchstore import ensure_store_params, maybe_consolidate_in_stream
 
 
 def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -121,6 +121,28 @@ def start_corpus_pipeline_stream(
     window); ``None`` = offline-only maintenance."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+
+    # Pin the FUNNEL-defining configuration at the pipeline root, same
+    # drift-refusal contract as each gate's own params: the transform
+    # rewrites what every fingerprint/signature in history was computed
+    # FROM, and adding/removing/changing a stage changes the composed
+    # verdict function — a restart that disagrees must fail loudly, not
+    # silently judge new arrivals against incompatibly-built history.
+    # (Column expression trees stringify deterministically for a given
+    # construction, so equal construction pins equal.)
+    ensure_store_params(
+        odir,
+        {
+            "kind": "corpus_pipeline",
+            "transform_exprs": (
+                {c: str(e) for c, e in sorted(transform_exprs.items())}
+                if transform_exprs
+                else {}
+            ),
+            "quality_expr": None if quality_expr is None else str(quality_expr),
+            "decontam": eval_df is not None,
+        },
+    )
 
     ev = None
     if eval_df is not None:

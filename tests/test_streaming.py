@@ -1865,6 +1865,47 @@ def test_corpus_pipeline_transform_stage_scrubs_before_gates(spark, tmp_path):
             assert "bob@other.org" not in vals, f"raw PII in {f}:{col}"
 
 
+def test_corpus_pipeline_refuses_funnel_drift_on_restart(spark, tmp_path):
+    """The composed pipeline pins its funnel-defining config (transform
+    exprs, quality predicate, stage presence) at the root: a restart
+    with a different transform — or with the scrub dropped — fails
+    loudly instead of judging new arrivals against history whose
+    fingerprints were computed from differently-canonicalized text. An
+    identically-reconstructed config restarts fine."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_challenge_spark.functions.textfn import scrub_pii
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt_pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    land("a.parquet", [(1, "spark shuffles hash partitioned data between stages")])
+
+    def run(**kw):
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA, "doc_id", "text",
+            n_prefix=8, max_files_per_trigger=1, **kw,
+        )
+        q.awaitTermination(300)
+
+    scrubbed = {"text": scrub_pii(F.col("text"))}
+    run(transform_exprs=scrubbed)
+    # identical reconstruction: fine
+    run(transform_exprs={"text": scrub_pii(F.col("text"))})
+    # dropping the transform, or swapping in a different one: refused
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh"):
+        run()
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh"):
+        run(transform_exprs={"text": F.lower(F.col("text"))})
+
+
 def test_corpus_pipeline_resumes_after_mid_stage_crash(spark, tmp_path):
     """Crash-mid-pipeline contract: a batch folded through the first two
     stages only (the process died before the near stage) is completed on
