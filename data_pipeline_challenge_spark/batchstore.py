@@ -149,6 +149,35 @@ def read_cap_audit(out_dir: str | Path) -> list[dict]:
     return sorted(out, key=lambda r: (r.get("batch_id", -1), r.get("family", "")))
 
 
+_LAMBDA_VAR_RE = re.compile(r"\bx_\d+\b")
+
+
+def canonical_column_str(col) -> str:
+    """``str(Column)`` with higher-order-function lambda variables
+    alpha-renamed positionally — the construction-STABLE form a store
+    pin must record.
+
+    ``str(Column)`` is not stable across constructions of the same
+    expression: Spark gensyms lambda variable names from a
+    session-global counter, so ``F.transform(c, lambda x: ...)``
+    stringifies as ``x_1 -> …`` on one construction and ``x_7 -> …`` on
+    the next (and in a fresh JVM the numbers depend on construction
+    order). Renaming each distinct ``x_<n>`` token to ``x_<k>`` in order
+    of first appearance is deterministic for a fixed expression tree, so
+    equal constructions pin equal and a genuinely different predicate
+    still pins different."""
+    s = str(col)
+    mapping: dict[str, str] = {}
+
+    def _rename(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok not in mapping:
+            mapping[tok] = f"x_{len(mapping)}"
+        return mapping[tok]
+
+    return _LAMBDA_VAR_RE.sub(_rename, s)
+
+
 def ensure_store_params(out_dir: str | Path, params: dict) -> None:
     """Persist a gate's store-LAYOUT-defining parameters
     (``_gate_params.json``, written once, atomically) and REFUSE a

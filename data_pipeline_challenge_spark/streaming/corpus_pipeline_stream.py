@@ -59,7 +59,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from . import decontam_stream, dedup_stream, filter_gate_stream, near_dedup_stream
-from ..batchstore import ensure_store_params, maybe_consolidate_in_stream
+from ..batchstore import (
+    canonical_column_str,
+    ensure_store_params,
+    maybe_consolidate_in_stream,
+)
 
 
 def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
@@ -84,6 +88,32 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
     out["exact"] = dedup_stream.compact_dedup_store(spark, odir / "exact")
     out["near"] = near_dedup_stream.compact_near_dedup_store(spark, odir / "near")
     return out
+
+
+def pipeline_pin(
+    transform_exprs: dict[str, Column] | None,
+    quality_expr: Column | None,
+    decontam: bool,
+) -> dict:
+    """The funnel root's pinned configuration dict (see the
+    ``ensure_store_params`` call in :func:`start_corpus_pipeline_stream`).
+    Expressions are recorded via :func:`~..batchstore.canonical_column_str`
+    because raw ``str(Column)`` is NOT construction-stable — Spark
+    gensyms lambda variable names in higher-order functions, so an
+    identical-config restart would otherwise be refused. Exposed so the
+    restart matrix test can exercise every configuration cheaply."""
+    return {
+        "kind": "corpus_pipeline",
+        "transform_exprs": (
+            {c: canonical_column_str(e) for c, e in sorted(transform_exprs.items())}
+            if transform_exprs
+            else {}
+        ),
+        "quality_expr": (
+            None if quality_expr is None else canonical_column_str(quality_expr)
+        ),
+        "decontam": decontam,
+    }
 
 
 def start_corpus_pipeline_stream(
@@ -128,20 +158,10 @@ def start_corpus_pipeline_stream(
     # FROM, and adding/removing/changing a stage changes the composed
     # verdict function — a restart that disagrees must fail loudly, not
     # silently judge new arrivals against incompatibly-built history.
-    # (Column expression trees stringify deterministically for a given
-    # construction, so equal construction pins equal.)
+    # Expressions are pinned via canonical_column_str (see pipeline_pin):
+    # raw str(Column) is NOT construction-stable for lambda expressions.
     ensure_store_params(
-        odir,
-        {
-            "kind": "corpus_pipeline",
-            "transform_exprs": (
-                {c: str(e) for c, e in sorted(transform_exprs.items())}
-                if transform_exprs
-                else {}
-            ),
-            "quality_expr": None if quality_expr is None else str(quality_expr),
-            "decontam": eval_df is not None,
-        },
+        odir, pipeline_pin(transform_exprs, quality_expr, eval_df is not None)
     )
 
     ev = None

@@ -2783,3 +2783,125 @@ def test_corpus_pipeline_crash_matrix(spark, tmp_path, monkeypatch, kill_after):
     assert sorted(r["doc_id"] for r in cont.collect()) == EXPECTED["decontam_contaminated"]
     novel = dedup_stream.current_novel_docs(spark, out / "exact")
     assert sorted(r["doc_id"] for r in novel.collect()) == EXPECTED["exact_novel"]
+
+
+def test_funnel_restart_matrix_fresh_construction(spark, tmp_path):
+    """VERDICT r8 #1: every funnel configuration (with/without
+    transform/quality/decontam) must ACCEPT an identical-config restart
+    whose Columns were built by a FRESH construction — str(Column)
+    gensyms lambda variable names in higher-order functions, so the pin
+    must compare canonical forms — and must still REFUSE an
+    actually-changed threshold."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.batchstore import ensure_store_params
+    from data_pipeline_challenge_spark.functions.textfn import scrub_pii
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        pipeline_pin,
+    )
+    from data_pipeline_challenge_spark.streaming.filter_gate_stream import gopher_keep
+
+    def configs():
+        # Rebuilt on every call: each dict is a FRESH Column construction.
+        return {
+            "bare": ([None, None, False]),
+            "quality": ([None, gopher_keep("text", min_tokens=15), False]),
+            "transform": ([{"text": scrub_pii(F.col("text"))}, None, False]),
+            "full": (
+                [
+                    {"text": scrub_pii(F.col("text"))},
+                    gopher_keep("text", min_tokens=15),
+                    True,
+                ]
+            ),
+        }
+
+    for name, (tx, q, dec) in configs().items():
+        d = tmp_path / name
+        ensure_store_params(d, pipeline_pin(tx, q, dec))
+
+    # Identical config, fresh construction (new gensym counters): accepted.
+    for name, (tx, q, dec) in configs().items():
+        ensure_store_params(tmp_path / name, pipeline_pin(tx, q, dec))
+
+    # One genuinely-changed threshold per configuration: refused, and the
+    # refusal names the store path.
+    drifted = {
+        "bare": (None, gopher_keep("text"), False),  # stage added
+        "quality": (None, gopher_keep("text", min_tokens=16), False),
+        "transform": ({"text": F.lower(F.col("text"))}, None, False),
+        "full": (
+            {"text": scrub_pii(F.col("text"))},
+            gopher_keep("text", min_tokens=15),
+            False,  # decontam stage removed
+        ),
+    }
+    for name, (tx, q, dec) in drifted.items():
+        with _pytest.raises(RuntimeError, match="rebuild into a fresh") as ei:
+            ensure_store_params(tmp_path / name, pipeline_pin(tx, q, dec))
+        assert name in str(ei.value)
+
+
+def test_pinned_store_restart_matrix(spark, tmp_path):
+    """VERDICT r8 #6: every ensure_store_params site — exact-dedup gate,
+    near-dedup gate, decontam pin, funnel root (previous test) — accepts
+    an identical-config restart from a fresh construction and refuses a
+    single drifted parameter, naming the store path. (The embedding ANN
+    index is exempt by design: fold_batch reads dim/n_planes/seed back
+    from lsh_meta.json, so supplied params cannot drift the store.)"""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming import (
+        dedup_stream,
+        decontam_stream,
+        near_dedup_stream,
+    )
+
+    text = "a sufficiently long document carrying many distinct tokens here"
+    b = lambda i: spark.createDataFrame(  # noqa: E731
+        [(i, f"{text} variant {i}")], "doc_id long, text string"
+    )
+
+    # exact-dedup gate: n_prefix pinned at first fold.
+    d = tmp_path / "exact"
+    assert dedup_stream.fold_batch(spark, d, b(1), 0, "doc_id", "text",
+                                   n_prefix=4) is not None
+    assert dedup_stream.fold_batch(spark, d, b(2), 1, "doc_id", "text",
+                                   n_prefix=4) is not None
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh") as ei:
+        dedup_stream.fold_batch(spark, d, b(3), 2, "doc_id", "text", n_prefix=8)
+    assert "exact" in str(ei.value)
+
+    # near-dedup gate: signature/banding/bucket params pinned together.
+    d = tmp_path / "near"
+    kw = dict(num_hashes=16, bands=4, min_jaccard=0.5, n_prefix=4, bucket_cap=8)
+    assert near_dedup_stream.fold_batch(
+        spark, d, b(1), 0, "doc_id", "text", **kw) is not None
+    assert near_dedup_stream.fold_batch(
+        spark, d, b(2), 1, "doc_id", "text", **kw) is not None
+    # (min_jaccard / bucket_cap are POLICY — tunable per restart by
+    # design; only the layout params n/num_hashes/bands/n_prefix pin.)
+    for drift in ({"num_hashes": 32}, {"bands": 8}, {"n": 4}, {"n_prefix": 8}):
+        with _pytest.raises(RuntimeError, match="rebuild into a fresh") as ei:
+            near_dedup_stream.fold_batch(
+                spark, d, b(3), 2, "doc_id", "text", **{**kw, **drift})
+        assert "near" in str(ei.value)
+
+    # decontam pin: verdict params + eval content fingerprint.
+    d = tmp_path / "decon"
+    mk_eval = lambda t: spark.createDataFrame(  # noqa: E731
+        [(900, t)], "doc_id long, text string"
+    )
+    decontam_stream.pin_decontam_params(
+        d, mk_eval("benchmark question"), "doc_id", "text", 3, 2)
+    # Fresh eval_df construction, identical content: accepted.
+    decontam_stream.pin_decontam_params(
+        d, mk_eval("benchmark question"), "doc_id", "text", 3, 2)
+    for args in ((mk_eval("benchmark question"), 4, 2),
+                 (mk_eval("benchmark question"), 3, 1),
+                 (mk_eval("a different question"), 3, 2)):
+        ev, n, ms = args
+        with _pytest.raises(RuntimeError, match="rebuild into a fresh") as ei:
+            decontam_stream.pin_decontam_params(d, ev, "doc_id", "text", n, ms)
+        assert "decon" in str(ei.value)
