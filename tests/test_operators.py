@@ -828,3 +828,31 @@ def test_resizer_pillow_branch_logic_with_injected_module(monkeypatch):
     payload, w, h, did = resize(b"80x60")
     assert (w, h, did) == (80, 60, False)
     assert payload == b"80x60"  # pass-through is payload-identical
+
+
+def test_ann_recall_floors_headline_paths(spark):
+    """VERDICT r8 #3: the headline ANN configurations carry asserted
+    recall floors (the PQ path already had one) — a probe-geometry
+    regression that halves recall must FAIL here instead of sliding
+    through the driver's rows-only check. Floors are measured-minus-
+    margin at sf0.01 (measured: headline LSH-H1 0.7, IVF 0.6, maintained
+    LSH 0.7, maintained IVF 0.7 — seeded projections/k-means, so stable
+    within a testdata generation; the margin absorbs regeneration)."""
+    import __spark_entry__ as mod
+
+    rows = {
+        r["method"]: r["recall_at_k"]
+        for r in mod.queries()["ann_recall_eval"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    floors = {
+        "lsh_headline_derived_planes_h1": 0.5,
+        "ivf": 0.4,
+        "lsh_maintained_base_plus_inc_h1": 0.5,
+        "ivf_maintained_base_plus_inc": 0.4,
+    }
+    for method, floor in floors.items():
+        assert rows[method] >= floor, (
+            f"{method} recall@10 {rows[method]} fell below floor {floor}"
+        )
