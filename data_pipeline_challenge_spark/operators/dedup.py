@@ -170,6 +170,59 @@ def minhash_signatures_md5(
     return sh.groupBy(F.col("doc")).agg(*aggs)
 
 
+def banded_md5_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Engine-portable twin of the BANDING stage of
+    :func:`minhash_lsh_pairs`: md5-signature table →
+    md5 band hashes (60-bit prefix of ``md5(mh_i || '|' || mh_j)``) →
+    band self-join → distinct candidate pairs with their shared-band
+    count. The same plan shape as production banding (explode into band
+    rows, equi-join on (band, bh), ``doc1 < doc2``) with both hash
+    families swapped for md5 so DuckDB reproduces the candidate SET
+    bit-exactly — closing the one LSH stage
+    (``dedup_minhash_signature_parity`` certifies the sketch below it)
+    that was previously only self-attested. Returns
+    ``(doc1, doc2, n_bands)``."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_md5(df, id_col, text_col, n=n, num_hashes=num_hashes)
+
+    def bh(b: int):
+        s = F.concat_ws(
+            "|",
+            *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    band_structs = F.array(
+        *[F.struct(F.lit(b).alias("band"), bh(b).alias("bh")) for b in range(bands)]
+    )
+    banded = sig.select(F.col("doc"), F.explode(band_structs).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
 def banded_minhash_tables(
     df: DataFrame,
     id_col: str,

@@ -443,6 +443,57 @@ def dedup_minhash_signature_parity(spark: SparkSession, sf_dir: str) -> DataFram
     return sig.withColumnRenamed("doc", "doc_id")
 
 
+# DuckDB rebuild of the md5 band hashes: decimal-render each band's
+# signature values, '|'-join, md5, 60-bit prefix — same fold as the
+# signature hashes, so the candidate SET is engine-portable.
+_BAND_ROWS = "\n        UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, {h} AS bh FROM sig".format(
+        b=b,
+        h=_MH_HEX2INT.format(x=f"concat(mh_{2 * b}, '|', mh_{2 * b + 1})"),
+    )
+    for b in range(4)
+)
+
+
+@query(
+    "dedup_minhash_band_parity",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_MH_MD5_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    band_rows AS (
+        {_BAND_ROWS}
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_bands
+    FROM band_rows a
+    JOIN band_rows b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("text", "dedup", "minhash", "lsh"),
+)
+def dedup_minhash_band_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine certification of the BANDING stage (VERDICT r8 #5):
+    md5-twin band hashes → band self-join → distinct candidate pairs
+    with shared-band counts, hash-matched against a DuckDB rebuild.
+    Together with `dedup_minhash_signature_parity` (the sketch below
+    it), every stage of the LSH pipeline up to the exact-Jaccard verify
+    — which `dedup_ngram_jaccard_top20` certifies — is now
+    oracle-checked; only the hash family differs in production."""
+    from ..operators.dedup import banded_md5_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return banded_md5_candidates(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+
+
 # DuckDB rebuild of the md5-based simhash: per-token 60-bit hash, 60
 # conditional bit sums per doc, bit-majority recombined into one long.
 _SH_HASH = _MH_HEX2INT.format(x="t")
