@@ -16,10 +16,13 @@ PNG/GIF/JPEG header parse (see ``_make_decoder``):
   — at scale set it so batch_rows × max_payload fits the executor;
 - frame sampling shows the 1→N row shape (UDTF-style) that video work needs.
 
-STUB NOTE: ``extract_audio_features`` still interprets only the fake
-header format (see ``synth_media``) — soundfile/libav are the production
-swap there. The Spark-side plumbing — schemas, batching, partitioning,
-1→N expansion — is real and tested either way.
+STUB NOTE: audio decode resolves per-payload like images: FAKE
+containers use the stub header, RIFF/WAVE PCM decodes for real through
+stdlib ``wave`` (8/16/24/32-bit, multi-channel downmixed), and
+compressed codecs raise NotImplementedError (soundfile/libav are the
+production swap). Video remains header-stub only. The Spark-side
+plumbing — schemas, batching, partitioning, 1→N expansion — is real
+and tested in every tier.
 """
 
 from __future__ import annotations
@@ -207,28 +210,127 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Per-audio features (STUB codec: interprets the fake header's (w, h)
-    as (sample_rate/10, channels) and the body as 8-bit samples — a real
-    deployment swaps in soundfile/libav, the Arrow plumbing stays)."""
+def synth_wav_media(
+    spark: SparkSession, n: int = 16, seed: int = 7, start_id: int = 0
+) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE payloads (stdlib ``wave`` writer):
+    seeded 16-bit mono PCM sine snippets, kind='audio' — the fixture the
+    real-decode tier of :func:`extract_audio_features` is exercised on
+    (``synth_media`` stays all-FAKE so its consumers' oracle rows never
+    move)."""
+    import io
+    import wave
 
-    decode = _make_decoder()
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000, 22050]))
+        n_frames = sr * int(rng.randint(5, 40)) // 1000
+        t = np.arange(n_frames, dtype=np.float64)
+        freq = float(rng.uniform(100.0, 1000.0))
+        x = (0.5 * np.sin(2.0 * np.pi * freq * t / sr) * 32767.0).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(x.tobytes())
+        rows.append(
+            (
+                start_id + i,
+                "audio",
+                bytearray(buf.getvalue()),
+                {"codec": "pcm_s16le", "sr": str(sr)},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _make_audio_decoder():
+    """Audio decoder factory (self-contained closure, ships by value —
+    see ``_make_decoder``). Returns ``(sample_rate, n_samples,
+    duration_s, rms_proxy)``. Tier resolution mirrors the image decoder:
+
+    1. FAKE containers take the stub path — header (w, h) read as
+       (sample_rate/10, channels), body as 8-bit samples — so synthetic
+       oracle rows are codec-independent.
+    2. RIFF/WAVE PCM decodes for REAL through stdlib ``wave``:
+       8/16/24/32-bit samples normalized to [-1, 1], multi-channel
+       downmixed to mono before the RMS.
+    3. Anything else (compressed WAV, ogg, mp3, …) raises
+       NotImplementedError — soundfile/libav are the production swap.
+    """
+    import struct as _struct
+
+    magic = _MAGIC
+
+    def decode(payload: bytes) -> tuple[int, int, float, float]:
+        import numpy as _np
+
+        if payload[:4] == magic:
+            w, _h = _struct.unpack("<HH", payload[5:9])
+            sample_rate = int(w) * 10
+            body = _np.frombuffer(payload[9:], dtype=_np.uint8).astype(_np.float64)
+            nb = len(body)
+            rms = float(_np.sqrt((body**2).mean())) if nb else 0.0
+            return sample_rate, nb, round(nb / sample_rate, 6), round(rms, 6)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            try:
+                with wave.open(io.BytesIO(payload)) as wf:
+                    sr = wf.getframerate()
+                    nf = wf.getnframes()
+                    ch = wf.getnchannels()
+                    sw = wf.getsampwidth()
+                    raw = wf.readframes(nf)
+            except wave.Error as e:
+                raise NotImplementedError(
+                    f"non-PCM WAV needs soundfile/libav: {e}"
+                ) from None
+            if sw == 1:
+                x = (_np.frombuffer(raw, _np.uint8).astype(_np.float64) - 128.0) / 128.0
+            elif sw == 2:
+                x = _np.frombuffer(raw, "<i2").astype(_np.float64) / 32768.0
+            elif sw == 3:
+                b = _np.frombuffer(raw, _np.uint8).reshape(-1, 3).astype(_np.int64)
+                v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                v = _np.where(v >= 1 << 23, v - (1 << 24), v)
+                x = v.astype(_np.float64) / float(1 << 23)
+            elif sw == 4:
+                x = _np.frombuffer(raw, "<i4").astype(_np.float64) / 2147483648.0
+            else:
+                raise NotImplementedError(f"{sw * 8}-bit PCM WAV unsupported")
+            if ch > 1 and x.size:
+                x = x.reshape(-1, ch).mean(axis=1)
+            rms = float(_np.sqrt((x**2).mean())) if x.size else 0.0
+            dur = round(nf / sr, 6) if sr else 0.0
+            return int(sr), int(nf), dur, round(rms, 6)
+        raise NotImplementedError(
+            "unrecognized audio container (FAKE stub and RIFF/WAVE PCM are "
+            "the built-in tiers; wire soundfile/libav for compressed codecs)"
+        )
+
+    return decode
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Per-audio features via Arrow-batched mapInPandas. Decode resolves
+    per-payload (see ``_make_audio_decoder``): FAKE stub headers for
+    synthetic rows, a REAL stdlib-``wave`` PCM tier for RIFF/WAVE
+    payloads, NotImplementedError for compressed codecs."""
+
+    decode = _make_audio_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                w, _h, nb = decode(raw)
-                sample_rate = w * 10
-                body = _np.frombuffer(raw[9:], dtype=_np.uint8).astype(_np.float64)
-                rms = float(_np.sqrt((body**2).mean())) if nb else 0.0
-                out.append(
-                    (mid, sample_rate, nb, round(nb / sample_rate, 6), round(rms, 6))
-                )
+                sr, n_samples, dur, rms = decode(bytes(payload))
+                out.append((mid, sr, n_samples, dur, rms))
             yield _pd.DataFrame(
                 out,
                 columns=["media_id", "sample_rate", "n_samples", "duration_s", "rms_proxy"],

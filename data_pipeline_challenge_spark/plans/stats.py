@@ -430,6 +430,32 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    None,  # binary payloads (FAKE stubs + real WAV) — deterministic, rows-only.
+    tags=("multimodal", "mapinpandas", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction as a declared query: seeded synthetic
+    media (FAKE stub containers) unioned with REAL RIFF/WAVE 16-bit PCM
+    payloads (stdlib ``wave`` writer) → one Arrow-batched decode pass.
+    The WAV rows exercise the real stdlib decode tier — sample rate,
+    frame count, duration and RMS all come from actual PCM samples —
+    the FAKE rows the codec-independent stub tier; compressed codecs
+    remain an honest NotImplementedError. sf_dir unused (no binary
+    table in the test data); fully seeded so the rows-only check is
+    stable."""
+    from ..operators.multimodal import (
+        extract_audio_features,
+        synth_media,
+        synth_wav_media,
+    )
+
+    media = synth_media(spark, n=96, seed=42)
+    wavs = synth_wav_media(spark, n=16, seed=7, start_id=1000)
+    return extract_audio_features(media.unionByName(wavs))
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),
