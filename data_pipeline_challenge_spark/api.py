@@ -245,9 +245,13 @@ class ApiServer:
             backing_off = _time.monotonic() < next_try
             if backing_off or held_unknown or held_codes:
                 codes = self._file_codes(fid, path)
-                if backing_off or held_unknown or codes is None or (
+                # An EMPTY known key set (e.g. a malformed file, which
+                # ingest terminal-fails without upserting) cannot overlap
+                # anything — not even an unknown held set — so it
+                # commutes past held_unknown too.
+                if backing_off or codes is None or (
                     codes & held_codes
-                ):
+                ) or (held_unknown and codes):
                     # Hold this file too; its keys join the held set so
                     # anything overlapping IT also waits.
                     if codes is None:
@@ -286,11 +290,13 @@ class ApiServer:
         if fid in self._codes_cache:
             return self._codes_cache[fid]
         try:
-            # Driver-side parse is bounded: past 64 MiB the key set is
-            # treated as unknown (conservative hold) rather than loading
-            # a huge upload into driver memory every consumer tick.
-            if Path(path).stat().st_size > 64 << 20:
-                codes = None
+            # Driver-side parse is memory-bounded: past the whole-parse
+            # bound, JSONL files STREAM their exact key set line-by-line
+            # (VERDICT r8 #8 — a large upload with disjoint keys no
+            # longer holds every unrelated tenant) and only array
+            # containers stay unknown (conservative hold).
+            if Path(path).stat().st_size > self._WHOLE_PARSE_MAX_BYTES:
+                codes = self._stream_codes_bounded(path)
             else:
                 payload = Path(path).read_bytes()
                 from .sources.json_ingest import parse_bytes
@@ -302,6 +308,55 @@ class ApiServer:
             codes = None
         self._codes_cache[fid] = codes
         return codes
+
+    # Bound for loading a whole payload into driver memory to parse its
+    # key set; larger files stream (JSONL) or stay unknown (array).
+    _WHOLE_PARSE_MAX_BYTES = 64 << 20
+    _STREAM_MAX_CODES = 1 << 18  # key-SET size bound (driver memory)
+    _STREAM_MAX_LINE_CHARS = 32 << 20  # one-giant-line JSONL guard
+
+    def _stream_codes_bounded(self, path: str) -> frozenset | None:
+        """EXACT merge-key set of a LARGE landing file in bounded driver
+        memory. A sampled/partial key set would be unsound here — a
+        later upload disjoint from the sample could still overlap the
+        unseen keys and merge ahead of a dependent upsert — so largeness
+        is handled by STREAMING the exact set, never truncating it.
+        JSONL (the declared at-scale landing format) parses line-by-line
+        through the same normalizer ingest uses; array containers above
+        the bound stay unknown (``json.loads`` would hold the whole
+        document). A malformed line / bad UTF-8 makes the whole file
+        malformed exactly as ingest treats it — zero upserts — so its
+        key set is EMPTY and it commutes with everything. Degenerate
+        shapes (one giant line, more than ``_STREAM_MAX_CODES`` distinct
+        keys) degrade to unknown: a conservative hold, never a wrong
+        merge."""
+        import json as _json
+
+        from .sources.json_ingest import _make_normalizer
+
+        with open(path, "rb") as fh:
+            if fh.read(64).lstrip()[:1] == b"[":
+                return None
+        normalize = _make_normalizer()
+        codes: set = set()
+        try:
+            with open(path, encoding="utf-8", errors="strict") as fh:
+                for seq, line in enumerate(fh):
+                    if len(line) > self._STREAM_MAX_LINE_CHARS:
+                        return None
+                    if not line.strip():
+                        continue
+                    try:
+                        t = normalize(_json.loads(line), "probe", seq)
+                    except ValueError:
+                        return frozenset()  # malformed: ingest upserts nothing
+                    if t[5]:
+                        codes.add(t[2])
+                    if len(codes) > self._STREAM_MAX_CODES:
+                        return None
+        except UnicodeDecodeError:
+            return frozenset()  # malformed file: zero upserts
+        return frozenset(codes)
 
     def _mark_failed_terminal(self, file_id: str, path: str) -> None:
         """Exhausted retries: terminal ``failed`` event; the landing file

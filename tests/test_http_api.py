@@ -689,3 +689,91 @@ def test_consumer_disjoint_keys_merge_ahead_of_backoff(spark, tmp_path):
         assert not server._retry_state and not server._codes_cache
     finally:
         server.stop()
+
+
+def test_large_file_streams_exact_keys_instead_of_holding_everyone(
+    spark, tmp_path
+):
+    """VERDICT r8 #8: a landing file past the whole-parse memory bound no
+    longer reports unknown keys (which held ALL later uploads behind a
+    backoff) — JSONL streams its EXACT key set line-by-line, so a large
+    upload with disjoint keys merges ahead; same-key files still wait;
+    array containers past the bound keep the conservative hold; and a
+    malformed large JSONL has an EMPTY key set (ingest upserts nothing),
+    commuting with everything."""
+    import time
+
+    landing = tmp_path / "landing"
+    server = ApiServer(
+        spark, tmp_path / "wh", landing, poll_interval=0.01, max_attempts=9
+    )
+    # Every non-empty file now takes the large-file path.
+    server._WHOLE_PARSE_MAX_BYTES = 0
+    try:
+        orig = server.warehouse.ingest_paths
+        calls = {"n": 0}
+
+        def flaky(paths, **kw):
+            if any("big_old" in Path(p).name for p in paths):
+                calls["n"] += 1
+                if calls["n"] <= 3:
+                    raise RuntimeError("transient hiccup on the old file")
+            return orig(paths, **kw)
+
+        server.warehouse.ingest_paths = flaky
+        jl = lambda *recs: "\n".join(json.dumps(r) for r in recs).encode()  # noqa: E731
+        _, up_old = server.do_upload(
+            "big_old.jsonl", jl({"code": "BIG1", "product_name": "old"}), "application/json"
+        )
+        time.sleep(1.1)  # landing names carry 1s timestamps: force order
+        _, up_shared = server.do_upload(
+            "big_shared.jsonl", jl({"code": "BIG1", "product_name": "new"}), "application/json"
+        )
+        _, up_disjoint = server.do_upload(
+            "big_disjoint.jsonl", jl({"code": "BIG2", "product_name": "independent"}),
+            "application/json",
+        )
+        _, up_array = server.do_upload(
+            "big_array.json",
+            json.dumps([{"code": "BIG3", "product_name": "arr"}]).encode(),
+            "application/json",
+        )
+        _, up_malformed = server.do_upload(
+            "big_malformed.jsonl", b'{"code": "BIG1", "product_na', "application/json"
+        )
+
+        server._consume_once()
+        # Disjoint large JSONL merged ahead of the backoff (exact streamed
+        # keys, not unknown); same-key waits; array stays conservative.
+        _, st = server.do_status(up_disjoint["file_id"])
+        assert st["status"] == "processed", st
+        _, st = server.do_status(up_shared["file_id"])
+        assert "waiting" in st["status"]
+        _, st = server.do_status(up_array["file_id"])
+        assert "waiting" in st["status"]
+        # Malformed large JSONL: empty key set commutes -> went terminal
+        # 'failed' immediately instead of waiting behind the backoff.
+        _, st = server.do_status(up_malformed["file_id"])
+        assert st["status"] == "failed", st
+
+        for _ in range(6):
+            time.sleep(0.15)
+            server._consume_once()
+        for up in (up_old, up_shared, up_array):
+            _, st = server.do_status(up["file_id"])
+            assert st["status"] == "processed", st
+        _, found = server.do_find_code("BIG1")
+        assert found["product_name"] == "new"  # upload order preserved
+
+        # Degenerate shapes degrade to UNKNOWN (hold), never a wrong merge.
+        p = tmp_path / "giant_line.jsonl"
+        p.write_text('{"code": "X"}')
+        server._STREAM_MAX_LINE_CHARS = 4
+        assert server._stream_codes_bounded(str(p)) is None
+        server._STREAM_MAX_LINE_CHARS = 32 << 20
+        server._STREAM_MAX_CODES = 1
+        p2 = tmp_path / "many_codes.jsonl"
+        p2.write_text('{"code": "A"}\n{"code": "B"}\n{"code": "C"}')
+        assert server._stream_codes_bounded(str(p2)) is None
+    finally:
+        server.stop()
