@@ -226,6 +226,34 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_top10_indexed",
+    None,  # k-means trained on a sample — engine-specific, rows-only.
+    tags=("similarity", "ann", "ivf", "index"),
+)
+def ann_ivf_top10_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index serving path for IVF top-10 — the third ANN
+    family gets the same serving twin LSH and PQ already have:
+    ``ivf_build_index`` writes the assigned table ONCE, partitioned by
+    cluster, plus the centroid sidecar; the probe ranks centroids
+    driver-side and scans only its ``n_probe`` cluster partitions via
+    planning-time partition pruning — zero Python in the serving plan.
+    Same deterministic trainer, probe set, and cosine as
+    ``ann_ivf_top10``, so both return identical rows (pinned by
+    ``test_ivf_indexed_probe_prunes_partitions`` at the operator level
+    and ``test_ann_ivf_indexed_query_matches_inflight`` at the
+    registered configuration)."""
+    from ..operators.similarity import ivf_build_index, ivf_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_ID).select("embedding")
+    rest = emb.filter(F.col("vec_id") != _QUERY_ID)
+    idx = _scratch_dir("ivf_index")
+    ivf_build_index(rest, idx, n_clusters=16)
+    out = ivf_topk_indexed(spark, idx, qvec, k=10, n_probe=4)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+@query(
     "ann_pq_top10",
     None,  # codebooks trained on a seeded sample — engine-specific, rows-only.
     tags=("similarity", "ann", "pq"),

@@ -491,3 +491,20 @@ def test_lsh_headline_fills_k(spark):
     ]
     assert len(inflight) == 10
     assert inflight == indexed
+
+
+def test_ann_ivf_indexed_query_matches_inflight(spark):
+    """The registered serving twin returns exactly the registered
+    in-flight query's rows at the registered configuration (16 clusters,
+    4 probes, k=10) — the index changes cost, never results."""
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    sf = "/root/testdata/sf0.001"
+    a = [(r["vec_id"], r["sim"]) for r in qs["ann_ivf_top10"](spark, sf).collect()]
+    b = [
+        (r["vec_id"], r["sim"])
+        for r in qs["ann_ivf_top10_indexed"](spark, sf).collect()
+    ]
+    assert a == b
+    assert len(a) == 10
