@@ -725,19 +725,26 @@ def test_large_file_streams_exact_keys_instead_of_holding_everyone(
         _, up_old = server.do_upload(
             "big_old.jsonl", jl({"code": "BIG1", "product_name": "old"}), "application/json"
         )
-        time.sleep(1.1)  # landing names carry 1s timestamps: force order
+        # Landing names carry 1s timestamps and same-second files sort by
+        # a random token — sleep between EVERY upload so the consume
+        # order is deterministic (disjoint must precede the
+        # unknown-keys array file for the merge-ahead assertion).
+        time.sleep(1.1)
         _, up_shared = server.do_upload(
             "big_shared.jsonl", jl({"code": "BIG1", "product_name": "new"}), "application/json"
         )
+        time.sleep(1.1)
         _, up_disjoint = server.do_upload(
             "big_disjoint.jsonl", jl({"code": "BIG2", "product_name": "independent"}),
             "application/json",
         )
+        time.sleep(1.1)
         _, up_array = server.do_upload(
             "big_array.json",
             json.dumps([{"code": "BIG3", "product_name": "arr"}]).encode(),
             "application/json",
         )
+        time.sleep(1.1)
         _, up_malformed = server.do_upload(
             "big_malformed.jsonl", b'{"code": "BIG1", "product_na', "application/json"
         )
