@@ -341,6 +341,209 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_META_SCHEMA = (
+    "media_id long, container string, width int, height int, "
+    "n_frames long, fps double, duration_s double"
+)
+
+
+def synth_avi_media(
+    spark: SparkSession, n: int = 8, seed: int = 11, start_id: int = 0
+) -> DataFrame:
+    """Deterministic REAL RIFF-AVI containers (header + junk movi body,
+    no encoded frames): seeded dims/frame-counts packed into a valid
+    ``avih`` chunk — the fixture for :func:`extract_video_meta`'s AVI
+    tier."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.randint(64, 1920)), int(rng.randint(64, 1080))
+        frames = int(rng.randint(10, 2000))
+        us_per_frame = int(rng.choice([33333, 40000, 41708]))  # 30/25/23.976
+        avih = struct.pack(
+            "<IIIIIIIIII4I",
+            us_per_frame, 0, 0, 0, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+        )
+        hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+        movi = b"movi" + bytes(rng.bytes(int(rng.randint(32, 256))))
+        if len(movi) % 2:
+            movi += b"\x00"
+        body = (
+            b"AVI "
+            + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append(
+            (start_id + i, "video", bytearray(payload), {"container": "avi"})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_mp4_media(
+    spark: SparkSession, n: int = 8, seed: int = 13, start_id: int = 0
+) -> DataFrame:
+    """Deterministic REAL ISO-BMFF (MP4) containers (ftyp + moov with
+    mvhd/tkhd, no media data): the fixture for
+    :func:`extract_video_meta`'s MP4 tier."""
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.randint(64, 3840)), int(rng.randint(64, 2160))
+        timescale = int(rng.choice([600, 1000, 90000]))
+        duration = int(rng.randint(timescale, timescale * 300))
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"  # version 0 + flags
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + b"\x00" * 80,
+        )
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">III", 0, 0, 1)
+            + b"\x00" * 60
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        moov = box(b"moov", mvhd + box(b"trak", tkhd))
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        rows.append(
+            (
+                start_id + i,
+                "video",
+                bytearray(ftyp + moov),
+                {"container": "mp4"},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _make_video_meta_parser():
+    """Video metadata parser factory (self-contained closure, ships by
+    value — see ``_make_decoder``). Returns ``(container, width,
+    height, n_frames, fps, duration_s)`` with -1/-1.0 for fields a
+    container's headers don't carry. Tier resolution:
+
+    1. FAKE containers: stub header dims, fps fixed at 24.0, one frame
+       per body byte — codec-independent oracle rows.
+    2. RIFF-AVI: the ``avih`` main header parsed with stdlib struct —
+       real dims, total frames, fps (1e6 / microsec-per-frame).
+    3. ISO-BMFF (MP4): box walk to ``moov/mvhd`` (timescale, duration)
+       and the first ``trak/tkhd`` (16.16-fixed width/height). Frame
+       count/fps need an ``stts`` sample-table parse — reported -1, an
+       honest partial.
+    4. Anything else raises NotImplementedError (matroska/webm etc.
+       need real demuxers — libav is the production swap).
+
+    Header parses only — no pixel decode is possible without a codec,
+    exactly like the image decoder's stdlib tier."""
+    import struct as _struct
+
+    magic = _MAGIC
+
+    def _avi(p: bytes):
+        # Headers live at the front; bound the scan so a (malformed)
+        # payload embedding 'avih' deep in movi data can't fool it.
+        head = p[: 64 << 10]
+        i = head.find(b"avih")
+        if i < 0 or i + 8 + 40 > len(head):
+            raise ValueError("AVI without avih main header")
+        d = head[i + 8 :]
+        us_pf, frames, w, h = (
+            _struct.unpack_from("<I", d, 0)[0],
+            _struct.unpack_from("<I", d, 16)[0],
+            _struct.unpack_from("<I", d, 32)[0],
+            _struct.unpack_from("<I", d, 36)[0],
+        )
+        fps = 1e6 / us_pf if us_pf else -1.0
+        dur = frames / fps if fps > 0 else -1.0
+        return "avi", int(w), int(h), int(frames), round(fps, 3), round(dur, 3)
+
+    def _mp4_boxes(p: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = _struct.unpack_from(">I", p, i)[0]
+            fourcc = p[i + 4 : i + 8]
+            if size < 8 or i + size > end:
+                return
+            yield fourcc, i + 8, i + size
+            i += size
+
+    def _mp4(p: bytes):
+        timescale = duration = None
+        w = h = None
+        for cc, s, e in _mp4_boxes(p, 0, len(p)):
+            if cc != b"moov":
+                continue
+            for cc2, s2, e2 in _mp4_boxes(p, s, e):
+                if cc2 == b"mvhd" and e2 - s2 >= 20:
+                    ver = p[s2]
+                    if ver == 1:
+                        timescale = _struct.unpack_from(">I", p, s2 + 20)[0]
+                        duration = _struct.unpack_from(">Q", p, s2 + 24)[0]
+                    else:
+                        timescale = _struct.unpack_from(">I", p, s2 + 12)[0]
+                        duration = _struct.unpack_from(">I", p, s2 + 16)[0]
+                elif cc2 == b"trak" and w is None:
+                    for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                        if cc3 == b"tkhd" and e3 - s3 >= 8:
+                            w = _struct.unpack_from(">I", p, e3 - 8)[0] >> 16
+                            h = _struct.unpack_from(">I", p, e3 - 4)[0] >> 16
+        if w is None or timescale is None:
+            raise ValueError("MP4 without tkhd/mvhd")
+        dur = round(duration / timescale, 3) if timescale else -1.0
+        return "mp4", int(w), int(h), -1, -1.0, dur
+
+    def parse(payload: bytes):
+        if payload[:4] == magic:
+            w, h = _struct.unpack("<HH", payload[5:9])
+            frames = len(payload) - 9
+            return "fake", int(w), int(h), frames, 24.0, round(frames / 24.0, 3)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return _avi(payload)
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            return _mp4(payload)
+        raise NotImplementedError(
+            "unrecognized video container (FAKE stub, RIFF-AVI and "
+            "ISO-BMFF headers are the built-in tiers; wire libav/ffmpeg "
+            "for real demuxing)"
+        )
+
+    return parse
+
+
+def extract_video_meta(media: DataFrame) -> DataFrame:
+    """Per-video container metadata via Arrow-batched mapInPandas —
+    dims, frame count, fps, duration from real container headers (see
+    ``_make_video_meta_parser`` for the tier contract)."""
+
+    parse = _make_video_meta_parser()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                c, w, h, nf, fps, dur = parse(bytes(payload))
+                out.append((mid, c, w, h, nf, fps, dur))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "fps", "duration_s",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, payload binary, width int, height int, resized boolean"
 )

@@ -456,6 +456,33 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_meta",
+    None,  # binary payloads (FAKE stubs + real AVI/MP4 headers) — rows-only.
+    tags=("multimodal", "mapinpandas", "video"),
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata as a declared query: seeded synthetic
+    media (FAKE stub containers) unioned with REAL RIFF-AVI and
+    ISO-BMFF/MP4 headers → one Arrow-batched parse. The AVI rows carry
+    real dims/frame-count/fps from the ``avih`` main header, the MP4
+    rows real dims/duration from ``tkhd``/``mvhd`` (frame count -1 — an
+    stts parse is the next tier); actual frame DECODE stays an honest
+    NotImplementedError without a demuxer. sf_dir unused; fully seeded
+    so the rows-only check is stable."""
+    from ..operators.multimodal import (
+        extract_video_meta,
+        synth_avi_media,
+        synth_media,
+        synth_mp4_media,
+    )
+
+    media = synth_media(spark, n=96, seed=42)
+    avis = synth_avi_media(spark, n=8, seed=11, start_id=2000)
+    mp4s = synth_mp4_media(spark, n=8, seed=13, start_id=3000)
+    return extract_video_meta(media.unionByName(avis).unionByName(mp4s))
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

@@ -926,3 +926,57 @@ def test_audio_wav_real_decode_tier(spark):
         assert r["sample_rate"] == meta[mid]
         assert r["duration_s"] == round(r["n_samples"] / r["sample_rate"], 6)
         assert 0.0 < r["rms_proxy"] < 1.0  # half-amplitude sine ~ 0.35
+
+
+def test_video_meta_real_header_tiers(spark):
+    """RIFF-AVI and MP4 container metadata parse for REAL through stdlib
+    struct (known-value headers), FAKE containers keep the stub path,
+    and unknown containers stay an honest NotImplementedError."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _make_video_meta_parser,
+        extract_video_meta,
+        synth_avi_media,
+        synth_media,
+        synth_mp4_media,
+    )
+
+    parse = _make_video_meta_parser()
+
+    # Known-value AVI: 320x240, 100 frames at exactly 25 fps -> 4.0s.
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, 100, 0, 1, 0,
+                       320, 240, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse(avi) == ("avi", 320, 240, 100, 25.0, 4.0)
+
+    # Known-value MP4: 640x360, timescale 600, duration 1200 -> 2.0s.
+    def box(cc, payload):
+        return struct.pack(">I", len(payload) + 8) + cc + payload
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 1200)
+               + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 1)
+               + b"\x00" * 60 + struct.pack(">II", 640 << 16, 360 << 16))
+    mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert parse(mp4) == ("mp4", 640, 360, -1, -1.0, 2.0)
+
+    with _pytest.raises(NotImplementedError):
+        parse(b"\x1aE\xdf\xa3" + b"\x00" * 64)  # matroska/webm: honest gap
+
+    # Through Spark: both real tiers + the stub tier in one pass; the
+    # synthesizers' meta matches what the parser reads back.
+    media = (synth_media(spark, n=24, seed=42)
+             .unionByName(synth_avi_media(spark, n=4, seed=11, start_id=200))
+             .unionByName(synth_mp4_media(spark, n=4, seed=13, start_id=300)))
+    rows = {r["media_id"]: r for r in extract_video_meta(media).collect()}
+    containers = {r["container"] for r in rows.values()}
+    assert containers == {"fake", "avi", "mp4"}
+    for mid, r in rows.items():
+        if r["container"] == "avi":
+            assert r["n_frames"] > 0 and r["fps"] > 0 and r["duration_s"] > 0
+        elif r["container"] == "mp4":
+            assert r["width"] > 0 and r["duration_s"] > 0 and r["n_frames"] == -1
