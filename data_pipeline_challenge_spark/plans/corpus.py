@@ -549,6 +549,71 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_threshold_profile",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                     for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+    ns AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+           FROM tr JOIN ev USING (s) GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents WHERE source <> 'src0'),
+    th AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS min_shared)
+    SELECT th.min_shared AS min_shared,
+           CAST(count(ns.doc_id) AS BIGINT) AS n_diverted,
+           round(count(ns.doc_id) * 1.0 / (SELECT n FROM tot), 6)
+             AS frac_diverted
+    FROM th LEFT JOIN ns ON ns.n_shared >= th.min_shared
+    GROUP BY th.min_shared
+    """,
+    tags=("decontam", "corpus"),
+)
+def decontam_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold FITTING for benchmark decontamination — the pass a
+    pipeline runs before committing a gate's ``min_shared`` (the round-9
+    funnel measurement caught the default 2 diverting ~90% of a
+    templated corpus): for each candidate threshold, how many training
+    docs the gate would divert and the diverted fraction. Plan: the one
+    broadcast-eval overlap pass (corpus never shuffles,
+    operators/decontam.py) feeds SIX conditional partial aggregates in a
+    single map-side-combinable agg (the shuffle carries 6 longs per
+    partition, never per-doc rows), unpivoted via stack; the total is a
+    broadcast single-row aggregate."""
+    from ..operators.decontam import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    tr = docs.filter(F.col("source") != "src0")
+    rep = contamination_report(tr, ev, "doc_id", "text", n=3)
+    ths = (1, 2, 4, 8, 16, 32)
+    row = rep.agg(
+        *[
+            F.sum(F.when(F.col("n_shared") >= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"t{t}")
+            for t in ths
+        ]
+    )
+    stacked = row.selectExpr(
+        "stack(6, "
+        + ", ".join(f"CAST({t} AS BIGINT), t{t}" for t in ths)
+        + ") AS (min_shared, n_diverted)"
+    )
+    tot = tr.agg(F.count(F.lit(1)).alias("n_total"))
+    return stacked.crossJoin(F.broadcast(tot)).select(
+        "min_shared",
+        "n_diverted",
+        F.round(F.col("n_diverted") / F.col("n_total"), 6).alias("frac_diverted"),
+    )
+
+
+@query(
     "corpus_mix_weighted",
     """
     WITH w AS (
