@@ -182,9 +182,66 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_sha1 string"
 
 
+def _make_frame_extractor(frames_per_video: int):
+    """Frame-sampling factory (self-contained closure, ships by value —
+    see ``_make_decoder``). Returns ``[(frame_idx, frame_bytes), …]``
+    of at most ``frames_per_video`` evenly-spaced frames. Tiers:
+
+    1. FAKE containers: deterministic byte-stride samples of the stub
+       body (codec-independent oracle rows, the original stub shape).
+    2. RIFF-AVI: REAL frame boundaries — the ``movi`` list's video
+       chunks (``..dc``/``..db``) walked with stdlib struct; sampled
+       frames are the actual per-frame payloads (undecoded bytes — a
+       pixel decode still needs a codec, same contract as images).
+    3. Anything else raises NotImplementedError: byte-striding a real
+       container would silently fingerprint garbage that crosses frame
+       boundaries — an honest gap beats a fake sample.
+    """
+    import struct as _struct
+
+    magic = _MAGIC
+
+    def frames(payload: bytes) -> list[tuple[int, bytes]]:
+        if payload[:4] == magic:
+            return [
+                (k, payload[9 + k :: frames_per_video])
+                for k in range(frames_per_video)
+            ]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            movi = payload.find(b"movi")
+            if movi < 0:
+                raise ValueError("AVI without a movi list")
+            i, end = movi + 4, len(payload)
+            chunks: list[bytes] = []
+            while i + 8 <= end:
+                cc = payload[i : i + 4]
+                size = _struct.unpack_from("<I", payload, i + 4)[0]
+                if i + 8 + size > end:
+                    break
+                if cc[2:4] in (b"dc", b"db"):
+                    chunks.append(payload[i + 8 : i + 8 + size])
+                i += 8 + size + (size & 1)
+            n = len(chunks)
+            if n == 0:
+                return []
+            k = min(frames_per_video, n)
+            return [(j, chunks[j * n // k]) for j in range(k)]
+        raise NotImplementedError(
+            "frame sampling needs real demuxing for this container "
+            "(FAKE stub and RIFF-AVI are the built-in tiers; wire "
+            "libav/ffmpeg for MP4/webm streams)"
+        )
+
+    return frames
+
+
 def sample_video_frames(media: DataFrame, frames_per_video: int = 4) -> DataFrame:
-    """1→N frame sampling (UDTF shape): each video row yields
-    ``frames_per_video`` deterministic frame fingerprints."""
+    """1→N frame sampling (UDTF shape): each video row yields up to
+    ``frames_per_video`` deterministic frame fingerprints — real movi
+    frame boundaries for RIFF-AVI, stub strides for FAKE containers
+    (see ``_make_frame_extractor`` for the tier contract)."""
+
+    extract = _make_frame_extractor(frames_per_video)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -194,9 +251,7 @@ def sample_video_frames(media: DataFrame, frames_per_video: int = 4) -> DataFram
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                for k in range(frames_per_video):
-                    frame = raw[9 + k :: frames_per_video]  # deterministic stride sample
+                for k, frame in extract(bytes(payload)):
                     out.append((mid, k, _hashlib.sha1(frame).hexdigest()))
             yield _pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_sha1"])
 
@@ -358,16 +413,21 @@ def synth_avi_media(
     rows = []
     for i in range(n):
         w, h = int(rng.randint(64, 1920)), int(rng.randint(64, 1080))
-        frames = int(rng.randint(10, 2000))
+        frames = int(rng.randint(4, 16))
         us_per_frame = int(rng.choice([33333, 40000, 41708]))  # 30/25/23.976
         avih = struct.pack(
             "<IIIIIIIIII4I",
             us_per_frame, 0, 0, 0, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
         )
         hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
-        movi = b"movi" + bytes(rng.bytes(int(rng.randint(32, 256))))
-        if len(movi) % 2:
-            movi += b"\x00"
+        # Real movi stream: one 00dc chunk per frame (even-padded), so
+        # the frame sampler's AVI tier has actual frame boundaries.
+        movi = b"movi"
+        for _ in range(frames):
+            data = bytes(rng.bytes(int(rng.randint(16, 96))))
+            movi += b"00dc" + struct.pack("<I", len(data)) + data
+            if len(data) % 2:
+                movi += b"\x00"
         body = (
             b"AVI "
             + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl

@@ -483,6 +483,29 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    None,  # binary payloads (FAKE stubs + real AVI frames) — rows-only.
+    tags=("multimodal", "mapinpandas", "video", "udtf"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling as a declared query: FAKE stub containers
+    yield deterministic stride fingerprints, REAL RIFF-AVI containers
+    yield fingerprints of their ACTUAL ``movi`` frame chunks (evenly
+    sampled, undecoded bytes); other containers are an honest
+    NotImplementedError rather than a fake byte-stride. sf_dir unused;
+    fully seeded so the rows-only check is stable."""
+    from ..operators.multimodal import (
+        sample_video_frames,
+        synth_avi_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=96, seed=42)
+    avis = synth_avi_media(spark, n=8, seed=11, start_id=2000)
+    return sample_video_frames(media.unionByName(avis), frames_per_video=4)
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

@@ -980,3 +980,63 @@ def test_video_meta_real_header_tiers(spark):
             assert r["n_frames"] > 0 and r["fps"] > 0 and r["duration_s"] > 0
         elif r["container"] == "mp4":
             assert r["width"] > 0 and r["duration_s"] > 0 and r["n_frames"] == -1
+
+
+def test_video_frame_sampling_real_avi_tier(spark):
+    """RIFF-AVI frame sampling walks REAL movi chunk boundaries (known
+    frame payloads in, their sha1s out, evenly sampled), FAKE containers
+    keep the stub stride, and other containers raise instead of
+    fingerprinting a fake byte-stride."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _make_frame_extractor,
+        sample_video_frames,
+        synth_avi_media,
+        synth_media,
+    )
+
+    # Six known frames; sample 4 -> chunk indices 0, 1, 3, 4 (j*6//4).
+    frames = [bytes([k]) * (10 + k) for k in range(6)]
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, 6, 0, 1, 0,
+                       64, 48, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    for f in frames:
+        movi += b"00dc" + struct.pack("<I", len(f)) + f
+        if len(f) % 2:
+            movi += b"\x00"
+    body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    extract = _make_frame_extractor(4)
+    got = extract(avi)
+    assert [(k, f) for k, f in got] == [
+        (0, frames[0]), (1, frames[1]), (2, frames[3]), (3, frames[4])
+    ]
+
+    with _pytest.raises(NotImplementedError):
+        extract(b"\x00\x00\x00\x14ftypisom" + b"\x00" * 32)  # MP4: honest gap
+
+    # Through Spark: AVI rows carry movi-chunk sha1s, FAKE rows the stub
+    # strides; per-video row count = min(4, n_frames) for AVI.
+    avis = synth_avi_media(spark, n=4, seed=11, start_id=500)
+    media = synth_media(spark, n=12, seed=42).unionByName(avis)
+    rows = sample_video_frames(media, frames_per_video=4).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["media_id"], []).append(r)
+    n_fake_videos = sum(1 for r in synth_media(spark, n=12, seed=42).collect()
+                       if r["kind"] == "video")
+    assert len([v for v in by_vid if v < 500]) == n_fake_videos
+    assert len([v for v in by_vid if v >= 500]) == 4
+    mids = {r["media_id"]: bytes(r["payload"]) for r in avis.collect()}
+    for vid, vrows in by_vid.items():
+        if vid >= 500:
+            expected = {hashlib.sha1(f).hexdigest()
+                        for _, f in _make_frame_extractor(4)(mids[vid])}
+            assert {r["frame_sha1"] for r in vrows} == expected
