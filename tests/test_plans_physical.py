@@ -298,3 +298,15 @@ def test_corpus_length_trim_single_window_pass(spark):
     # one window over source partitions, then agg — no join, no extra sort
     assert plan.count("Window") >= 1
     assert "Join" not in plan
+
+
+def test_decontam_threshold_profile_partial_agg_only(spark):
+    # Same broadcast-eval core as decontam_eval_overlap (training side
+    # never sort-merge-shuffles), and the six threshold counts fold in a
+    # two-phase partial aggregate -- the shuffle after the per-doc
+    # overlap carries partial sums, never a per-doc-per-threshold fanout.
+    plan = plan_of(spark, "decontam_threshold_profile")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine of the 6 counters
+    assert "CartesianProduct" not in plan
