@@ -149,7 +149,7 @@ def read_cap_audit(out_dir: str | Path) -> list[dict]:
     return sorted(out, key=lambda r: (r.get("batch_id", -1), r.get("family", "")))
 
 
-_LAMBDA_VAR_RE = re.compile(r"\bx_\d+\b")
+_LAMBDA_VAR_RE = re.compile(r"\b[xyz]_\d+\b")
 
 
 def canonical_column_str(col) -> str:
@@ -162,17 +162,19 @@ def canonical_column_str(col) -> str:
     session-global counter, so ``F.transform(c, lambda x: ...)``
     stringifies as ``x_1 -> …`` on one construction and ``x_7 -> …`` on
     the next (and in a fresh JVM the numbers depend on construction
-    order). Renaming each distinct ``x_<n>`` token to ``x_<k>`` in order
-    of first appearance is deterministic for a fixed expression tree, so
-    equal constructions pin equal and a genuinely different predicate
-    still pins different."""
+    order). PySpark names lambda parameters positionally ``x``/``y``/
+    ``z`` before the counter suffix (two-argument lambdas as in
+    ``F.aggregate`` gensym ``y_<n>`` too). Renaming each distinct such
+    token to ``v_<k>`` in order of first appearance is deterministic
+    for a fixed expression tree, so equal constructions pin equal and a
+    genuinely different predicate still pins different."""
     s = str(col)
     mapping: dict[str, str] = {}
 
     def _rename(m: re.Match) -> str:
         tok = m.group(0)
         if tok not in mapping:
-            mapping[tok] = f"x_{len(mapping)}"
+            mapping[tok] = f"v_{len(mapping)}"
         return mapping[tok]
 
     return _LAMBDA_VAR_RE.sub(_rename, s)

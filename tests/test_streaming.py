@@ -2905,3 +2905,40 @@ def test_pinned_store_restart_matrix(spark, tmp_path):
         with _pytest.raises(RuntimeError, match="rebuild into a fresh") as ei:
             decontam_stream.pin_decontam_params(d, ev, "doc_id", "text", n, ms)
         assert "decon" in str(ei.value)
+
+
+def test_canonical_column_str_construction_stable(spark):
+    """Property check behind the funnel-pin fix: for many random
+    configurations, two FRESH constructions of the same predicate
+    canonicalize identically (despite gensym'd lambda variables), any
+    single-threshold drift canonicalizes differently, and deeply nested
+    multi-lambda higher-order expressions stay construction-stable."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.batchstore import canonical_column_str
+    from data_pipeline_challenge_spark.streaming.filter_gate_stream import gopher_keep
+
+    rng = random.Random(7)
+    for _ in range(15):
+        kw = dict(
+            min_tokens=rng.randint(1, 100),
+            max_tokens=rng.randint(1000, 99999),
+            min_mean_len=round(rng.uniform(1.0, 5.0), 2),
+            max_mean_len=round(rng.uniform(6.0, 12.0), 2),
+            max_top_fraction=round(rng.uniform(0.05, 0.5), 3),
+        )
+        a = canonical_column_str(gopher_keep("text", **kw))
+        assert canonical_column_str(gopher_keep("text", **kw)) == a
+        drifted = dict(kw, min_tokens=kw["min_tokens"] + 1)
+        assert canonical_column_str(gopher_keep("text", **drifted)) != a
+
+    def nested():
+        toks = F.split(F.col("text"), " ")
+        lens = F.transform(toks, lambda x: F.length(x))
+        big = F.filter(lens, lambda v: v > 3)
+        total = F.aggregate(big, F.lit(0), lambda acc, v: acc + v)
+        return total > 10
+
+    assert canonical_column_str(nested()) == canonical_column_str(nested())
