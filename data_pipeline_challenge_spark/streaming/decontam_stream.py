@@ -32,6 +32,7 @@ already-admitted docs are re-checked by an offline
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -50,7 +51,14 @@ from ..operators.dedup import _shingle_table
 
 # store name -> partition columns; shared by offline compaction and the
 # in-stream consolidation hook so the two can never disagree on layout.
-_STORES: tuple[tuple[str, list | None], ...] = (("docs", None), ("contaminated", None))
+# ``revoked`` holds retroactive eval-generation revocations (see
+# :func:`add_eval_generation`) — written only while the stream is
+# stopped, read by ``current_clean_docs`` as an anti-join.
+_STORES: tuple[tuple[str, list | None], ...] = (
+    ("docs", None),
+    ("contaminated", None),
+    ("revoked", None),
+)
 
 
 def _store_map(odir: Path) -> dict:
@@ -98,12 +106,155 @@ def pin_decontam_params(
 
 
 def current_clean_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
-    """Documents admitted by the gate so far, or None before the first
-    batch."""
+    """Documents admitted by the gate so far MINUS any retroactive
+    eval-generation revocations (see :func:`add_eval_generation`), or
+    None before the first batch. The revocation set is
+    benchmark-contamination-sized, so the anti-join broadcasts it — the
+    kept corpus never shuffles for this read."""
     store = Path(out_dir) / "docs"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
-    return read_batch_store(spark, store).drop("ingest_batch")
+    docs = read_batch_store(spark, store).drop("ingest_batch")
+    rev_store = Path(out_dir) / "revoked"
+    if rev_store.exists() and any(rev_store.glob("ingest_batch=*")):
+        rev = read_batch_store(spark, rev_store).drop("ingest_batch")
+        key = [c for c in rev.columns if c in set(docs.columns)]
+        docs = docs.join(
+            F.broadcast(rev.select(*key).distinct()), on=key, how="left_anti"
+        )
+    return docs
+
+
+def revocation_log(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """Docs retroactively revoked by eval-generation upgrades, with
+    their overlap evidence and the generation that caught them, or None
+    if no generation was ever applied."""
+    store = Path(out_dir) / "revoked"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, store).withColumnRenamed(
+        "ingest_batch", "eval_generation"
+    )
+
+
+def _compose_fp(a: str, b: str) -> str:
+    """Compose two eval fingerprints (``"count:xor"``): counts add, the
+    signed-64-bit XORs combine — valid because :func:`eval_fingerprint`
+    is an order-insensitive count+XOR, so fp(A ∪ B) = compose(fp(A),
+    fp(B)) for DISJOINT A and B."""
+    na, xa = a.split(":")
+    nb, xb = b.split(":")
+    mask = (1 << 64) - 1
+    x = (int(xa) & mask) ^ (int(xb) & mask)
+    if x >= 1 << 63:
+        x -= 1 << 64
+    return f"{int(na) + int(nb)}:{x}"
+
+
+def add_eval_generation(
+    spark: SparkSession,
+    out_dir: str | Path,
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame | None:
+    """Grow the gate's eval set WITHOUT rebuilding the store — the
+    operation a real pipeline needs when a new benchmark lands after
+    ingestion has been running for months. Run while the gate stream is
+    STOPPED. Three effects, in crash-safe order:
+
+    1. Kept history is retro-screened against the DELTA only (broadcast
+       delta shingles — O(kept × delta), the corpus never shuffles) and
+       newly-contaminated docs land in the append-only ``revoked`` store
+       (``current_clean_docs`` anti-joins it; the admitted increments
+       are never rewritten).
+    2. The generation ledger (``eval_generations.json`` — base
+       fingerprint + applied delta fingerprints) records the delta:
+       this atomic replace is the COMMIT point, and an already-applied
+       delta makes the whole call a no-op (at-least-once safe; a crash
+       between revocation write and ledger commit redoes the screen,
+       duplicate revocation rows being harmless under the anti-join).
+    3. The pin's ``eval_fingerprint`` is rewritten to the COMPOSITION of
+       the ledger (count+XOR fingerprints compose for disjoint sets), so
+       the next ``start_decontam_stream`` with the UNION eval set is
+       accepted — and self-checks the upgrade: a delta that overlapped
+       the old eval set composes to a fingerprint the union does NOT
+       have, so the restart refuses instead of screening with a wrong
+       pin. A crash between ledger and pin heals on the next call.
+
+    Future batches screen against the union the caller passes at the
+    next stream start; ``min_shared``/``n`` stay pinned. Composed-funnel
+    note: this is a GATE-level operation — the funnel's downstream
+    exact/near stores still hold previously-admitted docs, so for a
+    composed pipeline rescreen ``current_corpus`` with
+    ``operators.decontam.contamination_report`` instead.
+
+    Returns the revocation DataFrame (may be empty), or None when the
+    delta was already applied."""
+    import json
+
+    from ..operators.decontam import contamination_report
+
+    odir = Path(out_dir)
+    marker = odir / "_gate_params.json"
+    if not marker.exists():
+        raise RuntimeError(
+            f"no decontam gate store at {odir}: add_eval_generation "
+            "upgrades an existing store; start the gate first"
+        )
+    params = json.loads(marker.read_text())
+    if params.get("kind") != "decontam":
+        raise RuntimeError(f"store at {odir} is not a decontam gate: {params}")
+
+    ledger_p = odir / "eval_generations.json"
+    ledger = (
+        json.loads(ledger_p.read_text())
+        if ledger_p.exists()
+        else {"base": params["eval_fingerprint"], "applied": []}
+    )
+    delta_fp = eval_fingerprint(delta_df, id_col, text_col)
+
+    def _composed() -> str:
+        fp = ledger["base"]
+        for d in ledger["applied"]:
+            fp = _compose_fp(fp, d)
+        return fp
+
+    def _rewrite_pin() -> None:
+        new_params = dict(params, eval_fingerprint=_composed())
+        tmp = odir / "_gate_params.json.tmp"
+        tmp.write_text(json.dumps(new_params, sort_keys=True))
+        os.replace(tmp, marker)
+
+    if delta_fp in ledger["applied"]:
+        if params["eval_fingerprint"] != _composed():
+            _rewrite_pin()  # heal a crash between ledger commit and pin
+        return None
+
+    # 1. Retro-screen kept history against the delta only.
+    gen = last_batch_id(odir / "revoked") + 1
+    kept = current_clean_docs(spark, odir)
+    wrote = False
+    revocations = spark.createDataFrame(
+        [], f"{id_col} long, n_shared long, n_eval_docs long"
+    )
+    if kept is not None:
+        revocations = contamination_report(
+            kept, delta_df, id_col, text_col, n=int(params["n"])
+        ).filter(F.col("n_shared") >= int(params["min_shared"]))
+        wrote = append_batch_increment(revocations, odir / "revoked", gen)
+
+    # 2. Ledger commit (atomic replace) — the operation's commit point.
+    ledger["applied"].append(delta_fp)
+    tmp = odir / "eval_generations.json.tmp"
+    tmp.write_text(json.dumps(ledger, sort_keys=True))
+    os.replace(tmp, ledger_p)
+
+    # 3. Pin rewrite from the ledger composition.
+    _rewrite_pin()
+    if not wrote:
+        return revocations  # nothing revoked (empty frame, evidence schema)
+    return spark.read.parquet(str(odir / "revoked" / f"ingest_batch={gen}"))
 
 
 def contamination_log(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:

@@ -2942,3 +2942,96 @@ def test_canonical_column_str_construction_stable(spark):
         return total > 10
 
     assert canonical_column_str(nested()) == canonical_column_str(nested())
+
+
+def test_decontam_eval_generation_upgrade(spark, tmp_path):
+    """Eval sets grow after ingestion (a new benchmark lands):
+    add_eval_generation retro-revokes kept docs against the DELTA,
+    upgrades the pin to the union fingerprint so the next restart with
+    the full eval set is ACCEPTED (and the old set refused), is
+    idempotent under at-least-once re-application, heals a crash
+    between ledger commit and pin rewrite, and future batches screen
+    against the union."""
+    import json as _json
+    import time
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        add_eval_generation,
+        contamination_log,
+        current_clean_docs,
+        revocation_log,
+        start_decontam_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "gate"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")],
+        SCHEMA,
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")],
+        SCHEMA,
+    )
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between stages"),
+        (2, "the held out benchmark asks about something else entirely"),
+        (3, "several question mentions deep river canyons in passing"),
+    ])
+    q = start_decontam_stream(
+        spark, corpus_dir, eval_a, out, tmp_path / "ck1", SCHEMA,
+        "doc_id", "text", n=3, min_shared=2,
+    )
+    q.awaitTermination(180)
+    # vs eval A: doc 2 diverted (shares A trigrams); 1 and 3 kept.
+    assert sorted(r["doc_id"] for r in current_clean_docs(spark, out).collect()) == [1, 3]
+
+    # Upgrade with delta B: doc 3 (kept, shares B trigrams) is revoked.
+    rev = add_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [3]
+    assert sorted(r["doc_id"] for r in current_clean_docs(spark, out).collect()) == [1]
+    log = revocation_log(spark, out)
+    assert [(r["doc_id"], r["eval_generation"]) for r in log.collect()] == [(3, 0)]
+    # The stream-diverted log is untouched by the retro pass.
+    assert [r["doc_id"] for r in contamination_log(spark, out).collect()] == [2]
+
+    # Idempotent re-application: no-op, no second revocation generation.
+    assert add_eval_generation(spark, out, eval_b, "doc_id", "text") is None
+    assert [(r["doc_id"], r["eval_generation"]) for r in
+            revocation_log(spark, out).collect()] == [(3, 0)]
+
+    # Crash heal: pin reverted (ledger committed, pin rewrite "lost") —
+    # re-applying the same delta heals the pin without re-screening.
+    marker = out / "_gate_params.json"
+    healthy = marker.read_text()
+    stale = _json.loads(healthy)
+    stale["eval_fingerprint"] = "1:42"
+    marker.write_text(_json.dumps(stale, sort_keys=True))
+    assert add_eval_generation(spark, out, eval_b, "doc_id", "text") is None
+    assert marker.read_text() == healthy
+
+    # Restart with the UNION is accepted and screens future batches
+    # against it; restart with only the old eval set is refused.
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh out_dir"):
+        start_decontam_stream(
+            spark, corpus_dir, eval_a, out, tmp_path / "ck2", SCHEMA,
+            "doc_id", "text", n=3, min_shared=2,
+        )
+    time.sleep(0.05)
+    land("b.parquet", [
+        (4, "an unrelated document about compiler design tradeoffs"),
+        (5, "this newer benchmark question mentions deep river canyons too"),
+    ])
+    q = start_decontam_stream(
+        spark, corpus_dir, eval_a.unionByName(eval_b), out, tmp_path / "ck1",
+        SCHEMA, "doc_id", "text", n=3, min_shared=2,
+    )
+    q.awaitTermination(180)
+    assert sorted(r["doc_id"] for r in current_clean_docs(spark, out).collect()) == [1, 4]
+    assert sorted(r["doc_id"] for r in contamination_log(spark, out).collect()) == [2, 5]
