@@ -55,6 +55,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -88,6 +89,76 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
     out["exact"] = dedup_stream.compact_dedup_store(spark, odir / "exact")
     out["near"] = near_dedup_stream.compact_near_dedup_store(spark, odir / "near")
     return out
+
+
+def revoke_corpus_eval_generation(
+    spark: SparkSession,
+    out_dir: str | Path,
+    delta_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame | None:
+    """Grow a composed funnel's eval set in place (run while the stream
+    is STOPPED): the funnel-level form of
+    ``decontam_stream.add_eval_generation``. Two screens, mirror first
+    so the stage ledger's commit stays the overall commit point
+    (at-least-once safe — a crash after the mirror re-runs both, and
+    duplicate revocation rows are harmless under the readers'
+    anti-joins):
+
+    1. The FINAL corpus (``near/docs`` kept set) is screened against the
+       delta and newly-contaminated docs land in ``near/revoked`` —
+       ``current_corpus`` excludes them immediately. The band index
+       intentionally keeps their signatures: near-duplicates of revoked
+       content must still be recognized, and genuinely new arrivals are
+       screened against the union by the upgraded decontam stage anyway.
+    2. ``add_eval_generation`` on the ``decontam`` stage revokes at that
+       stage's own view and upgrades its pin to the union fingerprint,
+       so the next ``start_corpus_pipeline_stream`` with the union
+       ``eval_df`` is accepted (the funnel root pin records only stage
+       PRESENCE, which does not change).
+
+    Returns the corpus-level revocations (empty frame if none), or None
+    when the delta was already applied."""
+    import json
+
+    from ..batchstore import append_batch_increment, last_batch_id
+    from ..operators.decontam import contamination_report
+
+    odir = Path(out_dir)
+    stage = odir / "decontam"
+    if not (stage / "_gate_params.json").exists():
+        raise RuntimeError(
+            f"funnel at {odir} has no decontamination stage: eval-set "
+            "growth is meaningless without one (start the pipeline with "
+            "eval_df to add the stage into a fresh out_dir)"
+        )
+    params = json.loads((stage / "_gate_params.json").read_text())
+    ledger_p = stage / "eval_generations.json"
+    applied = (
+        json.loads(ledger_p.read_text())["applied"] if ledger_p.exists() else []
+    )
+    if decontam_stream.eval_fingerprint(delta_df, id_col, text_col) in applied:
+        # Already committed: heal the stage pin if needed, change nothing.
+        return decontam_stream.add_eval_generation(
+            spark, stage, delta_df, id_col, text_col
+        )
+
+    corpus = near_dedup_stream.current_kept_docs(spark, odir / "near")
+    out = None
+    if corpus is not None:
+        rev = contamination_report(
+            corpus, delta_df, id_col, text_col, n=int(params["n"])
+        ).filter(F.col("n_shared") >= int(params["min_shared"]))
+        gen = last_batch_id(odir / "near" / "revoked") + 1
+        if append_batch_increment(rev, odir / "near" / "revoked", gen):
+            out = spark.read.parquet(
+                str(odir / "near" / "revoked" / f"ingest_batch={gen}")
+            )
+    stage_out = decontam_stream.add_eval_generation(
+        spark, stage, delta_df, id_col, text_col
+    )
+    return out if out is not None else stage_out
 
 
 def pipeline_pin(

@@ -86,12 +86,27 @@ def _band_prefix(band_col, bh_col, n_prefix: int):
 
 
 def current_kept_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
-    """The maintained near-duplicate-free document table, or None before
-    the first batch."""
+    """The maintained near-duplicate-free document table MINUS any
+    retroactive revocations (funnel eval-generation upgrades write a
+    ``revoked`` store here — see
+    ``corpus_pipeline_stream.revoke_corpus_eval_generation``), or None
+    before the first batch. Revocations are benchmark-contamination-
+    sized, so the anti-join broadcasts. The docs/band stores themselves
+    are never rewritten: a revoked doc's signature intentionally stays
+    in the band index, so near-duplicates of revoked content are still
+    recognized instead of being re-admitted."""
     store = Path(out_dir) / "docs"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
-    return read_batch_store(spark, store).drop("ingest_batch")
+    docs = read_batch_store(spark, store).drop("ingest_batch")
+    rev_store = Path(out_dir) / "revoked"
+    if rev_store.exists() and any(rev_store.glob("ingest_batch=*")):
+        rev = read_batch_store(spark, rev_store).drop("ingest_batch")
+        key = [c for c in rev.columns if c in set(docs.columns)]
+        docs = docs.join(
+            F.broadcast(rev.select(*key).distinct()), on=key, how="left_anti"
+        )
+    return docs
 
 
 def history_buckets(
@@ -128,6 +143,9 @@ def compact_near_dedup_store(
 _STORES: tuple[tuple[str, list[str] | None], ...] = (
     ("docs", ["doc_prefix"]),
     ("band_index", ["bh_prefix"]),
+    # Retroactive eval-generation revocations (written only while the
+    # stream is stopped; read as an anti-join by current_kept_docs).
+    ("revoked", None),
 )
 
 

@@ -3035,3 +3035,78 @@ def test_decontam_eval_generation_upgrade(spark, tmp_path):
     q.awaitTermination(180)
     assert sorted(r["doc_id"] for r in current_clean_docs(spark, out).collect()) == [1, 4]
     assert sorted(r["doc_id"] for r in contamination_log(spark, out).collect()) == [2, 5]
+
+
+def test_funnel_eval_generation_revokes_corpus(spark, tmp_path):
+    """Funnel-level eval growth: revoke_corpus_eval_generation screens
+    the FINAL corpus against the delta (current_corpus excludes the
+    revoked doc immediately), upgrades the decontam stage pin so a
+    restart with the UNION eval set is accepted and screens new
+    arrivals against it, and is idempotent."""
+    import time
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        revoke_corpus_eval_generation,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        contamination_log,
+        current_clean_docs,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")], SCHEMA
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")], SCHEMA
+    )
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "the held out benchmark asks about something else entirely"),
+        (3, "several question mentions deep river canyons in passing today"),
+    ])
+
+    def start(ev):
+        return start_corpus_pipeline_stream(
+            spark, corpus_dir, out, ckpt, SCHEMA, "doc_id", "text",
+            eval_df=ev, min_jaccard=0.5, n_prefix=8,
+        )
+
+    q = start(eval_a)
+    q.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in current_corpus(spark, out).collect()) == [1, 3]
+
+    rev = revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [3]
+    assert sorted(r["doc_id"] for r in current_corpus(spark, out).collect()) == [1]
+    # The decontam STAGE view is upgraded too.
+    assert sorted(
+        r["doc_id"] for r in current_clean_docs(spark, out / "decontam").collect()
+    ) == [1]
+    # Idempotent.
+    assert revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text") is None
+
+    # Restart: old eval refused, union accepted + screens new arrivals.
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh out_dir"):
+        start(eval_a)
+    time.sleep(0.05)
+    land("b.parquet", [
+        (4, "an unrelated document about compiler design tradeoffs here"),
+        (5, "this newer benchmark question mentions deep river canyons too"),
+    ])
+    q = start(eval_a.unionByName(eval_b))
+    q.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in current_corpus(spark, out).collect()) == [1, 4]
+    assert sorted(
+        r["doc_id"] for r in contamination_log(spark, out / "decontam").collect()
+    ) == [2, 5]
