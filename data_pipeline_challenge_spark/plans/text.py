@@ -614,6 +614,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mask-count fragments for the density profile: occurrences of a mask in
+# the scrubbed text = (len - len-without-mask) / len(mask) — substring
+# counting, so the density query inherits text_pii_scrub's certified
+# regex chain with NO new dialect surface.
+def _mask_count_sql(tag: str) -> str:
+    return (
+        f"CAST((length(sc) - length(replace(sc, '{tag}', ''))) / {len(tag)}"
+        " AS BIGINT)"
+    )
+
+
+@query(
+    "text_pii_density_by_source",
+    f"""
+    WITH t AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call +1555-000-' || CAST(doc_id AS VARCHAR)
+                    || ' ref 998877660' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents
+    ), u AS (
+        SELECT source, {_PII_SQL_CHAIN} AS sc FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_mask_count_sql('<EMAIL>')}) AS BIGINT) AS n_emails,
+           CAST(sum({_mask_count_sql('<PHONE>')}) AS BIGINT) AS n_phones,
+           CAST(sum({_mask_count_sql('<ID>')}) AS BIGINT) AS n_ids
+    FROM u GROUP BY source
+    """,
+    tags=("text", "scrub", "pii", "profiling"),
+)
+def text_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DENSITY profile per source — the audit a pipeline runs before
+    and after redaction (which sources leak contact info, how much):
+    mask counts in the scrubbed text, summed per source in one map-only
+    scan + tiny partial agg. Counting masks AFTER the certified
+    ``scrub_pii`` chain means the oracle shares every regex semantic
+    with ``text_pii_scrub`` and adds only substring arithmetic — no new
+    cross-engine regex surface. The same synthetic PII is injected on
+    both sides so live matches are certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com call +1555-000-"), did,
+        F.lit(" ref 998877660"), did,
+    )
+    sc = scrub_pii(s)
+
+    def cnt(tag: str):
+        return (
+            (F.length(sc) - F.length(F.replace(sc, F.lit(tag), F.lit(""))))
+            / F.lit(len(tag))
+        ).cast("long")
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(cnt("<EMAIL>")).alias("n_emails"),
+        F.sum(cnt("<PHONE>")).alias("n_phones"),
+        F.sum(cnt("<ID>")).alias("n_ids"),
+    )
+
+
 @query(
     "quality_gopher_filter",
     """
