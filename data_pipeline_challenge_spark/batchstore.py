@@ -149,7 +149,9 @@ def read_cap_audit(out_dir: str | Path) -> list[dict]:
     return sorted(out, key=lambda r: (r.get("batch_id", -1), r.get("family", "")))
 
 
-_LAMBDA_VAR_RE = re.compile(r"\b[xyz]_\d+\b")
+_LAMBDA_TOKEN_RE = re.compile(r"[xyz]_\d+")
+_LAMBDA_DECL1_RE = re.compile(r"([xyz]_\d+)\s*->")
+_LAMBDA_DECL2_RE = re.compile(r"\(\s*([xyz]_\d+)\s*,\s*([xyz]_\d+)\s*\)\s*->")
 
 
 def canonical_column_str(col) -> str:
@@ -162,22 +164,72 @@ def canonical_column_str(col) -> str:
     session-global counter, so ``F.transform(c, lambda x: ...)``
     stringifies as ``x_1 -> …`` on one construction and ``x_7 -> …`` on
     the next (and in a fresh JVM the numbers depend on construction
-    order). PySpark names lambda parameters positionally ``x``/``y``/
-    ``z`` before the counter suffix (two-argument lambdas as in
-    ``F.aggregate`` gensym ``y_<n>`` too). Renaming each distinct such
-    token to ``v_<k>`` in order of first appearance is deterministic
-    for a fixed expression tree, so equal constructions pin equal and a
-    genuinely different predicate still pins different."""
+    order). Only tokens BOUND by a lambda declaration are renamed:
+    declarations render as ``x_7 ->`` (one arg) or ``(x_7, y_8) ->``
+    (two args, e.g. ``F.aggregate``), and a binding scopes lexically
+    over the lambda body — until the ``)`` closing the call whose
+    argument the lambda is, or a ``,`` at the declaration's paren
+    depth, with inner declarations shadowing outer. A FREE column
+    reference that merely looks like a gensym (a data column literally
+    named ``x_1``) is left intact, so ``F.col('x_1') > 0`` and
+    ``F.col('x_2') > 0`` pin DIFFERENT — a genuinely changed config is
+    refused, per the pin contract. Bound variables are renamed to
+    ``v_<k>`` in declaration order, deterministic for a fixed
+    expression tree, so equal constructions pin equal."""
     s = str(col)
-    mapping: dict[str, str] = {}
+    out: list[str] = []
+    scopes: list[tuple[int, dict[str, str]]] = []  # (decl paren depth, bindings)
+    depth = 0
+    counter = 0
+    i = 0
+    n = len(s)
 
-    def _rename(m: re.Match) -> str:
-        tok = m.group(0)
-        if tok not in mapping:
-            mapping[tok] = f"v_{len(mapping)}"
-        return mapping[tok]
+    def _bound(tok: str) -> str | None:
+        for _, binds in reversed(scopes):
+            if tok in binds:
+                return binds[tok]
+        return None
 
-    return _LAMBDA_VAR_RE.sub(_rename, s)
+    while i < n:
+        at_word_boundary = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+        if at_word_boundary:
+            m2 = _LAMBDA_DECL2_RE.match(s, i)
+            if m2 is not None:
+                binds = {m2.group(1): f"v_{counter}", m2.group(2): f"v_{counter + 1}"}
+                counter += 2
+                scopes.append((depth, binds))
+                out.append(f"({binds[m2.group(1)]}, {binds[m2.group(2)]}) ->")
+                i = m2.end()
+                continue
+            m1 = _LAMBDA_DECL1_RE.match(s, i)
+            if m1 is not None:
+                binds = {m1.group(1): f"v_{counter}"}
+                counter += 1
+                scopes.append((depth, binds))
+                out.append(f"{binds[m1.group(1)]} ->")
+                i = m1.end()
+                continue
+            mt = _LAMBDA_TOKEN_RE.match(s, i)
+            if mt is not None and (
+                mt.end() == n or not (s[mt.end()].isalnum() or s[mt.end()] == "_")
+            ):
+                tok = mt.group(0)
+                out.append(_bound(tok) or tok)
+                i = mt.end()
+                continue
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            while scopes and scopes[-1][0] > depth:
+                scopes.pop()
+        elif ch == ",":
+            while scopes and scopes[-1][0] == depth:
+                scopes.pop()
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def ensure_store_params(out_dir: str | Path, params: dict) -> None:

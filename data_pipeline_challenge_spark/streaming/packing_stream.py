@@ -36,6 +36,7 @@ transactional sink).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from pathlib import Path
@@ -45,7 +46,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    append_batch_increment,
     consolidate_batch_store,
+    last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
 )
@@ -73,6 +76,20 @@ def current_packed(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
     return spark.read.parquet(str(target))
 
 
+def current_revoked_keys(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """Order keys revoked from the packed table (see
+    :func:`revoke_packed_docs`), one column named after the packer's
+    order key, or None when nothing was ever revoked. Benchmark-sized
+    by construction (eval-contamination revocations), so callers
+    broadcast it."""
+    store = Path(out_dir) / "revoked_keys"
+    if last_batch_id(store) < 0:
+        return None
+    return read_batch_store(spark, store).drop("ingest_batch")
+
+
 def touched_history(
     spark: SparkSession, rows_dir: str | Path, touched_shards: list[int]
 ) -> DataFrame:
@@ -84,12 +101,144 @@ def touched_history(
     pruned at planning time (never listed/scanned). This is what bounds
     the per-batch scan to O(touched shards), not O(corpus). The read
     goes through ``batchstore.read_batch_store`` so a consolidated rows
-    store (see :func:`compact_rows_store`) serves the same view."""
-    return (
+    store (see :func:`compact_rows_store`) serves the same view.
+
+    Revoked keys (``revoke_packed_docs`` on the sibling warehouse dir)
+    are anti-joined OUT here — the one history read every repack flows
+    through — so a shard touched by any later micro-batch re-excludes
+    revoked docs instead of resurrecting them. The revoked side is
+    broadcast (benchmark-sized) and joined on its single recorded key
+    column only, never on incidentally-shared names."""
+    hist = (
         read_batch_store(spark, rows_dir)
         .filter(F.col("shard").isin([int(s) for s in touched_shards]))
         .drop("ingest_batch", "shard")
     )
+    revoked = current_revoked_keys(spark, Path(rows_dir).parent)
+    if revoked is not None:
+        hist = hist.join(F.broadcast(revoked), revoked.columns, "left_anti")
+    return hist
+
+
+def _revocations_ledger(out_dir: Path) -> list[str]:
+    p = out_dir / "revocations.json"
+    return json.loads(p.read_text())["applied"] if p.exists() else []
+
+
+def _commit_revocation(out_dir: Path, fingerprint: str) -> None:
+    applied = _revocations_ledger(out_dir)
+    tmp = out_dir / ".revocations.json.tmp"
+    tmp.write_text(json.dumps({"applied": applied + [fingerprint]}, sort_keys=True))
+    os.replace(tmp, out_dir / "revocations.json")
+
+
+def revoke_packed_docs(
+    spark: SparkSession,
+    out_dir: str | Path,
+    revoked_ids: DataFrame,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int = 64,
+) -> int:
+    """Propagate a revocation (e.g. the corpus-level frame returned by
+    ``corpus_pipeline_stream.revoke_corpus_eval_generation``) into the
+    maintained packed table, so contaminated docs' text does not survive
+    into the training-ready artifact after the corpus view was fixed.
+
+    A row's shard is a pure function of its order key, so the fold is
+    O(revoked shards), never O(corpus): record the keys in the
+    ``revoked_keys`` store (every later :func:`touched_history` read
+    anti-joins them), then repack EXACTLY the shards that actually hold
+    revoked rows over the post-revocation row set and publish through
+    the existing versioned-symlink protocol — untouched shards stay
+    hard-linked from the previous version, and the new version carries
+    the previous ``_folded_batch`` forward so the stream's replay guard
+    is unaffected. Pass the same packer parameters the stream was
+    started with (they are baked into the rows-store layout).
+
+    Idempotent via a count+xor fingerprint ledger (``revocations.json``,
+    committed LAST): a crash anywhere re-heals on re-application — keys
+    already stored are not re-appended, the repack is deterministic —
+    and a committed delta re-applies as a no-op. An empty delta is a
+    no-op (never fingerprinted, so it cannot wedge the ledger). Run
+    while the packing stream is NOT running, like
+    :func:`compact_rows_store`: the fold and a concurrent micro-batch
+    would race on the publish symlink. Returns shards repacked."""
+    odir = Path(out_dir)
+    rows_dir = odir / "rows"
+    delta = revoked_ids.select(order_col).distinct()
+    stat = delta.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col(order_col))).alias("x"),
+    ).collect()[0]
+    if int(stat["n"]) == 0:
+        return 0
+    fp = f"{int(stat['n'])}:{int(stat['x'])}"
+    if fp in _revocations_ledger(odir):
+        return 0
+
+    store = odir / "revoked_keys"
+    prior = current_revoked_keys(spark, odir)
+    new_keys = (
+        delta
+        if prior is None
+        else delta.join(F.broadcast(prior), [order_col], "left_anti")
+    )
+    append_batch_increment(new_keys, store, last_batch_id(store) + 1)
+
+    # Shards that actually HOLD revoked rows: hash the delta (bounded,
+    # driver-collected shard literals), then one partition-pruned
+    # semi-join against only those candidate shard dirs.
+    shard_of = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast("int")
+    cand = sorted(
+        int(r["s"])
+        for r in delta.select(shard_of.alias("s")).distinct().collect()
+    )
+    versions = _versions(odir)
+    present: list[int] = []
+    if cand and versions and any(rows_dir.glob("ingest_batch=*")):
+        present = sorted(
+            int(r["shard"])
+            for r in (
+                read_batch_store(spark, rows_dir)
+                .filter(F.col("shard").isin(cand))
+                .join(F.broadcast(delta), [order_col], "left_semi")
+                .select("shard")
+                .distinct()
+                .collect()
+            )
+        )
+    if not present:
+        # Nothing published holds these docs (or nothing published at
+        # all — a crashed first batch replays against the now-updated
+        # revoked store). Commit so re-application is a no-op.
+        _commit_revocation(odir, fp)
+        return 0
+
+    prev = _prev_read_target(odir)  # before the new dir exists
+    seen = touched_history(spark, rows_dir, present)  # post-revocation rows
+    repacked = pack_sequences_sharded(
+        seen, group_col, order_col, token_col, capacity, n_shards=n_shards
+    )
+    next_n = _next_version(odir, 0)
+    tmp = odir / f"data.v{next_n}.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    repacked.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
+    _link_shard_dirs(versions[-1][1], tmp, skip_shards=set(present))
+    folded = _last_folded(odir)
+    if folded is not None:
+        _mark_folded(tmp, folded)  # no new batch folded: carry forward
+    final = odir / f"data.v{next_n}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+    _publish(odir, final)
+    retire_versions((p for _, p in _versions(odir)), keep=(final, prev))
+    _commit_revocation(odir, fp)
+    return len(present)
 
 
 def compact_rows_store(spark: SparkSession, out_dir: str | Path) -> int:

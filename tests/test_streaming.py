@@ -584,6 +584,220 @@ def test_packing_stream_incremental_cost(spark, tmp_path):
     assert norm(current_packed(spark, out_dir)) == norm(expected)
 
 
+def test_packed_revocation_fold(spark, tmp_path):
+    """revoke_packed_docs propagates a revocation into the maintained
+    packed table: only the shards actually holding revoked rows repack
+    (untouched shards stay hard-linked), the result row-equals the batch
+    packer over corpus-minus-revoked, a re-applied delta is a no-op, and
+    a LATER micro-batch touching a revoked doc's shard does not
+    resurrect it (touched_history anti-joins the revoked store)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+
+    N_SHARDS = 8
+    by_shard: dict[int, list[int]] = {}
+    for r in (
+        spark.createDataFrame([(i,) for i in range(1, 300)], "doc_id long")
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int")
+        )
+        .collect()
+    ):
+        by_shard.setdefault(r["shard"], []).append(r["doc_id"])
+    shards = sorted(s for s in by_shard if len(by_shard[s]) >= 6)
+    s1, s2 = shards[0], shards[1]
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "packed"
+    ckpt = tmp_path / "ckpt_pack"
+    SCHEMA = "source string, doc_id long, n_tokens long"
+
+    def land(name, ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "source": pa.array(["web"] * len(ids)),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array([40] * len(ids), pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    def run():
+        q = start_packing_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    def fold(ids):
+        return revoke_packed_docs(
+            spark,
+            out_dir,
+            spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS,
+        )
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+        }
+
+    def expect(ids):
+        df = spark.createDataFrame(
+            [("web", i, 40) for i in ids], SCHEMA
+        )
+        return norm(
+            pack_sequences_sharded(
+                df, "source", "doc_id", "n_tokens", capacity=100, n_shards=N_SHARDS
+            )
+        )
+
+    landed = by_shard[s1][:3] + by_shard[s2][:3]
+    land("a.parquet", landed)
+    run()  # batch 0 -> data.v0
+
+    revoked = by_shard[s2][1]
+    assert fold([revoked]) == 1  # exactly one shard held the doc
+    kept = [i for i in landed if i != revoked]
+    assert norm(current_packed(spark, out_dir)) == expect(kept)
+
+    # Untouched shard s1 is hard-linked, touched shard s2 rewritten.
+    v0, v1 = out_dir / "data.v0", out_dir / "data.v1"
+    inodes = lambda d: sorted(p.stat().st_ino for p in d.glob("*.parquet"))  # noqa: E731
+    assert inodes(v1 / f"shard={s1}") == inodes(v0 / f"shard={s1}")
+    assert inodes(v1 / f"shard={s2}") != inodes(v0 / f"shard={s2}")
+
+    # Idempotent: same delta re-applied is a committed no-op.
+    assert fold([revoked]) == 0
+    assert (out_dir / "data.v1").exists() and not (out_dir / "data.v2").exists()
+    # A doc that was never packed: keys recorded, nothing repacked.
+    assert fold([298_765]) == 0
+
+    # A later micro-batch touching the revoked doc's shard must not
+    # resurrect it: the history repack anti-joins the revoked store.
+    land("b.parquet", by_shard[s2][3:6])
+    run()
+    kept += by_shard[s2][3:6]
+    assert norm(current_packed(spark, out_dir)) == expect(kept)
+
+
+def test_funnel_revocation_propagates_to_packed(spark, tmp_path):
+    """The r9 data-governance hole: pack the funnel's corpus →
+    revoke_corpus_eval_generation → revoke_packed_docs fold → the packed
+    table row-equals the batch pack_sequences_sharded over the
+    post-revocation current_corpus, with untouched shards still
+    hard-linked — contaminated text no longer survives into the
+    training-ready artifact after the corpus view was fixed."""
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        revoke_corpus_eval_generation,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "pipe"
+    ckpt = tmp_path / "ckpt"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")], SCHEMA
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")], SCHEMA
+    )
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "the held out benchmark asks about something else entirely"),
+        (3, "several question mentions deep river canyons in passing today"),
+        (4, "an unrelated document about compiler design tradeoffs here"),
+    ])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, ckpt, SCHEMA, "doc_id", "text",
+        eval_df=eval_a, min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r["doc_id"] for r in current_corpus(spark, out).collect()
+    ) == [1, 3, 4]
+
+    # Pack the funnel's corpus into a maintained packed table.
+    def pack_input(df):
+        return df.select(
+            F.lit("web").alias("source"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+
+    pack_in = tmp_path / "pack_in"
+    pack_out = tmp_path / "packed"
+    N_SHARDS = 4
+    pack_input(current_corpus(spark, out)).write.parquet(str(pack_in))
+    q = start_packing_stream(
+        spark, pack_in, pack_out, tmp_path / "ckpt_pack",
+        "source string, doc_id long, n_tokens long",
+        "source", "doc_id", "n_tokens", capacity=20, n_shards=N_SHARDS,
+    )
+    q.awaitTermination(180)
+
+    # A new benchmark generation lands: the corpus view drops doc 3 ...
+    rev = revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [3]
+    # ... and the fold mirrors it onto the packed table.
+    assert revoke_packed_docs(
+        spark, pack_out, rev, "source", "doc_id", "n_tokens",
+        capacity=20, n_shards=N_SHARDS,
+    ) == 1
+
+    norm = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+    }
+    expected = pack_sequences_sharded(
+        pack_input(current_corpus(spark, out)),
+        "source", "doc_id", "n_tokens", capacity=20, n_shards=N_SHARDS,
+    )
+    assert norm(current_packed(spark, pack_out)) == norm(expected)
+    revoked_shard = (
+        spark.createDataFrame([(3,)], "doc_id long")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(N_SHARDS)).cast("int").alias("s"))
+        .collect()[0]["s"]
+    )
+    versions = sorted(p for p in pack_out.glob("data.v*") if not p.name.endswith(".tmp"))
+    assert len(versions) == 2
+    prev_v, new_v = versions
+    inodes = lambda d: sorted(p.stat().st_ino for p in d.glob("*.parquet"))  # noqa: E731
+    for sd in prev_v.glob("shard=*"):
+        s = int(sd.name.split("=", 1)[1])
+        if s == revoked_shard:
+            assert inodes(new_v / sd.name) != inodes(sd)
+        else:
+            assert inodes(new_v / sd.name) == inodes(sd)
+
+
 def test_stream_sink_retention_keeps_pinned_over_compaction_remnant(spark, tmp_path):
     """A stream sink's per-batch retention must keep {new, previously-
     published} by IDENTITY: a complete-but-unpublished remnant of a
@@ -2942,6 +3156,50 @@ def test_canonical_column_str_construction_stable(spark):
         return total > 10
 
     assert canonical_column_str(nested()) == canonical_column_str(nested())
+
+
+def test_canonical_column_str_free_columns_not_renamed(spark, tmp_path):
+    """Bound-variable scoping (r9 verdict wrong #1): only tokens
+    INTRODUCED by a lambda declaration are alpha-renamed. A data column
+    literally named ``x_1`` (ML schemas with generated feature names)
+    is a FREE reference — two funnel configs referencing ``x_1`` vs
+    ``x_2`` are genuinely different predicates and MUST pin different,
+    so ensure_store_params refuses the drift instead of silently
+    accepting a changed gate semantics mid-store."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.batchstore import (
+        canonical_column_str,
+        ensure_store_params,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        pipeline_pin,
+    )
+
+    # Plain free references: different columns stay different.
+    assert canonical_column_str(F.col("x_1") > 0) != canonical_column_str(
+        F.col("x_2") > 0
+    )
+    # A free reference INSIDE a lambda body is still free (only the
+    # bound variable is renamed), and fresh constructions still agree.
+    def mk(colname):
+        return F.aggregate(
+            F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0),
+            F.lit(0),
+            lambda acc, t: acc + F.length(t),
+        ) > F.col(colname)
+
+    assert canonical_column_str(mk("x_1")) == canonical_column_str(mk("x_1"))
+    assert canonical_column_str(mk("x_1")) != canonical_column_str(mk("x_2"))
+
+    # End-to-end on the funnel pin: a restart whose quality predicate
+    # swapped x_1 → x_2 is refused as drift.
+    d = tmp_path / "funnel"
+    ensure_store_params(d, pipeline_pin(None, mk("x_1"), False))
+    ensure_store_params(d, pipeline_pin(None, mk("x_1"), False))  # same: accepted
+    with _pytest.raises(RuntimeError, match="rebuild into a fresh"):
+        ensure_store_params(d, pipeline_pin(None, mk("x_2"), False))
 
 
 def test_decontam_eval_generation_upgrade(spark, tmp_path):
