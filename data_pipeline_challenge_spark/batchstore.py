@@ -260,6 +260,40 @@ def ensure_store_params(out_dir: str | Path, params: dict) -> None:
     os.replace(tmp, marker)
 
 
+def record_anti_join_key(store: str | Path, id_col: str) -> None:
+    """Record the ONE column an exclusion store is keyed by
+    (``_anti_join_key.json``, atomic, idempotent). Readers that
+    anti-join the store against a corpus view must join on this column
+    alone: inferring the key as "all shared columns" silently WIDENS
+    the join when the doc schema happens to contain a column named like
+    an evidence column (``n_shared``…), and widened keys stop excluding
+    the revoked rows (ADVICE r9)."""
+    store = Path(store)
+    store.mkdir(parents=True, exist_ok=True)
+    marker = store / "_anti_join_key.json"
+    if marker.exists():
+        existing = json.loads(marker.read_text())["id_col"]
+        if existing != id_col:
+            raise RuntimeError(
+                f"exclusion store at {store} is keyed by {existing!r}, "
+                f"writer supplied {id_col!r}"
+            )
+        return
+    tmp = store / "_anti_join_key.json.tmp"
+    tmp.write_text(json.dumps({"id_col": id_col}, sort_keys=True))
+    os.replace(tmp, marker)
+
+
+def read_anti_join_key(store: str | Path) -> str | None:
+    """The recorded exclusion-store key column, or None for a store
+    written before keys were recorded (readers fall back to shared
+    columns minus known evidence columns)."""
+    marker = Path(store) / "_anti_join_key.json"
+    if not marker.exists():
+        return None
+    return json.loads(marker.read_text())["id_col"]
+
+
 def _empty_sentinel_ids(store: Path) -> list[int]:
     if not store.exists():
         return []

@@ -53,6 +53,7 @@ quiesced warehouses; run it only after a clean drain.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -151,6 +152,9 @@ def revoke_corpus_eval_generation(
             corpus, delta_df, id_col, text_col, n=int(params["n"])
         ).filter(F.col("n_shared") >= int(params["min_shared"]))
         gen = last_batch_id(odir / "near" / "revoked") + 1
+        from ..batchstore import record_anti_join_key
+
+        record_anti_join_key(odir / "near" / "revoked", id_col)
         if append_batch_increment(rev, odir / "near" / "revoked", gen):
             out = spark.read.parquet(
                 str(odir / "near" / "revoked" / f"ingest_batch={gen}")
@@ -208,6 +212,7 @@ def start_corpus_pipeline_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     consolidate_every: int | None = 64,
+    min_input_partitions: int | None = None,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
@@ -219,7 +224,19 @@ def start_corpus_pipeline_stream(
     re-derives it identically. ``available_now=True`` drains
     what's landed and stops. ``consolidate_every=N`` folds every stage's
     accumulated batch dirs in-stream each N batches (no stop-the-stream
-    window); ``None`` = offline-only maintenance."""
+    window); ``None`` = offline-only maintenance.
+
+    ``min_input_partitions`` guards against the intra-batch starvation
+    the funnel throughput measurement surfaced (README: a 25k-doc batch
+    landing as ONE parquet file runs the scrub+quality scan
+    near-serially, 140s vs 14s at 8 files/batch): when a micro-batch
+    arrives with fewer partitions, it is repartitioned up BEFORE the
+    transform and gate stages. Every batch's input file count, arriving
+    partition count, and post-guard partition count are recorded in the
+    ``input_audit`` store and summarized by :func:`pipeline_report`, so
+    an operator sees the starvation instead of inferring it from wall
+    time. Deterministic per batch (a pure function of the batch's file
+    set), so crash replay re-records identically."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -280,6 +297,9 @@ def start_corpus_pipeline_stream(
         )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _audit_input_parallelism(
+            batch_df, odir, batch_id, min_input_partitions
+        )
         _run_gates(batch_df, batch_id)
         # In-stream consolidation of every stage's stores (bounded at the
         # previous, checkpoint-committed batch) — runs even when a stage
@@ -302,6 +322,76 @@ def start_corpus_pipeline_stream(
     return writer.start()
 
 
+_INPUT_AUDIT_KEEP = 512
+
+
+def _audit_input_parallelism(
+    batch_df: DataFrame,
+    out_dir: Path,
+    batch_id: int,
+    min_input_partitions: int | None,
+) -> DataFrame:
+    """Record a micro-batch's input parallelism and apply the
+    ``min_input_partitions`` floor (see ``start_corpus_pipeline_stream``).
+    One tiny JSON per batch, atomic rename (idempotent under replay —
+    the record is a pure function of the batch's file set), last
+    ``_INPUT_AUDIT_KEEP`` batches retained so the audit dir stays
+    bounded on an always-on stream."""
+    import json
+
+    # A micro-batch DataFrame reports no inputFiles(); count distinct
+    # source files via the metadata column instead — a zero-data-column
+    # projection (footer-limited scan), run once per batch.
+    n_files = (
+        batch_df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    n_parts = batch_df.rdd.getNumPartitions()
+    out_parts = n_parts
+    if min_input_partitions is not None and n_parts < min_input_partitions:
+        batch_df = batch_df.repartition(min_input_partitions)
+        out_parts = batch_df.rdd.getNumPartitions()
+    d = out_dir / "input_audit"
+    d.mkdir(parents=True, exist_ok=True)
+    final = d / f"b{batch_id}.json"
+    tmp = d / f".{final.name}.tmp"
+    tmp.write_text(
+        json.dumps(
+            {
+                "batch_id": batch_id,
+                "input_files": n_files,
+                "input_partitions": n_parts,
+                "partitions_after_guard": out_parts,
+            },
+            sort_keys=True,
+        )
+    )
+    os.replace(tmp, final)
+    for stale in d.glob("b*.json"):
+        sid = stale.name[1:-5]
+        if sid.isdigit() and int(sid) < batch_id - _INPUT_AUDIT_KEEP:
+            stale.unlink(missing_ok=True)
+    return batch_df
+
+
+def read_input_audit(out_dir: str | Path) -> list[dict]:
+    """Per-micro-batch input-parallelism records (batch-ordered): file
+    count, arriving partition count, and the partition count after the
+    ``min_input_partitions`` guard. Empty = no batch processed yet (or a
+    pre-audit warehouse)."""
+    import json
+
+    d = Path(out_dir) / "input_audit"
+    if not d.exists():
+        return []
+    out = []
+    for p in d.glob("b*.json"):
+        try:
+            out.append(json.loads(p.read_text()))
+        except (OSError, ValueError):
+            continue
+    return sorted(out, key=lambda r: r.get("batch_id", -1))
+
+
 def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
     """One-call operational health view of a composed pipeline's stores:
     per-stage row counts (admitted / diverted), replay horizon, batch-dir
@@ -321,6 +411,27 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
 
     def _count(df) -> int:
         return -1 if df is None else df.count()
+
+    # Input parallelism (the starvation signal the r9 throughput
+    # measurement surfaced): a single-file batch serializes the
+    # scrub+quality scan unless min_input_partitions lifts it.
+    audit = read_input_audit(odir)
+    if audit:
+        last = audit[-1]
+        rows.append(("input", "last_batch_files", last["input_files"]))
+        rows.append(("input", "last_batch_partitions", last["input_partitions"]))
+        rows.append(
+            ("input", "last_batch_partitions_after_guard",
+             last["partitions_after_guard"])
+        )
+        rows.append(
+            ("input", "min_batch_partitions",
+             min(r["input_partitions"] for r in audit))
+        )
+        rows.append(
+            ("input", "single_file_batches",
+             sum(1 for r in audit if r["input_files"] <= 1))
+        )
 
     def _store_rows(stage: str, store: Path) -> None:
         n_dirs = (

@@ -45,9 +45,25 @@ from ..batchstore import (
     ensure_store_params,
     last_batch_id,
     maybe_consolidate_in_stream,
+    read_anti_join_key,
     read_batch_store,
+    record_anti_join_key,
 )
 from ..operators.dedup import _shingle_table
+
+
+def _revocation_key(rev: DataFrame, store: Path, docs_cols: list[str]) -> list[str]:
+    """The column(s) a ``revoked`` store is anti-joined on: the recorded
+    key when present, else the shared columns MINUS the contamination
+    report's evidence columns — never bare shared-column intersection,
+    which silently widens (and stops excluding) when the doc schema
+    itself contains a column named ``n_shared``/``n_eval_docs``
+    (ADVICE r9)."""
+    recorded = read_anti_join_key(store)
+    if recorded is not None:
+        return [recorded]
+    evidence = {"n_shared", "n_eval_docs"}
+    return [c for c in rev.columns if c in set(docs_cols) and c not in evidence]
 
 # store name -> partition columns; shared by offline compaction and the
 # in-stream consolidation hook so the two can never disagree on layout.
@@ -76,7 +92,11 @@ def eval_fingerprint(eval_df: DataFrame, id_col: str, text_col: str) -> str:
             F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))
         ).alias("x"),
     ).first()
-    return f"{row['n']}:{row['x']}"
+    # bit_xor over zero rows is NULL: the empty set's fingerprint is
+    # "0:0", never "0:None" — a "0:None" committed to a generation
+    # ledger would crash every later _compose_fp and wedge the upgrade
+    # path (ADVICE r9).
+    return f"{row['n']}:{0 if row['x'] is None else row['x']}"
 
 
 def pin_decontam_params(
@@ -118,7 +138,7 @@ def current_clean_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | 
     rev_store = Path(out_dir) / "revoked"
     if rev_store.exists() and any(rev_store.glob("ingest_batch=*")):
         rev = read_batch_store(spark, rev_store).drop("ingest_batch")
-        key = [c for c in rev.columns if c in set(docs.columns)]
+        key = _revocation_key(rev, rev_store, docs.columns)
         docs = docs.join(
             F.broadcast(rev.select(*key).distinct()), on=key, how="left_anti"
         )
@@ -213,6 +233,14 @@ def add_eval_generation(
         else {"base": params["eval_fingerprint"], "applied": []}
     )
     delta_fp = eval_fingerprint(delta_df, id_col, text_col)
+    if delta_fp.startswith("0:"):
+        # Refuse BEFORE any ledger commit: an empty delta grows nothing
+        # (almost certainly a caller bug), and its identity fingerprint
+        # would pile up meaningless ledger entries.
+        raise ValueError(
+            "add_eval_generation: delta_df is empty — an eval "
+            "generation must contain at least one document"
+        )
 
     def _composed() -> str:
         fp = ledger["base"]
@@ -242,6 +270,7 @@ def add_eval_generation(
         revocations = contamination_report(
             kept, delta_df, id_col, text_col, n=int(params["n"])
         ).filter(F.col("n_shared") >= int(params["min_shared"]))
+        record_anti_join_key(odir / "revoked", id_col)
         wrote = append_batch_increment(revocations, odir / "revoked", gen)
 
     # 2. Ledger commit (atomic replace) — the operation's commit point.

@@ -101,8 +101,10 @@ def current_kept_docs(spark: SparkSession, out_dir: str | Path) -> DataFrame | N
     docs = read_batch_store(spark, store).drop("ingest_batch")
     rev_store = Path(out_dir) / "revoked"
     if rev_store.exists() and any(rev_store.glob("ingest_batch=*")):
+        from .decontam_stream import _revocation_key
+
         rev = read_batch_store(spark, rev_store).drop("ingest_batch")
-        key = [c for c in rev.columns if c in set(docs.columns)]
+        key = _revocation_key(rev, rev_store, docs.columns)
         docs = docs.join(
             F.broadcast(rev.select(*key).distinct()), on=key, how="left_anti"
         )

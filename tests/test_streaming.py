@@ -3295,6 +3295,87 @@ def test_decontam_eval_generation_upgrade(spark, tmp_path):
     assert sorted(r["doc_id"] for r in contamination_log(spark, out).collect()) == [2, 5]
 
 
+def test_eval_generation_edge_hardening(spark, tmp_path):
+    """ADVICE r9 lows: (a) a doc schema containing a column literally
+    named ``n_shared`` must not widen the revocation anti-join —
+    revoked docs stay excluded from current_clean_docs (the key is the
+    recorded id column alone, never bare shared-column intersection);
+    (b) an empty delta is refused BEFORE any ledger commit, and the
+    empty set's fingerprint is '0:0', never the '0:None' that would
+    wedge every later composition."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.decontam_stream import (
+        add_eval_generation,
+        current_clean_docs,
+        eval_fingerprint,
+        start_decontam_stream,
+    )
+
+    SCHEMA = "doc_id long, text string"
+    assert eval_fingerprint(
+        spark.createDataFrame([], SCHEMA), "doc_id", "text"
+    ) == "0:0"
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "gate"
+    # Docs carry a metadata column NAMED LIKE the contamination
+    # report's evidence column — the widened-key trap.
+    DOC_SCHEMA = "doc_id long, text string, n_shared long"
+    p = corpus_dir / "a.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 3], pa.int64()),
+            "text": pa.array([
+                "spark shuffles hash partitioned data between stages",
+                "several question mentions deep river canyons in passing",
+            ]),
+            "n_shared": pa.array([777, 888], pa.int64()),
+        }),
+        str(p),
+    )
+    _os.utime(p, (1_700_000_000, 1_700_000_000))
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")],
+        SCHEMA,
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")],
+        SCHEMA,
+    )
+    q = start_decontam_stream(
+        spark, corpus_dir, eval_a, out, tmp_path / "ck1", DOC_SCHEMA,
+        "doc_id", "text", n=3, min_shared=2,
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        r["doc_id"] for r in current_clean_docs(spark, out).collect()
+    ) == [1, 3]
+
+    # (b) empty delta: refused, no ledger entry left behind.
+    with _pytest.raises(ValueError, match="delta_df is empty"):
+        add_eval_generation(
+            spark, out, spark.createDataFrame([], SCHEMA), "doc_id", "text"
+        )
+    assert not (out / "eval_generations.json").exists()
+
+    # (a) a real delta still works after the refusal, and the revoked
+    # doc is excluded even though docs.n_shared (777/888) never equals
+    # the report's overlap count — a widened join key would "exclude"
+    # nothing.
+    rev = add_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [3]
+    assert (out / "revoked" / "_anti_join_key.json").exists()
+    assert [
+        r["doc_id"] for r in current_clean_docs(spark, out).collect()
+    ] == [1]
+
+
 def test_funnel_eval_generation_revokes_corpus(spark, tmp_path):
     """Funnel-level eval growth: revoke_corpus_eval_generation screens
     the FINAL corpus against the delta (current_corpus excludes the
