@@ -321,39 +321,74 @@ class ApiServer:
         later upload disjoint from the sample could still overlap the
         unseen keys and merge ahead of a dependent upsert — so largeness
         is handled by STREAMING the exact set, never truncating it.
-        JSONL (the declared at-scale landing format) parses line-by-line
-        through the same normalizer ingest uses; array containers above
-        the bound stay unknown (``json.loads`` would hold the whole
-        document). A malformed line / bad UTF-8 makes the whole file
-        malformed exactly as ingest treats it — zero upserts — so its
-        key set is EMPTY and it commutes with everything. Degenerate
-        shapes (one giant line, more than ``_STREAM_MAX_CODES`` distinct
-        keys) degrade to unknown: a conservative hold, never a wrong
-        merge."""
+
+        Parse-parity with ingest is load-bearing (ADVICE r9): a file the
+        probe judges malformed (empty key set, commutes past every hold)
+        but ingest parses as valid would upsert keys the probe never
+        declared, breaking per-code upload ordering. So the probe
+        replays ``json_ingest.parse_file``'s exact decisions, streamed:
+        the array sniff lstrips the WHOLE text (not a 64-byte prefix),
+        and JSONL lines break on ``str.splitlines`` boundaries (\\v, \\f,
+        \\x1c-\\x1e, \\x85, \\u2028, \\u2029 too — not just \\n/\\r), through
+        the same normalizer and the same strict-utf-8 decode. A
+        malformed line / bad UTF-8 therefore makes the file malformed
+        exactly IFF ingest treats it so — zero upserts — and its key set
+        is EMPTY, commuting with everything. Array containers above the
+        bound stay unknown (``json.loads`` would hold the whole
+        document), as do degenerate shapes (one giant line, more than
+        ``_STREAM_MAX_CODES`` distinct keys): a conservative hold, never
+        a wrong merge."""
         import json as _json
 
         from .sources.json_ingest import _make_normalizer
 
-        with open(path, "rb") as fh:
-            if fh.read(64).lstrip()[:1] == b"[":
-                return None
         normalize = _make_normalizer()
         codes: set = set()
+        seq = 0
         try:
-            with open(path, encoding="utf-8", errors="strict") as fh:
-                for seq, line in enumerate(fh):
-                    if len(line) > self._STREAM_MAX_LINE_CHARS:
-                        return None
-                    if not line.strip():
-                        continue
-                    try:
-                        t = normalize(_json.loads(line), "probe", seq)
-                    except ValueError:
-                        return frozenset()  # malformed: ingest upserts nothing
-                    if t[5]:
-                        codes.add(t[2])
-                    if len(codes) > self._STREAM_MAX_CODES:
-                        return None
+            # newline='' : no translation — str.splitlines below is the
+            # ONLY boundary authority, exactly as in parse_file.
+            with open(path, encoding="utf-8", errors="strict", newline="") as fh:
+                # Array sniff, ingest semantics: text.lstrip().startswith('[')
+                # — stream past leading whitespace (any amount, not 64
+                # bytes) to the first non-whitespace character.
+                first = fh.read(1)
+                while first and first.isspace():
+                    first = fh.read(1)
+                if first == "[":
+                    return None  # array container: conservative hold
+                buf = first
+                while True:
+                    chunk = fh.read(1 << 20)
+                    if chunk:
+                        buf += chunk
+                    parts = buf.splitlines(keepends=True)
+                    buf = ""
+                    if chunk and parts:
+                        last = parts[-1]
+                        # Hold back an unterminated final line, and a
+                        # trailing '\r' that may be half of '\r\n'.
+                        if last == last.splitlines()[0] or last.endswith("\r"):
+                            buf = parts.pop()
+                            if len(buf) > self._STREAM_MAX_LINE_CHARS:
+                                return None
+                    for part in parts:
+                        line = part.splitlines()[0]
+                        if len(line) > self._STREAM_MAX_LINE_CHARS:
+                            return None
+                        if not line.strip():
+                            continue
+                        try:
+                            t = normalize(_json.loads(line), "probe", seq)
+                        except ValueError:
+                            return frozenset()  # malformed: ingest upserts nothing
+                        seq += 1
+                        if t[5]:
+                            codes.add(t[2])
+                        if len(codes) > self._STREAM_MAX_CODES:
+                            return None
+                    if not chunk:
+                        break
         except UnicodeDecodeError:
             return frozenset()  # malformed file: zero upserts
         return frozenset(codes)

@@ -691,6 +691,71 @@ def test_consumer_disjoint_keys_merge_ahead_of_backoff(spark, tmp_path):
         server.stop()
 
 
+def test_stream_codes_probe_parses_exactly_like_ingest(spark, tmp_path):
+    """ADVICE r9: the large-file key probe must make byte-identical
+    parse decisions to ingest. A file the probe declares malformed
+    (empty key set — commutes past every hold) that ingest then parses
+    as VALID would upsert keys the probe never declared, breaking
+    per-code upload ordering. Exploits covered: record separators
+    beyond \\n/\\r (splitlines also breaks on \\x0b, \\u2028, …) and an
+    array behind >64 leading whitespace bytes. Differential invariant:
+    probe == exact upsert keys of parse_bytes, or a conservative None —
+    never a proper subset."""
+    from data_pipeline_challenge_spark.api import ApiServer
+    from data_pipeline_challenge_spark.sources.json_ingest import parse_bytes
+
+    server = ApiServer(
+        spark, tmp_path / "wh", tmp_path / "landing", poll_interval=0.01
+    )
+    try:
+        cases = {
+            # \x0b separates two records: ingest's splitlines parses BOTH.
+            "vt.jsonl": b'{"code": "A1"}\x0b{"code": "A2"}',
+            # U+2028 separates records: same.
+            "ls.jsonl": '{"code": "C1"}\u2028{"code": "C2"}'.encode(),
+            # \x0b INSIDE a JSON string: splitlines cuts the string in
+            # half -> both fragments invalid -> ingest-malformed (zero
+            # upserts), so the probe's empty set is exact.
+            "vt_in_string.jsonl": b'{"code": "D1", "product_name": "a\x0bb"}',
+            # Array behind >64 leading whitespace bytes: ingest lstrips
+            # the WHOLE text and array-parses; the probe must hold.
+            "ws_array.json": b" " * 100 + b'[{"code": "B1"}]',
+            # Plain JSONL with blank lines and \r\n endings.
+            "plain.jsonl": b'{"code": "E1"}\r\n\r\n{"code": "E2"}\n',
+            # Truncated record: malformed for both.
+            "trunc.jsonl": b'{"code": "F1"}\n{"code": "F2',
+            # Invalid UTF-8: malformed for both.
+            "bad_utf8.jsonl": b'{"code": "G1"}\n\xff\xfe',
+        }
+        for name, payload in cases.items():
+            p = tmp_path / name
+            p.write_bytes(payload)
+            rows = parse_bytes(name, payload)
+            # A file with a malformed sentinel ingests NOTHING (pipeline
+            # excludes the whole file), even for rows parsed before the
+            # error — the true upsert set is empty.
+            truth = (
+                frozenset()
+                if any(t[1] == -1 for t in rows)
+                else frozenset(t[2] for t in rows if t[5])
+            )
+            probe = server._stream_codes_bounded(str(p))
+            # Soundness: never a proper subset of the true upsert keys.
+            assert probe is None or probe >= truth, (name, probe, truth)
+            if name == "ws_array.json":
+                assert probe is None, "array containers must hold"
+            else:
+                assert probe == truth, (name, probe, truth)
+        # The r9 exploit shape specifically: both \x0b-separated records'
+        # keys are declared (the old probe returned an empty "malformed"
+        # set and commuted past every hold).
+        assert server._stream_codes_bounded(str(tmp_path / "vt.jsonl")) == {
+            "A1", "A2",
+        }
+    finally:
+        server.stop()
+
+
 def test_large_file_streams_exact_keys_instead_of_holding_everyone(
     spark, tmp_path
 ):
