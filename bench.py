@@ -143,10 +143,42 @@ def _testdata_fingerprint(sf_dir: str) -> dict:
     }
 
 
+def _await_quiet_box(threshold: float, max_wait_secs: float) -> bool:
+    """Wait (bounded) for the 1-minute load average to drop below
+    ``threshold`` before timing anything: BENCH_r09 was captured at
+    load_avg 8.0 and was useless for cross-round comparison except via
+    README quiet-pair prose. Returns True if the box is still noisy
+    after the wait — the artifact then carries an explicit
+    ``"noisy": true`` so a reader never mistakes contention for a
+    regression."""
+
+    def _load1() -> float:
+        try:
+            return os.getloadavg()[0]
+        except OSError:
+            return 0.0
+
+    waited = 0.0
+    while _load1() > threshold and waited < max_wait_secs:
+        print(
+            f"bench: load_avg {_load1():.2f} > {threshold:g} — "
+            f"waiting for a quiet box ({int(max_wait_secs - waited)}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+    return _load1() > threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     testdata = _testdata_fingerprint(sf_dir)
+    quiet_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
+    noisy = _await_quiet_box(
+        quiet_threshold,
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SECS", "300")),
+    )
     try:
         load_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -208,6 +240,11 @@ def main() -> None:
                 # load averages bracket the run so a contended box is visible
                 # in the artifact itself, not just in README prose.
                 "testdata": testdata,
+                # True = the box never went quiet within the bounded
+                # wait (1-min load stayed above the threshold at start):
+                # treat timings as non-comparable across rounds.
+                "noisy": noisy,
+                "quiet_load_threshold": quiet_threshold,
                 "load_avg_start": load_start,
                 "load_avg_end": (
                     [round(x, 2) for x in os.getloadavg()]
