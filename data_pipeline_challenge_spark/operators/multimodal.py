@@ -312,12 +312,32 @@ def _make_audio_decoder():
     2. RIFF/WAVE PCM decodes for REAL through stdlib ``wave``:
        8/16/24/32-bit samples normalized to [-1, 1], multi-channel
        downmixed to mono before the RMS.
-    3. Anything else (compressed WAV, ogg, mp3, …) raises
-       NotImplementedError — soundfile/libav are the production swap.
+    3. Compressed containers (ogg/flac/mp3, non-PCM WAV) decode through
+       ``soundfile`` WHEN IMPORTABLE (the Pillow pattern: a real
+       production tier behind an optional dep, downmixed to mono the
+       same way); otherwise they raise an honest NotImplementedError.
     """
     import struct as _struct
 
     magic = _MAGIC
+
+    def _soundfile_decode(payload: bytes):
+        """Optional-dep tier: None when soundfile is absent (caller
+        raises the honest gap), features when it decodes."""
+        import io
+
+        import numpy as _np
+
+        try:
+            import soundfile as _sf
+        except ImportError:
+            return None
+        data, sr = _sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        x = data.mean(axis=1)  # downmix exactly like the PCM tier
+        nf = int(x.shape[0])
+        rms = float(_np.sqrt((x**2).mean())) if nf else 0.0
+        dur = round(nf / sr, 6) if sr else 0.0
+        return int(sr), nf, dur, round(rms, 6)
 
     def decode(payload: bytes) -> tuple[int, int, float, float]:
         import numpy as _np
@@ -341,6 +361,9 @@ def _make_audio_decoder():
                     sw = wf.getsampwidth()
                     raw = wf.readframes(nf)
             except wave.Error as e:
+                got = _soundfile_decode(payload)
+                if got is not None:
+                    return got
                 raise NotImplementedError(
                     f"non-PCM WAV needs soundfile/libav: {e}"
                 ) from None
@@ -362,9 +385,12 @@ def _make_audio_decoder():
             rms = float(_np.sqrt((x**2).mean())) if x.size else 0.0
             dur = round(nf / sr, 6) if sr else 0.0
             return int(sr), int(nf), dur, round(rms, 6)
+        got = _soundfile_decode(payload)
+        if got is not None:
+            return got
         raise NotImplementedError(
             "unrecognized audio container (FAKE stub and RIFF/WAVE PCM are "
-            "the built-in tiers; wire soundfile/libav for compressed codecs)"
+            "the built-in tiers; install soundfile for compressed codecs)"
         )
 
     return decode

@@ -414,6 +414,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk_indexed,
         lsh_build_index,
         lsh_topk_indexed,
+        pq_build_index,
+        pq_topk_indexed,
     )
 
     snap = rest.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(10)) < 7)
@@ -421,6 +423,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _scratch_dir("ann_recall_maintained")
     lsh_build_index(snap, idx, dim=_DIM, n_planes=headline_planes)
     ivf_build_index(snap, idx, n_clusters=16)
+    # PQ maintains the same way (VERDICT r9 #8): arrivals are encoded
+    # with the codebooks FROZEN at snapshot build (standard ANN practice
+    # — retraining is an offline rebuild), so the maintained row also
+    # measures the quantization drift of serving post-snapshot vectors
+    # through snapshot-trained codebooks.
+    pq_build_index(snap, idx)
     append_index_increments(arrivals, idx, batch_id=0)
     lsh_maint = {
         r["vec_id"]
@@ -432,6 +440,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"]
         for r in ivf_topk_indexed(spark, idx, qvec, k=k, n_probe=4).collect()
     }
+    pq_maint = {
+        r["vec_id"]
+        for r in pq_topk_indexed(spark, idx, qvec, rest, k=k).collect()
+    }
 
     rows = [
         ("lsh_single_probe", len(exact & lsh1), k),
@@ -441,6 +453,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_adc", len(exact & pq), k),
         ("lsh_maintained_base_plus_inc_h1", len(exact & lsh_maint), k),
         ("ivf_maintained_base_plus_inc", len(exact & ivf_maint), k),
+        ("pq_maintained_base_plus_inc", len(exact & pq_maint), k),
     ]
     out = spark.createDataFrame(rows, "method string, n_hit long, k long")
     return out.select(
