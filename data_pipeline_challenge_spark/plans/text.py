@@ -764,3 +764,210 @@ def text_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
+
+
+@query(
+    "dedup_duplicated_spans_top20",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS span
+        FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 5
+    )
+    SELECT span,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM w
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT 20
+    """,
+    tags=("dedup", "text", "span"),
+)
+def dedup_duplicated_spans_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection — the substring-level dedup signal
+    (find 5-token spans shared across documents) that document-level
+    fingerprints miss: boilerplate headers, license blocks, templated
+    sentences. Sliding token windows via a Catalyst higher-order
+    ``transform`` over an index ``sequence`` (no Python, no UDTF), one
+    explode, one two-phase aggregation keyed by the span text. 100 TB
+    note: the group key is the span string — map-side partial
+    aggregation collapses each partition's repeats before the shuffle,
+    and the HAVING keeps only cross-doc spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
+    )
+    return (
+        docs.filter(F.size(toks) >= 5)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    tot AS (SELECT sum(c) * 1.0 AS n FROM f)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c / n)), 4) AS mean_logprob
+    FROM t JOIN f USING (tok), tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the simplest perplexity-style
+    quality signal a data pipeline runs before a real LM: corpus
+    unigram frequencies (one two-phase count), then each doc's mean
+    token log-probability via a join back on the token. Low scores
+    flag rare-token noise (mojibake, code dumps); anomalously high
+    scores flag boilerplate. 100 TB note: the frequency table is
+    vocabulary-sized (not corpus-sized) and the join key is the token —
+    both shuffles are map-side combinable, nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    f = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = f.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        t.join(f, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "vocab_bpe_pair_counts_top20",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY tok),
+    pairs AS (
+        SELECT substr(tok, i, 2) AS pair, c
+        FROM tf, UNNEST(range(1, length(tok))) AS u(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n_weighted
+    FROM pairs GROUP BY pair
+    ORDER BY n_weighted DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "vocab", "bpe"),
+)
+def vocab_bpe_pair_counts_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE vocabulary training: adjacent
+    character-pair counts weighted by token frequency — the merge
+    candidate ranking a tokenizer builder computes per round. Counting
+    over the DISTINCT-token frequency table (vocabulary-sized) instead
+    of raw text makes each round O(vocab), not O(corpus): the corpus is
+    scanned once for token counts, every BPE iteration after that works
+    on the frequency table alone (the standard trick, and the reason
+    this composes into a full trainer as a driver loop over a cached
+    vocab frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.col("tok").substr(i, F.lit(2)),
+    )
+    return (
+        tf.filter(F.length("tok") >= 2)
+        .select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n_weighted"))
+        .orderBy(F.desc("n_weighted"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_zipf_fit",
+    """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    f AS (SELECT tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY tok),
+    r AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, tok)) AS lx,
+               ln(c * 1.0) AS ly
+        FROM f
+        ORDER BY c DESC, tok
+        LIMIT 500
+    )
+    SELECT count(*) AS n_terms,
+           round(covar_pop(lx, ly) / var_pop(lx), 3) AS zipf_slope,
+           round(avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx), 3)
+               AS zipf_intercept
+    FROM r
+    """,
+    tags=("text", "stats", "zipf"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-500 tokens: least-squares
+    slope/intercept of ln(freq) on ln(rank) — the corpus-health
+    statistic that flags templated or deduplication-starved corpora (a
+    natural-language corpus sits near slope -1; synthetic/boilerplate
+    text flattens). Rank ties break on the token so both engines rank
+    identically; the regression is two Catalyst moment aggregates
+    (covar_pop/var_pop), no collect, no Python. 100 TB note: the
+    top-500 cut runs as a distributed TakeOrderedAndProject over the
+    vocabulary-sized frequency table — NOT a global row_number window,
+    which would drag the whole vocabulary into one partition; the rank
+    window then orders only the 500 survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    r = (
+        f.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(500)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))),
+        )
+        .select(
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("c").cast("double")).alias("ly"),
+        )
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return r.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 3).alias("zipf_slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 3).alias("zipf_intercept"),
+    )
