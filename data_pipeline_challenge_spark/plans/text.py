@@ -971,3 +971,25 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 3).alias("zipf_slope"),
         F.round(F.avg("ly") - slope * F.avg("lx"), 3).alias("zipf_intercept"),
     )
+
+
+@query(
+    "vocab_bpe_train_merges",
+    None,  # iterative driver loop — not SQL-expressible; rows-only.
+    tags=("text", "vocab", "bpe"),
+)
+def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight rounds of actual BPE training over the documents corpus
+    (``operators/vocab.bpe_train``): the ordered merge-rule table a
+    tokenizer builder produces. Deterministic (ties break
+    lexicographically), so the rows-only replay is stable; the
+    differential unit test pins the trainer against a pure-Python
+    reference implementation (``test_bpe_train_matches_reference``)."""
+    from ..operators.vocab import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_merges=8)
+    rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "round int, left string, right string, n_weighted long"
+    )

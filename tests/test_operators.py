@@ -1150,3 +1150,95 @@ def test_video_frame_sampling_real_avi_tier(spark):
             expected = {hashlib.sha1(f).hexdigest()
                         for _, f in _make_frame_extractor(4)(mids[vid])}
             assert {r["frame_sha1"] for r in vrows} == expected
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer (driver loop over the vocab frame)
+    must reproduce a pure-Python reference implementation exactly —
+    merge rules IN ORDER (ties break lexicographically on the pair) and
+    the final symbolization of every token — on the classic Sennrich
+    fixture and on a seeded random corpus. bpe_encode applies the rules
+    to fresh text identically."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.operators.vocab import (
+        bpe_encode,
+        bpe_train,
+        token_frequencies,
+    )
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_bpe(token_counts, n_merges):
+        vocab = {tok: list(tok) for tok in token_counts}
+        merges = []
+        for _ in range(n_merges):
+            counts: dict = {}
+            for tok, c in token_counts.items():
+                syms = vocab[tok]
+                for i in range(len(syms) - 1):
+                    pair = (syms[i], syms[i + 1])
+                    counts[pair] = counts.get(pair, 0) + c
+            if not counts:
+                break
+            n_max = max(counts.values())
+            a, b = min(p for p, c in counts.items() if c == n_max)
+            merges.append((a, b, n_max))
+            vocab = {t: ref_merge(s, a, b) for t, s in vocab.items()}
+        return merges, vocab
+
+    def check(corpus_rows, n_merges):
+        docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        counts = {
+            r["tok"]: r["c"]
+            for r in token_frequencies(docs, "text").collect()
+        }
+        want_merges, want_vocab = ref_bpe(counts, n_merges)
+        got_merges, got_vocab = bpe_train(docs, "text", n_merges)
+        assert got_merges == want_merges
+        got = {r["tok"]: list(r["syms"]) for r in got_vocab.collect()}
+        assert got == want_vocab
+        # Encoding fresh tokens with the trained rules matches the
+        # reference merge application.
+        fresh = sorted(set(list(counts) + ["zzz", "lowestnewest"]))
+        enc = spark.createDataFrame(
+            [(t,) for t in fresh], "tok string"
+        ).select("tok", bpe_encode(F.col("tok"), got_merges).alias("syms"))
+        for r in enc.collect():
+            syms = list(r["tok"])
+            for a, b, _ in want_merges:
+                syms = ref_merge(syms, a, b)
+            assert list(r["syms"]) == syms, r["tok"]
+
+    # The classic fixture (Sennrich et al. 2016 example shape).
+    check(
+        [(1, "low low low low low lower lower "
+             "newest newest newest newest newest newest "
+             "widest widest widest")],
+        n_merges=6,
+    )
+    # Seeded random corpus over a tiny alphabet: dense pair ties and
+    # repeated-letter runs exercise the non-overlapping merge fold.
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(3, 30))
+            ),
+        )
+        for i in range(12)
+    ]
+    check(rows, n_merges=12)
