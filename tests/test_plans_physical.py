@@ -310,3 +310,42 @@ def test_decontam_threshold_profile_partial_agg_only(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan  # map-side combine of the 6 counters
     assert "CartesianProduct" not in plan
+
+
+def test_duplicated_spans_partial_agg_and_column_pruning(spark):
+    # The span counts must fold map-side (partial count before the
+    # span-keyed shuffle — repeats collapse per partition), the top-20
+    # must be a distributed TakeOrderedAndProject (never a global sort
+    # materializing every cross-doc span), and the scan must read only
+    # (doc_id, text).
+    plan = plan_of(spark, "dedup_duplicated_spans_top20")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    seg = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in seg and "lang" not in seg and "source" not in seg
+
+
+def test_zipf_fit_topk_not_global_window(spark):
+    # The top-500 cut over the vocabulary must run as a distributed
+    # TakeOrderedAndProject; a global row_number window here would drag
+    # the entire vocabulary into one partition (the WindowExec
+    # single-partition warning shape). The 500-row rank window after the
+    # cut is fine — what must NOT happen is Window before the limit.
+    plan = plan_simple(spark, "corpus_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    # Window appears once, ABOVE (before, in plan text order) the
+    # TakeOrderedAndProject that bounds its input to 500 rows.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    plan_f = plan_of(spark, "corpus_zipf_fit")
+    assert "partial_count" in plan_f  # token counts fold map-side
+
+
+def test_unigram_logprob_vocab_sized_shuffles(spark):
+    # Token frequencies fold map-side; the frequency join back to the
+    # token stream is keyed on the token (no cartesian); the corpus
+    # total reaches each row via a broadcast of ONE aggregate row.
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
