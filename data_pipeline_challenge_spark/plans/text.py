@@ -787,6 +787,7 @@ def text_term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("dedup", "text", "span"),
+    bench=True,
 )
 def dedup_duplicated_spans_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SPAN detection — the substring-level dedup signal
