@@ -228,6 +228,7 @@ def revoke_packed_docs(
         shutil.rmtree(tmp)
     repacked.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
     _link_shard_dirs(versions[-1][1], tmp, skip_shards=set(present))
+    _anchor_empty_version(tmp, repacked)
     folded = _last_folded(odir)
     if folded is not None:
         _mark_folded(tmp, folded)  # no new batch folded: carry forward
@@ -358,6 +359,17 @@ def migrate_legacy_layout(spark: SparkSession, out_dir: str | Path) -> dict[str,
     return report
 
 
+def _anchor_empty_version(tmp: Path, repacked: DataFrame) -> None:
+    """A version dir with ZERO parquet files (every row of every shard
+    revoked, or a batch whose rows were all already-revoked) would
+    poison every later ``current_packed`` read with
+    UNABLE_TO_INFER_SCHEMA. Anchor it with one empty, schema-carrying
+    part file (flat — the shard column rides as a data column; later
+    versions link nothing from it, which is correct: it has no rows)."""
+    if not any(tmp.rglob("*.parquet")):
+        repacked.limit(0).write.mode("append").parquet(str(tmp))
+
+
 def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> None:
     """Hard-link every ``shard=S`` partition dir of ``prev_dir`` with
     ``S not in skip_shards`` into ``new_dir``. Metadata-only (os.link):
@@ -464,6 +476,7 @@ def start_packing_stream(
         repacked.write.partitionBy("shard").mode("overwrite").parquet(str(tmp))
         if versions:
             _link_shard_dirs(versions[-1][1], tmp, skip_shards=set(touched))
+        _anchor_empty_version(tmp, repacked)
         _mark_folded(tmp, batch_id)  # before rename: marker is never absent
         final = odir / f"data.v{next_n}"
         if final.exists():

@@ -327,6 +327,115 @@ def test_packing_stream_invariant_to_arrival_order(spark, arrival):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@settings(
+    max_examples=5,  # each example drains a streaming query + folds
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    arrival=_pack_batches_st,
+    data=st.data(),
+)
+def test_packed_revocation_property(spark, arrival, data):
+    """For ANY corpus, ANY arrival split, and ANY sequence of revocation
+    deltas (overlapping deltas included — re-revoking an already-revoked
+    doc, revoking ids never packed), the folded packed table equals the
+    batch ``pack_sequences_sharded`` over the surviving rows, and
+    re-applying any delta is a no-op. The fold's shard arithmetic, the
+    revoked-keys anti-join, and the fingerprint ledger can't disagree
+    for any input shape."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+
+    batches, ids = arrival
+    all_ids = list(range(1, sum(len(b) for b in batches) + 1))
+    n_folds = data.draw(st.integers(1, 2), label="n_folds")
+    deltas = [
+        data.draw(
+            st.lists(
+                st.sampled_from(all_ids + [9_999_001, 9_999_002]),
+                min_size=1,
+                max_size=max(1, len(all_ids)),
+                unique=True,
+            ),
+            label=f"delta_{i}",
+        )
+        for i in range(n_folds)
+    ]
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    root = Path(tempfile.mkdtemp(prefix="pack_revoke_prop_"))
+    try:
+        corpus_dir = root / "corpus"
+        corpus_dir.mkdir()
+        it = iter(ids)
+        for i, batch in enumerate(batches):
+            src, toks = zip(*batch)
+            pq.write_table(
+                pa.table(
+                    {
+                        "source": pa.array(src),
+                        "doc_id": pa.array([next(it) for _ in batch], pa.int64()),
+                        "n_tokens": pa.array(toks, pa.int64()),
+                    }
+                ),
+                str(corpus_dir / f"b{i}.parquet"),
+            )
+        q = start_packing_stream(
+            spark, corpus_dir, root / "packed", root / "ckpt", SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        revoked: set[int] = set()
+        for delta in deltas:
+            revoke_packed_docs(
+                spark, root / "packed",
+                spark.createDataFrame([(i,) for i in delta], "doc_id long"),
+                "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+            )
+            revoked |= set(delta)
+        # Idempotence: re-applying the first delta changes nothing.
+        assert revoke_packed_docs(
+            spark, root / "packed",
+            spark.createDataFrame([(i,) for i in deltas[0]], "doc_id long"),
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        ) == 0
+
+        def norm(df):
+            return {
+                tuple(r)
+                for r in df.select(
+                    "source", "shard", "doc_id", "n_tokens", "bin"
+                ).collect()
+            }
+
+        survivors = spark.read.schema(SCHEMA).parquet(str(corpus_dir)).filter(
+            ~F.col("doc_id").isin(sorted(revoked))
+        )
+        expected = pack_sequences_sharded(
+            survivors, "source", "doc_id", "n_tokens", capacity=100, n_shards=4
+        )
+        got = current_packed(spark, root / "packed")
+        assert norm(got) == norm(expected)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # -- dedup stream fingerprint-set invariance ---------------------------------
 
 # Arbitrary documents (drawn from a small text pool so duplicates are
