@@ -1051,3 +1051,121 @@ def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)
     )
+
+from ..functions.textfn import STOPWORDS as _SW  # noqa: E402
+
+_PSI_STOP_SQL = ", ".join(f"'{w}'" for w in _SW)
+
+_PSI_ORACLE = f"""
+    WITH t AS (
+        SELECT n_chars, string_split(text, ' ') AS toks,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 'ref' ELSE 'cmp' END AS split
+        FROM documents
+    ),
+    s AS (
+        SELECT split,
+               CAST(least(greatest(floor(round(ln(1 + n_chars) *
+                    (1 - len(list_filter(toks, x -> x IN ({_PSI_STOP_SQL}))) * 1.0 / len(toks)) *
+                    (len(list_distinct(toks)) * 1.0 / len(toks)), 4)), 0), 9) AS INT) AS bin
+        FROM t
+    ),
+    c AS (SELECT bin, split, count(*) AS n FROM s GROUP BY bin, split),
+    b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    tot AS (SELECT
+        sum(CASE WHEN split = 'ref' THEN 1 ELSE 0 END) AS nt_ref,
+        sum(CASE WHEN split = 'cmp' THEN 1 ELSE 0 END) AS nt_cmp
+        FROM s),
+    j AS (
+        SELECT b.bin,
+               coalesce(r.n, 0) AS n_ref, coalesce(cm.n, 0) AS n_cmp,
+               (coalesce(r.n, 0) + 0.5) / (tot.nt_ref + 5.0) AS pr,
+               (coalesce(cm.n, 0) + 0.5) / (tot.nt_cmp + 5.0) AS pc
+        FROM b
+        LEFT JOIN (SELECT bin, n FROM c WHERE split = 'ref') r USING (bin)
+        LEFT JOIN (SELECT bin, n FROM c WHERE split = 'cmp') cm USING (bin)
+        CROSS JOIN tot
+    )
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cmp AS BIGINT) AS n_cmp,
+           round(pr, 6) AS p_ref,
+           round(pc, 6) AS p_cmp,
+           round((pr - pc) * ln(pr / pc), 6) AS psi_term
+    FROM j
+"""
+
+
+@query(
+    "quality_drift_psi",
+    _PSI_ORACLE,
+    tags=("corpus", "quality", "drift"),
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the quality-score distribution
+    between two deterministic md5 halves of the corpus — the drift
+    check a production pipeline runs between a reference window and the
+    latest arrivals before trusting a tuned quality threshold (PSI
+    > 0.2 conventionally means "re-fit your gate"). Bins are integer
+    floors of the SAME score ``text_quality_score`` declares (rounded
+    first, so bin edges are exact at 4 decimals — engine libm ulp can't
+    flip a bin), Laplace-smoothed shares so empty bins stay finite, the
+    bin spine is a literal range (all 10 bins always present). One
+    corpus scan + two tiny aggregates; the per-split totals reach each
+    bin via a broadcast single-row frame."""
+    from ..functions.textfn import distinct_token_ratio, stopword_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.round(
+        F.log(F.lit(1) + F.col("n_chars"))
+        * (F.lit(1) - stopword_ratio(toks))
+        * distinct_token_ratio(toks),
+        4,
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "80", "ref"
+    ).otherwise("cmp")
+    s = docs.select(
+        split.alias("split"),
+        F.least(F.greatest(F.floor(score), F.lit(0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+    )
+    c = s.groupBy("bin", "split").agg(F.count(F.lit(1)).alias("n"))
+    totals = s.agg(
+        F.sum(F.when(F.col("split") == "ref", 1).otherwise(0)).alias("nt_ref"),
+        F.sum(F.when(F.col("split") == "cmp", 1).otherwise(0)).alias("nt_cmp"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(
+            c.filter(F.col("split") == "ref").select(
+                "bin", F.col("n").alias("nr")
+            ),
+            "bin",
+            "left",
+        )
+        .join(
+            c.filter(F.col("split") == "cmp").select(
+                "bin", F.col("n").alias("nc")
+            ),
+            "bin",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p_ref = (F.coalesce(F.col("nr"), F.lit(0)) + 0.5) / (F.col("nt_ref") + 5.0)
+    p_cmp = (F.coalesce(F.col("nc"), F.lit(0)) + 0.5) / (F.col("nt_cmp") + 5.0)
+    return j.select(
+        "bin",
+        F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_cmp"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cmp, 6).alias("p_cmp"),
+        F.round((p_ref - p_cmp) * F.log(p_ref / p_cmp), 6).alias("psi_term"),
+    )
+
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _SW)

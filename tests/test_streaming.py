@@ -3449,3 +3449,98 @@ def test_funnel_eval_generation_revokes_corpus(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in contamination_log(spark, out / "decontam").collect()
     ) == [2, 5]
+
+
+def test_packed_revocation_crash_heals(spark, tmp_path, monkeypatch):
+    """The fold's docstring claims at-least-once crash safety: a crash
+    after the revoked-keys append (before the repack) and a crash after
+    the repack (before the ledger commit) must both heal on
+    re-application, ending in the identical final state with ONE ledger
+    entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+    from data_pipeline_challenge_spark.streaming import packing_stream
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        current_packed,
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    ids = list(range(1, 13))
+
+    def build(root):
+        corpus = root / "corpus"
+        corpus.mkdir(parents=True)
+        pq.write_table(
+            pa.table({
+                "source": pa.array(["web"] * len(ids)),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array([40] * len(ids), pa.int64()),
+            }),
+            str(corpus / "a.parquet"),
+        )
+        q = start_packing_stream(
+            spark, corpus, root / "packed", root / "ckpt", SCHEMA,
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        )
+        q.awaitTermination(180)
+        return root / "packed"
+
+    def fold(out):
+        return revoke_packed_docs(
+            spark, out,
+            spark.createDataFrame([(3,), (7,)], "doc_id long"),
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        )
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select("source", "shard", "doc_id", "n_tokens", "bin").collect()
+        }
+
+    expected = norm(
+        pack_sequences_sharded(
+            spark.createDataFrame(
+                [("web", i, 40) for i in ids if i not in (3, 7)], SCHEMA
+            ),
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+        )
+    )
+
+    # Crash point 1: after the keys append, before the repack.
+    out = build(tmp_path / "w1")
+    real_pack = packing_stream.pack_sequences_sharded
+    monkeypatch.setattr(
+        packing_stream, "pack_sequences_sharded",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash-1")),
+    )
+    with _pytest.raises(RuntimeError, match="crash-1"):
+        fold(out)
+    monkeypatch.setattr(packing_stream, "pack_sequences_sharded", real_pack)
+    assert fold(out) > 0  # heals: repacks and commits
+    assert norm(current_packed(spark, out)) == expected
+    assert len(packing_stream._revocations_ledger(out)) == 1
+    assert fold(out) == 0  # committed: no-op
+
+    # Crash point 2: after the repack+publish, before the ledger commit.
+    out = build(tmp_path / "w2")
+    real_commit = packing_stream._commit_revocation
+    monkeypatch.setattr(
+        packing_stream, "_commit_revocation",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash-2")),
+    )
+    with _pytest.raises(RuntimeError, match="crash-2"):
+        fold(out)
+    assert norm(current_packed(spark, out)) == expected  # already published
+    monkeypatch.setattr(packing_stream, "_commit_revocation", real_commit)
+    assert fold(out) >= 0  # heals (idempotent re-repack) and commits
+    assert norm(current_packed(spark, out)) == expected
+    assert len(packing_stream._revocations_ledger(out)) == 1
+    assert fold(out) == 0
