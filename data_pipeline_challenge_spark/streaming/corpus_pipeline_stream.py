@@ -213,6 +213,7 @@ def start_corpus_pipeline_stream(
     available_now: bool = True,
     consolidate_every: int | None = 64,
     min_input_partitions: int | None = None,
+    drift_score_expr: Column | None = None,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
@@ -236,7 +237,18 @@ def start_corpus_pipeline_stream(
     ``input_audit`` store and summarized by :func:`pipeline_report`, so
     an operator sees the starvation instead of inferring it from wall
     time. Deterministic per batch (a pure function of the batch's file
-    set), so crash replay re-records identically."""
+    set), so crash replay re-records identically.
+
+    ``drift_score_expr`` (e.g. the ``quality_drift_psi`` score) turns on
+    the per-batch DRIFT monitor: each micro-batch's score histogram
+    (integer floors of the 4-decimal-rounded score, clamped to [0, 9],
+    measured on the POST-transform rows every gate sees) is recorded in
+    ``drift_audit/``; :func:`quality_drift_report` computes the PSI of
+    the latest batch against the accumulated earlier batches and
+    :func:`pipeline_report` surfaces it. Observational only — it is
+    deliberately NOT in the funnel pin (changing the monitored score
+    can never corrupt stored verdicts), so it can be added to a live
+    warehouse."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -270,6 +282,8 @@ def start_corpus_pipeline_stream(
         cur: DataFrame | None = batch_df
         if transform_exprs:
             cur = cur.withColumns(transform_exprs)
+        if drift_score_expr is not None:
+            _record_drift_histogram(cur, odir, batch_id, drift_score_expr)
         if quality_expr is not None:
             cur = filter_gate_stream.fold_batch(
                 spark, odir / "quality", cur, batch_id, quality_expr
@@ -373,6 +387,89 @@ def _audit_input_parallelism(
     return batch_df
 
 
+_DRIFT_BINS = 10
+
+
+def _record_drift_histogram(
+    batch_df: DataFrame, out_dir: Path, batch_id: int, score_expr: Column
+) -> None:
+    """One tiny JSON per batch: the micro-batch's score histogram
+    (``quality_drift_psi`` binning — floor of the 4-decimal-rounded
+    score, clamped to [0, _DRIFT_BINS-1]). ≤10 rows collected per batch
+    (bounded driver traffic); atomic rename, idempotent under replay —
+    the histogram is a pure function of the batch."""
+    import json
+
+    b = (
+        F.least(
+            F.greatest(F.floor(F.round(score_expr, 4)), F.lit(0)),
+            F.lit(_DRIFT_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    hist = [0] * _DRIFT_BINS
+    for r in batch_df.select(b).groupBy("bin").count().collect():
+        hist[int(r["bin"])] = int(r["count"])
+    d = out_dir / "drift_audit"
+    d.mkdir(parents=True, exist_ok=True)
+    final = d / f"b{batch_id}.json"
+    tmp = d / f".{final.name}.tmp"
+    tmp.write_text(json.dumps({"batch_id": batch_id, "hist": hist}, sort_keys=True))
+    os.replace(tmp, final)
+
+
+def read_drift_audit(out_dir: str | Path) -> list[dict]:
+    """Per-batch score histograms recorded by the drift monitor,
+    batch-ordered; empty when the monitor was never configured."""
+    import json
+
+    d = Path(out_dir) / "drift_audit"
+    if not d.exists():
+        return []
+    out = []
+    for p in d.glob("b*.json"):
+        try:
+            out.append(json.loads(p.read_text()))
+        except (OSError, ValueError):
+            continue
+    return sorted(out, key=lambda r: r.get("batch_id", -1))
+
+
+def quality_drift_report(out_dir: str | Path) -> dict | None:
+    """PSI of the LATEST batch's score distribution against the
+    accumulation of every earlier batch (the reference window) —
+    ``quality_drift_psi``'s arithmetic (Laplace-smoothed shares), pure
+    driver-side ints. None until two batches have histograms.
+    Conventional reading: <0.1 stable, 0.1-0.2 watch, >0.2 re-fit the
+    gate thresholds."""
+    import math
+
+    audit = read_drift_audit(out_dir)
+    if len(audit) < 2:
+        return None
+    latest = audit[-1]
+    ref = [0] * _DRIFT_BINS
+    for rec in audit[:-1]:
+        for i, n in enumerate(rec["hist"]):
+            ref[i] += n
+    cmp_h = latest["hist"]
+    nt_ref = sum(ref) + 0.5 * _DRIFT_BINS
+    nt_cmp = sum(cmp_h) + 0.5 * _DRIFT_BINS
+    psi = 0.0
+    for i in range(_DRIFT_BINS):
+        pr = (ref[i] + 0.5) / nt_ref
+        pc = (cmp_h[i] + 0.5) / nt_cmp
+        psi += (pr - pc) * math.log(pr / pc)
+    return {
+        "psi": round(psi, 6),
+        "latest_batch": latest["batch_id"],
+        "reference_batches": [r["batch_id"] for r in audit[:-1]],
+        "reference_hist": ref,
+        "latest_hist": cmp_h,
+    }
+
+
 def read_input_audit(out_dir: str | Path) -> list[dict]:
     """Per-micro-batch input-parallelism records (batch-ordered): file
     count, arriving partition count, and the partition count after the
@@ -432,6 +529,12 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
             ("input", "single_file_batches",
              sum(1 for r in audit if r["input_files"] <= 1))
         )
+    drift = quality_drift_report(odir)
+    if drift is not None:
+        # PSI scaled to integer millionths (report values are longs):
+        # >200_000 conventionally means "re-fit the gate thresholds".
+        rows.append(("drift", "latest_psi_e6", int(drift["psi"] * 1_000_000)))
+        rows.append(("drift", "batches_recorded", len(read_drift_audit(odir))))
 
     def _store_rows(stage: str, store: Path) -> None:
         n_dirs = (

@@ -680,3 +680,62 @@ def test_min_input_partitions_guard(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in current_corpus(spark, tmp_path / "out").collect()
     ) == list(range(1, 41))
+
+
+def test_quality_drift_monitor(spark, tmp_path):
+    """drift_score_expr turns on the funnel's per-batch drift monitor:
+    each micro-batch's score histogram lands in drift_audit/ (pure
+    function of the batch — replay-idempotent), quality_drift_report
+    computes the latest-vs-reference PSI, and pipeline_report surfaces
+    it. A deliberate distribution shift between batches must read as a
+    LARGE PSI; a same-shape batch as a small one."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        pipeline_report,
+        quality_drift_report,
+        read_drift_audit,
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+    long_doc = "a reasonably long document " * 8  # ~32 tokens -> bin 5
+    short_doc = "tiny text"  # 2 tokens -> bin 1
+    score = F.log(F.lit(1) + F.size(F.split(F.col("text"), r"\s+")))
+
+    def run():
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, tmp_path / "out", tmp_path / "ck", SCHEMA,
+            "doc_id", "text", n_prefix=8, max_files_per_trigger=1,
+            drift_score_expr=score,
+        )
+        q.awaitTermination(240)
+
+    land("f0.parquet", [(i, long_doc + str(i)) for i in range(1, 21)])
+    time.sleep(1.1)
+    land("f1.parquet", [(100 + i, long_doc + "x" + str(i)) for i in range(1, 21)])
+    run()
+    rep = quality_drift_report(tmp_path / "out")
+    assert rep is not None and rep["latest_batch"] == 1
+    assert rep["psi"] < 0.1, rep  # same shape: stable
+
+    # A shifted batch (all short docs) must read as large drift.
+    time.sleep(1.1)
+    land("f2.parquet", [(200 + i, short_doc + " " + str(i)) for i in range(1, 21)])
+    run()
+    audit = read_drift_audit(tmp_path / "out")
+    assert [r["batch_id"] for r in audit] == [0, 1, 2]
+    rep = quality_drift_report(tmp_path / "out")
+    assert rep["latest_batch"] == 2
+    assert rep["psi"] > 0.2, rep  # conventional "re-fit" threshold
+    prep = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in pipeline_report(spark, tmp_path / "out").collect()
+    }
+    assert prep[("drift", "latest_psi_e6")] > 200_000
+    assert prep[("drift", "batches_recorded")] == 3
