@@ -339,3 +339,53 @@ def events_rollup_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     return reaggregate(hourly_rollup(ev), 24)
+
+
+@query(
+    "events_user_sequences",
+    """
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id,
+           CAST(max(n_events) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY rn) AS seq_prefix
+    FROM o WHERE rn <= 16
+    GROUP BY user_id
+    """,
+    tags=("events", "sequence"),
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence assembly — turning an event log into ordered
+    per-user training sequences (the shape a recommender / behavioral-LM
+    pipeline feeds a tokenizer): each user's first 16 event types in
+    (ts, event_id) order as one string, plus the user's TOTAL event
+    count. Scale shape: the prefix cut is a windowed row_number filter
+    BEFORE any collect, so the per-group array is bounded at 16
+    regardless of how hot a user is — never collect-then-truncate."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns"), F.col("event_id"))
+    wc = Window.partitionBy("user_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_events"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+    return (
+        t.filter(F.col("rn") <= 16)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.concat_ws(
+                " ", F.transform(ordered, lambda s: s["event_type"])
+            ).alias("seq_prefix"),
+        )
+    )

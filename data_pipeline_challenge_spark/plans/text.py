@@ -994,3 +994,46 @@ def vocab_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, left string, right string, n_weighted long"
     )
+
+
+@query(
+    "dedup_yield_by_source",
+    """
+    WITH fp AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups,
+           round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_rate
+    FROM fp
+    GROUP BY source
+    """,
+    tags=("dedup", "text", "profile"),
+)
+def dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the dedup-yield forecast an
+    operator reads before running the gate ("which feed is sending
+    boilerplate?"). One scan, one two-phase count-distinct per source;
+    the fingerprint is the engine-portable normalized md5 the exact
+    gate itself keys on, so the forecast and the gate can never
+    disagree on what counts as a duplicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = normalized_fingerprint(F.col("text"))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.count_distinct("fp"))
+            .cast("long")
+            .alias("n_dups"),
+            F.round(
+                F.lit(1.0) - F.count_distinct("fp") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )
