@@ -1169,3 +1169,58 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _SW)
+
+
+@query(
+    "training_order_epochs",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               e.epoch AS epoch,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents, (SELECT CAST(unnest(range(0, 2)) AS INT) AS epoch) e
+    ),
+    r AS (
+        SELECT epoch, doc_id,
+               CAST(substr(hx, 1, 1) AS VARCHAR) AS shard,
+               row_number() OVER (PARTITION BY epoch, substr(hx, 1, 1)
+                                  ORDER BY hx, doc_id) AS pos
+        FROM h
+    )
+    SELECT epoch, shard, pos, doc_id FROM r WHERE pos <= 5
+    """,
+    tags=("corpus", "sampling", "ordering"),
+)
+def training_order_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order — every epoch is a
+    different but REPRODUCIBLE shuffle (md5 of ``epoch:doc_id``), the
+    property a training run needs for exact resume/repro that
+    ``rand()`` cannot give. Scale shape: position ranks are windowed
+    WITHIN (epoch, first-hex-digit shard), never one global ordering —
+    a global row_number would drag the corpus into a single partition;
+    a reader streams shards in order and concatenates. Checked on the
+    first 5 positions of every (epoch, shard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    h = docs.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("hx"),
+    )
+    w = Window.partitionBy("epoch", F.substring("hx", 1, 1)).orderBy(
+        "hx", "doc_id"
+    )
+    return (
+        h.select(
+            "epoch",
+            F.substring("hx", 1, 1).alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .filter(F.col("pos") <= 5)
+    )
