@@ -1037,3 +1037,40 @@ def dedup_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "vocab_bpe_encoded_lengths",
+    None,  # depends on the iterative trainer's merges — rows-only.
+    tags=("text", "vocab", "bpe"),
+)
+def vocab_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer application: train 8 BPE merges on the
+    corpus, then encode the SAME corpus with them — per-doc subword
+    count, whitespace-token count, and the compression the merges buy
+    (subwords per token < chars per token). The encode is the trained
+    rules applied as pure Catalyst folds (``bpe_encode``), i.e. exactly
+    what an ingest plan would run per arriving batch once a tokenizer
+    is frozen. Deterministic (trainer ties break lexicographically)."""
+    from ..operators.vocab import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_merges=8)
+    tok = F.explode(F.split("text", " ")).alias("tok")
+    return (
+        docs.select("doc_id", tok)
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.size(bpe_encode(F.col("tok"), merges)).alias("n_sub"),
+            F.length("tok").alias("n_chars_tok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(F.sum("n_sub") / F.sum("n_chars_tok"), 4).alias(
+                "subwords_per_char"
+            ),
+        )
+    )
