@@ -74,9 +74,10 @@ def bpe_train(
     text_col: str,
     n_merges: int,
     checkpoint_every: int = 8,
+    initial_merges: list[tuple[str, str, int]] | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
-    """Train ``n_merges`` BPE merges over whitespace tokens of
-    ``docs[text_col]``.
+    """Train up to ``n_merges`` TOTAL BPE merges over whitespace tokens
+    of ``docs[text_col]``.
 
     Returns ``(merges, vocab)``: ``merges`` is the ordered list of
     ``(left, right, weighted_count)`` rules (THE tokenizer artifact —
@@ -84,14 +85,24 @@ def bpe_train(
     DataFrame ``(tok, c, syms array<string>)`` of every distinct token
     with its post-merge symbol sequence. Deterministic: pair ties break
     lexicographically, so two runs (and a re-run after a crash) produce
-    identical rules. Stops early when no adjacent pair remains."""
+    identical rules. Stops early when no adjacent pair remains.
+
+    ``initial_merges`` RESUMES a training run: the rules already learned
+    (persist them anywhere — they are plain tuples) are re-applied as
+    cheap Catalyst folds instead of re-running their pair aggregations,
+    and training continues until ``n_merges`` total. Resume-from-k
+    equals training n_merges in one run (``test_bpe_train_resume``)
+    because every round is a pure function of the corpus and the rules
+    so far."""
     spark = docs.sparkSession
     vocab = token_frequencies(docs, text_col).withColumn(
         "syms", _split_chars(F.col("tok"))
     )
-    vocab = vocab.localCheckpoint()  # truncate the scan lineage once
-    merges: list[tuple[str, str, int]] = []
-    for round_no in range(n_merges):
+    merges: list[tuple[str, str, int]] = list(initial_merges or [])
+    for a, b, _ in merges:
+        vocab = vocab.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+    vocab = vocab.localCheckpoint()  # truncate the scan/replay lineage once
+    for round_no in range(n_merges - len(merges)):
         pairs = F.transform(
             F.sequence(F.lit(1), F.size("syms") - 1),
             lambda i: F.struct(

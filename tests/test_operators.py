@@ -1242,3 +1242,31 @@ def test_bpe_train_matches_reference(spark):
         for i in range(12)
     ]
     check(rows, n_merges=12)
+
+
+def test_bpe_train_resume(spark):
+    """initial_merges resumes a training run: train 4 rounds, resume to
+    8 total — rules and final symbolization identical to one 8-round
+    run (every round is a pure function of corpus + rules so far)."""
+    from data_pipeline_challenge_spark.operators.vocab import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower "
+             "newest newest newest newest newest newest "
+             "widest widest widest")],
+        "doc_id long, text string",
+    )
+    full_merges, full_vocab = bpe_train(docs, "text", n_merges=8)
+    first, _ = bpe_train(docs, "text", n_merges=4)
+    resumed, resumed_vocab = bpe_train(
+        docs, "text", n_merges=8, initial_merges=first
+    )
+    assert first == full_merges[:4]
+    assert resumed == full_merges
+    norm = lambda df: {  # noqa: E731
+        r["tok"]: list(r["syms"]) for r in df.collect()
+    }
+    assert norm(resumed_vocab) == norm(full_vocab)
+    # Resuming at the target is a pure re-apply (no new rounds).
+    again, _ = bpe_train(docs, "text", n_merges=8, initial_merges=full_merges)
+    assert again == full_merges
