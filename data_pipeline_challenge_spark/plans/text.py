@@ -1182,3 +1182,80 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", kept)).alias("kept_fp"),
         )
     )
+
+
+@query(
+    "sample_quality_weighted",
+    f"""
+    WITH t AS (
+        SELECT source, n_chars, string_split(text, ' ') AS toks,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / 4294967296.0 AS u
+        FROM documents
+    ),
+    s AS (
+        SELECT source, u,
+               round(ln(1 + n_chars) *
+                     (1 - len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0 / len(toks)) *
+                     (len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS score
+        FROM t
+    ),
+    k AS (
+        SELECT source, score,
+               CASE WHEN u < least(1.0, score / 8.0) THEN 1 ELSE 0 END AS kept
+        FROM s
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round(sum(kept) * 1.0 / count(*), 4) AS keep_rate,
+           CAST(sum(CASE WHEN kept = 1
+                         THEN CAST(round(score * 10000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS score_kept_e4
+    FROM k GROUP BY source
+    """,
+    tags=("sampling", "quality", "text"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling — keep each document with
+    probability proportional to its quality score, DETERMINISTICALLY:
+    the per-doc uniform is the first 32 md5 bits of the doc id (same
+    draw on every engine, every run, every partitioning — the property
+    ``rand()`` sampling cannot give a reproducible pipeline). The keep
+    threshold compares against the 4-decimal-ROUNDED score so an engine
+    libm ulp can never flip a keep decision. Profiled per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.round(
+        F.log(F.lit(1) + F.col("n_chars"))
+        * (F.lit(1) - stopword_ratio(toks))
+        * distinct_token_ratio(toks),
+        4,
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    kept = F.when(u < F.least(F.lit(1.0), score / 8.0), 1).otherwise(0)
+    return (
+        docs.select("source", score.alias("score"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("keep_rate"),
+            # Exact-integer total (ten-thousandths): per-doc scores are
+            # 4-decimal multiples, so this is order-independent AND free
+            # of the HALF_UP-vs-banker's divergence a rounded float mean
+            # hits when a quotient lands exactly on a .00005 boundary.
+            F.sum(
+                F.when(
+                    F.col("kept") == 1,
+                    F.round(F.col("score") * 10000).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("score_kept_e4"),
+        )
+    )
