@@ -349,3 +349,28 @@ def test_unigram_logprob_vocab_sized_shuffles(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_scrub_plan_shape(spark):
+    # Duplicated-span membership must be a JOIN on the span key (a
+    # forced broadcast of the boilerplate set would OOM at 100 TB — at
+    # tiny sf AQE may still pick broadcast, which is fine because it is
+    # size-based, not plan-forced: no broadcast hint in the source),
+    # the span counts fold map-side, no cartesian anywhere, and the
+    # documents scan reads only (doc_id, text).
+    plan = plan_of(spark, "dedup_span_scrub")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    seg = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" in seg and "text" in seg
+    assert "lang" not in seg and "source" not in seg
+
+
+def test_quality_weighted_sample_single_scan(spark):
+    # One map-only scan + one two-phase aggregate: no join, no window,
+    # no Python — the sampling decision is pure Catalyst arithmetic.
+    plan = plan_of(spark, "sample_quality_weighted")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
