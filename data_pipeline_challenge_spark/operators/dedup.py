@@ -492,3 +492,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup WITH REMOVAL (Lee et al. 2021 shape, public
+    algorithm): every token covered by an ``n``-token span appearing in
+    ``>= min_docs`` distinct documents is removed from ALL documents —
+    the boilerplate/license-block remover document-level fingerprints
+    cannot express.
+
+    Returns ``(id_col, n_tokens, n_removed, kept_text)`` — kept tokens
+    re-joined with single spaces (callers hash it or write it back).
+
+    Scale shape: spans explode once; the duplicated-span set is one
+    map-side-combinable aggregation; membership is a shuffled semi-join
+    on the span string (never a forced broadcast — at 100 TB the
+    boilerplate set is corpus-sized); covered-position sets are bounded
+    per doc by its own token count; and the final token filter is a
+    Catalyst two-arg (element, index) lambda — no Python anywhere."""
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(id_col, toks.alias("toks"))
+    spans = (
+        t.filter(F.size("toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, F.lit(n))
+                        ).alias("span"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.i", "s.span")
+    )
+    dups = (
+        spans.groupBy("span")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span")
+    )
+    cov = (
+        spans.join(dups, "span", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("i"), F.col("i") + (n - 1))
+                        )
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(covered, (i + 1).cast("int")),
+    )
+    return (
+        t.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("kept_text"),
+        )
+    )

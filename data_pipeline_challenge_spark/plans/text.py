@@ -26,6 +26,7 @@ from ..functions.textfn import (
 )
 from ..operators.dedup import (
     exact_duplicates,
+    scrub_duplicated_spans,
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures_md5,
@@ -1115,72 +1116,18 @@ def vocab_bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup WITH REMOVAL (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better" shape,
-    public algorithm): every token covered by a 5-token span that
-    appears in ≥2 distinct documents is scrubbed from ALL documents —
-    the boilerplate/license-block remover document-level fingerprints
-    cannot express. Emits per-doc removal counts plus an md5 of the
-    scrubbed text so the oracle certifies the exact output without
-    shipping it.
-
-    Scale shape: spans explode once, the duplicated-span set comes from
-    one map-side-combinable aggregation, membership is a shuffled
-    semi-join on the span (never broadcast — the boilerplate set is
-    corpus-sized at 100 TB), and the covered-position sets are bounded
-    per doc by its own token count. The final token filter is a
-    Catalyst two-arg lambda (element, index) — no Python anywhere."""
+    public algorithm) — the reusable operator is
+    ``operators.dedup.scrub_duplicated_spans`` (parameterized n /
+    min_docs; unit-tested on a handcrafted fixture); this registration
+    runs it at (n=5, min_docs=2) and certifies the exact scrubbed
+    output via a per-doc md5 against DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    t = docs.select("doc_id", toks.alias("toks"))
-    spans = (
-        t.filter(F.size("toks") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 4),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(5))).alias(
-                            "span"
-                        ),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.i", "s.span")
-    )
-    dups = (
-        spans.groupBy("span")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("span")
-    )
-    cov = (
-        spans.join(dups, "span", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.array_distinct(
-                    F.flatten(
-                        F.collect_list(F.sequence(F.col("i"), F.col("i") + 4))
-                    )
-                )
-            ).alias("covered")
-        )
-    )
-    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.array_contains(covered, (i + 1).cast("int")),
-    )
-    return (
-        t.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
-            F.md5(F.concat_ws(" ", kept)).alias("kept_fp"),
-        )
+    out = scrub_duplicated_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("kept_text").alias("kept_fp"),
     )
 
 

@@ -165,7 +165,15 @@ def revoke_packed_docs(
     no-op (never fingerprinted, so it cannot wedge the ledger). Run
     while the packing stream is NOT running, like
     :func:`compact_rows_store`: the fold and a concurrent micro-batch
-    would race on the publish symlink. Returns shards repacked."""
+    would race on the publish symlink. Returns shards repacked.
+
+    Design note: revoked rows stay PHYSICALLY in the rows store (only
+    the anti-join excludes them) — revocation sets are
+    benchmark-contamination-sized, so the storage/scan cost of the
+    residue is negligible while a physical purge would have to rewrite
+    immutable batch dirs under the crash-safe consolidation protocol
+    for no measurable win. The PUBLISHED packed table — the
+    training-ready artifact — never contains revoked text."""
     odir = Path(out_dir)
     rows_dir = odir / "rows"
     delta = revoked_ids.select(order_col).distinct()

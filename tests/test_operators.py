@@ -1270,3 +1270,37 @@ def test_bpe_train_resume(spark):
     # Resuming at the target is a pure re-apply (no new rounds).
     again, _ = bpe_train(docs, "text", n_merges=8, initial_merges=full_merges)
     assert again == full_merges
+
+
+def test_scrub_duplicated_spans_semantics(spark):
+    """Handcrafted fixture pinning the removal semantics exactly: a
+    3-token span shared by docs 1 and 2 is scrubbed from BOTH (every
+    occurrence, including a repeat within one doc); tokens covered only
+    by unique spans survive; docs shorter than n have no spans and are
+    untouched; a doc that is nothing but boilerplate scrubs to empty."""
+    from data_pipeline_challenge_spark.operators.dedup import (
+        scrub_duplicated_spans,
+    )
+
+    boiler = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"delta {boiler} epsilon zeta {boiler}"),
+            (3, "unique words only here today"),
+            (4, "too short"),
+            (5, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in scrub_duplicated_spans(
+            docs, "doc_id", "text", n=3, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (6, 3, "alpha beta gamma")
+    assert out[2] == (9, 6, "delta epsilon zeta")
+    assert out[3] == (5, 0, "unique words only here today")
+    assert out[4] == (2, 0, "too short")  # < n tokens: no spans
+    assert out[5] == (3, 3, "")  # pure boilerplate scrubs to empty
