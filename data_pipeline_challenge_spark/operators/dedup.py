@@ -500,22 +500,29 @@ def scrub_duplicated_spans(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    keep_canonical: bool = False,
 ) -> DataFrame:
     """Exact substring dedup WITH REMOVAL (Lee et al. 2021 shape, public
     algorithm): every token covered by an ``n``-token span appearing in
-    ``>= min_docs`` distinct documents is removed from ALL documents —
-    the boilerplate/license-block remover document-level fingerprints
-    cannot express.
+    ``>= min_docs`` distinct documents is removed — from ALL documents
+    by default (boilerplate scrub), or, with ``keep_canonical=True``,
+    from every document EXCEPT the span's canonical one (min id that
+    contains it), so exactly one copy of each duplicated passage
+    survives into the training corpus — the paper's semantics. A token
+    is removed if ANY foreign-duplicated span covers it, even when a
+    canonical-here span also does (removal wins: the token sits inside
+    content duplicated elsewhere).
 
     Returns ``(id_col, n_tokens, n_removed, kept_text)`` — kept tokens
     re-joined with single spaces (callers hash it or write it back).
 
     Scale shape: spans explode once; the duplicated-span set is one
-    map-side-combinable aggregation; membership is a shuffled semi-join
-    on the span string (never a forced broadcast — at 100 TB the
-    boilerplate set is corpus-sized); covered-position sets are bounded
-    per doc by its own token count; and the final token filter is a
-    Catalyst two-arg (element, index) lambda — no Python anywhere."""
+    map-side-combinable aggregation; membership is a shuffled
+    semi-/equi-join on the span string (never a forced broadcast — at
+    100 TB the boilerplate set is corpus-sized); covered-position sets
+    are bounded per doc by its own token count; and the final token
+    filter is a Catalyst two-arg (element, index) lambda — no Python
+    anywhere."""
     toks = F.split(F.col(text_col), " ")
     t = df.select(id_col, toks.alias("toks"))
     spans = (
@@ -538,12 +545,21 @@ def scrub_duplicated_spans(
     )
     dups = (
         spans.groupBy("span")
-        .agg(F.count_distinct(id_col).alias("nd"))
+        .agg(
+            F.count_distinct(id_col).alias("nd"),
+            F.min(id_col).alias("canonical"),
+        )
         .filter(F.col("nd") >= min_docs)
-        .select("span")
+        .select("span", "canonical")
     )
+    if keep_canonical:
+        hits = spans.join(dups, "span").filter(
+            F.col(id_col) != F.col("canonical")
+        )
+    else:
+        hits = spans.join(dups.select("span"), "span", "left_semi")
     cov = (
-        spans.join(dups, "span", "left_semi")
+        hits
         .groupBy(id_col)
         .agg(
             F.array_sort(

@@ -1206,3 +1206,59 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_kept_e4"),
         )
     )
+
+
+@query(
+    "dedup_span_scrub_keep_canonical",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, i, array_to_string(toks[i : i + 4], ' ') AS span
+        FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 5
+    ),
+    d AS (
+        SELECT span, min(doc_id) AS canonical FROM sp GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT sp.doc_id,
+               list_sort(list_distinct(flatten(list(range(i, i + 5))))) AS covered
+        FROM sp JOIN d USING (span)
+        WHERE sp.doc_id != d.canonical
+        GROUP BY sp.doc_id
+    ),
+    k AS (
+        SELECT t.doc_id, len(t.toks) AS n_tokens,
+               list_filter(t.toks,
+                           (x, i) -> NOT list_contains(coalesce(c.covered, []), i)
+               ) AS kept
+        FROM t LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS kept_fp
+    FROM k
+    """,
+    tags=("dedup", "text", "span", "scrub"),
+)
+def dedup_span_scrub_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-preserving form of :func:`dedup_span_scrub` —
+    ``scrub_duplicated_spans(keep_canonical=True)``: duplicated passages
+    are removed everywhere EXCEPT the span's canonical (min-id) doc, so
+    exactly one copy survives into the training corpus — the Lee et al.
+    2021 paper semantics, vs. the boilerplate-scrub twin that removes
+    every occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = scrub_duplicated_spans(
+        docs, "doc_id", "text", n=5, min_docs=2, keep_canonical=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("kept_text").alias("kept_fp"),
+    )

@@ -1304,3 +1304,18 @@ def test_scrub_duplicated_spans_semantics(spark):
     assert out[3] == (5, 0, "unique words only here today")
     assert out[4] == (2, 0, "too short")  # < n tokens: no spans
     assert out[5] == (3, 3, "")  # pure boilerplate scrubs to empty
+
+    # keep_canonical=True (the paper semantics): the span's min-id doc
+    # keeps its copy; every other occurrence — including both repeats in
+    # doc 2 — is still removed, so exactly one copy survives.
+    kc = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_text"])
+        for r in scrub_duplicated_spans(
+            docs, "doc_id", "text", n=3, min_docs=2, keep_canonical=True
+        ).collect()
+    }
+    assert kc[1] == (6, 0, f"alpha beta {boiler} gamma")  # canonical
+    assert kc[2] == (9, 6, "delta epsilon zeta")
+    assert kc[3] == (5, 0, "unique words only here today")
+    assert kc[4] == (2, 0, "too short")
+    assert kc[5] == (3, 3, "")
