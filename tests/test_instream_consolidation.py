@@ -739,3 +739,53 @@ def test_quality_drift_monitor(spark, tmp_path):
     }
     assert prep[("drift", "latest_psi_e6")] > 200_000
     assert prep[("drift", "batches_recorded")] == 3
+
+
+def test_pipeline_doctor_cli(spark, tmp_path):
+    """tools/pipeline_doctor.py: exit 0 + 'healthy' on a clean funnel
+    warehouse; exit 1 with targeted alerts once drift PSI crosses the
+    threshold (injected histograms — the readers are already unit-tested,
+    this pins the CLI wiring and alert logic)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    land = _doc_lander(corpus_dir)
+    SCHEMA = "doc_id long, text string"
+    doc = "a reasonably long document with plenty of words in it "
+    land("f0.parquet", [(i, doc + str(i)) for i in range(1, 11)])
+    land("f1.parquet", [(100 + i, doc + "x" + str(i)) for i in range(1, 11)])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, tmp_path / "out", tmp_path / "ck", SCHEMA,
+        "doc_id", "text", n_prefix=8,  # one 2-file batch: no starvation
+    )
+    q.awaitTermination(240)
+
+    def doctor():
+        return subprocess.run(
+            [sys.executable, "tools/pipeline_doctor.py", str(tmp_path / "out")],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+
+    r = doctor()
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "healthy: no alerts" in r.stdout
+
+    # Inject a drifting histogram pair: the CLI must alert and exit 1.
+    d = tmp_path / "out" / "drift_audit"
+    d.mkdir()
+    (d / "b0.json").write_text(json.dumps(
+        {"batch_id": 0, "hist": [0, 0, 0, 0, 0, 20, 0, 0, 0, 0]}))
+    (d / "b1.json").write_text(json.dumps(
+        {"batch_id": 1, "hist": [20, 0, 0, 0, 0, 0, 0, 0, 0, 0]}))
+    r = doctor()
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "drift PSI" in r.stdout
