@@ -3544,3 +3544,88 @@ def test_packed_revocation_crash_heals(spark, tmp_path, monkeypatch):
     assert norm(current_packed(spark, out)) == expected
     assert len(packing_stream._revocations_ledger(out)) == 1
     assert fold(out) == 0
+
+
+def test_training_export_manifest(spark, tmp_path):
+    """The lineage manifest captures the data state a training run read:
+    funnel pin + stage horizons + eval ledger + corpus fingerprint, and
+    the packed table's published version + revocation ledger + content
+    fingerprint. Deterministic (two calls identical), and every
+    revocation moves the fingerprints — so 'was doc Y revoked before or
+    after the run' is answerable from the manifest alone."""
+    from data_pipeline_challenge_spark.lineage import training_export_manifest
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        revoke_corpus_eval_generation,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+    import pyspark.sql.functions as F
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")], SCHEMA
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")], SCHEMA
+    )
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (3, "several question mentions deep river canyons in passing today"),
+        (4, "an unrelated document about compiler design tradeoffs here"),
+    ])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, tmp_path / "ck", SCHEMA, "doc_id", "text",
+        eval_df=eval_a, min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+
+    pack_in = tmp_path / "pack_in"
+    pack_out = tmp_path / "packed"
+    current_corpus(spark, out).select(
+        F.lit("web").alias("source"), "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).write.parquet(str(pack_in))
+    q = start_packing_stream(
+        spark, pack_in, pack_out, tmp_path / "ckp",
+        "source string, doc_id long, n_tokens long",
+        "source", "doc_id", "n_tokens", capacity=20, n_shards=4,
+    )
+    q.awaitTermination(180)
+
+    m1 = training_export_manifest(spark, out, pack_out)
+    assert m1 == training_export_manifest(spark, out, pack_out)  # deterministic
+    assert m1["funnel"]["pin"]["kind"] == "corpus_pipeline"
+    assert m1["funnel"]["corpus_fingerprint"]["rows"] == 3
+    assert m1["funnel"]["eval_generations"] is None  # no growth yet
+    assert m1["packed"]["published_version"] == "data.v0"
+    assert m1["packed"]["revocations_applied"] == []
+    assert m1["packed"]["table_fingerprint"]["rows"] == 3
+
+    # A new eval generation revokes doc 3 from the corpus AND the fold
+    # mirrors it onto the packed table: both fingerprints must move,
+    # both ledgers must show the event.
+    rev = revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    revoke_packed_docs(
+        spark, pack_out, rev, "source", "doc_id", "n_tokens",
+        capacity=20, n_shards=4,
+    )
+    m2 = training_export_manifest(spark, out, pack_out)
+    assert m2["funnel"]["corpus_fingerprint"]["rows"] == 2
+    assert (m2["funnel"]["corpus_fingerprint"]["xor64"]
+            != m1["funnel"]["corpus_fingerprint"]["xor64"])
+    assert len(m2["funnel"]["eval_generations"]["applied"]) == 1
+    assert m2["funnel"]["corpus_revocations"] == 1
+    assert m2["packed"]["published_version"] == "data.v1"
+    assert len(m2["packed"]["revocations_applied"]) == 1
+    assert m2["packed"]["revoked_keys"] == 1
+    assert m2["packed"]["table_fingerprint"]["rows"] == 2
+    assert (m2["packed"]["table_fingerprint"]["xor64"]
+            != m1["packed"]["table_fingerprint"]["xor64"])
