@@ -314,6 +314,7 @@ class ApiServer:
     _WHOLE_PARSE_MAX_BYTES = 64 << 20
     _STREAM_MAX_CODES = 1 << 18  # key-SET size bound (driver memory)
     _STREAM_MAX_LINE_CHARS = 32 << 20  # one-giant-line JSONL guard
+    _STREAM_CHUNK_CHARS = 1 << 20  # probe read granularity (test-tunable)
 
     def _stream_codes_bounded(self, path: str) -> frozenset | None:
         """EXACT merge-key set of a LARGE landing file in bounded driver
@@ -359,7 +360,7 @@ class ApiServer:
                     return None  # array container: conservative hold
                 buf = first
                 while True:
-                    chunk = fh.read(1 << 20)
+                    chunk = fh.read(self._STREAM_CHUNK_CHARS)
                     if chunk:
                         buf += chunk
                     parts = buf.splitlines(keepends=True)

@@ -175,7 +175,17 @@ def canonical_column_str(col) -> str:
     ``F.col('x_2') > 0`` pin DIFFERENT — a genuinely changed config is
     refused, per the pin contract. Bound variables are renamed to
     ``v_<k>`` in declaration order, deterministic for a fixed
-    expression tree, so equal constructions pin equal."""
+    expression tree, so equal constructions pin equal.
+
+    Known string-rendering limit: Spark's ``str(Column)`` does not
+    quote string LITERALS, so a literal whose text itself spells a
+    declaration (``F.lit("x_1 -> y")``) is indistinguishable from one
+    and gets alpha-renamed — two configs differing only in such
+    literals would pin equal. Canonicalization stays construction-
+    stable either way (the rendering is identical every time); closing
+    the literal ambiguity entirely would require comparing expression
+    TREES, which Spark does not expose to Python. No realistic gate
+    predicate embeds lambda-shaped literals; recorded for audit."""
     s = str(col)
     out: list[str] = []
     scopes: list[tuple[int, dict[str, str]]] = []  # (decl paren depth, bindings)

@@ -48,6 +48,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    ensure_store_params,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
@@ -176,6 +177,7 @@ def revoke_packed_docs(
     training-ready artifact — never contains revoked text."""
     odir = Path(out_dir)
     rows_dir = odir / "rows"
+    _pin_pack_params(odir, group_col, order_col, token_col, capacity, n_shards)
     delta = revoked_ids.select(order_col).distinct()
     stat = delta.select(
         F.count(F.lit(1)).alias("n"),
@@ -367,6 +369,36 @@ def migrate_legacy_layout(spark: SparkSession, out_dir: str | Path) -> dict[str,
     return report
 
 
+def _pin_pack_params(
+    out_dir: Path,
+    group_col: str,
+    order_col: str,
+    token_col: str,
+    capacity: int,
+    n_shards: int,
+) -> None:
+    """Pin the packing warehouse's LAYOUT/VERDICT parameters with the
+    standard ``ensure_store_params`` drift-refusal contract. ``n_shards``
+    is baked into every rows-store partition and every published
+    version's shard dirs — a restart (or a revocation fold) under a
+    different modulus computes touched/candidate shards that miss the
+    stored ones, silently diverging the maintained table from the batch
+    packer; ``capacity`` and the column triple define the bins
+    themselves. A legacy warehouse (pre-pin) is adopted on first
+    contact: the marker is written, and every later caller must agree."""
+    ensure_store_params(
+        out_dir,
+        {
+            "kind": "packing",
+            "group_col": group_col,
+            "order_col": order_col,
+            "token_col": token_col,
+            "capacity": int(capacity),
+            "n_shards": int(n_shards),
+        },
+    )
+
+
 def _anchor_empty_version(tmp: Path, repacked: DataFrame) -> None:
     """A version dir with ZERO parquet files (every row of every shard
     revoked, or a batch whose rows were all already-revoked) would
@@ -422,6 +454,7 @@ def start_packing_stream(
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     migrate_legacy_layout(spark, odir)  # pre-shard-layout warehouses
+    _pin_pack_params(odir, group_col, order_col, token_col, capacity, n_shards)
     rows_dir = odir / "rows"
     gc, oc, tc = group_col, order_col, token_col
 

@@ -849,3 +849,36 @@ def test_large_file_streams_exact_keys_instead_of_holding_everyone(
         assert server._stream_codes_bounded(str(p2)) is None
     finally:
         server.stop()
+
+
+def test_stream_codes_probe_chunk_boundaries(spark, tmp_path):
+    """The probe's streamed splitlines must be boundary-exact when a
+    line ending straddles a read-chunk edge: \\r\\n split across chunks
+    must not read as two boundaries (phantom blank line is harmless,
+    but a record split in half would mis-parse), and a record body
+    crossing the edge must reassemble. Exercised at a tiny chunk size
+    against every offset around the edge."""
+    from data_pipeline_challenge_spark.api import ApiServer
+    from data_pipeline_challenge_spark.sources.json_ingest import parse_bytes
+
+    server = ApiServer(
+        spark, tmp_path / "wh", tmp_path / "landing", poll_interval=0.01
+    )
+    try:
+        server._STREAM_CHUNK_CHARS = 8
+        recs = [b'{"code": "K%d"}' % i for i in range(6)]
+        for sep in (b"\r\n", b"\n", b"\r", " ".encode()):
+            for pad in range(0, 9):  # slide boundaries across chunk edges
+                payload = b" " * pad + sep.join(recs) + sep
+                p = tmp_path / f"probe_{len(sep)}_{pad}.jsonl"
+                p.write_bytes(payload)
+                rows = parse_bytes(p.name, payload)
+                truth = (
+                    frozenset()
+                    if any(t[1] == -1 for t in rows)
+                    else frozenset(t[2] for t in rows if t[5])
+                )
+                got = server._stream_codes_bounded(str(p))
+                assert got == truth, (sep, pad, got, truth)
+    finally:
+        server.stop()

@@ -3629,3 +3629,57 @@ def test_training_export_manifest(spark, tmp_path):
     assert m2["packed"]["table_fingerprint"]["rows"] == 2
     assert (m2["packed"]["table_fingerprint"]["xor64"]
             != m1["packed"]["table_fingerprint"]["xor64"])
+
+
+def test_packing_params_pinned(spark, tmp_path):
+    """The packing warehouse pins its layout/verdict parameters
+    (n_shards is baked into every stored partition; capacity and the
+    column triple define the bins): a restart OR a revocation fold
+    under different parameters is refused loudly instead of silently
+    diverging the maintained table from the batch packer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.packing_stream import (
+        revoke_packed_docs,
+        start_packing_stream,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({
+            "source": pa.array(["web"] * 6),
+            "doc_id": pa.array(range(1, 7), pa.int64()),
+            "n_tokens": pa.array([40] * 6, pa.int64()),
+        }),
+        str(corpus / "a.parquet"),
+    )
+    SCHEMA = "source string, doc_id long, n_tokens long"
+    out = tmp_path / "packed"
+
+    def run(ck, **kw):
+        args = dict(capacity=100, n_shards=4)
+        args.update(kw)
+        q = start_packing_stream(
+            spark, corpus, out, tmp_path / ck, SCHEMA,
+            "source", "doc_id", "n_tokens", **args,
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    run("ck1")  # same params: accepted
+    for drift in ({"n_shards": 8}, {"capacity": 50}):
+        with _pytest.raises(Exception, match="rebuild into a fresh"):
+            run("ck2", **drift)
+    with _pytest.raises(Exception, match="rebuild into a fresh"):
+        revoke_packed_docs(
+            spark, out, spark.createDataFrame([(1,)], "doc_id long"),
+            "source", "doc_id", "n_tokens", capacity=100, n_shards=8,
+        )
+    # Matching fold still works.
+    assert revoke_packed_docs(
+        spark, out, spark.createDataFrame([(1,)], "doc_id long"),
+        "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
+    ) >= 0
