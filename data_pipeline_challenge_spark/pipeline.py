@@ -48,6 +48,7 @@ from .schema import (
 )
 from .sources.json_ingest import (
     CHUNK_RECORDS,
+    JSONL_PARTITION_BYTES,
     MALFORMED_SEQ,
     SPLIT_THRESHOLD_BYTES,
     read_bronze_splittable,
@@ -77,6 +78,7 @@ class ProductWarehouse:
         # Splittable-parse knobs (tests shrink them to exercise chunking).
         self.split_threshold_bytes = SPLIT_THRESHOLD_BYTES
         self.chunk_records = CHUNK_RECORDS
+        self.jsonl_partition_bytes = JSONL_PARTITION_BYTES
         self._products_lock_path = self.dir / "products.lock"
         #: Merge-on-read fold cadence: once a published base version has
         #: this many delta dirs, the next ingest folds them into a new
@@ -674,6 +676,7 @@ class ProductWarehouse:
             scratch,
             threshold_bytes=self.split_threshold_bytes,
             chunk_records=self.chunk_records,
+            jsonl_partition_bytes=self.jsonl_partition_bytes,
         )
         bronze = bronze.cache()
         try:

@@ -140,11 +140,84 @@ def read_bronze(spark: SparkSession, paths: list[str]) -> DataFrame:
 
 SPLIT_THRESHOLD_BYTES = 4 << 20  # array files above this are chunked
 CHUNK_RECORDS = 100_000  # records per JSONL chunk file (upload granularity)
+JSONL_PARTITION_BYTES = 32 << 20  # target split size for big JSONL scans
 
 
 def _looks_like_array(path: str) -> bool:
     with open(path, "rb") as fh:
         return fh.read(64).lstrip()[:1] == b"["
+
+
+def _looks_like_jsonl(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(64).lstrip()[:1] == b"{"
+
+
+def _make_jsonl_line_parser(file_id: str):
+    """Parse one raw JSONL byte-line (paired with its dense line number)
+    into a bronze tuple. Self-contained closure: ships by value.
+
+    A line that fails strict UTF-8 decode or JSON parse yields the
+    MALFORMED_SEQ sentinel for the file — the same whole-file-failure
+    marker the whole-file parser emits — so the pipeline's
+    max(seq==MALFORMED_SEQ) check drives the file to status=failed and
+    excludes every row it produced from the merge. Unlike the whole-file
+    parser (which stops at the first bad line), the distributed parse
+    keeps going, so a file with several bad lines yields several
+    sentinels; downstream uses presence, not count, so this is benign
+    and avoids a second coordination pass over the data."""
+    import json as _json
+
+    normalize = _make_normalizer()
+
+    def parse(kv):
+        raw, seq = kv
+        try:
+            rec = _json.loads(raw.decode("utf-8", errors="strict"))
+        except (ValueError, UnicodeDecodeError) as exc:
+            return (file_id, MALFORMED_SEQ, None, None, None, False, f"malformed_file:{exc}")
+        return normalize(rec, file_id, seq)
+
+    return parse
+
+
+def read_bronze_jsonl_distributed(
+    spark: SparkSession,
+    path: str,
+    partition_bytes: int = JSONL_PARTITION_BYTES,
+) -> DataFrame:
+    """Parse ONE large JSONL landing file across many executor tasks.
+
+    JSONL is the repo's declared at-scale landing format, but the
+    whole-file path hands each file to binaryFiles — one Python task per
+    file, the full decoded text in one executor's memory. Here the native
+    Hadoop text source splits the file on newline boundaries into
+    ~``partition_bytes`` tasks (works identically on HDFS/S3; TextInputFormat
+    delivers whole lines, and UTF-8 continuation bytes never contain 0x0A,
+    so splitting is encoding-safe).
+
+    ``seq`` must be the dense per-file non-blank-line index — byte offsets
+    would break both parity with ``read_bronze`` and the pipeline's
+    ``__ford * 1e10 + seq`` cross-file ordering for >10 GB files — so the
+    numbering comes from ``zipWithIndex``: order-preserving, dense, no
+    shuffle. zipWithIndex runs one extra counting job (a raw line scan,
+    no JSON parse) to learn per-partition offsets — a 2× read of the
+    file, the same I/O tradeoff the array fan-out path already makes with
+    its conversion pass, in exchange for a parse that fans out across the
+    whole cluster instead of serializing on one core.
+    """
+    import math
+    import posixpath
+
+    size = os.path.getsize(path)
+    min_parts = max(2, math.ceil(size / max(1, partition_bytes)))
+    raw = spark.sparkContext.textFile(path, minPartitions=min_parts, use_unicode=False)
+    # Blank lines are skipped WITHOUT consuming a seq (whole-file parser
+    # parity). The replace-decode here is only for the blank test; the
+    # parser re-decodes strictly so bad bytes still fail the file.
+    lines = raw.filter(lambda b: bool(b.decode("utf-8", errors="replace").strip()))
+    rows = lines.zipWithIndex().map(_make_jsonl_line_parser(posixpath.basename(path)))
+    return spark.createDataFrame(rows, BRONZE_SCHEMA)
 
 
 def _make_envelope_parser():
@@ -186,8 +259,9 @@ def read_bronze_splittable(
     scratch_dir,
     threshold_bytes: int = SPLIT_THRESHOLD_BYTES,
     chunk_records: int = CHUNK_RECORDS,
+    jsonl_partition_bytes: int = JSONL_PARTITION_BYTES,
 ) -> tuple[DataFrame, list[str]]:
-    """read_bronze with large-array fan-out — the at-scale parse path.
+    """read_bronze with large-file fan-out — the at-scale parse path.
 
     A top-level JSON array is ONE parse unit (a 100 GB weekly delivery
     would run on one core — sources/jsonl.py docstring). Array files above
@@ -201,9 +275,19 @@ def read_bronze_splittable(
     original file identity and the global record order the ordered-upsert
     semantics need.
 
-    A file that fails conversion (malformed JSON) never reaches the
-    executors; its id is returned in the second element so the caller can
-    apply the whole-file-failure contract (status=failed, file retained).
+    Large **JSONL** files need no rewrite at all: they are already
+    line-delimited, so they go straight to the native splittable text
+    scan (``read_bronze_jsonl_distributed``) — zero driver passes, one
+    extra executor-side counting scan for dense ``seq``, and the parse
+    fans out in ~``jsonl_partition_bytes`` tasks.
+
+    An array file that fails conversion (malformed JSON) never reaches
+    the executors; its id is returned in the second element so the caller
+    can apply the whole-file-failure contract (status=failed, file
+    retained). A malformed line in a big JSONL file is detected
+    executor-side instead and surfaces as MALFORMED_SEQ sentinel row(s)
+    in the bronze output — the same signal the whole-file parser emits —
+    driving the identical status=failed / nothing-merged contract.
 
     Returns ``(bronze_df, conversion_failed_file_ids)``.
     """
@@ -213,16 +297,21 @@ def read_bronze_splittable(
     from .jsonl import array_to_jsonl
 
     whole_files: list[str] = []
+    big_arrays: list[str] = []
+    big_jsonl: list[str] = []
     chunk_paths: list[str] = []
     conv_failed: list[str] = []
     for p in map(str, paths):
         try:
-            is_big_array = os.path.getsize(p) >= threshold_bytes and _looks_like_array(p)
+            if os.path.getsize(p) >= threshold_bytes and _looks_like_array(p):
+                big_arrays.append(p)
+            elif os.path.getsize(p) >= threshold_bytes and _looks_like_jsonl(p):
+                big_jsonl.append(p)
+            else:
+                whole_files.append(p)
         except OSError:
-            is_big_array = False
-        if not is_big_array:
             whole_files.append(p)
-            continue
+    for p in big_arrays:
         try:
             chunks = array_to_jsonl(
                 p,
@@ -247,8 +336,16 @@ def read_bronze_splittable(
         if total_bytes < 32 << 20 and lines.rdd.getNumPartitions() < target:
             lines = lines.repartition(target)
         chunk_df = lines.mapInPandas(_make_envelope_batch_parser(), BRONZE_SCHEMA)
-    if chunk_df is None:
-        return read_bronze(spark, whole_files), conv_failed
-    if not whole_files:
-        return chunk_df, conv_failed
-    return read_bronze(spark, whole_files).unionByName(chunk_df), conv_failed
+
+    parts = [
+        read_bronze_jsonl_distributed(spark, p, partition_bytes=jsonl_partition_bytes)
+        for p in big_jsonl
+    ]
+    if whole_files or (not parts and chunk_df is None):
+        parts.insert(0, read_bronze(spark, whole_files))
+    if chunk_df is not None:
+        parts.append(chunk_df)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out, conv_failed

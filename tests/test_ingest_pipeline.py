@@ -331,6 +331,74 @@ def test_malformed_large_array_fails_whole_file(spark, warehouse, landing, tmp_p
     assert lf.location in list_landed(landing)  # retained for inspection
 
 
+def test_large_jsonl_file_splits_into_parallel_tasks(spark, warehouse, landing, tmp_path):
+    """A big JSONL delivery (the declared at-scale landing format) must
+    NOT parse as one whole-file Python task: above the threshold it goes
+    to the native splittable text scan, with dense per-file ``seq``
+    reconstructed by zipWithIndex — bronze output row-equal (incl. seq)
+    to the whole-file parser."""
+    from data_pipeline_challenge_spark.sources.json_ingest import (
+        read_bronze,
+        read_bronze_splittable,
+    )
+
+    n = 400
+    recs = [{"code": f"J{i:05d}", "product_name": f"p{i}", "n": i} for i in range(n)]
+    recs[5] = {"code": "DUP", "product_name": "early"}
+    recs[390] = {"code": "DUP", "product_name": "late"}
+    # blank lines interleaved: they must not consume a seq (parser parity)
+    text = "\n\n".join(json.dumps(r) for r in recs) + "\n"
+    lf = _land(landing, tmp_path, "big.jsonl", text)
+
+    df, failed = read_bronze_splittable(
+        spark,
+        [lf.location],
+        tmp_path / "scratch",
+        threshold_bytes=1024,
+        jsonl_partition_bytes=2048,
+    )
+    assert failed == []
+    assert df.rdd.getNumPartitions() >= 4  # single delivery, many parse tasks
+    rows = sorted(df.collect(), key=lambda r: r["seq"])
+    reference = sorted(read_bronze(spark, [lf.location]).collect(), key=lambda r: r["seq"])
+    assert rows == reference  # row-equal incl. seq
+    assert [r["seq"] for r in rows] == list(range(n))
+
+    # full pipeline over the distributed JSONL parse
+    wh = ProductWarehouse(spark, warehouse)
+    wh.split_threshold_bytes = 1024
+    wh.jsonl_partition_bytes = 2048
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id] == {
+        "status": STATUS_PROCESSED,
+        "total_records": n,
+        "records_processed": n,
+        "records_failed": 0,
+    }
+    products = wh.products()
+    assert products.count() == n - 1  # DUP collapsed, later seq wins
+    assert (
+        products.filter(F.col("code") == "DUP").collect()[0]["product_name"] == "late"
+    )
+
+
+def test_malformed_large_jsonl_fails_whole_file(spark, warehouse, landing, tmp_path):
+    """A bad line in a big JSONL file is detected executor-side (sentinel
+    rows in bronze) and drives the same whole-file-failure contract as the
+    whole-file parser: status=failed, nothing ingested, file retained."""
+    recs = [{"code": f"B{i}", "product_name": "b"} for i in range(120)]
+    lines = [json.dumps(r) for r in recs]
+    lines[60] = '{"code": "oops", truncated'
+    lf = _land(landing, tmp_path, "broken_big.jsonl", "\n".join(lines) + "\n")
+    wh = ProductWarehouse(spark, warehouse)
+    wh.split_threshold_bytes = 64
+    wh.jsonl_partition_bytes = 512
+    report = wh.ingest(landing)
+    assert report.files[lf.file_id]["status"] == STATUS_FAILED
+    assert wh.products().count() == 0
+    assert lf.location in list_landed(landing)  # retained for inspection
+
+
 def test_ledger_point_status_fast_path(spark, warehouse, landing, tmp_path):
     """GET /upload/status must be a keyed point lookup, not an event-log
     replay — the reference's O(1) ``UploadedFile.get``
