@@ -59,27 +59,148 @@ from .sources.landing import discover_new_files, upload as land_upload
 _WIRE_STATUS = {STATUS_UPLOADED: "uploaded - waiting for processing"}
 
 
-def _parse_multipart(body: bytes, content_type: str):
-    """Minimal multipart/form-data parser: returns (filename, payload,
-    part_content_type) of the ``file`` field, or None."""
+#: Request bodies are read from the socket in chunks of this size and
+#: streamed straight to the landing tmp file — the reference's 1 MiB
+#: discipline (api/main.py:73-75). Handler memory stays O(chunk) no
+#: matter the upload size.
+_UPLOAD_CHUNK = 1 << 20
+#: A multipart part's header block larger than this is rejected (422):
+#: headers are supposed to be a few lines; an unbounded scan here would
+#: reintroduce the whole-body buffer for a hostile body.
+_MAX_PART_HEADER = 64 << 10
+
+
+class _MultipartError(ValueError):
+    """Body is not a well-formed multipart/form-data with a ``file``
+    field — maps to the reference's 422 upload error contract."""
+
+
+class _BoundedReader:
+    """File-like over ``rfile`` capped at Content-Length, reading at most
+    ``chunk`` bytes per call (never the whole body)."""
+
+    def __init__(self, rfile, length: int, chunk: int = _UPLOAD_CHUNK):
+        self._rfile = rfile
+        self._remaining = max(0, length)
+        self._chunk = chunk
+
+    def read(self, n: int = -1) -> bytes:
+        if self._remaining <= 0:
+            return b""
+        want = self._chunk if n is None or n < 0 else min(n, self._chunk)
+        data = self._rfile.read(min(want, self._remaining))
+        self._remaining -= len(data)
+        return data
+
+    def drain(self) -> None:
+        while self.read(self._chunk):
+            pass
+
+
+class _PartPayloadReader:
+    """File-like over ONE multipart part's payload: yields bytes up to
+    (not including) the next ``\\r\\n--boundary``, pulling from the body
+    reader as needed. Buffers at most chunk + len(delimiter) bytes."""
+
+    def __init__(self, body: _BoundedReader, buf: bytes, delim: bytes):
+        self._body = body
+        self._buf = buf
+        self._delim = delim
+        self._done = False
+        #: bytes following the closing delimiter's CRLF (i.e. starting at
+        #: the boundary token) — lets the caller resume scanning the next
+        #: part after skipping a non-file part
+        self.tail = b""
+
+    def read(self, n: int = -1) -> bytes:
+        while not self._done:
+            k = self._buf.find(self._delim)
+            if k >= 0:
+                out = self._buf[:k]
+                self._done = True
+                self.tail = self._buf[k + 2:]
+                self._buf = b""
+                if out:
+                    return out
+                return b""
+            # all but a delimiter-sized tail is guaranteed payload (the
+            # delimiter may straddle the chunk edge)
+            flushable = len(self._buf) - (len(self._delim) - 1)
+            if flushable > 0:
+                out, self._buf = self._buf[:flushable], self._buf[flushable:]
+                return out
+            more = self._body.read()
+            if not more:
+                raise _MultipartError("unterminated multipart part")
+            self._buf += more
+        return b""
+
+
+def _open_multipart_file_part(body: _BoundedReader, content_type: str):
+    """Incrementally scan a multipart/form-data body for the ``file``
+    field WITHOUT buffering the body: parts are walked with a bounded
+    rolling window, non-file parts are skipped in O(chunk) memory, and
+    the file part's payload comes back as a streaming reader the caller
+    copies to disk in 1 MiB chunks (the reference streams the upload the
+    same way: api/main.py:73-75).
+
+    Returns ``(filename, part_content_type, payload_reader)``.
+    Raises _MultipartError when there is no boundary parameter or no
+    ``file`` part — the 422 contract."""
     m = re.search(r"boundary=([^;]+)", content_type)
     if not m:
-        return None
+        raise _MultipartError("missing boundary")
     boundary = b"--" + m.group(1).strip().strip('"').encode()
-    for part in body.split(boundary):
-        head, sep, payload = part.partition(b"\r\n\r\n")
-        if not sep:
-            continue
-        headtext = head.decode("utf-8", "replace")
+    delim = b"\r\n" + boundary
+
+    buf = body.read()
+    while True:
+        # 1) locate the next boundary line
+        while True:
+            i = buf.find(boundary)
+            if i >= 0:
+                buf = buf[i + len(boundary):]
+                break
+            keep = len(boundary) - 1
+            more = body.read()
+            if not more:
+                raise _MultipartError("no multipart boundary in body")
+            buf = buf[-keep:] + more if keep else more
+        # 2) terminal boundary ("--boundary--") before any file part?
+        while len(buf) < 2:
+            more = body.read()
+            if not more:
+                raise _MultipartError("truncated multipart body")
+            buf += more
+        if buf.startswith(b"--"):
+            raise _MultipartError("no file part in multipart body")
+        # 3) part headers run to the first blank line
+        while True:
+            j = buf.find(b"\r\n\r\n")
+            if j >= 0:
+                break
+            if len(buf) > _MAX_PART_HEADER:
+                raise _MultipartError("part header block too large")
+            more = body.read()
+            if not more:
+                raise _MultipartError("truncated part headers")
+            buf += more
+        headtext = buf[:j].decode("utf-8", "replace")
+        buf = buf[j + 4:]
+        reader = _PartPayloadReader(body, buf, delim)
         if 'name="file"' in headtext:
             fn = re.search(r'filename="([^"]*)"', headtext)
             ct = re.search(r"Content-Type:\s*([^\r\n]+)", headtext, re.I)
             return (
                 fn.group(1) if fn else "upload.json",
-                payload.rsplit(b"\r\n", 1)[0],  # strip CRLF before boundary
                 ct.group(1).strip() if ct else "application/octet-stream",
+                reader,
             )
-    return None
+        # skip a non-file part's payload with the same bounded reader,
+        # then resume the scan at the boundary token it stopped on
+        while reader.read():
+            pass
+        buf = reader.tail
 
 
 def _product_dict(row) -> dict:
@@ -547,30 +668,41 @@ def _make_handler(server: ApiServer):
             self._send(404, {"detail": "Not Found"})
 
         def do_POST(self):  # noqa: N802 - http.server contract
+            # The body is NEVER buffered whole: it streams from the socket
+            # to the landing tmp file in _UPLOAD_CHUNK pieces (the
+            # reference's 1 MiB shutil.copyfileobj discipline,
+            # api/main.py:73-75) — handler memory is O(chunk) for a
+            # multi-GB weekly delivery.
             length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length)
+            body = _BoundedReader(self.rfile, length, _UPLOAD_CHUNK)
             try:
                 if self.path == "/upload":
                     ctype = self.headers.get("Content-Type", "")
-                    if ctype.startswith("multipart/form-data"):
-                        part = _parse_multipart(body, ctype)
-                        if part is None:
-                            self._send(
-                                422,
-                                {
-                                    "detail": "There was an error while uploading "
-                                    "your file. Please try again."
-                                },
-                            )
-                            return
-                        self._send(*server.do_upload(*part))
-                    else:
-                        # raw-body convenience: filename via X-Filename
-                        fn = self.headers.get("X-Filename", "upload.json")
-                        self._send(*server.do_upload(fn, body, ctype or "application/json"))
+                    try:
+                        if ctype.startswith("multipart/form-data"):
+                            fn, part_ct, payload = _open_multipart_file_part(body, ctype)
+                            result = server.do_upload(fn, payload, part_ct)
+                        else:
+                            # raw-body convenience: filename via X-Filename
+                            fn = self.headers.get("X-Filename", "upload.json")
+                            result = server.do_upload(fn, body, ctype or "application/json")
+                    except _MultipartError:
+                        self._send(
+                            422,
+                            {
+                                "detail": "There was an error while uploading "
+                                "your file. Please try again."
+                            },
+                        )
+                        return
+                    finally:
+                        body.drain()  # socket hygiene: consume trailers
+                    self._send(*result)
                 elif self.path == "/admin/ingest":
+                    body.drain()
                     self._send(*server.do_ingest())
                 else:
+                    body.drain()
                     self._send(404, {"detail": "Not Found"})
             except Exception as exc:  # pragma: no cover - defensive
                 self._send(500, {"detail": str(exc)})

@@ -43,9 +43,12 @@ def upload(
 ) -> LandedFile:
     """Land a file atomically; returns its ledger identity.
 
-    Accepts a path (copied in 1 MiB chunks, api/main.py:73-75) or raw
-    bytes. The destination name carries a timestamp + random token so
-    re-uploads of the same client filename never collide (api/main.py:66-68).
+    Accepts a path (copied in 1 MiB chunks, api/main.py:73-75), raw
+    bytes, or a readable file-like object (streamed in 1 MiB chunks —
+    the HTTP shim hands the request socket through here so a huge upload
+    never materializes in memory). The destination name carries a
+    timestamp + random token so re-uploads of the same client filename
+    never collide (api/main.py:66-68).
 
     ``before_visible`` (optional ``LandedFile -> None``) runs after the
     bytes are durably written but BEFORE the atomic rename that makes the
@@ -77,12 +80,23 @@ def upload(
     tmp = landing / f".{final_name}.tmp"
     final = landing / final_name
 
-    if isinstance(src, bytes):
-        with open(tmp, "wb") as out:
-            out.write(src)
-    else:
-        with open(src, "rb") as inp, open(tmp, "wb") as out:
-            shutil.copyfileobj(inp, out, length=1024 * 1024)
+    try:
+        if isinstance(src, bytes):
+            with open(tmp, "wb") as out:
+                out.write(src)
+        elif hasattr(src, "read"):
+            # streaming source (e.g. the HTTP request body): constant
+            # memory no matter the upload size; a read error mid-copy
+            # (truncated body, malformed multipart) must not leave a
+            # half-written tmp file behind.
+            with open(tmp, "wb") as out:
+                shutil.copyfileobj(src, out, length=1024 * 1024)
+        else:
+            with open(src, "rb") as inp, open(tmp, "wb") as out:
+                shutil.copyfileobj(inp, out, length=1024 * 1024)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
     lf = LandedFile(
         file_id=final_name,
         filename=orig,

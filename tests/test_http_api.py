@@ -624,6 +624,132 @@ def test_upload_sanitizes_hostile_filenames(spark, tmp_path):
     assert wh.products().count() == 1
 
 
+class _RecordingRfile:
+    """Fake request socket: serves a body in bounded reads and records the
+    event order so a test can prove payload bytes were flushed to the sink
+    BEFORE the body finished arriving (i.e. the handler streams, it does
+    not buffer-then-write)."""
+
+    def __init__(self, body: bytes, events: list):
+        self._body = body
+        self._pos = 0
+        self.events = events
+        self.max_read_request = 0
+
+    def read(self, n: int) -> bytes:
+        self.max_read_request = max(self.max_read_request, n)
+        out = self._body[self._pos : self._pos + n]
+        self._pos += len(out)
+        self.events.append(("read", len(out), self._pos >= len(self._body)))
+        return out
+
+
+def _stream_file_part_to(body_bytes: bytes, ctype: str, chunk: int):
+    """Drive the streaming multipart parser over a fake socket; returns
+    (filename, part_ct, payload, events, rfile)."""
+    from data_pipeline_challenge_spark.api import (
+        _BoundedReader,
+        _open_multipart_file_part,
+    )
+
+    events: list = []
+    rfile = _RecordingRfile(body_bytes, events)
+    body = _BoundedReader(rfile, len(body_bytes), chunk)
+    fn, part_ct, reader = _open_multipart_file_part(body, ctype)
+    sink = bytearray()
+    while True:
+        piece = reader.read()
+        if not piece:
+            break
+        sink.extend(piece)
+        events.append(("write", len(piece)))
+    return fn, part_ct, bytes(sink), events, rfile
+
+
+def test_multipart_streaming_is_incremental_and_bounded(tmp_path):
+    """The upload route's multipart parse must be O(chunk) memory: reads
+    from the socket are capped at the chunk size, and payload bytes reach
+    the sink while the body is still arriving — no whole-body buffer
+    (reference streams in 1 MiB chunks, api/main.py:73-75)."""
+    payload = b"".join(b"%06d:%s\n" % (i, b"x" * 57) for i in range(4000))  # ~256 KiB
+    boundary = "graftboundary123"
+    body = (
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="note"\r\n\r\n'
+            f"a small non-file field\r\n"
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="big.jsonl"\r\n'
+            f"Content-Type: application/json\r\n\r\n"
+        ).encode()
+        + payload
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+    chunk = 8192
+    fn, part_ct, got, events, rfile = _stream_file_part_to(
+        body, f"multipart/form-data; boundary={boundary}", chunk
+    )
+    assert (fn, part_ct) == ("big.jsonl", "application/json")
+    assert got == payload  # byte-exact extraction incl. skipped first part
+    assert rfile.max_read_request <= chunk  # never asks for the whole body
+    # streaming proof: some payload was flushed BEFORE the final socket read
+    first_write = next(i for i, e in enumerate(events) if e[0] == "write")
+    last_read = max(i for i, e in enumerate(events) if e[0] == "read")
+    assert first_write < last_read
+
+
+def test_multipart_streaming_422_contracts():
+    """Malformed multipart bodies keep the reference's 422 upload-error
+    contract: no boundary param, no file part, truncated part."""
+    from data_pipeline_challenge_spark.api import _MultipartError
+
+    boundary = "graftboundary123"
+    ctype = f"multipart/form-data; boundary={boundary}"
+    good = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="a.json"\r\n\r\n'
+        f"[]\r\n--{boundary}--\r\n"
+    ).encode()
+
+    with pytest.raises(_MultipartError):  # no boundary parameter
+        _stream_file_part_to(good, "multipart/form-data", 8192)
+    with pytest.raises(_MultipartError):  # parts exist but none named file
+        _stream_file_part_to(
+            good.replace(b'name="file"', b'name="other"'), ctype, 8192
+        )
+    with pytest.raises(_MultipartError):  # payload truncated mid-part
+        _stream_file_part_to(good[:-20], ctype, 8192)
+
+
+def test_http_upload_streams_large_body(spark, tmp_path, monkeypatch):
+    """E2E over real HTTP: a body much larger than the read chunk uploads
+    byte-exact through the streaming route (chunk shrunk to force many
+    socket reads), and a hostile multipart body still gets the 422."""
+    import urllib.request
+
+    import data_pipeline_challenge_spark.api as api_mod
+
+    monkeypatch.setattr(api_mod, "_UPLOAD_CHUNK", 4096)
+    server = ApiServer(spark, tmp_path / "wh", tmp_path / "landing").start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        recs = [{"code": f"S{i:05d}", "product_name": "x" * 200} for i in range(2000)]
+        payload = json.dumps(recs).encode()  # ~450 KiB >> 4 KiB chunk
+        body, ctype = _multipart("big.json", payload)
+        status, up = _req(f"{base}/upload", data=body, headers={"Content-Type": ctype})
+        assert status == 200
+        landed = Path(tmp_path / "landing") / up["file_id"]
+        assert landed.read_bytes() == payload  # byte-exact landing copy
+
+        status, err = _req(
+            f"{base}/upload", data=b"not multipart at all",
+            headers={"Content-Type": "multipart/form-data; boundary=zzz"},
+        )
+        assert status == 422 and "error while uploading" in err["detail"]
+    finally:
+        server.stop()
+
+
 def test_consumer_disjoint_keys_merge_ahead_of_backoff(spark, tmp_path):
     """Key-aware head-of-line (ADVICE r7): while an older file is backing
     off, a later file sharing a merge key must WAIT (cross-batch
