@@ -170,6 +170,79 @@ def _await_quiet_box(threshold: float, max_wait_secs: float) -> bool:
     return _load1() > threshold
 
 
+class _ForeignCpuMeter:
+    """Average CPU cores consumed by processes OUTSIDE this process tree
+    while the bench ran — the honest end-of-run contention signal.
+
+    BENCH_r10 was stamped quiet (load checked only at START) yet was
+    demonstrably contended mid-run. End-of-run load_avg alone can't fix
+    that: a quiet bench's own local[32] executors push the 1-min load to
+    4-6 by themselves (r9's quiet runs ended at ~4.5), so thresholding
+    it would flag every run. /proc accounting separates self from
+    foreign exactly: total busy jiffies minus this process subtree's
+    jiffies, over wall time, = average foreign cores."""
+
+    def __init__(self):
+        self._t0: float | None = None
+        self._start: tuple[int, int] | None = None
+
+    @staticmethod
+    def _sample() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+            busy = sum(vals) - idle
+            me = os.getpid()
+            ppid_of: dict[int, int] = {}
+            ticks: dict[int, int] = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat", "rb") as fh:
+                        raw = fh.read()
+                except OSError:
+                    continue  # process exited mid-listing
+                rest = raw[raw.rfind(b")") + 2 :].split()  # comm may hold spaces
+                ppid_of[int(d)] = int(rest[1])
+                ticks[int(d)] = int(rest[11]) + int(rest[12])  # utime+stime
+
+            def in_tree(pid: int) -> bool:
+                seen: set[int] = set()
+                while pid > 1 and pid not in seen:
+                    if pid == me:
+                        return True
+                    seen.add(pid)
+                    pid = ppid_of.get(pid, 0)
+                return False
+
+            mine = sum(t for pid, t in ticks.items() if in_tree(pid))
+            return busy, mine
+        except (OSError, ValueError, IndexError):
+            return None  # non-Linux / hardened /proc: meter disabled
+
+    def start(self) -> None:
+        self._t0 = time.monotonic()
+        self._start = self._sample()
+
+    def foreign_cores_avg(self) -> float | None:
+        if self._start is None or self._t0 is None:
+            return None
+        end = self._sample()
+        elapsed = time.monotonic() - self._t0
+        if end is None or elapsed <= 0:
+            return None
+        busy = end[0] - self._start[0]
+        mine = end[1] - self._start[1]
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        # mine can undercount if a child died mid-run (its jiffies vanish
+        # from the subtree sum) — the meter then OVERstates foreign load,
+        # which errs toward flagging, never toward a false "quiet".
+        return round(max(0.0, busy - mine) / (hz * elapsed), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -206,6 +279,9 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+    meter = _ForeignCpuMeter()
+    meter.start()
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name, qd in sorted(bench_queries().items()):
@@ -226,6 +302,11 @@ def main() -> None:
     timings["ingest_50k_products"] = round(statistics.median(ingest_runs), 3)
 
     total = round(sum(timings.values()), 3)
+    foreign_cores = meter.foreign_cores_avg()
+    foreign_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_CPU_CORES", "2.0")
+    )
+    noisy_during = foreign_cores is not None and foreign_cores > foreign_threshold
     print(
         json.dumps(
             {
@@ -240,10 +321,16 @@ def main() -> None:
                 # load averages bracket the run so a contended box is visible
                 # in the artifact itself, not just in README prose.
                 "testdata": testdata,
-                # True = the box never went quiet within the bounded
-                # wait (1-min load stayed above the threshold at start):
-                # treat timings as non-comparable across rounds.
-                "noisy": noisy,
+                # True = non-comparable across rounds: EITHER the box
+                # never went quiet within the bounded pre-run wait, OR
+                # foreign processes averaged more than the threshold in
+                # CPU cores WHILE the bench ran (the r10 false-negative:
+                # quiet at start, contended mid-run).
+                "noisy": noisy or noisy_during,
+                "noisy_at_start": noisy,
+                "noisy_during_run": noisy_during,
+                "foreign_cpu_cores_avg": foreign_cores,
+                "foreign_cpu_cores_threshold": foreign_threshold,
                 "quiet_load_threshold": quiet_threshold,
                 "load_avg_start": load_start,
                 "load_avg_end": (

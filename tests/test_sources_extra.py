@@ -353,3 +353,37 @@ def test_json_array_source_replay_tolerates_gcd_file(spark, tmp_path):
     rows = df.collect()
     assert {r["file_id"] for r in rows} == {"g.json"}
     assert len(rows) == 1
+
+
+def test_foreign_cpu_meter_excludes_own_subtree():
+    """bench.py's contention stamp: CPU burned by THIS process tree must
+    not count as foreign load (a quiet bench saturating local[32] would
+    otherwise flag itself), while the meter still reports a number on a
+    plain Linux /proc."""
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _ForeignCpuMeter
+
+    meter = _ForeignCpuMeter()
+    meter.start()
+    if meter._start is None:  # hardened /proc: meter legitimately disabled
+        pytest.skip("/proc accounting unavailable")
+    start = meter._start
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < 1.0:  # burn ~1 core in-process
+        x += 1
+    elapsed = time.monotonic() - t0
+    foreign = meter.foreign_cores_avg()
+    end = meter._sample()
+    assert foreign is not None and end is not None
+    import os
+
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    total_busy = (end[0] - start[0]) / (hz * elapsed)
+    # contention-robust relative check: the ~1 core WE burned must be
+    # attributed to self, i.e. foreign sits well below total busy —
+    # regardless of how loaded the box otherwise is.
+    assert foreign <= total_busy - 0.6
