@@ -96,8 +96,12 @@ def training_export_manifest(
                 fdir / "decontam" / "eval_generations.json"
             ),
             "stages": stages,
+            # all columns, like the packed table below: an id-only
+            # fingerprint would certify membership but not content — two
+            # corpora with the same doc_ids and different text (or a
+            # changed transform output) must NOT produce equal manifests
             "corpus_fingerprint": _content_fingerprint(
-                corpus, ["doc_id"] if corpus is not None else []
+                corpus, corpus.columns if corpus is not None else []
             ),
             "corpus_revocations": (
                 last_batch_id(rev_store) + 1 if rev_store.exists() else 0

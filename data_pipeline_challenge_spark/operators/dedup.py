@@ -507,11 +507,15 @@ def scrub_duplicated_spans(
     ``>= min_docs`` distinct documents is removed — from ALL documents
     by default (boilerplate scrub), or, with ``keep_canonical=True``,
     from every document EXCEPT the span's canonical one (min id that
-    contains it), so exactly one copy of each duplicated passage
-    survives into the training corpus — the paper's semantics. A token
-    is removed if ANY foreign-duplicated span covers it, even when a
-    canonical-here span also does (removal wins: the token sits inside
-    content duplicated elsewhere).
+    contains it), so one copy of each duplicated passage survives into
+    the training corpus — the paper's semantics. A token is removed if
+    ANY foreign-duplicated span covers it, even when a canonical-here
+    span also does (removal wins: the token sits inside content
+    duplicated elsewhere). Corollary: the one-copy guarantee holds per
+    span only when it is not overlapped by another duplicated span with
+    a DIFFERENT canonical doc — overlapping spans canonicalized to
+    different docs can scrub the overlap's tokens from every copy,
+    including both canonicals.
 
     Returns ``(id_col, n_tokens, n_removed, kept_text)`` — kept tokens
     re-joined with single spaces (callers hash it or write it back).

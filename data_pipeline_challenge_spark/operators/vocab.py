@@ -37,7 +37,11 @@ from pyspark.sql import Column, DataFrame
 
 def _split_chars(tok: Column) -> Column:
     # split with an empty pattern yields characters (unicode-aware).
-    return F.split(tok, "")
+    # Spark 3.x appended a trailing empty string for empty-pattern split
+    # (fixed in 4.x); filter defensively so a Spark downgrade corrupts
+    # neither pair counts nor merges — empty symbols are never valid BPE
+    # symbols, so the filter is a no-op on 4.x.
+    return F.filter(F.split(tok, ""), lambda x: x != F.lit(""))
 
 
 def _merge_pair(syms: Column, a: str, b: str) -> Column:

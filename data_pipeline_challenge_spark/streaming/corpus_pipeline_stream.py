@@ -350,15 +350,23 @@ def _audit_input_parallelism(
     One tiny JSON per batch, atomic rename (idempotent under replay —
     the record is a pure function of the batch's file set), last
     ``_INPUT_AUDIT_KEEP`` batches retained so the audit dir stays
-    bounded on an always-on stream."""
+    bounded on an always-on stream.
+
+    The file count requires a Spark job (a micro-batch DataFrame reports
+    no inputFiles(), so it's a distinct over the input_file_name
+    metadata column — it still materializes one value per row), so it
+    runs ONLY when the operator opted into the parallelism guard: an
+    unconditional extra full-batch scan on every trigger of an always-on
+    funnel that nobody reads is pure overhead (ADVICE r10). Without the
+    guard, ``input_files`` is recorded as -1 = not measured; the
+    partition counts are free and always recorded."""
     import json
 
-    # A micro-batch DataFrame reports no inputFiles(); count distinct
-    # source files via the metadata column instead — a zero-data-column
-    # projection (footer-limited scan), run once per batch.
-    n_files = (
-        batch_df.select(F.input_file_name().alias("f")).distinct().count()
-    )
+    n_files = -1
+    if min_input_partitions is not None:
+        n_files = (
+            batch_df.select(F.input_file_name().alias("f")).distinct().count()
+        )
     n_parts = batch_df.rdd.getNumPartitions()
     out_parts = n_parts
     if min_input_partitions is not None and n_parts < min_input_partitions:
@@ -397,8 +405,17 @@ def _record_drift_histogram(
     (``quality_drift_psi`` binning — floor of the 4-decimal-rounded
     score, clamped to [0, _DRIFT_BINS-1]). ≤10 rows collected per batch
     (bounded driver traffic); atomic rename, idempotent under replay —
-    the histogram is a pure function of the batch."""
+    the histogram is a pure function of the batch.
+
+    The score expression is deliberately NOT pinned (it is observational
+    — see start_corpus_pipeline_stream), so each record carries its own
+    canonical expression string: a restart under a different score must
+    not silently mix incomparable histograms into one PSI reference
+    window (ADVICE r10) — quality_drift_report excludes (and flags)
+    reference batches recorded under a different expression."""
     import json
+
+    from ..batchstore import canonical_column_str
 
     b = (
         F.least(
@@ -415,7 +432,16 @@ def _record_drift_histogram(
     d.mkdir(parents=True, exist_ok=True)
     final = d / f"b{batch_id}.json"
     tmp = d / f".{final.name}.tmp"
-    tmp.write_text(json.dumps({"batch_id": batch_id, "hist": hist}, sort_keys=True))
+    tmp.write_text(
+        json.dumps(
+            {
+                "batch_id": batch_id,
+                "hist": hist,
+                "expr": canonical_column_str(score_expr),
+            },
+            sort_keys=True,
+        )
+    )
     os.replace(tmp, final)
 
 
@@ -440,17 +466,28 @@ def quality_drift_report(out_dir: str | Path) -> dict | None:
     """PSI of the LATEST batch's score distribution against the
     accumulation of every earlier batch (the reference window) —
     ``quality_drift_psi``'s arithmetic (Laplace-smoothed shares), pure
-    driver-side ints. None until two batches have histograms.
+    driver-side ints. None until two comparable batches have histograms.
     Conventional reading: <0.1 stable, 0.1-0.2 watch, >0.2 re-fit the
-    gate thresholds."""
+    gate thresholds.
+
+    Comparable means recorded under the SAME score expression as the
+    latest batch: the monitor is restart-reconfigurable by design, so a
+    changed expression would otherwise poison the reference window with
+    histograms of a different quantity. Mismatched reference batches are
+    excluded from the PSI and listed in ``reference_excluded``."""
     import math
 
     audit = read_drift_audit(out_dir)
     if len(audit) < 2:
         return None
     latest = audit[-1]
+    expr = latest.get("expr")
+    comparable = [r for r in audit[:-1] if r.get("expr") == expr]
+    excluded = [r["batch_id"] for r in audit[:-1] if r.get("expr") != expr]
+    if not comparable:
+        return None  # no same-expression history yet: PSI undefined
     ref = [0] * _DRIFT_BINS
-    for rec in audit[:-1]:
+    for rec in comparable:
         for i, n in enumerate(rec["hist"]):
             ref[i] += n
     cmp_h = latest["hist"]
@@ -464,7 +501,8 @@ def quality_drift_report(out_dir: str | Path) -> dict | None:
     return {
         "psi": round(psi, 6),
         "latest_batch": latest["batch_id"],
-        "reference_batches": [r["batch_id"] for r in audit[:-1]],
+        "reference_batches": [r["batch_id"] for r in comparable],
+        "reference_excluded": excluded,
         "reference_hist": ref,
         "latest_hist": cmp_h,
     }
@@ -527,7 +565,8 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
         )
         rows.append(
             ("input", "single_file_batches",
-             sum(1 for r in audit if r["input_files"] <= 1))
+             # -1 = file count not measured (guard off), not starvation
+             sum(1 for r in audit if 0 <= r["input_files"] <= 1))
         )
     drift = quality_drift_report(odir)
     if drift is not None:

@@ -741,6 +741,40 @@ def test_quality_drift_monitor(spark, tmp_path):
     assert prep[("drift", "batches_recorded")] == 3
 
 
+def test_quality_drift_excludes_other_score_expressions(tmp_path):
+    """The drift monitor's score expression is restart-reconfigurable by
+    design, so each drift_audit record carries its canonical expression
+    string, and quality_drift_report compares the latest batch ONLY
+    against same-expression history — a reference window silently mixing
+    histograms of two different scores would make the PSI meaningless
+    (ADVICE r10)."""
+    import json
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        quality_drift_report,
+    )
+
+    d = tmp_path / "out" / "drift_audit"
+    d.mkdir(parents=True)
+
+    def rec(bid, hist, expr):
+        (d / f"b{bid}.json").write_text(
+            json.dumps({"batch_id": bid, "hist": hist, "expr": expr})
+        )
+
+    flat = [10] * 10
+    rec(0, flat, "old_score")
+    rec(1, flat, "old_score")
+    rec(2, flat, "new_score")
+    # first batch under the new expression: NO comparable history → no PSI
+    assert quality_drift_report(tmp_path / "out") is None
+    rec(3, flat, "new_score")
+    rep = quality_drift_report(tmp_path / "out")
+    assert rep["reference_batches"] == [2]
+    assert rep["reference_excluded"] == [0, 1]
+    assert rep["psi"] < 0.01  # identical shape within the new expression
+
+
 def test_pipeline_doctor_cli(spark, tmp_path):
     """tools/pipeline_doctor.py: exit 0 + 'healthy' on a clean funnel
     warehouse; exit 1 with targeted alerts once drift PSI crosses the

@@ -3604,6 +3604,9 @@ def test_training_export_manifest(spark, tmp_path):
     assert m1 == training_export_manifest(spark, out, pack_out)  # deterministic
     assert m1["funnel"]["pin"]["kind"] == "corpus_pipeline"
     assert m1["funnel"]["corpus_fingerprint"]["rows"] == 3
+    # content coverage, not just membership: identical doc_ids with
+    # different text must move the fingerprint (ADVICE r10)
+    assert set(m1["funnel"]["corpus_fingerprint"]["columns"]) >= {"doc_id", "text"}
     assert m1["funnel"]["eval_generations"] is None  # no growth yet
     assert m1["packed"]["published_version"] == "data.v0"
     assert m1["packed"]["revocations_applied"] == []

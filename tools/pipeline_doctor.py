@@ -58,7 +58,8 @@ def main() -> int:
                 f"partitions={rec['input_partitions']} "
                 f"after_guard={rec['partitions_after_guard']}"
             )
-        starved = [r for r in audit if r["input_files"] <= 1]
+        # -1 = file count not measured (min_input_partitions guard off)
+        starved = [r for r in audit if 0 <= r["input_files"] <= 1]
         if starved:
             alerts.append(
                 f"{len(starved)} batch(es) landed as a single file — the "
