@@ -19,8 +19,10 @@ PNG/GIF/JPEG header parse (see ``_make_decoder``):
 STUB NOTE: audio decode resolves per-payload like images: FAKE
 containers use the stub header, RIFF/WAVE PCM decodes for real through
 stdlib ``wave`` (8/16/24/32-bit, multi-channel downmixed), and
-compressed codecs raise NotImplementedError (soundfile/libav are the
-production swap). Video remains header-stub only. The Spark-side
+compressed codecs decode through ``soundfile`` when importable, else
+raise NotImplementedError. Video frame sampling walks real RIFF-AVI
+movi boundaries with stdlib, and decodes real pixel frames from
+MP4/MKV/webm through PyAV when importable, else raises. The Spark-side
 plumbing — schemas, batching, partitioning, 1→N expansion — is real
 and tested in every tier.
 """
@@ -193,13 +195,51 @@ def _make_frame_extractor(frames_per_video: int):
        chunks (``..dc``/``..db``) walked with stdlib struct; sampled
        frames are the actual per-frame payloads (undecoded bytes — a
        pixel decode still needs a codec, same contract as images).
-    3. Anything else raises NotImplementedError: byte-striding a real
-       container would silently fingerprint garbage that crosses frame
-       boundaries — an honest gap beats a fake sample.
+    3. Other containers (MP4/MKV/webm…) decode REAL pixel frames
+       through PyAV WHEN IMPORTABLE (the Pillow/soundfile gated-tier
+       pattern: the import lives inside the closure, so executors take
+       the tier they have) — evenly-spaced frames, each fingerprinted
+       over its decoded rgb24 pixel buffer.
+    4. Without PyAV they raise NotImplementedError: byte-striding a
+       real container would silently fingerprint garbage that crosses
+       frame boundaries — an honest gap beats a fake sample.
     """
     import struct as _struct
 
     magic = _MAGIC
+
+    def _pyav_frames(payload: bytes):
+        """Optional-dep tier: None when PyAV is absent (caller raises
+        the honest gap); bounded memory — at most ``frames_per_video``
+        decoded frames are held, and an unknown frame count costs one
+        extra counting decode pass, never a buffer of the video."""
+        try:
+            import av as _av
+        except ImportError:
+            return None
+        import io as _io
+
+        with _av.open(_io.BytesIO(payload)) as c:
+            vstreams = [s for s in c.streams if s.type == "video"]
+            if not vstreams:
+                raise ValueError("container has no video stream")
+            s = vstreams[0]
+            n = int(s.frames or 0)
+            if n <= 0:  # container doesn't declare a count: count first
+                n = sum(1 for _ in c.decode(s))
+                c.seek(0)
+            if n == 0:
+                return []
+            k = min(frames_per_video, n)
+            want = {j * n // k: j for j in range(k)}  # frame_no -> ordinal
+            out: list[tuple[int, bytes]] = []
+            for i, frame in enumerate(c.decode(s)):
+                j = want.get(i)
+                if j is not None:
+                    out.append((j, frame.to_ndarray(format="rgb24").tobytes()))
+                    if len(out) == k:
+                        break
+            return out
 
     def frames(payload: bytes) -> list[tuple[int, bytes]]:
         if payload[:4] == magic:
@@ -226,10 +266,13 @@ def _make_frame_extractor(frames_per_video: int):
                 return []
             k = min(frames_per_video, n)
             return [(j, chunks[j * n // k]) for j in range(k)]
+        got = _pyav_frames(payload)
+        if got is not None:
+            return got
         raise NotImplementedError(
             "frame sampling needs real demuxing for this container "
-            "(FAKE stub and RIFF-AVI are the built-in tiers; wire "
-            "libav/ffmpeg for MP4/webm streams)"
+            "(FAKE stub and RIFF-AVI are the built-in tiers; install "
+            "PyAV for MP4/MKV/webm streams)"
         )
 
     return frames
