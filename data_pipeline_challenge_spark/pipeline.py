@@ -61,6 +61,12 @@ from .versioning import retire_versions, swap_symlink
 @dataclass
 class IngestReport:
     files: dict[str, dict] = field(default_factory=dict)  # file_id -> counters/status
+    #: file_id -> {"seconds","bytes","mb_per_s"} for array deliveries
+    #: that paid the single-core driver array→JSONL conversion pass
+    #: (JSONL deliveries never appear here: they scan natively). The
+    #: cost is measured so a multi-GB array upload's serial prefix is
+    #: visible in the report, not discovered as mystery wall time.
+    conversions: dict[str, dict] = field(default_factory=dict)
 
     @property
     def total_processed(self) -> int:
@@ -678,6 +684,9 @@ class ProductWarehouse:
             chunk_records=self.chunk_records,
             jsonl_partition_bytes=self.jsonl_partition_bytes,
         )
+        from .sources.json_ingest import LAST_CONVERSION_STATS
+
+        report.conversions = dict(LAST_CONVERSION_STATS)
         bronze = bronze.cache()
         try:
             # Per-file counters in one aggregation (SURVEY §2 ops 6,13):

@@ -28,6 +28,7 @@ documents this delta (SURVEY §2 op 4 "JSONL preferred at scale").
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -141,6 +142,16 @@ def read_bronze(spark: SparkSession, paths: list[str]) -> DataFrame:
 SPLIT_THRESHOLD_BYTES = 4 << 20  # array files above this are chunked
 CHUNK_RECORDS = 100_000  # records per JSONL chunk file (upload granularity)
 JSONL_PARTITION_BYTES = 32 << 20  # target split size for big JSONL scans
+
+#: Wall-clock cost of the most recent batch's array→JSONL edge
+#: conversions, keyed by landing file basename: {"seconds", "bytes",
+#: "mb_per_s"}. The conversion is a SINGLE-CORE driver pass (constant
+#: memory, but O(file) wall time before any executor works), so its cost
+#: must be measured and visible — IngestReport.conversions and the bench
+#: artifact carry it — not discovered in production. JSONL deliveries
+#: skip it entirely (native splittable scan); convert arrays at the edge
+#: for multi-GB deliveries. Observability only: never read for logic.
+LAST_CONVERSION_STATS: dict[str, dict] = {}
 
 
 def _looks_like_array(path: str) -> bool:
@@ -311,7 +322,9 @@ def read_bronze_splittable(
                 whole_files.append(p)
         except OSError:
             whole_files.append(p)
+    LAST_CONVERSION_STATS.clear()
     for p in big_arrays:
+        t0 = time.perf_counter()
         try:
             chunks = array_to_jsonl(
                 p,
@@ -323,6 +336,13 @@ def read_bronze_splittable(
             chunk_paths.extend(str(c) for c in chunks)
         except ValueError:  # incl. JSONDecodeError/UnicodeDecodeError
             conv_failed.append(posixpath.basename(p))
+        secs = time.perf_counter() - t0
+        nbytes = os.path.getsize(p)
+        LAST_CONVERSION_STATS[posixpath.basename(p)] = {
+            "seconds": round(secs, 3),
+            "bytes": nbytes,
+            "mb_per_s": round(nbytes / (1 << 20) / secs, 1) if secs > 0 else None,
+        }
 
     chunk_df = None
     if chunk_paths:

@@ -305,6 +305,10 @@ def test_large_array_file_splits_into_parallel_tasks(spark, warehouse, landing, 
         "records_processed": n,
         "records_failed": 0,
     }
+    # the driver-side conversion pass is measured, not invisible (r11);
+    # the landing file is GC'd by now, so check against the source size
+    conv = report.conversions[lf.file_id]
+    assert conv["seconds"] >= 0 and conv["bytes"] == (tmp_path / "big_array.json").stat().st_size
     products = wh.products()
     assert products.count() == n - 1  # DUP collapsed to one row
     assert (
