@@ -179,6 +179,91 @@ def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The fixed retrieval query for bm25_top20: one rare corpus term plus
+#: two common ones, so idf separation actually exercises the ranking.
+_BM25_TERMS = ("dup", "spark", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_top20",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id
+    ), q AS (
+        SELECT unnest(['{"','".join(_BM25_TERMS)}']) AS term
+    ), tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM toks t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           round(sum(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * {_BM25_K1 + 1.0})
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN ad
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id LIMIT 20
+    """,
+    tags=("text", "corpus", "retrieval", "agg"),
+)
+def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval for a fixed term query (k1=1.2,
+    b=0.75, the Robertson +1 idf so scores stay positive even for terms
+    in most docs) — the lexical-retrieval primitive a training-data
+    pipeline needs for eval-set mining and targeted corpus pulls.
+
+    Shape at scale: the explode is filtered to the QUERY's terms before
+    any aggregation, so the tf frame is (docs containing a query term) ×
+    (≤|query| terms), never the full postings table; df is a ≤|query|-row
+    broadcast; avgdl and N are broadcast scalars; the only corpus-sized
+    shuffles are the per-doc length aggregation and the tf⋈dl join on
+    doc_id; top-20 is TakeOrderedAndProject. Scores are rounded to 6
+    before the hash compare (the sum over ≤3 per-term contributions
+    tolerates association-order ULPs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "events_funnel",
     """

@@ -137,6 +137,18 @@ def test_tfidf_partial_agg_and_topk(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_bm25_filters_before_agg_and_topk(spark):
+    """BM25's tf frame must be query-term-filtered BEFORE aggregation
+    (the postings table is never materialized), the ≤|query|-row df side
+    must broadcast, and top-20 must be TakeOrderedAndProject."""
+    plan = plan_of(spark, "bm25_top20")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # df / N / avgdl sides
+    # the term IN-filter sits in the plan (generate → filter → aggregate),
+    # so only query-term rows reach the tf aggregation
+    assert "term#" in plan and " IN (dup,spark,merge)" in plan
+
+
 def test_decontam_broadcasts_eval_side(spark):
     # The training side must never shuffle: eval shingles broadcast.
     plan = plan_of(spark, "decontam_eval_overlap")
