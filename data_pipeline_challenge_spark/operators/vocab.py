@@ -142,3 +142,196 @@ def bpe_encode(tokens: Column, merges: list[tuple[str, str, int]]) -> Column:
     for a, b, _ in merges:
         syms = _merge_pair(syms, a, b)
     return syms
+
+
+# -- unigram-LM tokenizer (Kudo 2018, Viterbi-EM variant) ---------------------
+
+
+def unigram_seed_pieces(
+    vocab: DataFrame, max_piece_len: int = 4, seed_size: int | None = None
+) -> DataFrame:
+    """Seed piece inventory for unigram-LM training (Kudo 2018
+    "Subword Regularization", public algorithm): every substring of
+    every DISTINCT token up to ``max_piece_len`` chars, weighted by the
+    token's corpus count. All Catalyst — a double explode over (start,
+    length) on the vocab-sized frame, one map-side-combinable sum —
+    never over the corpus. Returns ``(piece, n)`` ordered by
+    (n desc, piece) and truncated to ``seed_size`` when given; single
+    characters are always retained regardless of rank (every token must
+    stay segmentable)."""
+    toklen = F.length("tok")
+    pieces = (
+        vocab.select(
+            "c",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), toklen),
+                        lambda s: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(F.lit(max_piece_len), toklen - s + 1),
+                            ),
+                            lambda l: F.substring(F.col("tok"), s, l),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").alias("n"))
+    )
+    if seed_size is None:
+        return pieces.orderBy(F.desc("n"), "piece")
+    ranked = pieces.orderBy(F.desc("n"), "piece").limit(seed_size)
+    chars = pieces.filter(F.length("piece") == 1)
+    return (
+        ranked.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("n").alias("n"))
+        .orderBy(F.desc("n"), "piece")
+    )
+
+
+def _viterbi_segment(word: str, logp: dict, max_len: int) -> list[str] | None:
+    """Best segmentation of ``word`` under piece log-probs (shared by the
+    Spark E-step and the pure-Python differential reference — a single
+    implementation keeps the tie rule identical by construction).
+    dp[j] = best score of s[:j]; candidates scanned by increasing start
+    i, strictly-greater wins, so on ties the SMALLEST i (longest final
+    piece) is kept. Returns None when the word is unsegmentable."""
+    n = len(word)
+    NEG = float("-inf")
+    dp = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            lp = logp.get(word[i:j])
+            if lp is None or dp[i] == NEG:
+                continue
+            cand = dp[i] + lp
+            if cand > dp[j]:
+                dp[j], back[j] = cand, i
+    if dp[n] == NEG:
+        return None
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    max_piece_len: int = 4,
+    seed_size: int | None = None,
+    n_iters: int = 4,
+) -> list[tuple[str, float]]:
+    """Train a unigram-LM tokenizer over whitespace tokens of
+    ``docs[text_col]`` — the SentencePiece-family alternative to BPE,
+    with the hard-EM (Viterbi) E-step: each distinct token takes its
+    single best segmentation under current piece probabilities, pieces
+    are re-estimated from the frequency-weighted piece counts, and the
+    inventory is pruned to the top ``vocab_size`` pieces (single chars
+    always kept). Deterministic: seed and prune ties break on the piece
+    string; the Viterbi tie rule is fixed in ``_viterbi_segment``.
+
+    Distribution profile (the BPE trainer's contract): one corpus scan
+    for token counts; every E-step is one Arrow-batched pandas UDF pass
+    over the VOCAB-sized frame with the current piece table broadcast
+    by value in the closure (a tokenizer inventory is ~10⁵ entries —
+    megabytes); every M-step is one map-side-combinable aggregation; the
+    driver collects only piece tables (O(vocab_size) rows per round).
+
+    Returns the trained ``[(piece, logp), …]`` ordered by (logp desc,
+    piece) — THE tokenizer artifact for :func:`unigram_encode`.
+    """
+    import math
+
+    vocab = token_frequencies(docs, text_col).localCheckpoint()
+    seed = unigram_seed_pieces(vocab, max_piece_len, seed_size).collect()
+    total = sum(r["n"] for r in seed)
+    logp = {r["piece"]: math.log(r["n"] / total) for r in seed}
+
+    for _ in range(n_iters):
+        counts = _expected_piece_counts(vocab, logp, max_piece_len)
+        # prune to vocab_size by (count desc, piece), single chars kept
+        chars = {p: c for p, c in counts.items() if len(p) == 1}
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ranked[:vocab_size])
+        kept.update(chars)
+        total = sum(kept.values())
+        logp = {p: math.log(c / total) for p, c in kept.items()}
+
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def _expected_piece_counts(
+    vocab: DataFrame, logp: dict, max_piece_len: int
+) -> dict[str, int]:
+    """One hard-EM E+M round: Viterbi-segment every distinct token under
+    ``logp`` (Arrow-batched executor Python; the piece table ships by
+    value in the closure), explode the chosen pieces weighted by token
+    count, aggregate. Tokens with unsegmentable characters fall back to
+    their raw characters so the char floor never starves."""
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    frozen = dict(logp)
+    maxlen = max_piece_len
+
+    def run(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        seg = _viterbi_segment
+        for pdf in batches:
+            out_piece: list[str] = []
+            out_c: list[int] = []
+            for tok, c in zip(pdf["tok"], pdf["c"]):
+                pieces = seg(tok, frozen, maxlen) or list(tok)
+                out_piece.extend(pieces)
+                out_c.extend([int(c)] * len(pieces))
+            yield _pd.DataFrame({"piece": out_piece, "c": out_c})
+
+    rows = (
+        vocab.select("tok", "c")
+        .mapInPandas(run, "piece string, c long")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    )
+    return {r["piece"]: int(r["n"]) for r in rows}
+
+
+def unigram_encode_tokens(
+    tokens: DataFrame, tok_col: str, pieces: list[tuple[str, float]]
+) -> DataFrame:
+    """Viterbi-encode a token column with a trained piece table: adds
+    ``pieces array<string>`` (Arrow-batched executor Python — the
+    segmentation DP has no Catalyst form; the piece table ships by
+    value, exactly like training's E-step)."""
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    logp = dict(pieces)
+    maxlen = max((len(p) for p in logp), default=1)
+
+    def run(batches: "_Iterator[_pd.DataFrame]") -> "_Iterator[_pd.DataFrame]":
+        seg = _viterbi_segment
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                seg(t, logp, maxlen) or list(t) for t in pdf[tok_col]
+            ]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tokens.schema.fields
+    )
+    return tokens.mapInPandas(run, schema + ", pieces array<string>")

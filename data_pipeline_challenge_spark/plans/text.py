@@ -1262,3 +1262,64 @@ def dedup_span_scrub_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFra
         "n_removed",
         F.md5("kept_text").alias("kept_fp"),
     )
+
+
+@query(
+    "vocab_unigram_seed_top20",
+    """
+    WITH toks AS (
+        SELECT tok, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> '' GROUP BY tok
+    ), subs AS (
+        SELECT substr(t.tok, s.s, l.l) AS piece, t.c
+        FROM toks t
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, length(t.tok))) AS s
+        ) s
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, least(4, length(t.tok) - s.s + 1))) AS l
+        ) l
+    )
+    SELECT piece, CAST(sum(c) AS BIGINT) AS n
+    FROM subs GROUP BY piece ORDER BY n DESC, piece LIMIT 20
+    """,
+    tags=("text", "vocab", "unigram"),
+)
+def vocab_unigram_seed_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seed stage of unigram-LM tokenizer training (Kudo 2018):
+    every ≤4-char substring of every DISTINCT token, weighted by corpus
+    count — the md5-twin pattern the MinHash family uses: the
+    distribution-heavy stage of a rows-only trainer gets its own
+    oracle-checked query. O(vocab·len²) rows from the vocab-sized frame,
+    one partial-agg shuffle, top-20 via TakeOrderedAndProject."""
+    from ..operators.vocab import token_frequencies, unigram_seed_pieces
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_seed_pieces(
+        token_frequencies(docs, "text"), max_piece_len=4
+    ).limit(20)
+
+
+@query(
+    "vocab_unigram_pieces",
+    None,  # Viterbi-EM E-step has no SQL form — rows-only; the trainer
+    # is differential-tested against a pure-Python reference
+    # (test_unigram_train_matches_reference) and the encode identity
+    # (concat(pieces) == token) is asserted in-test.
+    tags=("text", "vocab", "unigram"),
+)
+def vocab_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual unigram-LM training over the documents corpus
+    (``operators/vocab.unigram_train``, hard-EM/Viterbi variant of Kudo
+    2018): the trained piece table with log-probs. Deterministic (seed,
+    prune, and Viterbi tie rules are all fixed), so the rows-only replay
+    is stable across runs."""
+    from ..operators.vocab import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_train(
+        docs, "text", vocab_size=120, max_piece_len=4, seed_size=400, n_iters=3
+    )
+    rows = [(p, round(lp, 6)) for p, lp in pieces]
+    return spark.createDataFrame(rows, "piece string, logp double")

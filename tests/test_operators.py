@@ -1375,6 +1375,132 @@ def test_bpe_train_matches_reference(spark):
     check(rows, n_merges=12)
 
 
+def test_unigram_train_matches_reference(spark):
+    """The distributed unigram-LM trainer (Kudo 2018, hard-EM/Viterbi
+    variant: seed substrings → Viterbi E-step via mapInPandas → prune)
+    must reproduce an INDEPENDENT pure-Python implementation exactly —
+    piece inventory and log-probs — on a fixture corpus and a seeded
+    random corpus; encoding satisfies the reconstruction identity."""
+    import math
+    import random
+
+    from data_pipeline_challenge_spark.operators.vocab import (
+        unigram_encode_tokens,
+        unigram_train,
+    )
+
+    def ref_best_seg(word, logp, maxlen):
+        # independently-coded Viterbi: scan starts ascending, strictly
+        # greater wins (same spec as the operator's documented tie rule)
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (0.0, None)
+        for j in range(1, n + 1):
+            cand = None
+            for i in range(max(0, j - maxlen), j):
+                if best[i] is None:
+                    continue
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                sc = best[i][0] + lp
+                if cand is None or sc > cand[0]:
+                    cand = (sc, i)
+            best[j] = cand
+        if best[n] is None:
+            return None
+        out, j = [], n
+        while j > 0:
+            i = best[j][1]
+            out.append(word[i:j])
+            j = i
+        return out[::-1]
+
+    def ref_unigram(texts, vocab_size, max_piece_len, seed_size, n_iters):
+        from collections import Counter
+
+        toks = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    toks[w] += 1
+        sub = Counter()
+        for w, c in toks.items():
+            for s in range(len(w)):
+                for l in range(1, min(max_piece_len, len(w) - s) + 1):
+                    sub[w[s : s + l]] += c
+        ranked = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ranked[:seed_size] if seed_size else ranked)
+        for p, c in sub.items():
+            if len(p) == 1:
+                kept[p] = c
+        total = sum(kept.values())
+        logp = {p: math.log(c / total) for p, c in kept.items()}
+        for _ in range(n_iters):
+            counts = Counter()
+            for w, c in toks.items():
+                for p in ref_best_seg(w, logp, max_piece_len) or list(w):
+                    counts[p] += c
+            chars = {p: c for p, c in counts.items() if len(p) == 1}
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            kept = dict(ranked[:vocab_size])
+            kept.update(chars)
+            total = sum(kept.values())
+            logp = {p: math.log(c / total) for p, c in kept.items()}
+        return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def check(texts, vocab_size, seed_size, n_iters=3, max_piece_len=4):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = unigram_train(
+            docs, "text", vocab_size,
+            max_piece_len=max_piece_len, seed_size=seed_size, n_iters=n_iters,
+        )
+        want = ref_unigram(texts, vocab_size, max_piece_len, seed_size, n_iters)
+        assert got == want  # identical ints → identical log floats
+
+        # reconstruction identity on every distinct token, pieces ∈ vocab
+        toks = sorted({w for t in texts for w in t.split(" ") if w})
+        enc = unigram_encode_tokens(
+            spark.createDataFrame([(t,) for t in toks], "tok string"),
+            "tok", got,
+        ).collect()
+        inventory = {p for p, _ in got}
+        for r in enc:
+            assert "".join(r["pieces"]) == r["tok"]
+            assert set(r["pieces"]) <= inventory | set(r["tok"])
+
+    check(
+        ["low low low low low lower lower newest newest newest "
+         "newest newest newest widest widest widest"],
+        vocab_size=24, seed_size=60,
+    )
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(3, 25))
+        )
+        for _ in range(10)
+    ]
+    check(texts, vocab_size=40, seed_size=120, n_iters=4)
+
+
+def test_viterbi_segment_tie_and_gap_rules():
+    """The shared DP's contract, pinned with hand-checkable values:
+    best total log-prob wins; on exact ties the longest final piece
+    (smallest split point) wins; unsegmentable words return None."""
+    from data_pipeline_challenge_spark.operators.vocab import _viterbi_segment
+
+    logp = {"ab": -1.0, "c": -2.0, "a": -3.0, "bc": -3.5, "abc": -6.0}
+    assert _viterbi_segment("abc", logp, 4) == ["ab", "c"]  # -3 beats -6/-6.5
+    # tie: 'ab'+'cd' == 'abcd' == -6 → single piece (smallest i at j=4)
+    tie = {"ab": -3.0, "cd": -3.0, "abcd": -6.0}
+    assert _viterbi_segment("abcd", tie, 4) == ["abcd"]
+    assert _viterbi_segment("abx", logp, 4) is None  # 'x' unreachable
+
+
 def test_bpe_train_resume(spark):
     """initial_merges resumes a training run: train 4 rounds, resume to
     8 total — rules and final symbolization identical to one 8-round
