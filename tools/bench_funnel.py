@@ -100,6 +100,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="2500,25000")
     ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument(
+        "--min-input-partitions",
+        type=int,
+        default=None,
+        help="forward to start_corpus_pipeline_stream: lift each "
+        "micro-batch's scan parallelism to this floor (the 100k-docs/"
+        "batch point uses 32 so 8 landing files don't starve 32 cores)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -172,6 +180,7 @@ def main() -> None:
                 eval_df=eval_df,
                 transform_exprs={"text": scrub_pii(F.col("text"))},
                 max_files_per_trigger=FILES_PER_BATCH,
+                min_input_partitions=args.min_input_partitions,
                 # The synthetic corpus is templated, so docs share many
                 # trigrams with ANY 50-doc eval set; the default
                 # min_shared=2 diverts ~90% and starves the dedup stages.
@@ -195,6 +204,7 @@ def main() -> None:
                     "docs_per_s": round(docs / wall, 1),
                     "stage_wall_s": stages_s,
                     "stream_overhead_s": overhead,
+                    "min_input_partitions": args.min_input_partitions,
                 }
             )
             print(json.dumps(results[-1]), file=sys.stderr)
