@@ -1323,3 +1323,82 @@ def vocab_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(p, round(lp, 6)) for p, lp in pieces]
     return spark.createDataFrame(rows, "piece string, logp double")
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2
+    ), bc AS (
+        SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+    ), uc AS (
+        SELECT w1, count(*) AS cu FROM bg GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT tok) AS vsize
+        FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((cb + 0.5) / (cu + 0.5 * vsize))), 4) AS mean_logprob
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-½ smoothing — one order up
+    from :func:`text_unigram_logprob` on the perplexity-proxy ladder:
+    p(w2|w1) = (c(w1,w2)+0.5)/(ctx(w1)+0.5·V) with context counts from
+    the bigram table and V the distinct vocabulary, each doc scored by
+    its mean bigram log-prob. Unusually-low scores flag token-order
+    noise that unigram scoring cannot see (shuffled boilerplate, column
+    dumps); high scores flag templated text.
+
+    Scale shape: one explode to the bigram frame; bigram and context
+    counts are two map-side-combinable aggregations on it; V is a
+    broadcast scalar; the scoring joins shuffle on (w1, w2)/(w1) — both
+    vocabulary-sized keys, never corpus-keyed; nothing collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = docs.select("doc_id", toks.alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.count_distinct("tok").alias("vsize")
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cb") + F.lit(0.5))
+                        / (F.col("cu") + F.lit(0.5) * F.col("vsize"))
+                    )
+                ),
+                4,
+            ).alias("mean_logprob"),
+        )
+    )
