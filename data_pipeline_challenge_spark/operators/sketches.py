@@ -1,0 +1,126 @@
+"""Heavy hitters via a mergeable Misra-Gries sketch + exact recount.
+
+The frequent-items question a corpus pipeline asks constantly — boilerplate
+tokens, dominating domains, runaway dedup keys — answered WITHOUT a full
+groupBy over the key space. Two passes (Misra-Gries 1982; mergeability per
+Agarwal et al. 2012 "Mergeable Summaries", both public):
+
+1. **Sketch pass**: each partition builds a k-counter Misra-Gries summary
+   (Arrow-batched; O(k) memory per task regardless of partition size);
+   the per-partition summaries are merged on the driver by counter
+   addition + the standard decrement-compaction back to k entries. The
+   merged summary's guarantee survives merging: every item with true
+   frequency > N/k is present (undercounted by at most N/k, never lost).
+2. **Exact pass**: recount ONLY the ≤k surviving candidates (a broadcast
+   isin filter pushed below the aggregation) and keep those with exact
+   count > N/k.
+
+The two-pass composition is EXACT — precisely the items above the N/k
+threshold with their true counts — which is what makes it oracle-checkable
+against a plain SQL groupBy, while the execution never shuffles the full
+key space: the only wide aggregation runs on the candidate-filtered rows.
+Driver traffic is p·k counters (p = partitions), bounded and tiny.
+
+Reference parity: no counterpart in the reference (838-LoC ETL, no
+analytics surface); north-star extension of the profiling family.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _mg_insert(counters: dict, item: str, weight: int, k: int) -> None:
+    """Classic Misra-Gries update: count if tracked or room; else decrement
+    everyone (dropping zeros) — the shared kernel for the partition pass
+    and the driver merge."""
+    if item in counters:
+        counters[item] += weight
+        return
+    if len(counters) < k:
+        counters[item] = weight
+        return
+    # decrement by the incoming weight, floor at the largest full drop
+    dec = min(weight, min(counters.values()))
+    for key in list(counters):
+        counters[key] -= dec
+        if counters[key] <= 0:
+            del counters[key]
+    if weight > dec:
+        _mg_insert(counters, item, weight - dec, k)
+
+
+def _mg_merge(summaries: Iterator[dict], k: int) -> dict:
+    """Merge per-partition summaries: add counters, then compact back to
+    k entries by subtracting the (k+1)-th largest count (Agarwal et al.
+    2012) — keeps the one-sided > N/k guarantee."""
+    merged: dict = {}
+    for s in summaries:
+        for item, c in s.items():
+            merged[item] = merged.get(item, 0) + c
+    if len(merged) > k:
+        kth = sorted(merged.values(), reverse=True)[k]
+        merged = {i: c - kth for i, c in merged.items() if c - kth > 0}
+    return merged
+
+
+def mg_candidates(items: DataFrame, item_col: str, k: int) -> list[str]:
+    """Sketch pass: per-partition Misra-Gries (Arrow batches, O(k) state),
+    driver merge. Returns the candidate item list — a SUPERSET of every
+    item with true frequency > N/k, of size ≤ k."""
+    import pandas as pd
+
+    kk = int(k)
+    col = item_col
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # pandas value_counts pre-aggregates the batch (C speed), so
+            # the Python MG kernel sees one weighted update per DISTINCT
+            # item per batch, not one per row
+            for item, c in pdf[col].value_counts().items():
+                _mg_insert(counters, item, int(c), kk)
+        yield pd.DataFrame(
+            {"item": list(counters), "c": [counters[i] for i in counters]}
+        )
+
+    parts = (
+        items.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(summarize, "item string, c long")
+        .collect()
+    )
+    # Counter addition is associative/commutative, so the per-partition
+    # summaries fold into one dict regardless of row grouping; one final
+    # subtract-the-(k+1)th-largest compaction (the Agarwal et al. merge)
+    # charges its subtraction to >= k+1 counters' mass, keeping total
+    # undercount <= N/(k+1) — every true > N/k item stays positive.
+    summed: dict = {}
+    for r in parts:
+        summed[r["item"]] = summed.get(r["item"], 0) + int(r["c"])
+    return sorted(_mg_merge(iter([summed]), kk))
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str, k: int
+) -> DataFrame:
+    """EXACT heavy hitters: every item with frequency strictly greater
+    than N/k, with its true count — computed with the two-pass
+    sketch-then-recount plan documented in the module docstring. Returns
+    ``(item_col, n)``; the exact pass's aggregation touches only rows
+    matching the ≤k broadcast candidates."""
+    cands = mg_candidates(items, item_col, k)
+    n_total = items.count()
+    if not cands:
+        return items.sparkSession.createDataFrame([], f"{item_col} string, n long")
+    exact = (
+        items.select(F.col(item_col).cast("string").alias(item_col))
+        .filter(F.col(item_col).isin(cands))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > F.lit(n_total))
+    )
+    return exact

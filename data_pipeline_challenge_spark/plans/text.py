@@ -1402,3 +1402,36 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+@query(
+    "heavy_hitter_terms",
+    """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tt AS (
+        SELECT term FROM t WHERE term <> ''
+    ), n AS (SELECT count(*) AS n_total FROM tt)
+    SELECT term, count(*) AS n
+    FROM tt CROSS JOIN n
+    GROUP BY term, n_total
+    HAVING count(*) * 30 > n_total
+    ORDER BY n DESC, term
+    """,
+    tags=("text", "sketch", "profile"),
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms with frequency > N/30, computed by the two-pass Misra-Gries
+    plan (``operators/sketches.heavy_hitters``): O(k)-state partition
+    sketches merged on the driver, then an EXACT recount of only the ≤k
+    broadcast candidates — so the answer equals the plain groupBy oracle
+    while the execution never shuffles the full key space. The sketch's
+    one-sided guarantee (no true heavy hitter lost) is what makes a
+    probabilistic-looking plan exactly oracle-checkable."""
+    from ..operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return heavy_hitters(terms, "term", k=30).orderBy(F.desc("n"), "term")

@@ -1576,3 +1576,56 @@ def test_scrub_duplicated_spans_semantics(spark):
     assert kc[3] == (5, 0, "unique words only here today")
     assert kc[4] == (2, 0, "too short")
     assert kc[5] == (3, 3, "")
+
+
+def test_misra_gries_heavy_hitters_exact(spark):
+    """Two-pass heavy hitters (operators/sketches): the Misra-Gries
+    sketch pass may only produce <= k candidates and must NEVER lose a
+    true > N/k item (the one-sided merge guarantee), and the recount
+    pass must return exactly the brute-force answer — on a seeded
+    Zipf-ish skewed stream across many partitions."""
+    import random
+    from collections import Counter
+
+    from data_pipeline_challenge_spark.operators.sketches import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    rng = random.Random(23)
+    # skewed: item 'h0'..'h4' hot, 200 cold items with light tails
+    stream = []
+    for i in range(5):
+        stream += [f"h{i}"] * (1500 - 200 * i)
+    stream += [f"c{rng.randint(0, 199)}" for _ in range(4000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    k = 12
+    truth = {
+        item: c for item, c in Counter(stream).items() if c * k > n
+    }
+
+    items = spark.createDataFrame(
+        [(s,) for s in stream], "term string"
+    ).repartition(16)  # many partitions: the merge path does real work
+
+    cands = mg_candidates(items, "term", k)
+    assert len(cands) <= k
+    assert set(truth) <= set(cands)  # no true heavy hitter lost
+
+    got = {
+        r["term"]: r["n"] for r in heavy_hitters(items, "term", k).collect()
+    }
+    assert got == truth  # exact counts, exact membership
+
+
+def test_misra_gries_weighted_insert_depth():
+    """The weighted MG kernel must absorb a huge-weight update without
+    deep recursion (dec==min empties at least one slot, so depth <= 2)
+    and keep the counter invariant len <= k."""
+    from data_pipeline_challenge_spark.operators.sketches import _mg_insert
+
+    counters = {f"x{i}": 2 for i in range(8)}
+    _mg_insert(counters, "big", 1_000_000, k=8)
+    assert len(counters) <= 8
+    assert counters["big"] >= 1_000_000 - 2 * 8  # mass-charged undercount
