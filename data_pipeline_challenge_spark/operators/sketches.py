@@ -67,10 +67,12 @@ def _mg_merge(summaries: Iterator[dict], k: int) -> dict:
     return merged
 
 
-def mg_candidates(items: DataFrame, item_col: str, k: int) -> list[str]:
+def mg_summary(items: DataFrame, item_col: str, k: int) -> dict:
     """Sketch pass: per-partition Misra-Gries (Arrow batches, O(k) state),
-    driver merge. Returns the candidate item list — a SUPERSET of every
-    item with true frequency > N/k, of size ≤ k."""
+    driver merge. Returns the merged ``{item: residual_count}`` summary —
+    its keys are a SUPERSET of every item with true frequency > N/k, of
+    size ≤ k, and the summary itself is MERGEABLE with any other MG
+    summary (the streaming store folds one per micro-batch)."""
     import pandas as pd
 
     kk = int(k)
@@ -101,7 +103,12 @@ def mg_candidates(items: DataFrame, item_col: str, k: int) -> list[str]:
     summed: dict = {}
     for r in parts:
         summed[r["item"]] = summed.get(r["item"], 0) + int(r["c"])
-    return sorted(_mg_merge(iter([summed]), kk))
+    return _mg_merge(iter([summed]), kk)
+
+
+def mg_candidates(items: DataFrame, item_col: str, k: int) -> list[str]:
+    """The heavy-hitter candidate list: the sketch summary's keys."""
+    return sorted(mg_summary(items, item_col, k))
 
 
 def heavy_hitters(

@@ -3686,3 +3686,106 @@ def test_packing_params_pinned(spark, tmp_path):
         spark, out, spark.createDataFrame([(1,)], "doc_id long"),
         "source", "doc_id", "n_tokens", capacity=100, n_shards=4,
     ) >= 0
+
+
+def test_heavy_stream_equals_batch(spark, tmp_path):
+    """Streaming heavy hitters: the maintained MG summary + candidate
+    recount over micro-batches equals the batch two-pass operator (and
+    the brute-force groupBy) over the concatenated input — MG summaries
+    are mergeable, so maintaining one per batch loses no true > N/k
+    item across the whole stream."""
+    import os as _os
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.heavy_stream import (
+        compact_heavy_store,
+        heavy_hitters_report,
+        start_heavy_hitters_stream,
+    )
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    import random
+
+    rng = random.Random(31)
+    all_items: list[str] = []
+    mtime = 1_700_000_000
+    # hot items split ACROSS batches: per-batch they are modest, globally
+    # they are heavy — the cross-batch merge is what's under test
+    for b in range(4):
+        items = [f"hot{i}" for i in range(3) for _ in range(400 + 50 * b)]
+        items += [f"cold{rng.randint(0, 300)}" for _ in range(1500)]
+        rng.shuffle(items)
+        all_items += items
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(pa.table({"term": pa.array(items)}), str(p))
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "out"
+    q = start_heavy_hitters_stream(
+        spark, corpus, out, tmp_path / "ck", "term string", "term", k=10,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    n = len(all_items)
+    truth = {t: c for t, c in Counter(all_items).items() if c * 10 > n}
+    assert truth  # the fixture must actually produce heavy hitters
+    got = {
+        r["item"]: r["n"]
+        for r in heavy_hitters_report(spark, out).collect()
+    }
+    assert got == truth
+
+    # replaying an already-folded batch is a no-op (idempotent fold)
+    from data_pipeline_challenge_spark.streaming.heavy_stream import fold_batch
+
+    replay = spark.createDataFrame([("hot0",)] * 999, "term string")
+    fold_batch(spark, out, replay, 1, "term", 10)  # batch 1 already folded
+    got2 = {
+        r["item"]: r["n"]
+        for r in heavy_hitters_report(spark, out).collect()
+    }
+    assert got2 == truth
+
+    # offline compaction folds the counts dirs without changing the answer
+    folded = compact_heavy_store(spark, out)
+    assert folded["counts"] >= 2
+    got3 = {
+        r["item"]: r["n"]
+        for r in heavy_hitters_report(spark, out).collect()
+    }
+    assert got3 == truth
+
+
+def test_heavy_stream_crash_between_counts_and_summary(spark, tmp_path):
+    """Crash-replay: a batch whose counts increment landed but whose
+    summary write didn't must refold to the identical state (the
+    summary derives from the PREDECESSOR's file, and the counts
+    overwrite is idempotent)."""
+    import json as _json
+
+    from data_pipeline_challenge_spark.streaming.heavy_stream import (
+        fold_batch,
+        heavy_hitters_report,
+        _summary_path,
+    )
+
+    out = tmp_path / "out"
+    b0 = spark.createDataFrame([("a",)] * 30 + [("b",)] * 5, "term string")
+    b1 = spark.createDataFrame([("a",)] * 10 + [("c",)] * 40, "term string")
+    fold_batch(spark, out, b0, 0, "term", 4)
+    fold_batch(spark, out, b1, 1, "term", 4)
+    want = {r["item"]: r["n"] for r in heavy_hitters_report(spark, out).collect()}
+    s1 = _json.loads(_summary_path(out, 1).read_text())
+
+    # simulate the crash: summary of batch 1 vanished, counts survived
+    _summary_path(out, 1).unlink()
+    fold_batch(spark, out, b1, 1, "term", 4)  # the checkpoint replay
+    assert _json.loads(_summary_path(out, 1).read_text()) == s1
+    got = {r["item"]: r["n"] for r in heavy_hitters_report(spark, out).collect()}
+    assert got == want
