@@ -214,6 +214,7 @@ _BM25_B = 0.75
     ORDER BY bm25 DESC, tf.doc_id LIMIT 20
     """,
     tags=("text", "corpus", "retrieval", "agg"),
+    bench=True,
 )
 def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 retrieval for a fixed term query (k1=1.2,

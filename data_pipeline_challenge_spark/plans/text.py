@@ -1419,6 +1419,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, term
     """,
     tags=("text", "sketch", "profile"),
+    bench=True,
 )
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Terms with frequency > N/30, computed by the two-pass Misra-Gries

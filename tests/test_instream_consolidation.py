@@ -625,10 +625,13 @@ def test_pipeline_report_summarizes_stage_health(spark, tmp_path):
     ):
         assert rep[(stage, f"{store}_last_batch")] == 0, (stage, store)
         assert rep[(stage, f"{store}_batch_dirs")] >= 1, (stage, store)
-    # Input-parallelism audit: the single-file batch is VISIBLE to an
-    # operator (the starvation signal), not just a wall-time mystery.
-    assert rep[("input", "last_batch_files")] == 1
-    assert rep[("input", "single_file_batches")] == 1
+    # Input-parallelism audit: without the min_input_partitions opt-in
+    # the per-batch file-count job is skipped (ADVICE r10 — it was an
+    # unconditional full-batch scan), recorded as -1 = not measured; the
+    # free partition counts are still there. The guard-enabled twin
+    # (test_min_input_partitions_guard) asserts the measured path.
+    assert rep[("input", "last_batch_files")] == -1
+    assert rep[("input", "single_file_batches")] == 0  # unmeasured ≠ starved
     assert rep[("input", "min_batch_partitions")] >= 1
 
 
