@@ -265,6 +265,110 @@ def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The fixed query BATCH for bm25_multiquery_top5 — batch retrieval is
+#: the eval-mining shape: many queries against one corpus in one pass.
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "dup"), (1, "spark"),
+    (2, "merge"), (2, "batch"),
+    (3, "window"), (3, "vector"), (3, "dup"),
+)
+
+
+@query(
+    "bm25_multiquery_top5",
+    f"""
+    WITH q(qid, term) AS (
+        SELECT * FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)})
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id
+    ), qt AS (SELECT DISTINCT term FROM q),
+    tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM toks t JOIN qt ON t.term = qt.term GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    scored AS (
+        SELECT q.qid, tf.doc_id,
+               round(sum(
+                   ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 6) AS bm25
+        FROM q JOIN tf USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN n CROSS JOIN ad
+        GROUP BY q.qid, tf.doc_id
+    )
+    SELECT qid, doc_id, bm25, CAST(rnk AS INT) AS rnk FROM (
+        SELECT qid, doc_id, bm25,
+               row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    tags=("text", "corpus", "retrieval", "window"),
+)
+def bm25_multiquery_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH BM25 retrieval: a whole query set scored against the corpus
+    in one pass, top-5 docs per query — the eval-mining / targeted-pull
+    shape (thousands of benchmark queries at once), vs. the single-query
+    :func:`bm25_top20`.
+
+    Shape at scale: one corpus pass shared by EVERY query — the explode
+    is semi-filtered to the batch's distinct terms, the (qid, term)
+    table broadcasts, scores aggregate per (qid, doc), and the per-query
+    top-5 is a rank-filter window that Spark executes as
+    WindowGroupLimit (group-local top-k maintained on both the partial
+    and final side of the shuffle — plan-pinned), never a global sort.
+    Ranking happens on the ROUNDED score so rank ties resolve
+    identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    qdf = spark.createDataFrame(list(_BM25_QUERIES), "qid int, term string")
+    qterms = sorted({t for _, t in _BM25_QUERIES})
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qdf)
+        .join(tf, "term")
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "doc_id", "bm25", "rnk")
+    )
+
+
 @query(
     "events_funnel",
     """

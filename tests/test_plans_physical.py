@@ -137,6 +137,16 @@ def test_tfidf_partial_agg_and_topk(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_bm25_multiquery_uses_window_group_limit(spark):
+    """Batch retrieval's per-query top-5 must execute as WindowGroupLimit
+    (group-local top-k on both sides of the shuffle), never a global
+    sort; the query-set sides broadcast."""
+    plan = plan_of(spark, "bm25_multiquery_top5")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" not in plan  # no global-sort fallback
+
+
 def test_bm25_filters_before_agg_and_topk(spark):
     """BM25's tf frame must be query-term-filtered BEFORE aggregation
     (the postings table is never materialized), the ≤|query|-row df side
