@@ -1362,6 +1362,77 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _SW)
 
 
 @query(
+    "contrastive_negatives_top3",
+    """
+    WITH a AS (
+        SELECT doc_id AS anchor_id, source AS a_source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        FROM documents WHERE doc_id < 16
+    ), c AS (
+        SELECT doc_id AS neg_id, source AS c_source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        FROM documents
+    ), r AS (
+        SELECT anchor_id, neg_id,
+               row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+                                || CAST(neg_id AS VARCHAR)), neg_id
+               ) AS rnk
+        FROM a JOIN c USING (bucket)
+        WHERE c_source <> a_source AND neg_id <> anchor_id
+    )
+    SELECT anchor_id, neg_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+    """,
+    tags=("corpus", "sampling", "contrastive"),
+)
+def contrastive_negatives_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor doc, 3 pseudo-random negatives from a DIFFERENT source,
+    reproducible across runs/engines (md5 of ``anchor:candidate`` is the
+    randomness, exactly the multi-epoch-order trick).
+
+    Scale shape: candidates per anchor come from ONE md5-derived hash
+    bucket (1/16 slice) joined on bucket EQUALITY — a broadcast hash
+    join of the tiny anchor set against a pruned corpus slice, never an
+    anchors × corpus cross product; per-anchor ranking is a rank-filter
+    window (WindowGroupLimit), never a global sort. The 1/16-slice
+    sampling is the documented trade: negatives are drawn from a
+    deterministic subset, which is what sampling means — scanning every
+    candidate per anchor would be the non-scalable alternative."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    a = docs.filter(F.col("doc_id") < 16).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_source"),
+        bucket.alias("bucket"),
+    )
+    c = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("c_source"),
+        bucket.alias("bucket"),
+    )
+    rnd = F.md5(
+        F.concat_ws(
+            ":", F.col("anchor_id").cast("string"), F.col("neg_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(rnd, "neg_id")
+    return (
+        F.broadcast(a)
+        .join(c, "bucket")
+        .filter(
+            (F.col("c_source") != F.col("a_source"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "neg_id", F.row_number().over(w).cast("int").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
     "training_order_epochs",
     """
     WITH h AS (
