@@ -1,0 +1,262 @@
+"""Maintained lexical-retrieval index — the streaming twin of the batch
+BM25 queries (``plans/corpus.bm25_top20``): corpus batches fold into an
+incrementally-maintained inverted-stats index, and searches probe the
+index without ever rescanning document text.
+
+Per micro-batch, three folds:
+
+- ``postings/`` — (term, doc_id, tf), partitioned by a term hash bucket
+  so a query prunes its scan to the query terms' buckets (the same
+  planning-time partition-pruning discipline as the persisted ANN
+  indexes);
+- ``doclen/`` — (doc_id, dl), the per-doc token count BM25's length
+  normalization needs;
+- ``totals/b{B}.json`` — running (n_docs, n_len_docs, sum_dl), derived
+  from the PREDECESSOR's file plus this batch (pure function ⇒
+  crash-replay re-derives the identical file, the heavy_stream/summary
+  discipline). ``n_docs`` counts every row (the idf N, matching the
+  batch query); ``avgdl = sum_dl / n_len_docs`` averages over docs with
+  ≥1 token only — exactly the batch query's ``dl``-table average.
+
+``bm25_search`` then computes Okapi BM25 (k1/b/idf exactly as the batch
+queries) from the index alone: df from the pruned postings, avgdl/N
+from the totals file, candidate docs = postings rows for the query's
+terms. One corpus-keyed shuffle (the candidates ⋈ doclen join on
+doc_id); everything else is bucket-pruned or broadcast.
+``test_retrieval_stream_matches_batch_bm25`` pins stream==batch score
+equality on the concatenated input.
+
+Document ids are assumed unique across the stream (the gates upstream
+guarantee it in the composed funnel; a re-delivered id would double its
+tf — run behind exact dedup, as the funnel does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    ensure_store_params,
+    last_batch_id,
+    maybe_consolidate_in_stream,
+    prefix_bucket,
+    read_batch_store,
+)
+
+_N_BUCKETS = 64
+_TOTALS_KEEP = 64
+_K1 = 1.2
+_B = 0.75
+
+_STORES: tuple[tuple[str, list | None], ...] = (
+    ("postings", ["term_bucket"]),
+    ("doclen", None),
+)
+
+
+def _store_map(odir: Path) -> dict:
+    return {odir / name: part for name, part in _STORES}
+
+
+def _totals_path(odir: Path, batch_id: int) -> Path:
+    return odir / "totals" / f"b{batch_id}.json"
+
+
+def _latest_totals(odir: Path, before: int | None = None) -> tuple[dict, int]:
+    d = odir / "totals"
+    best, best_id = {"n_docs": 0, "sum_dl": 0}, -1
+    if not d.exists():
+        return best, best_id
+    for p in d.glob("b*.json"):
+        sid = p.name[1:-5]
+        if not sid.isdigit():
+            continue
+        bid = int(sid)
+        if before is not None and bid >= before:
+            continue
+        if bid > best_id:
+            try:
+                best, best_id = json.loads(p.read_text()), bid
+            except (OSError, ValueError):
+                continue
+    return best, best_id
+
+
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Fold ONE micro-batch of documents into the index. Idempotent:
+    increments overwrite their own batch dir; totals derive from the
+    predecessor's file."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    ensure_store_params(odir, {"id_col": id_col, "text_col": text_col})
+    postings_store = odir / "postings"
+    doclen_store = odir / "doclen"
+
+    if (
+        batch_id <= min(last_batch_id(postings_store), last_batch_id(doclen_store))
+        and _totals_path(odir, batch_id).exists()
+    ):
+        return
+
+    toks = batch_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", prefix_bucket(F.col("term"), _N_BUCKETS))
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
+    try:
+        n_rows = batch_df.count()
+        batch_stats = doclen.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        ).first()
+
+        # data stores BEFORE the totals file (the replay guard's commit
+        # point), mirroring counts-before-summary in heavy_stream.
+        append_batch_increment(
+            postings, postings_store, batch_id, partition_by="term_bucket"
+        )
+        append_batch_increment(doclen, doclen_store, batch_id)
+
+        prev, _ = _latest_totals(odir, before=batch_id)
+        rec = {
+            "batch_id": batch_id,
+            "n_docs": int(prev.get("n_docs", 0)) + int(n_rows),
+            "n_len_docs": int(prev.get("n_len_docs", 0)) + int(batch_stats["nd"]),
+            "sum_dl": int(prev.get("sum_dl", 0)) + int(batch_stats["sdl"]),
+        }
+        (odir / "totals").mkdir(parents=True, exist_ok=True)
+        final = _totals_path(odir, batch_id)
+        tmp = final.parent / f".{final.name}.tmp"
+        tmp.write_text(json.dumps(rec, sort_keys=True))
+        os.replace(tmp, final)
+        for stale in (odir / "totals").glob("b*.json"):
+            sid = stale.name[1:-5]
+            if sid.isdigit() and int(sid) < batch_id - _TOTALS_KEEP:
+                stale.unlink(missing_ok=True)
+    finally:
+        doclen.unpersist()
+
+
+def bm25_search(
+    spark: SparkSession,
+    out_dir: str | Path,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame | None:
+    """Okapi BM25 top-k over the maintained index (k1=1.2, b=0.75,
+    Robertson +1 idf — the batch queries' exact arithmetic). None before
+    the first batch. The postings scan prunes to the query terms'
+    buckets at planning time; df is a ≤|query|-row broadcast; N/avgdl
+    come from the totals file (zero Spark jobs); the candidates ⋈ doclen
+    join on doc_id is the one corpus-keyed shuffle."""
+    odir = Path(out_dir)
+    totals, tid = _latest_totals(odir)
+    if tid < 0 or not (odir / "postings").exists():
+        return None
+    n_docs = int(totals["n_docs"])
+    n_len_docs = int(totals.get("n_len_docs", n_docs))
+    if n_docs == 0 or n_len_docs == 0:
+        return spark.createDataFrame([], "doc_id long, bm25 double")
+    avgdl = totals["sum_dl"] / n_len_docs
+
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(prefix_bucket(F.col("term"), _N_BUCKETS).alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        read_batch_store(spark, odir / "postings")
+        .filter(F.col("term_bucket").isin(buckets))  # partition-pruned
+        .filter(F.col("term").isin(list(terms)))
+    )
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = read_batch_store(spark, odir / "doclen").select("doc_id", "dl")
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        postings.join(F.broadcast(dfc), "term")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def compact_retrieval_index(
+    spark: SparkSession, out_dir: str | Path
+) -> dict[str, int]:
+    """OFFLINE: fold both stores' per-batch dirs (run while the stream
+    is not)."""
+    odir = Path(out_dir)
+    out: dict[str, int] = {}
+    for name, part in _STORES:
+        store = odir / name
+        if store.exists():
+            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+    return out
+
+
+def start_retrieval_index_stream(
+    spark: SparkSession,
+    corpus_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    id_col: str,
+    text_col: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    consolidate_every: int | None = 64,
+) -> StreamingQuery:
+    """Stream corpus parquet batches into the maintained index."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(corpus_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(spark, odir, batch_df, batch_id, id_col, text_col)
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

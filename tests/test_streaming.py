@@ -3789,3 +3789,125 @@ def test_heavy_stream_crash_between_counts_and_summary(spark, tmp_path):
     assert _json.loads(_summary_path(out, 1).read_text()) == s1
     got = {r["item"]: r["n"] for r in heavy_hitters_report(spark, out).collect()}
     assert got == want
+
+
+def test_retrieval_stream_matches_batch_bm25(spark, tmp_path):
+    """Maintained retrieval index: BM25 over the incrementally-folded
+    postings/doclen/totals stores equals the batch BM25 computation over
+    the concatenated corpus — scores bit-equal after the shared
+    round(6), ranks identical; and the probe plan never reads text."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        bm25_search,
+        compact_retrieval_index,
+        start_retrieval_index_stream,
+    )
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    vocab = ["spark", "merge", "dup", "batch", "scan", "row", "filter"]
+    import random
+
+    rng = random.Random(41)
+    rows_all = []
+    mtime = 1_700_000_000
+    did = 0
+    for b in range(3):
+        rows = []
+        for _ in range(120):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+            rows.append((did, text))
+            did += 1
+        rows_all += rows
+        ids, texts = zip(*rows)
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            str(p),
+        )
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "idx"
+    q = start_retrieval_index_stream(
+        spark, corpus, out, tmp_path / "ck", "doc_id long, text string",
+        "doc_id", "text", max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    terms = ["dup", "spark", "merge"]
+    got = bm25_search(spark, out, terms, k=20).collect()
+
+    # batch reference: the bm25_top20 arithmetic over the full corpus
+    docs = spark.createDataFrame(rows_all, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)) + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    want = (
+        tf.join(F.broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ad))
+        .groupBy("doc_id").agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+    ).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in got] == [
+        (r["doc_id"], r["bm25"]) for r in want
+    ]
+
+    # compaction folds the stores without changing the answer
+    folded = compact_retrieval_index(spark, out)
+    assert folded["postings"] >= 2
+    got2 = bm25_search(spark, out, terms, k=20).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in got2] == [
+        (r["doc_id"], r["bm25"]) for r in want
+    ]
+
+
+def test_retrieval_stream_crash_replay(spark, tmp_path):
+    """A batch whose data stores landed but whose totals write didn't
+    must refold to identical totals (pure function of predecessor +
+    batch), keeping search results unchanged."""
+    import json as _json
+
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        _totals_path,
+        bm25_search,
+        fold_batch,
+    )
+
+    out = tmp_path / "idx"
+    b0 = spark.createDataFrame(
+        [(0, "dup spark spark"), (1, "merge merge scan")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "dup dup dup"), (3, "spark merge")], "doc_id long, text string"
+    )
+    fold_batch(spark, out, b0, 0, "doc_id", "text")
+    fold_batch(spark, out, b1, 1, "doc_id", "text")
+    want = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, out, ["dup"]).collect()]
+    t1 = _json.loads(_totals_path(out, 1).read_text())
+
+    _totals_path(out, 1).unlink()  # crash between data and totals writes
+    fold_batch(spark, out, b1, 1, "doc_id", "text")  # checkpoint replay
+    assert _json.loads(_totals_path(out, 1).read_text()) == t1
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, out, ["dup"]).collect()]
+    assert got == want
