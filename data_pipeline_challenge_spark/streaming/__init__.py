@@ -13,5 +13,8 @@ corpus — each exposing an idempotent per-batch ``fold_batch`` core:
 ``decontam_stream`` (benchmark overlap), ``dedup_stream`` (exact,
 against history), ``near_dedup_stream`` (MinHash+LSH), and
 ``embedding_dedup_stream`` (cosine over a servable LSH index) — composed
-end-to-end by ``corpus_pipeline_stream``.
+end-to-end by ``corpus_pipeline_stream``. Maintained analytics over the
+same recipes: ``heavy_stream`` (mergeable Misra-Gries heavy hitters with
+exact candidate recount) and ``retrieval_stream`` (BM25 inverted-stats
+index; searches never rescan text).
 """
