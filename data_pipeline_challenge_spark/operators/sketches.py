@@ -33,24 +33,37 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def _mg_insert(counters: dict, item: str, weight: int, k: int) -> None:
-    """Classic Misra-Gries update: count if tracked or room; else decrement
-    everyone (dropping zeros) — the shared kernel for the partition pass
-    and the driver merge."""
-    if item in counters:
-        counters[item] += weight
-        return
-    if len(counters) < k:
-        counters[item] = weight
-        return
-    # decrement by the incoming weight, floor at the largest full drop
-    dec = min(weight, min(counters.values()))
-    for key in list(counters):
-        counters[key] -= dec
-        if counters[key] <= 0:
-            del counters[key]
-    if weight > dec:
-        _mg_insert(counters, item, weight - dec, k)
+def _make_mg_insert():
+    """Factory so the kernel ships BY VALUE into the mapInPandas sketch
+    pass (qualname with ``<locals>`` ⇒ cloudpickle serializes the code;
+    executors never need this package importable — the json_ingest
+    closure discipline)."""
+
+    def mg_insert(counters: dict, item: str, weight: int, k: int) -> None:
+        """Classic Misra-Gries update: count if tracked or room; else
+        decrement everyone (dropping zeros) — the shared kernel for the
+        partition pass and the driver merge. Recursion depth ≤ 2: when
+        the decrement is smaller than the weight, at least one counter
+        hit zero, so the re-insert lands in free space."""
+        if item in counters:
+            counters[item] += weight
+            return
+        if len(counters) < k:
+            counters[item] = weight
+            return
+        # decrement by the incoming weight, floor at the largest full drop
+        dec = min(weight, min(counters.values()))
+        for key in list(counters):
+            counters[key] -= dec
+            if counters[key] <= 0:
+                del counters[key]
+        if weight > dec:
+            mg_insert(counters, item, weight - dec, k)
+
+    return mg_insert
+
+
+_mg_insert = _make_mg_insert()
 
 
 def _mg_merge(summaries: Iterator[dict], k: int) -> dict:

@@ -193,36 +193,50 @@ def unigram_seed_pieces(
     )
 
 
-def _viterbi_segment(word: str, logp: dict, max_len: int) -> list[str] | None:
-    """Best segmentation of ``word`` under piece log-probs (shared by the
-    Spark E-step and the pure-Python differential reference — a single
-    implementation keeps the tie rule identical by construction).
-    dp[j] = best score of s[:j]; candidates scanned by increasing start
-    i, strictly-greater wins, so on ties the SMALLEST i (longest final
-    piece) is kept. Returns None when the word is unsegmentable."""
-    n = len(word)
-    NEG = float("-inf")
-    dp = [NEG] * (n + 1)
-    back = [0] * (n + 1)
-    dp[0] = 0.0
-    for j in range(1, n + 1):
-        for i in range(max(0, j - max_len), j):
-            lp = logp.get(word[i:j])
-            if lp is None or dp[i] == NEG:
-                continue
-            cand = dp[i] + lp
-            if cand > dp[j]:
-                dp[j], back[j] = cand, i
-    if dp[n] == NEG:
-        return None
-    out: list[str] = []
-    j = n
-    while j > 0:
-        i = back[j]
-        out.append(word[i:j])
-        j = i
-    out.reverse()
-    return out
+def _make_viterbi():
+    """Factory for the segmentation DP. The function is created INSIDE a
+    factory so its qualname contains ``<locals>`` and cloudpickle ships
+    it BY VALUE into mapInPandas closures — executors never need this
+    package on their PYTHONPATH (the json_ingest closure discipline; a
+    module-level def would pickle by reference and crash any worker
+    without the repo installed)."""
+
+    def viterbi_segment(word: str, logp: dict, max_len: int):
+        """Best segmentation of ``word`` under piece log-probs (shared by
+        the Spark E-step and the pure-Python differential reference — a
+        single implementation keeps the tie rule identical by
+        construction). dp[j] = best score of s[:j]; candidates scanned by
+        increasing start i, strictly-greater wins, so on ties the
+        SMALLEST i (longest final piece) is kept. Returns None when the
+        word is unsegmentable."""
+        n = len(word)
+        NEG = float("-inf")
+        dp = [NEG] * (n + 1)
+        back = [0] * (n + 1)
+        dp[0] = 0.0
+        for j in range(1, n + 1):
+            for i in range(max(0, j - max_len), j):
+                lp = logp.get(word[i:j])
+                if lp is None or dp[i] == NEG:
+                    continue
+                cand = dp[i] + lp
+                if cand > dp[j]:
+                    dp[j], back[j] = cand, i
+        if dp[n] == NEG:
+            return None
+        out = []
+        j = n
+        while j > 0:
+            i = back[j]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    return viterbi_segment
+
+
+_viterbi_segment = _make_viterbi()
 
 
 def unigram_train(

@@ -1629,3 +1629,46 @@ def test_misra_gries_weighted_insert_depth():
     _mg_insert(counters, "big", 1_000_000, k=8)
     assert len(counters) <= 8
     assert counters["big"] >= 1_000_000 - 2 * 8  # mass-charged undercount
+
+
+def test_misra_gries_kernel_property():
+    """Hypothesis property over the pure-Python MG kernel: for ANY stream
+    and k, (a) the summary holds at most k counters, (b) every item with
+    true frequency > N/k is among the candidates (the one-sided
+    guarantee the two-pass plan's exactness rests on), (c) residual
+    counts never exceed true counts (undercount-only)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.operators.sketches import (
+        _mg_insert,
+        _mg_merge,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+        k=st.integers(min_value=1, max_value=12),
+        n_parts=st.integers(min_value=1, max_value=5),
+    )
+    def check(stream, k, n_parts):
+        truth = Counter(str(x) for x in stream)
+        n = len(stream)
+        # simulate the distributed shape: per-partition kernels, merged
+        summaries = []
+        for p in range(n_parts):
+            counters: dict = {}
+            for x in stream[p::n_parts]:
+                _mg_insert(counters, str(x), 1, k)
+            summaries.append(counters)
+        merged = _mg_merge(iter(summaries), k)
+        assert len(merged) <= k
+        for item, c in truth.items():
+            if c * k > n:
+                assert item in merged, (item, c, n, k)
+        for item, c in merged.items():
+            assert 0 < c <= truth[item]
+
+    check()
