@@ -214,6 +214,7 @@ def start_corpus_pipeline_stream(
     consolidate_every: int | None = 64,
     min_input_partitions: int | None = None,
     drift_score_expr: Column | None = None,
+    retrieval_index_dir: str | Path | None = None,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
@@ -248,9 +249,31 @@ def start_corpus_pipeline_stream(
     :func:`pipeline_report` surfaces it. Observational only — it is
     deliberately NOT in the funnel pin (changing the monitored score
     can never corrupt stored verdicts), so it can be added to a live
-    warehouse."""
+    warehouse.
+
+    ``retrieval_index_dir`` additionally folds each batch's KEPT rows
+    into a maintained BM25 index (``retrieval_stream``) — the screened
+    corpus is immediately searchable without rescanning text. Like the
+    drift monitor it is derived output, NOT part of the funnel pin; but
+    unlike drift an index covering only part of the corpus would be
+    silently wrong, so enabling it on a warehouse that already folded
+    batches is refused — backfill first
+    (``retrieval_stream.backfill_retrieval_index``)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+
+    if retrieval_index_dir is not None:
+        from ..batchstore import last_batch_id as _last
+        from . import retrieval_stream as _rs
+
+        _, _rtid = _rs._latest_totals(Path(retrieval_index_dir))
+        if _rtid < 0 and _last(odir / "near" / "docs") >= 0:
+            raise RuntimeError(
+                "retrieval_index_dir enabled on a funnel warehouse that "
+                "already folded batches: the index would silently miss "
+                "them — run retrieval_stream.backfill_retrieval_index "
+                "(stream stopped) first"
+            )
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
     # drift-refusal contract as each gate's own params: the transform
@@ -303,12 +326,20 @@ def start_corpus_pipeline_stream(
         )
         if cur is None:
             return
-        near_dedup_stream.fold_batch(
+        kept = near_dedup_stream.fold_batch(
             spark, odir / "near", cur, batch_id,
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
             bucket_cap=bucket_cap,
         )
+        if retrieval_index_dir is not None and kept is not None:
+            # derived index over the batch's KEPT rows; idempotent fold
+            # (replay re-reads the near increment and overwrites its own)
+            from . import retrieval_stream
+
+            retrieval_stream.fold_batch(
+                spark, retrieval_index_dir, kept, batch_id, id_col, text_col
+            )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _audit_input_parallelism(
@@ -326,6 +357,10 @@ def start_corpus_pipeline_stream(
             stores.update(decontam_stream._store_map(odir / "decontam"))
         stores.update(dedup_stream._store_map(odir / "exact"))
         stores.update(near_dedup_stream._store_map(odir / "near"))
+        if retrieval_index_dir is not None:
+            from . import retrieval_stream
+
+            stores.update(retrieval_stream._store_map(Path(retrieval_index_dir)))
         maybe_consolidate_in_stream(spark, stores, batch_id, consolidate_every)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -105,6 +105,12 @@ def fold_batch(
         odir, batch_id
     ).exists():
         return  # replay of a fully folded batch
+    # Summary ids are monotone (each derives from its predecessor): a
+    # batch at-or-below the newest summary is already covered by the
+    # commit point — refolding would double-count its items.
+    _, newest = _latest_summary(odir)
+    if batch_id <= newest:
+        return
 
     items = batch_df.select(F.col(item_col).cast("string").alias("item"))
     batch_counts = (

@@ -112,6 +112,14 @@ def fold_batch(
         and _totals_path(odir, batch_id).exists()
     ):
         return
+    # Totals ids are monotone (each derives from its predecessor), so a
+    # batch at-or-below the newest totals can only be a replay of work
+    # the commit point already covers — e.g. a replay against a
+    # backfilled index whose single fold absorbed this batch's docs.
+    # Folding it again would double-count.
+    _, newest = _latest_totals(odir)
+    if batch_id <= newest:
+        return
 
     toks = batch_df.select(
         F.col(id_col).alias("doc_id"),
@@ -211,6 +219,30 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def backfill_retrieval_index(
+    spark: SparkSession,
+    funnel_dir: str | Path,
+    index_dir: str | Path,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Build the index for a funnel that predates index enablement: fold
+    the CURRENT kept corpus as ONE batch keyed to the funnel's newest
+    near-stage batch id, so the restarted stream's later batches append
+    incrementally on top. Run while the stream is STOPPED after a clean
+    drain (an unclean stop could replay the last batch, whose docs this
+    backfill already absorbed — the monotone-totals guard in fold_batch
+    then skips it rather than double-counting)."""
+    from ..batchstore import last_batch_id as _last
+    from .corpus_pipeline_stream import current_corpus
+
+    corpus = current_corpus(spark, funnel_dir)
+    if corpus is None:
+        return
+    bid = _last(Path(funnel_dir) / "near" / "docs")
+    fold_batch(spark, index_dir, corpus, bid, id_col, text_col)
 
 
 def compact_retrieval_index(

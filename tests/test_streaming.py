@@ -3911,3 +3911,98 @@ def test_retrieval_stream_crash_replay(spark, tmp_path):
     assert _json.loads(_totals_path(out, 1).read_text()) == t1
     got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, out, ["dup"]).collect()]
     assert got == want
+
+
+def test_funnel_maintains_retrieval_index_over_kept_corpus(spark, tmp_path):
+    """Composed funnel + retrieval index: each batch's KEPT rows fold
+    into the maintained BM25 index, so searching the index equals batch
+    BM25 over exactly current_corpus (diverted/dup docs absent); and
+    enabling the index late on a warehouse with folded batches is
+    refused with a backfill pointer, after which the stream accepts it."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        backfill_retrieval_index,
+        bm25_search,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    land("a.parquet", [
+        (1, "spark merge dup spark data pipeline quality tokens here now"),
+        (2, "spark merge dup spark data pipeline quality tokens here now"),  # exact dup
+        (3, "an unrelated compiler document with many design tradeoffs inside"),
+    ])
+    land("b.parquet", [
+        (4, "dup dup merge spark shuffle partitions between separate stages"),
+        (5, "tiny"),  # fails the quality gate
+    ])
+
+    out = tmp_path / "pipe"
+    idx = tmp_path / "idx"
+    keep = F.size(F.split(F.col("text"), r"\s+")) >= 5
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, tmp_path / "ck", "doc_id long, text string",
+        "doc_id", "text", quality_expr=keep, n_prefix=8,
+        max_files_per_trigger=1, retrieval_index_dir=idx,
+    )
+    q.awaitTermination(300)
+
+    kept_docs = current_corpus(spark, out).select("doc_id", "text")
+    kept_ids = {r["doc_id"] for r in kept_docs.collect()}
+    assert kept_ids == {1, 3, 4}  # dup 2 and tiny 5 screened out
+
+    terms = ["dup", "spark", "merge"]
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
+    assert {d for d, _ in got} <= kept_ids and len(got) >= 2
+
+    # batch reference over the kept corpus (bm25_top20 arithmetic)
+    toks = kept_docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = kept_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    contrib = idf * (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    want = [
+        (r["doc_id"], r["bm25"])
+        for r in tf.join(F.broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ad))
+        .groupBy("doc_id").agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(20).collect()
+    ]
+    assert got == want
+
+    # Late enablement on a pre-existing warehouse: refused, then OK
+    # after an explicit backfill into a fresh index dir.
+    with _pytest.raises(RuntimeError, match="backfill"):
+        start_corpus_pipeline_stream(
+            spark, corpus_dir, out, tmp_path / "ck", "doc_id long, text string",
+            "doc_id", "text", quality_expr=keep, n_prefix=8,
+            retrieval_index_dir=tmp_path / "idx_late",
+        )
+    backfill_retrieval_index(spark, out, tmp_path / "idx_late", "doc_id", "text")
+    got_bf = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search(spark, tmp_path / "idx_late", terms).collect()
+    ]
+    assert got_bf == want
+    q = start_corpus_pipeline_stream(  # accepted now (no new batches)
+        spark, corpus_dir, out, tmp_path / "ck", "doc_id long, text string",
+        "doc_id", "text", quality_expr=keep, n_prefix=8,
+        retrieval_index_dir=tmp_path / "idx_late",
+    )
+    q.awaitTermination(120)
