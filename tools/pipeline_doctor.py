@@ -80,6 +80,14 @@ def main() -> int:
                 "re-fit gate thresholds (decontam_threshold_profile / "
                 "quality_gopher_filter) before trusting funnel yield"
             )
+        excluded = drift.get("reference_excluded") or []
+        if excluded:
+            alerts.append(
+                f"{len(excluded)} drift-audit batch(es) {excluded[:5]} were "
+                "recorded under a DIFFERENT score expression and are "
+                "excluded from the PSI reference window — the monitor was "
+                "reconfigured mid-stream; history restarts from the change"
+            )
 
     cap = read_cap_audit(out_dir / "near")
     if cap:
