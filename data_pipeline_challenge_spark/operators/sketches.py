@@ -80,12 +80,35 @@ def _mg_merge(summaries: Iterator[dict], k: int) -> dict:
     return merged
 
 
-def mg_summary(items: DataFrame, item_col: str, k: int) -> dict:
-    """Sketch pass: per-partition Misra-Gries (Arrow batches, O(k) state),
-    driver merge. Returns the merged ``{item: residual_count}`` summary —
-    its keys are a SUPERSET of every item with true frequency > N/k, of
-    size ≤ k, and the summary itself is MERGEABLE with any other MG
-    summary (the streaming store folds one per micro-batch)."""
+def _merge_tiers(n_parts: int, fanin: int) -> list[int]:
+    """Partition counts of the executor-side merge tiers between the
+    per-partition sketch pass and the driver: repeatedly divide by the
+    fan-in until at most ``fanin`` summaries remain for the driver to
+    ingest. Empty when the sketch pass is already narrow enough —
+    exposed so the tier plan is testable without running a job."""
+    fanin = max(2, int(fanin))
+    tiers: list[int] = []
+    while n_parts > fanin:
+        n_parts = -(-n_parts // fanin)
+        tiers.append(n_parts)
+    return tiers
+
+
+def _mg_sketch_df(
+    items: DataFrame, item_col: str, k: int, merge_fanin: int
+) -> DataFrame:
+    """The distributed half of :func:`mg_summary`: per-partition MG
+    summaries (≤k rows each), reduced through executor-side merge tiers
+    so the driver never ingests more than ``merge_fanin`` summaries.
+
+    Each tier shuffles the previous tier's (item, c) rows into
+    ``ceil(prev/fanin)`` partitions and re-summarizes per partition
+    (counter addition + the subtract-(k+1)th compaction) — MG summaries
+    are mergeable under ARBITRARY merge trees (Agarwal et al. 2012), the
+    compaction charges its subtraction to ≥ k+1 counters' mass at every
+    node, so total undercount stays ≤ N/(k+1) and every true > N/k item
+    survives every tier. At 10⁵–10⁶ input partitions this bounds driver
+    traffic at fanin·k rows instead of p·k (VERDICT r11 #3)."""
     import pandas as pd
 
     kk = int(k)
@@ -96,18 +119,48 @@ def mg_summary(items: DataFrame, item_col: str, k: int) -> dict:
         for pdf in batches:
             # pandas value_counts pre-aggregates the batch (C speed), so
             # the Python MG kernel sees one weighted update per DISTINCT
-            # item per batch, not one per row
+            # item per batch, not one per row (it also drops nulls —
+            # callers decide the null policy on the input frame)
             for item, c in pdf[col].value_counts().items():
                 _mg_insert(counters, item, int(c), kk)
         yield pd.DataFrame(
             {"item": list(counters), "c": [counters[i] for i in counters]}
         )
 
-    parts = (
-        items.select(F.col(col).cast("string").alias(col))
-        .mapInPandas(summarize, "item string, c long")
-        .collect()
+    def merge_tier(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        merged: dict = {}
+        for pdf in batches:
+            for item, c in zip(pdf["item"], pdf["c"]):
+                merged[item] = merged.get(item, 0) + int(c)
+        if len(merged) > kk:
+            kth = sorted(merged.values(), reverse=True)[kk]
+            merged = {i: c - kth for i, c in merged.items() if c - kth > 0}
+        yield pd.DataFrame(
+            {"item": list(merged), "c": [merged[i] for i in merged]}
+        )
+
+    sketch = items.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, "item string, c long"
     )
+    for n in _merge_tiers(items.rdd.getNumPartitions(), merge_fanin):
+        sketch = sketch.repartition(n).mapInPandas(
+            merge_tier, "item string, c long"
+        )
+    return sketch
+
+
+def mg_summary(
+    items: DataFrame, item_col: str, k: int, merge_fanin: int = 64
+) -> dict:
+    """Sketch pass: per-partition Misra-Gries (Arrow batches, O(k) state),
+    executor-side tree merge down to ≤ ``merge_fanin`` summaries
+    (:func:`_mg_sketch_df`), then the driver merge. Returns the merged
+    ``{item: residual_count}`` summary — its keys are a SUPERSET of every
+    item with true frequency > N/k, of size ≤ k, and the summary itself
+    is MERGEABLE with any other MG summary (the streaming store folds one
+    per micro-batch)."""
+    kk = int(k)
+    parts = _mg_sketch_df(items, item_col, kk, merge_fanin).collect()
     # Counter addition is associative/commutative, so the per-partition
     # summaries fold into one dict regardless of row grouping; one final
     # subtract-the-(k+1)th-largest compaction (the Agarwal et al. merge)
@@ -131,14 +184,21 @@ def heavy_hitters(
     than N/k, with its true count — computed with the two-pass
     sketch-then-recount plan documented in the module docstring. Returns
     ``(item_col, n)``; the exact pass's aggregation touches only rows
-    matching the ≤k broadcast candidates."""
+    matching the ≤k broadcast candidates.
+
+    N counts NON-NULL items only: the sketch (value_counts) and the
+    recount (isin) both ignore nulls, so counting them into N would
+    inflate the N/k threshold against a population the passes never see
+    and could drop a borderline true heavy hitter (ADVICE r11)."""
+    items = items.select(
+        F.col(item_col).cast("string").alias(item_col)
+    ).filter(F.col(item_col).isNotNull())
     cands = mg_candidates(items, item_col, k)
     n_total = items.count()
     if not cands:
         return items.sparkSession.createDataFrame([], f"{item_col} string, n long")
     exact = (
-        items.select(F.col(item_col).cast("string").alias(item_col))
-        .filter(F.col(item_col).isin(cands))
+        items.filter(F.col(item_col).isin(cands))
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") * k > F.lit(n_total))

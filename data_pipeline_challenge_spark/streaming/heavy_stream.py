@@ -112,7 +112,12 @@ def fold_batch(
     if batch_id <= newest:
         return
 
-    items = batch_df.select(F.col(item_col).cast("string").alias("item"))
+    # Non-null population only, matching the batch operator: the sketch
+    # drops nulls and the report's isin recount can never match one, so
+    # counting nulls into n_total would inflate the N/k threshold.
+    items = batch_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
     batch_counts = (
         items.groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -179,6 +184,14 @@ def heavy_hitters_report(
     )
     return (
         read_batch_store(spark, counts_store)
+        # Snapshot consistency (ADVICE r11): counts are appended BEFORE
+        # the summary file (the commit point), so after a crash in that
+        # window the store is one batch AHEAD of the summary this report
+        # read its candidates and n_total from — mixing them inflates
+        # counts relative to the threshold. Scan only increments the
+        # summary covers; consolidated dirs (negative ids) fold batches
+        # at-or-below a committed summary, so they are always covered.
+        .filter((F.col("ingest_batch") <= sid) | (F.col("ingest_batch") < 0))
         .filter(F.col("item_bucket").isin(buckets))  # partition-pruned
         .filter(F.col("item").isin(cands))
         .groupBy("item")

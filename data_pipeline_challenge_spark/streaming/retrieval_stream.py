@@ -195,13 +195,25 @@ def bm25_search(
             .collect()
         }
     )
+    # Snapshot consistency (ADVICE r11): the data stores are appended
+    # BEFORE the totals file (the commit point), so after a crash in
+    # that window they are one batch AHEAD of the totals this search
+    # took N/avgdl from. Scan only increments the totals cover;
+    # consolidated dirs (negative ids) fold batches at-or-below a
+    # committed totals file, so they are always covered.
+    committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
     postings = (
         read_batch_store(spark, odir / "postings")
+        .filter(committed)
         .filter(F.col("term_bucket").isin(buckets))  # partition-pruned
         .filter(F.col("term").isin(list(terms)))
     )
     dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doclen = read_batch_store(spark, odir / "doclen").select("doc_id", "dl")
+    doclen = (
+        read_batch_store(spark, odir / "doclen")
+        .filter(committed)
+        .select("doc_id", "dl")
+    )
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

