@@ -92,6 +92,90 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
     return out
 
 
+def _record_retrieval_pointer(funnel_dir: Path, index_dir: Path) -> None:
+    """Record (append) a maintained retrieval index's location at the
+    funnel root (``_retrieval_index.json``, atomic, idempotent): the
+    funnel's revocation machinery must know every derived index so
+    eval-generation upgrades can propagate (VERDICT r11 #1) — an index
+    nobody remembers would silently keep serving revoked docs. A list,
+    not a scalar: switching the stream to a fresh index dir (the
+    fell-behind rebuild path) must not orphan the old one mid-life."""
+    import json
+
+    p = funnel_dir / "_retrieval_index.json"
+    dirs: list[str] = []
+    if p.exists():
+        try:
+            dirs = json.loads(p.read_text()).get("dirs", [])
+        except (OSError, ValueError):
+            dirs = []
+    d = str(Path(index_dir).resolve())
+    if d in dirs:
+        return
+    dirs.append(d)
+    tmp = p.parent / f".{p.name}.tmp"
+    tmp.write_text(json.dumps({"dirs": dirs}, sort_keys=True))
+    os.replace(tmp, p)
+
+
+def _retrieval_pointer_dirs(funnel_dir: Path) -> list[Path]:
+    import json
+
+    p = funnel_dir / "_retrieval_index.json"
+    if not p.exists():
+        return []
+    try:
+        return [Path(d) for d in json.loads(p.read_text()).get("dirs", [])]
+    except (OSError, ValueError):
+        return []
+
+
+def _sync_index_revocations(
+    spark: SparkSession, funnel_dir: Path, id_col: str
+) -> None:
+    """Propagate the funnel's corpus-level revocations (``near/revoked``)
+    into every recorded retrieval index: ``revoke_docs`` is idempotent
+    and membership-checked, so syncing the WHOLE store converges after
+    any crash (a fresh report would be empty on re-run, because
+    ``current_corpus`` already excludes the previous attempt's rows).
+    A recorded-but-missing index dir is an error, not a skip: skipping
+    an unmounted index would silently recreate the revoked-doc-served
+    bug — delete the entry from ``_retrieval_index.json`` if the index
+    was deliberately abandoned."""
+    from ..batchstore import read_batch_store
+    from . import retrieval_stream
+
+    rev_store = funnel_dir / "near" / "revoked"
+    if not rev_store.exists() or not any(rev_store.glob("ingest_batch=*")):
+        return
+    ids = read_batch_store(spark, rev_store).select(id_col).distinct()
+    for idx_dir in _retrieval_pointer_dirs(funnel_dir):
+        if not idx_dir.exists():
+            raise RuntimeError(
+                f"funnel records a retrieval index at {idx_dir} but the dir "
+                "is missing: revocations cannot propagate — remove its entry "
+                "from _retrieval_index.json if it was deliberately abandoned"
+            )
+        retrieval_stream.revoke_docs(spark, idx_dir, ids)
+
+
+def _last_committed_batch(checkpoint_dir: str | Path) -> int:
+    """Newest batch id the streaming checkpoint COMMITTED (the
+    ``commits/`` metadata log), -1 when none: distinguishes an index
+    that is one batch behind because of a mid-batch crash (the replay
+    heals it) from one the funnel ran without (only a backfill heals
+    that)."""
+    d = Path(checkpoint_dir) / "commits"
+    if not d.exists():
+        return -1
+    best = -1
+    for p in d.iterdir():
+        name = p.name
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
 def revoke_corpus_eval_generation(
     spark: SparkSession,
     out_dir: str | Path,
@@ -113,7 +197,13 @@ def revoke_corpus_eval_generation(
        intentionally keeps their signatures: near-duplicates of revoked
        content must still be recognized, and genuinely new arrivals are
        screened against the union by the upgraded decontam stage anyway.
-    2. ``add_eval_generation`` on the ``decontam`` stage revokes at that
+    2. Corpus-level revocations propagate to every maintained retrieval
+       index the funnel recorded (``_retrieval_index.json`` →
+       ``retrieval_stream.revoke_docs``): a doc gone from
+       ``current_corpus`` must also stop being searchable and stop
+       counting into idf/avgdl. Whole-store sync, idempotent, so any
+       crash re-run converges.
+    3. ``add_eval_generation`` on the ``decontam`` stage revokes at that
        stage's own view and upgrades its pin to the union fingerprint,
        so the next ``start_corpus_pipeline_stream`` with the union
        ``eval_df`` is accepted (the funnel root pin records only stage
@@ -140,7 +230,9 @@ def revoke_corpus_eval_generation(
         json.loads(ledger_p.read_text())["applied"] if ledger_p.exists() else []
     )
     if decontam_stream.eval_fingerprint(delta_df, id_col, text_col) in applied:
-        # Already committed: heal the stage pin if needed, change nothing.
+        # Already committed: heal the stage pin (and any index that
+        # missed the sync) if needed, change nothing else.
+        _sync_index_revocations(spark, odir, id_col)
         return decontam_stream.add_eval_generation(
             spark, stage, delta_df, id_col, text_col
         )
@@ -159,6 +251,10 @@ def revoke_corpus_eval_generation(
             out = spark.read.parquet(
                 str(odir / "near" / "revoked" / f"ingest_batch={gen}")
             )
+    # Index propagation BEFORE the stage-ledger commit, so a crash in
+    # between re-runs the full path (the fingerprint is not yet in the
+    # ledger) and the idempotent whole-store sync converges.
+    _sync_index_revocations(spark, odir, id_col)
     stage_out = decontam_stream.add_eval_generation(
         spark, stage, delta_df, id_col, text_col
     )
@@ -266,14 +362,30 @@ def start_corpus_pipeline_stream(
         from ..batchstore import last_batch_id as _last
         from . import retrieval_stream as _rs
 
+        # Refuse whenever the index is BEHIND the funnel's kept store
+        # (ADVICE r11): a never-folded index on a folded warehouse, AND
+        # an index that missed interim batches (funnel ran with the
+        # index disabled, then re-enabled — those ids are behind the
+        # checkpoint, so no replay will ever fold them). The one
+        # tolerated gap: the index sits exactly at the checkpoint's
+        # committed frontier and only UNcommitted near increments are
+        # ahead of it — that is the mid-batch-crash window, and the
+        # stream's replay folds it on restart.
         _, _rtid = _rs._latest_totals(Path(retrieval_index_dir))
-        if _rtid < 0 and _last(odir / "near" / "docs") >= 0:
+        _near_last = _last(odir / "near" / "docs")
+        if _near_last >= 0 and (
+            _rtid < 0
+            or (_rtid < _near_last and _rtid != _last_committed_batch(checkpoint_dir))
+        ):
             raise RuntimeError(
-                "retrieval_index_dir enabled on a funnel warehouse that "
-                "already folded batches: the index would silently miss "
-                "them — run retrieval_stream.backfill_retrieval_index "
-                "(stream stopped) first"
+                "retrieval_index_dir is behind the funnel warehouse "
+                f"(index totals at batch {_rtid}, kept store at "
+                f"{_near_last}): the index would silently miss kept "
+                "docs — rebuild it with "
+                "retrieval_stream.backfill_retrieval_index into a fresh "
+                "dir (stream stopped) first"
             )
+        _record_retrieval_pointer(odir, Path(retrieval_index_dir))
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
     # drift-refusal contract as each gate's own params: the transform
@@ -332,13 +444,19 @@ def start_corpus_pipeline_stream(
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
             bucket_cap=bucket_cap,
         )
-        if retrieval_index_dir is not None and kept is not None:
+        if retrieval_index_dir is not None:
             # derived index over the batch's KEPT rows; idempotent fold
-            # (replay re-reads the near increment and overwrites its own)
+            # (replay re-reads the near increment and overwrites its own).
+            # An all-duplicate batch (kept is None) folds as EMPTY so the
+            # index's totals id stays in lockstep with the kept store —
+            # otherwise the behind-the-funnel enable guard would refuse a
+            # legitimate restart after such a trailing batch.
             from . import retrieval_stream
 
             retrieval_stream.fold_batch(
-                spark, retrieval_index_dir, kept, batch_id, id_col, text_col
+                spark, retrieval_index_dir,
+                kept if kept is not None else cur.limit(0),
+                batch_id, id_col, text_col,
             )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -29,6 +29,13 @@ equality on the concatenated input.
 Document ids are assumed unique across the stream (the gates upstream
 guarantee it in the composed funnel; a re-delivered id would double its
 tf — run behind exact dedup, as the funnel does).
+
+Revocation: the funnel's eval-generation upgrades retro-revoke kept
+docs; ``revoke_docs`` records (doc_id, dl) in a ``revoked`` store and
+``bm25_search`` both anti-joins candidates against it (before df) and
+subtracts its counts from N/avgdl — so search over a decontaminated
+warehouse equals batch BM25 over ``current_corpus`` post-revocation,
+without rewriting the totals files' pure-replay discipline.
 """
 
 from __future__ import annotations
@@ -59,6 +66,11 @@ _B = 0.75
 _STORES: tuple[tuple[str, list | None], ...] = (
     ("postings", ["term_bucket"]),
     ("doclen", None),
+    # (doc_id, dl) rows of docs revoked AFTER indexing (funnel
+    # eval-generation upgrades — see ``revoke_docs``); written only
+    # while the stream is stopped, read by ``bm25_search`` as an
+    # anti-join + totals correction.
+    ("revoked", None),
 )
 
 
@@ -165,6 +177,48 @@ def fold_batch(
         doclen.unpersist()
 
 
+def revoke_docs(spark: SparkSession, out_dir: str | Path, doc_ids: DataFrame) -> int:
+    """Revoke indexed documents (run while the stream is STOPPED): the
+    funnel's eval-generation upgrades retro-revoke kept docs, and a doc
+    revoked from ``current_corpus`` must stop being searchable AND stop
+    counting into idf/avgdl (VERDICT r11 #1). Appends (doc_id, dl) rows
+    — dl looked up from the doclen store so ``bm25_search`` can correct
+    N/avgdl without rewriting the totals files' replay discipline — to
+    the ``revoked`` store. Idempotent and convergent: ids already
+    revoked are skipped, ids never indexed (absent from doclen) are
+    ignored, so re-running after any crash re-derives the same store
+    content. Returns the number of newly revoked docs.
+
+    ``doc_ids``: any DataFrame whose FIRST column is the document id.
+    Scale shape: one broadcast-semi-join scan of the doclen store
+    (revocations are benchmark-contamination-sized); zero-token docs
+    have no doclen row and no postings, so they are unrevocable but
+    also unservable — only their (empty) n_docs share lingers."""
+    odir = Path(out_dir)
+    doclen_store = odir / "doclen"
+    if not doclen_store.exists():
+        return 0
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).distinct()
+    rev_store = odir / "revoked"
+    if rev_store.exists() and any(rev_store.glob("ingest_batch=*")):
+        already = read_batch_store(spark, rev_store).select("doc_id")
+        ids = ids.join(F.broadcast(already), "doc_id", "left_anti")
+    new = read_batch_store(spark, doclen_store).join(
+        F.broadcast(ids), "doc_id", "left_semi"
+    ).select("doc_id", "dl")
+    n = new.count()
+    if n:
+        append_batch_increment(new, rev_store, last_batch_id(rev_store) + 1)
+    return n
+
+
+def _revoked_view(spark: SparkSession, odir: Path) -> DataFrame | None:
+    rev_store = odir / "revoked"
+    if not rev_store.exists() or not any(rev_store.glob("ingest_batch=*")):
+        return None
+    return read_batch_store(spark, rev_store).select("doc_id", "dl")
+
+
 def bm25_search(
     spark: SparkSession,
     out_dir: str | Path,
@@ -175,17 +229,32 @@ def bm25_search(
     Robertson +1 idf — the batch queries' exact arithmetic). None before
     the first batch. The postings scan prunes to the query terms'
     buckets at planning time; df is a ≤|query|-row broadcast; N/avgdl
-    come from the totals file (zero Spark jobs); the candidates ⋈ doclen
-    join on doc_id is the one corpus-keyed shuffle."""
+    come from the totals file (zero Spark jobs when nothing is revoked);
+    the candidates ⋈ doclen join on doc_id is the one corpus-keyed
+    shuffle. Revoked docs (``revoke_docs``) are anti-joined out BEFORE
+    df is counted and subtracted from N/avgdl, so results equal batch
+    BM25 over the post-revocation corpus."""
     odir = Path(out_dir)
     totals, tid = _latest_totals(odir)
     if tid < 0 or not (odir / "postings").exists():
         return None
     n_docs = int(totals["n_docs"])
     n_len_docs = int(totals.get("n_len_docs", n_docs))
-    if n_docs == 0 or n_len_docs == 0:
+    sum_dl = int(totals["sum_dl"])
+    revoked = _revoked_view(spark, odir)
+    if revoked is not None:
+        # bounded store (contamination-sized); every revoked row came
+        # from doclen, so each subtracts one length-bearing doc
+        agg = revoked.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        ).first()
+        n_docs -= int(agg["nr"])
+        n_len_docs -= int(agg["nr"])
+        sum_dl -= int(agg["sdl"])
+    if n_docs <= 0 or n_len_docs <= 0:
         return spark.createDataFrame([], "doc_id long, bm25 double")
-    avgdl = totals["sum_dl"] / n_len_docs
+    avgdl = sum_dl / n_len_docs
 
     buckets = sorted(
         {
@@ -208,6 +277,11 @@ def bm25_search(
         .filter(F.col("term_bucket").isin(buckets))  # partition-pruned
         .filter(F.col("term").isin(list(terms)))
     )
+    if revoked is not None:
+        # before df: a revoked doc must not count into document frequency
+        postings = postings.join(
+            F.broadcast(revoked.select("doc_id")), "doc_id", "left_anti"
+        )
     dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     doclen = (
         read_batch_store(spark, odir / "doclen")
@@ -246,15 +320,25 @@ def backfill_retrieval_index(
     incrementally on top. Run while the stream is STOPPED after a clean
     drain (an unclean stop could replay the last batch, whose docs this
     backfill already absorbed — the monotone-totals guard in fold_batch
-    then skips it rather than double-counting)."""
+    then skips it rather than double-counting). Refuses an index that
+    already holds folds: backfilling the WHOLE corpus on top of partial
+    postings would double-count every already-indexed doc — an index
+    that fell behind its funnel is rebuilt into a FRESH dir instead."""
     from ..batchstore import last_batch_id as _last
-    from .corpus_pipeline_stream import current_corpus
+    from .corpus_pipeline_stream import _record_retrieval_pointer, current_corpus
 
+    if _latest_totals(Path(index_dir))[1] >= 0:
+        raise RuntimeError(
+            f"retrieval index at {index_dir} already holds folded batches: "
+            "a whole-corpus backfill on top would double-count them — "
+            "backfill into a FRESH index dir and switch the stream to it"
+        )
     corpus = current_corpus(spark, funnel_dir)
     if corpus is None:
         return
     bid = _last(Path(funnel_dir) / "near" / "docs")
     fold_batch(spark, index_dir, corpus, bid, id_col, text_col)
+    _record_retrieval_pointer(Path(funnel_dir), Path(index_dir))
 
 
 def compact_retrieval_index(

@@ -4013,3 +4013,211 @@ def test_funnel_maintains_retrieval_index_over_kept_corpus(spark, tmp_path):
         retrieval_index_dir=tmp_path / "idx_late",
     )
     q.awaitTermination(120)
+
+
+def _batch_bm25_want(kept_docs, terms, k=20):
+    """Batch BM25 reference (the bm25_top20 arithmetic) over a kept
+    corpus — the truth the maintained index must equal at every point
+    of its life, including after revocations."""
+    import pyspark.sql.functions as F
+
+    toks = kept_docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = kept_docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    contrib = idf * (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    )
+    return [
+        (r["doc_id"], r["bm25"])
+        for r in tf.join(F.broadcast(dfc), "term").join(dl, "doc_id")
+        .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ad))
+        .groupBy("doc_id").agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(k).collect()
+    ]
+
+
+def test_funnel_revocation_propagates_to_retrieval_index(spark, tmp_path):
+    """VERDICT r11 #1: a doc retro-revoked by an eval-generation upgrade
+    must (a) vanish from bm25_search, (b) stop counting into idf/avgdl —
+    post-revocation index scores equal batch BM25 over the
+    post-revocation current_corpus — and the sync must be idempotent."""
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        revoke_corpus_eval_generation,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        bm25_search,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "several question mentions deep river canyons in passing today"),
+        (3, "an unrelated document about compiler design tradeoffs here now"),
+    ])
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")], SCHEMA
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")], SCHEMA
+    )
+
+    out, idx = tmp_path / "pipe", tmp_path / "idx"
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, tmp_path / "ck", SCHEMA, "doc_id", "text",
+        eval_df=eval_a, min_jaccard=0.5, n_prefix=8, retrieval_index_dir=idx,
+    )
+    q.awaitTermination(300)
+
+    terms = ["canyons", "spark", "document"]
+    pre = bm25_search(spark, idx, terms).collect()
+    assert 2 in {r["doc_id"] for r in pre}  # searchable before revocation
+
+    rev = revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [2]
+
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
+    assert 2 not in {d for d, _ in got}  # (a) absent from search
+    kept = current_corpus(spark, out).select("doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    # (b) scores equal batch BM25 over the post-revocation corpus: the
+    # revoked doc's contribution to N, avgdl, and df is gone too.
+    assert got == _batch_bm25_want(kept, terms)
+
+    # Idempotent: replaying the same delta changes nothing.
+    revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    again = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
+    assert again == got
+
+
+def test_retrieval_enable_guard_refuses_behind_index(spark, tmp_path):
+    """ADVICE r11 (medium): a funnel that ran some batches with the
+    retrieval index DISABLED and is then re-enabled must be refused —
+    those batch ids are behind the checkpoint, no replay will ever fold
+    them, so the index would silently miss part of the kept corpus.
+    Recovery: backfill into a FRESH dir (backfilling the stale one is
+    refused as a double-count)."""
+    import time
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        backfill_retrieval_index,
+        bm25_search,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    out, idx = tmp_path / "pipe", tmp_path / "idx"
+
+    def start(index_dir):
+        return start_corpus_pipeline_stream(
+            spark, corpus_dir, out, tmp_path / "ck", SCHEMA, "doc_id", "text",
+            n_prefix=8, max_files_per_trigger=1, retrieval_index_dir=index_dir,
+        )
+
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "an unrelated document about compiler design tradeoffs here now"),
+    ])
+    q = start(idx)
+    q.awaitTermination(300)
+
+    time.sleep(0.05)
+    land("b.parquet", [
+        (3, "several question mentions deep river canyons in passing today"),
+    ])
+    q = start(None)  # interim batch folds with the index disabled
+    q.awaitTermination(300)
+
+    with _pytest.raises(RuntimeError, match="behind the funnel"):
+        start(idx)
+    # The stale index cannot be healed in place: a whole-corpus backfill
+    # on top of its existing postings would double-count batch 0's docs.
+    with _pytest.raises(RuntimeError, match="double-count"):
+        backfill_retrieval_index(spark, out, idx, "doc_id", "text")
+
+    idx2 = tmp_path / "idx2"
+    backfill_retrieval_index(spark, out, idx2, "doc_id", "text")
+    q = start(idx2)  # accepted: index at the funnel's frontier
+    q.awaitTermination(120)
+
+    terms = ["canyons", "spark", "document"]
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx2, terms).collect()]
+    kept = current_corpus(spark, out).select("doc_id", "text")
+    assert got == _batch_bm25_want(kept, terms)
+
+
+def test_funnel_all_duplicate_batch_keeps_index_in_lockstep(spark, tmp_path):
+    """A batch whose every row is screened out at the NEAR stage folds
+    into the retrieval index as EMPTY (advancing its totals id), so a
+    restart after such a trailing batch is accepted — the
+    behind-the-funnel guard must not mistake an all-duplicate batch for
+    a disabled-index gap."""
+    import time
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        bm25_search,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    out, idx = tmp_path / "pipe", tmp_path / "idx"
+
+    def start():
+        return start_corpus_pipeline_stream(
+            spark, corpus_dir, out, tmp_path / "ck", SCHEMA, "doc_id", "text",
+            min_jaccard=0.5, n_prefix=8, max_files_per_trigger=1,
+            retrieval_index_dir=idx,
+        )
+
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "an unrelated document about compiler design tradeoffs here now"),
+    ])
+    q = start()
+    q.awaitTermination(300)
+
+    time.sleep(0.05)
+    # near-duplicate of doc 1 (one appended word, J = 7/8): the whole
+    # batch is diverted at the near stage — kept set empty
+    land("b.parquet", [
+        (3, "spark shuffles hash partitioned data between separate stages again"),
+    ])
+    q = start()
+    q.awaitTermination(300)
+    assert sorted(r["doc_id"] for r in current_corpus(spark, out).collect()) == [1, 2]
+
+    # restart accepted: index totals advanced through the all-dup batch
+    q = start()
+    q.awaitTermination(120)
+
+    terms = ["spark", "document"]
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
+    kept = current_corpus(spark, out).select("doc_id", "text")
+    assert got == _batch_bm25_want(kept, terms)
