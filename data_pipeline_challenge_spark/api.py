@@ -100,12 +100,15 @@ class _BoundedReader:
 class _PartPayloadReader:
     """File-like over ONE multipart part's payload: yields bytes up to
     (not including) the next ``\\r\\n--boundary``, pulling from the body
-    reader as needed. Buffers at most chunk + len(delimiter) bytes."""
+    reader as needed. Buffers at most chunk + len(delimiter) bytes.
+    ``read(n)`` honors the at-most-n file-object contract (ADVICE r11):
+    flushed-but-unreturned payload waits in ``_pending``."""
 
     def __init__(self, body: _BoundedReader, buf: bytes, delim: bytes):
         self._body = body
         self._buf = buf
         self._delim = delim
+        self._pending = b""
         self._done = False
         #: bytes following the closing delimiter's CRLF (i.e. starting at
         #: the boundary token) — lets the caller resume scanning the next
@@ -113,27 +116,37 @@ class _PartPayloadReader:
         self.tail = b""
 
     def read(self, n: int = -1) -> bytes:
-        while not self._done:
+        while True:
+            if self._pending:
+                if n is None or n < 0 or len(self._pending) <= n:
+                    out, self._pending = self._pending, b""
+                else:
+                    out, self._pending = self._pending[:n], self._pending[n:]
+                return out
+            if self._done:
+                return b""
             k = self._buf.find(self._delim)
             if k >= 0:
-                out = self._buf[:k]
+                self._pending = self._buf[:k]
                 self._done = True
                 self.tail = self._buf[k + 2:]
                 self._buf = b""
-                if out:
-                    return out
-                return b""
+                if not self._pending:
+                    return b""
+                continue
             # all but a delimiter-sized tail is guaranteed payload (the
             # delimiter may straddle the chunk edge)
             flushable = len(self._buf) - (len(self._delim) - 1)
             if flushable > 0:
-                out, self._buf = self._buf[:flushable], self._buf[flushable:]
-                return out
+                self._pending, self._buf = (
+                    self._buf[:flushable],
+                    self._buf[flushable:],
+                )
+                continue
             more = self._body.read()
             if not more:
                 raise _MultipartError("unterminated multipart part")
             self._buf += more
-        return b""
 
 
 def _open_multipart_file_part(body: _BoundedReader, content_type: str):

@@ -698,6 +698,50 @@ def test_multipart_streaming_is_incremental_and_bounded(tmp_path):
     assert first_write < last_read
 
 
+def test_multipart_part_reader_honors_read_n():
+    """The part-payload reader is handed out as a file object, so
+    read(n) must return AT MOST n bytes (ADVICE r11) — across odd sizes
+    that straddle the internal chunk/delimiter buffering — while the
+    reassembled payload stays byte-exact and the tail-resume path
+    (non-file part skipping) still works."""
+    from data_pipeline_challenge_spark.api import (
+        _BoundedReader,
+        _open_multipart_file_part,
+    )
+
+    payload = b"".join(b"%05d|%s" % (i, b"y" * 23) for i in range(3000))  # ~84 KiB
+    boundary = "graftboundary123"
+    body = (
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="note"\r\n\r\n'
+            f"skip me\r\n"
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="a.bin"\r\n\r\n'
+        ).encode()
+        + payload
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+    rfile = _RecordingRfile(body, [])
+    reader = _open_multipart_file_part(
+        _BoundedReader(rfile, len(body), 4096),
+        f"multipart/form-data; boundary={boundary}",
+    )[2]
+    sink = bytearray()
+    sizes = [1, 7, 4096, 13, 100_000, 3]  # cycle odd/tiny/huge requests
+    i = 0
+    while True:
+        n = sizes[i % len(sizes)]
+        i += 1
+        piece = reader.read(n)
+        if not piece:
+            break
+        assert len(piece) <= n  # the at-most-n contract
+        sink.extend(piece)
+    assert bytes(sink) == payload
+    assert reader.read(10) == b""  # stays at EOF
+
+
 def test_multipart_streaming_422_contracts():
     """Malformed multipart bodies keep the reference's 422 upload-error
     contract: no boundary param, no file part, truncated part."""
