@@ -157,8 +157,11 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_top10",
     None,  # seeded random-hyperplane buckets — engine-specific, rows-only.
+    # NOT bench-flagged (VERDICT r11 #4): this in-flight variant rebuilds
+    # its buckets per invocation, so timing it benches the cold build and
+    # misrepresents the serving shape — bench.py reports the build ONCE
+    # (ann_lsh_build) and times the indexed probe (ann_lsh_probe_indexed).
     tags=("similarity", "ann", "lsh"),
-    bench=True,
 )
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors of vec_id=0: probe the query's

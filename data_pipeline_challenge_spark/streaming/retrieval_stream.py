@@ -5,12 +5,15 @@ index without ever rescanning document text.
 
 Per micro-batch, three folds:
 
-- ``postings/`` — (term, doc_id, tf), partitioned by a term hash bucket
-  so a query prunes its scan to the query terms' buckets (the same
-  planning-time partition-pruning discipline as the persisted ANN
-  indexes);
-- ``doclen/`` — (doc_id, dl), the per-doc token count BM25's length
-  normalization needs;
+- ``postings/`` — (term, doc_id, tf, dl), partitioned by a term hash
+  bucket so a query prunes its scan to the query terms' buckets (the
+  same planning-time partition-pruning discipline as the persisted ANN
+  indexes). ``dl`` is DENORMALIZED into every posting at fold time
+  (one extra long per row) so the serving plan needs NO corpus-keyed
+  join at all — at 100 TB a probe touches only the query's buckets;
+- ``doclen/`` — (doc_id, dl), the per-doc token count (kept normalized
+  too: revocation looks lengths up here, and it is the one-row-per-doc
+  membership view);
 - ``totals/b{B}.json`` — running (n_docs, n_len_docs, sum_dl), derived
   from the PREDECESSOR's file plus this batch (pure function ⇒
   crash-replay re-derives the identical file, the heavy_stream/summary
@@ -21,8 +24,8 @@ Per micro-batch, three folds:
 ``bm25_search`` then computes Okapi BM25 (k1/b/idf exactly as the batch
 queries) from the index alone: df from the pruned postings, avgdl/N
 from the totals file, candidate docs = postings rows for the query's
-terms. One corpus-keyed shuffle (the candidates ⋈ doclen join on
-doc_id); everything else is bucket-pruned or broadcast.
+terms, dl riding on each posting. Everything is bucket-pruned or
+broadcast — the only shuffle is the candidate-sized per-doc sum.
 ``test_retrieval_stream_matches_batch_bm25`` pins stream==batch score
 equality on the concatenated input.
 
@@ -137,12 +140,15 @@ def fold_batch(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
+    # dl denormalized into every posting (batch-sized join, paid once at
+    # fold time) so bm25_search never joins the corpus-sized doclen.
     postings = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doclen, "doc_id")
         .withColumn("term_bucket", prefix_bucket(F.col("term"), _N_BUCKETS))
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
     try:
         n_rows = batch_df.count()
         batch_stats = doclen.agg(
@@ -230,10 +236,11 @@ def bm25_search(
     the first batch. The postings scan prunes to the query terms'
     buckets at planning time; df is a ≤|query|-row broadcast; N/avgdl
     come from the totals file (zero Spark jobs when nothing is revoked);
-    the candidates ⋈ doclen join on doc_id is the one corpus-keyed
-    shuffle. Revoked docs (``revoke_docs``) are anti-joined out BEFORE
-    df is counted and subtracted from N/avgdl, so results equal batch
-    BM25 over the post-revocation corpus."""
+    dl rides on each posting, so NO corpus-keyed join exists in the
+    serving plan — the one shuffle is the candidate-sized per-doc sum.
+    Revoked docs (``revoke_docs``) are anti-joined out BEFORE df is
+    counted and subtracted from N/avgdl, so results equal batch BM25
+    over the post-revocation corpus."""
     odir = Path(out_dir)
     totals, tid = _latest_totals(odir)
     if tid < 0 or not (odir / "postings").exists():
@@ -283,11 +290,6 @@ def bm25_search(
             F.broadcast(revoked.select("doc_id")), "doc_id", "left_anti"
         )
     dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    doclen = (
-        read_batch_store(spark, odir / "doclen")
-        .filter(committed)
-        .select("doc_id", "dl")
-    )
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -299,7 +301,6 @@ def bm25_search(
     )
     return (
         postings.join(F.broadcast(dfc), "term")
-        .join(doclen, "doc_id")
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")

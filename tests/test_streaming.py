@@ -4221,3 +4221,44 @@ def test_funnel_all_duplicate_batch_keeps_index_in_lockstep(spark, tmp_path):
     got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
     kept = current_corpus(spark, out).select("doc_id", "text")
     assert got == _batch_bm25_want(kept, terms)
+
+
+def test_bm25_search_postings_scan_is_partition_pruned(spark, tmp_path):
+    """The maintained index's serving plan: the postings scan must carry
+    the query terms' bucket literals as a planning-time PartitionFilter
+    (only those buckets' files are listed — at 100 TB the probe cost is
+    the query's buckets, not the postings table), and the doc-text is
+    never read (the index stores only postings/doclen)."""
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        _N_BUCKETS,
+        bm25_search,
+        fold_batch,
+    )
+    from data_pipeline_challenge_spark.batchstore import prefix_bucket
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} filler word number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    fold_batch(spark, idx, docs, 0, "doc_id", "text")
+
+    terms = ["term1", "term3"]
+    out = bm25_search(spark, idx, terms, k=5)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    segs = [s.split("\n")[0] for s in plan.split("PartitionFilters")[1:]]
+    postings_segs = [s for s in segs if "term_bucket" in s]
+    assert postings_segs  # the bucket literals reached the scan
+    want_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(prefix_bucket(F.col("term"), _N_BUCKETS).alias("b"))
+        .collect()
+    }
+    assert any(str(b) in seg for b in want_buckets for seg in postings_segs)
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+    # dl rides on the postings: the serving plan must not join (or even
+    # scan) the corpus-sized doclen store.
+    assert "doclen" not in plan
