@@ -42,3 +42,108 @@ def stratified_sample(
     return hash_rank_in_stratum(df, strata, key, out).filter(
         F.col(out) <= n_per_stratum
     )
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    id_col: str,
+    source_col: str,
+    k: int = 3,
+    extra_draws: int = 8,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic contrastive negatives for EVERY doc (or a supplied
+    anchor frame): up to ``k`` pseudo-random negatives per anchor from a
+    DIFFERENT source, reproducible across runs/partitionings (all
+    randomness is md5-derived).
+
+    The registered ``contrastive_negatives_top3`` query broadcasts its
+    16-anchor frame against a 1/16 corpus slice — correct for a tiny
+    anchor set, the wrong shape when anchors ≈ corpus (VERDICT r11 #7:
+    anchors × slice is quadratic). This operator is the linear-shape
+    generalization, draw-by-position instead of scan-the-slice:
+
+    1. Every doc gets a deterministic POSITION within its md5 bucket
+       (first hex digit, 16 buckets — the query's candidate-slice rule):
+       rank by md5 within (bucket, sub-bucket) — sub = hex digits 2-3,
+       4096 windowed groups, never a global sort — plus cumulated
+       sub-bucket offsets (a ≤256-row window per bucket). The composed
+       order is exactly md5 order within the bucket.
+    2. Each anchor makes ``k + extra_draws`` draws: draw i targets
+       position md5("{anchor}:{i}")[:15] mod bucket_size — joined to the
+       positioned docs on (bucket, position), a well-distributed
+       shuffle-hash key with NO broadcast of the anchor side. Output is
+       |anchors| x (k+extra) rows, linear in anchors.
+    3. Same-source and self hits are rejected, repeats deduped to their
+       first draw, survivors ranked in draw order, top k kept — so an
+       anchor may get fewer than k when its rejection rate is extreme;
+       raise ``extra_draws`` to push the shortfall probability down.
+
+    Returns ``(anchor_id, neg_id, rnk)`` with rnk 1..k in draw order.
+    Broadcasts are metadata-sized only: the 4096-row offset table, the
+    16-row bucket totals, the draw indices."""
+    m = int(k) + int(extra_draws)
+    hx = F.md5(F.col(id_col).cast("string"))
+    cand = docs.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(source_col).alias("c_source"),
+        hx.alias("hx"),
+        F.substring(hx, 1, 1).alias("bucket"),
+        F.conv(F.substring(hx, 2, 2), 16, 10).cast("int").alias("sub"),
+    )
+    w_sub = Window.partitionBy("bucket", "sub").orderBy("hx", "neg_id")
+    ranked = cand.withColumn("r", F.row_number().over(w_sub) - F.lit(1))
+    cnts = cand.groupBy("bucket", "sub").agg(F.count(F.lit(1)).alias("n_sub"))
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn(
+        "off", F.coalesce(F.sum("n_sub").over(w_off), F.lit(0))
+    ).select("bucket", "sub", "off")
+    pos_docs = ranked.join(F.broadcast(offs), ["bucket", "sub"]).select(
+        "bucket", (F.col("off") + F.col("r")).alias("pos"), "neg_id", "c_source"
+    )
+    n_b = cnts.groupBy("bucket").agg(F.sum("n_sub").alias("n_bucket"))
+
+    if anchors is None:
+        anchors = docs
+    a_hx = F.md5(F.col(id_col).cast("string"))
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(source_col).alias("a_source"),
+        F.substring(a_hx, 1, 1).alias("bucket"),
+    )
+    draws = docs.sparkSession.range(m).select(F.col("id").cast("int").alias("draw"))
+    ph = F.md5(
+        F.concat_ws(":", F.col("anchor_id").cast("string"), F.col("draw").cast("string"))
+    )
+    picks = (
+        a.join(F.broadcast(draws))  # anchors x m, linear fan-out
+        .join(F.broadcast(n_b), "bucket")
+        .select(
+            "anchor_id", "a_source", "bucket", "draw",
+            F.pmod(
+                F.conv(F.substring(ph, 1, 15), 16, 10).cast("long"),
+                F.col("n_bucket"),
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        picks.join(pos_docs, ["bucket", "pos"])  # shuffle join, never broadcast
+        .filter(
+            (F.col("c_source") != F.col("a_source"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id", "neg_id")
+        .agg(F.min("draw").alias("draw"))
+    )
+    w_rank = Window.partitionBy("anchor_id").orderBy("draw")
+    return (
+        hits.select(
+            "anchor_id", "neg_id",
+            F.row_number().over(w_rank).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )

@@ -1433,6 +1433,61 @@ def contrastive_negatives_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_negatives_all_top2",
+    """
+    WITH c AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    p AS (
+        SELECT doc_id AS neg_id, source AS c_source,
+               substr(hx, 1, 1) AS bucket,
+               row_number() OVER (PARTITION BY substr(hx, 1, 1)
+                                  ORDER BY hx, doc_id) - 1 AS pos,
+               count(*) OVER (PARTITION BY substr(hx, 1, 1)) AS n_bucket
+        FROM c
+    ),
+    d AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS draw),
+    pk AS (
+        SELECT a.doc_id AS anchor_id, a.source AS a_source,
+               substr(a.hx, 1, 1) AS bucket, d.draw,
+               CAST(concat('0x', substr(md5(CAST(a.doc_id AS VARCHAR) || ':'
+                    || CAST(d.draw AS VARCHAR)), 1, 15)) AS BIGINT) AS pick
+        FROM c a, d
+    ),
+    hit AS (
+        SELECT pk.anchor_id, p.neg_id, min(pk.draw) AS draw
+        FROM pk JOIN p ON pk.bucket = p.bucket
+                      AND (pk.pick % p.n_bucket) = p.pos
+        WHERE p.c_source <> pk.a_source AND p.neg_id <> pk.anchor_id
+        GROUP BY pk.anchor_id, p.neg_id
+    ),
+    r AS (
+        SELECT anchor_id, neg_id,
+               row_number() OVER (PARTITION BY anchor_id ORDER BY draw) AS rnk
+        FROM hit
+    )
+    SELECT anchor_id, neg_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 2
+    """,
+    tags=("corpus", "sampling", "contrastive"),
+)
+def contrastive_negatives_all_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negatives with EVERY doc as an anchor — the
+    corpus-scale generalization of ``contrastive_negatives_top3``
+    (``operators/sampling.contrastive_negatives``): draw-by-position
+    instead of scan-the-slice, so output and work are LINEAR in the
+    anchor count (each anchor makes k+extra md5-derived draws joined to
+    md5-ranked bucket positions on a well-distributed (bucket, pos)
+    shuffle key) — no broadcast of the anchor side, no anchors × slice
+    candidate blow-up. Deterministic end to end; an anchor whose draws
+    all hit its own source may get fewer than k rows (documented
+    shortfall, pushed down by extra_draws)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import contrastive_negatives
+
+    return contrastive_negatives(docs, "doc_id", "source", k=2, extra_draws=8)
+
+
+@query(
     "training_order_epochs",
     """
     WITH h AS (

@@ -1731,3 +1731,65 @@ def test_misra_gries_kernel_property():
             assert 0 < c <= truth[item]
 
     check()
+
+
+def test_contrastive_negatives_scales_beyond_broadcast(spark):
+    """The generalized contrastive-negatives operator (VERDICT r11 #7):
+    anchors = the WHOLE corpus, auto-broadcast disabled — the plan must
+    run the anchor-side join as a shuffle join (no broadcast of
+    anchors anywhere; output is linear in anchors, never anchors x
+    slice) — and the draw-by-position semantics must equal an
+    independent pure-Python simulation exactly."""
+    import hashlib
+    from collections import Counter
+
+    from data_pipeline_challenge_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    k, extra = 3, 8
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = contrastive_negatives(docs, "doc_id", "source", k=k, extra_draws=extra)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # the (bucket, pos) candidate join is a shuffle join: with
+        # auto-broadcast off, any BroadcastExchange left in the plan is
+        # one of the explicit metadata-sized ones (offsets/totals/draws)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {(r["anchor_id"], r["neg_id"]): r["rnk"] for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # independent simulation: md5 order within bucket -> positions;
+    # draw i of anchor a targets md5("a:i")[:15] mod bucket size
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    by_bucket: dict = {}
+    for i, src in rows:
+        hx = h(str(i))
+        by_bucket.setdefault(hx[0], []).append((hx, i, src))
+    pos_map = {
+        b: [(i, s) for _, i, s in sorted(br)] for b, br in by_bucket.items()
+    }
+    want = {}
+    for aid, asrc in rows:
+        b = h(str(aid))[0]
+        n = len(pos_map[b])
+        seen: dict = {}
+        for d in range(k + extra):
+            nid, nsrc = pos_map[b][int(h(f"{aid}:{d}")[:15], 16) % n]
+            if nsrc == asrc or nid == aid or nid in seen:
+                continue
+            seen[nid] = d
+        for r, (nid, _) in enumerate(sorted(seen.items(), key=lambda t: t[1])[:k], 1):
+            want[(aid, nid)] = r
+    assert got == want
+
+    per_anchor = Counter(a for a, _ in got)
+    assert set(per_anchor) == {i for i, _ in rows}  # nobody starved
+    assert min(per_anchor.values()) >= 1
