@@ -191,22 +191,65 @@ def _make_frame_extractor(frames_per_video: int):
 
     1. FAKE containers: deterministic byte-stride samples of the stub
        body (codec-independent oracle rows, the original stub shape).
-    2. RIFF-AVI: REAL frame boundaries — the ``movi`` list's video
-       chunks (``..dc``/``..db``) walked with stdlib struct; sampled
-       frames are the actual per-frame payloads (undecoded bytes — a
-       pixel decode still needs a codec, same contract as images).
-    3. Other containers (MP4/MKV/webm…) decode REAL pixel frames
+    2. RIFF-AVI with an UNCOMPRESSED 24-bit DIB stream (strf
+       BITMAPINFOHEADER, biCompression=0 — the rawvideo codec): a REAL
+       pixel decode, stdlib+numpy only — sampled ``movi`` chunks are
+       bottom-up 4-byte-row-padded BGR bitmaps, decoded to the same
+       top-down rgb24 buffer PyAV's ``to_ndarray(format="rgb24")``
+       yields, and fingerprinted over those pixels.
+    3. Other RIFF-AVI: REAL frame boundaries — the ``movi`` list's
+       video chunks (``..dc``/``..db``) walked with stdlib struct;
+       sampled frames are the actual per-frame payloads (undecoded
+       bytes — a compressed-codec pixel decode still needs a codec,
+       same contract as images).
+    4. Other containers (MP4/MKV/webm…) decode REAL pixel frames
        through PyAV WHEN IMPORTABLE (the Pillow/soundfile gated-tier
        pattern: the import lives inside the closure, so executors take
        the tier they have) — evenly-spaced frames, each fingerprinted
        over its decoded rgb24 pixel buffer.
-    4. Without PyAV they raise NotImplementedError: byte-striding a
+    5. Without PyAV they raise NotImplementedError: byte-striding a
        real container would silently fingerprint garbage that crosses
        frame boundaries — an honest gap beats a fake sample.
     """
     import struct as _struct
 
     magic = _MAGIC
+
+    def _dib_format(payload: bytes) -> tuple[int, int, bool] | None:
+        """(width, abs_height, bottom_up) when the AVI's video stream is
+        uncompressed 24-bit RGB (BI_RGB), else None. The strf chunk in
+        the hdrl list carries a BITMAPINFOHEADER (public RIFF/AVI and
+        BMP layouts)."""
+        movi = payload.find(b"movi")
+        i = payload.find(b"strf")
+        # strf must be a header chunk, not movi bytes that spell it
+        if i < 0 or (0 <= movi < i):
+            return None
+        size = _struct.unpack_from("<I", payload, i + 4)[0]
+        if size < 20 or i + 8 + size > len(payload):
+            return None
+        _bi, w, h, _planes, bits, comp = _struct.unpack_from(
+            "<IiiHHI", payload, i + 8
+        )
+        if comp != 0 or bits != 24 or w <= 0 or h == 0:
+            return None
+        return w, abs(h), h > 0
+
+    def _dib_rgb24(chunk: bytes, w: int, h: int, bottom_up: bool) -> bytes:
+        """One DIB frame → top-down rgb24 bytes (the PyAV-tier buffer
+        shape): un-pad the 4-byte row stride, flip bottom-up rows, swap
+        BGR→RGB."""
+        import numpy as _np
+
+        stride = ((w * 3 + 3) // 4) * 4
+        if len(chunk) < stride * h:
+            raise ValueError("DIB frame chunk shorter than its bitmap")
+        arr = _np.frombuffer(chunk[: stride * h], dtype=_np.uint8).reshape(
+            h, stride
+        )[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            arr = arr[::-1]
+        return arr[..., ::-1].tobytes()
 
     def _pyav_frames(payload: bytes):
         """Optional-dep tier: None when PyAV is absent (caller raises
@@ -265,6 +308,13 @@ def _make_frame_extractor(frames_per_video: int):
             if n == 0:
                 return []
             k = min(frames_per_video, n)
+            dib = _dib_format(payload)
+            if dib is not None:  # rawvideo stream: REAL pixel decode
+                w, h, bottom_up = dib
+                return [
+                    (j, _dib_rgb24(chunks[j * n // k], w, h, bottom_up))
+                    for j in range(k)
+                ]
             return [(j, chunks[j * n // k]) for j in range(k)]
         got = _pyav_frames(payload)
         if got is not None:
@@ -505,6 +555,61 @@ def synth_avi_media(
         payload = b"RIFF" + struct.pack("<I", len(body)) + body
         rows.append(
             (start_id + i, "video", bytearray(payload), {"container": "avi"})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_avi_rgb_media(
+    spark: SparkSession, n: int = 6, seed: int = 17, start_id: int = 0
+) -> DataFrame:
+    """Deterministic REAL uncompressed-RGB RIFF-AVI videos: a full
+    hdrl (avih + strl{strh 'vids'/'DIB ', strf BITMAPINFOHEADER
+    BI_RGB/24}) and a movi stream of raw bottom-up BGR bitmaps with
+    4-byte row padding — the rawvideo fixture that exercises the frame
+    sampler's REAL pixel-decode tier without any optional codec dep."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.randint(4, 24)), int(rng.randint(4, 18))
+        frames = int(rng.randint(4, 10))
+        stride = ((w * 3 + 3) // 4) * 4
+        avih = struct.pack(
+            "<IIIIIIIIII4I",
+            40000, 0, 0, 0, frames, 0, 1, 0, w, h, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", *([0] * 12))
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0,
+        )
+        strl = (
+            b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl = (
+            b"hdrl"
+            + b"avih" + struct.pack("<I", len(avih)) + avih
+            + b"LIST" + struct.pack("<I", len(strl)) + strl
+        )
+        movi = b"movi"
+        for _ in range(frames):
+            bmp = bytearray()
+            for _r in range(h):  # bottom-up rows, stride-padded
+                row = rng.bytes(w * 3)
+                bmp += row + b"\x00" * (stride - w * 3)
+            movi += b"00db" + struct.pack("<I", len(bmp)) + bytes(bmp)
+        body = (
+            b"AVI "
+            + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append(
+            (start_id + i, "video", bytearray(payload),
+             {"container": "avi", "codec": "rawvideo"})
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -1793,3 +1793,82 @@ def test_contrastive_negatives_scales_beyond_broadcast(spark):
     per_anchor = Counter(a for a, _ in got)
     assert set(per_anchor) == {i for i, _ in rows}  # nobody starved
     assert min(per_anchor.values()) >= 1
+
+
+def test_avi_rawvideo_frames_decode_real_pixels(spark):
+    """The uncompressed-DIB AVI tier is a REAL pixel decode: a
+    test-side encoder packs known top-down RGB frames into bottom-up
+    BGR 4-byte-padded bitmaps, and the sampler's fingerprints must
+    equal sha1 over the ORIGINAL rgb24 buffers (the PyAV-tier buffer
+    contract) — a byte-stride or order/channel mistake cannot pass this
+    round trip. Junk-movi AVIs (no strf) keep the raw-chunk tier."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _make_frame_extractor,
+        sample_video_frames,
+        synth_avi_rgb_media,
+    )
+
+    rng = np.random.RandomState(3)
+    w, h, n_frames = 5, 4, 6  # odd width: row stride pads 15 -> 16
+    rgb_frames = [
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+
+    # independent encoder: BGR, bottom-up rows, stride padding
+    stride = ((w * 3 + 3) // 4) * 4
+    avih = struct.pack("<IIIIIIIIII4I", 40000, 0, 0, 0, n_frames, 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", *([0] * 12))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    strl = (b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+            + b"LIST" + struct.pack("<I", len(strl)) + strl)
+    movi = b"movi"
+    for fr in rgb_frames:
+        bgr_bottom_up = fr[::-1, :, ::-1]
+        bmp = b"".join(
+            bgr_bottom_up[r].tobytes() + b"\x00" * (stride - w * 3)
+            for r in range(h)
+        )
+        movi += b"00db" + struct.pack("<I", len(bmp)) + bmp
+    body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got = _make_frame_extractor(4)(avi)
+    # sampled chunk indices j*6//4 = 0, 1, 3, 4; each decodes to the
+    # ORIGINAL top-down rgb24 buffer
+    assert [(j, f) for j, f in got] == [
+        (j, rgb_frames[src].tobytes()) for j, src in [(0, 0), (1, 1), (2, 3), (3, 4)]
+    ]
+
+    # Through Spark: the seeded fixture's fingerprints equal an
+    # independent bottom-up-BGR -> rgb24 reconstruction of its payloads.
+    vids = synth_avi_rgb_media(spark, n=5, seed=17, start_id=700)
+    rows = sample_video_frames(vids, frames_per_video=4).collect()
+    assert len(rows) == 4 * 5
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in vids.collect()}
+    for r in rows:
+        p = payloads[r["media_id"]]
+        bw, bh = struct.unpack_from("<ii", p, p.find(b"strf") + 8 + 4)
+        st = ((bw * 3 + 3) // 4) * 4
+        chunks = []
+        i, end = p.find(b"movi") + 4, len(p)
+        while i + 8 <= end:
+            size = struct.unpack_from("<I", p, i + 4)[0]
+            if p[i + 2:i + 4] in (b"dc", b"db"):
+                chunks.append(p[i + 8:i + 8 + size])
+            i += 8 + size + (size & 1)
+        n = len(chunks)
+        chunk = chunks[r["frame_idx"] * n // min(4, n)]
+        arr = np.frombuffer(chunk[:st * bh], dtype=np.uint8).reshape(bh, st)
+        rgb = arr[:, :bw * 3].reshape(bh, bw, 3)[::-1, :, ::-1]
+        assert r["frame_sha1"] == hashlib.sha1(rgb.tobytes()).hexdigest()
