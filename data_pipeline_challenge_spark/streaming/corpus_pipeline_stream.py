@@ -782,4 +782,24 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
         )
         rows.append(("near", "cap_events", len(audit)))
 
+    # Every recorded maintained retrieval index (the funnel's derived
+    # search surface): fold frontier, corpus size, revocation count —
+    # the operator's check that search is in lockstep with the kept
+    # store and that decontamination revocations reached it.
+    idx_dirs = _retrieval_pointer_dirs(odir)
+    for i, idx_dir in enumerate(idx_dirs):
+        from . import retrieval_stream as _rs
+
+        stage = "retrieval" if len(idx_dirs) == 1 else f"retrieval_{i}"
+        if not idx_dir.exists():
+            rows.append((stage, "missing", 1))
+            continue
+        totals, tid = _rs._latest_totals(idx_dir)
+        rows.append((stage, "totals_batch", tid))
+        rows.append((stage, "n_docs", int(totals.get("n_docs", -1))))
+        rev = _rs._revoked_view(spark, idx_dir)
+        rows.append((stage, "revoked", -1 if rev is None else rev.count()))
+        for name, _ in _rs._STORES:
+            _store_rows(stage, idx_dir / name)
+
     return spark.createDataFrame(rows, "stage string, metric string, value long")

@@ -308,6 +308,91 @@ def bm25_search(
     )
 
 
+def bm25_search_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    queries: dict,
+    k: int = 5,
+) -> DataFrame | None:
+    """Whole-query-set BM25 over the maintained index — the serving twin
+    of the batch ``bm25_multiquery_top5``: ONE pruned postings pass for
+    the union of all queries' terms, a broadcast (qid, term) join fans
+    candidates out to their queries, per-(query, doc) sums, and
+    per-query top-k via a rank-filter window (WindowGroupLimit, no
+    global sort). Scores are identical to calling :func:`bm25_search`
+    per query (same df/N/avgdl arithmetic, revocations honored).
+    Returns ``(qid, doc_id, bm25)``; None before the first batch.
+    ``queries``: {qid: [terms...]} — the query set must stay
+    broadcast-sized (it is the SEARCH input, not the corpus)."""
+    from pyspark.sql import Window
+
+    odir = Path(out_dir)
+    totals, tid = _latest_totals(odir)
+    if tid < 0 or not (odir / "postings").exists():
+        return None
+    n_docs = int(totals["n_docs"])
+    n_len_docs = int(totals.get("n_len_docs", n_docs))
+    sum_dl = int(totals["sum_dl"])
+    revoked = _revoked_view(spark, odir)
+    if revoked is not None:
+        agg = revoked.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
+        ).first()
+        n_docs -= int(agg["nr"])
+        n_len_docs -= int(agg["nr"])
+        sum_dl -= int(agg["sdl"])
+    if n_docs <= 0 or n_len_docs <= 0:
+        return spark.createDataFrame([], "qid string, doc_id long, bm25 double")
+    avgdl = sum_dl / n_len_docs
+
+    qt = spark.createDataFrame(
+        [(str(q), t) for q, terms in queries.items() for t in set(terms)],
+        "qid string, term string",
+    )
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+            .select(prefix_bucket(F.col("term"), _N_BUCKETS).alias("b"))
+            .collect()
+        }
+    )
+    committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
+    postings = (
+        read_batch_store(spark, odir / "postings")
+        .filter(committed)
+        .filter(F.col("term_bucket").isin(buckets))  # partition-pruned
+        .filter(F.col("term").isin(all_terms))
+    )
+    if revoked is not None:
+        postings = postings.join(
+            F.broadcast(revoked.select("doc_id")), "doc_id", "left_anti"
+        )
+    # df is per TERM (query-independent), computed once over the union.
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.lit(avgdl))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        postings.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def backfill_retrieval_index(
     spark: SparkSession,
     funnel_dir: str | Path,

@@ -4102,6 +4102,20 @@ def test_funnel_revocation_propagates_to_retrieval_index(spark, tmp_path):
     again = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, idx, terms).collect()]
     assert again == got
 
+    # The operational report surfaces the recorded index: fold frontier,
+    # corpus size, and the revocation that just propagated.
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        pipeline_report,
+    )
+
+    rep = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in pipeline_report(spark, out).collect()
+    }
+    assert rep[("retrieval", "totals_batch")] >= 0
+    assert rep[("retrieval", "n_docs")] == 3  # folded before the revocation
+    assert rep[("retrieval", "revoked")] == 1
+
 
 def test_retrieval_enable_guard_refuses_behind_index(spark, tmp_path):
     """ADVICE r11 (medium): a funnel that ran some batches with the
@@ -4262,3 +4276,56 @@ def test_bm25_search_postings_scan_is_partition_pruned(spark, tmp_path):
     # dl rides on the postings: the serving plan must not join (or even
     # scan) the corpus-sized doclen store.
     assert "doclen" not in plan
+
+
+def test_bm25_search_batch_equals_per_query_search(spark, tmp_path):
+    """The maintained index's multi-query serving path: one pruned
+    postings pass for the union of all queries' terms must return, per
+    query, exactly the per-query bm25_search answer — including after a
+    revocation (df/N/avgdl corrections shared)."""
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        bm25_search,
+        bm25_search_batch,
+        fold_batch,
+        revoke_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                ["spark", "merge", "dup", "scan", "row"][j % 5]
+                for j in range(i % 7 + 2)
+            ) + (" canyons" if i % 4 == 0 else ""))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    idx = tmp_path / "idx"
+    fold_batch(spark, idx, docs, 0, "doc_id", "text")
+    queries = {"q0": ["spark", "dup"], "q1": ["canyons"], "q2": ["merge", "row"]}
+
+    def norm(df, qid=None):
+        rows = df.collect()
+        out = {}
+        for r in rows:
+            key = r["qid"] if qid is None else qid
+            out.setdefault(key, []).append((r["doc_id"], r["bm25"]))
+        for v in out.values():
+            v.sort(key=lambda t: (-t[1], t[0]))
+        return out
+
+    got = norm(bm25_search_batch(spark, idx, queries, k=5))
+    want = {}
+    for q, terms in queries.items():
+        want.update(norm(bm25_search(spark, idx, terms, k=5), qid=q))
+    assert got == want
+
+    # revocation honored identically on both paths
+    revoke_docs(spark, idx, spark.createDataFrame([(0,), (5,)], "doc_id long"))
+    got2 = norm(bm25_search_batch(spark, idx, queries, k=5))
+    want2 = {}
+    for q, terms in queries.items():
+        want2.update(norm(bm25_search(spark, idx, terms, k=5), qid=q))
+    assert got2 == want2
+    assert all(d not in (0, 5) for v in got2.values() for d, _ in v)
+    assert got2 != got  # N/avgdl corrections actually moved scores
