@@ -147,3 +147,33 @@ def contrastive_negatives(
         )
         .filter(F.col("rnk") <= k)
     )
+
+
+def sqrt_temperature_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str | Column,
+    scale: float = 8.0,
+    out: str = "samp_rank",
+) -> DataFrame:
+    """Temperature-smoothed domain mixing: per stratum keep the
+    ``ceil(scale * sqrt(n))`` smallest-hash rows (capped at n) — the
+    sqrt-smoothing rule multilingual/domain training mixes use to damp
+    over-represented domains toward sqrt of their size while keeping
+    small domains whole.
+
+    Engine-stable by construction: the quota is sqrt → one multiply →
+    ceil, each an IEEE-754 correctly-rounded operation, so Spark and
+    any SQL oracle compute the IDENTICAL integer quota — unlike
+    normalized ``pow(n, alpha)`` weights, whose cross-source summation
+    order makes the threshold engine-dependent at the ULP. Membership
+    is the md5-of-key order (reproducible across runs/partitionings);
+    one stratum-keyed window shuffle, no global sort."""
+    ranked = hash_rank_in_stratum(df, [stratum], key, out).withColumn(
+        "_stratum_n", F.count(F.lit(1)).over(Window.partitionBy(stratum))
+    )
+    quota = F.least(
+        F.col("_stratum_n"),
+        F.ceil(F.lit(float(scale)) * F.sqrt(F.col("_stratum_n"))).cast("long"),
+    )
+    return ranked.filter(F.col(out) <= quota).drop(out, "_stratum_n")

@@ -1136,6 +1136,41 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_sqrt_sample",
+    """
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n_s
+        FROM documents
+    )
+    SELECT source, doc_id FROM r
+    WHERE rnk <= least(n_s, CAST(ceil(8 * sqrt(n_s)) AS BIGINT))
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def mixture_sqrt_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture sampling
+    (``operators/sampling.sqrt_temperature_sample``): per source keep
+    the ceil(8·sqrt(n)) smallest-md5 docs — over-represented domains
+    damped toward sqrt of their size, small domains kept whole, the
+    standard multilingual/domain-mixing smoothing. The quota arithmetic
+    is sqrt → multiply → ceil, all IEEE correctly-rounded, so the
+    integer quota (and therefore the kept SET) is engine-stable and
+    hash-checkable — the reason this uses sqrt smoothing rather than
+    normalized pow-alpha weights, whose cross-source summation order is
+    not. One stratum-keyed window shuffle; membership is md5 order."""
+    from ..operators.sampling import sqrt_temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sqrt_temperature_sample(
+        docs.select("source", "doc_id"), "source", "doc_id", scale=8.0
+    )
+
+
+@query(
     "docs_embedding_label_profile",
     """
     SELECT e.label, d.lang,

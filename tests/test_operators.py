@@ -1872,3 +1872,40 @@ def test_avi_rawvideo_frames_decode_real_pixels(spark):
         arr = np.frombuffer(chunk[:st * bh], dtype=np.uint8).reshape(bh, st)
         rgb = arr[:, :bw * 3].reshape(bh, bw, 3)[::-1, :, ::-1]
         assert r["frame_sha1"] == hashlib.sha1(rgb.tobytes()).hexdigest()
+
+
+def test_sqrt_temperature_sample_quotas_and_membership(spark):
+    """Sqrt-temperature mixing: per stratum exactly min(n, ceil(s*sqrt(n)))
+    rows survive, they are the smallest-md5 members (deterministic
+    membership, not just counts), and small strata pass through whole."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from data_pipeline_challenge_spark.operators.sampling import (
+        sqrt_temperature_sample,
+    )
+
+    sizes = {"big": 400, "mid": 60, "tiny": 3}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    got = sqrt_temperature_sample(
+        df, "source", "doc_id", scale=2.0
+    ).collect()
+
+    per = Counter(r["source"] for r in got)
+    assert per == {
+        s: min(n, math.ceil(2.0 * math.sqrt(n))) for s, n in sizes.items()
+    }
+    by_src: dict = {}
+    for did, src in rows:
+        by_src.setdefault(src, []).append(
+            (hashlib.md5(str(did).encode()).hexdigest(), did)
+        )
+    for src, members in by_src.items():
+        want_ids = {d for _, d in sorted(members)[: per[src]]}
+        assert {r["doc_id"] for r in got if r["source"] == src} == want_ids
