@@ -29,7 +29,7 @@ file_splitter.py:117-130); this is a north-star extension from the brief.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _make_packer(keep_cols: list[str], oc: str, tc: str, cap: int):
@@ -123,3 +123,62 @@ def pack_sequences_sharded(
     slim = df.select(gc, oc, tc).withColumn("shard", shard.cast("int"))
     packer = _make_packer([gc, "shard", oc, tc], oc, tc, capacity)
     return slim.groupBy(gc, "shard").applyInPandas(packer, schema=schema)
+
+
+def group_texts_blocks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    block_len: int,
+    shard: Column | None = None,
+) -> DataFrame:
+    """The LM "group texts" step: concatenate documents in a
+    deterministic order and split the token stream into fixed-length
+    blocks that CROSS document boundaries — the complement of
+    :func:`pack_sequences`, which bins whole docs without splitting.
+    Pre-training pipelines use exactly this to turn a screened corpus
+    into fixed-``block_len`` training sequences with no padding waste.
+
+    Returns one row per (shard, block_id, doc): ``(shard, block_id,``
+    ``{id_col}, n_tokens)`` — the tokens the doc contributes to that
+    block (a doc spanning a boundary appears in every block it
+    touches), so a reader joining back on ``id_col`` can materialize
+    any block's text from exactly the docs listed. Blocks are 0-based
+    per shard; the final block of a shard may be partial.
+
+    Scale shape: the concatenation order is md5-of-id WITHIN a shard
+    (default ``substring(md5(id), 1, 1)`` — 16 deterministic shards,
+    mirror of the sharded packer), so offsets come from one
+    shard-keyed window cumsum, blocks from an explode of each doc's
+    touched-block RANGE (|tokens|/block_len rows per doc, not
+    |tokens|), and there is no global sort; zero-token docs are
+    excluded (they contribute to no block)."""
+    idc, tc = id_col, token_col
+    if shard is None:
+        shard = F.substring(F.md5(F.col(idc).cast("string")), 1, 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col(idc).cast("string")), idc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        df.select(idc, F.col(tc).cast("long").alias("tok"))
+        .filter(F.col("tok") > 0)
+        .withColumn("shard", shard)
+        .withColumn("off", F.sum("tok").over(w) - F.col("tok"))
+    )
+    L = F.lit(int(block_len))
+    first_b = F.floor(F.col("off") / L)
+    last_b = F.floor((F.col("off") + F.col("tok") - 1) / L)
+    exploded = t.withColumn(
+        "block_id", F.explode(F.sequence(first_b, last_b))
+    )
+    contrib = F.least(
+        F.col("off") + F.col("tok"), (F.col("block_id") + 1) * L
+    ) - F.greatest(F.col("off"), F.col("block_id") * L)
+    return exploded.select(
+        "shard",
+        F.col("block_id").cast("long").alias("block_id"),
+        idc,
+        contrib.cast("long").alias("n_tokens"),
+    )

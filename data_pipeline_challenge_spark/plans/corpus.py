@@ -1136,6 +1136,54 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "group_texts_blocks_256",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    AS BIGINT) AS tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), o AS (
+        SELECT substr(h, 1, 1) AS shard, doc_id, tok,
+               sum(tok) OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok AS off
+        FROM t WHERE tok > 0
+    ), e AS (
+        SELECT shard, doc_id, tok, off,
+               unnest(range(CAST(floor(off / 256.0) AS BIGINT),
+                            CAST(floor((off + tok - 1) / 256.0) AS BIGINT) + 1
+               )) AS block_id
+        FROM o
+    )
+    SELECT shard, block_id, doc_id,
+           CAST(least(off + tok, (block_id + 1) * 256)
+               - greatest(off, block_id * 256) AS BIGINT) AS n_tokens
+    FROM e
+    """,
+    tags=("corpus", "packing", "grouping"),
+)
+def group_texts_blocks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM "group texts" step as a declared query
+    (``operators/packing.group_texts_blocks``): concatenate each md5
+    shard's documents in md5 order and cut the token stream into
+    256-token training blocks that CROSS doc boundaries — one row per
+    (shard, block, doc) with the doc's token contribution, so a reader
+    can materialize any block from exactly the docs listed. Complement
+    of the packing family (whole-doc bins, no splitting): zero padding
+    waste, at most one partial tail block per shard. Scale shape: one
+    shard-keyed window cumsum + a touched-block-RANGE explode
+    (|tokens|/256 rows per doc, never |tokens|), no global sort."""
+    from ..functions.textfn import token_count
+    from ..operators.packing import group_texts_blocks
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count(F.col("text")).alias("tok"))
+    return group_texts_blocks(t, "doc_id", "tok", block_len=256)
+
+
+@query(
     "mixture_sqrt_sample",
     """
     WITH r AS (

@@ -508,3 +508,50 @@ def test_ann_ivf_indexed_query_matches_inflight(spark):
     ]
     assert a == b
     assert len(a) == 10
+
+
+def test_group_texts_blocks_invariants(spark):
+    """group_texts_blocks (the LM group-texts step): every non-final
+    block of a shard holds exactly block_len tokens, the final block at
+    most that; each doc's contributions across blocks sum to its token
+    count (nothing lost or duplicated at boundaries); docs longer than
+    a block span multiple blocks; and the output is
+    partitioning-independent."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        group_texts_blocks,
+    )
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(120)]  # tok in [1, 90]
+    rows += [(1000, 75), (1001, 130)]  # one doc longer than a block
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    L = 64
+    out = group_texts_blocks(df, "doc_id", "tok", block_len=L).collect()
+
+    per_block: dict = defaultdict(int)
+    per_doc: dict = defaultdict(int)
+    blocks_of_doc: dict = defaultdict(set)
+    for r in out:
+        assert 1 <= r["n_tokens"] <= L
+        per_block[(r["shard"], r["block_id"])] += r["n_tokens"]
+        per_doc[r["doc_id"]] += r["n_tokens"]
+        blocks_of_doc[r["doc_id"]].add((r["shard"], r["block_id"]))
+    assert per_doc == dict(rows)  # conservation per doc
+    last_block = {}
+    for (shard, b), _tot in per_block.items():
+        last_block[shard] = max(last_block.get(shard, -1), b)
+    for (shard, b), tot in per_block.items():
+        if b < last_block[shard]:
+            assert tot == L  # every non-final block exactly full
+        else:
+            assert tot <= L
+    assert len(blocks_of_doc[1001]) >= 2  # 130 tokens must span blocks
+
+    again = group_texts_blocks(
+        df.repartition(13), "doc_id", "tok", block_len=L
+    ).collect()
+    key = lambda r: (r["shard"], r["block_id"], r["doc_id"], r["n_tokens"])  # noqa: E731
+    assert sorted(map(key, again)) == sorted(map(key, out))
