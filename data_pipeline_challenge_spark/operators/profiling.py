@@ -49,3 +49,46 @@ def profile_columns(df: DataFrame, cols: list[str], exact: bool = True) -> DataF
         ),
         F.col("__rows").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, fractions: list[tuple[int, int]]
+) -> DataFrame:
+    """EXACT quantiles of an integer-valued metric via its value
+    histogram: group-count by value (one partial-agg shuffle down to
+    O(distinct values) rows), cumulative-sum the SMALL post-agg frame
+    (a single-task window over the distribution, not the data — the
+    same bounded-frame global window the rank reports use), and for
+    each requested fraction pick the smallest value whose cumulative
+    count covers it.
+
+    ``fractions`` are INTEGER pairs (num, den) and the pick rule is the
+    all-integer ``cum * den >= num * n_total`` — no float multiply, so
+    the boundary case (a fraction landing exactly on a row) cannot flip
+    on ULP and the result is engine-stable / oracle-checkable, unlike
+    ``ceil(q * n)`` with a binary-inexact q. This is percentile_disc
+    semantics. Exactness makes it mergeable for free: histograms add,
+    which is what the maintained streaming twin folds.
+
+    Returns ``(q_num int, q_den int, value bigint)``."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hist = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "nt", F.sum("n").over(Window.partitionBy())
+    )
+    q = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in fractions], "q_num int, q_den int"
+    )
+    return (
+        s.join(F.broadcast(q), s["cum"] * q["q_den"] >= q["q_num"] * s["nt"])
+        .groupBy("q_num", "q_den")
+        .agg(F.min("v").alias("value"))
+    )

@@ -513,6 +513,44 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doclen_quantiles_exact",
+    """
+    WITH t AS (
+        SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS BIGINT) AS v
+        FROM documents
+    ), c AS (SELECT v, count(*) AS n FROM t GROUP BY v),
+    s AS (SELECT v, n,
+                 sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS nt
+          FROM c),
+    q AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS q(q_num, q_den))
+    SELECT q.q_num, q.q_den, CAST(min(s.v) AS BIGINT) AS value
+    FROM s JOIN q ON s.cum * q.q_den >= q.q_num * s.nt
+    GROUP BY q.q_num, q.q_den
+    """,
+    tags=("stats", "quantile", "profiling"),
+)
+def doclen_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of document token counts
+    (``operators/profiling.exact_quantiles``): the distribution an
+    operator checks before setting chunking/packing capacities. Value
+    histogram (one partial-agg shuffle to O(distinct lengths) rows),
+    cumulative sum over the SMALL post-agg frame, and the all-integer
+    pick rule ``cum * den >= num * n_total`` — percentile_disc
+    semantics with no float multiply, so exact-boundary fractions can
+    never flip on ULP and the result hash-matches any engine. The
+    maintained streaming twin is ``streaming/quantile_stream.py``."""
+    from ..functions.textfn import token_count
+    from ..operators.profiling import exact_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count(F.col("text")).alias("v"))
+    return exact_quantiles(t, "v", [(1, 2), (9, 10), (99, 100)])
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

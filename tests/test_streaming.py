@@ -4329,3 +4329,85 @@ def test_bm25_search_batch_equals_per_query_search(spark, tmp_path):
     assert got2 == want2
     assert all(d not in (0, 5) for v in got2.values() for d, _ in v)
     assert got2 != got  # N/avgdl corrections actually moved scores
+
+
+def test_quantile_stream_equals_batch(spark, tmp_path):
+    """Maintained exact quantiles: histograms add, so the report over
+    the incrementally-folded store equals the batch operator over the
+    concatenated input — including a fraction that lands EXACTLY on a
+    row boundary (the case the integer pick rule exists for)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.profiling import exact_quantiles
+    from data_pipeline_challenge_spark.streaming.quantile_stream import (
+        quantile_report,
+        start_quantile_stream,
+    )
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    # 40 values per batch, 3 batches; values engineered so p50 lands
+    # exactly between rows (120 rows: cum*2 == nt at the 60th row)
+    all_vals = []
+    mtime = 1_700_000_000
+    for b in range(3):
+        vals = [((i * 7 + b * 13) % 30) + 1 for i in range(40)]
+        all_vals += vals
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(pa.table({"tok": pa.array(vals, pa.int64())}), str(p))
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "q"
+    qy = start_quantile_stream(
+        spark, corpus, out, tmp_path / "ck", "tok long", "tok",
+        max_files_per_trigger=1,
+    )
+    qy.awaitTermination(240)
+
+    fr = [(1, 2), (9, 10), (99, 100), (1, 1)]
+    got = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in quantile_report(spark, out, fr).collect()
+    }
+    batch = spark.createDataFrame([(v,) for v in all_vals], "tok long")
+    want = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in exact_quantiles(batch, "tok", fr).collect()
+    }
+    assert got == want
+    # independent truth: percentile_disc semantics on the sorted list
+    sv = sorted(all_vals)
+    n = len(sv)
+    for (num, den), v in want.items():
+        rank = -(-num * n // den)  # ceil(num*n/den), all-integer
+        assert v == sv[rank - 1]
+    assert want[(1, 1)] == max(sv)
+
+
+def test_quantile_stream_crash_replay(spark, tmp_path):
+    """A replayed batch must not double its histogram: the single-store
+    last-id guard is the whole exactly-once protocol here."""
+    from data_pipeline_challenge_spark.streaming.quantile_stream import (
+        fold_batch,
+        quantile_report,
+    )
+
+    out = tmp_path / "q"
+    b0 = spark.createDataFrame([(v,) for v in [1, 2, 2, 3]], "tok long")
+    b1 = spark.createDataFrame([(v,) for v in [3, 3, 4, 9]], "tok long")
+    fold_batch(spark, out, b0, 0, "tok")
+    fold_batch(spark, out, b1, 1, "tok")
+    want = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in quantile_report(spark, out, [(1, 2), (1, 1)]).collect()
+    }
+    fold_batch(spark, out, b1, 1, "tok")  # checkpoint replay
+    got = {
+        (r["q_num"], r["q_den"]): r["value"]
+        for r in quantile_report(spark, out, [(1, 2), (1, 1)]).collect()
+    }
+    assert got == want == {(1, 2): 3, (1, 1): 9}
