@@ -216,24 +216,36 @@ def _make_frame_extractor(frames_per_video: int):
     magic = _MAGIC
 
     def _dib_format(payload: bytes) -> tuple[int, int, bool] | None:
-        """(width, abs_height, bottom_up) when the AVI's video stream is
-        uncompressed 24-bit RGB (BI_RGB), else None. The strf chunk in
-        the hdrl list carries a BITMAPINFOHEADER (public RIFF/AVI and
-        BMP layouts)."""
+        """(width, abs_height, bottom_up) when the AVI's VIDEO stream is
+        uncompressed 24-bit RGB (BI_RGB), else None. Walks strh chunks
+        in the header region and reads the strf of the one whose
+        fccType is 'vids' — the first strf in the file may belong to an
+        audio stream (a 24-bit WAVEFORMAT would misparse as a bitmap
+        header), so stream type is checked, not chunk order. All
+        unpacks are bounds-guarded; any malformation returns None (the
+        undecoded-chunk tier), never an executor crash."""
         movi = payload.find(b"movi")
-        i = payload.find(b"strf")
-        # strf must be a header chunk, not movi bytes that spell it
-        if i < 0 or (0 <= movi < i):
-            return None
-        size = _struct.unpack_from("<I", payload, i + 4)[0]
-        if size < 20 or i + 8 + size > len(payload):
-            return None
-        _bi, w, h, _planes, bits, comp = _struct.unpack_from(
-            "<IiiHHI", payload, i + 8
-        )
-        if comp != 0 or bits != 24 or w <= 0 or h == 0:
-            return None
-        return w, abs(h), h > 0
+        end = movi if movi >= 0 else len(payload)
+        i = 0
+        while True:
+            i = payload.find(b"strh", i)
+            if i < 0 or i + 12 > end:
+                return None
+            if payload[i + 8 : i + 12] != b"vids":
+                i += 4
+                continue
+            j = payload.find(b"strf", i + 8)
+            if j < 0 or j + 8 > end:
+                return None
+            size = _struct.unpack_from("<I", payload, j + 4)[0]
+            if size < 20 or j + 8 + size > end:
+                return None
+            _bi, w, h, _planes, bits, comp = _struct.unpack_from(
+                "<IiiHHI", payload, j + 8
+            )
+            if comp != 0 or bits != 24 or w <= 0 or h == 0:
+                return None
+            return w, abs(h), h > 0
 
     def _dib_rgb24(chunk: bytes, w: int, h: int, bottom_up: bool) -> bytes:
         """One DIB frame → top-down rgb24 bytes (the PyAV-tier buffer

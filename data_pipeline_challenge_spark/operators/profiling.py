@@ -71,15 +71,27 @@ def exact_quantiles(
     which is what the maintained streaming twin folds.
 
     Returns ``(q_num int, q_den int, value bigint)``."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
     hist = (
         df.select(F.col(value_col).cast("long").alias("v"))
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return histogram_quantiles(hist, fractions)
+
+
+def histogram_quantiles(
+    hist: DataFrame, fractions: list[tuple[int, int]]
+) -> DataFrame:
+    """The quantile core over a pre-counted ``(v, n)`` histogram frame —
+    shared by :func:`exact_quantiles` and the maintained streaming
+    twin's report (``streaming/quantile_stream.quantile_report``), so
+    the pick rule exists exactly once. Duplicate ``v`` rows (e.g. one
+    per store increment) are summed first."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    hist = hist.groupBy("v").agg(F.sum("n").alias("n"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
         "nt", F.sum("n").over(Window.partitionBy())

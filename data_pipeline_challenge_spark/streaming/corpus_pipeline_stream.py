@@ -385,7 +385,10 @@ def start_corpus_pipeline_stream(
                 "retrieval_stream.backfill_retrieval_index into a fresh "
                 "dir (stream stopped) first"
             )
-        _record_retrieval_pointer(odir, Path(retrieval_index_dir))
+        # The pointer is recorded at FOLD time (_run_gates), not here: a
+        # stream that starts but never folds a batch must not record an
+        # index dir that was never created — the revocation sync treats
+        # a recorded-but-missing dir as an error.
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
     # drift-refusal contract as each gate's own params: the transform
@@ -458,6 +461,10 @@ def start_corpus_pipeline_stream(
                 kept if kept is not None else cur.limit(0),
                 batch_id, id_col, text_col,
             )
+            # recorded AFTER the fold created the dir, so the pointer
+            # never names a directory that does not exist (idempotent,
+            # no-op once listed)
+            _record_retrieval_pointer(odir, Path(retrieval_index_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _audit_input_parallelism(

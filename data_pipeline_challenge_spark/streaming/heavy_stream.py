@@ -98,7 +98,16 @@ def fold_batch(
     summary from the PREDECESSOR's file and overwrites its own."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    ensure_store_params(odir, {"k": int(k), "item_col": item_col})
+    # population=non_null is part of the pin: n_total once counted null
+    # items (which neither the sketch nor the recount ever see), and
+    # because each summary derives from its predecessor, a store built
+    # under the old semantics carries the inflated running total
+    # FOREVER — new folds cannot heal it. Mixed-semantics stores refuse
+    # loudly here and are rebuilt into a fresh dir.
+    ensure_store_params(
+        odir,
+        {"k": int(k), "item_col": item_col, "population": "non_null"},
+    )
     counts_store = odir / "counts"
 
     if batch_id <= last_batch_id(counts_store) and _summary_path(
@@ -202,13 +211,21 @@ def heavy_hitters_report(
 
 def compact_heavy_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
     """OFFLINE: fold the counts store's per-batch dirs (run while the
-    stream is not)."""
+    stream is not). Bounded at the summary commit frontier: after an
+    UNCLEAN stop the counts store can be one uncommitted batch ahead of
+    the newest summary, and folding that increment into a negative-id
+    consolidated dir would smuggle it past the report's
+    committed-snapshot filter — it stays in its own positive dir until
+    the restarted stream's replay commits it."""
     odir = Path(out_dir)
+    _, sid = _latest_summary(odir)
     out: dict[str, int] = {}
     for name, part in _STORES:
         store = odir / name
         if store.exists():
-            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+            out[name] = consolidate_batch_store(
+                spark, store, partition_by=part, up_to=sid
+            )
     return out
 
 

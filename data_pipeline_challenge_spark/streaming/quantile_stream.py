@@ -76,30 +76,17 @@ def quantile_report(
     out_dir: str | Path,
     fractions: list[tuple[int, int]],
 ) -> DataFrame | None:
-    """EXACT quantiles of everything folded so far — the batch
-    operator's integer pick rule (``cum * den >= num * n_total``) over
-    the summed maintained histograms. None before the first batch."""
-    from pyspark.sql import Window
+    """EXACT quantiles of everything folded so far: the batch
+    operator's shared core (``profiling.histogram_quantiles`` — ONE
+    implementation of the integer pick rule) over the maintained
+    histogram store. None before the first batch."""
+    from ..operators.profiling import histogram_quantiles
 
     store = Path(out_dir) / "counts"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
-    hist = (
-        read_batch_store(spark, store)
-        .groupBy("v")
-        .agg(F.sum("n").alias("n"))
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "nt", F.sum("n").over(Window.partitionBy())
-    )
-    q = spark.createDataFrame(
-        [(int(n), int(d)) for n, d in fractions], "q_num int, q_den int"
-    )
-    return (
-        s.join(F.broadcast(q), s["cum"] * q["q_den"] >= q["q_num"] * s["nt"])
-        .groupBy("q_num", "q_den")
-        .agg(F.min("v").alias("value"))
+    return histogram_quantiles(
+        read_batch_store(spark, store).select("v", "n"), fractions
     )
 
 

@@ -118,7 +118,16 @@ def fold_batch(
     predecessor's file."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    ensure_store_params(odir, {"id_col": id_col, "text_col": text_col})
+    # postings_schema is part of the pin: dl was denormalized into the
+    # postings rows after the first release of this store layout, and
+    # bm25_search requires the column — folding new-format increments
+    # into an old-format store would mix schemas and silently null out
+    # old rows' dl in search. A pre-dl store refuses loudly here and is
+    # rebuilt into a fresh dir.
+    ensure_store_params(
+        odir,
+        {"id_col": id_col, "text_col": text_col, "postings_schema": "tf+dl"},
+    )
     postings_store = odir / "postings"
     doclen_store = odir / "doclen"
 
@@ -199,7 +208,20 @@ def revoke_docs(spark: SparkSession, out_dir: str | Path, doc_ids: DataFrame) ->
     Scale shape: one broadcast-semi-join scan of the doclen store
     (revocations are benchmark-contamination-sized); zero-token docs
     have no doclen row and no postings, so they are unrevocable but
-    also unservable — only their (empty) n_docs share lingers."""
+    also unservable — only their (empty) n_docs share lingers.
+
+    The doclen lookup is deliberately UNBOUNDED by the totals commit
+    frontier: a doc whose batch is in the crash window (data stores
+    ahead of totals) is still excluded from search immediately — the
+    revocation contract (revoked ⇒ unservable) outranks scoring
+    precision — at the cost of its nr/sdl being subtracted from totals
+    that do not yet include it, transiently skewing idf/avgdl until
+    the restarted stream's replay commits the batch and the totals
+    catch up. Bounding the lookup instead would leave such a doc
+    searchable forever (the sync only runs at revocation time), which
+    is the strictly worse failure. Run revocations after a clean drain
+    (as ``revoke_corpus_eval_generation`` documents) and the window
+    never exists."""
     odir = Path(out_dir)
     doclen_store = odir / "doclen"
     if not doclen_store.exists():
@@ -225,23 +247,14 @@ def _revoked_view(spark: SparkSession, odir: Path) -> DataFrame | None:
     return read_batch_store(spark, rev_store).select("doc_id", "dl")
 
 
-def bm25_search(
-    spark: SparkSession,
-    out_dir: str | Path,
-    terms: list[str],
-    k: int = 20,
-) -> DataFrame | None:
-    """Okapi BM25 top-k over the maintained index (k1=1.2, b=0.75,
-    Robertson +1 idf — the batch queries' exact arithmetic). None before
-    the first batch. The postings scan prunes to the query terms'
-    buckets at planning time; df is a ≤|query|-row broadcast; N/avgdl
-    come from the totals file (zero Spark jobs when nothing is revoked);
-    dl rides on each posting, so NO corpus-keyed join exists in the
-    serving plan — the one shuffle is the candidate-sized per-doc sum.
-    Revoked docs (``revoke_docs``) are anti-joined out BEFORE df is
-    counted and subtracted from N/avgdl, so results equal batch BM25
-    over the post-revocation corpus."""
-    odir = Path(out_dir)
+def _effective_totals(spark: SparkSession, odir: Path):
+    """The serving-time index state both search entry points share:
+    ``(n_docs, avgdl, tid, revoked)`` AFTER revocation corrections —
+    revoked docs' counts subtracted from N and from avgdl's numerator/
+    denominator (every revoked row came from doclen, so each subtracts
+    one length-bearing doc). None before the first batch; ``n_docs <= 0``
+    signals an empty effective corpus (callers return their empty
+    frame)."""
     totals, tid = _latest_totals(odir)
     if tid < 0 or not (odir / "postings").exists():
         return None
@@ -250,8 +263,6 @@ def bm25_search(
     sum_dl = int(totals["sum_dl"])
     revoked = _revoked_view(spark, odir)
     if revoked is not None:
-        # bounded store (contamination-sized); every revoked row came
-        # from doclen, so each subtracts one length-bearing doc
         agg = revoked.agg(
             F.count(F.lit(1)).alias("nr"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
@@ -260,9 +271,29 @@ def bm25_search(
         n_len_docs -= int(agg["nr"])
         sum_dl -= int(agg["sdl"])
     if n_docs <= 0 or n_len_docs <= 0:
-        return spark.createDataFrame([], "doc_id long, bm25 double")
-    avgdl = sum_dl / n_len_docs
+        return 0, 1.0, tid, revoked
+    return n_docs, sum_dl / n_len_docs, tid, revoked
 
+
+def _pruned_postings(
+    spark: SparkSession,
+    odir: Path,
+    terms: list[str],
+    tid: int,
+    revoked: DataFrame | None,
+) -> DataFrame:
+    """The shared candidate scan: postings pruned at PLANNING time to
+    the query terms' partition buckets, filtered to the terms, bounded
+    at the totals commit point, revoked docs anti-joined out BEFORE any
+    df is counted.
+
+    Snapshot consistency (ADVICE r11): the data stores are appended
+    BEFORE the totals file (the commit point), so after a crash in that
+    window they are one batch AHEAD of the totals the caller took
+    N/avgdl from. Scan only increments the totals cover; consolidated
+    dirs (negative ids) fold batches at-or-below a committed totals
+    file (compact_retrieval_index bounds at the frontier), so they are
+    always covered."""
     buckets = sorted(
         {
             r["b"]
@@ -271,12 +302,6 @@ def bm25_search(
             .collect()
         }
     )
-    # Snapshot consistency (ADVICE r11): the data stores are appended
-    # BEFORE the totals file (the commit point), so after a crash in
-    # that window they are one batch AHEAD of the totals this search
-    # took N/avgdl from. Scan only increments the totals cover;
-    # consolidated dirs (negative ids) fold batches at-or-below a
-    # committed totals file, so they are always covered.
     committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
     postings = (
         read_batch_store(spark, odir / "postings")
@@ -289,20 +314,54 @@ def bm25_search(
         postings = postings.join(
             F.broadcast(revoked.select("doc_id")), "doc_id", "left_anti"
         )
-    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return postings
+
+
+def _bm25_contrib(n_docs: int, avgdl: float):
+    """Okapi BM25 per-posting contribution (k1=1.2, b=0.75, Robertson
+    +1 idf — the batch queries' exact arithmetic) over (tf, df, dl)
+    columns."""
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
-    contrib = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / (
+    return idf * (F.col("tf") * F.lit(_K1 + 1.0)) / (
         F.col("tf")
         + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.lit(avgdl))
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    out_dir: str | Path,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame | None:
+    """Okapi BM25 top-k over the maintained index. None before the
+    first batch. The postings scan prunes to the query terms' buckets
+    at planning time; df is a ≤|query|-row broadcast; N/avgdl come from
+    the totals file (zero Spark jobs when nothing is revoked); dl rides
+    on each posting, so NO corpus-keyed join exists in the serving plan
+    — the one shuffle is the candidate-sized per-doc sum. Revoked docs
+    (``revoke_docs``) are anti-joined out BEFORE df is counted and
+    subtracted from N/avgdl, so results equal batch BM25 over the
+    post-revocation corpus. (State, scan, and arithmetic are the shared
+    ``_effective_totals`` / ``_pruned_postings`` / ``_bm25_contrib`` —
+    one implementation for this and :func:`bm25_search_batch`.)"""
+    odir = Path(out_dir)
+    state = _effective_totals(spark, odir)
+    if state is None:
+        return None
+    n_docs, avgdl, tid, revoked = state
+    if n_docs <= 0:
+        return spark.createDataFrame([], "doc_id long, bm25 double")
+    postings = _pruned_postings(spark, odir, list(terms), tid, revoked)
+    dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         postings.join(F.broadcast(dfc), "term")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(F.round(F.sum(_bm25_contrib(n_docs, avgdl)), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
@@ -320,73 +379,36 @@ def bm25_search_batch(
     candidates out to their queries, per-(query, doc) sums, and
     per-query top-k via a rank-filter window (WindowGroupLimit, no
     global sort). Scores are identical to calling :func:`bm25_search`
-    per query (same df/N/avgdl arithmetic, revocations honored).
-    Returns ``(qid, doc_id, bm25)``; None before the first batch.
-    ``queries``: {qid: [terms...]} — the query set must stay
-    broadcast-sized (it is the SEARCH input, not the corpus)."""
+    per query BY CONSTRUCTION: both compose the same
+    ``_effective_totals`` / ``_pruned_postings`` / ``_bm25_contrib``
+    (df is per TERM, query-independent, so computing it once over the
+    union changes nothing). Returns ``(qid, doc_id, bm25)``; None
+    before the first batch. ``queries``: {qid: [terms...]} — the query
+    set must stay broadcast-sized (it is the SEARCH input, not the
+    corpus)."""
     from pyspark.sql import Window
 
     odir = Path(out_dir)
-    totals, tid = _latest_totals(odir)
-    if tid < 0 or not (odir / "postings").exists():
+    state = _effective_totals(spark, odir)
+    if state is None:
         return None
-    n_docs = int(totals["n_docs"])
-    n_len_docs = int(totals.get("n_len_docs", n_docs))
-    sum_dl = int(totals["sum_dl"])
-    revoked = _revoked_view(spark, odir)
-    if revoked is not None:
-        agg = revoked.agg(
-            F.count(F.lit(1)).alias("nr"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
-        ).first()
-        n_docs -= int(agg["nr"])
-        n_len_docs -= int(agg["nr"])
-        sum_dl -= int(agg["sdl"])
-    if n_docs <= 0 or n_len_docs <= 0:
+    n_docs, avgdl, tid, revoked = state
+    if n_docs <= 0:
         return spark.createDataFrame([], "qid string, doc_id long, bm25 double")
-    avgdl = sum_dl / n_len_docs
-
     qt = spark.createDataFrame(
         [(str(q), t) for q, terms in queries.items() for t in set(terms)],
         "qid string, term string",
     )
     all_terms = sorted({t for terms in queries.values() for t in terms})
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
-            .select(prefix_bucket(F.col("term"), _N_BUCKETS).alias("b"))
-            .collect()
-        }
-    )
-    committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
-    postings = (
-        read_batch_store(spark, odir / "postings")
-        .filter(committed)
-        .filter(F.col("term_bucket").isin(buckets))  # partition-pruned
-        .filter(F.col("term").isin(all_terms))
-    )
-    if revoked is not None:
-        postings = postings.join(
-            F.broadcast(revoked.select("doc_id")), "doc_id", "left_anti"
-        )
+    postings = _pruned_postings(spark, odir, all_terms, tid, revoked)
     # df is per TERM (query-independent), computed once over the union.
     dfc = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (F.col("tf") * F.lit(_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_K1) * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.lit(avgdl))
-    )
     w = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
     return (
         postings.join(F.broadcast(dfc), "term")
         .join(F.broadcast(qt), "term")
         .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(F.round(F.sum(_bm25_contrib(n_docs, avgdl)), 6).alias("bm25"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .drop("rnk")
@@ -430,14 +452,26 @@ def backfill_retrieval_index(
 def compact_retrieval_index(
     spark: SparkSession, out_dir: str | Path
 ) -> dict[str, int]:
-    """OFFLINE: fold both stores' per-batch dirs (run while the stream
-    is not)."""
+    """OFFLINE: fold the stores' per-batch dirs (run while the stream
+    is not). Bounded at the totals commit frontier: after an UNCLEAN
+    stop the data stores can be one uncommitted batch ahead of the
+    newest totals file, and folding that increment into a negative-id
+    consolidated dir would smuggle it past ``bm25_search``'s
+    committed-snapshot filter (negative ids are unconditionally
+    admitted as covered) — it stays in its own positive dir, excluded
+    by the filter, until the restarted stream's replay commits it."""
     odir = Path(out_dir)
+    _, tid = _latest_totals(odir)
     out: dict[str, int] = {}
     for name, part in _STORES:
         store = odir / name
         if store.exists():
-            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+            # the revoked store is outside the totals discipline (its
+            # own gen counter, readers scan it unbounded) — no bound
+            bound = None if name == "revoked" else tid
+            out[name] = consolidate_batch_store(
+                spark, store, partition_by=part, up_to=bound
+            )
     return out
 
 

@@ -1850,6 +1850,34 @@ def test_avi_rawvideo_frames_decode_real_pixels(spark):
         (j, rgb_frames[src].tobytes()) for j, src in [(0, 0), (1, 1), (2, 3), (3, 4)]
     ]
 
+    # An AVI whose FIRST strf belongs to an AUDIO stream (24-bit
+    # WAVEFORMAT bytes that would misparse as a BI_RGB bitmap header)
+    # must NOT be detected as rawvideo: the video chunks stay on the
+    # undecoded raw-chunk tier instead of crashing the decode.
+    auds_strh = b"auds" + b"\x00" * 44
+    # 40-byte fake WAVEFORMAT: zeros where biCompression would sit,
+    # 24 where biBitCount would sit -> exactly the misdetection shape
+    fake_wf = struct.pack("<IiiHHIIiiII", 40, 48000, 96000, 1, 24, 0, 0,
+                          0, 0, 0, 0)
+    a_strl = (b"strl" + b"strh" + struct.pack("<I", len(auds_strh)) + auds_strh
+              + b"strf" + struct.pack("<I", len(fake_wf)) + fake_wf)
+    a_hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+              + b"LIST" + struct.pack("<I", len(a_strl)) + a_strl)
+    raw_chunks = [bytes([k]) * 9 for k in range(4)]
+    a_movi = b"movi"
+    for fr in raw_chunks:
+        a_movi += b"00dc" + struct.pack("<I", len(fr)) + fr + b"\x00"
+    a_body = (b"AVI " + b"LIST" + struct.pack("<I", len(a_hdrl)) + a_hdrl
+              + b"LIST" + struct.pack("<I", len(a_movi)) + a_movi)
+    a_avi = b"RIFF" + struct.pack("<I", len(a_body)) + a_body
+    got_a = _make_frame_extractor(4)(a_avi)
+    assert [f for _, f in got_a] == raw_chunks  # undecoded tier, no crash
+
+    # truncated garbage where 'strf' sits in the last bytes: clean
+    # fallback (None path), never a struct.error from the executor
+    trunc = a_avi[: a_avi.find(b"movi") + 4] + b"strf\x28"
+    assert _make_frame_extractor(4)(trunc) == []
+
     # Through Spark: the seeded fixture's fingerprints equal an
     # independent bottom-up-BGR -> rgb24 reconstruction of its payloads.
     vids = synth_avi_rgb_media(spark, n=5, seed=17, start_id=700)
