@@ -108,6 +108,13 @@ def main() -> None:
         "micro-batch's scan parallelism to this floor (the 100k-docs/"
         "batch point uses 32 so 8 landing files don't starve 32 cores)",
     )
+    ap.add_argument(
+        "--retrieval-index",
+        action="store_true",
+        help="also maintain the BM25 retrieval index per batch "
+        "(retrieval_index_dir) — measures the index-maintenance tax on "
+        "funnel throughput as its own 'retrieval' stage line",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -133,11 +140,14 @@ def main() -> None:
     # Wrap each stage's fold_batch (the exact callables foreachBatch runs)
     # with a wall-clock accumulator.
     stage_wall: dict[str, float] = defaultdict(float)
+    from data_pipeline_challenge_spark.streaming import retrieval_stream
+
     stage_mods = {
         "quality": cps.filter_gate_stream,
         "decontam": cps.decontam_stream,
         "exact": cps.dedup_stream,
         "near": cps.near_dedup_stream,
+        "retrieval": retrieval_stream,
     }
     for name, mod in stage_mods.items():
         orig = mod.fold_batch
@@ -187,6 +197,9 @@ def main() -> None:
                 # 8 shared distinct trigrams ≈ 16% diversion — a
                 # realistic decontamination rate for this corpus.
                 min_shared=8,
+                retrieval_index_dir=(
+                    work / f"idx_{size}" if args.retrieval_index else None
+                ),
             )
             q.awaitTermination()
             wall = time.perf_counter() - t0
@@ -205,6 +218,7 @@ def main() -> None:
                     "stage_wall_s": stages_s,
                     "stream_overhead_s": overhead,
                     "min_input_partitions": args.min_input_partitions,
+                    "retrieval_index": bool(args.retrieval_index),
                 }
             )
             print(json.dumps(results[-1]), file=sys.stderr)
