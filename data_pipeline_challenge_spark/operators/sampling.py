@@ -177,3 +177,52 @@ def sqrt_temperature_sample(
         F.ceil(F.lit(float(scale)) * F.sqrt(F.col("_stratum_n"))).cast("long"),
     )
     return ranked.filter(F.col(out) <= quota).drop(out, "_stratum_n")
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    train_lt: str = "cd",
+    val_lt: str = "e6",
+) -> DataFrame:
+    """Leakage-free train/val/test split: a plain per-doc hash split
+    (``sample_hash_split``) puts near-duplicate documents on BOTH sides
+    of the split boundary — the eval set then contains near-copies of
+    training docs and measures memorization, not generalization. Here
+    the split key is the doc's near-duplicate CLUSTER representative
+    (connected component over the supplied pair graph; singletons are
+    their own representative), so every member of a cluster lands in
+    the SAME split by construction.
+
+    Assignment is the md5-prefix rule the hash split uses: the first
+    two hex chars of md5(representative) — ``< train_lt`` → train,
+    ``< val_lt`` → val, else test (defaults 'cd'/'e6' ≈ 80/10/10 in
+    cluster mass). Deterministic across runs/engines/partitionings.
+
+    Scale shape: the component labels are PAIR-GRAPH-sized (near-dup
+    pairs, ≪ corpus), joined to the corpus on the id — one key-equality
+    shuffle join that AQE broadcasts when the label side is small; no
+    global sort, no per-doc Python. Returns (id_col, split_key, split);
+    ``split_key`` is the representative, exposed so an auditor can
+    group by it and verify no key straddles splits."""
+    from .graph import connected_components
+
+    labels = connected_components(pairs, src=src, dst=dst)
+    rep = (
+        docs.select(id_col)
+        .join(labels, docs[id_col] == labels["vertex"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("split_key"),
+        )
+    )
+    h2 = F.substring(F.md5(F.col("split_key").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < F.lit(train_lt), "train")
+        .when(h2 < F.lit(val_lt), "val")
+        .otherwise("test")
+    )
+    return rep.select(id_col, "split_key", split.alias("split"))

@@ -65,6 +65,57 @@ def dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_aware_split_docs",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ), e AS (
+        SELECT id1 AS v, id2 AS w FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+        SELECT v, w AS r FROM e
+        UNION
+        SELECT reach.v, e.w FROM reach JOIN e ON reach.r = e.v
+    ), lab AS (
+        SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v
+    ), u AS (
+        SELECT em.vec_id, coalesce(lab.component, em.vec_id) AS split_key
+        FROM embeddings em LEFT JOIN lab ON em.vec_id = lab.v
+    )
+    SELECT vec_id, split_key,
+           CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+                WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+    tags=("corpus", "sampling", "split", "graph"),
+)
+def cluster_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split
+    (``operators/sampling.cluster_aware_split``): split keys are
+    near-duplicate CLUSTER representatives (connected components over
+    the exact embedding-cosine near-pair graph, τ=0.35; singletons are
+    their own key), so no near-duplicate pair ever straddles the split
+    boundary — the eval set measures generalization, not memorization.
+    Assignment is the deterministic md5-prefix rule ('cd'/'e6' ≈
+    80/10/10 of cluster mass). The oracle reaches the same components
+    via a recursive-CTE transitive closure; the engine path is the
+    partitioning-independent min-label fixpoint that scales."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
+    from ..operators.sampling import cluster_aware_split
+
+    return cluster_aware_split(
+        emb.select("vec_id"), "vec_id", pairs, src="id1", dst="id2"
+    )
+
+
+@query(
     "dup_cluster_components_ann",
     None,  # xxhash64-seeded MinHash pair graph — engine-specific, rows-only.
     tags=("dedup", "graph", "corpus", "ann"),

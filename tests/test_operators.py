@@ -1937,3 +1937,56 @@ def test_sqrt_temperature_sample_quotas_and_membership(spark):
     for src, members in by_src.items():
         want_ids = {d for _, d in sorted(members)[: per[src]]}
         assert {r["doc_id"] for r in got if r["source"] == src} == want_ids
+
+
+def test_cluster_aware_split_never_leaks_pairs(spark):
+    """The leakage-free split property: every near-dup pair's endpoints
+    land in the SAME split (clusters never straddle), singletons get
+    their own-id key, and the assignment is the deterministic
+    md5-prefix rule — checked against a pure-Python union-find."""
+    import hashlib
+
+    from data_pipeline_challenge_spark.operators.sampling import (
+        cluster_aware_split,
+    )
+
+    n = 300
+    # chain clusters of varying size: (0,1),(1,2) → {0,1,2}; etc.
+    pair_rows = []
+    for base in range(0, 120, 6):
+        for j in range(base, base + 4):
+            pair_rows.append((j, j + 1))  # 5-member chains over 0..124
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(pair_rows, "id1 long, id2 long")
+    got = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in cluster_aware_split(
+            docs, "doc_id", pairs, src="id1", dst="id2"
+        ).collect()
+    }
+    assert set(got) == set(range(n))
+
+    # union-find truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        parent[find(a)] = find(b)
+    comp = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    for i in range(n):
+        key, split = got[i]
+        assert key == comp[i]  # representative = min cluster member
+        h2 = hashlib.md5(str(key).encode()).hexdigest()[:2]
+        want = "train" if h2 < "cd" else ("val" if h2 < "e6" else "test")
+        assert split == want
+    # no pair straddles the boundary
+    for a, b in pair_rows:
+        assert got[a][1] == got[b][1]
+    # all three splits are populated on 300 keys
+    assert {s for _, s in got.values()} == {"train", "val", "test"}
