@@ -131,6 +131,7 @@ def group_texts_blocks(
     token_col: str,
     block_len: int,
     shard: Column | None = None,
+    shard_hex: int = 2,
 ) -> DataFrame:
     """The LM "group texts" step: concatenate documents in a
     deterministic order and split the token stream into fixed-length
@@ -147,15 +148,19 @@ def group_texts_blocks(
     per shard; the final block of a shard may be partial.
 
     Scale shape: the concatenation order is md5-of-id WITHIN a shard
-    (default ``substring(md5(id), 1, 1)`` — 16 deterministic shards,
-    mirror of the sharded packer), so offsets come from one
-    shard-keyed window cumsum, blocks from an explode of each doc's
-    touched-block RANGE (|tokens|/block_len rows per doc, not
-    |tokens|), and there is no global sort; zero-token docs are
-    excluded (they contribute to no block)."""
+    (default ``substring(md5(id), 1, shard_hex)`` — 16^shard_hex
+    deterministic shards, mirror of the sharded packer), so offsets
+    come from one shard-keyed window cumsum, blocks from an explode of
+    each doc's touched-block RANGE (|tokens|/block_len rows per doc,
+    not |tokens|), and there is no global sort; zero-token docs are
+    excluded (they contribute to no block). The cumsum's parallelism
+    ceiling IS the shard count (each shard's running offset is one
+    sequential task): the default 2 hex chars = 256 shards; raise
+    ``shard_hex`` with the corpus — the only cost is at most one more
+    partial tail block per extra shard."""
     idc, tc = id_col, token_col
     if shard is None:
-        shard = F.substring(F.md5(F.col(idc).cast("string")), 1, 1)
+        shard = F.substring(F.md5(F.col(idc).cast("string")), 1, int(shard_hex))
     w = (
         Window.partitionBy("shard")
         .orderBy(F.md5(F.col(idc).cast("string")), idc)

@@ -1197,8 +1197,8 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents
     ), o AS (
-        SELECT substr(h, 1, 1) AS shard, doc_id, tok,
-               sum(tok) OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+        SELECT substr(h, 1, 2) AS shard, doc_id, tok,
+               sum(tok) OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
                               ROWS UNBOUNDED PRECEDING) - tok AS off
         FROM t WHERE tok > 0
     ), e AS (
@@ -1218,8 +1218,10 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def group_texts_blocks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LM "group texts" step as a declared query
     (``operators/packing.group_texts_blocks``): concatenate each md5
-    shard's documents in md5 order and cut the token stream into
-    256-token training blocks that CROSS doc boundaries — one row per
+    shard's documents (256 two-hex-char shards — the cumsum's
+    parallelism ceiling is the shard count) in md5 order and cut the
+    token stream into 256-token training blocks that CROSS doc
+    boundaries — one row per
     (shard, block, doc) with the doc's token contribution, so a reader
     can materialize any block from exactly the docs listed. Complement
     of the packing family (whole-doc bins, no splitting): zero padding
