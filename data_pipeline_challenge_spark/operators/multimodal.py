@@ -323,10 +323,17 @@ def _make_frame_extractor(frames_per_video: int):
             dib = _dib_format(payload)
             if dib is not None:  # rawvideo stream: REAL pixel decode
                 w, h, bottom_up = dib
-                return [
-                    (j, _dib_rgb24(chunks[j * n // k], w, h, bottom_up))
-                    for j in range(k)
-                ]
+                sampled = [chunks[j * n // k] for j in range(k)]
+                # chunk-level malformation (truncated bitmap) falls back
+                # to the undecoded-chunk tier like header-level
+                # malformation does — never an executor crash over one
+                # corrupt file
+                stride_h = (((w * 3 + 3) // 4) * 4) * h
+                if all(len(c) >= stride_h for c in sampled):
+                    return [
+                        (j, _dib_rgb24(c, w, h, bottom_up))
+                        for j, c in enumerate(sampled)
+                    ]
             return [(j, chunks[j * n // k]) for j in range(k)]
         got = _pyav_frames(payload)
         if got is not None:

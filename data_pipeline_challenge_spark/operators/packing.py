@@ -167,9 +167,13 @@ def group_texts_blocks(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = (
-        df.select(idc, F.col(tc).cast("long").alias("tok"))
+        # shard evaluated while df's FULL schema is in scope, so a
+        # custom expression may reference any column (e.g. shard by
+        # language/source to keep blocks domain-pure)
+        df.select(
+            idc, F.col(tc).cast("long").alias("tok"), shard.alias("shard")
+        )
         .filter(F.col("tok") > 0)
-        .withColumn("shard", shard)
         .withColumn("off", F.sum("tok").over(w) - F.col("tok"))
     )
     L = F.lit(int(block_len))

@@ -71,13 +71,21 @@ def exact_quantiles(
     which is what the maintained streaming twin folds.
 
     Returns ``(q_num int, q_den int, value bigint)``."""
-    hist = (
+    return histogram_quantiles(value_histogram(df, value_col), fractions)
+
+
+def value_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """The exact-quantile contract's OTHER half, shared with the
+    maintained streaming twin's per-batch fold: integer cast, nulls
+    dropped, ``(v, n)`` counts — one definition so the null/typing
+    policy can never diverge between the batch operator and the store
+    the stream folds."""
+    return (
         df.select(F.col(value_col).cast("long").alias("v"))
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return histogram_quantiles(hist, fractions)
 
 
 def histogram_quantiles(

@@ -456,15 +456,20 @@ def start_corpus_pipeline_stream(
             # legitimate restart after such a trailing batch.
             from . import retrieval_stream
 
+            # recorded immediately BEFORE the fold that creates the
+            # dir: a crash between the two leaves a recorded-but-
+            # missing dir, which the revocation sync refuses LOUDLY
+            # (and the replayed batch re-creates it) — the reverse
+            # order would leave a live index unrecorded, silently
+            # skipped by revocations. Still fold-time, not start-time:
+            # a stream that never folds must not record a dir that
+            # will never exist.
+            _record_retrieval_pointer(odir, Path(retrieval_index_dir))
             retrieval_stream.fold_batch(
                 spark, retrieval_index_dir,
                 kept if kept is not None else cur.limit(0),
                 batch_id, id_col, text_col,
             )
-            # recorded AFTER the fold created the dir, so the pointer
-            # never names a directory that does not exist (idempotent,
-            # no-op once listed)
-            _record_retrieval_pointer(odir, Path(retrieval_index_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _audit_input_parallelism(

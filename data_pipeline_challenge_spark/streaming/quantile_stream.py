@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -62,13 +61,9 @@ def fold_batch(
     store = odir / "counts"
     if batch_id <= last_batch_id(store):
         return
-    hist = (
-        batch_df.select(F.col(value_col).cast("long").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    append_batch_increment(hist, store, batch_id)
+    from ..operators.profiling import value_histogram
+
+    append_batch_increment(value_histogram(batch_df, value_col), store, batch_id)
 
 
 def quantile_report(

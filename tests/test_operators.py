@@ -1850,6 +1850,18 @@ def test_avi_rawvideo_frames_decode_real_pixels(spark):
         (j, rgb_frames[src].tobytes()) for j, src in [(0, 0), (1, 1), (2, 3), (3, 4)]
     ]
 
+    # chunk-level malformation: a valid rawvideo header whose chunks
+    # are SHORTER than stride*h falls back to the undecoded-chunk tier
+    # (never a task failure over one corrupt file)
+    short_movi = b"movi"
+    short_chunks = [b"\x01\x02\x03\x04" for _ in range(4)]
+    for fr in short_chunks:
+        short_movi += b"00db" + struct.pack("<I", len(fr)) + fr
+    short_body = (b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                  + b"LIST" + struct.pack("<I", len(short_movi)) + short_movi)
+    short_avi = b"RIFF" + struct.pack("<I", len(short_body)) + short_body
+    assert [f for _, f in _make_frame_extractor(4)(short_avi)] == short_chunks
+
     # An AVI whose FIRST strf belongs to an AUDIO stream (24-bit
     # WAVEFORMAT bytes that would misparse as a BI_RGB bitmap header)
     # must NOT be detected as rawvideo: the video chunks stay on the

@@ -555,3 +555,16 @@ def test_group_texts_blocks_invariants(spark):
     ).collect()
     key = lambda r: (r["shard"], r["block_id"], r["doc_id"], r["n_tokens"])  # noqa: E731
     assert sorted(map(key, again)) == sorted(map(key, out))
+
+    # custom shard expressions may reference ANY input column (e.g.
+    # domain-pure blocks sharded by language): evaluated before the
+    # frame is narrowed to (id, tok)
+    df_lang = df.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr")
+    )
+    by_lang = group_texts_blocks(
+        df_lang, "doc_id", "tok", block_len=L, shard=F.col("lang")
+    ).collect()
+    assert {r["shard"] for r in by_lang} == {"en", "fr"}
+    for r in by_lang:  # blocks never mix domains
+        assert r["shard"] == ("en" if r["doc_id"] % 2 == 0 else "fr")
