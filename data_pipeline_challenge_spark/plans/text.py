@@ -1436,3 +1436,91 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     return heavy_hitters(terms, "term", k=30).orderBy(F.desc("n"), "term")
+
+
+@query(
+    "term_pmi_top20",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    f AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term
+          HAVING count(*) >= 25),
+    tf AS (SELECT tok.doc_id, tok.term FROM tok JOIN f USING (term)),
+    p AS (
+        SELECT a.term AS t1, b.term AS t2, count(*) AS c12
+        FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT p.t1, p.t2, p.c12,
+           round(ln(CAST(p.c12 * n.nd AS DOUBLE)
+                    / CAST(f1.c1 * f2.c1 AS DOUBLE)), 6) AS pmi
+    FROM p
+    JOIN f f1 ON p.t1 = f1.term
+    JOIN f f2 ON p.t2 = f2.term
+    CROSS JOIN n
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+    tags=("text", "cooccurrence", "stats"),
+)
+def term_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term associations by pointwise mutual information over
+    document-level co-occurrence — the collocation/boilerplate-pattern
+    detector every corpus analysis runs (PMI = ln(N·c12/(c1·c2)) over
+    DISTINCT per-doc terms).
+
+    Scale shape: terms are restricted to a min-document-frequency
+    vocabulary FIRST (min_df=25 — the vocabulary, not the corpus, is
+    what gets broadcast), the pair generation is a doc_id-keyed
+    self-join of the restricted term table (pairs per doc bounded by
+    the restricted distinct-terms-per-doc squared, never tokens²), the
+    pair counts are map-side-combinable with a min_pair=10 floor, and
+    top-20 is TakeOrderedAndProject on (rounded pmi desc, t1, t2) — a
+    fully deterministic selection. All counts are exact integers; the
+    one float op is the final ln, rounded to 6 (the BM25/idf
+    precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= 25)
+    )
+    tf = toks.join(F.broadcast(freq.select("term")), "term")
+    a = tf.select(F.col("doc_id"), F.col("term").alias("t1"))
+    b = tf.select(F.col("doc_id"), F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 10)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    f1 = freq.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
+    f2 = freq.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * F.col("nd")).cast("double")
+            / (F.col("_c1") * F.col("_c2")).cast("double")
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )
