@@ -210,13 +210,20 @@ def cluster_aware_split(
     group by it and verify no key straddles splits."""
     from .graph import connected_components
 
-    labels = connected_components(pairs, src=src, dst=dst)
+    # internal names so a doc table whose id column is literally
+    # 'vertex'/'component' cannot collide with the label frame
+    labels = connected_components(pairs, src=src, dst=dst).select(
+        F.col("vertex").alias("__cas_vertex"),
+        F.col("component").alias("__cas_component"),
+    )
     rep = (
         docs.select(id_col)
-        .join(labels, docs[id_col] == labels["vertex"], "left")
+        .join(labels, docs[id_col] == labels["__cas_vertex"], "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col(id_col)).alias("split_key"),
+            F.coalesce(F.col("__cas_component"), F.col(id_col)).alias(
+                "split_key"
+            ),
         )
     )
     h2 = F.substring(F.md5(F.col("split_key").cast("string")), 1, 2)
