@@ -1438,6 +1438,54 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(terms, "term", k=30).orderBy(F.desc("n"), "term")
 
 
+def pmi_doc_terms(
+    docs: DataFrame, min_df: int = 25, per_doc_cap: int = 128
+) -> tuple[DataFrame, DataFrame]:
+    """Per-doc distinct terms restricted to the min-df vocabulary, each
+    doc further CAPPED to its ``per_doc_cap`` lowest-df terms (ties
+    broken lexically) — the bounded input to document-level PMI pair
+    generation.
+
+    The cap is the 100 TB guard (VERDICT r12 #1): min_df thins a tiny
+    corpus's vocabulary but at scale virtually every real word passes
+    df ≥ min_df, so without a per-doc bound the downstream doc_id
+    self-join is quadratic in per-doc distinct terms (a 2,000-term doc
+    emits ~2M pair rows). With the cap, every doc contributes at most
+    ``per_doc_cap·(per_doc_cap−1)/2`` pairs regardless of its length or
+    the corpus's vocabulary. Lowest-df-first is the right keep rule for
+    PMI: high-PMI collocations live in the RARE end of the admitted
+    vocabulary, so the cap discards the common-word pairs PMI would
+    rank last anyway. The rule is exact-integer deterministic
+    (row_number over (c1 asc, term asc) — term is distinct per doc, so
+    the order is total) and mirrored verbatim in the DuckDB oracle.
+
+    Returns ``(tf, freq)``: tf = (doc_id, term) capped rows; freq =
+    (term, c1 bigint) the min-df document-frequency vocabulary."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= int(min_df))
+    )
+    w = Window.partitionBy("doc_id").orderBy("c1", "term")
+    tf = (
+        toks.join(F.broadcast(freq), "term")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(per_doc_cap))
+        .select("doc_id", "term")
+    )
+    return tf, freq
+
+
 @query(
     "term_pmi_top20",
     """
@@ -1448,7 +1496,13 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     f AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term
           HAVING count(*) >= 25),
-    tf AS (SELECT tok.doc_id, tok.term FROM tok JOIN f USING (term)),
+    tfr AS (
+        SELECT tok.doc_id, tok.term,
+               row_number() OVER (PARTITION BY tok.doc_id
+                                  ORDER BY f.c1, tok.term) AS r
+        FROM tok JOIN f USING (term)
+    ),
+    tf AS (SELECT doc_id, term FROM tfr WHERE r <= 128),
     p AS (
         SELECT a.term AS t1, b.term AS t2, count(*) AS c12
         FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
@@ -1474,29 +1528,18 @@ def term_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: terms are restricted to a min-document-frequency
     vocabulary FIRST (min_df=25 — the vocabulary, not the corpus, is
-    what gets broadcast), the pair generation is a doc_id-keyed
-    self-join of the restricted term table (pairs per doc bounded by
-    the restricted distinct-terms-per-doc squared, never tokens²), the
-    pair counts are map-side-combinable with a min_pair=10 floor, and
-    top-20 is TakeOrderedAndProject on (rounded pmi desc, t1, t2) — a
-    fully deterministic selection. All counts are exact integers; the
-    one float op is the final ln, rounded to 6 (the BM25/idf
-    precedent)."""
+    what gets broadcast), then each doc is CAPPED to its 128 lowest-df
+    terms (:func:`pmi_doc_terms` — deterministic, oracle-mirrored), so
+    the doc_id self-join emits at most 128·127/2 ≈ 8k pair rows per doc
+    REGARDLESS of doc length or how much of the vocabulary passes
+    min_df — the bound that survives 100 TB, where min_df stops
+    thinning real vocabulary (VERDICT r12 #1). Pair counts are
+    map-side-combinable with a min_pair=10 floor, and top-20 is
+    TakeOrderedAndProject on (rounded pmi desc, t1, t2) — a fully
+    deterministic selection. All counts are exact integers; the one
+    float op is the final ln, rounded to 6 (the BM25/idf precedent)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    freq = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c1"))
-        .filter(F.col("c1") >= 25)
-    )
-    tf = toks.join(F.broadcast(freq.select("term")), "term")
+    tf, freq = pmi_doc_terms(docs, min_df=25, per_doc_cap=128)
     a = tf.select(F.col("doc_id"), F.col("term").alias("t1"))
     b = tf.select(F.col("doc_id"), F.col("term").alias("t2"))
     pairs = (
@@ -1524,3 +1567,145 @@ def term_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "t1", "t2")
         .limit(20)
     )
+
+
+def windowed_pmi(
+    docs: DataFrame,
+    window: int = 8,
+    min_count: int = 25,
+    min_pair: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Token-distance-windowed PMI collocations — the form real corpus
+    linguistics uses (count co-occurrence EVENTS at positions i < j with
+    j − i ≤ ``window``, not document-level set co-occurrence).
+
+    PMI = ln(N·c12/(c1·c2)) where c1/c2 are term OCCURRENCE counts
+    (min_count floor), N is total token occurrences, and c12 counts
+    position pairs (unordered term pair via least/greatest, same-term
+    pairs excluded, min_pair floor). All counts exact integers; the one
+    float op is the final ln, rounded to 6.
+
+    Scale shape — this is the variant that is structurally bounded
+    without any cap: each position can pair with at most ``window``
+    later positions, so pair rows are O(tokens·window) LINEAR in corpus
+    size, never per-doc quadratic. The pairing is a banded equi-join:
+    positions are bucketed by floor(pos/window); the LEFT side is
+    exploded into (bucket, bucket+1) join keys, so the join key is
+    (doc_id, bucket) — a true equi-join Catalyst shuffles on both
+    sides, never a doc_id-only join with a post-filter. j − i ≤ window
+    ⇒ bucket(j) ∈ {bucket(i), bucket(i)+1}, so banding loses nothing.
+    The frequent-term vocabulary (min_count) is broadcast; pair counts
+    are map-side-combinable; top-k is TakeOrderedAndProject."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term") != "")
+    )
+    c1 = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= int(min_count))
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    tf = toks.join(F.broadcast(c1.select("term")), "term")
+    k = int(window)
+    bkt = F.floor(F.col("pos") / k)
+    a = tf.select(
+        "doc_id",
+        F.col("pos").alias("p1"),
+        F.col("term").alias("w1"),
+        F.explode(F.array(bkt, bkt + 1)).alias("jb"),
+    )
+    b = tf.select(
+        "doc_id",
+        F.col("pos").alias("p2"),
+        F.col("term").alias("w2"),
+        bkt.alias("jb"),
+    )
+    pairs = (
+        a.join(b, ["doc_id", "jb"])
+        .filter(
+            (F.col("p2") > F.col("p1"))
+            & (F.col("p2") - F.col("p1") <= k)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("t1"),
+            F.greatest("w1", "w2").alias("t2"),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= int(min_pair))
+    )
+    f1 = c1.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
+    f2 = c1.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * F.col("n_tok")).cast("double")
+            / (F.col("_c1") * F.col("_c2")).cast("double")
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(int(top_k))
+    )
+
+
+@query(
+    "term_pmi_window8_top20",
+    """
+    WITH tok AS (
+        SELECT doc_id, u.pos - 1 AS pos, arr[u.pos] AS term
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS arr
+              FROM documents),
+             unnest(generate_series(1, len(arr))) AS u(pos)
+    ),
+    t AS (SELECT doc_id, pos, term FROM tok WHERE term <> ''),
+    f AS (SELECT term, count(*) AS c1 FROM t GROUP BY term
+          HAVING count(*) >= 25),
+    tf AS (SELECT t.doc_id, t.pos, t.term FROM t JOIN f USING (term)),
+    p AS (
+        SELECT least(a.term, b.term) AS t1,
+               greatest(a.term, b.term) AS t2,
+               count(*) AS c12
+        FROM tf a JOIN tf b
+          ON a.doc_id = b.doc_id
+         AND b.pos > a.pos AND b.pos - a.pos <= 8
+         AND a.term <> b.term
+        GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    n AS (SELECT count(*) AS n_tok FROM t)
+    SELECT p.t1, p.t2, p.c12,
+           round(ln(CAST(p.c12 * n.n_tok AS DOUBLE)
+                    / CAST(f1.c1 * f2.c1 AS DOUBLE)), 6) AS pmi
+    FROM p
+    JOIN f f1 ON p.t1 = f1.term
+    JOIN f f2 ON p.t2 = f2.term
+    CROSS JOIN n
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+    tags=("text", "cooccurrence", "stats"),
+)
+def term_pmi_window8_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by token-distance-windowed PMI (window=8) —
+    :func:`windowed_pmi` over ``documents``. The windowed form is the
+    structural fix for the document-level variant's scale hazard: pair
+    generation is O(tokens·window) by construction (banded bucket
+    equi-join — see :func:`windowed_pmi`), so no per-doc cap is needed.
+    Positions are exact integers, so the DuckDB oracle mirrors the
+    window rule directly (the oracle states the SEMANTICS as an
+    unbanded position join; the Spark plan's banding provably selects
+    the identical pair set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return windowed_pmi(docs, window=8, min_count=25, min_pair=10, top_k=20)

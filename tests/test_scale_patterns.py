@@ -69,3 +69,89 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_pmi_per_doc_cap_bounds_pair_generation(spark):
+    """VERDICT r12 #1: a long doc whose every term passes min_df must not
+    emit pairs quadratic in its length — the per-doc cap bounds exploded
+    pair rows at cap·(cap−1)/2 per doc, and the keep rule (lowest-df,
+    lexical tie-break) is deterministic."""
+    from data_pipeline_challenge_spark.plans.text import pmi_doc_terms
+
+    n_docs, n_terms, cap = 30, 300, 128
+    text = " ".join(f"t{i:03d}" for i in range(n_terms))
+    docs = spark.createDataFrame(
+        [(f"d{i}", text) for i in range(n_docs)], "doc_id string, text string"
+    )
+    tf, freq = pmi_doc_terms(docs, min_df=25, per_doc_cap=cap)
+    # every term has df = n_docs >= min_df, so WITHOUT the cap tf would be
+    # n_docs * n_terms rows and pairs n_docs * n_terms*(n_terms-1)/2
+    assert freq.count() == n_terms
+    assert tf.count() == n_docs * cap
+    a = tf.select("doc_id", F.col("term").alias("t1"))
+    b = tf.select("doc_id", F.col("term").alias("t2"))
+    exploded_pairs = a.join(b, ["doc_id"]).filter(F.col("t1") < F.col("t2")).count()
+    assert exploded_pairs == n_docs * cap * (cap - 1) // 2
+    # deterministic keep rule: all dfs tie, so lexical order keeps t000..t127
+    kept = sorted(r["term"] for r in tf.filter(F.col("doc_id") == "d0").collect())
+    assert kept == [f"t{i:03d}" for i in range(cap)]
+
+
+def test_windowed_pmi_banding_matches_naive(spark):
+    """The banded (doc_id, bucket) equi-join in windowed_pmi must select
+    the IDENTICAL pair set as the naive doc_id join with a distance
+    post-filter — banding is a physical rewrite, not a semantics change."""
+    from data_pipeline_challenge_spark.plans.text import windowed_pmi
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    k, min_count, min_pair = 5, 3, 2
+    fast = windowed_pmi(docs, window=k, min_count=min_count, min_pair=min_pair, top_k=1000)
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    c1 = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= min_count)
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    tf = toks.join(F.broadcast(c1.select("term")), "term")
+    a = tf.select("doc_id", F.col("pos").alias("p1"), F.col("term").alias("w1"))
+    b = tf.select("doc_id", F.col("pos").alias("p2"), F.col("term").alias("w2"))
+    naive_pairs = (
+        a.join(b, ["doc_id"])
+        .filter(
+            (F.col("p2") > F.col("p1"))
+            & (F.col("p2") - F.col("p1") <= k)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("t1"), F.greatest("w1", "w2").alias("t2")
+        )
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_pair)
+    )
+    f1 = c1.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
+    f2 = c1.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") * F.col("n_tok")).cast("double")
+            / (F.col("_c1") * F.col("_c2")).cast("double")
+        ),
+        6,
+    )
+    naive = (
+        naive_pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(1000)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
