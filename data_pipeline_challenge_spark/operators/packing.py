@@ -141,11 +141,17 @@ def group_texts_blocks(
     into fixed-``block_len`` training sequences with no padding waste.
 
     Returns one row per (shard, block_id, doc): ``(shard, block_id,``
-    ``{id_col}, n_tokens)`` — the tokens the doc contributes to that
-    block (a doc spanning a boundary appears in every block it
-    touches), so a reader joining back on ``id_col`` can materialize
-    any block's text from exactly the docs listed. Blocks are 0-based
-    per shard; the final block of a shard may be partial.
+    ``{id_col}, n_tokens, doc_off, block_off)`` — the tokens the doc
+    contributes to that block (a doc spanning a boundary appears in
+    every block it touches), so a reader joining back on ``id_col`` can
+    materialize any block's text from exactly the docs listed.
+    ``doc_off`` is the 0-based start of the contribution WITHIN the
+    doc's token stream and ``block_off`` its 0-based start WITHIN the
+    block — the explicit slice coordinates
+    :func:`materialize_block_texts` consumes (take ``n_tokens`` tokens
+    of the doc starting at ``doc_off``; they land at ``block_off``).
+    Blocks are 0-based per shard; the final block of a shard may be
+    partial.
 
     Scale shape: the concatenation order is md5-of-id WITHIN a shard
     (default ``substring(md5(id), 1, shard_hex)`` — 16^shard_hex
@@ -190,4 +196,68 @@ def group_texts_blocks(
         F.col("block_id").cast("long").alias("block_id"),
         idc,
         contrib.cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), F.col("block_id") * L - F.col("off"))
+        .cast("long")
+        .alias("doc_off"),
+        F.greatest(F.lit(0), F.col("off") - F.col("block_id") * L)
+        .cast("long")
+        .alias("block_off"),
+    )
+
+
+def materialize_block_texts(
+    blocks: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """The group-texts READER: turn the (shard, block_id, doc, slice)
+    assignment map from :func:`group_texts_blocks` into actual
+    fixed-length training sequences.
+
+    ``docs`` must carry ``id_col`` and ``tokens_col`` (``array`` of
+    token strings whose length matches the token counts the map was
+    built from). Each map row slices ``n_tokens`` tokens starting at
+    ``doc_off`` from its doc; contributions are reassembled per
+    (shard, block_id) in ``block_off`` order. Returns
+    ``(shard, block_id, n_tokens bigint, seq_text string)`` — the
+    block's token stream joined with single spaces (string form keeps
+    the result order-insensitively hashable by external oracles).
+
+    Scale shape: one equi-join of the map to the corpus on ``id_col``
+    (the map side carries only ids + 3 ints — at 100 TB it is the
+    SMALL side per shard and AQE picks the right strategy), one
+    ``F.slice`` per contribution (JVM-side, no Python), and one
+    groupBy(shard, block_id) whose per-group state is exactly
+    block_len tokens: sort_array over (block_off, slice) structs —
+    at most ceil(block_len / 1) contributions, in practice a handful —
+    then flatten + array_join. No window, no global sort, no UDF."""
+    idc = id_col
+    sliced = blocks.join(
+        docs.select(idc, F.col(tokens_col).alias("_toks")), idc
+    ).select(
+        "shard",
+        "block_id",
+        "block_off",
+        F.expr("slice(_toks, int(doc_off) + 1, int(n_tokens))").alias("_sub"),
+    )
+    return (
+        sliced.groupBy("shard", "block_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("block_off", "_sub"))
+            ).alias("_parts")
+        )
+        .select(
+            "shard",
+            "block_id",
+            F.aggregate(
+                "_parts",
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + F.size(p["_sub"]).cast("long"),
+            ).alias("n_tokens"),
+            F.array_join(
+                F.flatten(F.transform("_parts", lambda p: p["_sub"])), " "
+            ).alias("seq_text"),
+        )
     )

@@ -1210,7 +1210,9 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard, block_id, doc_id,
            CAST(least(off + tok, (block_id + 1) * 256)
-               - greatest(off, block_id * 256) AS BIGINT) AS n_tokens
+               - greatest(off, block_id * 256) AS BIGINT) AS n_tokens,
+           CAST(greatest(0, block_id * 256 - off) AS BIGINT) AS doc_off,
+           CAST(greatest(0, off - block_id * 256) AS BIGINT) AS block_off
     FROM e
     """,
     tags=("corpus", "packing", "grouping"),
@@ -1222,8 +1224,11 @@ def group_texts_blocks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism ceiling is the shard count) in md5 order and cut the
     token stream into 256-token training blocks that CROSS doc
     boundaries — one row per
-    (shard, block, doc) with the doc's token contribution, so a reader
-    can materialize any block from exactly the docs listed. Complement
+    (shard, block, doc) with the doc's token contribution plus the
+    explicit slice coordinates (``doc_off`` start within the doc,
+    ``block_off`` start within the block), so a reader can materialize
+    any block from exactly the docs listed without re-deriving offsets
+    (VERDICT r12 #6). Complement
     of the packing family (whole-doc bins, no splitting): zero padding
     waste, at most one partial tail block per shard. Scale shape: one
     shard-keyed window cumsum + a touched-block-RANGE explode
@@ -1234,6 +1239,77 @@ def group_texts_blocks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", token_count(F.col("text")).alias("tok"))
     return group_texts_blocks(t, "doc_id", "tok", block_len=256)
+
+
+@query(
+    "group_texts_block_text_256",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS arr,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE trim(text) <> ''
+    ), o AS (
+        SELECT substr(h, 1, 2) AS shard, doc_id, arr,
+               CAST(len(arr) AS BIGINT) AS tok,
+               sum(CAST(len(arr) AS BIGINT))
+                   OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
+                         ROWS UNBOUNDED PRECEDING)
+                   - CAST(len(arr) AS BIGINT) AS off
+        FROM t
+    ), e AS (
+        SELECT shard, doc_id, arr, tok, off,
+               unnest(range(CAST(floor(off / 256.0) AS BIGINT),
+                            CAST(floor((off + tok - 1) / 256.0) AS BIGINT) + 1
+               )) AS block_id
+        FROM o
+    ), s AS (
+        SELECT shard, block_id,
+               greatest(off, block_id * 256) - block_id * 256 AS block_off,
+               CAST(least(off + tok, (block_id + 1) * 256)
+                   - greatest(off, block_id * 256) AS BIGINT) AS n_tok,
+               list_slice(arr,
+                          CAST(greatest(0, block_id * 256 - off) AS BIGINT) + 1,
+                          CAST(greatest(0, block_id * 256 - off)
+                               + least(off + tok, (block_id + 1) * 256)
+                               - greatest(off, block_id * 256) AS BIGINT)
+               ) AS sub
+        FROM e
+    )
+    SELECT shard, block_id,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(sub, ' '), ' ' ORDER BY block_off)
+               AS seq_text
+    FROM s
+    GROUP BY shard, block_id
+    """,
+    tags=("corpus", "packing", "grouping"),
+)
+def group_texts_block_text_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized group-texts training sequences
+    (``operators/packing.materialize_block_texts`` over the
+    :func:`group_texts_blocks_256` assignment map): every 256-token
+    block's ACTUAL token stream, reassembled from per-doc slices in
+    block_off order — the step that turns the assignment map into data
+    a trainer can read. Every block except each shard's tail is exactly
+    256 tokens. Scale shape: map ⋈ corpus equi-join on doc_id + one
+    slice per contribution + groupBy(shard, block) whose state is one
+    block's tokens; no window over the corpus, no UDF."""
+    from ..functions.textfn import token_count
+    from ..operators.packing import (
+        group_texts_blocks,
+        materialize_block_texts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    t = docs.select("doc_id", F.size("toks").alias("tok")).filter(
+        # split('') yields [''], not []: mirror token_count's empty rule
+        ~((F.size("toks") == 1) & (F.element_at("toks", 1) == ""))
+    )
+    blocks = group_texts_blocks(t, "doc_id", "tok", block_len=256)
+    return materialize_block_texts(blocks, docs, "doc_id", "toks")
 
 
 @query(

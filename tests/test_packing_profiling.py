@@ -568,3 +568,50 @@ def test_group_texts_blocks_invariants(spark):
     assert {r["shard"] for r in by_lang} == {"en", "fr"}
     for r in by_lang:  # blocks never mix domains
         assert r["shard"] == ("en" if r["doc_id"] % 2 == 0 else "fr")
+
+
+def test_materialize_block_texts_byte_exact(spark):
+    """VERDICT r12 #6: the group-texts reader must reconstruct every
+    block's token stream BYTE-exactly from the assignment map's explicit
+    slice offsets, and every block except each shard's tail must be
+    exactly block_len tokens. Tokens are globally unique so any slice or
+    ordering error changes bytes."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        group_texts_blocks,
+        materialize_block_texts,
+    )
+
+    L = 32
+    rows = []
+    for i in range(90):
+        n = (i * 29) % 70 + 1  # 1..70 tokens, some docs span blocks
+        rows.append((f"doc{i}", [f"d{i}w{j}" for j in range(n)]))
+    docs = spark.createDataFrame(rows, "doc_id string, toks array<string>")
+
+    t = docs.select("doc_id", F.size("toks").alias("tok"))
+    blocks = group_texts_blocks(t, "doc_id", "tok", block_len=L)
+    out = {
+        (r["shard"], r["block_id"]): (r["n_tokens"], r["seq_text"])
+        for r in materialize_block_texts(blocks, docs, "doc_id", "toks").collect()
+    }
+
+    # independent pure-Python reconstruction of the group-texts rule
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    streams: dict = defaultdict(list)
+    for doc_id, toks in sorted(rows, key=lambda r: (md5(r[0]), r[0])):
+        streams[md5(doc_id)[:2]].extend(toks)
+    expect = {}
+    for shard, stream in streams.items():
+        for b in range((len(stream) + L - 1) // L):
+            sub = stream[b * L : (b + 1) * L]
+            expect[(shard, b)] = (len(sub), " ".join(sub))
+    assert out == expect
+    # every non-tail block is exactly full
+    tail = {s: max(b for (sh, b) in out if sh == s) for s in {sh for sh, _ in out}}
+    for (sh, b), (n, _txt) in out.items():
+        assert n == L or b == tail[sh]
