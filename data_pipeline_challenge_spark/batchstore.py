@@ -420,14 +420,23 @@ def last_batch_id(store: str | Path) -> int:
     return top
 
 
-def read_batch_store(spark: SparkSession, store: str | Path) -> DataFrame:
+def read_batch_store(
+    spark: SparkSession, store: str | Path, schema: str | None = None
+) -> DataFrame:
     """The live view of the store: consolidated partition ∪ batches past
     it. The ``ingest_batch`` filter is a static partition filter, so
     excluded dirs (stale folds, crash leftovers, replayed-but-superseded
     batches) are pruned at planning time. The ``ingest_batch`` column is
-    kept; callers drop it."""
+    kept; callers drop it.
+
+    ``schema`` (DDL, including partition columns) bypasses partition-type
+    INFERENCE — mandatory for stores partitioned by a string key whose
+    values can look numeric (the group-texts stream's md5-hex shards:
+    an all-numeric population of dirs like ``shard=07`` would otherwise
+    infer int and silently corrupt the value to 7)."""
     store = Path(store)
-    df = spark.read.parquet(str(store))
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(str(store))
     marker = _read_marker(store)
     if marker:
         return df.filter(

@@ -410,7 +410,7 @@ def _anchor_empty_version(tmp: Path, repacked: DataFrame) -> None:
         repacked.limit(0).write.mode("append").parquet(str(tmp))
 
 
-def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> None:
+def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set) -> None:
     """Hard-link every ``shard=S`` partition dir of ``prev_dir`` with
     ``S not in skip_shards`` into ``new_dir``. Metadata-only (os.link):
     untouched shards cost O(#files), not O(bytes). Safe because packed
@@ -419,13 +419,16 @@ def _link_shard_dirs(prev_dir: Path, new_dir: Path, skip_shards: set[int]) -> No
     filesystem — the local/HDFS deployment; on an object store the same
     O(touched) contract comes from a manifest listing per-version file
     sets instead of physical directories, i.e. a table format's commit
-    log. The directory layout here is the plain-parquet stand-in.)"""
+    log. The directory layout here is the plain-parquet stand-in.)
+
+    Shard values compare as RAW partition strings (str() of the caller's
+    values): the packer's int shards round-trip exactly through Spark's
+    unpadded ``shard=5`` dir names, and the group-texts stream's md5-hex
+    shards (``shard=1a``) must never be int-parsed — a parse-and-skip
+    here would silently DROP an untouched shard from the new version."""
+    skip = {str(s) for s in skip_shards}
     for shard_dir in prev_dir.glob("shard=*"):
-        try:
-            s = int(shard_dir.name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if s in skip_shards:
+        if shard_dir.name.split("=", 1)[1] in skip:
             continue
         shutil.copytree(shard_dir, new_dir / shard_dir.name, copy_function=os.link)
 

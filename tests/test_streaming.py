@@ -4411,3 +4411,320 @@ def test_quantile_stream_crash_replay(spark, tmp_path):
         for r in quantile_report(spark, out, [(1, 2), (1, 1)]).collect()
     }
     assert got == want == {(1, 2): 3, (1, 1): 9}
+
+
+def test_group_texts_stream_equals_batch(spark, tmp_path):
+    """The incrementally-maintained group-texts block map must equal the
+    batch splitter over everything landed — across micro-batches, a
+    restart with new data, and a crash-replay (fresh checkpoint replays
+    old files as batch 0, which the _folded_batch guard must skip). This
+    proves md5-hex shards are a stable pure function of doc_id: a doc
+    changing shard between batches would diverge the touched-shard
+    recompute from the full batch split."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        group_texts_blocks,
+    )
+    from data_pipeline_challenge_spark.streaming.group_texts_stream import (
+        current_blocks,
+        start_group_texts_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "blocks"
+    ckpt = tmp_path / "ckpt_gt"
+    SCHEMA = "doc_id string, tok long"
+    L = 32
+
+    def land(name, rows):
+        ids, toks = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "tok": pa.array(toks, pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    land("a.parquet", [("d1", 60), ("d2", 50), ("d3", 90), ("d0", 0)])
+    land("b.parquet", [("d4", 40), ("d5", 30), ("d6", 80)])
+
+    def run(ck=ckpt):
+        q = start_group_texts_stream(
+            spark, corpus_dir, out_dir, ck, SCHEMA,
+            "doc_id", "tok", block_len=L, shard_hex=1,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run()  # two files -> two micro-batches folded incrementally
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "shard", "block_id", "doc_id", "n_tokens", "doc_off", "block_off"
+            ).collect()
+        }
+
+    def batch_split():
+        full = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        return group_texts_blocks(full, "doc_id", "tok", block_len=L, shard_hex=1)
+
+    assert norm(current_blocks(spark, out_dir)) == norm(batch_split())
+
+    # restart with a third file: only touched shards recompute, result
+    # still equals the full batch split
+    land("c.parquet", [("d7", 55), ("d8", 25), ("d9", 10)])
+    run()
+    after = norm(current_blocks(spark, out_dir))
+    assert after == norm(batch_split())
+
+    # crash-replay: a fresh checkpoint replays ALL files as batch 0 —
+    # batch 0 <= last folded version, so the sink must skip the re-fold
+    run(ck=tmp_path / "ckpt_gt2")
+    assert norm(current_blocks(spark, out_dir)) == after
+
+
+def test_group_texts_stream_incremental_cost_and_revocation(spark, tmp_path):
+    """Per-batch cost is O(touched shards), pinned structurally: the
+    history scan partition-prunes on the md5-hex shard literal, and a new
+    version rewrites ONLY touched shards (untouched shards hard-linked,
+    inode-identical). revoke_block_docs folds a contaminated-doc delta the
+    same way: only holding shards recompute, the map row-equals the batch
+    splitter over corpus-minus-revoked, a re-applied delta is a no-op, and
+    a LATER micro-batch touching a revoked doc's shard does not resurrect
+    it."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.packing import (
+        group_texts_blocks,
+    )
+    from data_pipeline_challenge_spark.streaming.group_texts_stream import (
+        current_blocks,
+        revoke_block_docs,
+        start_group_texts_stream,
+        touched_doc_history,
+    )
+
+    # resolve doc ids to md5-hex shards so the two batches are disjoint
+    by_shard: dict = {}
+    for i in range(200):
+        did = f"doc{i}"
+        by_shard.setdefault(
+            hashlib.md5(did.encode()).hexdigest()[0], []
+        ).append(did)
+    shards = sorted(s for s in by_shard if len(by_shard[s]) >= 6)
+    s1, s2 = shards[0], shards[1]
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "blocks"
+    ckpt = tmp_path / "ckpt_gt"
+    SCHEMA = "doc_id string, tok long"
+    L = 50
+
+    def land(name, ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "tok": pa.array([40] * len(ids), pa.int64()),
+                }
+            ),
+            str(corpus_dir / name),
+        )
+
+    def run():
+        q = start_group_texts_stream(
+            spark, corpus_dir, out_dir, ckpt, SCHEMA,
+            "doc_id", "tok", block_len=L, shard_hex=1,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    land("a.parquet", by_shard[s1][:3])
+    run()  # batch 0 -> data.v0, shard s1 only
+    land("b.parquet", by_shard[s2][:3])
+    run()  # batch 1 -> data.v1, touches s2 only
+
+    v0, v1 = out_dir / "data.v0", out_dir / "data.v1"
+    inodes = lambda d: sorted(p.stat().st_ino for p in d.glob("*.parquet"))  # noqa: E731
+    assert inodes(v1 / f"shard={s1}"), "untouched shard missing from v1"
+    assert inodes(v1 / f"shard={s1}") == inodes(v0 / f"shard={s1}")
+    assert inodes(v1 / f"shard={s2}")
+    assert not (v0 / f"shard={s2}").exists()
+
+    # history scan partition-prunes on the string shard literal
+    hist = touched_doc_history(spark, out_dir / "rows", [s2])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        hist._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "shard" in seg
+    assert sorted(r["doc_id"] for r in hist.collect()) == sorted(by_shard[s2][:3])
+
+    def norm(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "shard", "block_id", "doc_id", "n_tokens", "doc_off", "block_off"
+            ).collect()
+        }
+
+    def expect(ids):
+        df = spark.createDataFrame([(i, 40) for i in ids], SCHEMA)
+        return norm(group_texts_blocks(df, "doc_id", "tok", block_len=L, shard_hex=1))
+
+    landed = by_shard[s1][:3] + by_shard[s2][:3]
+    assert norm(current_blocks(spark, out_dir)) == expect(landed)
+
+    # revocation fold: only the holding shard recomputes
+    def fold(ids):
+        return revoke_block_docs(
+            spark, out_dir,
+            spark.createDataFrame([(i,) for i in ids], "doc_id string"),
+            "doc_id", "tok", block_len=L, shard_hex=1,
+        )
+
+    revoked = by_shard[s2][1]
+    assert fold([revoked]) == 1
+    kept = [i for i in landed if i != revoked]
+    assert norm(current_blocks(spark, out_dir)) == expect(kept)
+    v2 = out_dir / "data.v2"
+    assert inodes(v2 / f"shard={s1}") == inodes(v1 / f"shard={s1}")
+    assert inodes(v2 / f"shard={s2}") != inodes(v1 / f"shard={s2}")
+
+    # idempotent re-apply; unknown doc records keys but repacks nothing
+    assert fold([revoked]) == 0
+    assert not (out_dir / "data.v3").exists()
+    assert fold(["never-landed"]) == 0
+
+    # a later micro-batch touching the revoked doc's shard must not
+    # resurrect it (touched_doc_history anti-joins the revoked store)
+    land("c.parquet", by_shard[s2][3:6])
+    run()
+    kept += by_shard[s2][3:6]
+    assert norm(current_blocks(spark, out_dir)) == expect(kept)
+
+
+def test_funnel_revocation_propagates_to_block_store(spark, tmp_path):
+    """VERDICT r12 #7: the group-texts block store is the pre-training
+    sibling of the packed table and gets the same maintained-store +
+    revoke treatment — funnel corpus → block map → eval-generation
+    upgrade → revoke_block_docs fold → the map row-equals the batch
+    splitter over the post-revocation current_corpus, untouched shards
+    stay hard-linked, and the MATERIALIZED training sequences no longer
+    contain any revoked token."""
+    from data_pipeline_challenge_spark.operators.packing import (
+        group_texts_blocks,
+        materialize_block_texts,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        revoke_corpus_eval_generation,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.group_texts_stream import (
+        current_blocks,
+        revoke_block_docs,
+        start_group_texts_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out = tmp_path / "pipe"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    eval_a = spark.createDataFrame(
+        [(900, "the held out benchmark asks about the tallest mountain")], SCHEMA
+    )
+    eval_b = spark.createDataFrame(
+        [(901, "a newer benchmark question mentions deep river canyons")], SCHEMA
+    )
+    land("a.parquet", [
+        (1, "spark shuffles hash partitioned data between separate stages"),
+        (2, "the held out benchmark asks about something else entirely"),
+        (3, "several question mentions deep river canyons in passing today"),
+        (4, "an unrelated document about compiler design tradeoffs here"),
+    ])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, tmp_path / "ck", SCHEMA, "doc_id", "text",
+        eval_df=eval_a, min_jaccard=0.5, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    assert sorted(
+        r["doc_id"] for r in current_corpus(spark, out).collect()
+    ) == [1, 3, 4]
+
+    # feed the funnel's corpus into the maintained block store
+    def block_input(df):
+        return df.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("tok")
+        )
+
+    gt_in, gt_out = tmp_path / "gt_in", tmp_path / "blocks"
+    L = 8
+    block_input(current_corpus(spark, out)).write.parquet(str(gt_in))
+    q = start_group_texts_stream(
+        spark, gt_in, gt_out, tmp_path / "ckpt_gt",
+        "doc_id bigint, tok bigint", "doc_id", "tok",
+        block_len=L, shard_hex=1,
+    )
+    q.awaitTermination(180)
+
+    # a new benchmark generation lands: corpus view drops doc 3 ...
+    rev = revoke_corpus_eval_generation(spark, out, eval_b, "doc_id", "text")
+    assert [r["doc_id"] for r in rev.collect()] == [3]
+    # ... and the fold mirrors it onto the block store
+    assert revoke_block_docs(
+        spark, gt_out, rev, "doc_id", "tok", block_len=L, shard_hex=1
+    ) >= 1
+
+    norm = lambda df: {  # noqa: E731
+        tuple(r)
+        for r in df.select(
+            "shard", "block_id", "doc_id", "n_tokens", "doc_off", "block_off"
+        ).collect()
+    }
+    expected = group_texts_blocks(
+        block_input(current_corpus(spark, out)),
+        "doc_id", "tok", block_len=L, shard_hex=1,
+    )
+    blocks = current_blocks(spark, gt_out)
+    assert norm(blocks) == norm(expected)
+    assert 3 not in {r["doc_id"] for r in blocks.collect()}
+
+    # untouched shards of the previous version stay hard-linked
+    import hashlib
+
+    versions = sorted(
+        p for p in gt_out.glob("data.v*") if not p.name.endswith(".tmp")
+    )
+    assert len(versions) == 2
+    prev_v, new_v = versions
+    revoked_shards = {hashlib.md5(b"3").hexdigest()[0]}
+    inodes = lambda d: sorted(p.stat().st_ino for p in d.glob("*.parquet"))  # noqa: E731
+    for sd in prev_v.glob("shard=*"):
+        s = sd.name.split("=", 1)[1]
+        if s in revoked_shards:
+            assert inodes(new_v / sd.name) != inodes(sd)
+        else:
+            assert inodes(new_v / sd.name) == inodes(sd)
+
+    # the materialized training sequences reference no revoked token
+    docs_toks = current_corpus(spark, out).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    seqs = materialize_block_texts(blocks, docs_toks, "doc_id", "toks")
+    all_text = " ".join(r["seq_text"] for r in seqs.collect())
+    assert "canyons" not in all_text and "spark" in all_text
