@@ -101,8 +101,10 @@ class _PartPayloadReader:
     """File-like over ONE multipart part's payload: yields bytes up to
     (not including) the next ``\\r\\n--boundary``, pulling from the body
     reader as needed. Buffers at most chunk + len(delimiter) bytes.
-    ``read(n)`` honors the at-most-n file-object contract (ADVICE r11):
-    flushed-but-unreturned payload waits in ``_pending``."""
+    ``read(n)`` honors the at-most-n file-object contract (ADVICE r11);
+    ``read()``/``read(-1)`` honors the unsized-read contract too (ADVICE
+    r12): it accumulates the ENTIRE remaining payload, not one buffered
+    chunk. Flushed-but-unreturned payload waits in ``_pending``."""
 
     def __init__(self, body: _BoundedReader, buf: bytes, delim: bytes):
         self._body = body
@@ -116,6 +118,18 @@ class _PartPayloadReader:
         self.tail = b""
 
     def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            # unsized read: everything up to the part's closing delimiter
+            # (_read_chunk returns b"" only at end-of-part)
+            parts = []
+            while True:
+                chunk = self._read_chunk(-1)
+                if not chunk:
+                    return b"".join(parts)
+                parts.append(chunk)
+        return self._read_chunk(n)
+
+    def _read_chunk(self, n: int) -> bytes:
         while True:
             if self._pending:
                 if n is None or n < 0 or len(self._pending) <= n:
@@ -209,9 +223,11 @@ def _open_multipart_file_part(body: _BoundedReader, content_type: str):
                 ct.group(1).strip() if ct else "application/octet-stream",
                 reader,
             )
-        # skip a non-file part's payload with the same bounded reader,
-        # then resume the scan at the boundary token it stopped on
-        while reader.read():
+        # skip a non-file part's payload with the same bounded reader —
+        # SIZED reads so a hostile oversized form field stays O(chunk)
+        # in memory (read() would now accumulate the whole part) — then
+        # resume the scan at the boundary token it stopped on
+        while reader.read(_UPLOAD_CHUNK):
             pass
         buf = reader.tail
 

@@ -570,6 +570,7 @@ def maybe_consolidate_in_stream(
     stores: dict[str | Path, list[str] | None],
     batch_id: int,
     every: int | None,
+    unbounded: set | frozenset | None = None,
 ) -> int:
     """In-stream consolidation hook: called from the owning stream's own
     ``foreachBatch`` AFTER the batch's appends, folds each store's
@@ -582,17 +583,27 @@ def maybe_consolidate_in_stream(
 
     ``stores`` maps store path -> partition_by columns (or None).
     ``every=None`` disables (offline-only maintenance, the pre-r8
-    contract). Idempotent under replay: a re-delivered trigger batch
-    re-runs the fold, which either finds nothing live below the horizon
-    (already folded — sweep-only) or completes a fold that crashed
-    midway. Returns total dirs folded/swept."""
+    contract). ``unbounded`` names stores whose batch ids live in an
+    INDEPENDENT id space (e.g. the retrieval index's ``revoked`` store,
+    written on its own generation counter while the stream is stopped):
+    those fold with no ``up_to`` bound — the same discipline their
+    offline compactor applies (ADVICE r12) — since bounding them at the
+    stream's batch id would be comparing unrelated counters. Idempotent
+    under replay: a re-delivered trigger batch re-runs the fold, which
+    either finds nothing live below the horizon (already folded —
+    sweep-only) or completes a fold that crashed midway. Returns total
+    dirs folded/swept."""
     if not every or batch_id <= 0 or batch_id % every != 0:
         return 0
+    skip_bound = {Path(p) for p in (unbounded or ())}
     total = 0
     for store, partition_by in stores.items():
         store = Path(store)
         if store.exists():
             total += consolidate_batch_store(
-                spark, store, partition_by=partition_by, up_to=batch_id - 1
+                spark,
+                store,
+                partition_by=partition_by,
+                up_to=None if store in skip_bound else batch_id - 1,
             )
     return total

@@ -487,11 +487,20 @@ def start_corpus_pipeline_stream(
             stores.update(decontam_stream._store_map(odir / "decontam"))
         stores.update(dedup_stream._store_map(odir / "exact"))
         stores.update(near_dedup_stream._store_map(odir / "near"))
+        unbounded: set = set()
         if retrieval_index_dir is not None:
             from . import retrieval_stream
 
             stores.update(retrieval_stream._store_map(Path(retrieval_index_dir)))
-        maybe_consolidate_in_stream(spark, stores, batch_id, consolidate_every)
+            # the revoked store's ids are an independent generation
+            # counter — fold it unbounded, the same discipline as
+            # compact_retrieval_index (ADVICE r12)
+            unbounded |= retrieval_stream._unbounded_stores(
+                Path(retrieval_index_dir)
+            )
+        maybe_consolidate_in_stream(
+            spark, stores, batch_id, consolidate_every, unbounded=unbounded
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

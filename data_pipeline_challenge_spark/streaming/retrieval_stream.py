@@ -13,7 +13,8 @@ Per micro-batch, three folds:
   join at all — at 100 TB a probe touches only the query's buckets;
 - ``doclen/`` — (doc_id, dl), the per-doc token count (kept normalized
   too: revocation looks lengths up here, and it is the one-row-per-doc
-  membership view);
+  membership view — zero-token docs get a dl=0 row so they stay
+  revocable, ADVICE r12);
 - ``totals/b{B}.json`` — running (n_docs, n_len_docs, sum_dl), derived
   from the PREDECESSOR's file plus this batch (pure function ⇒
   crash-replay re-derives the identical file, the heavy_stream/summary
@@ -79,6 +80,15 @@ _STORES: tuple[tuple[str, list | None], ...] = (
 
 def _store_map(odir: Path) -> dict:
     return {odir / name: part for name, part in _STORES}
+
+
+def _unbounded_stores(odir: Path) -> set[Path]:
+    """Stores OUTSIDE the stream's batch-id discipline: ``revoked`` is
+    written on its own generation counter while the stream is stopped
+    and readers scan it unbounded, so BOTH maintenance paths (offline
+    ``compact_retrieval_index`` and the in-stream hook) must fold it
+    with no ``up_to`` bound — one discipline, not two (ADVICE r12)."""
+    return {odir / "revoked"}
 
 
 def _totals_path(odir: Path, batch_id: int) -> Path:
@@ -149,7 +159,24 @@ def fold_batch(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).cache()
+    # One doclen row per doc INCLUDING zero-token docs (dl=0) — computed
+    # without the explode so empty docs survive. dl=0 rows join into no
+    # postings and are excluded from avgdl (n_len_docs counts dl>0), but
+    # they make every indexed doc REVOCABLE: before this (ADVICE r12) a
+    # revoked empty doc had no doclen row, so its n_docs share lingered
+    # forever and post-revocation idf could diverge from batch BM25 over
+    # current_corpus.
+    dl_of_row = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    )
+    doclen = (
+        batch_df.select(
+            F.col(id_col).alias("doc_id"), dl_of_row.cast("long").alias("dl")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("dl").alias("dl"))
+        .cache()
+    )
     # dl denormalized into every posting (batch-sized join, paid once at
     # fold time) so bm25_search never joins the corpus-sized doclen.
     postings = (
@@ -161,7 +188,11 @@ def fold_batch(
     try:
         n_rows = batch_df.count()
         batch_stats = doclen.agg(
-            F.count(F.lit(1)).alias("nd"),
+            # avgdl's denominator counts only length-bearing docs — dl=0
+            # rows exist for revocability, not for length statistics
+            F.coalesce(
+                F.sum((F.col("dl") > 0).cast("long")), F.lit(0)
+            ).alias("nd"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
         ).first()
 
@@ -206,9 +237,12 @@ def revoke_docs(spark: SparkSession, out_dir: str | Path, doc_ids: DataFrame) ->
 
     ``doc_ids``: any DataFrame whose FIRST column is the document id.
     Scale shape: one broadcast-semi-join scan of the doclen store
-    (revocations are benchmark-contamination-sized); zero-token docs
-    have no doclen row and no postings, so they are unrevocable but
-    also unservable — only their (empty) n_docs share lingers.
+    (revocations are benchmark-contamination-sized). Zero-token docs
+    are revocable too (ADVICE r12): the fold records dl=0 doclen rows
+    for them, so revoking one corrects n_docs (and therefore idf)
+    without touching avgdl. Docs indexed by a PRE-dl=0-era fold have no
+    such row and stay unrevocable-if-empty — rebuild the index to pick
+    up the contract retroactively.
 
     The doclen lookup is deliberately UNBOUNDED by the totals commit
     frontier: a doc whose batch is in the crash window (data stores
@@ -250,9 +284,10 @@ def _revoked_view(spark: SparkSession, odir: Path) -> DataFrame | None:
 def _effective_totals(spark: SparkSession, odir: Path):
     """The serving-time index state both search entry points share:
     ``(n_docs, avgdl, tid, revoked)`` AFTER revocation corrections —
-    revoked docs' counts subtracted from N and from avgdl's numerator/
-    denominator (every revoked row came from doclen, so each subtracts
-    one length-bearing doc). None before the first batch; ``n_docs <= 0``
+    revoked docs' counts subtracted from N, and from avgdl's numerator/
+    denominator only when length-bearing (a dl=0 revoked row is a
+    zero-token doc: it was never part of the length statistics, so it
+    corrects n_docs alone). None before the first batch; ``n_docs <= 0``
     signals an empty effective corpus (callers return their empty
     frame)."""
     totals, tid = _latest_totals(odir)
@@ -265,10 +300,13 @@ def _effective_totals(spark: SparkSession, odir: Path):
     if revoked is not None:
         agg = revoked.agg(
             F.count(F.lit(1)).alias("nr"),
+            F.coalesce(
+                F.sum((F.col("dl") > 0).cast("long")), F.lit(0)
+            ).alias("nl"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sdl"),
         ).first()
         n_docs -= int(agg["nr"])
-        n_len_docs -= int(agg["nr"])
+        n_len_docs -= int(agg["nl"])
         sum_dl -= int(agg["sdl"])
     if n_docs <= 0 or n_len_docs <= 0:
         return 0, 1.0, tid, revoked
@@ -499,7 +537,8 @@ def start_retrieval_index_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fold_batch(spark, odir, batch_df, batch_id, id_col, text_col)
         maybe_consolidate_in_stream(
-            spark, _store_map(odir), batch_id, consolidate_every
+            spark, _store_map(odir), batch_id, consolidate_every,
+            unbounded=_unbounded_stores(odir),
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

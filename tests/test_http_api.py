@@ -658,7 +658,11 @@ def _stream_file_part_to(body_bytes: bytes, ctype: str, chunk: int):
     fn, part_ct, reader = _open_multipart_file_part(body, ctype)
     sink = bytearray()
     while True:
-        piece = reader.read()
+        # sized reads, like the production consumer (shutil.copyfileobj
+        # in sources/landing.upload) — read() with no size is the
+        # whole-remaining-payload convention (ADVICE r12) and would
+        # defeat the streaming proof by design
+        piece = reader.read(chunk)
         if not piece:
             break
         sink.extend(piece)
@@ -1052,3 +1056,42 @@ def test_stream_codes_probe_chunk_boundaries(spark, tmp_path):
                 assert got == truth, (sep, pad, got, truth)
     finally:
         server.stop()
+
+
+def test_multipart_part_reader_unsized_read_returns_all():
+    """read() / read(-1) must honor the UNSIZED file-object convention
+    (ADVICE r12): the entire remaining payload in one call, not one
+    buffered chunk — including after a partial sized read, and b"" at
+    EOF."""
+    from data_pipeline_challenge_spark.api import (
+        _BoundedReader,
+        _open_multipart_file_part,
+    )
+
+    payload = b"".join(b"%05d|%s" % (i, b"z" * 23) for i in range(3000))  # ~84 KiB
+    boundary = "graftboundary123"
+    body = (
+        (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="file"; filename="a.bin"\r\n\r\n'
+        ).encode()
+        + payload
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+
+    def open_reader():
+        rfile = _RecordingRfile(body, [])
+        return _open_multipart_file_part(
+            _BoundedReader(rfile, len(body), 4096),
+            f"multipart/form-data; boundary={boundary}",
+        )[2]
+
+    r = open_reader()
+    assert r.read() == payload  # one unsized call drains the part
+    assert r.read() == b""
+
+    r = open_reader()
+    head = r.read(100)
+    assert head == payload[:100]
+    assert r.read(-1) == payload[100:]  # remainder after a sized read
+    assert r.read(-1) == b""

@@ -4728,3 +4728,56 @@ def test_funnel_revocation_propagates_to_block_store(spark, tmp_path):
     seqs = materialize_block_texts(blocks, docs_toks, "doc_id", "toks")
     all_text = " ".join(r["seq_text"] for r in seqs.collect())
     assert "canyons" not in all_text and "spark" in all_text
+
+
+def test_revoke_zero_token_doc_corrects_n_docs(spark, tmp_path):
+    """ADVICE r12: a zero-token doc gets a dl=0 doclen row at fold time,
+    so revoking it (a) is recorded, and (b) corrects n_docs — index BM25
+    stays equal to batch BM25 over the post-revocation corpus even when
+    the revoked doc contributed nothing but its idf-N share. avgdl must
+    be untouched (the dl=0 row was never in the length statistics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        bm25_search,
+        revoke_docs,
+        start_retrieval_index_stream,
+    )
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    rows = [
+        (1, "spark shuffles partitioned data between stages"),
+        (2, "dup rows need spark dedup passes"),
+        (3, ""),  # zero tokens: no postings, no length — but counts into N
+        (4, "merge folds spark batches into stores"),
+    ]
+    ids, texts = zip(*rows)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        str(corpus / "a.parquet"),
+    )
+    out = tmp_path / "idx"
+    q = start_retrieval_index_stream(
+        spark, corpus, out, tmp_path / "ck", "doc_id long, text string",
+        "doc_id", "text",
+    )
+    q.awaitTermination(240)
+
+    terms = ["spark", "merge"]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, out, terms).collect()]
+    assert got == _batch_bm25_want(all_docs, terms)  # N=4 pre-revocation
+
+    # revoke the EMPTY doc: recorded (dl=0 row), N corrected to 3
+    assert revoke_docs(
+        spark, out, spark.createDataFrame([(3,)], "doc_id long")
+    ) == 1
+    kept = all_docs.filter(F.col("doc_id") != 3)
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_search(spark, out, terms).collect()]
+    assert got == _batch_bm25_want(kept, terms)
+
+    # idempotent; and a never-indexed id is still ignored
+    assert revoke_docs(spark, out, spark.createDataFrame([(3,)], "doc_id long")) == 0
+    assert revoke_docs(spark, out, spark.createDataFrame([(99,)], "doc_id long")) == 0
