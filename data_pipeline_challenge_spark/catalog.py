@@ -34,11 +34,37 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# (applicationId, path) -> (source mtime, StructType). Schema inference
+# reads parquet footers in a driver-side job (~0.1s per call); interactive
+# and bench workloads re-load the same static tables dozens of times per
+# session, so memoize the inferred schema and hand it to the reader
+# explicitly. Pinned to the file/dir mtime: regenerated test data
+# re-infers. Pushdown/pruning are unaffected (an explicit schema is the
+# same read path minus the inference job).
+_SCHEMA_CACHE: dict[tuple, tuple[float, object]] = {}
+
+
+def _read_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, path)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = (mtime, df.schema)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table; normalizes the events timestamp."""
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_cached_schema(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +85,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session zone cannot shift it.
     """
     tune(spark)  # ensure nanosAsLong is on even on an externally built session
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _read_cached_schema(spark, f"{sf_dir}/events.parquet")
     t = dict(raw.dtypes)["ts"]
     if t == "bigint":
         ts_ns = F.col("ts")
