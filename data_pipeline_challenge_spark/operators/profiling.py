@@ -74,6 +74,50 @@ def exact_quantiles(
     return histogram_quantiles(value_histogram(df, value_col), fractions)
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fractions: list[tuple[int, int]],
+) -> DataFrame:
+    """Per-GROUP exact quantiles of an integer-valued metric — the
+    stratified form of :func:`exact_quantiles` (per-source length
+    profiles, per-language budgets). Same structure, better parallelism
+    at scale: one partial-agg shuffle down to O(groups × distinct
+    values) histogram rows, then the cumulative sum runs as a
+    PER-GROUP window over the small post-agg frame, so the window's
+    parallelism ceiling is the group count — the global form's single
+    sequential task is the one thing this avoids. The all-integer pick
+    rule (``cum * den >= num * n_group``, percentile_disc semantics,
+    engine-stable by construction) is identical.
+
+    Returns ``({group_col}, q_num int, q_den int, value bigint)``."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    gc = group_col
+    hist = (
+        df.select(gc, F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(gc, "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(gc).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "nt", F.sum("n").over(Window.partitionBy(gc))
+    )
+    q = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in fractions], "q_num int, q_den int"
+    )
+    return (
+        s.join(F.broadcast(q), s["cum"] * q["q_den"] >= q["q_num"] * s["nt"])
+        .groupBy(gc, "q_num", "q_den")
+        .agg(F.min("v").alias("value"))
+    )
+
+
 def value_histogram(df: DataFrame, value_col: str) -> DataFrame:
     """The exact-quantile contract's OTHER half, shared with the
     maintained streaming twin's per-batch fold: integer cast, nulls

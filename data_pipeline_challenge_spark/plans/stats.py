@@ -551,6 +551,46 @@ def doclen_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doclen_quantiles_by_source",
+    """
+    WITH t AS (
+        SELECT source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS BIGINT) AS v
+        FROM documents
+    ), c AS (SELECT source, v, count(*) AS n FROM t GROUP BY source, v),
+    s AS (SELECT source, v, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER (PARTITION BY source) AS nt
+          FROM c),
+    q AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS q(q_num, q_den))
+    SELECT s.source, q.q_num, q.q_den, CAST(min(s.v) AS BIGINT) AS value
+    FROM s JOIN q ON s.cum * q.q_den >= q.q_num * s.nt
+    GROUP BY s.source, q.q_num, q.q_den
+    """,
+    tags=("stats", "quantile", "profiling"),
+)
+def doclen_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source p50/p90 of document token counts
+    (``operators/profiling.grouped_exact_quantiles``) — the stratified
+    length profile a mixture designer reads before setting per-source
+    packing capacities or token budgets. Same all-integer
+    percentile_disc pick rule as the global form; the structural
+    difference is the scale story: the cumulative sum runs as a
+    PER-SOURCE window over the O(groups × distinct lengths) post-agg
+    histogram, so parallelism scales with the group count instead of
+    the global form's single sequential distribution task."""
+    from ..functions.textfn import token_count
+    from ..operators.profiling import grouped_exact_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", token_count(F.col("text")).alias("v"))
+    return grouped_exact_quantiles(t, "source", "v", [(1, 2), (9, 10)])
+
+
+@query(
     "distinct_flag_status",
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),

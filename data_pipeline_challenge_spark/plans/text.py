@@ -1709,3 +1709,155 @@ def term_pmi_window8_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pair set)."""
     docs = load_table(spark, sf_dir, "documents")
     return windowed_pmi(docs, window=8, min_count=25, min_pair=10, top_k=20)
+
+
+def _doc_shingles(docs: DataFrame, n: int = 8, *cols: str) -> DataFrame:
+    """DISTINCT md5'd n-token shingles per document (plus any carried
+    ``cols``): the shared frame under the boilerplate/overlap reports.
+    md5 fixes the shuffle width regardless of shingle text length — at
+    100 TB the shingle strings never travel, only 32-hex digests. Docs
+    shorter than ``n`` tokens contribute no shingles (the CASE guard —
+    Spark's ``sequence(1, k)`` with k <= 0 would count DOWN, not return
+    empty)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = int(n)
+    shingles = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(*cols, toks.alias("_toks"))
+        .select(*cols, F.explode(shingles).alias("s"))
+        .distinct()
+    )
+
+
+@query(
+    "boilerplate_share_top20",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+        FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(list_slice(arr, u.i, u.i + 7), ' ')) AS s
+        FROM t, unnest(generate_series(1, len(arr) - 7)) AS u(i)
+    ), d AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    f AS (
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM sh JOIN d USING (s) GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared * 1.0 / n_shingles, 6) AS boilerplate_share
+    FROM f
+    ORDER BY boilerplate_share DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "dedup", "profile"),
+)
+def boilerplate_share_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most boilerplate-heavy documents: the fraction of a doc's
+    DISTINCT 8-token shingles that appear in at least one OTHER doc —
+    the doc-level novelty/boilerplate score curation uses to find
+    templated pages that exact dedup misses (they differ somewhere) and
+    near-dedup under-weights (the template is diluted by unique
+    filler).
+
+    Scale shape: shingles are md5'd (fixed shuffle width), the df table
+    is one shingle-keyed partial agg, the flag rides back on a
+    shingle-keyed equi-join, and the per-doc fraction is a doc-keyed
+    partial agg — no self-join of docs, no window over the corpus;
+    top-20 is TakeOrderedAndProject on (rounded share desc, doc_id).
+    Counts are exact integers; the one float op is the final int/int
+    division (IEEE-exact in double for these magnitudes), rounded 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, 8, "doc_id")
+    d = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    f = (
+        sh.join(d, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    share = F.round(
+        F.col("n_shared") * F.lit(1.0) / F.col("n_shingles"), 6
+    )
+    return (
+        f.select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            share.alias("boilerplate_share"),
+        )
+        .orderBy(F.col("boilerplate_share").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "source_shingle_overlap",
+    """
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\\s+') AS arr
+        FROM documents WHERE trim(text) <> ''
+    ), sh AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(list_slice(arr, u.i, u.i + 7), ' ')) AS s
+        FROM t, unnest(generate_series(1, len(arr) - 7)) AS u(i)
+    ), n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    o AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT o.s1, o.s2, CAST(o.n_shared AS BIGINT) AS n_shared,
+           round(o.n_shared * 1.0 / (n1.n + n2.n - o.n_shared), 6) AS jaccard
+    FROM o JOIN n n1 ON o.s1 = n1.source
+    JOIN n n2 ON o.s2 = n2.source
+    """,
+    tags=("text", "dedup", "profile", "cooccurrence"),
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, the
+    number of DISTINCT 8-token shingles they share and the Jaccard of
+    their shingle sets — the feed-level leakage report ("which two
+    feeds syndicate the same boilerplate?") that decides whether dedup
+    must run across sources or can shard by source.
+
+    Scale shape: the frame is (source, shingle) DISTINCT with md5'd
+    shingles; the pair join is shingle-KEYED (equi-join), and each
+    shingle contributes at most (sources-it-appears-in choose 2) pair
+    rows — bounded by the source count squared per shingle, never by
+    corpus size; per-source set sizes are a partial agg broadcast into
+    the final small matrix. Exact integers + one rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, 8, "source")
+    n = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("s1"), "s")
+    b = sh.select(F.col("source").alias("s2"), "s")
+    o = (
+        a.join(b, "s")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n1 = n.select(F.col("source").alias("s1"), F.col("n").alias("_n1"))
+    n2 = n.select(F.col("source").alias("s2"), F.col("n").alias("_n2"))
+    jac = F.round(
+        F.col("n_shared")
+        * F.lit(1.0)
+        / (F.col("_n1") + F.col("_n2") - F.col("n_shared")),
+        6,
+    )
+    return (
+        o.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .select("s1", "s2", "n_shared", jac.alias("jaccard"))
+    )
