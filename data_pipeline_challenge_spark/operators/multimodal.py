@@ -57,6 +57,48 @@ def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_bmp_media(
+    spark: SparkSession, n: int = 8, seed: int = 23, start_id: int = 8000
+) -> DataFrame:
+    """Deterministic REAL uncompressed 24-bit BMP images — the fixture
+    that exercises the resizer's dependency-free real-pixel tier (and
+    the decoder's stdlib BMP dims parse) under the driver's rows-only
+    checks, the image sibling of ``synth_avi_rgb_media``. Alternates
+    bottom-up and top-down (negative height) orientation, and mixes
+    dims above and below the standard max_side so both the resample and
+    the pass-through branch run."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        big = i % 2 == 0
+        w = int(rng.randint(150, 320)) if big else int(rng.randint(8, 96))
+        h = int(rng.randint(150, 320)) if big else int(rng.randint(8, 96))
+        bottom_up = i % 4 < 2
+        stride = (w * 3 + 3) & ~3
+        px = bytearray()
+        for _y in range(h):
+            row = rng.bytes(w * 3)
+            px += row + b"\x00" * (stride - w * 3)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h if bottom_up else -h, 1, 24, 0,
+                len(px), 2835, 2835, 0, 0,
+            )
+        )
+        rows.append(
+            (
+                start_id + i,
+                "image",
+                bytearray(header + bytes(px)),
+                {"source": "bmp", "w": str(w)},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _make_decoder():
     """Decoder factory: the returned closure is fully self-contained
     (stdlib + optional Pillow, imported inside) so every mapInPandas
@@ -130,6 +172,11 @@ def _make_decoder():
             w, h = _gif_dims(payload)
         elif payload[:2] == b"\xff\xd8":
             w, h = _jpeg_dims(payload)
+        elif payload[:2] == b"BM" and len(payload) >= 26:
+            # BITMAPINFOHEADER: width i32le @18, height i32le @22
+            # (negative height = top-down orientation)
+            w, h = _struct.unpack_from("<ii", payload, 18)
+            h = abs(h)
         else:
             raise NotImplementedError(
                 "unrecognized media container and Pillow not installed"
@@ -814,15 +861,50 @@ def _make_resizer(max_side: int):
     1. FAKE containers resize deterministically in the stub format —
        header rewritten to the new dims, body stride-subsampled to the
        area ratio — so oracle rows never depend on installed codecs.
-    2. Real containers resize through Pillow when importable (actual
-       pixel resample, re-encoded as PNG — the production branch).
-    3. Otherwise NotImplementedError: a header parse alone cannot
+    2. Uncompressed 24-bit BMP resizes for REAL with zero optional deps
+       (the image sibling of the rawvideo AVI frame tier): stride
+       un-pad, orientation flip, deterministic nearest-neighbor
+       resample, re-encoded as bottom-up 24-bit BMP. This tier comes
+       BEFORE Pillow on purpose: Pillow's thumbnail() resamples with
+       antialiasing, so tiering it first would make the output payload
+       depend on what happens to be installed — for this one container
+       the result must be environment-independent.
+    3. Other real containers resize through Pillow when importable
+       (actual pixel resample, re-encoded as PNG — the production
+       branch).
+    4. Otherwise NotImplementedError: a header parse alone cannot
        produce pixels (honest gap, same contract as the decoder's
        exotic-container tier).
     """
     import struct as _struct
 
     magic = _MAGIC
+
+    def _bmp_info(p: bytes):
+        # (data_offset, width, signed_height, bpp, compression) or None
+        if p[:2] != b"BM" or len(p) < 54:
+            return None
+        off = _struct.unpack_from("<I", p, 10)[0]
+        hdr = _struct.unpack_from("<I", p, 14)[0]
+        if hdr < 40:  # pre-BITMAPINFOHEADER cores: let Pillow have them
+            return None
+        w, h = _struct.unpack_from("<ii", p, 18)
+        bpp = _struct.unpack_from("<H", p, 28)[0]
+        comp = _struct.unpack_from("<I", p, 30)[0]
+        return off, int(w), int(h), int(bpp), int(comp)
+
+    def _bmp_encode(rows_topdown: list[bytes], nw: int, nh: int) -> bytes:
+        nstride = (nw * 3 + 3) & ~3
+        pad = b"\x00" * (nstride - nw * 3)
+        px = b"".join(rows_topdown[y] + pad for y in range(nh - 1, -1, -1))
+        return (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, len(px), 2835, 2835, 0, 0
+            )
+            + px
+        )
 
     def resize(payload: bytes) -> tuple[bytes, int, int, bool]:
         if payload[:4] == magic:
@@ -838,6 +920,33 @@ def _make_resizer(max_side: int):
             new_body = body[::stride]
             out = magic + kind_b + _struct.pack("<HH", nw, nh) + new_body
             return out, int(nw), int(nh), True
+        info = _bmp_info(payload)
+        if info is not None and info[3] == 24 and info[4] == 0:
+            off, w, h_signed, _, _ = info
+            bottom_up = h_signed > 0
+            h = abs(h_signed)
+            if w <= 0 or h == 0:
+                raise ValueError("malformed BMP dimensions")
+            if max(w, h) <= max_side:
+                return payload, int(w), int(h), False
+            row_stride = (w * 3 + 3) & ~3
+            if off + h * row_stride > len(payload):
+                raise ValueError("truncated BMP pixel array")
+            scale = max_side / max(w, h)
+            nw = max(1, round(w * scale))
+            nh = max(1, round(h * scale))
+            out_rows = []
+            for y in range(nh):
+                sy = (y * h) // nh
+                idx = (h - 1 - sy) if bottom_up else sy
+                s = off + idx * row_stride
+                srow = payload[s : s + w * 3]
+                row = bytearray()
+                for x in range(nw):
+                    sx = (x * w) // nw
+                    row += srow[sx * 3 : sx * 3 + 3]
+                out_rows.append(bytes(row))
+            return _bmp_encode(out_rows, nw, nh), int(nw), int(nh), True
         try:
             import io
 

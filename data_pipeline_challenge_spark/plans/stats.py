@@ -396,12 +396,21 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing as a declared query: deterministic synthetic
-    media table → Arrow-batched decode (stub codec) → per-image features.
-    sf_dir is unused (no binary table in the test data); the synthetic
-    generator is seeded so the rows-only check is stable."""
-    from ..operators.multimodal import decode_image_features, synth_media
+    media table → Arrow-batched decode (stub codec for FAKE containers;
+    REAL stdlib BITMAPINFOHEADER dims parse for the BMP fixtures — the
+    driver check exercises a genuine container parse with zero optional
+    deps) → per-image features. sf_dir is unused (no binary table in
+    the test data); the generators are seeded so the rows-only check is
+    stable."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        synth_bmp_media,
+        synth_media,
+    )
 
-    media = synth_media(spark, n=96, seed=42)
+    media = synth_media(spark, n=96, seed=42).unionByName(
+        synth_bmp_media(spark, n=8, seed=23)
+    )
     return decode_image_features(media)
 
 
@@ -413,13 +422,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-resolution image normalization as a declared query:
     seeded synthetic media → Arrow-batched aspect-preserving downscale
-    (stub codec for FAKE containers; Pillow is the production branch for
-    real ones) → (dims, resized flag, payload size). sf_dir unused (no
-    binary table in the test data); fully seeded so the rows-only check
-    is stable."""
-    from ..operators.multimodal import resize_images, synth_media
+    (stub codec for FAKE containers; REAL dependency-free
+    nearest-neighbor pixel resample for the uncompressed-24-bit BMP
+    fixtures — environment-independent by tier order; Pillow remains
+    the production branch for compressed containers) → (dims, resized
+    flag, payload size). sf_dir unused (no binary table in the test
+    data); fully seeded so the rows-only check is stable."""
+    from ..operators.multimodal import (
+        resize_images,
+        synth_bmp_media,
+        synth_media,
+    )
 
-    media = synth_media(spark, n=96, seed=42)
+    media = synth_media(spark, n=96, seed=42).unionByName(
+        synth_bmp_media(spark, n=8, seed=23)
+    )
     return resize_images(media, max_side=128).select(
         "media_id",
         "width",

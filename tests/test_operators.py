@@ -2002,3 +2002,114 @@ def test_cluster_aware_split_never_leaks_pairs(spark):
         assert got[a][1] == got[b][1]
     # all three splits are populated on 300 keys
     assert {s for _, s in got.values()} == {"train", "val", "test"}
+
+
+def test_bmp_resize_real_pixels_dependency_free(spark):
+    """The uncompressed-24-bit-BMP resize tier (the image sibling of the
+    rawvideo AVI tier) must do a REAL nearest-neighbor pixel resample
+    with zero optional deps: verified against an independent test-side
+    implementation over known pixels, for both bottom-up and top-down
+    source orientation; small images pass through payload-identical; and
+    the tier outranks Pillow BY DESIGN (environment-independent output),
+    proven by injecting a poisoned PIL that fails if consulted."""
+    import struct
+    import sys
+    import types
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _make_resizer,
+    )
+
+    def encode_bmp(rows_topdown, w, h, bottom_up):
+        stride = (w * 3 + 3) & ~3
+        order = range(h - 1, -1, -1) if bottom_up else range(h)
+        px = b"".join(
+            rows_topdown[y] + b"\x00" * (stride - w * 3) for y in order
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h if bottom_up else -h, 1, 24, 0,
+                len(px), 2835, 2835, 0, 0,
+            )
+            + px
+        )
+
+    def decode_bmp(p):
+        off = struct.unpack_from("<I", p, 10)[0]
+        w, hs = struct.unpack_from("<ii", p, 18)
+        h = abs(hs)
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for y in range(h):
+            idx = (h - 1 - y) if hs > 0 else y
+            s = off + idx * stride
+            rows.append(p[s : s + w * 3])
+        return w, h, rows
+
+    # known pixels: rgb(x, y, x^y) at every position, 7x5 -> resize to 4
+    w, h = 7, 5
+    src_rows = [
+        bytes(b for x in range(w) for b in (x * 30 % 256, y * 40 % 256, (x ^ y) * 20 % 256))
+        for y in range(h)
+    ]
+    resize = _make_resizer(max_side=4)
+
+    # poisoned PIL: the BMP tier must never consult it
+    saved = sys.modules.get("PIL")
+    boom = types.ModuleType("PIL")
+
+    class _Boom:
+        @staticmethod
+        def open(*a, **k):
+            raise AssertionError("Pillow consulted for an uncompressed BMP")
+
+    boom.Image = _Boom
+    sys.modules["PIL"] = boom
+    try:
+        for bottom_up in (True, False):
+            payload = encode_bmp(src_rows, w, h, bottom_up)
+            out, nw, nh, did = resize(payload)
+            assert did and (nw, nh) == (4, 3)  # round(7*4/7)=4, round(5*4/7)=3
+            ow, oh, orows = decode_bmp(out)
+            assert (ow, oh) == (4, 3)
+            # independent nearest-neighbor expectation (top-down space)
+            for y in range(oh):
+                sy = (y * h) // oh
+                expect = bytearray()
+                for x in range(ow):
+                    sx = (x * w) // ow
+                    expect += src_rows[sy][sx * 3 : sx * 3 + 3]
+                assert orows[y] == bytes(expect), (bottom_up, y)
+
+        # pass-through below the bound: payload identity, no re-encode
+        small = encode_bmp(src_rows, w, h, True)
+        out, ow2, oh2, did = _make_resizer(max_side=16)(small)
+        assert not did and (ow2, oh2) == (w, h) and out == small
+    finally:
+        if saved is None:
+            sys.modules.pop("PIL", None)
+        else:
+            sys.modules["PIL"] = saved
+
+
+def test_bmp_decoder_stdlib_dims(spark):
+    """The stdlib decode tier parses BMP dims from BITMAPINFOHEADER
+    (both orientations) without any codec."""
+    import struct
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _decode_payload,
+        synth_bmp_media,
+    )
+
+    rows = synth_bmp_media(spark, n=6, seed=23).collect()
+    assert len(rows) == 6
+    for r in rows:
+        p = bytes(r["payload"])
+        w, hs = struct.unpack_from("<ii", p, 18)
+        got_w, got_h, body = _decode_payload(p)
+        assert (got_w, got_h) == (w, abs(hs))
+        assert body == len(p)
