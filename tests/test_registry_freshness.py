@@ -174,7 +174,19 @@ def test_r7_edited_queries_resort_first():
         pytest.skip(f"fresh green rows already recorded for {sorted(fresh)}")
     order = list(all_queries())
     positions = {t: order.index(t) for t in targets}
-    assert all(pos < 50 for pos in positions.values()), positions
+    # the invariant is BLOCK membership, not an absolute index: every
+    # target must enumerate before the first VERIFIED query (mid-round,
+    # an edit to a shared dependency like catalog.py legitimately makes
+    # the whole registry unverified — absolute positions then say
+    # nothing, but verified-after-unverified must still hold)
+    first_verified = min(
+        (order.index(n) for n in verified if n in order),
+        default=len(order),
+    )
+    assert all(pos < first_verified for pos in positions.values()), (
+        positions,
+        first_verified,
+    )
 
 
 _DEDUP_MOD_DEEP = '''
