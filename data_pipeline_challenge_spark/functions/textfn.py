@@ -102,3 +102,27 @@ def scrub_tokens(toks: Column, denylist: tuple[str, ...], mask: str = "[TERM]") 
     return F.transform(
         toks, lambda x: F.when(x.isin(*denylist), F.lit(mask)).otherwise(x)
     )
+
+
+def doc_shingles(docs: "DataFrame", n: int = 8, *cols: str) -> "DataFrame":
+    """DISTINCT md5'd n-token shingles per document (plus any carried
+    ``cols``): the shared frame under the boilerplate/overlap reports
+    and their streaming twin. md5 fixes the shuffle width regardless of
+    shingle text length — at 100 TB the shingle strings never travel,
+    only 32-hex digests. Docs shorter than ``n`` tokens contribute no
+    shingles (the CASE guard — Spark's ``sequence(1, k)`` with k <= 0
+    would count DOWN, not return empty)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = int(n)
+    shingles = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(*cols, toks.alias("_toks"))
+        .select(*cols, F.explode(shingles).alias("s"))
+        .distinct()
+    )

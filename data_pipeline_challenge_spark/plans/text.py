@@ -1711,30 +1711,6 @@ def term_pmi_window8_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_pmi(docs, window=8, min_count=25, min_pair=10, top_k=20)
 
 
-def _doc_shingles(docs: DataFrame, n: int = 8, *cols: str) -> DataFrame:
-    """DISTINCT md5'd n-token shingles per document (plus any carried
-    ``cols``): the shared frame under the boilerplate/overlap reports.
-    md5 fixes the shuffle width regardless of shingle text length — at
-    100 TB the shingle strings never travel, only 32-hex digests. Docs
-    shorter than ``n`` tokens contribute no shingles (the CASE guard —
-    Spark's ``sequence(1, k)`` with k <= 0 would count DOWN, not return
-    empty)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = int(n)
-    shingles = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
-        "ELSE array() END"
-    )
-    return (
-        docs.filter(F.trim(F.col("text")) != "")
-        .select(*cols, toks.alias("_toks"))
-        .select(*cols, F.explode(shingles).alias("s"))
-        .distinct()
-    )
-
-
 @query(
     "boilerplate_share_top20",
     """
@@ -1776,7 +1752,9 @@ def boilerplate_share_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact integers; the one float op is the final int/int
     division (IEEE-exact in double for these magnitudes), rounded 6."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, 8, "doc_id")
+    from ..functions.textfn import doc_shingles
+
+    sh = doc_shingles(docs, 8, "doc_id")
     d = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     f = (
         sh.join(d, "s")
@@ -1825,20 +1803,32 @@ def boilerplate_share_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "profile", "cooccurrence"),
 )
 def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source content-overlap matrix: for every source pair, the
-    number of DISTINCT 8-token shingles they share and the Jaccard of
-    their shingle sets — the feed-level leakage report ("which two
-    feeds syndicate the same boilerplate?") that decides whether dedup
-    must run across sources or can shard by source.
+    """Cross-source content-overlap matrix over ``documents`` — see
+    :func:`source_overlap_matrix` (the shared core; its streaming IVM
+    twin is ``streaming/overlap_stream.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, shingle_n=8)
+
+
+def source_overlap_matrix(docs: DataFrame, shingle_n: int = 8) -> DataFrame:
+    """For every source pair, the number of DISTINCT n-token shingles
+    they share and the Jaccard of their shingle sets — the feed-level
+    leakage report ("which two feeds syndicate the same boilerplate?")
+    that decides whether dedup must run across sources or can shard by
+    source.
 
     Scale shape: the frame is (source, shingle) DISTINCT with md5'd
     shingles; the pair join is shingle-KEYED (equi-join), and each
     shingle contributes at most (sources-it-appears-in choose 2) pair
     rows — bounded by the source count squared per shingle, never by
     corpus size; per-source set sizes are a partial agg broadcast into
-    the final small matrix. Exact integers + one rounded division."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, 8, "source")
+    the final small matrix. Exact integers + one rounded division.
+    ``streaming/overlap_stream.py`` maintains the same view
+    incrementally and must stay row-equal to this function
+    (``test_overlap_stream_equals_batch``)."""
+    from ..functions.textfn import doc_shingles
+
+    sh = doc_shingles(docs, shingle_n, "source")
     n = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("s1"), "s")
     b = sh.select(F.col("source").alias("s2"), "s")

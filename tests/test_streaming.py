@@ -4781,3 +4781,88 @@ def test_revoke_zero_token_doc_corrects_n_docs(spark, tmp_path):
     # idempotent; and a never-indexed id is still ignored
     assert revoke_docs(spark, out, spark.createDataFrame([(3,)], "doc_id long")) == 0
     assert revoke_docs(spark, out, spark.createDataFrame([(99,)], "doc_id long")) == 0
+
+
+def test_overlap_stream_equals_batch(spark, tmp_path):
+    """The incrementally-maintained source-overlap matrix (streaming IVM
+    of source_shingle_overlap) must row-equal the batch view over
+    everything landed — across micro-batches, a restart with new data
+    (including new shared shingles BETWEEN old and new batches), and a
+    fresh-checkpoint crash-replay; and orphan increments from a crash
+    window must be invisible to the report until their membership append
+    commits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.batchstore import append_batch_increment
+    from data_pipeline_challenge_spark.plans.text import source_overlap_matrix
+    from data_pipeline_challenge_spark.streaming.overlap_stream import (
+        overlap_report,
+        start_overlap_stream,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    out = tmp_path / "overlap"
+    SCHEMA = "source string, text string"
+    N = 3  # shingle size: small docs, real cross-batch overlap
+
+    boiler = "subscribe to our newsletter for updates today"
+    legal = "all rights reserved by the original author"
+    rows_a = [
+        ("web", f"{boiler} spark shuffles partitioned data"),
+        ("web", "a unique web document with its own words entirely"),
+        ("news", f"{legal} breaking news about compilers"),
+        ("blog", f"{boiler} and also {legal} combined"),
+    ]
+    rows_b = [
+        ("forum", f"{boiler} posted again in a forum thread"),
+        ("news", f"{boiler} now syndicated into the news feed"),
+        ("docs", "reference documentation stands alone without overlap"),
+    ]
+
+    def land(name, rows):
+        src, txt = zip(*rows)
+        pq.write_table(
+            pa.table({"source": pa.array(src), "text": pa.array(txt)}),
+            str(corpus_dir / name),
+        )
+
+    def run(ck):
+        q = start_overlap_stream(
+            spark, corpus_dir, out, ck, SCHEMA, "source", "text",
+            shingle_n=N, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def batch_view():
+        all_rows = spark.read.schema(SCHEMA).parquet(str(corpus_dir))
+        return source_overlap_matrix(all_rows, shingle_n=N)
+
+    land("a.parquet", rows_a)
+    run(tmp_path / "ck1")
+    got = norm(overlap_report(spark, out))
+    assert got == norm(batch_view())
+    assert got, "fixture must produce a non-empty matrix"
+
+    # restart with a second file: cross-batch shared shingles (forum and
+    # news gain boilerplate seen in batch 0) must fold incrementally
+    land("b.parquet", rows_b)
+    run(tmp_path / "ck1")
+    got = norm(overlap_report(spark, out))
+    assert got == norm(batch_view())
+    assert any(r[0] == "forum" or r[1] == "forum" for r in got)
+
+    # crash window: orphan increments (membership append never landed)
+    # are bounded out of the report
+    orphan = spark.createDataFrame([("web", "zzz", 99)], "s1 string, s2 string, d long")
+    append_batch_increment(orphan, out / "pair_inc", 50)
+    assert norm(overlap_report(spark, out)) == got
+
+    # fresh-checkpoint crash-replay: all files replay as earlier batch
+    # ids, at-or-below the commit point -> skipped, matrix unchanged
+    run(tmp_path / "ck2")
+    assert norm(overlap_report(spark, out)) == got
