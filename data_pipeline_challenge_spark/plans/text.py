@@ -1696,6 +1696,7 @@ def windowed_pmi(
     ORDER BY pmi DESC, t1, t2 LIMIT 20
     """,
     tags=("text", "cooccurrence", "stats"),
+    bench=True,
 )
 def term_pmi_window8_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by token-distance-windowed PMI (window=8) —
@@ -1735,6 +1736,7 @@ def term_pmi_window8_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY boilerplate_share DESC, doc_id LIMIT 20
     """,
     tags=("text", "dedup", "profile"),
+    bench=True,
 )
 def boilerplate_share_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most boilerplate-heavy documents: the fraction of a doc's
