@@ -88,33 +88,13 @@ def grouped_exact_quantiles(
     PER-GROUP window over the small post-agg frame, so the window's
     parallelism ceiling is the group count — the global form's single
     sequential task is the one thing this avoids. The all-integer pick
-    rule (``cum * den >= num * n_group``, percentile_disc semantics,
-    engine-stable by construction) is identical.
+    rule lives once, in :func:`histogram_quantiles`.
 
     Returns ``({group_col}, q_num int, q_den int, value bigint)``."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    gc = group_col
-    hist = (
-        df.select(gc, F.col(value_col).cast("long").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy(gc, "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy(gc).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "nt", F.sum("n").over(Window.partitionBy(gc))
-    )
-    q = spark.createDataFrame(
-        [(int(n), int(d)) for n, d in fractions], "q_num int, q_den int"
-    )
-    return (
-        s.join(F.broadcast(q), s["cum"] * q["q_den"] >= q["q_num"] * s["nt"])
-        .groupBy(gc, "q_num", "q_den")
-        .agg(F.min("v").alias("value"))
+    return histogram_quantiles(
+        grouped_value_histogram(df, [group_col], value_col),
+        fractions,
+        group_cols=[group_col],
     )
 
 
@@ -132,27 +112,53 @@ def value_histogram(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
-def histogram_quantiles(
-    hist: DataFrame, fractions: list[tuple[int, int]]
+def grouped_value_histogram(
+    df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
-    """The quantile core over a pre-counted ``(v, n)`` histogram frame —
-    shared by :func:`exact_quantiles` and the maintained streaming
+    """:func:`value_histogram` stratified by ``group_cols`` — shared by
+    the grouped batch operator and the grouped mode of the maintained
+    streaming twin (same one-definition rationale)."""
+    gcs = list(group_cols)
+    return (
+        df.select(*gcs, F.col(value_col).cast("long").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(*gcs, "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    fractions: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The quantile core over a pre-counted ``(…group_cols, v, n)``
+    histogram frame — shared by :func:`exact_quantiles`,
+    :func:`grouped_exact_quantiles`, and the maintained streaming
     twin's report (``streaming/quantile_stream.quantile_report``), so
-    the pick rule exists exactly once. Duplicate ``v`` rows (e.g. one
-    per store increment) are summed first."""
+    the all-integer pick rule exists exactly once. Duplicate ``v`` rows
+    (e.g. one per store increment) are summed first. With
+    ``group_cols`` the cumsum window partitions per group (parallelism
+    = group count); without, it is the documented single-task window
+    over the bounded distribution frame."""
     from pyspark.sql import Window
 
+    gcs = list(group_cols or ())
     spark = hist.sparkSession
-    hist = hist.groupBy("v").agg(F.sum("n").alias("n"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = hist.groupBy(*gcs, "v").agg(F.sum("n").alias("n"))
+    w = (
+        Window.partitionBy(*gcs)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     s = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "nt", F.sum("n").over(Window.partitionBy())
+        "nt", F.sum("n").over(Window.partitionBy(*gcs))
     )
     q = spark.createDataFrame(
         [(int(n), int(d)) for n, d in fractions], "q_num int, q_den int"
     )
     return (
         s.join(F.broadcast(q), s["cum"] * q["q_den"] >= q["q_num"] * s["nt"])
-        .groupBy("q_num", "q_den")
+        .groupBy(*gcs, "q_num", "q_den")
         .agg(F.min("v").alias("value"))
     )

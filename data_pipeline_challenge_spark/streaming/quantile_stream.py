@@ -51,37 +51,53 @@ def fold_batch(
     batch_df: DataFrame,
     batch_id: int,
     value_col: str,
+    group_cols: list[str] | None = None,
 ) -> None:
-    """Fold ONE micro-batch's value histogram. Idempotent: a replayed
-    batch is skipped by the store's last-id guard (its increment dir is
-    already the committed content)."""
+    """Fold ONE micro-batch's value histogram (per ``group_cols`` when
+    given — grouped histograms add exactly like global ones, so the
+    grouped store stays the exact stratified distribution). Idempotent:
+    a replayed batch is skipped by the store's last-id guard (its
+    increment dir is already the committed content)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    ensure_store_params(odir, {"value_col": value_col})
+    params: dict = {"value_col": value_col}
+    if group_cols:  # absent key keeps pre-grouped warehouses adoptable
+        params["group_cols"] = list(group_cols)
+    ensure_store_params(odir, params)
     store = odir / "counts"
     if batch_id <= last_batch_id(store):
         return
-    from ..operators.profiling import value_histogram
+    from ..operators.profiling import grouped_value_histogram, value_histogram
 
-    append_batch_increment(value_histogram(batch_df, value_col), store, batch_id)
+    hist = (
+        grouped_value_histogram(batch_df, list(group_cols), value_col)
+        if group_cols
+        else value_histogram(batch_df, value_col)
+    )
+    append_batch_increment(hist, store, batch_id)
 
 
 def quantile_report(
     spark: SparkSession,
     out_dir: str | Path,
     fractions: list[tuple[int, int]],
+    group_cols: list[str] | None = None,
 ) -> DataFrame | None:
     """EXACT quantiles of everything folded so far: the batch
     operator's shared core (``profiling.histogram_quantiles`` — ONE
-    implementation of the integer pick rule) over the maintained
-    histogram store. None before the first batch."""
+    implementation of the integer pick rule, grouped or global) over
+    the maintained histogram store. Pass the same ``group_cols`` the
+    stream folds with. None before the first batch."""
     from ..operators.profiling import histogram_quantiles
 
     store = Path(out_dir) / "counts"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
+    gcs = list(group_cols or ())
     return histogram_quantiles(
-        read_batch_store(spark, store).select("v", "n"), fractions
+        read_batch_store(spark, store).select(*gcs, "v", "n"),
+        fractions,
+        group_cols=gcs or None,
     )
 
 
@@ -111,11 +127,13 @@ def start_quantile_stream(
     checkpoint_dir: str | Path,
     schema: str,
     value_col: str,
+    group_cols: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     consolidate_every: int | None = 64,
 ) -> StreamingQuery:
-    """Stream parquet batches into the maintained distribution.
+    """Stream parquet batches into the maintained distribution
+    (stratified per ``group_cols`` when given).
     ``available_now=True`` drains what's landed and stops."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
@@ -126,7 +144,7 @@ def start_quantile_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, odir, batch_df, batch_id, value_col)
+        fold_batch(spark, odir, batch_df, batch_id, value_col, group_cols)
         maybe_consolidate_in_stream(
             spark, _store_map(odir), batch_id, consolidate_every
         )

@@ -4866,3 +4866,56 @@ def test_overlap_stream_equals_batch(spark, tmp_path):
     # ids, at-or-below the commit point -> skipped, matrix unchanged
     run(tmp_path / "ck2")
     assert norm(overlap_report(spark, out)) == got
+
+
+def test_grouped_quantile_stream_equals_batch(spark, tmp_path):
+    """The maintained distribution store's GROUPED mode: per-group
+    histograms add exactly like global ones, so after a multi-batch
+    drain the report equals the batch grouped_exact_quantiles over the
+    concatenated input — including groups that appear in only one
+    micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.profiling import (
+        grouped_exact_quantiles,
+    )
+    from data_pipeline_challenge_spark.streaming.quantile_stream import (
+        quantile_report,
+        start_quantile_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    SCHEMA = "source string, tok long"
+    FR = [(1, 2), (9, 10)]
+
+    def land(name, rows):
+        s_, v = zip(*rows)
+        pq.write_table(
+            pa.table({"source": pa.array(s_), "tok": pa.array(v, pa.int64())}),
+            str(src / name),
+        )
+
+    land("a.parquet", [("web", 10), ("web", 30), ("news", 7), ("web", 20)])
+    land("b.parquet", [("news", 9), ("blog", 5), ("web", 40), ("news", 11)])
+
+    out = tmp_path / "dist"
+    q = start_quantile_stream(
+        spark, src, out, tmp_path / "ck", SCHEMA, "tok",
+        group_cols=["source"], max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in quantile_report(
+            spark, out, FR, group_cols=["source"]
+        ).collect()
+    )
+    full = spark.read.schema(SCHEMA).parquet(str(src))
+    want = sorted(
+        tuple(r)
+        for r in grouped_exact_quantiles(full, "source", "tok", FR).collect()
+    )
+    assert got == want
+    assert {t[0] for t in got} == {"web", "news", "blog"}
