@@ -172,9 +172,17 @@ def _make_decoder():
             w, h = _gif_dims(payload)
         elif payload[:2] == b"\xff\xd8":
             w, h = _jpeg_dims(payload)
-        elif payload[:2] == b"BM" and len(payload) >= 26:
-            # BITMAPINFOHEADER: width i32le @18, height i32le @22
-            # (negative height = top-down orientation)
+        elif (
+            payload[:2] == b"BM"
+            and len(payload) >= 54
+            and _struct.unpack_from("<I", payload, 14)[0] >= 40
+        ):
+            # BITMAPINFOHEADER (biSize >= 40): width i32le @18, height
+            # i32le @22 (negative = top-down). Pre-INFOHEADER cores
+            # (BITMAPCOREHEADER, u16 dims) fall through to the honest
+            # NotImplementedError rather than fusing their u16 fields
+            # into garbage i32 dims — same guard as the resizer's
+            # _bmp_info.
             w, h = _struct.unpack_from("<ii", payload, 18)
             h = abs(h)
         else:

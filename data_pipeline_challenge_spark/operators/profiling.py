@@ -112,6 +112,23 @@ def value_histogram(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+# internal alias namespace of the histogram/quantile pipeline — a group
+# column with one of these names would silently collide with the
+# machinery's own columns (the cluster_aware_split precedent: refuse
+# loudly, never shadow)
+_QUANTILE_RESERVED = frozenset({"v", "n", "cum", "nt", "q_num", "q_den"})
+
+
+def _guard_group_cols(group_cols: list[str]) -> None:
+    bad = sorted(set(group_cols) & _QUANTILE_RESERVED)
+    if bad:
+        raise ValueError(
+            f"group column(s) {bad} collide with the quantile pipeline's "
+            f"internal aliases {sorted(_QUANTILE_RESERVED)} — rename the "
+            "column (e.g. .withColumnRenamed) before profiling"
+        )
+
+
 def grouped_value_histogram(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
@@ -119,6 +136,7 @@ def grouped_value_histogram(
     the grouped batch operator and the grouped mode of the maintained
     streaming twin (same one-definition rationale)."""
     gcs = list(group_cols)
+    _guard_group_cols(gcs)
     return (
         df.select(*gcs, F.col(value_col).cast("long").alias("v"))
         .filter(F.col("v").isNotNull())
@@ -144,6 +162,7 @@ def histogram_quantiles(
     from pyspark.sql import Window
 
     gcs = list(group_cols or ())
+    _guard_group_cols(gcs)
     spark = hist.sparkSession
     hist = hist.groupBy(*gcs, "v").agg(F.sum("n").alias("n"))
     w = (

@@ -1295,7 +1295,6 @@ def group_texts_block_text_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 tokens. Scale shape: map ⋈ corpus equi-join on doc_id + one
     slice per contribution + groupBy(shard, block) whose state is one
     block's tokens; no window over the corpus, no UDF."""
-    from ..functions.textfn import token_count
     from ..operators.packing import (
         group_texts_blocks,
         materialize_block_texts,

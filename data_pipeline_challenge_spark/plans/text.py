@@ -1510,8 +1510,9 @@ def pmi_doc_terms(
     ),
     n AS (SELECT count(*) AS nd FROM documents)
     SELECT p.t1, p.t2, p.c12,
-           round(ln(CAST(p.c12 * n.nd AS DOUBLE)
-                    / CAST(f1.c1 * f2.c1 AS DOUBLE)), 6) AS pmi
+           round(ln((CAST(p.c12 AS DOUBLE) * CAST(n.nd AS DOUBLE))
+                    / (CAST(f1.c1 AS DOUBLE) * CAST(f2.c1 AS DOUBLE))), 6)
+               AS pmi
     FROM p
     JOIN f f1 ON p.t1 = f1.term
     JOIN f f2 ON p.t2 = f2.term
@@ -1552,10 +1553,13 @@ def term_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     f1 = freq.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
     f2 = freq.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    # products computed IN double (not long-then-cast): at 100 TB
+    # c12 * N exceeds int64 and would silently wrap; double products of
+    # exact ints are correctly rounded identically in both engines
     pmi = F.round(
         F.log(
-            (F.col("c12") * F.col("nd")).cast("double")
-            / (F.col("_c1") * F.col("_c2")).cast("double")
+            (F.col("c12").cast("double") * F.col("nd").cast("double"))
+            / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
         ),
         6,
     )
@@ -1644,10 +1648,11 @@ def windowed_pmi(
     )
     f1 = c1.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
     f2 = c1.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    # double products, not long-then-cast — see term_pmi_top20
     pmi = F.round(
         F.log(
-            (F.col("c12") * F.col("n_tok")).cast("double")
-            / (F.col("_c1") * F.col("_c2")).cast("double")
+            (F.col("c12").cast("double") * F.col("n_tok").cast("double"))
+            / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
         ),
         6,
     )
@@ -1687,8 +1692,9 @@ def windowed_pmi(
     ),
     n AS (SELECT count(*) AS n_tok FROM t)
     SELECT p.t1, p.t2, p.c12,
-           round(ln(CAST(p.c12 * n.n_tok AS DOUBLE)
-                    / CAST(f1.c1 * f2.c1 AS DOUBLE)), 6) AS pmi
+           round(ln((CAST(p.c12 AS DOUBLE) * CAST(n.n_tok AS DOUBLE))
+                    / (CAST(f1.c1 AS DOUBLE) * CAST(f2.c1 AS DOUBLE))), 6)
+               AS pmi
     FROM p
     JOIN f f1 ON p.t1 = f1.term
     JOIN f f2 ON p.t2 = f2.term
@@ -1813,43 +1819,9 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def source_overlap_matrix(docs: DataFrame, shingle_n: int = 8) -> DataFrame:
-    """For every source pair, the number of DISTINCT n-token shingles
-    they share and the Jaccard of their shingle sets — the feed-level
-    leakage report ("which two feeds syndicate the same boilerplate?")
-    that decides whether dedup must run across sources or can shard by
-    source.
+    """Shared batch core — moved to ``operators/overlap.py`` so the
+    streaming IVM twin and this query arithmetic have one definition;
+    re-exported here for the existing import surface."""
+    from ..operators.overlap import source_overlap_matrix as _impl
 
-    Scale shape: the frame is (source, shingle) DISTINCT with md5'd
-    shingles; the pair join is shingle-KEYED (equi-join), and each
-    shingle contributes at most (sources-it-appears-in choose 2) pair
-    rows — bounded by the source count squared per shingle, never by
-    corpus size; per-source set sizes are a partial agg broadcast into
-    the final small matrix. Exact integers + one rounded division.
-    ``streaming/overlap_stream.py`` maintains the same view
-    incrementally and must stay row-equal to this function
-    (``test_overlap_stream_equals_batch``)."""
-    from ..functions.textfn import doc_shingles
-
-    sh = doc_shingles(docs, shingle_n, "source")
-    n = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("source").alias("s1"), "s")
-    b = sh.select(F.col("source").alias("s2"), "s")
-    o = (
-        a.join(b, "s")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    n1 = n.select(F.col("source").alias("s1"), F.col("n").alias("_n1"))
-    n2 = n.select(F.col("source").alias("s2"), F.col("n").alias("_n2"))
-    jac = F.round(
-        F.col("n_shared")
-        * F.lit(1.0)
-        / (F.col("_n1") + F.col("_n2") - F.col("n_shared")),
-        6,
-    )
-    return (
-        o.join(F.broadcast(n1), "s1")
-        .join(F.broadcast(n2), "s2")
-        .select("s1", "s2", "n_shared", jac.alias("jaccard"))
-    )
+    return _impl(docs, shingle_n)

@@ -189,10 +189,12 @@ def revoke_block_docs(
     odir.mkdir(parents=True, exist_ok=True)
     rows_dir = odir / "rows"
     _pin_block_params(odir, id_col, token_col, block_len, shard_hex)
-    _write_schemas(
-        odir, id_col,
-        dict(revoked_ids.dtypes)[id_col], token_col,
-    )
+    # NOTE: the read schemas are pinned ONLY by the stream start, which
+    # knows the authoritative source DDL — pinning from revoked_ids'
+    # dtype here could bake a wrong id type into a fresh warehouse and
+    # poison every later history read. A revocation before the first
+    # stream start needs no schema anyway: with no published version the
+    # fold below records keys and returns without reading any store.
     delta = revoked_ids.select(id_col).distinct()
     stat = delta.select(
         F.count(F.lit(1)).alias("n"),

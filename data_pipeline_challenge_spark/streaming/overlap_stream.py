@@ -182,10 +182,20 @@ def overlap_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
     increments, bounded at the membership store's commit point so a
     mid-crash window's orphan increments are invisible. None before the
     first committed batch."""
+    from ..operators.overlap import jaccard_matrix
+
     odir = Path(out_dir)
     tid = last_batch_id(odir / "shingles")
     if tid < 0:
         return None
+    if not any((odir / "pair_inc").glob("ingest_batch=*")):
+        # every committed batch's pair increment was empty (single-source
+        # corpus, or no cross-source shared shingle yet): the matrix is
+        # legitimately empty — the store holds only empty-batch sentinels
+        # and reading it would throw UNABLE_TO_INFER_SCHEMA
+        return spark.createDataFrame(
+            [], "s1 string, s2 string, n_shared bigint, jaccard double"
+        )
     committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
     pairs = (
         read_batch_store(spark, odir / "pair_inc")
@@ -199,19 +209,7 @@ def overlap_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
         .groupBy("source")
         .agg(F.sum("d").alias("n"))
     )
-    n1 = counts.select(F.col("source").alias("s1"), F.col("n").alias("_n1"))
-    n2 = counts.select(F.col("source").alias("s2"), F.col("n").alias("_n2"))
-    jac = F.round(
-        F.col("n_shared")
-        * F.lit(1.0)
-        / (F.col("_n1") + F.col("_n2") - F.col("n_shared")),
-        6,
-    )
-    return (
-        pairs.join(F.broadcast(n1), "s1")
-        .join(F.broadcast(n2), "s2")
-        .select("s1", "s2", "n_shared", jac.alias("jaccard"))
-    )
+    return jaccard_matrix(pairs, counts)
 
 
 def compact_overlap_store(

@@ -2113,3 +2113,34 @@ def test_bmp_decoder_stdlib_dims(spark):
         got_w, got_h, body = _decode_payload(p)
         assert (got_w, got_h) == (w, abs(hs))
         assert body == len(p)
+
+
+def test_bmp_core_header_refused_and_reserved_group_cols(spark):
+    """(a) A BITMAPCOREHEADER BMP (12-byte DIB, u16 dims) must hit the
+    honest NotImplementedError without Pillow, never garbage i32 dims
+    (review r13 #3). (b) The grouped quantile entry points refuse group
+    columns that collide with their internal aliases (review r13 #5)."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        _decode_payload,
+    )
+    from data_pipeline_challenge_spark.operators.profiling import (
+        grouped_exact_quantiles,
+    )
+
+    # BITMAPCOREHEADER: biSize=12, u16 width/height
+    core = (
+        b"BM"
+        + struct.pack("<IHHI", 26 + 12, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 7, 5, 1, 24)
+        + b"\x00" * 64
+    )
+    with _pytest.raises(NotImplementedError):
+        _decode_payload(core)
+
+    df = spark.createDataFrame([("a", 1)], "n string, tok long")
+    with _pytest.raises(ValueError, match="collide"):
+        grouped_exact_quantiles(df, "n", "tok", [(1, 2)])

@@ -4919,3 +4919,40 @@ def test_grouped_quantile_stream_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert {t[0] for t in got} == {"web", "news", "blog"}
+
+
+def test_overlap_report_single_source_is_empty_matrix(spark, tmp_path):
+    """A drain that never produced a cross-source shared shingle (e.g. a
+    single-source corpus) leaves pair_inc holding only empty-batch
+    sentinels — the report must return the EMPTY matrix, not throw
+    UNABLE_TO_INFER_SCHEMA (review r13 #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.overlap_stream import (
+        overlap_report,
+        start_overlap_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["web", "web"]),
+                "text": pa.array(
+                    ["one single source document here", "another one entirely"]
+                ),
+            }
+        ),
+        str(src / "a.parquet"),
+    )
+    out = tmp_path / "overlap"
+    q = start_overlap_stream(
+        spark, src, out, tmp_path / "ck",
+        "source string, text string", "source", "text", shingle_n=3,
+    )
+    q.awaitTermination(120)
+    rep = overlap_report(spark, out)
+    assert rep is not None and rep.count() == 0
+    assert rep.columns == ["s1", "s2", "n_shared", "jaccard"]
