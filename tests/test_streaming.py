@@ -4956,3 +4956,102 @@ def test_overlap_report_single_source_is_empty_matrix(spark, tmp_path):
     rep = overlap_report(spark, out)
     assert rep is not None and rep.count() == 0
     assert rep.columns == ["s1", "s2", "n_shared", "jaccard"]
+
+
+def test_novelty_gate_stream(spark, tmp_path):
+    """The novelty gate scores each arriving doc's boilerplate share
+    against the shingles of PRIOR batches and diverts at max_share:
+    hand-computed shares over known templates, intra-batch copies of a
+    fresh template all admitted (history is prior-batch only), exact and
+    partial template re-flow in later batches diverted with the right
+    scores, zero-shingle docs pass with 0.0, and a fresh-checkpoint
+    crash-replay changes nothing."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.novelty_stream import (
+        current_admitted_docs,
+        rejected_log,
+        start_novelty_stream,
+    )
+
+    N = 3  # shingle size
+
+    def shingles(text):
+        toks = text.split()
+        return {
+            hashlib.md5(" ".join(toks[i : i + N]).encode()).hexdigest()
+            for i in range(len(toks) - N + 1)
+        }
+
+    template = "subscribe to our newsletter for all the latest updates"
+    fresh_a = "spark executes declarative plans with catalyst optimizations"
+    fresh_b = "completely new material discussing compiler construction"
+
+    rows_a = [
+        (1, template),
+        (2, template),  # intra-batch copy: scored against EMPTY history
+        (3, fresh_a),
+    ]
+    reflow = template + " and some extra filler words"
+    rows_b = [
+        (4, reflow),        # mostly template shingles -> diverted
+        (5, fresh_b),       # novel -> admitted
+        (6, template),      # exact re-flow -> share 1.0 diverted
+        (7, "tiny doc"),    # < N tokens: zero shingles -> share 0.0 pass
+    ]
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+
+    def land(name, rows):
+        ids, txt = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txt)}),
+            str(corpus / name),
+        )
+
+    def run(ck):
+        q = start_novelty_stream(
+            spark, corpus, tmp_path / "gate", ck,
+            "doc_id long, text string", "doc_id", "text",
+            shingle_n=N, max_share=0.5, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    land("a.parquet", rows_a)
+    land("b.parquet", rows_b)
+    run(tmp_path / "ck1")
+
+    admitted = {
+        r["doc_id"]: r for r in current_admitted_docs(spark, tmp_path / "gate").collect()
+    }
+    rejected = {
+        r["doc_id"]: r for r in rejected_log(spark, tmp_path / "gate").collect()
+    }
+    assert set(admitted) == {1, 2, 3, 5, 7}
+    assert set(rejected) == {4, 6}
+    # batch 0: empty history, everything scores 0.0 — including the copy
+    assert admitted[1]["novelty_share"] == 0.0
+    assert admitted[2]["novelty_share"] == 0.0
+    # batch 1 hand-computed shares vs batch-0 shingle set
+    hist = shingles(template) | shingles(fresh_a)
+    for did, text in [(4, reflow), (6, template)]:
+        sh = shingles(text)
+        want = round(len(sh & hist) / len(sh), 6)
+        assert abs(rejected[did]["novelty_share"] - want) < 1e-9, did
+        assert rejected[did]["n_shingles"] == len(sh)
+    assert rejected[6]["novelty_share"] == 1.0
+    assert admitted[7]["n_shingles"] == 0 and admitted[7]["novelty_share"] == 0.0
+
+    # fresh-checkpoint crash-replay: both files replay at-or-below the
+    # commit point -> skipped, stores unchanged
+    before = (sorted(admitted), sorted(rejected))
+    run(tmp_path / "ck2")
+    after = (
+        sorted(r["doc_id"] for r in current_admitted_docs(spark, tmp_path / "gate").collect()),
+        sorted(r["doc_id"] for r in rejected_log(spark, tmp_path / "gate").collect()),
+    )
+    assert after == (sorted(admitted), sorted(rejected))
