@@ -88,6 +88,12 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
             spark, odir / "decontam"
         )
     out["exact"] = dedup_stream.compact_dedup_store(spark, odir / "exact")
+    if (odir / "novelty").exists():
+        from . import novelty_stream
+
+        out["novelty"] = novelty_stream.compact_novelty_store(
+            spark, odir / "novelty"
+        )
     out["near"] = near_dedup_stream.compact_near_dedup_store(spark, odir / "near")
     return out
 
@@ -265,6 +271,7 @@ def pipeline_pin(
     transform_exprs: dict[str, Column] | None,
     quality_expr: Column | None,
     decontam: bool,
+    novelty: dict | None = None,
 ) -> dict:
     """The funnel root's pinned configuration dict (see the
     ``ensure_store_params`` call in :func:`start_corpus_pipeline_stream`).
@@ -273,7 +280,7 @@ def pipeline_pin(
     gensyms lambda variable names in higher-order functions, so an
     identical-config restart would otherwise be refused. Exposed so the
     restart matrix test can exercise every configuration cheaply."""
-    return {
+    pin = {
         "kind": "corpus_pipeline",
         "transform_exprs": (
             {c: canonical_column_str(e) for c, e in sorted(transform_exprs.items())}
@@ -285,6 +292,13 @@ def pipeline_pin(
         ),
         "decontam": decontam,
     }
+    if novelty:
+        # key present only when the stage is ON: adding/removing the
+        # novelty stage changes the composed verdict function (refused on
+        # restart), while warehouses built before the stage existed keep
+        # restarting under their original pin
+        pin["novelty"] = dict(novelty)
+    return pin
 
 
 def start_corpus_pipeline_stream(
@@ -311,6 +325,8 @@ def start_corpus_pipeline_stream(
     min_input_partitions: int | None = None,
     drift_score_expr: Column | None = None,
     retrieval_index_dir: str | Path | None = None,
+    novelty_max_share: float | None = None,
+    novelty_shingle_n: int = 8,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
@@ -354,7 +370,15 @@ def start_corpus_pipeline_stream(
     unlike drift an index covering only part of the corpus would be
     silently wrong, so enabling it on a warehouse that already folded
     batches is refused — backfill first
-    (``retrieval_stream.backfill_retrieval_index``)."""
+    (``retrieval_stream.backfill_retrieval_index``).
+
+    ``novelty_max_share`` adds the NOVELTY stage (``novelty_stream``)
+    between exact and near dedup: post-exact-dedup rows are scored
+    against the maintained seen-shingle set and template re-flow at or
+    above the share is diverted with score evidence. Exact copies are
+    the dedup stage's verdict (they never reach this gate); the score
+    columns stay in the novelty stage's own stores so downstream
+    schemas are unchanged. Stage presence is part of the funnel pin."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -398,8 +422,19 @@ def start_corpus_pipeline_stream(
     # silently judge new arrivals against incompatibly-built history.
     # Expressions are pinned via canonical_column_str (see pipeline_pin):
     # raw str(Column) is NOT construction-stable for lambda expressions.
+    novelty_cfg = (
+        None
+        if novelty_max_share is None
+        else {
+            "shingle_n": int(novelty_shingle_n),
+            "max_share": float(novelty_max_share),
+        }
+    )
     ensure_store_params(
-        odir, pipeline_pin(transform_exprs, quality_expr, eval_df is not None)
+        odir,
+        pipeline_pin(
+            transform_exprs, quality_expr, eval_df is not None, novelty_cfg
+        ),
     )
 
     ev = None
@@ -441,6 +476,20 @@ def start_corpus_pipeline_stream(
         )
         if cur is None:
             return
+        if novelty_cfg is not None:
+            from . import novelty_stream
+
+            cur = novelty_stream.fold_batch(
+                spark, odir / "novelty", cur, batch_id,
+                id_col=id_col, text_col=text_col,
+                shingle_n=novelty_cfg["shingle_n"],
+                max_share=novelty_cfg["max_share"],
+            )
+            if cur is None:
+                return
+            # score columns stay in the novelty stores (audit evidence);
+            # downstream stages and the kept corpus keep their schemas
+            cur = cur.drop("n_shingles", "n_seen", "novelty_share")
         kept = near_dedup_stream.fold_batch(
             spark, odir / "near", cur, batch_id,
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
@@ -486,6 +535,10 @@ def start_corpus_pipeline_stream(
         if ev is not None:
             stores.update(decontam_stream._store_map(odir / "decontam"))
         stores.update(dedup_stream._store_map(odir / "exact"))
+        if novelty_cfg is not None:
+            from . import novelty_stream
+
+            stores.update(novelty_stream._store_map(odir / "novelty"))
         stores.update(near_dedup_stream._store_map(odir / "near"))
         unbounded: set = set()
         if retrieval_index_dir is not None:

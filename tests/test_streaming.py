@@ -5055,3 +5055,87 @@ def test_novelty_gate_stream(spark, tmp_path):
         sorted(r["doc_id"] for r in rejected_log(spark, tmp_path / "gate").collect()),
     )
     assert after == (sorted(admitted), sorted(rejected))
+
+
+def test_funnel_with_novelty_stage(spark, tmp_path):
+    """The composed funnel with the novelty stage ON (quality off,
+    decontam off): exact copies are the DEDUP stage's verdict, template
+    re-flow across batches is the NOVELTY stage's, and the final corpus
+    keeps only the fresh material; restarting a pre-novelty warehouse
+    WITHOUT the stage still works (pin key absent), while toggling the
+    stage on an existing warehouse is refused loudly."""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.novelty_stream import (
+        rejected_log,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    template = "subscribe to our newsletter for all the latest updates"
+    land("a.parquet", [
+        (1, template + " plus original reporting on spark internals"),
+        (2, "completely separate material about compiler construction"),
+    ])
+    land("b.parquet", [
+        (3, template + " plus different filler trailing words here"),  # re-flow
+        (4, "fresh genuinely novel content on query optimizers"),
+        (1001, template + " plus original reporting on spark internals"),  # exact copy of 1
+    ])
+
+    out = tmp_path / "pipe"
+
+    def run(ck):
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out, ck, SCHEMA, "doc_id", "text",
+            min_jaccard=0.9, n_prefix=8, max_files_per_trigger=1,
+            novelty_max_share=0.6, novelty_shingle_n=3,
+        )
+        q.awaitTermination(300)
+
+    run(tmp_path / "ck1")
+
+    kept = sorted(r["doc_id"] for r in current_corpus(spark, out).collect())
+    # doc 3: mostly template shingles vs batch-0 history -> novelty-diverted
+    # doc 1001: exact duplicate -> exact-dedup's verdict, NOT novelty's
+    assert kept == [1, 2, 4]
+    nov_rej = {r["doc_id"] for r in rejected_log(spark, out / "novelty").collect()}
+    assert nov_rej == {3}
+    exact_rejected = spark.read.parquet(
+        str(out / "exact" / "duplicates")
+    ) if (out / "exact" / "duplicates").exists() else None
+    if exact_rejected is not None:
+        assert 1001 in {r["doc_id"] for r in exact_rejected.collect()}
+
+    # restart with the SAME config (fresh checkpoint replays committed
+    # batches; folds skip) — accepted, corpus unchanged
+    run(tmp_path / "ck2")
+    assert sorted(r["doc_id"] for r in current_corpus(spark, out).collect()) == kept
+
+    # toggling the stage OFF on this warehouse is refused (pin drift)
+    with _pytest.raises(RuntimeError, match="built with"):
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out, tmp_path / "ck3", SCHEMA, "doc_id", "text",
+            min_jaccard=0.9, n_prefix=8,
+        )
+
+    # and a PRE-novelty warehouse (no key in its pin) restarts fine but
+    # refuses the stage being toggled ON
+    out2 = tmp_path / "pipe2"
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out2, tmp_path / "ck4", SCHEMA, "doc_id", "text",
+        min_jaccard=0.9, n_prefix=8,
+    )
+    q.awaitTermination(300)
+    with _pytest.raises(RuntimeError, match="built with"):
+        start_corpus_pipeline_stream(
+            spark, corpus_dir, out2, tmp_path / "ck5", SCHEMA, "doc_id", "text",
+            min_jaccard=0.9, n_prefix=8, novelty_max_share=0.6,
+        )
