@@ -115,6 +115,15 @@ def main() -> None:
         "(retrieval_index_dir) — measures the index-maintenance tax on "
         "funnel throughput as its own 'retrieval' stage line",
     )
+    ap.add_argument(
+        "--novelty",
+        type=float,
+        default=None,
+        metavar="MAX_SHARE",
+        help="also run the novelty stage at this max boilerplate share "
+        "(novelty_max_share) — measures the seen-shingle gate's tax as "
+        "its own 'novelty' stage line",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -140,12 +149,16 @@ def main() -> None:
     # Wrap each stage's fold_batch (the exact callables foreachBatch runs)
     # with a wall-clock accumulator.
     stage_wall: dict[str, float] = defaultdict(float)
-    from data_pipeline_challenge_spark.streaming import retrieval_stream
+    from data_pipeline_challenge_spark.streaming import (
+        novelty_stream,
+        retrieval_stream,
+    )
 
     stage_mods = {
         "quality": cps.filter_gate_stream,
         "decontam": cps.decontam_stream,
         "exact": cps.dedup_stream,
+        "novelty": novelty_stream,
         "near": cps.near_dedup_stream,
         "retrieval": retrieval_stream,
     }
@@ -200,6 +213,7 @@ def main() -> None:
                 retrieval_index_dir=(
                     work / f"idx_{size}" if args.retrieval_index else None
                 ),
+                novelty_max_share=args.novelty,
             )
             q.awaitTermination()
             wall = time.perf_counter() - t0
@@ -219,6 +233,7 @@ def main() -> None:
                     "stream_overhead_s": overhead,
                     "min_input_partitions": args.min_input_partitions,
                     "retrieval_index": bool(args.retrieval_index),
+                    "novelty_max_share": args.novelty,
                 }
             )
             print(json.dumps(results[-1]), file=sys.stderr)
