@@ -63,10 +63,12 @@ def training_export_manifest(
     spark: SparkSession,
     funnel_dir: str | Path | None = None,
     packed_dir: str | Path | None = None,
+    blocks_dir: str | Path | None = None,
 ) -> dict:
-    """Assemble the manifest for a funnel warehouse and/or a maintained
-    packed table (either may be omitted). Run while the streams are
-    quiesced, like every other cross-store read."""
+    """Assemble the manifest for a funnel warehouse, a maintained packed
+    table, and/or a maintained group-texts block store (any may be
+    omitted). Run while the streams are quiesced, like every other
+    cross-store read."""
     from .batchstore import last_batch_id
     from .streaming import corpus_pipeline_stream as cps
     from .streaming.packing_stream import (
@@ -81,7 +83,7 @@ def training_export_manifest(
     if funnel_dir is not None:
         fdir = Path(funnel_dir)
         stages = {}
-        for name in ("quality", "decontam", "exact", "near"):
+        for name in ("quality", "decontam", "exact", "novelty", "near"):
             sdir = fdir / name
             if sdir.exists():
                 stages[name] = {
@@ -121,6 +123,27 @@ def training_export_manifest(
             "revoked_keys": 0 if rev is None else rev.distinct().count(),
             "table_fingerprint": _content_fingerprint(
                 packed, packed.columns if packed is not None else []
+            ),
+        }
+
+    if blocks_dir is not None:
+        from .streaming.group_texts_stream import current_blocks
+
+        bdir = Path(blocks_dir)
+        target = _prev_read_target(bdir)
+        blocks = current_blocks(spark, bdir)
+        brev = current_revoked_keys(spark, bdir)
+        out["blocks"] = {
+            "published_version": target.name if target is not None else None,
+            "folded_batch": _last_folded(bdir),
+            "revocations_applied": _revocations_ledger(bdir),
+            "revoked_keys": 0 if brev is None else brev.distinct().count(),
+            # fingerprints the ASSIGNMENT MAP (shard/block/doc/offsets):
+            # any revocation or re-fold that moves a single slice moves
+            # the fingerprint, so "was doc Y's text in the training
+            # sequences exported at manifest M" is answerable
+            "table_fingerprint": _content_fingerprint(
+                blocks, blocks.columns if blocks is not None else []
             ),
         }
 

@@ -5139,3 +5139,56 @@ def test_funnel_with_novelty_stage(spark, tmp_path):
             spark, corpus_dir, out2, tmp_path / "ck5", SCHEMA, "doc_id", "text",
             min_jaccard=0.9, n_prefix=8, novelty_max_share=0.6,
         )
+
+
+def test_training_export_manifest_block_store(spark, tmp_path):
+    """The lineage manifest's blocks section: published version, folded
+    batch, revocation ledger, and an assignment-map content fingerprint
+    that MOVES when a revocation recomputes any shard — so 'was doc Y's
+    text in the sequences exported at manifest M' is answerable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.lineage import training_export_manifest
+    from data_pipeline_challenge_spark.streaming.group_texts_stream import (
+        revoke_block_docs,
+        start_group_texts_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(40)]),
+                "tok": pa.array([30 + i for i in range(40)], pa.int64()),
+            }
+        ),
+        str(src / "a.parquet"),
+    )
+    out = tmp_path / "blocks"
+    q = start_group_texts_stream(
+        spark, src, out, tmp_path / "ck", "doc_id string, tok long",
+        "doc_id", "tok", block_len=64, shard_hex=1,
+    )
+    q.awaitTermination(180)
+
+    m1 = training_export_manifest(spark, blocks_dir=out)
+    m1b = training_export_manifest(spark, blocks_dir=out)
+    assert m1 == m1b  # deterministic
+    b = m1["blocks"]
+    assert b["published_version"] == "data.v0"
+    assert b["folded_batch"] == 0
+    assert b["revoked_keys"] == 0 and b["revocations_applied"] == []
+    assert b["table_fingerprint"]["rows"] > 0
+
+    assert revoke_block_docs(
+        spark, out,
+        spark.createDataFrame([("d7",)], "doc_id string"),
+        "doc_id", "tok", block_len=64, shard_hex=1,
+    ) == 1
+    m2 = training_export_manifest(spark, blocks_dir=out)
+    assert m2["blocks"]["revoked_keys"] == 1
+    assert len(m2["blocks"]["revocations_applied"]) == 1
+    assert m2["blocks"]["table_fingerprint"] != b["table_fingerprint"]
+    assert m2["blocks"]["published_version"] == "data.v1"
