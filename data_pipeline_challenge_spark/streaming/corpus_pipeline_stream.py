@@ -842,6 +842,19 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
         )
         for name, _ in dedup_stream._STORES:
             _store_rows("exact", odir / "exact" / name)
+    if (odir / "novelty").exists():
+        from . import novelty_stream
+
+        rows.append(
+            ("novelty", "admitted",
+             _count(novelty_stream.current_admitted_docs(spark, odir / "novelty")))
+        )
+        rows.append(
+            ("novelty", "rejected",
+             _count(novelty_stream.rejected_log(spark, odir / "novelty")))
+        )
+        for name, _ in novelty_stream._STORES:
+            _store_rows("novelty", odir / "novelty" / name)
     if (odir / "near").exists():
         rows.append(
             ("near", "kept",
