@@ -1825,3 +1825,38 @@ def source_overlap_matrix(docs: DataFrame, shingle_n: int = 8) -> DataFrame:
     from ..operators.overlap import source_overlap_matrix as _impl
 
     return _impl(docs, shingle_n)
+
+@query(
+    "token_frequency_spectrum",
+    """
+    WITH tok AS (
+        SELECT t.term
+        FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    c AS (SELECT term, count(*) AS freq FROM tok GROUP BY term)
+    SELECT freq, count(*) AS n_types
+    FROM c GROUP BY freq
+    """,
+    tags=("text", "stats", "vocab"),
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-of-frequencies spectrum (counts-of-counts): for
+    every occurrence count, how many distinct token types occur exactly
+    that often — the table Good-Turing smoothing reads (N_1, N_2, …)
+    and the vocab-sizing curve for tokenizer training (how much mass do
+    singleton/doubleton types hold?).
+
+    Scale shape: two map-side-combinable partial aggregations — explode
+    → groupBy(term) → groupBy(freq) — each shuffle strictly smaller
+    than the last (tokens → types → distinct counts, the final frame is
+    O(√tokens) by Heaps/Zipf); no window, no join, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return freqs.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))

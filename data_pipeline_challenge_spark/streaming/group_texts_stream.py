@@ -377,3 +377,26 @@ def start_group_texts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def current_block_texts(
+    spark: SparkSession,
+    out_dir: str | Path,
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+) -> DataFrame | None:
+    """Materialized training sequences from the maintained map: the
+    published assignment map joined back to the caller's corpus frame
+    through ``operators/packing.materialize_block_texts`` — one call
+    from "maintained store" to "data a trainer reads". ``docs`` must be
+    the same corpus view the map was folded from (e.g. the funnel's
+    ``current_corpus`` with a tokens array added); a revoked doc absent
+    from the map simply contributes no slice. None before the first
+    batch."""
+    from ..operators.packing import materialize_block_texts
+
+    blocks = current_blocks(spark, out_dir)
+    if blocks is None:
+        return None
+    return materialize_block_texts(blocks, docs, id_col, tokens_col)

@@ -4721,13 +4721,21 @@ def test_funnel_revocation_propagates_to_block_store(spark, tmp_path):
         else:
             assert inodes(new_v / sd.name) == inodes(sd)
 
-    # the materialized training sequences reference no revoked token
+    # the materialized training sequences reference no revoked token —
+    # via the maintained store's one-call reader
+    from data_pipeline_challenge_spark.streaming.group_texts_stream import (
+        current_block_texts,
+    )
+
     docs_toks = current_corpus(spark, out).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    seqs = materialize_block_texts(blocks, docs_toks, "doc_id", "toks")
+    seqs = current_block_texts(spark, gt_out, docs_toks, "doc_id", "toks")
     all_text = " ".join(r["seq_text"] for r in seqs.collect())
     assert "canyons" not in all_text and "spark" in all_text
+    # equals the direct operator composition
+    direct = materialize_block_texts(blocks, docs_toks, "doc_id", "toks")
+    assert sorted(map(tuple, seqs.collect())) == sorted(map(tuple, direct.collect()))
 
 
 def test_revoke_zero_token_doc_corrects_n_docs(spark, tmp_path):
