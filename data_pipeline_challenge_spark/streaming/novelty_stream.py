@@ -115,6 +115,17 @@ def fold_batch(
     try:
         if not batch.take(1):
             return None  # empty micro-batch: skip (guard stays behind)
+        # ids key the score join: a NULL id would never match it (the
+        # doc would be admitted at share 0.0 while its shingles still
+        # fold into history) — refuse loudly. Uniqueness is the funnel
+        # family's standing contract (retrieval_stream header): two
+        # rows sharing an id would get one merged distinct-shingle
+        # score here, so run behind exact dedup, as the funnel does.
+        if batch.filter(F.col(id_col).isNull()).take(1):
+            raise ValueError(
+                f"novelty gate requires non-null {id_col!r}: a null id "
+                "cannot be scored (it would silently bypass the gate)"
+            )
         sh = doc_shingles(
             batch.select(
                 F.col(id_col).alias("_nid"), F.col(text_col).alias("text")
@@ -123,16 +134,20 @@ def fold_batch(
             "_nid",
         ).withColumn("bucket", prefix_bucket(F.col("s"), _N_BUCKETS))
         sh = sh.cache()
+        hist = None
         try:
             buckets = sorted(
                 r["bucket"] for r in sh.select("bucket").distinct().collect()
             )
-            hist = None
             if buckets and any(sh_store.glob("ingest_batch=*")):
+                # cached: the matched-bucket slice feeds both the score
+                # join and the new-shingle anti-join below — one history
+                # scan per batch, not two (the dedup_stream discipline)
                 hist = (
                     read_batch_store(spark, sh_store)
                     .filter(F.col("bucket").isin(buckets))  # pruned
                     .select("bucket", "s")
+                    .cache()
                 )
             flagged = (
                 sh
@@ -151,42 +166,62 @@ def fold_batch(
                 .cast("long")
                 .alias("n_seen"),
             )
-            scored = batch.join(
-                scores.withColumnRenamed("_nid", id_col), id_col, "left"
-            ).select(
-                "*",
-                F.round(
-                    F.coalesce(
-                        F.col("n_seen").cast("double")
-                        / F.col("n_shingles").cast("double"),
-                        F.lit(0.0),  # zero-shingle docs are novel
-                    ),
-                    6,
-                ).alias("novelty_share"),
-            ).withColumn(
-                "n_shingles", F.coalesce("n_shingles", F.lit(0).cast("long"))
-            ).withColumn(
-                "n_seen", F.coalesce("n_seen", F.lit(0).cast("long"))
+            raw_share = F.coalesce(
+                F.col("n_seen").cast("double")
+                / F.col("n_shingles").cast("double"),
+                F.lit(0.0),  # zero-shingle docs are novel
             )
-            keep = F.col("novelty_share") < float(max_share)
-            # docs and rejected first; the seen-shingle append below is
-            # the commit point the replay guard keys on
-            append_batch_increment(scored.filter(keep), docs_store, batch_id)
-            append_batch_increment(
-                scored.filter(~keep), odir / "rejected", batch_id
+            # the verdict compares the RAW ratio — rounding first would
+            # misclassify shares within half an ulp-of-round(6) of the
+            # threshold; the stored evidence column is rounded for the
+            # usual cross-engine display stability
+            scored = (
+                batch.join(
+                    scores.withColumnRenamed("_nid", id_col), id_col, "left"
+                )
+                .select(
+                    "*",
+                    (raw_share < float(max_share)).alias("_keep"),
+                    F.round(raw_share, 6).alias("novelty_share"),
+                )
+                .withColumn(
+                    "n_shingles",
+                    F.coalesce("n_shingles", F.lit(0).cast("long")),
+                )
+                .withColumn(
+                    "n_seen", F.coalesce("n_seen", F.lit(0).cast("long"))
+                )
+                .cache()  # feeds BOTH appends: score once, not twice
             )
-            new_sh = (
-                sh.select("bucket", "s").distinct()
-                if hist is None
-                else sh.select("bucket", "s")
-                .distinct()
-                .join(hist, ["bucket", "s"], "left_anti")
-            )
-            append_batch_increment(
-                new_sh, sh_store, batch_id, partition_by="bucket"
-            )
+            try:
+                # docs and rejected first; the seen-shingle append below
+                # is the commit point the replay guard keys on
+                append_batch_increment(
+                    scored.filter(F.col("_keep")).drop("_keep"),
+                    docs_store,
+                    batch_id,
+                )
+                append_batch_increment(
+                    scored.filter(~F.col("_keep")).drop("_keep"),
+                    odir / "rejected",
+                    batch_id,
+                )
+                new_sh = (
+                    sh.select("bucket", "s").distinct()
+                    if hist is None
+                    else sh.select("bucket", "s")
+                    .distinct()
+                    .join(hist, ["bucket", "s"], "left_anti")
+                )
+                append_batch_increment(
+                    new_sh, sh_store, batch_id, partition_by="bucket"
+                )
+            finally:
+                scored.unpersist()
         finally:
             sh.unpersist()
+            if hist is not None:
+                hist.unpersist()
     finally:
         batch.unpersist()
     return _stored()

@@ -5013,13 +5013,19 @@ def test_novelty_gate_stream(spark, tmp_path):
 
     corpus = tmp_path / "in"
     corpus.mkdir()
+    mtimes = {"a.parquet": 1_700_000_000, "b.parquet": 1_700_000_100}
 
     def land(name, rows):
+        import os as _os
+
         ids, txt = zip(*rows)
         pq.write_table(
             pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(txt)}),
             str(corpus / name),
         )
+        # FileStreamSource orders batches by mtime: pin it, or two files
+        # written in the same clock tick arrive in either order
+        _os.utime(corpus / name, (mtimes[name], mtimes[name]))
 
     def run(ck):
         q = start_novelty_stream(
@@ -5116,11 +5122,24 @@ def test_funnel_with_novelty_stage(spark, tmp_path):
     assert kept == [1, 2, 4]
     nov_rej = {r["doc_id"] for r in rejected_log(spark, out / "novelty").collect()}
     assert nov_rej == {3}
-    exact_rejected = spark.read.parquet(
-        str(out / "exact" / "duplicates")
-    ) if (out / "exact" / "duplicates").exists() else None
-    if exact_rejected is not None:
-        assert 1001 in {r["doc_id"] for r in exact_rejected.collect()}
+    # the exact copy never REACHED the novelty gate (dedup dropped it):
+    # it is in neither of the novelty stage's stores
+    from data_pipeline_challenge_spark.streaming.novelty_stream import (
+        current_admitted_docs as _nov_admitted,
+    )
+
+    nov_seen = nov_rej | {
+        r["doc_id"] for r in _nov_admitted(spark, out / "novelty").collect()
+    }
+    assert 1001 not in nov_seen
+    # ... and the dedup stage's novel store holds everything novelty saw
+    from data_pipeline_challenge_spark.streaming.dedup_stream import (
+        current_novel_docs,
+    )
+
+    assert {
+        r["doc_id"] for r in current_novel_docs(spark, out / "exact").collect()
+    } == nov_seen
 
     # restart with the SAME config (fresh checkpoint replays committed
     # batches; folds skip) — accepted, corpus unchanged
