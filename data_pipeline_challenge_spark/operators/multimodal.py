@@ -1029,3 +1029,206 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
             yield _pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return media.select("media_id", "payload").mapInPandas(run, EMBED_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def _make_dhasher(hash_w: int = 8, hash_h: int = 8):
+    """dHash (difference hash) factory — self-contained closure, ships
+    by value like the other codec closures. The standard perceptual
+    image fingerprint: grayscale-downsample to (hash_w+1) × hash_h by
+    nearest neighbor, emit one bit per cell = "left pixel brighter than
+    its right neighbor", row-major into a 64-bit long (8×8 default).
+    Gradient SIGNS survive re-encode/resize noise that byte-exact
+    hashing does not — the image-payload analog of SimHash.
+
+    Tier resolution mirrors the decoder:
+
+    1. FAKE containers hash their declared dims over a deterministic
+       byte-indexed grayscale (``body[(y*w+x) % len]``, nearest-neighbor
+       sampled) — stable rows regardless of installed codecs.
+    2. Uncompressed 24-bit BMP decodes for REAL with zero optional deps
+       (numpy stride un-pad + orientation flip + integer-mean grayscale)
+       and downsamples by AREA MEAN over each cell's pixel block — the
+       property that makes dHash a perceptual hash (every source pixel
+       influences its cell, so re-encodes and light noise move means a
+       little instead of being invisible to a sampled grid). Like the
+       resizer's BMP tier, deliberately ahead of Pillow so the hash is
+       environment-independent.
+    3. Other real containers hash through Pillow when importable.
+    4. Otherwise NotImplementedError (honest gap).
+
+    All tier-1/2 arithmetic is exact integer (sums and floor
+    divisions), so hashes are reproducible across engines and
+    environments."""
+    import struct as _struct
+
+    magic = _MAGIC
+    hw, hh = int(hash_w), int(hash_h)
+    n_bits = hw * hh
+    if n_bits > 64:
+        raise ValueError("dhash is packed into one long: hash_w*hash_h <= 64")
+
+    def _bits_to_long(bits: list[int]) -> int:
+        v = 0
+        for i, b in enumerate(bits):
+            if b:
+                v |= 1 << i
+        # wrap into signed int64 (Spark long)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def _hash_gray(gray, w: int, h: int) -> int:
+        # gray(x, y) -> int; sample (hw+1) x hh nearest-neighbor grid
+        bits = []
+        for y in range(hh):
+            sy = (y * h) // hh
+            row = [gray((x * w) // (hw + 1), sy) for x in range(hw + 1)]
+            bits.extend(1 if row[x] > row[x + 1] else 0 for x in range(hw))
+        return _bits_to_long(bits)
+
+    def dhash(payload: bytes) -> int:
+        if payload[:4] == magic:
+            w, h = _struct.unpack("<HH", payload[5:9])
+            body = payload[9:] or b"\x00"
+            n = len(body)
+            return _hash_gray(
+                lambda x, y: body[(y * w + x) % n], int(w), int(h)
+            )
+        if (
+            payload[:2] == b"BM"
+            and len(payload) >= 54
+            and _struct.unpack_from("<I", payload, 14)[0] >= 40
+            and _struct.unpack_from("<H", payload, 28)[0] == 24
+            and _struct.unpack_from("<I", payload, 30)[0] == 0
+        ):
+            import numpy as _np
+
+            off = _struct.unpack_from("<I", payload, 10)[0]
+            w, h_signed = _struct.unpack_from("<ii", payload, 18)
+            bottom_up = h_signed > 0
+            h = abs(h_signed)
+            row_stride = (w * 3 + 3) & ~3
+            if w <= 0 or h == 0 or off + h * row_stride > len(payload):
+                raise ValueError("malformed BMP pixel array")
+            raw = _np.frombuffer(
+                payload, dtype=_np.uint8, count=h * row_stride, offset=off
+            ).reshape(h, row_stride)[:, : w * 3]
+            if bottom_up:
+                raw = raw[::-1]
+            # integer-mean grayscale, then AREA-MEAN cells: every pixel
+            # contributes to exactly one cell (exact integer sums)
+            gray = raw.reshape(h, w, 3).astype(_np.int64).sum(axis=2) // 3
+            ys = [(i * h) // hh for i in range(hh + 1)]
+            xs = [(i * w) // (hw + 1) for i in range(hw + 2)]
+            bits = []
+            for yi in range(hh):
+                means = []
+                for xi in range(hw + 1):
+                    cell = gray[ys[yi] : ys[yi + 1], xs[xi] : xs[xi + 1]]
+                    if cell.size == 0:  # dims smaller than the grid
+                        cell = gray[
+                            min(ys[yi], h - 1) : min(ys[yi], h - 1) + 1,
+                            min(xs[xi], w - 1) : min(xs[xi], w - 1) + 1,
+                        ]
+                    means.append(int(cell.sum()) // cell.size)
+                bits.extend(
+                    1 if means[x] > means[x + 1] else 0 for x in range(hw)
+                )
+            return _bits_to_long(bits)
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                gim = im.convert("L")
+                px = gim.load()
+                return _hash_gray(lambda x, y: px[x, y], *gim.size)
+        except ImportError:
+            raise NotImplementedError(
+                "perceptual-hashing a real container requires Pillow "
+                "(header-only parsing cannot produce pixels)"
+            ) from None
+
+    return dhash
+
+
+def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Per-image 64-bit dHash via Arrow-batched mapInPandas (``kind``
+    filter pushed down before Python — only image rows cross the Arrow
+    boundary). Returns (media_id, dhash long)."""
+    dh = _make_dhasher(hash_w, hash_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = [
+                (mid, dh(bytes(payload)))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — banded
+    join, the image-payload member of the dedup family (the
+    re-encoded/resized/re-compressed copies a byte-exact fingerprint
+    misses).
+
+    Scale shape: the 64-bit hash splits into 8 one-byte bands; any pair
+    within Hamming distance 7 must agree on at least one band
+    (pigeonhole), so candidates are COMPLETE for every
+    ``max_hamming <= 7`` — larger thresholds are best-effort, the
+    standard banded-LSH trade-off (same contract as
+    ``dedup.simhash_near_pairs``). The join is a band-keyed EQUI-join
+    (never all-pairs); band buckets narrow as the corpus's hash
+    diversity grows, and the verify step is one bit_count per candidate.
+    Returns (id1, id2, hamming), id1 < id2."""
+    sig = image_dhash(media).cache()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * 8)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("bh"),
+            )
+            for b in range(8)
+        ]
+    )
+    banded = sig.select(
+        "media_id", "dhash", F.explode(bands).alias("bb")
+    ).select(
+        "media_id", "dhash",
+        F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.dhash").alias("h1"),
+            F.col("b.dhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("id1", "id2", "hamming")
+    )

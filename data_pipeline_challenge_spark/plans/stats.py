@@ -763,3 +763,42 @@ def revenue_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
     )
+
+
+@query(
+    "multimodal_image_near_dups",
+    None,  # perceptual hashes are engine-specific — deterministic, rows-only.
+    tags=("multimodal", "dedup", "mapinpandas"),
+)
+def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup as a declared query
+    (``operators/multimodal.image_near_dups``): dHash per image (REAL
+    pixel-gradient hashing on the dependency-free BMP tier; stub tier
+    for FAKE containers) → 8×8-bit banded Hamming pairing (candidates
+    complete for hamming ≤ 7, equi-join only). The fixture plants exact
+    BMP copies under new ids plus near-copies with a few perturbed
+    pixels, so the driver check exercises genuine pixel decode, hash
+    collision, AND near-miss ranking. sf_dir unused (no binary table);
+    fully seeded."""
+    from ..operators.multimodal import image_near_dups, synth_bmp_media, synth_media
+
+    base = synth_bmp_media(spark, n=8, seed=23)  # ids 8000..8007
+    # exact re-encodes under fresh ids (hamming 0 against their source)
+    copies = synth_bmp_media(spark, n=4, seed=23, start_id=9000)
+    # perturbed near-copies: flip a strip of payload bytes deep in the
+    # pixel array (header untouched) — small hamming, not zero
+    near = synth_bmp_media(spark, n=2, seed=23, start_id=9500).select(
+        "media_id",
+        "kind",
+        F.concat(
+            F.expr("substring(payload, 1, 2000)"),
+            F.expr(
+                "cast(repeat(x'ff', 600) as binary)"
+            ),
+            F.expr("substring(payload, 2601, length(payload))"),
+        ).alias("payload"),
+        "meta",
+    )
+    fakes = synth_media(spark, n=24, seed=7)
+    media = base.unionByName(copies).unionByName(near).unionByName(fakes)
+    return image_near_dups(media, max_hamming=10)

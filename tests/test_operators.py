@@ -2144,3 +2144,98 @@ def test_bmp_core_header_refused_and_reserved_group_cols(spark):
     df = spark.createDataFrame([("a", 1)], "n string, tok long")
     with _pytest.raises(ValueError, match="collide"):
         grouped_exact_quantiles(df, "n", "tok", [(1, 2)])
+
+
+def test_image_dhash_and_near_dups(spark):
+    """Perceptual image dedup: dHash is a REAL pixel-gradient hash on the
+    dependency-free BMP tier — identical images collide at hamming 0, a
+    lightly perturbed copy lands within the near-dup threshold, unrelated
+    images land far — and the banded pairing finds exactly the near
+    pairs. Orientation-invariant storage: the same pixels stored
+    bottom-up and top-down hash identically. Pillow is never consulted
+    for BMPs (poisoned-module proof shared with the resizer test)."""
+    import struct
+    import sys
+    import types
+
+    from data_pipeline_challenge_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _make_dhasher,
+        image_near_dups,
+    )
+
+    def encode_bmp(gray_rows, w, h, bottom_up=True):
+        # grayscale -> 24-bit BGR
+        stride = (w * 3 + 3) & ~3
+        order = range(h - 1, -1, -1) if bottom_up else range(h)
+        px = b"".join(
+            bytes(b for x in range(w) for b in (gray_rows[y][x],) * 3)
+            + b"\x00" * (stride - w * 3)
+            for y in order
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h if bottom_up else -h, 1, 24, 0,
+                len(px), 2835, 2835, 0, 0,
+            )
+            + px
+        )
+
+    W, H = 32, 24
+    base = [[(x * 7 + y * 3) % 256 for x in range(W)] for y in range(H)]
+    # perturb a couple of pixels hard enough to flip a few gradient bits
+    pert = [row[:] for row in base]
+    for x in range(4):
+        pert[3][x] = 255 - pert[3][x]
+    noise = [[(x * 131 + y * 57 + 11) % 256 for x in range(W)] for y in range(H)]
+
+    dh = _make_dhasher()
+    saved = sys.modules.get("PIL")
+    boom = types.ModuleType("PIL")
+
+    class _Boom:
+        @staticmethod
+        def open(*a, **k):
+            raise AssertionError("Pillow consulted for a BMP dhash")
+
+    boom.Image = _Boom
+    sys.modules["PIL"] = boom
+    try:
+        h_base = dh(encode_bmp(base, W, H, bottom_up=True))
+        h_topdown = dh(encode_bmp(base, W, H, bottom_up=False))
+        h_pert = dh(encode_bmp(pert, W, H))
+        h_noise = dh(encode_bmp(noise, W, H))
+    finally:
+        if saved is None:
+            sys.modules.pop("PIL", None)
+        else:
+            sys.modules["PIL"] = saved
+
+    assert h_base == h_topdown  # storage orientation never changes the hash
+    d_pert = bin((h_base ^ h_pert) & (2**64 - 1)).count("1")
+    d_noise = bin((h_base ^ h_noise) & (2**64 - 1)).count("1")
+    assert 0 < d_pert <= 6, d_pert
+    assert d_noise > 6, d_noise
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_bmp(base, W, H)), {}),
+            (2, "image", bytearray(encode_bmp(pert, W, H)), {}),
+            (3, "image", bytearray(encode_bmp(noise, W, H)), {}),
+            (4, "image", bytearray(encode_bmp(base, W, H, bottom_up=False)), {}),
+            (5, "audio", bytearray(b"FAKEa" + struct.pack("<HH", 4, 4) + b"xy"), {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in image_near_dups(media, max_hamming=6).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical pixels, different orientation
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 6
+    assert (2, 4) in pairs  # transitive copy of the same base
+    assert not any(3 in p for p in pairs)  # unrelated image: no pair
+    assert not any(5 in p for p in pairs)  # non-image rows never hashed
