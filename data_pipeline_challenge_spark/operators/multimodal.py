@@ -1175,31 +1175,44 @@ def image_dhash(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame
     ).mapInPandas(run, DHASH_SCHEMA)
 
 
-def image_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance — banded
     join, the image-payload member of the dedup family (the
     re-encoded/resized/re-compressed copies a byte-exact fingerprint
     misses).
 
-    Scale shape: the 64-bit hash splits into 8 one-byte bands; any pair
-    within Hamming distance 7 must agree on at least one band
-    (pigeonhole), so candidates are COMPLETE for every
-    ``max_hamming <= 7`` — larger thresholds are best-effort, the
-    standard banded-LSH trade-off (same contract as
-    ``dedup.simhash_near_pairs``). The join is a band-keyed EQUI-join
-    (never all-pairs); band buckets narrow as the corpus's hash
-    diversity grows, and the verify step is one bit_count per candidate.
-    Returns (id1, id2, hamming), id1 < id2."""
+    Scale shape: the 64-bit hash splits into ``n_bands`` equal bands;
+    any pair within Hamming distance ``n_bands - 1`` must agree on at
+    least one band (pigeonhole), so candidates are COMPLETE for every
+    ``max_hamming <= n_bands - 1`` — larger thresholds are best-effort,
+    the standard banded-LSH trade-off (same contract as
+    ``dedup.simhash_near_pairs``). The band-count choice is the scale
+    lever: the DEFAULT 4×16-bit bands give 65,536 buckets per band, so
+    bucket population — and therefore candidate pairs — keeps shrinking
+    relative to corpus size as hash diversity grows; ``n_bands=8``
+    (8-bit bands) raises the completeness bound to 7 but SATURATES at
+    256 buckets per band, making candidates quadratic in corpus size —
+    reserve it for bounded corpora that need the looser guarantee. The
+    join is a band-keyed EQUI-join (never all-pairs); the verify step is
+    one bit_count per candidate. Returns (id1, id2, hamming),
+    id1 < id2."""
+    n_bands = int(n_bands)
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sig = image_dhash(media).cache()
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("dhash"), b * 8)
-                .bitwiseAND(F.lit(0xFF))
+                F.shiftright(F.col("dhash"), b * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("bh"),
             )
-            for b in range(8)
+            for b in range(n_bands)
         ]
     )
     banded = sig.select(

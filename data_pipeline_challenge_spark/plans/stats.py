@@ -801,4 +801,7 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fakes = synth_media(spark, n=24, seed=7)
     media = base.unionByName(copies).unionByName(near).unionByName(fakes)
-    return image_near_dups(media, max_hamming=10)
+    # bounded synthetic corpus: the 8-band variant's looser
+    # completeness (hamming <= 7) is affordable here; production-scale
+    # corpora use the default 4x16-bit bands (see image_near_dups)
+    return image_near_dups(media, max_hamming=10, n_bands=8)

@@ -2232,7 +2232,7 @@ def test_image_dhash_and_near_dups(spark):
     )
     pairs = {
         (r["id1"], r["id2"]): r["hamming"]
-        for r in image_near_dups(media, max_hamming=6).collect()
+        for r in image_near_dups(media, max_hamming=6, n_bands=8).collect()
     }
     assert pairs[(1, 4)] == 0  # identical pixels, different orientation
     assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 6
