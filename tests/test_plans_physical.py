@@ -396,3 +396,23 @@ def test_quality_weighted_sample_single_scan(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_new_text_queries_topk_and_no_cartesian(spark):
+    """The round-13 bench additions keep the scale-shape contract:
+    top-k is TakeOrderedAndProject (never a global Sort), the banded
+    windowed-PMI pair join and the shingle df-join are equi-joins
+    (no CartesianProduct / BroadcastNestedLoop on the data-sized side
+    — the only nested-loop is the broadcast of the 1-row total)."""
+    for name in ("term_pmi_window8_top20", "boilerplate_share_top20"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # the pair generation itself must be a SortMergeJoin/ShuffledHashJoin
+    # or broadcast EQUI-join on (doc_id, jb)/(s): presence of any
+    # nested-loop join other than the single-row totals broadcast would
+    # mean the banding degenerated to doc-level quadratic scans
+    plan = plan_of(spark, "term_pmi_window8_top20")
+    # formatted mode prints each node twice (tree + detail): <=2 == one
+    # BNLJ node, which is the 1-row n_tok crossJoin broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
