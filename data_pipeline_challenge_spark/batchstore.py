@@ -316,7 +316,10 @@ def _empty_sentinel_ids(store: Path) -> list[int]:
 
 
 def append_batch_increment(
-    df: DataFrame, store: str | Path, batch_id: int, partition_by: str | None = None
+    df: DataFrame,
+    store: str | Path,
+    batch_id: int,
+    partition_by: str | list[str] | None = None,
 ) -> bool:
     """Write one micro-batch increment dir (``ingest_batch=B``) into a
     batch store: tmp + atomic rename, so a crash-replay overwrites its
@@ -374,8 +377,11 @@ def append_batch_increment(
         if tmp.exists():
             shutil.rmtree(tmp)
         if partition_by:
-            clustered = df.repartition(F.col(partition_by))
-            clustered.write.mode("overwrite").partitionBy(partition_by).parquet(
+            cols = (
+                [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            )
+            clustered = df.repartition(*[F.col(c) for c in cols])
+            clustered.write.mode("overwrite").partitionBy(*cols).parquet(
                 str(tmp)
             )
         else:

@@ -5219,3 +5219,109 @@ def test_training_export_manifest_block_store(spark, tmp_path):
     assert len(m2["blocks"]["revocations_applied"]) == 1
     assert m2["blocks"]["table_fingerprint"] != b["table_fingerprint"]
     assert m2["blocks"]["published_version"] == "data.v1"
+
+
+def test_image_dedup_gate_stream(spark, tmp_path):
+    """Perceptual image-dedup gate: first arrival of a neighborhood
+    kept, re-encodes of it (exact and lightly perturbed, incl. flipped
+    storage orientation) diverted with dup_of evidence, unrelated images
+    and non-image rows pass; intra-batch mutual near-dups keep the
+    lowest id; a history-diverted image never blocks a clean one; and a
+    fresh-checkpoint crash-replay changes nothing."""
+    import os
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.streaming.image_dedup_stream import (
+        current_kept_media,
+        diverted_log,
+        start_image_dedup_stream,
+    )
+
+    def encode_bmp(gray_rows, w, h, bottom_up=True):
+        stride = (w * 3 + 3) & ~3
+        order = range(h - 1, -1, -1) if bottom_up else range(h)
+        px = b"".join(
+            bytes(b for x in range(w) for b in (gray_rows[y][x],) * 3)
+            + b"\x00" * (stride - w * 3)
+            for y in order
+        )
+        return (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h if bottom_up else -h, 1, 24, 0,
+                len(px), 2835, 2835, 0, 0,
+            )
+            + px
+        )
+
+    W, H = 32, 24
+    base = [[(x * 7 + y * 3) % 256 for x in range(W)] for y in range(H)]
+    pert = [row[:] for row in base]
+    for x in range(4):
+        pert[3][x] = 255 - pert[3][x]
+    noise = [[(x * 131 + y * 57 + 11) % 256 for x in range(W)] for y in range(H)]
+
+    media_dir = tmp_path / "in"
+    media_dir.mkdir()
+    SCHEMA = "media_id long, kind string, payload binary, meta map<string,string>"
+    mtimes = {"a.parquet": 1_700_000_000, "b.parquet": 1_700_000_100}
+
+    def land(name, rows):
+        ids, kinds, payloads = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "kind": pa.array(kinds),
+                    "payload": pa.array(
+                        [bytes(p) for p in payloads], pa.binary()
+                    ),
+                    "meta": pa.array([{}] * len(ids), pa.map_(pa.string(), pa.string())),
+                }
+            ),
+            str(media_dir / name),
+        )
+        os.utime(media_dir / name, (mtimes[name], mtimes[name]))
+
+    land("a.parquet", [
+        (2, "image", encode_bmp(base, W, H)),
+        (1, "image", encode_bmp(base, W, H, bottom_up=False)),  # intra dup, LOWER id wins
+        (3, "image", encode_bmp(noise, W, H)),
+        (4, "audio", b"not an image at all"),
+    ])
+    land("b.parquet", [
+        (10, "image", encode_bmp(pert, W, H)),   # near-copy of kept 1 -> divert
+        (11, "image", encode_bmp(base, W, H)),   # exact re-encode -> divert
+        (12, "image", encode_bmp([[255 - v for v in r] for r in noise], W, H)),  # fresh
+    ])
+
+    out = tmp_path / "gate"
+
+    def run(ck):
+        q = start_image_dedup_stream(
+            spark, media_dir, out, ck, SCHEMA,
+            max_hamming=6, n_bands=8, max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    run(tmp_path / "ck1")
+
+    kept = sorted(r["media_id"] for r in current_kept_media(spark, out).collect())
+    div = {r["media_id"]: r["dup_of"] for r in diverted_log(spark, out).collect()}
+    # batch 0: 1 wins its mutual group (lowest id), 2 diverts to 1;
+    # noise and the audio row pass. batch 1: 10 and 11 divert to kept 1,
+    # the inverted-noise image is fresh.
+    assert kept == [1, 3, 4, 12]
+    assert div == {2: 1, 10: 1, 11: 1}
+
+    # fresh-checkpoint crash-replay: both files replay at-or-below the
+    # hash store's commit point -> skipped
+    run(tmp_path / "ck2")
+    assert sorted(
+        r["media_id"] for r in current_kept_media(spark, out).collect()
+    ) == kept
