@@ -1751,3 +1751,57 @@ def training_order_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pos") <= 5)
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    ), e AS (
+        SELECT id1 AS v, id2 AS w FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+        SELECT v, w AS r FROM e
+        UNION
+        SELECT reach.v, e.w FROM reach JOIN e ON reach.r = e.v
+    ), lab AS (
+        SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v
+    ), sizes AS (
+        SELECT component, count(*) AS cluster_size FROM lab GROUP BY component
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_members,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_droppable
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "corpus", "stats"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution — the dedup-impact
+    report read before committing to a drop policy: for each cluster
+    size, how many clusters, how many member docs, and how many docs a
+    keep-one-per-cluster policy would remove (``n_droppable``). The
+    pair graph and components are exactly
+    :func:`dup_cluster_components`'s (tiled-matmul near pairs +
+    min-label propagation); this adds two small post-agg groupBys over
+    the component-sized frame — the histogram costs nothing beyond the
+    clustering that was already running."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
+    labels = connected_components(pairs, src="id1", dst="id2")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_members"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_droppable"),
+    )
