@@ -591,3 +591,77 @@ def scrub_duplicated_spans(
             F.concat_ws(" ", kept).alias("kept_text"),
         )
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance similarity self-join via q-gram candidate filtering
+    — fuzzy catalog/name dedup (the reference's substring search finds
+    shared literal text, app/api/main.py:135-151; this finds names a
+    typo apart, which substring match cannot).
+
+    Semantics: all unordered pairs of DISTINCT name values with
+    ``levenshtein <= max_dist``, among names of length >= q*(max_dist+1)
+    (shorter names are excluded — see soundness). Returns
+    (name_a, name_b, dist, n_a, n_b) where n_a/n_b are the input row
+    counts bearing each name (name_a < name_b).
+
+    Shape at scale — never an all-pairs compare:
+
+    1. DISTINCT-first: names collapse by a map-side-combinable groupBy
+       before any pairing (a 20k-part catalog has ~64 distinct names;
+       a 100 TB log's name column collapses the same way).
+    2. Candidate generation is an equi-join on shared q-grams (an
+       inverted index over the distinct names), pre-filtered by
+       ``abs(len(a)-len(b)) <= max_dist`` (length is 1-Lipschitz in edit
+       distance). Pair fan-out is bounded by gram co-occurrence, not
+       name-count².
+    3. The levenshtein verify runs once per distinct candidate pair.
+
+    Soundness of the gram filter: one edit destroys at most q of a
+    string's (len-q+1) q-grams, so two strings within ``max_dist`` edits
+    share at least len - q + 1 - max_dist*q grams — positive whenever
+    len >= q*(max_dist+1), which the length floor guarantees. Hot grams
+    (a gram shared by many names) are the skew lever: frequency-cap or
+    lengthen q exactly as jaccard_pairs documents.
+    """
+    min_len = q * (max_dist + 1)
+    names = (
+        df.filter(F.length(F.col(name_col)) >= min_len)
+        .groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name") - F.lit(q - 1)),
+                lambda i: F.col("name").substr(i, F.lit(q)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    cand = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist") <= max_dist)
+    na = names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"))
+    nb = names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"))
+    return verified.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "dist", "n_a", "n_b"
+    )

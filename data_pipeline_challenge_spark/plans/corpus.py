@@ -1805,3 +1805,152 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_droppable"),
     )
+
+
+#: RRF rank-smoothing constant (Cormack/Clarke/Buettcher 2009's k=60).
+_RRF_K = 60
+#: Candidate depth per list for the hybrid fusion.
+_RRF_DEPTH = 50
+
+
+@query(
+    "retrieval_hybrid_rrf_top10",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id
+    ), q AS (
+        SELECT unnest(['{"','".join(_BM25_TERMS)}']) AS term
+    ), tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM toks t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    bm AS (
+        SELECT tf.doc_id AS id,
+               round(sum(
+                   ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 6) AS s
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN n CROSS JOIN ad
+        WHERE tf.doc_id != 0
+        GROUP BY tf.doc_id
+        ORDER BY s DESC, id LIMIT {_RRF_DEPTH}
+    ), bmr AS (
+        SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM bm
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+    cos AS (
+        SELECT vec_id AS id,
+               list_cosine_similarity(e.emb, qv.q_emb) AS sim
+        FROM e, qv WHERE e.vec_id != 0
+        ORDER BY sim DESC, id LIMIT {_RRF_DEPTH}
+    ), cosr AS (
+        SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r FROM cos
+    ), fused AS (
+        SELECT coalesce(b.id, c.id) AS doc_id,
+               coalesce(1.0 / ({_RRF_K} + b.r), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + c.r), 0.0) AS rrf,
+               b.r AS bm25_rank, c.r AS cos_rank
+        FROM bmr b FULL JOIN cosr c ON b.id = c.id
+    )
+    SELECT doc_id, round(rrf, 8) AS rrf_score,
+           CAST(bm25_rank AS INT) AS bm25_rank, CAST(cos_rank AS INT) AS cos_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "corpus", "retrieval", "similarity"),
+)
+def retrieval_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:
+    the BM25 top-50 for the fixed term query and the cosine top-50 around
+    doc 0's embedding each contribute 1/(60+rank); missing membership in a
+    list contributes 0 — the standard zero-training fusion for RAG-style
+    corpus pulls (doc 0 itself is excluded from both lists).
+
+    Determinism across engines: the BM25 list ranks on the ROUNDED score
+    (the sum over per-term contributions tolerates association-order
+    ULPs — see bm25_top20) and the cosine list on the raw fold (bit-equal
+    on both engines — see knn_cosine_top20), each with the id tie-break;
+    the fused score is two IEEE divisions summed in a fixed order.
+
+    Shape at scale: both candidate lists are TakeOrderedAndProject
+    top-50s (never a global sort); the rank row_number then runs over a
+    50-row frame — single-partition by construction and bounded by the
+    fusion depth, not the corpus. The fusion join is 50x50 ids. The
+    cosine side here is the exact brute-force scan (the oracle-checkable
+    baseline); swapping in the partition-pruned ANN serving path
+    (operators/similarity.ann_topk over a maintained index) changes only
+    the candidate generator, not the fusion."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import knn_bruteforce
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    bmr = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), F.col("doc_id")))
+        .alias("r"),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    cos = knn_bruteforce(emb.filter(F.col("vec_id") != 0), qvec, k=_RRF_DEPTH)
+    cosr = cos.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("r"),
+    )
+    fused = bmr.alias("b").join(cosr.alias("c"), F.col("b.id") == F.col("c.id"), "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("b.r")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("c.r")), F.lit(0.0))
+    return (
+        fused.select(
+            F.coalesce(F.col("b.id"), F.col("c.id")).alias("doc_id"),
+            F.round(rrf, 8).alias("rrf_score"),
+            F.col("b.r").cast("int").alias("bm25_rank"),
+            F.col("c.r").cast("int").alias("cos_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )

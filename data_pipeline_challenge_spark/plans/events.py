@@ -389,3 +389,77 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq_prefix"),
         )
     )
+
+
+@query(
+    "events_gapfill_hourly_locf",
+    f"""
+    WITH hourly AS (
+        SELECT event_type, ({_DUCK_EPOCH_S} // 3600) * 3600 AS hour_s,
+               count(*) AS n, round(sum(value), 2) AS sv
+        FROM events GROUP BY event_type, hour_s
+    ), span AS (
+        SELECT event_type, min(hour_s) AS lo, max(hour_s) AS hi
+        FROM hourly GROUP BY event_type
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS hour_s
+        FROM span
+    )
+    SELECT g.event_type, g.hour_s,
+           coalesce(h.n, 0) AS n_events,
+           last_value(h.sv IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_locf,
+           (h.hour_s IS NULL) AS gap_filled
+    FROM grid g LEFT JOIN hourly h USING (event_type, hour_s)
+    """,
+    tags=("events", "window-time", "gapfill"),
+)
+def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: per event_type, a dense hourly grid
+    from the type's first to last active hour, missing buckets emitted
+    with n_events=0 and the last observed hourly sum carried forward
+    (LOCF) — the `time_bucket_gapfill` + `locf` shape time-series stores
+    provide, expressed as declarative Spark.
+
+    Shape at scale: the only raw-data shuffle is the hourly pre-agg
+    (map-side combinable, output = active (type, hour) pairs). The grid
+    is `sequence()`-exploded from the per-type span aggregate — its size
+    is (types x span hours), a function of TIME, not of event volume, so
+    a 100 TB event log gap-fills over the same few-thousand-row grid.
+    The LOCF window partitions by event_type over that bounded grid;
+    for high-cardinality keys (per-user grids) the same plan shards by
+    key. Hourly sums are rounded to 2 BEFORE the carry-forward so the
+    propagated value is byte-identical across engines; leading grid rows
+    before a type's first sum are NULL on both sides."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_s"], "left")
+        .select(
+            "event_type",
+            "hour_s",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("sv", ignorenulls=True).over(w).alias("sum_value_locf"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )

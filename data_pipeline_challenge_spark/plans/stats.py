@@ -805,3 +805,127 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # completeness (hamming <= 7) is affordable here; production-scale
     # corpora use the default 4x16-bit bands (see image_near_dups)
     return image_near_dups(media, max_hamming=10, n_bands=8)
+
+
+@query(
+    "events_value_outliers_mad",
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), med AS (
+        SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - m.med) AS dev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), devr AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ), mad AS (
+        SELECT event_type, dev AS mad FROM devr WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round(d.med, 6) AS med,
+           round(m.mad, 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.dev > 5 * m.mad
+    """,
+    tags=("events", "stats", "outliers", "window"),
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: events whose value deviates
+    from the group (event_type) median by more than 5x the group's
+    median absolute deviation — the MAD z-score rule, which (unlike
+    mean/stddev) is not itself dragged by the outliers it hunts.
+
+    Determinism across engines: both medians are DISCRETE picks — the
+    ceil(n/2)-th smallest VALUE via row_number (tie order among equal
+    values cannot change which value sits at a rank) — never an
+    interpolated percentile whose midpoint arithmetic could differ by a
+    ULP. dev = one subtraction, the threshold one multiply: bit-equal
+    IEEE on both engines, so the `>` cut admits identical rows.
+
+    Shape at scale: two passes, each one shuffle on event_type (the
+    rank windows); medians/MADs collapse to a per-type row that
+    broadcast-joins back. For few hot groups the rank window serializes
+    per group — the documented lever is the histogram pick rule of
+    operators/profiling.py (exact for discretized metrics, one groupBy,
+    no per-group sort) or approx_percentile when a tolerance is stated."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    devr = dev.select(
+        "event_type",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = devr.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > F.lit(5.0) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_pairs_lev1",
+    """
+    WITH names AS (
+        SELECT p_name AS name, count(*) AS n
+        FROM part WHERE length(p_name) >= 6 GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a JOIN names b
+      ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 1
+     AND levenshtein(a.name, b.name) <= 1
+    """,
+    tags=("dedup", "fuzzy", "join", "string"),
+)
+def fuzzy_name_pairs_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy catalog-name dedup: distinct part-name pairs one edit apart
+    (``operators/dedup.fuzzy_name_pairs``): distinct-first collapse, then
+    a q-gram inverted-index candidate join + length filter, then one
+    levenshtein verify per candidate — never an all-pairs compare. The
+    oracle is the brute-force join over the same distinct-name table
+    (equivalent because the gram filter is sound at the query's length
+    floor — see the operator docstring)."""
+    from ..operators.dedup import fuzzy_name_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(part, "p_name", max_dist=1, q=3)
