@@ -159,6 +159,61 @@ def _indexed_bm25_probe(spark, sf_dir: str, n_runs: int) -> dict[str, list[float
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _indexed_hybrid_probe(spark, sf_dir: str, n_runs: int) -> dict[str, list[float]]:
+    """Serving-shape timing for HYBRID retrieval over maintained indexes:
+    fold the documents table into the BM25 index and build the LSH index
+    once (untimed builds, amortized at scale), then time
+    ``hybrid_search_indexed`` — pruned BM25 postings probe + pruned LSH
+    bucket probe + depth-bounded RRF fusion — the maintained twin of the
+    oracle-checked ``retrieval_hybrid_rrf_top10``."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_planes_for_corpus,
+    )
+    from data_pipeline_challenge_spark.plans.corpus import _BM25_TERMS
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        fold_batch,
+        hybrid_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    rest = emb.filter("vec_id != 0")
+    bidx = Path(tempfile.mkdtemp(prefix="bench_hybrid_bm25_"))
+    aidx = Path(tempfile.mkdtemp(prefix="bench_hybrid_ann_"))
+    try:
+        fold_batch(spark, bidx, docs, 0, "doc_id", "text")
+        lsh_build_index(
+            rest, aidx, dim=64, n_planes=lsh_planes_for_corpus(rest.count(), k=10)
+        )
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            hybrid_search_indexed(
+                spark,
+                bidx,
+                list(_BM25_TERMS),
+                aidx,
+                qvec,
+                k=10,
+                depth=50,
+                ann_probe="lsh",
+                probe_hamming=1,
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        return {"hybrid_probe_indexed": runs}
+    finally:
+        shutil.rmtree(bidx, ignore_errors=True)
+        shutil.rmtree(aidx, ignore_errors=True)
+
+
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """Mechanical provenance for round-over-round comparisons: the driver
     regenerates /root/testdata between rounds, and r7's ~+25% uniform
@@ -340,6 +395,10 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     for name, runs in _indexed_bm25_probe(spark, sf_dir, n_runs).items():
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+
+    for name, runs in _indexed_hybrid_probe(spark, sf_dir, n_runs).items():
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 

@@ -933,3 +933,47 @@ def pq_topk_indexed(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "r",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) over N
+    already-ranked candidate lists: score(id) = Σ_i 1/(k + rank_i(id)),
+    with absent membership contributing 0. Inputs are (id_col, rank_col)
+    frames; output is (id_col, rrf_score, rank_1..rank_N) ordered by
+    (rrf_score desc, id), optionally limited.
+
+    Shape at scale: each input is a candidate list (depth-bounded by its
+    generator — TakeOrderedAndProject top-k, an ANN probe, a BM25 index
+    probe), so the N-1 full-outer joins run over depth-sized frames; the
+    fusion never touches the corpus. The additions run in fixed list
+    order, so the fused double is deterministic for a given list order."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = ranked[0].select(
+        F.col(id_col), F.col(rank_col).cast("int").alias("rank_1")
+    )
+    for i, nxt in enumerate(ranked[1:], start=2):
+        fused = fused.join(
+            nxt.select(F.col(id_col), F.col(rank_col).cast("int").alias(f"rank_{i}")),
+            id_col,
+            "full",
+        )
+    score = None
+    for i in range(1, len(ranked) + 1):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    out = fused.select(
+        id_col,
+        score.alias("rrf_score"),
+        *[f"rank_{i}" for i in range(1, len(ranked) + 1)],
+    )
+    out = out.orderBy(F.col("rrf_score").desc(), id_col)
+    return out.limit(topk) if topk is not None else out

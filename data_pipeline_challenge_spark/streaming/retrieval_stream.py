@@ -547,3 +547,64 @@ def start_retrieval_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hybrid_search_indexed(
+    spark: SparkSession,
+    out_dir: str | Path,
+    terms: list[str],
+    ann_index_dir: str | Path,
+    query: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    ann_probe: str = "ivf",
+    rrf_k: int = 60,
+    **probe_kwargs,
+) -> DataFrame | None:
+    """Hybrid lexical+semantic SERVING path: probe the maintained BM25
+    index (:func:`bm25_search`, partition-pruned postings, revocation-
+    aware) and a persisted ANN index (``operators/similarity`` LSH/IVF/PQ
+    probe — partition-pruned bucket/cluster scans) to ``depth``
+    candidates each, then fuse with Reciprocal Rank Fusion
+    (``operators/similarity.rrf_fuse``). None before the first folded
+    batch. Columns: (doc_id, rrf_score, rank_1=bm25, rank_2=ann).
+
+    This is the maintained-index twin of the oracle-checked batch query
+    ``retrieval_hybrid_rrf_top10``: swap candidate generators, keep the
+    fusion. With an exhaustive probe (IVF n_probe = n_clusters) the ANN
+    list equals brute force, so the fused ranking equals the batch
+    fusion over the same corpus (pinned by
+    ``test_hybrid_indexed_matches_python_fusion``). Rank windows run on
+    depth-sized single partitions by construction — bounded by the
+    fusion depth, never the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        pq_topk_indexed,
+        rrf_fuse,
+    )
+
+    bm = bm25_search(spark, out_dir, terms, k=depth)
+    if bm is None:
+        return None
+    bmr = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("r"),
+    )
+    probes = {
+        "lsh": lsh_topk_indexed,
+        "ivf": ivf_topk_indexed,
+        "pq": pq_topk_indexed,
+    }
+    ann = probes[ann_probe](spark, ann_index_dir, query, k=depth, **probe_kwargs)
+    annr = ann.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
+        .alias("r"),
+    )
+    return rrf_fuse([bmr, annr], k=rrf_k, topk=k).withColumnRenamed("id", "doc_id")

@@ -416,3 +416,47 @@ def test_new_text_queries_topk_and_no_cartesian(spark):
     # formatted mode prints each node twice (tree + detail): <=2 == one
     # BNLJ node, which is the 1-row n_tok crossJoin broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_gapfill_grid_from_span_agg_not_raw(spark):
+    """events_gapfill_hourly_locf: the dense grid must derive from the
+    per-type SPAN AGGREGATE (generate/explode over (types x hours), a
+    function of time, not volume) and the raw scan must feed only the
+    map-side-combinable hourly pre-agg — no raw-event window, no
+    cartesian."""
+    plan = plan_of(spark, "events_gapfill_hourly_locf")
+    assert "Generate" in plan  # the sequence() explode builds the grid
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation on the raw side (map-side combine before the
+    # event_type/hour shuffle)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_mad_outliers_medians_broadcast_back(spark):
+    """events_value_outliers_mad: the per-type median/MAD frames are
+    tiny (one row per event_type) and must come back as BROADCAST joins
+    — the events side is never shuffled for the final threshold cut."""
+    plan = plan_of(spark, "events_value_outliers_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_candidates_are_topk(spark):
+    """retrieval_hybrid_rrf_top10: both candidate lists must materialize
+    as TakeOrderedAndProject top-50s (never a corpus-wide global sort);
+    the only nested-loop joins are the 1-row broadcast scalars (n_docs,
+    avgdl, query vector)."""
+    plan = plan_of(spark, "retrieval_hybrid_rrf_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_name_pairs_is_equijoin_on_grams(spark):
+    """fuzzy_name_pairs_lev1: candidate generation must be an EQUI-join
+    on the q-gram (inverted index), never an all-pairs nested loop over
+    the name table; the distinct-first collapse must aggregate before
+    pairing."""
+    plan = plan_of(spark, "fuzzy_name_pairs_lev1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

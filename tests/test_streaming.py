@@ -5325,3 +5325,92 @@ def test_image_dedup_gate_stream(spark, tmp_path):
     assert sorted(
         r["media_id"] for r in current_kept_media(spark, out).collect()
     ) == kept
+
+
+def test_hybrid_indexed_matches_python_fusion(spark, tmp_path):
+    """The hybrid serving path (maintained BM25 index + persisted ANN
+    index + RRF fusion) must reproduce, with an EXHAUSTIVE probe
+    (IVF n_probe = n_clusters, so the ANN list equals brute force), the
+    fusion computed independently: BM25 candidates from the index probe,
+    cosine candidates from knn_bruteforce, RRF folded in pure Python.
+    Pins both the fusion arithmetic and the exhaustive-probe==exact
+    property; also the None-before-first-fold contract."""
+    import math
+
+    from data_pipeline_challenge_spark.operators.similarity import (
+        ivf_build_index,
+        knn_bruteforce,
+    )
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        fold_batch,
+        hybrid_search_indexed,
+    )
+
+    rng_terms = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    rng_terms[(i + j) % len(rng_terms)]
+                    for j in range((i % 5) + 3)
+                ),
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    # deterministic synthetic embeddings, dim 6, ids aligned with doc_id
+    emb_rows = [
+        (i, [math.sin(0.7 * i + d) for d in range(6)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+    idx = tmp_path / "bm25_idx"
+    ann = tmp_path / "ann_idx"
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    terms = ["alpha", "gamma"]
+
+    # before any fold: no index yet
+    assert (
+        hybrid_search_indexed(
+            spark, idx, terms, ann, qvec, ann_probe="ivf", n_probe=4
+        )
+        is None
+    )
+
+    fold_batch(spark, idx, docs, 0, "doc_id", "text")
+    ivf_build_index(emb, ann, n_clusters=4)
+
+    got = hybrid_search_indexed(
+        spark, idx, terms, ann, qvec, k=10, depth=15, ann_probe="ivf", n_probe=4
+    ).collect()
+
+    # independent expected fusion
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import bm25_search
+
+    bm = bm25_search(spark, idx, terms, k=15).collect()
+    bm_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    kn = knn_bruteforce(emb, qvec, k=15).collect()
+    kn_rank = {
+        r["vec_id"]: i + 1
+        for i, r in enumerate(sorted(kn, key=lambda r: (-r["sim"], r["vec_id"])))
+    }
+    fused = {}
+    for i in set(bm_rank) | set(kn_rank):
+        s = 0.0
+        s += 1.0 / (60.0 + bm_rank[i]) if i in bm_rank else 0.0
+        s += 1.0 / (60.0 + kn_rank[i]) if i in kn_rank else 0.0
+        fused[i] = s
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    assert [(r["doc_id"], r["rank_1"], r["rank_2"]) for r in got] == [
+        (i, bm_rank.get(i), kn_rank.get(i)) for i, _ in want
+    ]
+    for r, (i, s) in zip(got, want):
+        assert abs(r["rrf_score"] - s) < 1e-12
