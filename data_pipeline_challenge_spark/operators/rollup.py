@@ -107,3 +107,44 @@ def reaggregate(rollup: DataFrame, hours_per_bucket: int) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def gapfill_locf(
+    rollup: DataFrame,
+    bucket_col: str = "bucket_hr",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward VIEW over a rollup
+    frame (batch :func:`hourly_rollup` output or the maintained store's
+    ``current_rollup`` — a read-side transform, so the maintained store
+    needs no extra state to serve dense time series).
+
+    Per key: a dense bucket grid from the key's first to last active
+    bucket; missing buckets emit n_events=0, sum_cents carried forward
+    from the last active bucket, gap_filled=true. All-integer arithmetic
+    (buckets and cents), so stream==batch equality is exact.
+
+    Shape at scale: the grid explodes from the per-key SPAN aggregate —
+    (keys x span buckets) rows, a function of time, not event volume;
+    the LOCF window partitions by key over that bounded grid. The raw
+    table is never touched (the input is already the rollup)."""
+    from pyspark.sql import Window
+
+    span = rollup.groupBy(key_col).agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("lo", "hi")).alias(bucket_col)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(rollup, [key_col, bucket_col], "left").select(
+        key_col,
+        bucket_col,
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.last("sum_cents", ignorenulls=True).over(w).alias("sum_cents_locf"),
+        F.col("n_events").isNull().alias("gap_filled"),
+    )

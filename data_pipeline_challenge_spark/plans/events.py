@@ -463,3 +463,80 @@ def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    """
+    WITH conv AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ), t AS (
+        -- one touch row per (user, ts): max event_id wins, its type rides
+        SELECT user_id, ts, max(event_id) AS t_event_id,
+               arg_max(event_type, event_id) AS t_type
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts
+    ), j AS (
+        SELECT c.event_id, c.value,
+               CASE WHEN t.ts IS NOT NULL
+                         AND epoch_us(c.ts) - epoch_us(t.ts) <= 1800000000
+                    THEN t.t_type ELSE 'direct' END AS attributed
+        FROM conv c ASOF LEFT JOIN t
+          ON c.user_id = t.user_id AND c.ts >= t.ts
+    )
+    SELECT attributed, count(*) AS n_conversions,
+           round(sum(value), 2) AS attributed_value
+    FROM j GROUP BY attributed
+    """,
+    tags=("events", "asof", "attribution"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent click/view within a 30-minute lookback (as-of
+    join + window cut), else 'direct' — the marketing-analytics shape of
+    the backward as-of join. Touches colliding on (user, ts) dedupe to
+    the max event_id BEFORE the as-of (the engine tie rule, mirrored in
+    the oracle with arg_max), so the attributed type is deterministic.
+
+    Shape at scale: the as-of is operators/asof.py's union + one
+    (user_id)-keyed window — one shuffle, no range explosion; the
+    lookback cut is a post-join filter; the report is a 3-row
+    aggregate."""
+    from ..operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", F.col("ts").alias("t_ts"))
+        .agg(
+            F.max("event_id").alias("t_event_id"),
+            F.max_by("event_type", "event_id").alias("t_type"),
+        )
+    )
+    j = asof_join(
+        conv,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="t_ts",
+        right_payload=["t_type", "t_ts"],
+        suffix="",
+        right_tiebreak="t_event_id",
+    )
+    attributed = F.when(
+        F.col("t_ts").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("t_ts") <= 1_800_000_000),
+        F.col("t_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        j.select(attributed.alias("attributed"), "value")
+        .groupBy("attributed")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

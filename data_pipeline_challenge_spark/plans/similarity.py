@@ -465,3 +465,51 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.round(F.col("n_hit") / F.col("k"), 4).alias("recall_at_k"),
     )
+
+
+@query(
+    "dup_graph_triangles",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    pr AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+    )
+    SELECT p1.id1 AS a, p1.id2 AS b, p2.id2 AS c
+    FROM pr p1
+    JOIN pr p2 ON p2.id1 = p1.id2
+    JOIN pr p3 ON p3.id1 = p1.id1 AND p3.id2 = p2.id2
+    """,
+    tags=("similarity", "dedup", "graph"),
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-duplicate pair graph (same
+    τ=0.35 edge set as ``embedding_near_pairs``) — the density signal
+    dedup audits use: triangles mean mutually-similar triples (tight
+    clusters safe for keep-one collapse), their absence means chains
+    (transitive merges that deserve review).
+
+    Shape at scale: edges are oriented a<b (each triangle counted once,
+    the standard orientation trick), so enumeration is two EQUI-joins on
+    edge endpoints — wedge generation (p1⋈p2 on the shared middle
+    vertex) then closure (⋈p3 on the outer pair). Hot vertices are the
+    skew lever: degree-ordered orientation + AQE skew splitting; the
+    edge set itself comes from the banded/tiled candidate path, never
+    an all-pairs scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_near_pairs_blocked(emb, threshold=0.35).select("id1", "id2")
+    p1, p2, p3 = edges.alias("p1"), edges.alias("p2"), edges.alias("p3")
+    return (
+        p1.join(p2, F.col("p2.id1") == F.col("p1.id2"))
+        .join(
+            p3,
+            (F.col("p3.id1") == F.col("p1.id1"))
+            & (F.col("p3.id2") == F.col("p2.id2")),
+        )
+        .select(
+            F.col("p1.id1").alias("a"),
+            F.col("p1.id2").alias("b"),
+            F.col("p2.id2").alias("c"),
+        )
+    )

@@ -5414,3 +5414,88 @@ def test_hybrid_indexed_matches_python_fusion(spark, tmp_path):
     ]
     for r, (i, s) in zip(got, want):
         assert abs(r["rrf_score"] - s) < 1e-12
+
+
+def test_gapfill_locf_over_maintained_rollup_equals_batch(spark, tmp_path):
+    """gapfill_locf is a read-side view: applied to the maintained
+    rollup store after streaming N files it must equal, row-for-row,
+    the same view over the one-shot batch rollup of all events — and
+    the fill semantics themselves are pinned on a crafted frame (gap
+    buckets carry the last sum_cents forward with n_events=0)."""
+    import datetime as dt
+
+    from data_pipeline_challenge_spark.operators.rollup import (
+        gapfill_locf,
+        hourly_rollup,
+    )
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    # crafted semantics check: hours 0, 1, 4 active -> 2, 3 filled
+    crafted = spark.createDataFrame(
+        [(0, "a", 2, 100, 0.5, 1.0), (1, "a", 1, 250, 2.5, 2.5),
+         (4, "a", 3, 30, 0.1, 0.2), (7, "b", 1, 70, 0.7, 0.7)],
+        "bucket_hr long, event_type string, n_events long, sum_cents long,"
+        " min_value double, max_value double",
+    )
+    got = {
+        (r["event_type"], r["bucket_hr"]): (
+            r["n_events"], r["sum_cents_locf"], r["gap_filled"]
+        )
+        for r in gapfill_locf(crafted).collect()
+    }
+    assert got[("a", 2)] == (0, 250, True)
+    assert got[("a", 3)] == (0, 250, True)
+    assert got[("a", 4)] == (3, 30, False)
+    assert got[("b", 7)] == (1, 70, False)
+    assert len(got) == 6  # a: hours 0..4, b: hour 7
+
+    # stream==batch: two event files through the maintained store
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "gapfill_src"
+    src.mkdir()
+    H = 3_600_000_000  # one hour in micros
+
+    def land(name, rows):
+        ids, us, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+
+    # click active in hours 0 and 4 (gap 1-3), view in hours 2 and 3
+    land("f1.parquet", [(1, 0, "click", 1.0), (2, 1 * H // 2, "click", 2.0),
+                        (3, 2 * H, "view", 3.0)])
+    land("f2.parquet", [(4, 4 * H + 5, "click", 0.5), (5, 3 * H, "view", 1.5)])
+
+    rdir = tmp_path / "gapfill_rollup"
+    q = start_rollup_stream(
+        spark, src, rdir, tmp_path / "gapfill_ck", max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    maintained = gapfill_locf(current_rollup(spark, rdir))
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+
+    both = spark.read.parquet(str(src)).withColumn(
+        "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
+    )
+    batch = gapfill_locf(hourly_rollup(both))
+    got_rows = sorted(map(tuple, maintained.collect()))
+    assert got_rows == sorted(map(tuple, batch.collect()))
+    # the click gap hours really are filled rows
+    click = {r[1]: r for r in got_rows if r[0] == "click"}
+    assert set(click) == {0, 1, 2, 3, 4} and click[2][4] is True
