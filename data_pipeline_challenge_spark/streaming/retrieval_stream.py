@@ -576,7 +576,18 @@ def hybrid_search_indexed(
     fusion over the same corpus (pinned by
     ``test_hybrid_indexed_matches_python_fusion``). Rank windows run on
     depth-sized single partitions by construction — bounded by the
-    fusion depth, never the corpus."""
+    fusion depth, never the corpus.
+
+    Revocation: ``bm25_search`` already anti-joins revoked docs, but the
+    ANN index knows nothing about the retrieval store's revocations — so
+    the ANN candidate list is anti-joined against the store's revoked
+    set BEFORE ranking (revoked ⇒ unservable outranks every other
+    property, exactly as bm25_search documents; the revoked frame is a
+    broadcast of revocation-sized data). The anti-join runs after the
+    probe's top-``depth`` cut, so revoked hits shrink the ANN list
+    rather than backfill — over-fetch via ``depth`` when the revocation
+    rate matters. Pinned by
+    ``test_hybrid_indexed_excludes_revoked_docs``."""
     from pyspark.sql import Window
 
     from ..operators.similarity import (
@@ -601,6 +612,13 @@ def hybrid_search_indexed(
         "pq": pq_topk_indexed,
     }
     ann = probes[ann_probe](spark, ann_index_dir, query, k=depth, **probe_kwargs)
+    revoked = _revoked_view(spark, Path(out_dir))
+    if revoked is not None:
+        ann = ann.join(
+            F.broadcast(revoked.select(F.col("doc_id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
     annr = ann.select(
         F.col("vec_id").alias("id"),
         F.row_number()

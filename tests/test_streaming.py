@@ -5499,3 +5499,53 @@ def test_gapfill_locf_over_maintained_rollup_equals_batch(spark, tmp_path):
     # the click gap hours really are filled rows
     click = {r[1]: r for r in got_rows if r[0] == "click"}
     assert set(click) == {0, 1, 2, 3, 4} and click[2][4] is True
+
+
+def test_hybrid_indexed_excludes_revoked_docs(spark, tmp_path):
+    """A doc revoked from the maintained retrieval store must vanish
+    from HYBRID results even when the persisted ANN index (which has no
+    revocation concept) still ranks its embedding — revoked ⇒
+    unservable through every serving path."""
+    import math
+
+    from data_pipeline_challenge_spark.operators.similarity import ivf_build_index
+    from data_pipeline_challenge_spark.streaming.retrieval_stream import (
+        fold_batch,
+        hybrid_search_indexed,
+        revoke_docs,
+    )
+
+    terms = ["alpha", "gamma"]
+    docs = spark.createDataFrame(
+        [(i, "alpha gamma filler" if i % 2 == 0 else "beta delta word")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [math.cos(0.3 * i + d) for d in range(6)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = tmp_path / "bm25_idx"
+    ann = tmp_path / "ann_idx"
+    fold_batch(spark, idx, docs, 0, "doc_id", "text")
+    ivf_build_index(emb, ann, n_clusters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+
+    before = hybrid_search_indexed(
+        spark, idx, terms, ann, qvec, k=20, depth=20, ann_probe="ivf", n_probe=2
+    ).collect()
+    # pick a victim that is served through BOTH lists
+    victim = next(
+        r["doc_id"] for r in before
+        if r["rank_1"] is not None and r["rank_2"] is not None and r["doc_id"] != 0
+    )
+    revoke_docs(spark, idx, spark.createDataFrame([(victim,)], "doc_id long"))
+
+    after = hybrid_search_indexed(
+        spark, idx, terms, ann, qvec, k=20, depth=20, ann_probe="ivf", n_probe=2
+    ).collect()
+    assert victim in {r["doc_id"] for r in before}
+    assert victim not in {r["doc_id"] for r in after}
+    # and the survivors still carry both-list ranks (the anti-join did
+    # not blank the ANN side wholesale)
+    assert any(r["rank_2"] is not None for r in after)
