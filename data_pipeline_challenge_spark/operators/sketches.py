@@ -204,3 +204,83 @@ def heavy_hitters(
         .filter(F.col("n") * k > F.lit(n_total))
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimation in depth x width counters. est(x) = min_d cell[d][h_d(x)]
+# >= true(x) always (one-sided error); E[overestimate] <= N/width per row.
+# Cells fold by ADDITION, so sketches of partitions/batches merge exactly
+# — the same mergeability contract as the Misra-Gries pass above, but
+# answering point queries instead of top-k membership.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_bucket(col: Column, d: int, width: int = CMS_WIDTH) -> Column:
+    """Row d's counter index for a value: the engine-portable md5 family
+    (60-bit prefix, same fold as minhash_signatures_md5) mod width —
+    bit-reproducible in any engine with md5, so an external oracle can
+    rebuild the whole sketch."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{d}|"), col)), 1, 15)
+    return (F.conv(hx, 16, 10).cast("long") % width).alias(f"b{d}")
+
+
+def cms_cells(
+    items: DataFrame, item_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Fold an item stream into CMS cells: (d, bucket, n). One explode
+    (depth rows per item — depth is 4, not data-sized) and one map-side
+    combinable groupBy; the result is depth*width rows regardless of
+    input volume, the definition of a sketch. Cells from different
+    inputs merge by summing n on (d, bucket)."""
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(F.col(item_col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return rows.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for a probe set: hash each probe into
+    its depth buckets, join the (depth*width)-row cell table (broadcast
+    — the sketch is tiny by construction), min over rows. Missing cells
+    mean a zero counter. Returns (item, est)."""
+    pb = probes.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(F.col(item_col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    return (
+        pb.join(F.broadcast(cells), ["d", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )

@@ -1860,3 +1860,70 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     return freqs.groupBy("freq").agg(F.count(F.lit(1)).alias("n_types"))
+
+
+#: CMS probe set: frequent corpus terms + a rare one + an absent one, so
+#: the one-sided error is exercised across the frequency spectrum.
+_CMS_PROBES = ("data", "spark", "merge", "dup", "window", "the", "zz_absent_zz")
+_CMS_BUCKET_SQL = _MH_HEX2INT.format(x="concat(d, '|', term)") + " % 256"
+_CMS_PROBE_BUCKET_SQL = _MH_HEX2INT.format(x="concat(d, '|', item)") + " % 256"
+
+
+@query(
+    "cms_term_freq_estimates",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), t AS (SELECT term FROM tok WHERE term <> ''),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT d, {_CMS_BUCKET_SQL} AS bucket, count(*) AS n
+        FROM t CROSS JOIN ds GROUP BY d, bucket
+    ), probes AS (
+        SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS item
+    ), pb AS (
+        SELECT item, d, {_CMS_PROBE_BUCKET_SQL} AS bucket
+        FROM probes CROSS JOIN ds
+    ), est AS (
+        SELECT item, min(coalesce(cells.n, 0)) AS est
+        FROM pb LEFT JOIN cells USING (d, bucket) GROUP BY item
+    ), exact AS (
+        SELECT p.item, count(t.term) AS exact_n
+        FROM probes p LEFT JOIN t ON t.term = p.item GROUP BY p.item
+    )
+    SELECT item, est, exact_n, est - exact_n AS overestimate
+    FROM est JOIN exact USING (item)
+    """,
+    tags=("text", "sketch", "agg"),
+)
+def cms_term_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency estimation
+    (``operators/sketches.cms_cells``/``cms_estimate``, depth 4 x width
+    256) probed across the frequency spectrum, with the exact counts and
+    the (always >= 0) one-sided overestimate alongside — the sketch a
+    pipeline keeps when the term universe is too large for exact counts
+    but point lookups must stay O(1).
+
+    The sketch uses the engine-portable md5 bucket family, so the oracle
+    rebuilds the ENTIRE sketch bit-identically — estimates, not just
+    exact counts, hash-match. Shape at scale: the cell fold is one
+    map-side-combinable groupBy to depth*width = 1024 rows regardless of
+    corpus size; cells merge by addition (partition-wise and, in the
+    maintained twin, batch-wise); the probe join broadcasts the sketch."""
+    from ..operators.sketches import cms_cells, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cells = cms_cells(toks, "term")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    est = cms_estimate(cells, probes, "item")
+    exact = (
+        probes.join(toks, probes["item"] == toks["term"], "left")
+        .groupBy("item")
+        .agg(F.count("term").alias("exact_n"))
+    )
+    return est.join(exact, "item").select(
+        "item", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overestimate")
+    )

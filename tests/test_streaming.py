@@ -5549,3 +5549,77 @@ def test_hybrid_indexed_excludes_revoked_docs(spark, tmp_path):
     # and the survivors still carry both-list ranks (the anti-join did
     # not blank the ANN side wholesale)
     assert any(r["rank_2"] is not None for r in after)
+
+
+def test_cms_stream_equals_batch_and_replay(spark, tmp_path):
+    """Maintained CMS: cells add, so estimates over the incrementally-
+    folded store equal the batch sketch over the concatenated input —
+    exactly, not approximately (the sketches are identical cell tables).
+    Also: a replayed batch id is a no-op (last-id guard), and every
+    estimate is >= the exact count (the CMS one-sided error contract)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+    from data_pipeline_challenge_spark.streaming import cms_stream
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    all_terms = []
+    mtime = 1_700_000_000
+    for b in range(3):
+        terms = [words[(i * 3 + b) % len(words)] for i in range(50 + 10 * b)]
+        all_terms += terms
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(pa.table({"term": pa.array(terms)}), str(p))
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "cms"
+    q = cms_stream.start_cms_stream(
+        spark, corpus, out, tmp_path / "ck", "term string", "term",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    probes = spark.createDataFrame(
+        [(w,) for w in words + ["missing_term"]], "item string"
+    )
+    got = {
+        r["item"]: r["est"]
+        for r in cms_stream.cms_report(spark, out, probes).collect()
+    }
+    batch = spark.createDataFrame([(t,) for t in all_terms], "term string")
+    want = {
+        r["item"]: r["est"]
+        for r in cms_estimate(cms_cells(batch, "term"), probes, "item").collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    exact = Counter(all_terms)
+    for w in words:
+        assert got[w] >= exact[w]
+    assert got["missing_term"] >= 0
+
+    # crash-replay: re-folding an already-committed batch id is a no-op
+    extra = spark.createDataFrame([("alpha",)] * 100, "term string")
+    cms_stream.fold_batch(spark, out, extra, 0, "term")
+    again = {
+        r["item"]: r["est"]
+        for r in cms_stream.cms_report(spark, out, probes).collect()
+    }
+    assert again == got
+    # a NEW batch id does fold
+    cms_stream.fold_batch(spark, out, extra, 99, "term")
+    bumped = {
+        r["item"]: r["est"]
+        for r in cms_stream.cms_report(spark, out, probes).collect()
+    }
+    assert bumped["alpha"] == got["alpha"] + 100
