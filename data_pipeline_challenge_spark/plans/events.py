@@ -540,3 +540,54 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_type_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ), pairs AS (
+        SELECT cur, nxt, count(*) AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), totals AS (
+        SELECT cur, sum(n) AS n_cur FROM pairs GROUP BY cur
+    )
+    SELECT p.cur, p.nxt, p.n,
+           round(CAST(p.n AS DOUBLE) / t.n_cur, 6) AS prob
+    FROM pairs p JOIN totals t USING (cur)
+    """,
+    tags=("events", "window", "sequence"),
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-model summary (and the bigram-LM shape of
+    plans/text.py applied to event streams). (ts, event_id) orders ties
+    deterministically on both engines.
+
+    Shape at scale: one user-keyed window pass for lead() (state = one
+    row), then two bounded aggregations (pairs <= |types|² = 25 rows);
+    the probability normalization joins the 5-row totals frame — nothing
+    after the window is corpus-sized."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_cur"), 6).alias("prob"),
+    )

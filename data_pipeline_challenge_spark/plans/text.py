@@ -1927,3 +1927,40 @@ def cms_term_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "item").select(
         "item", "est", "exact_n", (F.col("est") - F.col("exact_n")).alias("overestimate")
     )
+
+
+@query(
+    "docs_length_percentile_by_source",
+    """
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ), 6) AS len_pctile
+    FROM documents
+    """,
+    tags=("text", "window", "normalization"),
+)
+def docs_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile (CDF) normalization of document length —
+    the quantile-normalization step mixing pipelines apply before
+    cross-source thresholds ("keep each source's top X%"), where a raw
+    cutoff would judge every source on one source's scale.
+    percent_rank = (rank-1)/(n-1): integer rank arithmetic and a single
+    division, so both engines agree bitwise; (n_chars, doc_id) makes the
+    order total.
+
+    Shape at scale: one window pass per source stratum. A pathologically
+    hot stratum serializes its partition — the documented lever is
+    operators/ranking.py's range-partitioned global ranking (sample
+    boundaries, rank within range partitions, add offsets), the same
+    rewrite applied per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+    )

@@ -155,3 +155,73 @@ def test_windowed_pmi_banding_matches_naive(spark):
         .limit(1000)
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Z-order vs linear sort, measured from the parquet footers the
+    reader's stats-pruning actually uses: on a 2-D uniform grid written
+    to 32 files each way, a single-dimension slab filter must intersect
+    (a) nearly every file of the layout sorted on the OTHER column, but
+    (b) a small fraction of the z-ordered files — and a 2-D box filter
+    must prune the z-ordered layout harder than either 1-D slab."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.operators.layout import zorder_write
+
+    n = 1 << 14  # 16384 rows on a 128x128 grid
+    grid = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zdir, ldir = tmp_path / "zorder", tmp_path / "linear"
+    zorder_write(grid, str(zdir), [("x", 0, 127), ("y", 0, 127)], bits=7, n_files=32)
+    (
+        grid.repartitionByRange(32, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(str(ldir))
+    )
+
+    def file_ranges(d: Path, col: str):
+        out = []
+        for f in sorted(d.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    def hits(ranges, lo, hi):
+        return sum(1 for a, b in ranges if a is not None and not (b < lo or a > hi))
+
+    # y-slab: rows with y in [0, 15] (1/8 of the domain)
+    z_y = hits(file_ranges(zdir, "y"), 0, 15)
+    l_y = hits(file_ranges(ldir, "y"), 0, 15)
+    n_z = len(list(zdir.glob("*.parquet")))
+    n_l = len(list(ldir.glob("*.parquet")))
+    assert n_z >= 16 and n_l >= 16  # both layouts actually split
+    assert l_y >= n_l - 1  # x-sorted layout: y-filter prunes ~nothing
+    assert z_y <= n_z // 2  # z-order: y-filter skips at least half
+
+    # x-slab prunes the z-layout too (the point: BOTH dims prune)
+    z_x = hits(file_ranges(zdir, "x"), 0, 15)
+    assert z_x <= n_z // 2
+
+    # 2-D box [0,15]x[0,15]: intersect per-dim candidate sets
+    zx_ranges, zy_ranges = file_ranges(zdir, "x"), file_ranges(zdir, "y")
+    box = sum(
+        1
+        for (ax, bx), (ay, by) in zip(zx_ranges, zy_ranges)
+        if not (bx < 0 or ax > 15) and not (by < 0 or ay > 15)
+    )
+    assert box <= min(z_x, z_y)
+    assert box <= max(2, n_z // 8)
