@@ -1865,6 +1865,7 @@ _RRF_DEPTH = 50
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     tags=("text", "corpus", "retrieval", "similarity"),
+    bench=True,
 )
 def retrieval_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:

@@ -415,6 +415,7 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grid g LEFT JOIN hourly h USING (event_type, hour_s)
     """,
     tags=("events", "window-time", "gapfill"),
+    bench=True,
 )
 def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap-fill: per event_type, a dense hourly grid

@@ -496,7 +496,16 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex) then closure (⋈p3 on the outer pair). Hot vertices are the
     skew lever: degree-ordered orientation + AQE skew splitting; the
     edge set itself comes from the banded/tiled candidate path, never
-    an all-pairs scan."""
+    an all-pairs scan.
+
+    Enumeration is OUTPUT-SENSITIVE by definition — Θ(#triangles), and
+    a clique of c mutually-near docs holds C(c,3) of them (the 10×
+    replicated spot-run measured 4.1M triangles in 9.8s for exactly
+    this reason: every doc gains 9 exact twins). For audit REPORTS over
+    heavily-duplicated corpora, aggregate instead of enumerate (count
+    per component, as dup_cluster_size_histogram does) or run after
+    keep-one collapse; the enumeration form is the primitive those
+    derive from."""
     emb = load_table(spark, sf_dir, "embeddings")
     edges = cosine_near_pairs_blocked(emb, threshold=0.35).select("id1", "id2")
     p1, p2, p3 = edges.alias("p1"), edges.alias("p2"), edges.alias("p3")
