@@ -592,3 +592,173 @@ def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.round(F.col("n").cast("double") / F.col("n_cur"), 6).alias("prob"),
     )
+
+
+@query(
+    "events_active_sessions_per_hour",
+    f"""
+    WITH marked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, t_us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    ), spans AS (
+        SELECT user_id, session_id,
+               min(t_us) // 1000000 AS start_s,
+               (max(t_us) + 600000000) // 1000000 AS end_s
+        FROM sessions GROUP BY user_id, session_id
+    ), hours AS (
+        SELECT unnest(generate_series(start_s // 3600, end_s // 3600)) AS hr
+        FROM spans
+    )
+    SELECT hr * 3600 AS hour_s, count(*) AS active_sessions
+    FROM hours GROUP BY hour_s
+    """,
+    tags=("events", "window-time", "session", "interval"),
+)
+def events_active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation: per hour, how many user sessions
+    (10-min-gap session windows, end = last event + gap — the same
+    definition as events_session_windows) were active at any point in
+    that hour — the concurrency report capacity planning reads off an
+    event log.
+
+    Shape at scale: sessions are the usual gaps-and-islands fold (one
+    user-keyed window pass + one aggregation); each session then
+    explodes only into the hours its OWN span covers (sequence() over
+    floor(start/3600)..floor(end/3600) — bounded by session length,
+    never by the grid), and the final count is one map-side-combinable
+    groupBy. All-integer second/hour arithmetic, so both engines agree
+    exactly."""
+    ev = load_events(spark, sf_dir)
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("w")
+    ).agg(
+        F.unix_timestamp(F.col("w.start")).alias("start_s"),
+        F.unix_timestamp(F.col("w.end")).alias("end_s"),
+    )
+    hours = sessions.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / 3600).cast("long"),
+                F.floor(F.col("end_s") / 3600).cast("long"),
+            )
+        ).alias("hr")
+    )
+    return hours.groupBy((F.col("hr") * 3600).alias("hour_s")).agg(
+        F.count(F.lit(1)).alias("active_sessions")
+    )
+
+
+@query(
+    "events_gapfill_hourly_interp",
+    f"""
+    WITH hourly AS (
+        SELECT event_type, ({_DUCK_EPOCH_S} // 3600) * 3600 AS hour_s,
+               round(sum(value), 2) AS sv
+        FROM events GROUP BY event_type, hour_s
+    ), span AS (
+        SELECT event_type, min(hour_s) AS lo, max(hour_s) AS hi
+        FROM hourly GROUP BY event_type
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS hour_s
+        FROM span
+    ), filled AS (
+        SELECT g.event_type, g.hour_s, h.sv,
+               last_value(h.sv IGNORE NULLS) OVER w_prev AS prev_sv,
+               last_value(CASE WHEN h.sv IS NOT NULL THEN g.hour_s END
+                          IGNORE NULLS) OVER w_prev AS prev_t,
+               first_value(h.sv IGNORE NULLS) OVER w_next AS next_sv,
+               first_value(CASE WHEN h.sv IS NOT NULL THEN g.hour_s END
+                           IGNORE NULLS) OVER w_next AS next_t
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_s)
+        WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.hour_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY g.event_type ORDER BY g.hour_s
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_s,
+           round(CASE
+               WHEN sv IS NOT NULL THEN sv
+               WHEN prev_sv IS NOT NULL AND next_sv IS NOT NULL THEN
+                   prev_sv + (next_sv - prev_sv)
+                   * (CAST(hour_s - prev_t AS DOUBLE) / (next_t - prev_t))
+               ELSE coalesce(prev_sv, next_sv)
+           END, 6) AS sum_value_interp,
+           (sv IS NULL) AS gap_filled
+    FROM filled
+    """,
+    tags=("events", "window-time", "gapfill"),
+)
+def events_gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION — the `interpolate()` sibling
+    of events_gapfill_hourly_locf: interior gaps take the line between
+    the neighboring observed hourly sums, leading/trailing gaps fall
+    back to the nearest observation. Interpolation arithmetic is one
+    subtraction, one integer-ratio division, one multiply-add — fixed
+    order on both engines over the pre-rounded (2dp) hourly sums, so
+    the 6dp output hash-matches.
+
+    Shape at scale: identical to the LOCF form (grid from the span
+    aggregate, two bounded windows per key instead of one — the
+    backward pass is the same window reversed)."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("sv"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_s"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("sv").isNotNull(), F.col("hour_s"))
+    filled = grid.join(hourly, ["event_type", "hour_s"], "left").select(
+        "event_type",
+        "hour_s",
+        "sv",
+        F.last("sv", ignorenulls=True).over(w_prev).alias("prev_sv"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("sv", ignorenulls=True).over(w_next).alias("next_sv"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(
+            F.col("prev_sv").isNotNull() & F.col("next_sv").isNotNull(),
+            F.col("prev_sv")
+            + (F.col("next_sv") - F.col("prev_sv"))
+            * (
+                (F.col("hour_s") - F.col("prev_t")).cast("double")
+                / (F.col("next_t") - F.col("prev_t"))
+            ),
+        )
+        .otherwise(F.coalesce("prev_sv", "next_sv"))
+    )
+    return filled.select(
+        "event_type",
+        "hour_s",
+        F.round(interp, 6).alias("sum_value_interp"),
+        F.col("sv").isNull().alias("gap_filled"),
+    )
