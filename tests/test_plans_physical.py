@@ -460,3 +460,25 @@ def test_fuzzy_name_pairs_is_equijoin_on_grams(spark):
     plan = plan_of(spark, "fuzzy_name_pairs_lev1")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round14_new_queries_plan_shapes(spark):
+    """Plan contracts for the round-14 additions: no cartesian products
+    anywhere; the interval explode and both gap-fill grids come from
+    Generate over aggregated frames; the CMS probe broadcasts the
+    sketch; the transition matrix broadcasts its totals."""
+    for name in (
+        "events_active_sessions_per_hour",
+        "events_gapfill_hourly_interp",
+        "events_type_transition_matrix",
+        "docs_length_percentile_by_source",
+        "cms_term_freq_estimates",
+        "events_attribution_last_touch",
+        "dup_graph_triangles",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+    for name in ("events_active_sessions_per_hour", "events_gapfill_hourly_interp"):
+        assert "Generate" in plan_of(spark, name), name
+    assert "BroadcastHashJoin" in plan_of(spark, "cms_term_freq_estimates")
+    assert "BroadcastHashJoin" in plan_of(spark, "events_type_transition_matrix")
