@@ -649,13 +649,16 @@ def fuzzy_name_pairs(
         .join(
             grams.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.name") < F.col("b.name")),
+            & (F.col("a.name") < F.col("b.name"))
+            # length is 1-Lipschitz in edit distance: cut far pairs
+            # INSIDE the join, before they inflate the distinct's shuffle
+            & (
+                F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
+                <= max_dist
+            ),
         )
         .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
         .distinct()
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
-        )
     )
     verified = cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b").cast("int")

@@ -32,6 +32,12 @@ def quantize_minmax(col: Column, lo: float, hi: float, bits: int) -> Column:
     Values at/below ``lo`` map to 0, at/above ``hi`` to the top cell —
     clamping keeps stragglers outside the stats bounds legal rather than
     corrupting the interleave."""
+    if not (float(hi) > float(lo)):
+        raise ValueError(
+            f"quantize_minmax needs hi > lo (got lo={lo}, hi={hi}): "
+            "degenerate bounds would NaN every cell and silently destroy "
+            "the clustering"
+        )
     cells = (1 << bits) - 1
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     q = F.floor(scaled * F.lit(cells + 1)).cast("long")

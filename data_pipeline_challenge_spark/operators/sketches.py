@@ -228,6 +228,23 @@ def cms_bucket(col: Column, d: int, width: int = CMS_WIDTH) -> Column:
     return (F.conv(hx, 16, 10).cast("long") % width).alias(f"b{d}")
 
 
+def _cms_bucket_rows(item_col: str, depth: int, width: int) -> Column:
+    """The depth-explode every CMS consumer shares: one array of
+    (d, bucket) structs per row. Sketch fold and probe MUST hash
+    identically — this is the single copy of that construction."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    cms_bucket(F.col(item_col), d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+
+
 def cms_cells(
     items: DataFrame, item_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
 ) -> DataFrame:
@@ -236,19 +253,7 @@ def cms_cells(
     combinable groupBy; the result is depth*width rows regardless of
     input volume, the definition of a sketch. Cells from different
     inputs merge by summing n on (d, bucket)."""
-    rows = items.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        cms_bucket(F.col(item_col), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c")
-    )
+    rows = items.select(_cms_bucket_rows(item_col, depth, width).alias("c"))
     return rows.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -267,17 +272,7 @@ def cms_estimate(
     mean a zero counter. Returns (item, est)."""
     pb = probes.select(
         F.col(item_col).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        cms_bucket(F.col(item_col), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("c"),
+        _cms_bucket_rows(item_col, depth, width).alias("c"),
     ).select("item", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     return (
         pb.join(F.broadcast(cells), ["d", "bucket"], "left")

@@ -237,6 +237,52 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+
+def _bm25_scored(docs: DataFrame, terms: "list[str]") -> DataFrame:
+    """Shared Okapi BM25 scoring core (k1=1.2, b=0.75, Robertson +1
+    idf): returns (doc_id, s) with s rounded to 6 — ONE implementation
+    behind bm25_top20, bm25_multiquery_top5's shape, and the hybrid
+    fusion, so a parameter or tokenization change cannot silently
+    diverge between them. Shape: explode filtered to the query's terms
+    before any aggregation (tf is query-sized), df broadcast, N/avgdl
+    broadcast scalars, the tf⋈dl join the only corpus-sized join."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    return (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(_bm25_contrib()), 6).alias("s"))
+    )
+
+
+def _bm25_contrib():
+    """Per-(doc, term) BM25 contribution over columns tf/df/dl/n_docs/
+    avgdl — the ONE copy of the scoring arithmetic."""
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    return idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+
+
 @query(
     "bm25_top20",
     f"""
@@ -282,35 +328,9 @@ def bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the hash compare (the sum over ≤3 per-term contributions
     tolerates association-order ULPs)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
     return (
-        tf.join(F.broadcast(dfc), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(ad))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        _bm25_scored(docs, list(_BM25_TERMS))
+        .select("doc_id", F.col("s").alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -392,16 +412,6 @@ def bm25_multiquery_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
     scored = (
         F.broadcast(qdf)
         .join(tf, "term")
@@ -410,7 +420,7 @@ def bm25_multiquery_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(ad))
         .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(F.round(F.sum(_bm25_contrib()), 6).alias("bm25"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
     return (
@@ -1890,40 +1900,16 @@ def retrieval_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate generator, not the fusion."""
     from pyspark.sql import Window
 
+    from ..operators.similarity import knn_bruteforce, rrf_fuse
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    from ..operators.similarity import knn_bruteforce
-
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    ad = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    contrib = idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-    )
+    # doc 0 (the query doc) is dropped from the CANDIDATES only — corpus
+    # statistics (df, N, avgdl) stay full-corpus, exactly as the oracle's
+    # WHERE on the aggregated frame does.
     bm = (
-        tf.filter(F.col("doc_id") != 0)
-        .join(F.broadcast(dfc), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(ad))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("s"))
+        _bm25_scored(docs, list(_BM25_TERMS))
+        .filter(F.col("doc_id") != 0)
         .orderBy(F.col("s").desc(), "doc_id")
         .limit(_RRF_DEPTH)
     )
@@ -1941,17 +1927,12 @@ def retrieval_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("sim").desc(), F.col("vec_id")))
         .alias("r"),
     )
-    fused = bmr.alias("b").join(cosr.alias("c"), F.col("b.id") == F.col("c.id"), "full")
-    rrf = F.coalesce(
-        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("b.r")), F.lit(0.0)
-    ) + F.coalesce(F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("c.r")), F.lit(0.0))
-    return (
-        fused.select(
-            F.coalesce(F.col("b.id"), F.col("c.id")).alias("doc_id"),
-            F.round(rrf, 8).alias("rrf_score"),
-            F.col("b.r").cast("int").alias("bm25_rank"),
-            F.col("c.r").cast("int").alias("cos_rank"),
-        )
-        .orderBy(F.col("rrf_score").desc(), "doc_id")
-        .limit(10)
+    # rrf_fuse orders by the RAW fused double (bit-identical on both
+    # engines — two IEEE divisions summed in list order), matching the
+    # oracle's ORDER BY on the raw rrf; only the OUTPUT is rounded.
+    return rrf_fuse([bmr, cosr], k=_RRF_K, topk=10).select(
+        F.col("id").alias("doc_id"),
+        F.round("rrf_score", 8).alias("rrf_score"),
+        F.col("rank_1").alias("bm25_rank"),
+        F.col("rank_2").alias("cos_rank"),
     )

@@ -391,6 +391,27 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _hourly_grid(ev: DataFrame, agg_cols: "list"):
+    """Shared gap-fill scaffold for the LOCF and interpolation fills:
+    hourly pre-agg (the only raw-data shuffle, map-side combinable) →
+    per-type span aggregate → sequence()-exploded dense grid → left
+    join. Grid size is (types x span hours) — a function of TIME, not
+    event volume. Returns the grid⋈hourly frame."""
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
+    ).agg(*agg_cols)
+    span = hourly.groupBy("event_type").agg(
+        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_s"),
+    )
+    return grid.join(hourly, ["event_type", "hour_s"], "left")
+
+
 @query(
     "events_gapfill_hourly_locf",
     f"""
@@ -435,19 +456,8 @@ def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagated value is byte-identical across engines; leading grid rows
     before a type's first sum are NULL on both sides."""
     ev = load_events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
-            "event_type",
-            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
-    )
-    span = hourly.groupBy("event_type").agg(
-        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_s"),
+    filled = _hourly_grid(
+        ev, [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")]
     )
     w = (
         Window.partitionBy("event_type")
@@ -455,7 +465,7 @@ def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(hourly, ["event_type", "hour_s"], "left")
+        filled
         .select(
             "event_type",
             "hour_s",
@@ -709,20 +719,7 @@ def events_gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, two bounded windows per key instead of one — the
     backward pass is the same window reversed)."""
     ev = load_events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
-            "event_type",
-            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_s"),
-        )
-        .agg(F.round(F.sum("value"), 2).alias("sv"))
-    )
-    span = hourly.groupBy("event_type").agg(
-        F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi")
-    )
-    grid = span.select(
-        "event_type",
-        F.explode(F.sequence("lo", "hi", F.lit(3600).cast("long"))).alias("hour_s"),
-    )
+    joined = _hourly_grid(ev, [F.round(F.sum("value"), 2).alias("sv")])
     w_prev = (
         Window.partitionBy("event_type")
         .orderBy("hour_s")
@@ -734,7 +731,7 @@ def events_gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     t_obs = F.when(F.col("sv").isNotNull(), F.col("hour_s"))
-    filled = grid.join(hourly, ["event_type", "hour_s"], "left").select(
+    filled = joined.select(
         "event_type",
         "hour_s",
         "sv",

@@ -73,21 +73,28 @@ def cms_report(
     out_dir: str | Path,
     probes: DataFrame,
     item_col: str = "item",
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
 ) -> DataFrame | None:
     """Point-frequency estimates over everything folded so far: sum the
     store's per-batch cells on (d, bucket) — addition IS the merge — and
-    probe with the shared batch estimator. None before the first batch."""
-    store = Path(out_dir) / "cells"
+    probe with the shared batch estimator. None before the first batch.
+    The sketch GEOMETRY is read from the store's pinned params (the
+    (depth, width) fold_batch committed at creation) — a caller-supplied
+    geometry that disagreed with the cells would silently hash probes
+    into the wrong buckets and could under-estimate, breaking the
+    one-sided est >= exact contract."""
+    import json
+
+    odir = Path(out_dir)
+    store = odir / "cells"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
+    params = json.loads((odir / "_gate_params.json").read_text())
     cells = (
         read_batch_store(spark, store)
         .groupBy("d", "bucket")
         .agg(F.sum("n").alias("n"))
     )
-    return cms_estimate(cells, probes, item_col, depth, width)
+    return cms_estimate(cells, probes, item_col, params["depth"], params["width"])
 
 
 def compact_cms_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:

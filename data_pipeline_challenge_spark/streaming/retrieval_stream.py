@@ -564,7 +564,9 @@ def hybrid_search_indexed(
     """Hybrid lexical+semantic SERVING path: probe the maintained BM25
     index (:func:`bm25_search`, partition-pruned postings, revocation-
     aware) and a persisted ANN index (``operators/similarity`` LSH/IVF/PQ
-    probe — partition-pruned bucket/cluster scans) to ``depth``
+    probe — partition-pruned bucket/cluster scans; the PQ probe
+    additionally needs ``embeddings=<original vectors>`` in
+    ``probe_kwargs`` for its exact rerank) to ``depth``
     candidates each, then fuse with Reciprocal Rank Fusion
     (``operators/similarity.rrf_fuse``). None before the first folded
     batch. Columns: (doc_id, rrf_score, rank_1=bm25, rank_2=ann).
@@ -611,6 +613,14 @@ def hybrid_search_indexed(
         "ivf": ivf_topk_indexed,
         "pq": pq_topk_indexed,
     }
+    if ann_probe == "pq" and "embeddings" not in probe_kwargs:
+        # pq_topk_indexed reranks its ADC shortlist against the original
+        # vectors — fail at the call site with the contract, not deep in
+        # the probe with a bare TypeError.
+        raise TypeError(
+            "ann_probe='pq' requires embeddings=<original-vectors DataFrame> "
+            "in probe_kwargs (PQ reranks its ADC shortlist exactly)"
+        )
     ann = probes[ann_probe](spark, ann_index_dir, query, k=depth, **probe_kwargs)
     revoked = _revoked_view(spark, Path(out_dir))
     if revoked is not None:
