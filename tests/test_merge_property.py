@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -652,3 +653,101 @@ def test_near_dedup_stream_semantic_invariants(spark, arrival):
             assert not (a in kept and b in kept), (a, b, kept)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 operator properties
+# ---------------------------------------------------------------------------
+
+_rank_lists_st = st.lists(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=12,
+             unique=True),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(lists=_rank_lists_st)
+def test_rrf_fuse_matches_python_fold(spark_prop, lists):
+    """rrf_fuse over arbitrary N candidate lists == the literal RRF
+    definition folded in Python: score(id) = sum_i 1/(60 + rank_i(id)),
+    missing membership contributing 0, additions in list order."""
+    from data_pipeline_challenge_spark.operators.similarity import rrf_fuse
+
+    spark = spark_prop
+    ranked = [
+        spark.createDataFrame(
+            [(v, i + 1) for i, v in enumerate(ids)] or [(None, None)],
+            "id long, r long",
+        ).filter(F.col("id").isNotNull())
+        for ids in lists
+    ]
+    got = {r["id"]: r["rrf_score"] for r in rrf_fuse(ranked).collect()}
+    want = {}
+    for i in {v for ids in lists for v in ids}:
+        s = 0.0
+        for ids in lists:
+            s += 1.0 / (60.0 + ids.index(i) + 1) if i in ids else 0.0
+        want[i] = s
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+_names_st = st.lists(
+    st.text(alphabet="abcdef ", min_size=6, max_size=14).filter(
+        lambda s: len(s) >= 6
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(names=_names_st)
+def test_fuzzy_name_pairs_matches_bruteforce(spark_prop, names):
+    """fuzzy_name_pairs (q-gram candidate filter + levenshtein verify)
+    == the brute-force all-pairs answer, for arbitrary names at the
+    operator's length floor — empirical confirmation that the gram
+    filter never drops a true pair (its soundness bound in practice)."""
+    from data_pipeline_challenge_spark.operators.dedup import fuzzy_name_pairs
+
+    spark = spark_prop
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"], r["n_a"], r["n_b"])
+        for r in fuzzy_name_pairs(df, "p_name", max_dist=1, q=3).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import Counter
+
+    counts = Counter(n for n in names if len(n) >= 6)
+    uniq = sorted(counts)
+    want = {
+        (a, b, lev(a, b), counts[a], counts[b])
+        for ai, a in enumerate(uniq)
+        for b in uniq[ai + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == want
