@@ -246,17 +246,26 @@ def _cms_bucket_rows(item_col: str, depth: int, width: int) -> Column:
 
 
 def cms_cells(
-    items: DataFrame, item_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """Fold an item stream into CMS cells: (d, bucket, n). One explode
-    (depth rows per item — depth is 4, not data-sized) and one map-side
-    combinable groupBy; the result is depth*width rows regardless of
-    input volume, the definition of a sketch. Cells from different
-    inputs merge by summing n on (d, bucket)."""
-    rows = items.select(_cms_bucket_rows(item_col, depth, width).alias("c"))
-    return rows.groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
+    """Fold an item stream into CMS cells: (group_cols..., d, bucket, n).
+    One explode (depth rows per item — depth is 4, not data-sized) and
+    one map-side combinable groupBy; the result is depth*width rows PER
+    GROUP regardless of input volume, the definition of a sketch. Cells
+    from different inputs merge by summing n on the full key —
+    per-group sketches add exactly like the global one (same reason
+    grouped quantile histograms do)."""
+    gcs = list(group_cols or ())
+    rows = items.select(
+        *gcs, _cms_bucket_rows(item_col, depth, width).alias("c")
     )
+    return rows.groupBy(
+        *gcs, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 def cms_estimate(
@@ -265,17 +274,23 @@ def cms_estimate(
     item_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Point-frequency estimates for a probe set: hash each probe into
-    its depth buckets, join the (depth*width)-row cell table (broadcast
-    — the sketch is tiny by construction), min over rows. Missing cells
-    mean a zero counter. Returns (item, est)."""
+    its depth buckets, join the (groups x depth*width)-row cell table
+    (broadcast — the sketch is tiny by construction), min over rows.
+    Missing cells mean a zero counter. With ``group_cols`` the probes
+    frame must carry the same group columns (each (group, item) pair is
+    estimated against ITS group's sketch). Returns (group..., item,
+    est)."""
+    gcs = list(group_cols or ())
     pb = probes.select(
+        *gcs,
         F.col(item_col).alias("item"),
         _cms_bucket_rows(item_col, depth, width).alias("c"),
-    ).select("item", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    ).select(*gcs, "item", F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     return (
-        pb.join(F.broadcast(cells), ["d", "bucket"], "left")
-        .groupBy("item")
+        pb.join(F.broadcast(cells), gcs + ["d", "bucket"], "left")
+        .groupBy(*gcs, "item")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )

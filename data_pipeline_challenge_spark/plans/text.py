@@ -1964,3 +1964,71 @@ def docs_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         "n_chars",
         F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
     )
+
+
+@query(
+    "cms_term_freq_by_source",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), t AS (SELECT source, term FROM tok WHERE term <> ''),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT source, d, {_CMS_BUCKET_SQL} AS bucket, count(*) AS n
+        FROM t CROSS JOIN ds GROUP BY source, d, bucket
+    ), srcs AS (SELECT DISTINCT source FROM documents),
+    probes AS (
+        SELECT source, unnest(['{"','".join(_CMS_PROBES)}']) AS item FROM srcs
+    ), pb AS (
+        SELECT source, item, d, {_CMS_PROBE_BUCKET_SQL} AS bucket
+        FROM probes CROSS JOIN ds
+    ), est AS (
+        SELECT source, item, min(coalesce(cells.n, 0)) AS est
+        FROM pb LEFT JOIN cells USING (source, d, bucket)
+        GROUP BY source, item
+    ), exact AS (
+        SELECT p.source, p.item, count(t.term) AS exact_n
+        FROM probes p LEFT JOIN t
+          ON t.source = p.source AND t.term = p.item
+        GROUP BY p.source, p.item
+    )
+    SELECT source, item, est, exact_n, est - exact_n AS overestimate
+    FROM est JOIN exact USING (source, item)
+    """,
+    tags=("text", "sketch", "agg", "grouped"),
+)
+def cms_term_freq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Count-Min Sketch: one depth x width sketch PER SOURCE
+    (``cms_cells``/``cms_estimate`` with group_cols — per-group cells
+    add exactly like the global ones, the same property that made the
+    r13 grouped quantile histograms exact), probed across the frequency
+    spectrum per source with exact counts alongside. The stratified
+    twin of ``cms_term_freq_estimates``: the sketch a pipeline keeps
+    per corpus slice when cross-source term-frequency comparisons must
+    stay O(groups x 1024) state."""
+    from ..operators.sketches import cms_cells, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cells = cms_cells(toks, "term", group_cols=["source"])
+    probes = docs.select("source").distinct().crossJoin(
+        spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    )
+    est = cms_estimate(cells, probes, "item", group_cols=["source"])
+    exact = (
+        probes.alias("p")
+        .join(
+            toks.alias("t"),
+            (F.col("t.source") == F.col("p.source"))
+            & (F.col("t.term") == F.col("p.item")),
+            "left",
+        )
+        .groupBy(F.col("p.source").alias("source"), F.col("p.item").alias("item"))
+        .agg(F.count("t.term").alias("exact_n"))
+    )
+    return est.join(exact, ["source", "item"]).select(
+        "source", "item", "est", "exact_n",
+        (F.col("est") - F.col("exact_n")).alias("overestimate"),
+    )

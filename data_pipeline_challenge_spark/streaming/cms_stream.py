@@ -53,19 +53,29 @@ def fold_batch(
     item_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    group_cols: "list[str] | None" = None,
 ) -> None:
-    """Fold ONE micro-batch's items into the sketch store. The increment
-    is the batch's own cell table — bounded at depth*width rows before
-    it ever hits disk. Idempotent via the store's last-id guard. The
-    (depth, width) pair is pinned at store creation (cells from
-    different geometries must never add)."""
+    """Fold ONE micro-batch's items into the sketch store (one sketch
+    per group when ``group_cols`` is given — per-group cells add exactly
+    like global ones). The increment is the batch's own cell table —
+    bounded at groups x depth*width rows before it ever hits disk.
+    Idempotent via the store's last-id guard. The (depth, width,
+    group_cols) layout is pinned at store creation (cells from
+    different geometries or groupings must never add)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
-    ensure_store_params(odir, {"item_col": item_col, "depth": depth, "width": width})
+    params: dict = {"item_col": item_col, "depth": depth, "width": width}
+    if group_cols:  # absent key keeps pre-grouped stores adoptable
+        params["group_cols"] = list(group_cols)
+    ensure_store_params(odir, params)
     store = odir / "cells"
     if batch_id <= last_batch_id(store):
         return
-    append_batch_increment(cms_cells(batch_df, item_col, depth, width), store, batch_id)
+    append_batch_increment(
+        cms_cells(batch_df, item_col, depth, width, group_cols=group_cols),
+        store,
+        batch_id,
+    )
 
 
 def cms_report(
@@ -77,7 +87,9 @@ def cms_report(
     """Point-frequency estimates over everything folded so far: sum the
     store's per-batch cells on (d, bucket) — addition IS the merge — and
     probe with the shared batch estimator. None before the first batch.
-    The sketch GEOMETRY is read from the store's pinned params (the
+    For a grouped store the probes frame must carry the pinned
+    group columns (each (group, item) probed against ITS sketch).
+    The sketch GEOMETRY and grouping are read from the store's pinned params (the
     (depth, width) fold_batch committed at creation) — a caller-supplied
     geometry that disagreed with the cells would silently hash probes
     into the wrong buckets and could under-estimate, breaking the
@@ -89,12 +101,15 @@ def cms_report(
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
     params = json.loads((odir / "_gate_params.json").read_text())
+    gcs = list(params.get("group_cols") or ())
     cells = (
         read_batch_store(spark, store)
-        .groupBy("d", "bucket")
+        .groupBy(*gcs, "d", "bucket")
         .agg(F.sum("n").alias("n"))
     )
-    return cms_estimate(cells, probes, item_col, params["depth"], params["width"])
+    return cms_estimate(
+        cells, probes, item_col, params["depth"], params["width"], group_cols=gcs or None
+    )
 
 
 def compact_cms_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
@@ -120,6 +135,7 @@ def start_cms_stream(
     item_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    group_cols: "list[str] | None" = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     consolidate_every: int | None = 64,
@@ -135,7 +151,9 @@ def start_cms_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, odir, batch_df, batch_id, item_col, depth, width)
+        fold_batch(
+            spark, odir, batch_df, batch_id, item_col, depth, width, group_cols
+        )
         maybe_consolidate_in_stream(
             spark, _store_map(odir), batch_id, consolidate_every
         )

@@ -5623,3 +5623,72 @@ def test_cms_stream_equals_batch_and_replay(spark, tmp_path):
         for r in cms_stream.cms_report(spark, out, probes).collect()
     }
     assert bumped["alpha"] == got["alpha"] + 100
+
+
+def test_cms_stream_grouped_equals_batch(spark, tmp_path):
+    """Grouped maintained CMS: per-group sketches folded incrementally
+    equal the batch grouped sketch over the concatenated input — and the
+    report resolves the pinned group columns from the store, so probes
+    are matched against their own group's cells."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+    from data_pipeline_challenge_spark.streaming import cms_stream
+
+    corpus = tmp_path / "in"
+    corpus.mkdir()
+    words = ["alpha", "beta", "gamma"]
+    srcs = ["web", "book"]
+    all_rows = []
+    mtime = 1_700_000_000
+    for b in range(2):
+        rows = [
+            (srcs[(i + b) % 2], words[i % 3])
+            for i in range(30 + 5 * b)
+        ]
+        all_rows += rows
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(
+            pa.table({"src": pa.array([r[0] for r in rows]),
+                      "term": pa.array([r[1] for r in rows])}),
+            str(p),
+        )
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "cms_grouped"
+    q = cms_stream.start_cms_stream(
+        spark, corpus, out, tmp_path / "ck", "src string, term string",
+        "term", group_cols=["src"], max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    probes = spark.createDataFrame(
+        [(s, w) for s in srcs for w in words + ["missing"]],
+        "src string, item string",
+    )
+    got = {
+        (r["src"], r["item"]): r["est"]
+        for r in cms_stream.cms_report(spark, out, probes).collect()
+    }
+    batch = spark.createDataFrame(all_rows, "src string, term string")
+    want = {
+        (r["src"], r["item"]): r["est"]
+        for r in cms_estimate(
+            cms_cells(batch, "term", group_cols=["src"]),
+            probes, "item", group_cols=["src"],
+        ).collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    exact = Counter(all_rows)
+    for s in srcs:
+        for w in words:
+            assert got[(s, w)] >= exact[(s, w)]
