@@ -5692,3 +5692,92 @@ def test_cms_stream_grouped_equals_batch(spark, tmp_path):
     for s in srcs:
         for w in words:
             assert got[(s, w)] >= exact[(s, w)]
+
+
+def test_transition_stream_equals_batch_and_replay(spark, tmp_path):
+    """Maintained transition matrix with CROSS-BATCH stitching: drained
+    over three files, the report must equal the batch
+    events_type_transition_matrix arithmetic over the concatenated
+    input — boundary transitions (a user's last event in one batch ->
+    first in the next) must be counted exactly once. Replaying a folded
+    batch id is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from data_pipeline_challenge_spark.streaming import transition_stream
+
+    corpus = tmp_path / "ev_in"
+    corpus.mkdir()
+    types = ["click", "view", "buy"]
+    # users 1..3; events interleaved so every file cuts sequences mid-user
+    all_rows = []
+    eid = 0
+    mtime = 1_700_000_000
+    H = 1_000_000
+    for b in range(3):
+        rows = []
+        for i in range(12):
+            eid += 1
+            rows.append((eid, (b * 12 + i) * H, (i % 3) + 1, types[(eid * 7) % 3]))
+        all_rows += rows
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }),
+            str(p),
+        )
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "trans"
+    q = transition_stream.start_transition_stream(
+        spark, corpus, out, tmp_path / "ck",
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out).collect()
+    }
+
+    # independent expected: per-user full sequences in (ts, event_id) order
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for eid_, t, u, ty in sorted(all_rows, key=lambda r: (r[1], r[0])):
+        seqs[u].append(ty)
+    pairs = Counter()
+    for u, s in seqs.items():
+        for a, b2 in zip(s, s[1:]):
+            pairs[(a, b2)] += 1
+    totals = Counter()
+    for (a, _), n in pairs.items():
+        totals[a] += n
+    want = {
+        (a, b2): (n, round(n / totals[a], 6)) for (a, b2), n in pairs.items()
+    }
+    assert got == want
+    # total transitions = events - users (every boundary stitched)
+    assert sum(n for n, _ in got.values()) == len(all_rows) - len(seqs)
+
+    # replay: re-folding an already-committed batch id changes nothing
+    import datetime as _dt
+
+    _t0 = _dt.datetime(2024, 6, 1)
+    replay = spark.createDataFrame(
+        [(999, _t0, 1, "click"), (1000, _t0 + _dt.timedelta(hours=1), 1, "click")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    transition_stream.fold_batch(spark, out, replay, 0)
+    again = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out).collect()
+    }
+    assert again == got
