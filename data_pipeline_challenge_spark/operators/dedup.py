@@ -598,6 +598,7 @@ def fuzzy_name_pairs(
     name_col: str,
     max_dist: int = 1,
     q: int = 3,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Edit-distance similarity self-join via q-gram candidate filtering
     — fuzzy catalog/name dedup (the reference's substring search finds
@@ -626,8 +627,16 @@ def fuzzy_name_pairs(
     string's (len-q+1) q-grams, so two strings within ``max_dist`` edits
     share at least len - q + 1 - max_dist*q grams — positive whenever
     len >= q*(max_dist+1), which the length floor guarantees. Hot grams
-    (a gram shared by many names) are the skew lever: frequency-cap or
-    lengthen q exactly as jaccard_pairs documents.
+    (a gram shared by many names) are the skew lever: ``max_gram_freq``
+    drops grams present in more than that many DISTINCT names before
+    the join (broadcast anti-join, exactly jaccard_pairs' df-cap).
+    Unlike there, the cap here is OFF by default because it trades
+    COMPLETENESS, not metric definition: a pair whose every shared gram
+    is hot is never generated, so capped output is a SUBSET of the
+    exact answer (pinned by ``test_fuzzy_name_pairs_gram_cap_is_subset``)
+    — turn it on when the corpus has boilerplate gram floods and
+    documented recall loss is acceptable, or lengthen q to thin grams
+    without losing soundness.
     """
     min_len = q * (max_dist + 1)
     names = (
@@ -644,6 +653,14 @@ def fuzzy_name_pairs(
             )
         ).alias("gram"),
     ).distinct()
+    if max_gram_freq is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     cand = (
         grams.alias("a")
         .join(

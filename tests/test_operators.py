@@ -2239,3 +2239,37 @@ def test_image_dhash_and_near_dups(spark):
     assert (2, 4) in pairs  # transitive copy of the same base
     assert not any(3 in p for p in pairs)  # unrelated image: no pair
     assert not any(5 in p for p in pairs)  # non-image rows never hashed
+
+
+def test_fuzzy_name_pairs_gram_cap_is_subset(spark):
+    """The hot-gram cap is a recall/skew trade, never a correctness
+    change to surviving pairs: capped output must be a subset of the
+    exact answer with identical rows for the pairs it keeps, and a cap
+    high enough to drop nothing must equal the exact answer."""
+    from data_pipeline_challenge_spark.operators.dedup import fuzzy_name_pairs
+
+    names = (
+        ["shared prefix item %02d" % i for i in range(12)]  # hot grams
+        + ["zebra quartz", "zebra quartx", "mellow tune", "mellow dune"]
+    )
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    exact = {
+        tuple(r) for r in fuzzy_name_pairs(df, "p_name", max_dist=1).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in fuzzy_name_pairs(df, "p_name", max_dist=1, max_gram_freq=4).collect()
+    }
+    assert capped <= exact
+    # the distinctive (non-hot-gram) pairs survive the cap
+    survivors = {(a, b) for a, b, *_ in capped}
+    assert ("zebra quartx", "zebra quartz") in survivors
+    assert ("mellow dune", "mellow tune") in survivors
+    # a no-op cap equals exact
+    loose = {
+        tuple(r)
+        for r in fuzzy_name_pairs(
+            df, "p_name", max_dist=1, max_gram_freq=10_000
+        ).collect()
+    }
+    assert loose == exact
