@@ -482,3 +482,8 @@ def test_round14_new_queries_plan_shapes(spark):
         assert "Generate" in plan_of(spark, name), name
     assert "BroadcastHashJoin" in plan_of(spark, "cms_term_freq_estimates")
     assert "BroadcastHashJoin" in plan_of(spark, "events_type_transition_matrix")
+    # Theil-Sen: the pair join must be an equi-join on event_type over
+    # the HOURLY AGGREGATE (time-bounded), never a raw-event cartesian
+    plan = plan_of(spark, "events_hourly_trend_theil_sen")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
