@@ -68,6 +68,98 @@ def with_global_row_number(
     return ranked, total
 
 
+def with_grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    out: str = "rn",
+    total_col: str = "n_group",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP 1-based row number under the total order ``order_by``,
+    without ``Window.partitionBy(group)`` over the raw table — the shape
+    that serializes a hot stratum (one web-crawl source = most of a
+    100 TB corpus) into a single task.
+
+    Same three steps as :func:`with_global_row_number`, stratified: the
+    range shuffle keys on (group, order) so each group occupies a
+    contiguous partition span; the offset pass counts (partition, group)
+    cells — at most partitions + groups rows, driver-tiny — and
+    prefix-sums them PER GROUP; the local window partitions by
+    (partition id, group), fully parallel even when one group is the
+    whole table. Adds ``out`` (the in-group row number) and
+    ``total_col`` (the group's row count, for percent_rank/ntile
+    arithmetic). ``order_by`` must be a total order within each group."""
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    keys = gcols + ocols
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *keys)
+    else:
+        part = df.repartitionByRange(*keys)
+    part = part.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
+
+    cells = (
+        part.groupBy(_PID, *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in cells:
+        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            (r[_PID], r["cnt"])
+        )
+    offsets = []
+    for gkey, pids in per_group.items():
+        total = sum(c for _, c in pids)
+        run = 0
+        for pid, cnt in sorted(pids):
+            offsets.append((pid, *gkey, run, total))
+            run += cnt
+    schema = (
+        f"{_PID} int, "
+        + ", ".join(f"{c} {dict(part.dtypes)[c]}" for c in group_cols)
+        + f", {_OFF} long, {total_col} long"
+    )
+    offsets_df = part.sparkSession.createDataFrame(offsets, schema)
+
+    w = Window.partitionBy(_PID, *group_cols).orderBy(*ocols)
+    return (
+        part.join(F.broadcast(offsets_df), [_PID, *group_cols])
+        .withColumn(out, F.row_number().over(w).cast("long") + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+
+
+def with_grouped_rank_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    percent_rank_col: str = "prank",
+    cume_dist_col: str | None = None,
+) -> DataFrame:
+    """``percent_rank() OVER (PARTITION BY group ORDER BY ...)`` (and
+    optionally ``cume_dist``) without a per-group raw-table sort window:
+    in-group rank and group total come from
+    :func:`with_grouped_row_number`; with unique order keys rank ==
+    row_number, so percent_rank = (rn-1)/(n-1) (0.0 for singleton
+    groups, matching SQL) and cume_dist = rn/n — integer arithmetic and
+    one division, bit-equal to the window form on both engines."""
+    ranked = with_grouped_row_number(
+        df, group_cols, order_by, out="__rank_rn", total_col="__rank_n"
+    )
+    rn, n = F.col("__rank_rn"), F.col("__rank_n")
+    prank = F.when(n <= 1, F.lit(0.0)).otherwise(
+        (rn - 1).cast("double") / (n - 1).cast("double")
+    )
+    outdf = ranked.withColumn(percent_rank_col, prank)
+    if cume_dist_col is not None:
+        outdf = outdf.withColumn(
+            cume_dist_col, rn.cast("double") / n.cast("double")
+        )
+    return outdf.drop("__rank_rn", "__rank_n")
+
+
 def with_global_ntile(
     df: DataFrame,
     order_by: Sequence[str | Column],

@@ -851,42 +851,39 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ULP. dev = one subtraction, the threshold one multiply: bit-equal
     IEEE on both engines, so the `>` cut admits identical rows.
 
-    Shape at scale: two passes, each one shuffle on event_type (the
-    rank windows); medians/MADs collapse to a per-type row that
-    broadcast-joins back. For few hot groups the rank window serializes
-    per group — the documented lever is the histogram pick rule of
-    operators/profiling.py (exact for discretized metrics, one groupBy,
-    no per-group sort) or approx_percentile when a tolerance is stated."""
-    from pyspark.sql import Window
+    Shape at scale: each median is the EXACT HISTOGRAM PICK of
+    operators/profiling.histogram_quantiles — group-count by (type,
+    value) with map-side combine (one partial-agg shuffle down to
+    O(types x grid cells); event values live on a discretized grid, so
+    the histogram is bounded by the GRID, not the volume), then the
+    cumulative-sum window runs per type over that small post-agg frame.
+    No rank window ever sorts the raw events table (with ~5 hot types
+    that window would serialize a fifth of a 100 TB corpus into one
+    task — the shape the pre-r15 version had and the plan test now
+    forbids). The all-integer (1,2) pick rule `cum*2 >= n` selects
+    exactly the ceil(n/2)-th smallest value, so the discrete-rank
+    oracle is unchanged; per-type medians/MADs broadcast back for the
+    threshold cut."""
+    from ..operators.profiling import histogram_quantiles
 
     ev = load_events(spark, sf_dir)
-    wr = Window.partitionBy("event_type").orderBy("value")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    med = ranked.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
+    vhist = ev.groupBy(
+        "event_type", F.col("value").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = histogram_quantiles(
+        vhist, [(1, 2)], group_cols=["event_type"]
     ).select("event_type", F.col("value").alias("med"))
     dev = (
         ev.select("event_id", "event_type", "value")
         .join(F.broadcast(med), "event_type")
         .withColumn("dev", F.abs(F.col("value") - F.col("med")))
     )
-    wd = Window.partitionBy("event_type").orderBy("dev")
-    devr = dev.select(
-        "event_type",
-        "dev",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-    mad = devr.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("event_type", F.col("dev").alias("mad"))
+    dhist = dev.groupBy(
+        "event_type", F.col("dev").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mad = histogram_quantiles(
+        dhist, [(1, 2)], group_cols=["event_type"]
+    ).select("event_type", F.col("value").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("dev") > F.lit(5.0) * F.col("mad"))

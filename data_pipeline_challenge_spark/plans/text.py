@@ -1949,20 +1949,30 @@ def docs_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     division, so both engines agree bitwise; (n_chars, doc_id) makes the
     order total.
 
-    Shape at scale: one window pass per source stratum. A pathologically
-    hot stratum serializes its partition — the documented lever is
-    operators/ranking.py's range-partitioned global ranking (sample
-    boundaries, rank within range partitions, add offsets), the same
-    rewrite applied per source."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    Shape at scale: the rank comes from operators/ranking.py's
+    range-partitioned GROUPED ranking (range-shuffle on (source,
+    n_chars, doc_id), per-(partition, source) counts prefix-summed to
+    broadcast offsets, local window partitioned by (partition id,
+    source)) — never ``Window.partitionBy(source)`` over the raw table,
+    where one hot source (a web crawl = most of a 100 TB corpus) would
+    serialize into a single task. With the total (n_chars, doc_id)
+    order, rank == row_number, so percent_rank is the same
+    (rn-1)/(n-1) integer arithmetic the window form computes —
+    bit-equal to the oracle."""
+    from ..operators.ranking import with_grouped_rank_stats
 
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    return docs.select(
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = with_grouped_rank_stats(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        ["n_chars", "doc_id"],
+        percent_rank_col="__pctile",
+    )
+    return ranked.select(
         "doc_id",
         "source",
         "n_chars",
-        F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+        F.round("__pctile", 6).alias("len_pctile"),
     )
 
 

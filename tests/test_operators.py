@@ -477,6 +477,49 @@ def test_global_ranking_matches_single_partition_window(spark):
     assert got == expected
 
 
+def test_grouped_ranking_matches_per_group_window(spark):
+    """with_grouped_row_number / with_grouped_rank_stats must equal the
+    Window.partitionBy(group) forms bit-exactly — including a singleton
+    group (percent_rank 0.0), heavy value ties, and one hot group that
+    spans many range partitions (the 100 TB shape the operator exists
+    for)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_challenge_spark.operators.ranking import (
+        with_grouped_rank_stats,
+        with_grouped_row_number,
+    )
+
+    rows = (
+        [(i, "hot", i % 5) for i in range(211)]
+        + [(1000 + i, "cold", i % 3) for i in range(17)]
+        + [(2000, "solo", 9)]
+    )
+    df = spark.createDataFrame(rows, "i long, g string, v long").repartition(8)
+    w = Window.partitionBy("g").orderBy("v", "i")
+    expected = {
+        (r.i, r.rn, round(r.pr, 9), round(r.cd, 9))
+        for r in df.select(
+            "i",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked = with_grouped_row_number(
+        df, ["g"], ("v", "i"), out="rn", total_col="n"
+    )
+    totals = {r.g: r.n for r in ranked.select("g", "n").distinct().collect()}
+    assert totals == {"hot": 211, "cold": 17, "solo": 1}
+    stats = with_grouped_rank_stats(df, ["g"], ("v", "i"), "pr", "cd")
+    rn_map = {r.i: r.rn for r in ranked.collect()}
+    got = {
+        (r.i, rn_map[r.i], round(r.pr, 9), round(r.cd, 9))
+        for r in stats.collect()
+    }
+    assert got == expected
+
+
 def test_global_ntile_fewer_rows_than_tiles(spark):
     from data_pipeline_challenge_spark.operators.ranking import with_global_ntile
 

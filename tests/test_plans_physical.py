@@ -442,6 +442,38 @@ def test_mad_outliers_medians_broadcast_back(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_mad_outliers_no_raw_table_sort_window(spark):
+    """events_value_outliers_mad (r15 re-plan): both medians must come
+    from the HISTOGRAM pick — a map-side-combinable group-count down to
+    O(types x grid cells), then cumsum windows over that small post-agg
+    frame. No rank window may sort the raw events table: every
+    windowspecdefinition's sort key must be the histogram value column
+    ``v``, never the raw ``value``/``dev`` columns (whose per-type sort
+    would serialize a fifth of a 100 TB corpus into one task)."""
+    import re
+
+    plan = plan_of(spark, "events_value_outliers_mad")
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "histogram cumsum windows must exist"
+    for s in specs:
+        ordered = re.findall(r"(\w+)#\d+L? ASC", s)
+        assert ordered in ([], ["v"]), f"raw-table sort window: {s}"
+    assert "partial_count" in plan  # histogram map-side combine
+
+
+def test_docs_length_percentile_range_partitioned(spark):
+    """docs_length_percentile_by_source (r15 re-plan): the per-source
+    percent_rank must run the grouped range-partition + offset plan
+    (operators/ranking.with_grouped_rank_stats) — the only window is
+    partitioned by (__rank_pid, source), fully parallel even when one
+    source is most of the corpus; never Window.partitionBy(source) over
+    the raw table, and no single-partition funnel."""
+    plan = plan_of(spark, "docs_length_percentile_by_source")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert "windowspecdefinition(source#" not in plan
+
+
 def test_hybrid_rrf_candidates_are_topk(spark):
     """retrieval_hybrid_rrf_top10: both candidate lists must materialize
     as TakeOrderedAndProject top-50s (never a corpus-wide global sort);
