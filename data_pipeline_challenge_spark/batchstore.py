@@ -496,6 +496,7 @@ def consolidate_batch_store(
     store: str | Path,
     partition_by: list[str] | None = None,
     up_to: int | None = None,
+    transform=None,
 ) -> int:
     """Fold live batch partitions into one consolidated partition (see
     module docstring for the crash-safety argument). Returns the number
@@ -516,7 +517,18 @@ def consolidate_batch_store(
     fold's marker already excludes — otherwise a fold that died between
     its marker swap and its cleanup would leave the stale dirs listed by
     every partition discovery until some future batch triggered another
-    productive fold (never, on a quiesced store)."""
+    productive fold (never, on a quiesced store).
+
+    ``transform`` (optional) rewrites the folded frame before it is
+    written — for stores whose read side resolves rows associatively
+    (latest-per-key frontiers: collapse to the resolved row; released
+    resequencer buffers: drop rows below the release floor), so row
+    count — not just directory count — resets at each fold. It MUST be
+    read-semantics-preserving: the post-fold view is
+    ``transform(folded) ∪ (ingest_batch > through)``, and the read-side
+    resolution over that union must equal resolution over the raw rows
+    (true exactly when the resolution is associative and the transform
+    is the resolution itself, or drops rows no reader can select)."""
     store = Path(store)
     dirs = _batch_dirs(store)
     marker = _read_marker(store)
@@ -544,6 +556,8 @@ def consolidate_batch_store(
         # (consolidated ∪ ingest_batch > through) would double-count them.
         live = live.filter(F.col("ingest_batch") <= up_to)
     live = live.drop("ingest_batch")
+    if transform is not None:
+        live = transform(live)
     tmp = store / f".consolidate.{-new_id}.tmp"
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -577,6 +591,7 @@ def maybe_consolidate_in_stream(
     batch_id: int,
     every: int | None,
     unbounded: set | frozenset | None = None,
+    transforms: dict | None = None,
 ) -> int:
     """In-stream consolidation hook: called from the owning stream's own
     ``foreachBatch`` AFTER the batch's appends, folds each store's
@@ -589,7 +604,9 @@ def maybe_consolidate_in_stream(
 
     ``stores`` maps store path -> partition_by columns (or None).
     ``every=None`` disables (offline-only maintenance, the pre-r8
-    contract). ``unbounded`` names stores whose batch ids live in an
+    contract). ``transforms`` maps store path -> fold-time rewrite
+    (see :func:`consolidate_batch_store`'s ``transform``). ``unbounded``
+    names stores whose batch ids live in an
     INDEPENDENT id space (e.g. the retrieval index's ``revoked`` store,
     written on its own generation counter while the stream is stopped):
     those fold with no ``up_to`` bound — the same discipline their
@@ -602,6 +619,7 @@ def maybe_consolidate_in_stream(
     if not every or batch_id <= 0 or batch_id % every != 0:
         return 0
     skip_bound = {Path(p) for p in (unbounded or ())}
+    xform = {Path(p): t for p, t in (transforms or {}).items()}
     total = 0
     for store, partition_by in stores.items():
         store = Path(store)
@@ -611,5 +629,6 @@ def maybe_consolidate_in_stream(
                 store,
                 partition_by=partition_by,
                 up_to=None if store in skip_bound else batch_id - 1,
+                transform=xform.get(store),
             )
     return total

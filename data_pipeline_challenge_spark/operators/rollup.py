@@ -148,3 +148,80 @@ def gapfill_locf(
         F.last("sum_cents", ignorenulls=True).over(w).alias("sum_cents_locf"),
         F.col("n_events").isNull().alias("gap_filled"),
     )
+
+
+def gapfill_interp(
+    rollup: DataFrame,
+    bucket_col: str = "bucket_hr",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION over a rollup frame — the
+    forward-frontier sibling of :func:`gapfill_locf`, and the maintained
+    twin of the declared ``events_gapfill_hourly_interp`` query
+    (plans/events.py): because the maintained store IS the full hourly
+    rollup (not just a trailing frontier), the forward pass is a
+    read-side window over the bounded grid — no extra streaming state.
+
+    Per key: interior gaps take the line between the neighboring
+    observed sums (``sum_cents/100.0`` — exactly the 2dp-rounded hourly
+    sum for grid-valued metrics, so the view cross-checks against the
+    declared query's output); leading/trailing gaps fall back to the
+    nearest observation. Output rounds to 6dp like the declared query.
+
+    Shape at scale: identical to LOCF — grid from the per-key SPAN
+    aggregate ((keys x span buckets) rows, a function of time, not
+    volume); the backward pass is the same bounded window reversed."""
+    from pyspark.sql import Window
+
+    span = rollup.groupBy(key_col).agg(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("lo", "hi")).alias(bucket_col)
+    )
+    joined = grid.join(
+        rollup.select(key_col, bucket_col, "n_events", "sum_cents"),
+        [key_col, bucket_col],
+        "left",
+    ).withColumn("__sv", F.col("sum_cents").cast("double") / F.lit(100.0))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("__sv").isNotNull(), F.col(bucket_col))
+    filled = joined.select(
+        key_col,
+        bucket_col,
+        "n_events",
+        "__sv",
+        F.last("__sv", ignorenulls=True).over(w_prev).alias("prev_sv"),
+        F.last(t_obs, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("__sv", ignorenulls=True).over(w_next).alias("next_sv"),
+        F.first(t_obs, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("__sv").isNotNull(), F.col("__sv"))
+        .when(
+            F.col("prev_sv").isNotNull() & F.col("next_sv").isNotNull(),
+            F.col("prev_sv")
+            + (F.col("next_sv") - F.col("prev_sv"))
+            * (
+                (F.col(bucket_col) - F.col("prev_t")).cast("double")
+                / (F.col("next_t") - F.col("prev_t"))
+            ),
+        )
+        .otherwise(F.coalesce("prev_sv", "next_sv"))
+    )
+    return filled.select(
+        key_col,
+        bucket_col,
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.round(interp, 6).alias("sum_value_interp"),
+        F.col("__sv").isNull().alias("gap_filled"),
+    )

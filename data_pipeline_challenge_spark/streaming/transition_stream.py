@@ -177,18 +177,43 @@ def transition_report(
     )
 
 
+def _frontier_collapse(df: DataFrame) -> DataFrame:
+    """Fold-time transform for the frontier store: materialize only the
+    RESOLVED latest row per user — safe because the read-side resolution
+    key (t_us, event_id) is batch-independent and associative (latest of
+    latests == latest), so resolving the folded part against newer
+    increments gives the same answer as resolving raw rows. Without
+    this, consolidation merged directories but rows still grew
+    O(touched users x batches) between compactions (ADVICE r14)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def compact_transition_store(
     spark: SparkSession, out_dir: str | Path
 ) -> dict[str, int]:
     """OFFLINE consolidation (run while the stream is not): pairs rows
-    are O(types² x batches) between compactions, frontier rows
-    O(touched users x batches); both collapse on read (sum / latest)."""
+    are O(types² x batches) between compactions and collapse on read
+    (sum); frontier rows collapse to the resolved latest-per-user AT
+    FOLD TIME (``_frontier_collapse``), so the compacted frontier holds
+    exactly one row per ever-touched user."""
     odir = Path(out_dir)
     out: dict[str, int] = {}
     for name, part in _STORES:
         store = odir / name
         if store.exists():
-            out[name] = consolidate_batch_store(spark, store, partition_by=part)
+            out[name] = consolidate_batch_store(
+                spark,
+                store,
+                partition_by=part,
+                transform=_frontier_collapse if name == "frontier" else None,
+            )
     return out
 
 
@@ -215,7 +240,11 @@ def start_transition_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fold_batch(spark, odir, batch_df, batch_id)
         maybe_consolidate_in_stream(
-            spark, _store_map(odir), batch_id, consolidate_every
+            spark,
+            _store_map(odir),
+            batch_id,
+            consolidate_every,
+            transforms={odir / "frontier": _frontier_collapse},
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -224,3 +253,77 @@ def start_transition_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_resequenced_transition_stream(
+    spark: SparkSession,
+    events_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    delay_us: int,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    consolidate_every: int | None = 64,
+) -> StreamingQuery:
+    """Out-of-order-tolerant variant: a watermarked resequencer
+    (streaming/resequence.py) buffers arrivals and releases
+    event-time-contiguous slabs into :func:`fold_batch`, so the fold's
+    per-user-order assumption (module docstring) holds by construction
+    for any delivery schedule up to ``delay_us`` of disorder; later
+    events are dropped and counted (watermark late-drop semantics).
+    After an ``availableNow`` drain, call :func:`flush_resequenced` to
+    release the unfinalized tail before reading the report."""
+    from .resequence import buffer_prune_transform, reseq_fold
+
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    rdir = odir / "reseq"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(events_dir))
+
+    from ..catalog import ntz_epoch_us
+
+    def _fold(released: DataFrame, batch_id: int) -> None:
+        fold_batch(spark, odir, released.drop("t_us"), batch_id)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_t = batch_df.withColumn("t_us", ntz_epoch_us(F.col("ts")))
+        reseq_fold(spark, rdir, with_t, batch_id, _fold, delay_us)
+        stores = dict(_store_map(odir))
+        stores[rdir / "buffer"] = None
+        stores[rdir / "wm"] = None
+        maybe_consolidate_in_stream(
+            spark,
+            stores,
+            batch_id,
+            consolidate_every,
+            transforms={
+                odir / "frontier": _frontier_collapse,
+                rdir / "buffer": buffer_prune_transform(spark, rdir),
+            },
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def flush_resequenced(spark: SparkSession, out_dir: str | Path) -> None:
+    """Release the resequencer's unfinalized tail into the transition
+    fold — the end-of-drain step that makes an ``availableNow`` run's
+    report cover every landed event."""
+    from .resequence import flush_resequencer
+
+    odir = Path(out_dir)
+
+    def _fold(released: DataFrame, batch_id: int) -> None:
+        fold_batch(spark, odir, released.drop("t_us"), batch_id)
+
+    flush_resequencer(spark, odir / "reseq", _fold)

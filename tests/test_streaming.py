@@ -5501,6 +5501,345 @@ def test_gapfill_locf_over_maintained_rollup_equals_batch(spark, tmp_path):
     assert set(click) == {0, 1, 2, 3, 4} and click[2][4] is True
 
 
+def _land_event_file(path, rows, mtime):
+    """rows: (event_id, t_us, user_id, event_type)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }),
+        str(path),
+    )
+    _os.utime(path, (mtime, mtime))
+
+
+def _expected_transitions(all_rows):
+    """Batch-truth transition matrix from (event_id, t_us, user_id,
+    event_type) rows: per-user sequences in (t_us, event_id) order."""
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for eid, t, u, ty in sorted(all_rows, key=lambda r: (r[1], r[0])):
+        seqs[u].append(ty)
+    pairs = Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in pairs.items():
+        totals[a] += n
+    return {(a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()}
+
+
+def test_transition_stream_out_of_order_fails_then_resequencer_fixes(
+    spark, tmp_path
+):
+    """The documented ordering contract, made executable. Schedule:
+    user 1's 'view' (event-time hour 1) arrives a file AFTER its hour-2
+    'buy'. The PLAIN transition stream stitches arrival order and
+    produces a backwards (buy -> view) transition — pinned here as the
+    failing case. The RESEQUENCED stream buffers behind a watermark,
+    releases in event time, and (after the end-of-drain flush) equals
+    the batch answer exactly; a fresh-checkpoint replay is a no-op; an
+    event later than the delay is dropped and counted, never folded
+    backwards."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.streaming import transition_stream
+
+    H = 3_600_000_000  # one hour in micros
+    f1 = [(1, 0 * H, 1, "click"), (2, 2 * H, 1, "buy"),
+          (3, 0 * H + 5, 2, "click")]
+    f2 = [(4, 1 * H, 1, "view"), (5, 3 * H, 2, "view")]
+    all_rows = f1 + f2
+    want = _expected_transitions(all_rows)
+    # truth: click->view->buy for user 1, click->view for user 2
+    assert want == {("click", "view"): (2, 1.0), ("view", "buy"): (1, 1.0)}
+
+    # 1) plain stream on the out-of-order schedule: WRONG (pinned)
+    src_a = tmp_path / "ooo_in_plain"
+    src_a.mkdir()
+    _land_event_file(src_a / "f1.parquet", f1, 1_700_000_000)
+    _land_event_file(src_a / "f2.parquet", f2, 1_700_000_010)
+    out_a = tmp_path / "trans_plain"
+    q = transition_stream.start_transition_stream(
+        spark, src_a, out_a, tmp_path / "ck_plain",
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    got_plain = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out_a).collect()
+    }
+    assert got_plain != want
+    assert ("buy", "view") in got_plain  # the backwards stitch
+
+    # 2) resequenced stream, delay 90 min: equals batch after flush
+    src_b = tmp_path / "ooo_in_reseq"
+    src_b.mkdir()
+    _land_event_file(src_b / "f1.parquet", f1, 1_700_000_000)
+    _land_event_file(src_b / "f2.parquet", f2, 1_700_000_010)
+    out_b = tmp_path / "trans_reseq"
+    ck_b = tmp_path / "ck_reseq"
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+    def drain(ck=ck_b):
+        q = transition_stream.start_resequenced_transition_stream(
+            spark, src_b, out_b, ck, schema,
+            delay_us=90 * 60 * 1_000_000, max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    drain()
+    transition_stream.flush_resequenced(spark, out_b)
+    got = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out_b).collect()
+    }
+    assert got == want
+
+    # 3) fresh-checkpoint replay: every store gated, report unchanged
+    drain(ck=tmp_path / "ck_reseq2")
+    transition_stream.flush_resequenced(spark, out_b)
+    again = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out_b).collect()
+    }
+    assert again == want
+
+    # 4) restart the SAME checkpoint with a file whose user-2 event is
+    # later than the delay allows (t far below the released floor):
+    # dropped + counted, and the in-order user-1 continuation still
+    # stitches (flush released through 3H, so floor = 3H; the new
+    # max must advance for the release to cover the fresh event)
+    f3 = [(6, 10 * H, 1, "click"), (7, 0 * H + 9, 2, "click")]
+    _land_event_file(src_b / "f3.parquet", f3, 1_700_000_020)
+    drain()
+    transition_stream.flush_resequenced(spark, out_b)
+    got3 = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out_b).collect()
+    }
+    # batch truth over everything EXCEPT the dropped-late event 7
+    want3 = _expected_transitions(all_rows + [f3[0]])
+    assert got3 == want3
+    late_total = (
+        read_batch_store(spark, Path(out_b) / "reseq" / "wm")
+        .agg(F.sum("n_late").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert late_total == 1
+
+
+def test_transition_compaction_collapses_frontier_and_prunes_buffer(
+    spark, tmp_path
+):
+    """Fold-time transforms (ADVICE r14): compacting the transition
+    store must materialize ONE frontier row per ever-touched user (not
+    every batch's appends), and compacting the resequencer buffer must
+    drop rows at-or-below the released floor — in both cases with the
+    report unchanged."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import (
+        consolidate_batch_store,
+        read_batch_store,
+    )
+    from data_pipeline_challenge_spark.streaming import transition_stream
+    from data_pipeline_challenge_spark.streaming.resequence import (
+        buffer_prune_transform,
+    )
+
+    H = 3_600_000_000
+    out = tmp_path / "trans_c"
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    src = tmp_path / "ev_c"
+    src.mkdir()
+    # user 1 touched in all three batches, user 2 in two
+    _land_event_file(src / "f0.parquet",
+                     [(1, 0 * H, 1, "click"), (2, 0 * H + 1, 2, "view")],
+                     1_700_000_000)
+    _land_event_file(src / "f1.parquet",
+                     [(3, 1 * H, 1, "view"), (4, 1 * H + 1, 2, "buy")],
+                     1_700_000_010)
+    _land_event_file(src / "f2.parquet", [(5, 2 * H, 1, "buy")],
+                     1_700_000_020)
+    q = transition_stream.start_resequenced_transition_stream(
+        spark, src, out, tmp_path / "ck_c", schema,
+        delay_us=30 * 60 * 1_000_000, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    transition_stream.flush_resequenced(spark, out)
+    before = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out).collect()
+    }
+
+    # frontier: multiple appends per user before compaction, exactly
+    # one resolved row per user after
+    frontier = Path(out) / "frontier"
+    pre_rows = read_batch_store(spark, frontier).count()
+    assert pre_rows > 2
+    transition_stream.compact_transition_store(spark, out)
+    post = read_batch_store(spark, frontier).drop("ingest_batch").collect()
+    assert len(post) == 2
+    assert {(r["user_id"], r["event_type"]) for r in post} == {
+        (1, "buy"), (2, "buy")
+    }
+
+    # buffer: everything is at-or-below the flushed floor -> prunes away
+    buffer = Path(out) / "reseq" / "buffer"
+    assert read_batch_store(spark, buffer).count() == 5
+    consolidate_batch_store(
+        spark, buffer,
+        transform=buffer_prune_transform(spark, Path(out) / "reseq"),
+    )
+    assert read_batch_store(spark, buffer).count() == 0
+
+    after = {
+        (r["cur"], r["nxt"]): (r["n"], r["prob"])
+        for r in transition_stream.transition_report(spark, out).collect()
+    }
+    assert after == before
+
+
+def test_gapfill_interp_over_maintained_rollup_equals_batch(spark, tmp_path):
+    """gapfill_interp is the forward-frontier sibling of gapfill_locf:
+    applied to the maintained rollup store it must equal the same view
+    over the one-shot batch rollup — across a restart with new data and
+    a crash-replayed batch id — and its fill semantics are pinned on a
+    crafted frame (interior gaps take the line between neighbors,
+    leading/trailing gaps the nearest observation). On grid-valued
+    events it must also reproduce the DECLARED
+    events_gapfill_hourly_interp query's output exactly, proving the
+    maintained twin serves the same answer as the batch query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.rollup import (
+        gapfill_interp,
+        hourly_rollup,
+    )
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    # crafted semantics: type a active hours 0 (100c) and 4 (30c) ->
+    # hours 1..3 on the line 1.00 -> 0.30; type b leading gap before
+    # its only observation carries it backward
+    crafted = spark.createDataFrame(
+        [(0, "a", 2, 100, 0.5, 1.0), (4, "a", 3, 30, 0.1, 0.2),
+         (7, "b", 1, 70, 0.7, 0.7), (5, "b", 0, None, None, None)],
+        "bucket_hr long, event_type string, n_events long, sum_cents long,"
+        " min_value double, max_value double",
+    )
+    got = {
+        (r["event_type"], r["bucket_hr"]): (
+            r["n_events"], r["sum_value_interp"], r["gap_filled"]
+        )
+        for r in gapfill_interp(crafted).collect()
+    }
+    assert got[("a", 1)] == (0, 0.825, True)
+    assert got[("a", 2)] == (0, 0.65, True)
+    assert got[("a", 3)] == (0, 0.475, True)
+    assert got[("a", 0)] == (2, 1.0, False)
+    assert got[("a", 4)] == (3, 0.3, False)
+    # b's bucket 5 row has NULL sum_cents (observed row, no measurable
+    # sum) -> treated as a gap; backward fill from bucket 7
+    assert got[("b", 5)] == (0, 0.7, True)
+    assert got[("b", 6)] == (0, 0.7, True)
+    assert got[("b", 7)] == (1, 0.7, False)
+
+    # stream==batch over the maintained store
+    src = tmp_path / "interp_src"
+    src.mkdir()
+    H = 3_600_000_000  # one hour in micros
+
+    def land(name, rows):
+        ids, us, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+
+    land("f1.parquet", [(1, 0, "click", 1.0), (2, 1 * H // 2, "click", 2.0),
+                        (3, 2 * H, "view", 3.0)])
+    land("f2.parquet", [(4, 5 * H + 5, "click", 0.5), (5, 3 * H, "view", 1.5)])
+
+    rdir = tmp_path / "interp_rollup"
+    ckpt = tmp_path / "interp_ck"
+
+    def run(ck=ckpt):
+        q = start_rollup_stream(spark, src, rdir, ck, max_files_per_trigger=1)
+        q.awaitTermination(240)
+
+    run()
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+
+    def batch_view():
+        all_ev = spark.read.parquet(str(src)).withColumn(
+            "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
+        )
+        return sorted(map(tuple, gapfill_interp(hourly_rollup(all_ev)).collect()))
+
+    maintained = sorted(map(tuple, gapfill_interp(current_rollup(spark, rdir)).collect()))
+    assert maintained == batch_view()
+    # click hours 1..4 really are interpolated interior rows
+    click = {r[1]: r for r in maintained if r[0] == "click"}
+    assert set(click) == {0, 1, 2, 3, 4, 5}
+    assert click[3][4] is True and click[0][4] is False
+
+    # restart with a third file: maintained still equals full recompute
+    land("f3.parquet", [(6, 7 * H, "click", 4.0)])
+    run()
+    after = sorted(map(tuple, gapfill_interp(current_rollup(spark, rdir)).collect()))
+    assert after == batch_view()
+
+    # crash-replay: a fresh checkpoint re-feeds everything as batch 0,
+    # which the versioned sink must skip — the view is unchanged
+    run(ck=tmp_path / "interp_ck2")
+    assert sorted(
+        map(tuple, gapfill_interp(current_rollup(spark, rdir)).collect())
+    ) == after
+
+    # declared-query parity on grid-valued real events: the maintained
+    # twin's view == events_gapfill_hourly_interp's batch answer
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    declared = {
+        (r["event_type"], r["hour_s"]): (r["sum_value_interp"], r["gap_filled"])
+        for r in all_queries()["events_gapfill_hourly_interp"].fn(spark, sf).collect()
+    }
+    view = {
+        (r["event_type"], r["bucket_hr"] * 3600): (
+            r["sum_value_interp"], r["gap_filled"]
+        )
+        for r in gapfill_interp(hourly_rollup(load_events(spark, sf))).collect()
+    }
+    assert view == declared
+
+
 def test_hybrid_indexed_excludes_revoked_docs(spark, tmp_path):
     """A doc revoked from the maintained retrieval store must vanish
     from HYBRID results even when the persisted ANN index (which has no
