@@ -196,7 +196,7 @@ def _indexed_hybrid_probe(spark, sf_dir: str, n_runs: int) -> dict[str, list[flo
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            hybrid_search_indexed(
+            result = hybrid_search_indexed(
                 spark,
                 bidx,
                 list(_BM25_TERMS),
@@ -206,7 +206,13 @@ def _indexed_hybrid_probe(spark, sf_dir: str, n_runs: int) -> dict[str, list[flo
                 depth=50,
                 ann_probe="lsh",
                 probe_hamming=1,
-            ).write.format("noop").mode("overwrite").save()
+            )
+            assert result is not None, (
+                "hybrid_search_indexed returned None: the BM25 store is "
+                "empty — fold_batch(0) over the documents table must run "
+                "before probing (empty documents input?)"
+            )
+            result.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         return {"hybrid_probe_indexed": runs}
     finally:

@@ -31,7 +31,12 @@ def quantize_minmax(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Linear-scale a numeric column into [0, 2**bits) integer cells.
     Values at/below ``lo`` map to 0, at/above ``hi`` to the top cell —
     clamping keeps stragglers outside the stats bounds legal rather than
-    corrupting the interleave."""
+    corrupting the interleave. NULL/NaN inputs map to cell 0 (ADVICE
+    r14): ``floor(NaN)`` is null, which would survive least/greatest
+    into a null z-value and land the row in an arbitrary range
+    partition, silently widening one file's footer stats — pinning such
+    rows to the first cell keeps them in one corner of the key space
+    instead."""
     if not (float(hi) > float(lo)):
         raise ValueError(
             f"quantize_minmax needs hi > lo (got lo={lo}, hi={hi}): "
@@ -41,7 +46,9 @@ def quantize_minmax(col: Column, lo: float, hi: float, bits: int) -> Column:
     cells = (1 << bits) - 1
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     q = F.floor(scaled * F.lit(cells + 1)).cast("long")
-    return F.least(F.greatest(q, F.lit(0)), F.lit(cells))
+    return F.coalesce(
+        F.least(F.greatest(q, F.lit(0)), F.lit(cells)), F.lit(0).cast("long")
+    )
 
 
 def zorder_value(quantized: list[Column], bits: int) -> Column:
@@ -59,6 +66,40 @@ def zorder_value(quantized: list[Column], bits: int) -> Column:
             bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
+
+
+def quantize_rank(df: DataFrame, col: str, bits: int, eps: float = 0.001) -> Column:
+    """EQUI-DEPTH quantization: cell boundaries at the column's own
+    quantiles (one approxQuantile sketch pass, driver gets <= 2**bits
+    boundaries), cell = count of boundaries at-or-below the value — a
+    chain of codegen'd comparisons, no UDF. Each cell holds ~equal ROWS,
+    which is what makes the interleave prune on skewed real columns:
+    linear min-max quantization spends its top bits on the empty tail of
+    a heavy-tailed metric (events.value: p75 at 14% of max), collapsing
+    the z-curve to the other dimension's order for most of the mass —
+    the same reason Delta's OPTIMIZE ZORDER uses range-partition ids,
+    not scaled values. NULL/NaN pin to cell 0 (ADVICE r14: an arbitrary
+    cell would silently widen one file's footer stats)."""
+    n_cells = 1 << bits
+    probs = [i / n_cells for i in range(1, n_cells)]
+    bounds = df.approxQuantile(col, probs, eps)
+    c = F.col(col).cast("double")
+    cell = F.lit(0).cast("long")
+    for b in sorted(set(bounds)):
+        cell = cell + (c >= F.lit(float(b))).cast("long")
+    return F.when(c.isNull() | F.isnan(c), F.lit(0).cast("long")).otherwise(cell)
+
+
+def auto_zorder_expr(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Z-value expression over EQUI-DEPTH cells of ``cols`` (see
+    :func:`quantize_rank`) — the self-tuning form a maintenance rewrite
+    uses when no curated bounds exist: one quantile-sketch pass per
+    column, then the same Morton interleave. ``bits=8`` (256 cells/dim,
+    255 comparisons/row/dim) localizes 2**8 range partitions per
+    dimension — far more than any re-layout's file count needs — while
+    keeping the projection a bounded codegen chain."""
+    qs = [quantize_rank(df, c, bits) for c in cols]
+    return zorder_value(qs, bits)
 
 
 def zorder_write(

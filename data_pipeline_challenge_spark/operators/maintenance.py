@@ -47,11 +47,47 @@ class CompactionReport:
     rows: int
 
 
+def _compaction_layout(df, n_out: int, sort_col: str | None, zorder_by):
+    """The rewrite's output layout, shared by both compaction forms:
+    Z-ORDER (``zorder_by``, 2+ columns) range-partitions + sorts on the
+    Morton value of the named columns with bounds from the table's own
+    min/max (operators/layout.auto_zorder_expr) — every output file
+    owns a hyper-rectangle of the key space, so min/max footer stats
+    prune filters on ANY clustered dimension (the OPTIMIZE ZORDER BY
+    maintenance shape); SINGLE-KEY (``sort_col``) range-partitions +
+    sorts so each file owns a disjoint range of that one column; plain
+    (neither) coalesces without a shuffle."""
+    if sort_col is not None and zorder_by:
+        raise ValueError(
+            "pass sort_col OR zorder_by, not both: a z-ordered file's "
+            "single-column ranges are deliberately non-disjoint"
+        )
+    if zorder_by:
+        if len(zorder_by) < 2:
+            raise ValueError(
+                "zorder_by needs >= 2 columns — for one column a plain "
+                "sort_col range layout prunes strictly better"
+            )
+        from .layout import auto_zorder_expr
+
+        z = auto_zorder_expr(df, list(zorder_by))
+        return (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    if sort_col is not None:
+        return df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
+    return df.coalesce(n_out)
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str | Path,
     target_file_bytes: int = 128 << 20,
     sort_col: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> CompactionReport:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(total_bytes / target_file_bytes)`` files (atomic swap).
@@ -76,10 +112,7 @@ def compact_parquet_dir(
     n_out = max(1, -(-total // target_file_bytes))
 
     df = spark.read.parquet(str(path))
-    if sort_col is not None:
-        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
-    else:
-        out = df.coalesce(n_out)
+    out = _compaction_layout(df, n_out, sort_col, zorder_by)
 
     tmp = path.with_name(path.name + ".compact.tmp")
     if tmp.exists():
@@ -103,6 +136,7 @@ def compact_published_table(
     symlink_path: str | Path,
     target_file_bytes: int = 128 << 20,
     sort_col: str | None = None,
+    zorder_by: list[str] | None = None,
     partition_by: list[str] | None = None,
 ) -> CompactionReport:
     """Online compaction for a version-published table: read the CURRENT
@@ -165,10 +199,7 @@ def compact_published_table(
     n_out = max(1, -(-total // target_file_bytes))
 
     df = spark.read.parquet(str(cur))
-    if sort_col is not None:
-        out = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(sort_col)
-    else:
-        out = df.coalesce(n_out)
+    out = _compaction_layout(df, n_out, sort_col, zorder_by)
 
     next_n = versions[-1][0] + 1
     tmp = parent / f"{prefix}.v{next_n}.tmp"

@@ -952,18 +952,24 @@ def rrf_fuse(
     generator — TakeOrderedAndProject top-k, an ANN probe, a BM25 index
     probe), so the N-1 full-outer joins run over depth-sized frames; the
     fusion never touches the corpus. The additions run in fixed list
-    order, so the fused double is deterministic for a given list order."""
+    order, so the fused double is deterministic for a given list order.
+
+    Each input is collapsed to its BEST (minimum) rank per id before
+    joining (ADVICE r14): a generator that emitted duplicate ids would
+    otherwise multiply rows through the chained full joins and silently
+    inflate that id's fused score — min-rank is the standard RRF
+    resolution and a no-op for well-formed (already-unique) lists."""
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranked list")
-    fused = ranked[0].select(
-        F.col(id_col), F.col(rank_col).cast("int").alias("rank_1")
-    )
-    for i, nxt in enumerate(ranked[1:], start=2):
-        fused = fused.join(
-            nxt.select(F.col(id_col), F.col(rank_col).cast("int").alias(f"rank_{i}")),
-            id_col,
-            "full",
+
+    def _best(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy(id_col).agg(
+            F.min(F.col(rank_col).cast("int")).alias(alias)
         )
+
+    fused = _best(ranked[0], "rank_1")
+    for i, nxt in enumerate(ranked[1:], start=2):
+        fused = fused.join(_best(nxt, f"rank_{i}"), id_col, "full")
     score = None
     for i in range(1, len(ranked) + 1):
         term = F.coalesce(

@@ -219,6 +219,47 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+CMS_MAX_WIDTH = 1 << 20
+
+
+def cms_sized_width(
+    items: DataFrame,
+    item_col: str,
+    min_width: int = CMS_WIDTH,
+    max_width: int = CMS_MAX_WIDTH,
+    group_cols: "list[str] | None" = None,
+) -> int:
+    """Width SIZED from the keyed universe (VERDICT r14 #9): the fixed
+    256 default is demo-scale — against a real vocabulary every bucket
+    carries hundreds of colliding terms and the one-sided error swamps
+    the estimate. Rule: ``width = clamp(2 * D, min_width, max_width)``
+    where D is the EXACT distinct-item count (the heaviest group's,
+    when grouped): up to the cap, at most ~0.5 distinct keys per
+    counter per row, so the depth-4 min drives the expected
+    overestimate toward zero. The CAP is what keeps this a sketch — for
+    an entity-keyed universe of billions, 2*D counters would dwarf the
+    exact counts themselves (and stop broadcasting); past the cap you
+    hold the standard CMS contract instead, overestimate <= e*N/width
+    per probe at high probability, with width pinned at 4M counters
+    per depth-4 sketch. EXACT distinct (one aggregate-only pass) rather
+    than ``approx_count_distinct`` because the width feeds the bucket
+    arithmetic an external oracle must reproduce — HLL estimates are
+    engine-specific; at 100 TB, where the single multi-distinct pass is
+    material, swap in ``approx_count_distinct`` and accept that
+    sketches sized by different engines no longer add (document the
+    width with the store, as cms_stream's pinned params already do)."""
+    if group_cols:
+        d_row = (
+            items.groupBy(*group_cols)
+            .agg(F.count_distinct(F.col(item_col)).alias("d"))
+            .agg(F.max("d").alias("d"))
+            .collect()[0]
+        )
+    else:
+        d_row = items.agg(F.count_distinct(F.col(item_col)).alias("d")).collect()[0]
+    return min(max(int(min_width), 2 * int(d_row["d"] or 0)), int(max_width))
+
+
 def cms_bucket(col: Column, d: int, width: int = CMS_WIDTH) -> Column:
     """Row d's counter index for a value: the engine-portable md5 family
     (60-bit prefix, same fold as minhash_signatures_md5) mod width —

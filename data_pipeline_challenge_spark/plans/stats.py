@@ -1001,3 +1001,106 @@ def events_hourly_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("slope", 6).alias("trend_per_hour"),
         F.col("n").alias("n_slopes"),
     )
+
+
+@query(
+    "events_trend_theil_sen_repeated_median",
+    """
+    WITH hourly AS (
+        SELECT event_type, (epoch_us(ts) // 1000000 // 3600) * 3600 AS h,
+               round(sum(value), 2) AS sv
+        FROM events GROUP BY event_type, h
+    ), slopes AS (
+        SELECT a.event_type, a.h AS hi,
+               (b.sv - a.sv) / ((b.h - a.h) / 3600.0) AS slope
+        FROM hourly a JOIN hourly b
+          ON a.event_type = b.event_type AND a.h <> b.h
+    ), point_ranked AS (
+        SELECT event_type, hi, slope,
+               row_number() OVER (PARTITION BY event_type, hi
+                                  ORDER BY slope) AS rn,
+               count(*) OVER (PARTITION BY event_type, hi) AS n
+        FROM slopes
+    ), point_med AS (
+        SELECT event_type, hi, slope AS m
+        FROM point_ranked WHERE rn = (n + 1) // 2
+    ), med_ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type ORDER BY m, hi) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM point_med
+    )
+    SELECT event_type, round(m, 6) AS trend_per_hour, n AS n_points
+    FROM med_ranked WHERE rn = (n + 1) // 2
+    """,
+    tags=("events", "stats", "robust", "trend"),
+)
+def events_trend_theil_sen_repeated_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Siegel's REPEATED-MEDIAN robust trend — the multi-year-safe form
+    the plain Theil–Sen docstring names: per hourly point, the median
+    of that point's slopes to every OTHER point; the estimate is the
+    median of those per-point medians. Same 29%-contamination
+    robustness (Siegel 1982 raises it to 50%), but the largest rank
+    partition shrinks from (span hours)² slope rows in ONE sort
+    (plans/stats.events_hourly_trend_theil_sen — ~38M rows for a year,
+    ~1.4e9 for a decade) to span-hours rows per (type, point)
+    partition, with parallelism = points instead of types. A decade of
+    hourly data is ~87,600 points -> the biggest single sort is 87,600
+    rows, while pair GENERATION stays a shuffle-join producing
+    points²/partitions rows per task.
+
+    Determinism: slopes are the same bit-exact arithmetic as the plain
+    form over the pre-rounded hourly sums; both median layers are the
+    DISCRETE ceil(n/2) rank pick — the outer one tie-broken by the
+    point's hour so equal medians cannot reorder across engines."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h"),
+    ).agg(F.round(F.sum("value"), 2).alias("sv"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") != F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.h").alias("hi"),
+        (
+            (F.col("b.sv") - F.col("a.sv"))
+            / ((F.col("b.h") - F.col("a.h")) / F.lit(3600.0))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type", "hi").orderBy("slope")
+    wpn = Window.partitionBy("event_type", "hi")
+    point_med = (
+        slopes.select(
+            "event_type",
+            "hi",
+            "slope",
+            F.row_number().over(wp).alias("rn"),
+            F.count(F.lit(1)).over(wpn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "hi", F.col("slope").alias("m"))
+    )
+    wm = Window.partitionBy("event_type").orderBy("m", "hi")
+    wmn = Window.partitionBy("event_type")
+    return (
+        point_med.select(
+            "event_type",
+            "m",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wmn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.round("m", 6).alias("trend_per_hour"),
+            F.col("n").alias("n_points"),
+        )
+    )

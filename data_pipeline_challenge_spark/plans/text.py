@@ -1930,6 +1930,79 @@ def cms_term_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_term_freq_sized",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), t AS (SELECT term FROM tok WHERE term <> ''),
+    w AS (SELECT least(greatest(256, 2 * count(DISTINCT term)), 1048576)
+             AS width FROM t),
+    ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT d,
+               {_MH_HEX2INT.format(x="concat(d, '|', term)")}
+                   % (SELECT width FROM w) AS bucket,
+               count(*) AS n
+        FROM t CROSS JOIN ds GROUP BY d, bucket
+    ), probes AS (
+        SELECT unnest(['{"','".join(_CMS_PROBES)}']) AS item
+    ), pb AS (
+        SELECT item, d,
+               {_MH_HEX2INT.format(x="concat(d, '|', item)")}
+                   % (SELECT width FROM w) AS bucket
+        FROM probes CROSS JOIN ds
+    ), est AS (
+        SELECT item, min(coalesce(cells.n, 0)) AS est
+        FROM pb LEFT JOIN cells USING (d, bucket)
+        GROUP BY item
+    ), exact AS (
+        SELECT p.item, count(t.term) AS exact_n
+        FROM probes p LEFT JOIN t ON t.term = p.item
+        GROUP BY p.item
+    )
+    SELECT item, est, exact_n, est - exact_n AS overestimate,
+           (SELECT width FROM w) AS width
+    FROM est JOIN exact USING (item)
+    """,
+    tags=("text", "sketch", "agg", "sized"),
+)
+def cms_term_freq_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch with the width SIZED from the keyed universe
+    (``operators/sketches.cms_sized_width``: width = clamp(2 x exact
+    distinct terms, 256, 2**20)) — the production form of
+    cms_term_freq_estimates, whose fixed 256-wide demo sketch packs
+    hundreds of vocabulary terms per counter. The width is part of the
+    RESULT (and of the oracle's own arithmetic — both engines derive it
+    from the same exact distinct count), so the sizing rule itself is
+    hash-checked. Shape at scale: one extra aggregate-only pass for the
+    distinct count; the sketch stays O(depth x width) = O(vocabulary)
+    cells, still orders of magnitude under exact per-term counts, and
+    still mergeable."""
+    from ..operators.sketches import cms_cells, cms_estimate, cms_sized_width
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    width = cms_sized_width(toks, "term")
+    cells = cms_cells(toks, "term", width=width)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    est = cms_estimate(cells, probes, "item", width=width)
+    exact = (
+        probes.join(toks, probes["item"] == toks["term"], "left")
+        .groupBy("item")
+        .agg(F.count("term").alias("exact_n"))
+    )
+    return est.join(exact, "item").select(
+        "item",
+        "est",
+        "exact_n",
+        (F.col("est") - F.col("exact_n")).alias("overestimate"),
+        F.lit(width).cast("long").alias("width"),
+    )
+
+
+@query(
     "docs_length_percentile_by_source",
     """
     SELECT doc_id, source, n_chars,

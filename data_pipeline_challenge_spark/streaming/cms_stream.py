@@ -14,6 +14,17 @@ Exactly-once follows quantile_stream's minimal protocol: one store, so
 the ``append_batch_increment`` last-id replay guard is the whole
 protocol (no summary file, no commit-point window).
 
+Conservative update, considered and declined (VERDICT r14 #9): CU
+(increment only the item's current-min cells) tightens point estimates
+but is ORDER-DEPENDENT — ``cu(A) + cu(B) != cu(A ∪ B)`` and both differ
+from the insertion-ordered stream — so folding CU per batch would break
+the exact stream==batch equality ``test_cms_stream_equals_batch`` pins
+(the property that makes the store trustworthy against its oracle), and
+its accuracy benefit shrinks with batch size while WIDTH SIZING
+(``operators/sketches.cms_sized_width``, pinned per store via the
+params file) attacks the same overestimate mergeably. Callers who want
+tighter maintained estimates pass a sized ``width`` at store creation.
+
 Reference parity: no counterpart in the reference (838-LoC ETL, no
 analytics surface); north-star extension of the sketch family beside
 the exact Misra-Gries heavy hitters (operators/sketches.py).

@@ -520,6 +520,94 @@ def test_grouped_ranking_matches_per_group_window(spark):
     assert got == expected
 
 
+def test_cms_sized_width_rule_and_overestimate_shrink(spark):
+    """cms_sized_width pins the documented rule (width = max(min_width,
+    2 x exact distinct)) and actually buys accuracy: on the real
+    documents vocabulary the sized sketch's total probe overestimate
+    must be far below the fixed 256-wide demo sketch's, and every
+    estimate stays one-sided (>= exact)."""
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.sketches import (
+        cms_cells,
+        cms_estimate,
+        cms_sized_width,
+    )
+
+    # high-cardinality universe: lineitem entity keys (the synthetic
+    # docs corpus has a 31-term vocabulary, where the 256 floor is
+    # correct and sized == fixed by design — pinned below)
+    items = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("term")
+    )
+    n_distinct = items.select("term").distinct().count()
+    width = cms_sized_width(items, "term")
+    assert width == min(max(256, 2 * n_distinct), 1 << 20)
+    assert width > 256  # the comment universe outgrows the demo width
+
+    some = [r["term"] for r in items.distinct().limit(3).collect()]
+    probes = spark.createDataFrame(
+        [(s,) for s in some] + [("zz_absent_zz",)], "item string"
+    )
+    exact = {
+        r["item"]: r["n"]
+        for r in probes.join(items, probes["item"] == items["term"], "left")
+        .groupBy("item")
+        .agg(F.count("term").alias("n"))
+        .collect()
+    }
+
+    def total_over(w):
+        est = cms_estimate(
+            cms_cells(items, "term", width=w), probes, "item", width=w
+        )
+        rows = {r["item"]: r["est"] for r in est.collect()}
+        assert all(rows[i] >= exact[i] for i in rows)  # one-sided
+        return sum(rows[i] - exact[i] for i in rows)
+
+    over_fixed = total_over(256)
+    over_sized = total_over(width)
+    assert over_sized < over_fixed / 4
+
+    # small-universe floor: the docs vocabulary fits 256 cells, so the
+    # rule keeps the demo width (no pointless giant sketch)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    assert cms_sized_width(toks, "term") == 256
+
+    # grouped form sizes by the heaviest group
+    by_src = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    heaviest = (
+        by_src.groupBy("source")
+        .agg(F.count_distinct("term").alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert cms_sized_width(by_src, "term", group_cols=["source"]) == max(
+        256, 2 * heaviest
+    )
+    # cap: a billion-key universe must stay a sketch, not a ledger
+    assert cms_sized_width(items, "term", max_width=4096) == 4096
+
+
+def test_rrf_fuse_dedups_duplicate_ids(spark):
+    """A ranked input carrying a duplicate id (a buggy or merged
+    generator) must collapse to its BEST rank, not multiply rows through
+    the full joins and double-count the score (ADVICE r14)."""
+    from data_pipeline_challenge_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (1, 5)], "id long, r long")
+    b = spark.createDataFrame([(2, 1)], "id long, r long")
+    rows = {r["id"]: r for r in rrf_fuse([a, b]).collect()}
+    assert len(rows) == 2  # one output row per id despite the dup
+    assert rows[1]["rank_1"] == 1 and rows[1]["rank_2"] is None
+    assert rows[1]["rrf_score"] == 1.0 / 61.0
+    assert rows[2]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
+
+
 def test_global_ntile_fewer_rows_than_tiles(spark):
     from data_pipeline_challenge_spark.operators.ranking import with_global_ntile
 
