@@ -242,3 +242,72 @@ def _union_find_single_task(sym: DataFrame) -> DataFrame:
     return sym.coalesce(1).mapInPandas(
         make_uf(), schema="vertex bigint, component bigint"
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic — the
+    determinism trick the rollup's integer cents and the quantile
+    pipeline's integer pick rule use, applied to an iterative graph
+    algorithm so an external oracle can replay it bit-identically
+    (floating-point PageRank sums in engine-dependent order; integer
+    sums are associative, so partitioning and join order cannot change
+    a single rank).
+
+    Per iteration: contribution(u → v) = r(u) div outdeg(u) (floor),
+    r'(v) = (1-d)*scale + (d * Σ contributions) div 100 — all BIGINT.
+    Dangling nodes (no out-edges) keep the base term only; callers with
+    bidirectional edge lists have none. The floor divisions make this a
+    DEFINED VARIANT of PageRank, not an approximation of the float one:
+    both engines compute the same integers, and the per-node floor loss
+    (< outdeg units of 1e-6) is far below any ranking use's tolerance.
+
+    Shape at scale: each iteration is one equi-join of the edge list
+    against the rank frame (both keyed on the source vertex) plus one
+    map-side-combinable sum by destination — the textbook distributed
+    PageRank step; ``iterations`` is fixed and small, and lineage is
+    truncated per round (localCheckpoint) so the plan does not grow.
+
+    Returns (node, rank) — rank in ``scale`` units."""
+    e = edges.select(
+        F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
+    ).distinct()
+    deg = e.groupBy("__pr_src").agg(F.count(F.lit(1)).alias("__pr_deg"))
+    nodes = (
+        e.select(F.col("__pr_src").alias("node"))
+        .unionByName(e.select(F.col("__pr_dst").alias("node")))
+        .distinct()
+    )
+    base = (100 - damping_pct) * scale // 100
+    rank = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "__pr_src")
+            .join(rank.withColumnRenamed("node", "__pr_src"), "__pr_src")
+            .select(
+                F.col("__pr_dst").alias("node"),
+                F.expr("r div __pr_deg").alias("__pr_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__pr_c").alias("__pr_sum"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base)).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__pr_sum, 0)) div 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank

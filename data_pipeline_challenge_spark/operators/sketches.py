@@ -260,6 +260,102 @@ def cms_sized_width(
     return min(max(int(min_width), 2 * int(d_row["d"] or 0)), int(max_width))
 
 
+KMV_K = 256
+
+
+def kmv_hash(col: Column) -> Column:
+    """The KMV sketch's hash: the engine-portable 60-bit md5 prefix
+    (same fold as minhash_signatures_md5 / cms_bucket), uniform on
+    [0, 2**60) — bit-reproducible in any engine with md5, which is what
+    makes this the repo's ORACLE-CHECKABLE cardinality sketch where the
+    HLL path (approx_count_distinct) is rows-only by engine design."""
+    hx = F.substring(F.md5(F.concat(F.lit("kmv|"), col.cast("string"))), 1, 15)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def kmv_bottom_hashes(
+    items: DataFrame,
+    item_col: str,
+    k: int = KMV_K,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """The k smallest DISTINCT hash values of ``item_col`` (per group):
+    the K-Minimum-Values sketch (Bar-Yossef et al. 2002) — a bottom-k
+    set that MERGES by union-then-rekeep (the property the maintained
+    twin folds on) and estimates distinct cardinality from its k-th
+    value. Shape at scale: one distinct shuffle down to distinct-hash
+    rows, then bottom-k WITHOUT a full sort — the global form compiles
+    to TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    driver side of the exchange) and the grouped form's rank filter to
+    WindowGroupLimit (partial per-partition bottom-k before the
+    shuffle); both plan-pinned. No task ever sorts a group's full
+    distinct set. Returns (group..., h)."""
+    from pyspark.sql import Window
+
+    gcs = list(group_cols or ())
+    hashed = items.select(*gcs, kmv_hash(F.col(item_col)).alias("h")).distinct()
+    if not gcs:
+        return hashed.orderBy("h").limit(k)
+    w = Window.partitionBy(*gcs).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(
+    bottom: DataFrame,
+    k: int = KMV_K,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Collapse a UNION of bottom-k hash frames to the resolved
+    bottom-k (per group): distinct — overlapping sketches repeat hashes
+    — then the same rank filter as the builder, over the RAW ``h``
+    values (never re-hashed). bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
+    bottom_k(B)): the associativity that lets per-batch sketches fold
+    into a maintained store and per-partition sketches fold into a
+    global one. Same no-full-sort shapes as the builder."""
+    from pyspark.sql import Window
+
+    gcs = list(group_cols or ())
+    uniq = bottom.select(*gcs, "h").distinct()
+    if not gcs:
+        return uniq.orderBy("h").limit(k)
+    w = Window.partitionBy(*gcs).orderBy("h")
+    return (
+        uniq.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    bottom: DataFrame,
+    k: int = KMV_K,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Distinct-cardinality estimate from a bottom-k hash frame (the
+    output of :func:`kmv_bottom_hashes`, or the maintained store's
+    collapsed view): with n = |sketch| < k the sketch saw the WHOLE
+    universe and the estimate is exact; otherwise est = (k-1) * 2^60 /
+    h_(k) — one double multiply and divide, bit-equal IEEE on both
+    engines. Returns (group..., n_hashes, kth, est)."""
+    gcs = list(group_cols or ())
+    agg = bottom.groupBy(*gcs).agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("kth"),
+            4,
+        )
+    )
+    return agg.select(*gcs, "n_hashes", "kth", est.alias("est"))
+
+
 def cms_bucket(col: Column, d: int, width: int = CMS_WIDTH) -> Column:
     """Row d's counter index for a value: the engine-portable md5 family
     (60-bit prefix, same fold as minhash_signatures_md5) mod width —

@@ -1104,3 +1104,175 @@ def events_trend_theil_sen_repeated_median(
             F.col("n").alias("n_points"),
         )
     )
+
+
+_KMV_HEX2INT = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5({x}), 1, 15), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "distinct_kmv_order_keys",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+            {_KMV_HEX2INT.format(x="concat('kmv|', CAST(l_orderkey AS VARCHAR))")}
+                AS h
+        FROM lineitem
+    ), btm AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    agg AS (SELECT count(*) AS n_hashes, max(h) AS kth FROM btm),
+    ex AS (SELECT count(DISTINCT l_orderkey) AS exact_n FROM lineitem)
+    SELECT n_hashes, kth,
+           CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                ELSE round(255 * 1152921504606846976.0 / kth, 4)
+           END AS est,
+           exact_n
+    FROM agg, ex
+    """,
+    tags=("sketch", "distinct", "kmv"),
+)
+def distinct_kmv_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-cardinality sketch
+    (``operators/sketches.kmv_bottom_hashes``/``kmv_estimate``, k=256)
+    over lineitem's order keys, with the exact count alongside — the
+    repo's ORACLE-CHECKABLE cardinality estimator: the md5 hash family
+    is bit-reproducible in DuckDB, so the k-th minimum (and therefore
+    the estimate, one double multiply+divide) hash-matches, where HLL
+    (``agg_approx_count_distinct``) is rows-only by engine design.
+
+    Shape at scale: one distinct shuffle to distinct-hash rows, then
+    bottom-k via a rank filter that compiles to WindowGroupLimit
+    (partial per-partition bottom-k before any shuffle — plan-pinned);
+    the sketch is k values regardless of volume and merges by
+    union-then-rekeep (the maintained twin's fold)."""
+    from ..operators.sketches import kmv_bottom_hashes, kmv_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = kmv_estimate(kmv_bottom_hashes(li, "l_orderkey", k=256), k=256)
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_n"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "distinct_kmv_users_by_type",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+            {_KMV_HEX2INT.format(x="concat('kmv|', CAST(user_id AS VARCHAR))")}
+                AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), btm AS (SELECT event_type, h FROM ranked WHERE rn <= 32),
+    agg AS (
+        SELECT event_type, count(*) AS n_hashes, max(h) AS kth
+        FROM btm GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_hashes, kth,
+           CASE WHEN n_hashes < 32 THEN CAST(n_hashes AS DOUBLE)
+                ELSE round(31 * 1152921504606846976.0 / kth, 4)
+           END AS est,
+           exact_n
+    FROM agg JOIN ex USING (event_type)
+    """,
+    tags=("sketch", "distinct", "kmv", "grouped"),
+)
+def distinct_kmv_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV: one bottom-k sketch per event_type (k=32, small
+    enough that the estimator path — not the exact under-k path — is
+    what the oracle certifies on the test corpus), exact distinct
+    alongside. Per-group sketches merge independently, the same
+    per-group-adds property the grouped CMS and quantile histograms
+    lean on. The rank filter is the same WindowGroupLimit bottom-k."""
+    from ..operators.sketches import kmv_bottom_hashes, kmv_estimate
+
+    ev = load_events(spark, sf_dir)
+    est = kmv_estimate(
+        kmv_bottom_hashes(ev, "user_id", k=32, group_cols=["event_type"]),
+        k=32,
+        group_cols=["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_n")
+    )
+    return est.join(exact, "event_type")
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    return f"""r{k} AS (
+        SELECT n.node,
+               CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // d.outdeg) AS c
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    )"""
+
+
+_PAGERANK_SQL = (
+    """
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    """
+    + ",\n    ".join(_pagerank_iter_sql(k) for k in range(1, 6))
+    + """
+    SELECT node, r AS rank_micro FROM r5 ORDER BY r DESC, node LIMIT 20
+    """
+)
+
+
+@query(
+    "pagerank_trade_graph_top20",
+    _PAGERANK_SQL,
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_trade_graph_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration INTEGER PageRank (``operators/graph.
+    pagerank_integer``, damping 0.85, micro-unit ranks) over the
+    customer↔supplier trade graph (distinct order-line pairs, edges in
+    both directions so the chain is ergodic and dangling-free), top-20
+    hubs. The integer floor-division arithmetic makes an ITERATIVE
+    graph algorithm oracle-checkable — float PageRank sums in
+    engine-dependent order, integers are associative, so DuckDB replays
+    all five iterations bit-identically (the rollup's integer-cents
+    determinism trick, applied to iteration).
+
+    Shape at scale: per iteration one edge⋈rank equi-join + one
+    map-side-combinable sum by destination; the final top-20 is
+    TakeOrderedAndProject. Edge list is distinct (cust, supp) pairs —
+    commerce-graph-sized, far under lineitem volume."""
+    from ..operators.graph import pagerank_integer
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rank = pagerank_integer(edges, iterations=5)
+    return (
+        rank.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank_micro"))
+    )

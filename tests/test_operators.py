@@ -593,6 +593,75 @@ def test_cms_sized_width_rule_and_overestimate_shrink(spark):
     assert cms_sized_width(items, "term", max_width=4096) == 4096
 
 
+def test_kmv_merge_and_estimate_accuracy(spark):
+    """KMV bottom-k sets must merge exactly — bottom_k(A ∪ B) ==
+    bottom_k(bottom_k(A) ∪ bottom_k(B)) — the invariant the maintained
+    twin folds on; the estimate must be exact below k and within ±25%
+    of the true cardinality above it (k=256 gives ~1/sqrt(254) ≈ 6.3%
+    expected relative error; 25% is a deterministic-input safety bound,
+    not a statistical claim)."""
+    from data_pipeline_challenge_spark.catalog import load_table
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_bottom_hashes,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    k = 256
+    merged = kmv_merge(
+        kmv_bottom_hashes(a, "l_orderkey", k).unionByName(
+            kmv_bottom_hashes(b, "l_orderkey", k)
+        ),
+        k,
+    )
+    full = kmv_bottom_hashes(li, "l_orderkey", k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in full.collect()
+    )
+
+    exact = li.select("l_orderkey").distinct().count()
+    est = kmv_estimate(full, k).collect()[0]
+    assert exact > k  # the estimator path, not the exact under-k path
+    assert est["n_hashes"] == k
+    assert abs(est["est"] - exact) / exact < 0.25
+
+    # under-k: the sketch holds the whole universe -> exact
+    nations = load_table(spark, "/root/testdata/sf0.001", "nation")
+    small = kmv_estimate(
+        kmv_bottom_hashes(nations, "n_nationkey", k), k
+    ).collect()[0]
+    assert small["n_hashes"] == small["est"] == nations.count()
+
+
+def test_pagerank_integer_matches_python_fold(spark):
+    """pagerank_integer == the literal integer recurrence folded in
+    Python, on a crafted directed graph WITH a dangling node (no
+    out-edges: contributes nothing, keeps the base term) — every rank
+    an exact integer, independent of partitioning."""
+    from data_pipeline_challenge_spark.operators.graph import pagerank_integer
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    # d is dangling: appears only as a destination
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(4)
+    got = {r["node"]: r["r"] for r in pagerank_integer(df, iterations=5).collect()}
+
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: 150_000 + (85 * contrib[n]) // 100 for n in nodes}
+    assert got == r
+    assert got["d"] < got["c"]  # the dangling leaf never out-ranks a hub
+
+
 def test_rrf_fuse_dedups_duplicate_ids(spark):
     """A ranked input carrying a duplicate id (a buggy or merged
     generator) must collapse to its BEST rank, not multiply rows through

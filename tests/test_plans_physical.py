@@ -484,6 +484,19 @@ def test_hybrid_rrf_candidates_are_topk(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmv_bottom_k_uses_window_group_limit(spark):
+    """distinct_kmv_order_keys: the bottom-k rank filter must compile to
+    WindowGroupLimit (partial per-partition bottom-k BEFORE the shuffle)
+    — at 100 TB the distinct-hash set is billions of rows and a full
+    per-group sort would defeat the sketch's point."""
+    plan = plan_of(spark, "distinct_kmv_order_keys")
+    # global form: per-partition top-k merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    plan_g = plan_of(spark, "distinct_kmv_users_by_type")
+    assert "WindowGroupLimit" in plan_g
+
+
 def test_fuzzy_name_pairs_is_equijoin_on_grams(spark):
     """fuzzy_name_pairs_lev1: candidate generation must be an EQUI-join
     on the q-gram (inverted index), never an all-pairs nested loop over

@@ -5640,6 +5640,86 @@ def test_transition_stream_out_of_order_fails_then_resequencer_fixes(
     assert late_total == 1
 
 
+def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
+    """Maintained KMV sketch: drained over three files (grouped by src),
+    the report must equal the batch estimator over the concatenated
+    input exactly — bottom-k sets merge by union-then-rekeep.
+    Replaying a folded batch id is a no-op; compaction collapses the
+    store to <= k rows per group with the report unchanged."""
+    import os as _os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_bottom_hashes,
+        kmv_estimate,
+    )
+    from data_pipeline_challenge_spark.streaming import kmv_stream
+
+    corpus = tmp_path / "kmv_in"
+    corpus.mkdir()
+    srcs = ["web", "book"]
+    all_rows = []
+    mtime = 1_700_000_000
+    for b in range(3):
+        rows = [
+            (srcs[(i + b) % 2], f"item-{(i * 7 + b * 3) % 97}")
+            for i in range(60 + 10 * b)
+        ]
+        all_rows += rows
+        p = corpus / f"b{b}.parquet"
+        pq.write_table(
+            pa.table({"src": pa.array([r[0] for r in rows]),
+                      "item": pa.array([r[1] for r in rows])}),
+            str(p),
+        )
+        mtime += 10
+        _os.utime(p, (mtime, mtime))
+
+    out = tmp_path / "kmv"
+    k = 16  # well under the 97-item universe: the estimator path
+    q = kmv_stream.start_kmv_stream(
+        spark, corpus, out, tmp_path / "ck_kmv", "src string, item string",
+        "item", k=k, group_cols=["src"], max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+
+    def report():
+        return {
+            (r["src"],): (r["n_hashes"], r["kth"], r["est"])
+            for r in kmv_stream.kmv_report(spark, out).collect()
+        }
+
+    got = report()
+    batch = spark.createDataFrame(all_rows, "src string, item string")
+    want = {
+        (r["src"],): (r["n_hashes"], r["kth"], r["est"])
+        for r in kmv_estimate(
+            kmv_bottom_hashes(batch, "item", k, group_cols=["src"]),
+            k,
+            group_cols=["src"],
+        ).collect()
+    }
+    assert got == want
+    assert all(n == k for (n, _, _) in got.values())  # estimator path
+
+    # replay: an already-committed batch id is a no-op
+    extra = spark.createDataFrame([("web", "zz-new")] * 5, "src string, item string")
+    kmv_stream.fold_batch(spark, out, extra, 0, "item", k=k, group_cols=["src"])
+    assert report() == got
+
+    # compaction: <= k rows per group, report unchanged
+    pre = read_batch_store(spark, Path(out) / "hashes").count()
+    assert pre > 2 * k
+    kmv_stream.compact_kmv_store(spark, out)
+    post = read_batch_store(spark, Path(out) / "hashes").count()
+    assert post <= 2 * k
+    assert report() == got
+
+
 def test_transition_compaction_collapses_frontier_and_prunes_buffer(
     spark, tmp_path
 ):
