@@ -802,3 +802,73 @@ def events_retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_top_daily_paths",
+    """
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               epoch_us(ts) AS t, event_id, event_type
+        FROM events
+    ), ranked AS (
+        SELECT user_id, day, event_type,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY t, event_id) AS rn
+        FROM base
+    ), paths AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id, day
+    )
+    SELECT path, count(*) AS n_user_days
+    FROM paths GROUP BY path
+    ORDER BY n_user_days DESC, path LIMIT 20
+    """,
+    tags=("events", "behavioral", "paths", "window"),
+)
+def events_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top starting event-type PATHS (first three
+    events of each user-day, in event-time order, joined with '>') —
+    the "how do sessions begin" report that complements the transition
+    matrix (Markov pairs lose the ordering beyond one step). Total
+    (t, event_id) order makes every path deterministic; counts are
+    integers.
+
+    Shape at scale: the rank filter (rn <= 3) compiles to
+    WindowGroupLimit over the high-cardinality (user, day) key —
+    partial per-partition top-3 before the shuffle, no user-day ever
+    sorts more than its own events; path assembly aggregates ≤3-row
+    groups; the final count is map-side-combinable with a
+    TakeOrderedAndProject top-20."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), "path")
+        .limit(20)
+    )

@@ -5640,6 +5640,62 @@ def test_transition_stream_out_of_order_fails_then_resequencer_fixes(
     assert late_total == 1
 
 
+def test_retention_stream_equals_batch_and_replay(spark, tmp_path):
+    """Maintained retention cohorts: drained over three files the
+    report must equal the batch events_retention_daily_cohorts
+    arithmetic over the concatenated input — the activity set is the
+    sufficient statistic and distinct sets merge by union. A late
+    batch carrying an EARLIER day for a known user must move that
+    user's cohort day back (min is associative). Replay no-op;
+    compaction collapses to the exact distinct set."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.streaming import retention_stream
+
+    D = 86_400_000_000  # one day in micros
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    src = tmp_path / "ret_in"
+    src.mkdir()
+    f1 = [(1, 2 * D, 1, "view"), (2, 2 * D + 5, 1, "view"), (3, 2 * D, 2, "view")]
+    f2 = [(4, 3 * D, 1, "click"), (5, 5 * D, 2, "buy")]
+    f3 = [(6, 0 * D + 7, 1, "view")]  # user 1 was ALREADY active on day 0
+    for name, rows, mt in (("f1", f1, 0), ("f2", f2, 10), ("f3", f3, 20)):
+        _land_event_file(src / f"{name}.parquet", rows, 1_700_000_000 + mt)
+
+    out = tmp_path / "ret"
+    q = retention_stream.start_retention_stream(
+        spark, src, out, tmp_path / "ck_ret", schema, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    def report():
+        return sorted(
+            map(tuple, retention_stream.retention_report(spark, out).collect())
+        )
+
+    got = report()
+    # batch truth: user 1 active days {0,2,3} -> cohort 0, offsets 0,2,3;
+    # user 2 days {2,5} -> cohort 2, offsets 0,3
+    want = sorted([(0, 0, 1), (0, 2, 1), (0, 3, 1), (2, 0, 1), (2, 3, 1)])
+    assert got == want
+
+    # replay of a committed batch id: no-op
+    late = spark.createDataFrame([(99, None, 3, "view")], schema).filter(
+        F.col("event_id") < 0
+    )
+    retention_stream.fold_batch(spark, out, late, 0)
+    assert report() == got
+
+    # compaction: exact distinct activity set, report unchanged
+    # (parity with the declared events_retention_daily_cohorts query is
+    # by construction — same arithmetic over the same distinct set —
+    # and the hand-computed `want` above pins that arithmetic)
+    retention_stream.compact_retention_store(spark, out)
+    assert read_batch_store(spark, Path(out) / "act").count() == 5
+    assert report() == got
+
+
 def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
     """Maintained KMV sketch: drained over three files (grouped by src),
     the report must equal the batch estimator over the concatenated
