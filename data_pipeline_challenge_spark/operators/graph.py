@@ -275,14 +275,25 @@ def pagerank_integer(
     truncated per round (localCheckpoint) so the plan does not grow.
 
     Returns (node, rank) — rank in ``scale`` units."""
-    e = edges.select(
-        F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
-    ).distinct()
+    # Materialize the edge list ONCE: every iteration joins against it,
+    # and without the checkpoint each of the `iterations` plans would
+    # re-derive it from its upstream lineage (e.g. re-running the
+    # orders⋈lineitem join five times). Same for outdegrees and the
+    # node set. (On a cluster prefer a reliable checkpoint dir — the
+    # connected-components note above applies here too.)
+    e = (
+        edges.select(
+            F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("__pr_src").agg(F.count(F.lit(1)).alias("__pr_deg"))
     nodes = (
         e.select(F.col("__pr_src").alias("node"))
         .unionByName(e.select(F.col("__pr_dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * scale // 100
     rank = nodes.withColumn("r", F.lit(int(scale)).cast("long"))

@@ -776,6 +776,7 @@ def events_gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY cohort_day, day_offset
     """,
     tags=("events", "retention", "behavioral"),
+    bench=True,
 )
 def events_retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-active day, one
@@ -826,6 +827,7 @@ def events_retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY n_user_days DESC, path LIMIT 20
     """,
     tags=("events", "behavioral", "paths", "window"),
+    bench=True,
 )
 def events_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: the top starting event-type PATHS (first three

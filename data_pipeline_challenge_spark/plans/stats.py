@@ -837,6 +837,7 @@ def multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.dev > 5 * m.mad
     """,
     tags=("events", "stats", "outliers", "window"),
+    bench=True,
 )
 def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: events whose value deviates
@@ -1131,6 +1132,7 @@ _KMV_HEX2INT = (
     FROM agg, ex
     """,
     tags=("sketch", "distinct", "kmv"),
+    bench=True,
 )
 def distinct_kmv_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Minimum-Values distinct-cardinality sketch
@@ -1239,6 +1241,7 @@ _PAGERANK_SQL = (
     "pagerank_trade_graph_top20",
     _PAGERANK_SQL,
     tags=("graph", "pagerank", "iterative"),
+    bench=True,
 )
 def pagerank_trade_graph_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-iteration INTEGER PageRank (``operators/graph.

@@ -2012,6 +2012,7 @@ def cms_term_freq_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text", "window", "normalization"),
+    bench=True,
 )
 def docs_length_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile (CDF) normalization of document length —
