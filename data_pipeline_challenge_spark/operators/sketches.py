@@ -356,6 +356,60 @@ def kmv_estimate(
     return agg.select(*gcs, "n_hashes", "kth", est.alias("est"))
 
 
+def kmv_pairwise_jaccard(
+    bottom: DataFrame, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between every two groups' item sets,
+    from their bottom-k sketches alone (Bar-Yossef et al. / Beyer et
+    al.'s KMV set operations): for each unordered group pair, take the
+    bottom-k of the UNION of the two sketches and count the fraction of
+    its hashes present in BOTH — an unbiased Jaccard estimate, never
+    touching the raw tables. The overlap-audit a pipeline runs between
+    corpus snapshots or sources when the exact distinct-join is the
+    expensive thing it's trying to avoid.
+
+    Shape at scale: sketches are k rows per group, so the pair frame is
+    O(groups² x k) — group-pair-sized, independent of item volume; the
+    per-pair rank runs over <= 2k rows. All-integer membership counts +
+    one rounded division: oracle-exact via the md5 family.
+
+    Returns (key_a, key_b, n_union_sketch, n_both, jaccard_est)."""
+    from pyspark.sql import Window
+
+    keys = bottom.select(F.col(key_col).alias("key_a")).distinct()
+    pairs = keys.crossJoin(
+        keys.select(F.col("key_a").alias("key_b"))
+    ).filter(F.col("key_a") < F.col("key_b"))
+    # every pair x the union of its two sketches, with membership flags
+    # — two broadcast EQUI-joins (an OR condition would compile to a
+    # nested loop), deduped per (pair, h)
+    side = bottom.select(F.col(key_col).alias("__k"), "h")
+    ua = pairs.join(F.broadcast(side), F.col("__k") == F.col("key_a")).select(
+        "key_a", "key_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    ub = pairs.join(F.broadcast(side), F.col("__k") == F.col("key_b")).select(
+        "key_a", "key_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    uh = (
+        ua.unionByName(ub)
+        .groupBy("key_a", "key_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy("h")
+    m = uh.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return m.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard_est"),
+    )
+
+
 def cms_bucket(col: Column, d: int, width: int = CMS_WIDTH) -> Column:
     """Row d's counter index for a value: the engine-portable md5 family
     (60-bit prefix, same fold as minhash_signatures_md5) mod width —

@@ -1279,3 +1279,117 @@ def pagerank_trade_graph_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("r").alias("rank_micro"))
     )
+
+
+@query(
+    "kmv_user_overlap_by_type",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+            {_KMV_HEX2INT.format(x="concat('kmv|', CAST(user_id AS VARCHAR))")}
+                AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), bk AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+    keys AS (SELECT DISTINCT event_type FROM bk),
+    pairs AS (
+        SELECT a.event_type AS key_a, b.event_type AS key_b
+        FROM keys a JOIN keys b ON a.event_type < b.event_type
+    ), uh AS (
+        SELECT key_a, key_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (
+            SELECT p.key_a, p.key_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN bk s ON s.event_type = p.key_a
+            UNION ALL
+            SELECT p.key_a, p.key_b, s.h, 0, 1
+            FROM pairs p JOIN bk s ON s.event_type = p.key_b
+        ) GROUP BY key_a, key_b, h
+    ), m AS (
+        SELECT * FROM (
+            SELECT key_a, key_b, in_a, in_b,
+                   row_number() OVER (PARTITION BY key_a, key_b
+                                      ORDER BY h) AS rn
+            FROM uh
+        ) WHERE rn <= 64
+    ), est AS (
+        SELECT key_a, key_b,
+               count(*) AS n_union_sketch,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6)
+                   AS jaccard_est
+        FROM m GROUP BY key_a, key_b
+    ), au AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM au GROUP BY event_type),
+    inter AS (
+        SELECT x.event_type AS key_a, y.event_type AS key_b,
+               count(*) AS n_inter
+        FROM au x JOIN au y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.key_a, e.key_b, e.n_union_sketch, e.n_both, e.jaccard_est,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6)
+               AS jaccard_exact
+    FROM est e
+    LEFT JOIN inter i ON e.key_a = i.key_a AND e.key_b = i.key_b
+    JOIN sizes sa ON sa.event_type = e.key_a
+    JOIN sizes sb ON sb.event_type = e.key_b
+    """,
+    tags=("sketch", "kmv", "overlap", "setops"),
+)
+def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET-OPERATION estimation: pairwise Jaccard of the user sets
+    behind every two event types, from their bottom-64 sketches alone
+    (``operators/sketches.kmv_pairwise_jaccard``), with the exact
+    Jaccard alongside — the overlap audit a pipeline runs between
+    corpus snapshots/sources when the exact distinct-join is the cost
+    it's avoiding. The md5 family makes the ESTIMATE itself
+    oracle-checkable, not just sanity-bounded.
+
+    Shape at scale: sketches are 64 rows per type, the pair frame
+    O(types² x k) — independent of event volume; the exact half (kept
+    for the audit) is the only part that touches the distinct user
+    sets, and it aggregates before joining."""
+    from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_jaccard
+
+    ev = load_events(spark, sf_dir)
+    bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    est = kmv_pairwise_jaccard(bk, "event_type", k=64)
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = au.alias("x"), au.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("key_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("key_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["key_a", "key_b"], "left")
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_union_sketch",
+            "n_both",
+            "jaccard_est",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )

@@ -636,6 +636,31 @@ def test_kmv_merge_and_estimate_accuracy(spark):
     assert small["n_hashes"] == small["est"] == nations.count()
 
 
+def test_kmv_pairwise_jaccard_exact_when_sketch_covers(spark):
+    """With k >= the union size the bottom-k sketches ARE the sets, so
+    the KMV Jaccard estimate must equal the exact Jaccard; with k
+    smaller it stays a valid fraction over exactly k union hashes."""
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_bottom_hashes,
+        kmv_pairwise_jaccard,
+    )
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "g string, item long")
+    bk = kmv_bottom_hashes(df, "item", k=64, group_cols=["g"])
+    r = kmv_pairwise_jaccard(bk, "g", k=64).collect()[0]
+    # |A∩B| = 10, |A∪B| = 40
+    assert (r["key_a"], r["key_b"]) == ("a", "b")
+    assert r["n_union_sketch"] == 40 and r["n_both"] == 10
+    assert r["jaccard_est"] == 0.25
+
+    small = kmv_pairwise_jaccard(
+        kmv_bottom_hashes(df, "item", k=8, group_cols=["g"]), "g", k=8
+    ).collect()[0]
+    assert small["n_union_sketch"] == 8
+    assert 0.0 <= small["jaccard_est"] <= 1.0
+
+
 def test_pagerank_integer_matches_python_fold(spark):
     """pagerank_integer == the literal integer recurrence folded in
     Python, on a crafted directed graph WITH a dangling node (no
