@@ -160,6 +160,104 @@ def with_grouped_rank_stats(
     return outdf.drop("__rank_rn", "__rank_n")
 
 
+def with_grouped_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    weight_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PER-GROUP running sum of ``weight_col`` under the total order
+    ``order_by`` — the weighted generalization of
+    :func:`with_grouped_row_number` (a row number is a cumsum of 1s),
+    for token-budget sampling and any other prefix-budget cut that would
+    otherwise serialize a hot stratum into one
+    ``Window.partitionBy(group)`` task.
+
+    Same three steps: range shuffle on (group, order); the offset pass
+    SUMS ``weight_col`` per (partition, group) cell and prefix-sums the
+    driver-tiny cell table per group; the local cumsum window partitions
+    by (partition id, group). Weights must be integral-typed for the
+    offsets to be exact (floats would reintroduce order-dependence)."""
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    keys = gcols + ocols
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *keys)
+    else:
+        part = df.repartitionByRange(*keys)
+    part = part.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
+
+    cells = (
+        part.groupBy(_PID, *group_cols)
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in cells:
+        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            (r[_PID], r["w"] or 0)
+        )
+    offsets = []
+    for gkey, pids in per_group.items():
+        run = 0
+        for pid, w in sorted(pids):
+            offsets.append((pid, *gkey, run))
+            run += w
+    schema = (
+        f"{_PID} int, "
+        + ", ".join(f"{c} {dict(part.dtypes)[c]}" for c in group_cols)
+        + f", {_OFF} long"
+    )
+    offsets_df = part.sparkSession.createDataFrame(offsets, schema)
+
+    w = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets_df), [_PID, *group_cols])
+        .withColumn(
+            out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF)
+        )
+        .drop(_PID, _OFF)
+    )
+
+
+def with_grouped_ntile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    n_tiles: int,
+    out: str = "tile",
+) -> DataFrame:
+    """SQL-exact ``ntile(n) OVER (PARTITION BY group ORDER BY ...)``
+    without a per-group raw-table sort window: in-group rank and group
+    total come from :func:`with_grouped_row_number`, and the tile is the
+    same first-``total%n``-tiles-get-one-extra arithmetic as
+    :func:`with_global_ntile` — computed per ROW from (rn, n) columns,
+    since each group's total differs."""
+    ranked = with_grouped_row_number(
+        df, group_cols, order_by, out="__rank_rn", total_col="__rank_n"
+    )
+    n, t = F.col("__rank_n"), F.lit(int(n_tiles))
+    q = F.floor(n / t).cast("long")
+    r = n % t
+    rn0 = F.col("__rank_rn") - 1
+    big = q + 1
+    tile = F.when(q == 0, rn0 + 1).otherwise(
+        F.when(rn0 < r * big, F.floor(rn0 / big)).otherwise(
+            r + F.floor((rn0 - r * big) / q)
+        )
+        + 1
+    )
+    return ranked.withColumn(out, tile.cast("long")).drop(
+        "__rank_rn", "__rank_n"
+    )
+
+
 def with_global_ntile(
     df: DataFrame,
     order_by: Sequence[str | Column],

@@ -1168,9 +1168,15 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-of-key order until 2000 tokens are reached (a doc is
     taken if the budget was not yet exhausted when it arrived, so the
     budget can overshoot by at most one document). Token budgets — not row
-    counts — are what training mixes are specified in. One window over
-    (source), keyed cumulative sum, engine-stable order."""
-    from pyspark.sql import Window
+    counts — are what training mixes are specified in.
+
+    Shape at scale (r15 re-plan): the cumulative sum runs
+    operators/ranking.py's grouped range-partition + offset plan
+    (``with_grouped_cumsum`` — a row number is a cumsum of 1s, a token
+    budget a cumsum of token counts), never
+    ``Window.partitionBy(source)`` over the raw corpus where one hot
+    source serializes; integer token weights keep the offsets exact."""
+    from ..operators.ranking import with_grouped_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
@@ -1183,12 +1189,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tok"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("tok").over(w))
+    c = with_grouped_cumsum(t, ["source"], ["h", "doc_id"], "tok", out="cum")
     return (
         c.filter(F.col("cum") - F.col("tok") < 2000)
         .groupBy("source")
@@ -1406,17 +1407,25 @@ def corpus_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest 10% of documents by percent_rank — rank arithmetic
     ((rank-1)/(n-1)) is integer-derived and engine-exact, unlike
     interpolated quantile cutoffs whose float interpolation can disagree
-    across engines at the keep/drop boundary. Per-source window over a
-    single scan; at scale the rank runs per source partition and the
-    filter is map-side after the window."""
-    from pyspark.sql import Window
+    across engines at the keep/drop boundary.
+
+    Shape at scale (r15 re-plan, the docs_length_percentile fix applied
+    family-wide): percent_rank comes from operators/ranking.py's
+    grouped range-partition + offset plan — never
+    ``Window.partitionBy(source)`` over the raw table, where one hot
+    source would serialize into a single task; the keep-band filter is
+    map-side after the rank and the report is one combinable groupBy."""
+    from ..operators.ranking import with_grouped_rank_stats
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    pr = F.percent_rank().over(w)
+    ranked = with_grouped_rank_stats(
+        d.select("source", "doc_id", "n_chars"),
+        ["source"],
+        ["n_chars", "doc_id"],
+        percent_rank_col="pr",
+    )
     return (
-        d.withColumn("pr", pr)
-        .filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        ranked.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

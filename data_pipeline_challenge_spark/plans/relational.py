@@ -755,15 +755,40 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_share_of_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered partition aggregate window + ntile bucketing."""
-    wpart = Window.partitionBy("c_nationkey")
-    word = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    return load_table(spark, sf_dir, "customer").select(
+    """Unordered partition aggregate window + ntile bucketing —
+    share-of-group and quartile per nation.
+
+    Shape at scale (r15 re-plan): ~25 nations over the full customer
+    table is exactly the hot-stratum window shape the MAD/percentile
+    re-plans eliminated, so neither window survives here: the group SUM
+    is a map-side-combinable groupBy broadcast-joined back (the window
+    form shuffles the whole table into 25 tasks for an aggregate of 25
+    numbers), and ntile comes from operators/ranking.py's grouped
+    range-partition + offset plan with the SQL-exact
+    first-(n%4)-tiles-get-one-extra arithmetic."""
+    from ..operators.ranking import with_grouped_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    sums = cust.groupBy("c_nationkey").agg(
+        F.sum("c_acctbal").alias("__nation_sum")
+    )
+    tiled = with_grouped_ntile(
+        cust,
+        ["c_nationkey"],
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        4,
+        out="quartile",
+    )
+    return tiled.join(F.broadcast(sums), "c_nationkey").select(
         "c_custkey",
         "c_nationkey",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(wpart), 6).alias("nation_share"),
-        F.ntile(4).over(word).alias("quartile"),
+        F.round(F.col("c_acctbal") / F.col("__nation_sum"), 6).alias(
+            "nation_share"
+        ),
+        F.col("quartile").cast("int").alias("quartile"),
     )
 
 

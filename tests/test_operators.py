@@ -702,6 +702,40 @@ def test_rrf_fuse_dedups_duplicate_ids(spark):
     assert rows[2]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
 
 
+def test_grouped_ntile_and_cumsum_match_window_forms(spark):
+    """with_grouped_ntile / with_grouped_cumsum must equal the
+    Window.partitionBy(group) forms bit-exactly — including a group
+    smaller than the tile count and one hot group spanning many range
+    partitions."""
+    from pyspark.sql import Window
+
+    from data_pipeline_challenge_spark.operators.ranking import (
+        with_grouped_cumsum,
+        with_grouped_ntile,
+    )
+
+    rows = (
+        [(i, "hot", i % 9, (i * 7) % 13 + 1) for i in range(217)]
+        + [(1000 + i, "cold", i, i + 1) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "i long, g string, v long, w long").repartition(7)
+    word = Window.partitionBy("g").orderBy("v", "i")
+    wsum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        (r.i, r.t, r.c)
+        for r in df.select(
+            "i",
+            F.ntile(4).over(word).cast("long").alias("t"),
+            F.sum("w").over(wsum).cast("long").alias("c"),
+        ).collect()
+    }
+    tiled = with_grouped_ntile(df, ["g"], ("v", "i"), 4, out="t")
+    summed = with_grouped_cumsum(df, ["g"], ("v", "i"), "w", out="c")
+    t_map = {r.i: r.t for r in tiled.collect()}
+    got = {(r.i, t_map[r.i], r.c) for r in summed.collect()}
+    assert got == expected
+
+
 def test_global_ntile_fewer_rows_than_tiles(spark):
     from data_pipeline_challenge_spark.operators.ranking import with_global_ntile
 

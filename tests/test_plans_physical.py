@@ -315,11 +315,38 @@ def test_top_words_per_lang_uses_window_group_limit(spark):
     assert "Generate" in plan  # the explode runs before the two-phase count
 
 
-def test_corpus_length_trim_single_window_pass(spark):
+def test_corpus_length_trim_range_partitioned_rank(spark):
+    """r15 re-plan: the per-source percent_rank runs the grouped
+    range-partition + offset plan — the only window is partitioned by
+    (__rank_pid, source), never by source alone over the raw table, and
+    no stage funnels into one task."""
     plan = plan_of(spark, "corpus_length_trim")
-    # one window over source partitions, then agg — no join, no extra sort
-    assert plan.count("Window") >= 1
-    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert "windowspecdefinition(source#" not in plan
+
+
+def test_sample_token_budget_range_partitioned_cumsum(spark):
+    """r15 re-plan: the per-source token cumsum runs the grouped
+    range-partition + offset plan (with_grouped_cumsum) — the only
+    window partitions by (__rank_pid, source), never source alone over
+    the raw corpus."""
+    plan = plan_of(spark, "sample_token_budget")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert "windowspecdefinition(source#" not in plan
+
+
+def test_window_share_of_nation_no_hot_stratum_window(spark):
+    """r15 re-plan: ~25 nations over the full customer table must not
+    shuffle into 25 window tasks — the group sum is a combinable
+    groupBy broadcast-joined back, and ntile runs the grouped
+    range-partition plan."""
+    plan = plan_of(spark, "window_share_of_nation")
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert "windowspecdefinition(c_nationkey#" not in plan
+    assert "BroadcastHashJoin" in plan  # the sums come back broadcast
 
 
 def test_decontam_threshold_profile_partial_agg_only(spark):
