@@ -68,10 +68,9 @@ def zorder_value(quantized: list[Column], bits: int) -> Column:
     return z
 
 
-def quantize_rank(df: DataFrame, col: str, bits: int, eps: float = 0.001) -> Column:
-    """EQUI-DEPTH quantization: cell boundaries at the column's own
-    quantiles (one approxQuantile sketch pass, driver gets <= 2**bits
-    boundaries), cell = count of boundaries at-or-below the value — a
+def quantize_rank_cells(boundaries: list[float], col: str) -> Column:
+    """EQUI-DEPTH quantization cell for one column given its quantile
+    ``boundaries``: cell = count of boundaries at-or-below the value — a
     chain of codegen'd comparisons, no UDF. Each cell holds ~equal ROWS,
     which is what makes the interleave prune on skewed real columns:
     linear min-max quantization spends its top bits on the empty tail of
@@ -80,25 +79,31 @@ def quantize_rank(df: DataFrame, col: str, bits: int, eps: float = 0.001) -> Col
     the same reason Delta's OPTIMIZE ZORDER uses range-partition ids,
     not scaled values. NULL/NaN pin to cell 0 (ADVICE r14: an arbitrary
     cell would silently widen one file's footer stats)."""
-    n_cells = 1 << bits
-    probs = [i / n_cells for i in range(1, n_cells)]
-    bounds = df.approxQuantile(col, probs, eps)
     c = F.col(col).cast("double")
     cell = F.lit(0).cast("long")
-    for b in sorted(set(bounds)):
+    for b in sorted(set(boundaries)):
         cell = cell + (c >= F.lit(float(b))).cast("long")
     return F.when(c.isNull() | F.isnan(c), F.lit(0).cast("long")).otherwise(cell)
 
 
-def auto_zorder_expr(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+def auto_zorder_expr(
+    df: DataFrame, cols: list[str], bits: int = 8, eps: float = 0.001
+) -> Column:
     """Z-value expression over EQUI-DEPTH cells of ``cols`` (see
-    :func:`quantize_rank`) — the self-tuning form a maintenance rewrite
-    uses when no curated bounds exist: one quantile-sketch pass per
-    column, then the same Morton interleave. ``bits=8`` (256 cells/dim,
-    255 comparisons/row/dim) localizes 2**8 range partitions per
-    dimension — far more than any re-layout's file count needs — while
-    keeping the projection a bounded codegen chain."""
-    qs = [quantize_rank(df, c, bits) for c in cols]
+    :func:`quantize_rank_cells`) — the self-tuning form a maintenance
+    rewrite uses when no curated bounds exist: ONE multi-column
+    approxQuantile sketch pass fetches every column's boundaries (a
+    per-column pass would rescan the full table len(cols) times), then
+    the same Morton interleave. ``bits=8`` (256 cells/dim, 255
+    comparisons/row/dim) localizes 2**8 range partitions per dimension
+    — far more than any re-layout's file count needs — while keeping
+    the projection a bounded codegen chain."""
+    n_cells = 1 << bits
+    probs = [i / n_cells for i in range(1, n_cells)]
+    all_bounds = df.approxQuantile(list(cols), probs, eps)
+    qs = [
+        quantize_rank_cells(bounds, c) for c, bounds in zip(cols, all_bounds)
+    ]
     return zorder_value(qs, bits)
 
 

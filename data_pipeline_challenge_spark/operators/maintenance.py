@@ -50,8 +50,10 @@ class CompactionReport:
 def _compaction_layout(df, n_out: int, sort_col: str | None, zorder_by):
     """The rewrite's output layout, shared by both compaction forms:
     Z-ORDER (``zorder_by``, 2+ columns) range-partitions + sorts on the
-    Morton value of the named columns with bounds from the table's own
-    min/max (operators/layout.auto_zorder_expr) — every output file
+    Morton value of the named columns with EQUI-DEPTH cells from the
+    table's own quantiles (operators/layout.auto_zorder_expr — rank
+    quantization, not min-max linear, which collapses on heavy-tailed
+    columns) — every output file
     owns a hyper-rectangle of the key space, so min/max footer stats
     prune filters on ANY clustered dimension (the OPTIMIZE ZORDER BY
     maintenance shape); SINGLE-KEY (``sort_col``) range-partitions +

@@ -89,7 +89,9 @@ def with_grouped_row_number(
     (partition id, group), fully parallel even when one group is the
     whole table. Adds ``out`` (the in-group row number) and
     ``total_col`` (the group's row count, for percent_rank/ntile
-    arithmetic). ``order_by`` must be a total order within each group."""
+    arithmetic). ``order_by`` must be a total order within each group.
+    A NULL group key is its own group, exactly as
+    ``Window.partitionBy`` treats it (the offset join is null-safe)."""
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     keys = gcols + ocols
@@ -125,10 +127,28 @@ def with_grouped_row_number(
 
     w = Window.partitionBy(_PID, *group_cols).orderBy(*ocols)
     return (
-        part.join(F.broadcast(offsets_df), [_PID, *group_cols])
+        _null_safe_offset_join(part, offsets_df, group_cols)
         .withColumn(out, F.row_number().over(w).cast("long") + F.col(_OFF))
         .drop(_PID, _OFF)
     )
+
+
+def _null_safe_offset_join(
+    part: DataFrame, offsets_df: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Join the range-partitioned frame to its broadcast offsets on
+    (partition id, group) with NULL-SAFE group equality: a plain
+    equi-join would silently drop every NULL-keyed row (NULL != NULL),
+    while the Window.partitionBy forms these operators replace treat
+    NULL as its own partition."""
+    off = offsets_df
+    for c in (_PID, *group_cols):
+        off = off.withColumnRenamed(c, f"__off_{c}")
+    cond = part[_PID] == off[f"__off_{_PID}"]
+    for c in group_cols:
+        cond = cond & part[c].eqNullSafe(off[f"__off_{c}"])
+    joined = part.join(F.broadcast(off), cond)
+    return joined.drop(*[f"__off_{c}" for c in (_PID, *group_cols)])
 
 
 def with_grouped_rank_stats(
@@ -218,7 +238,7 @@ def with_grouped_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        part.join(F.broadcast(offsets_df), [_PID, *group_cols])
+        _null_safe_offset_join(part, offsets_df, group_cols)
         .withColumn(
             out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF)
         )

@@ -144,12 +144,18 @@ def flush_resequencer(
     """End-of-drain release: fold everything still above the released
     floor (the tail the watermark hadn't finalized) at downstream id
     ``2*B+1`` (B = latest committed arrival batch — see
-    :func:`reseq_fold`'s id-space note), then commit the floor at
-    ``prev_max``. For ``availableNow`` drains whose report must cover
-    every landed event — an always-on stream never calls this. Safe to
-    interleave with restarts: a later real batch B+1 folds at 2B+2 and
-    its wm commit may overwrite a flush's wm dir, but the wm state is a
-    max over increments, so the floor never regresses."""
+    :func:`reseq_fold`'s id-space note), then commit the floor by
+    OVERWRITING batch B's own wm increment (its n_late carried
+    forward). The floor commit must NOT consume arrival id B+1: the
+    next real micro-batch after a restart uses exactly that id, and a
+    flush-claimed B+1 would make the replay guard treat the crashed
+    real batch as committed — its floor never written, so the
+    following batch would re-release an overlapping slice at a fresh
+    downstream id and double-fold it. Overwriting dir B is safe: the
+    wm state is a MAX over increments (monotone either way) and
+    ``append_batch_increment`` overwrites its own directory
+    idempotently. For ``availableNow`` drains whose report must cover
+    every landed event — an always-on stream never calls this."""
     odir = Path(out_dir)
     buffer_store = odir / "buffer"
     wm_store = odir / "wm"
@@ -159,13 +165,29 @@ def flush_resequencer(
     lo = prev_floor if prev_floor is not None else -(1 << 62)
     if prev_max <= lo:
         return
-    latest = max(last_batch_id(buffer_store), last_batch_id(wm_store))
+    latest_buf, latest_wm = last_batch_id(buffer_store), last_batch_id(wm_store)
+    if latest_buf > latest_wm:
+        raise RuntimeError(
+            f"resequencer store has an uncommitted arrival batch "
+            f"(buffer at {latest_buf}, wm at {latest_wm}) — a crash "
+            "interrupted a fold; drain the stream (which replays and "
+            "commits it) before flushing, or the flush would re-release "
+            "a slab the crashed batch may already have folded"
+        )
+    latest = latest_wm
     release = read_batch_store(spark, buffer_store).filter(F.col(t_col) > F.lit(lo))
     downstream(release.drop("ingest_batch"), 2 * latest + 1)
-    wm_row = spark.createDataFrame(
-        [(int(prev_max), int(prev_max), 0)], _WM_SCHEMA
+    prior_late = (
+        read_batch_store(spark, wm_store)
+        .filter(F.col("ingest_batch") == latest)
+        .agg(F.sum("n_late").alias("s"))
+        .collect()[0]["s"]
+        or 0
     )
-    append_batch_increment(wm_row, wm_store, latest + 1)
+    wm_row = spark.createDataFrame(
+        [(int(prev_max), int(prev_max), int(prior_late))], _WM_SCHEMA
+    )
+    append_batch_increment(wm_row, wm_store, latest)
 
 
 def buffer_prune_transform(

@@ -293,18 +293,26 @@ def start_resequenced_transition_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         with_t = batch_df.withColumn("t_us", ntz_epoch_us(F.col("ts")))
         reseq_fold(spark, rdir, with_t, batch_id, _fold, delay_us)
-        stores = dict(_store_map(odir))
-        stores[rdir / "buffer"] = None
-        stores[rdir / "wm"] = None
+        # TWO id spaces: the resequencer's own stores carry arrival
+        # batch ids, but the downstream pairs/frontier stores carry the
+        # DOUBLED fold ids (2B / 2B+1 — see resequence.reseq_fold), so
+        # their fold horizon must be 2*batch_id - 1 (protecting the
+        # current batch's 2B increment for crash-replay) or
+        # consolidation would forever bound at half of history and the
+        # live dir count would grow without reset.
         maybe_consolidate_in_stream(
             spark,
-            stores,
+            {rdir / "buffer": None, rdir / "wm": None},
             batch_id,
             consolidate_every,
-            transforms={
-                odir / "frontier": _frontier_collapse,
-                rdir / "buffer": buffer_prune_transform(spark, rdir),
-            },
+            transforms={rdir / "buffer": buffer_prune_transform(spark, rdir)},
+        )
+        maybe_consolidate_in_stream(
+            spark,
+            _store_map(odir),
+            2 * batch_id,
+            2 * consolidate_every if consolidate_every else None,
+            transforms={odir / "frontier": _frontier_collapse},
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -702,6 +702,44 @@ def test_rrf_fuse_dedups_duplicate_ids(spark):
     assert rows[2]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
 
 
+def test_grouped_ranking_null_group_is_its_own_partition(spark):
+    """A NULL group key must form its own partition, exactly as
+    Window.partitionBy treats it — the offset join is null-safe, so
+    NULL-keyed rows are ranked, not silently dropped (self-review r15)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_challenge_spark.operators.ranking import (
+        with_grouped_cumsum,
+        with_grouped_rank_stats,
+    )
+
+    rows = [(1, "a", 5), (2, "a", 3), (3, None, 7), (4, None, 1), (5, "b", 2)]
+    df = spark.createDataFrame(rows, "i long, g string, v long")
+    w = Window.partitionBy("g").orderBy("v", "i")
+    expected = {
+        (r.i, round(r.pr, 9))
+        for r in df.select("i", F.percent_rank().over(w).alias("pr")).collect()
+    }
+    got = {
+        (r.i, round(r.pr, 9))
+        for r in with_grouped_rank_stats(df, ["g"], ("v", "i"), "pr").collect()
+    }
+    assert got == expected  # all 5 rows present, NULL group ranked
+
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp_c = {
+        (r.i, r.c)
+        for r in df.select(
+            "i", F.sum("v").over(wsum).cast("long").alias("c")
+        ).collect()
+    }
+    got_c = {
+        (r.i, r.c)
+        for r in with_grouped_cumsum(df, ["g"], ("v", "i"), "v", out="c").collect()
+    }
+    assert got_c == exp_c
+
+
 def test_grouped_ntile_and_cumsum_match_window_forms(spark):
     """with_grouped_ntile / with_grouped_cumsum must equal the
     Window.partitionBy(group) forms bit-exactly — including a group
