@@ -288,6 +288,7 @@ def events_rate_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("events", "retention", "agg"),
+    bench=True,
 )
 def events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users bucketed by first-activity week,
@@ -758,50 +759,6 @@ def events_gapfill_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_s",
         F.round(interp, 6).alias("sum_value_interp"),
         F.col("sv").isNull().alias("gap_filled"),
-    )
-
-
-@query(
-    "events_retention_daily_cohorts",
-    """
-    WITH act AS (
-        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        FROM events
-    ), first AS (
-        SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
-    )
-    SELECT cohort_day, day - cohort_day AS day_offset,
-           count(*) AS n_users
-    FROM act JOIN first USING (user_id)
-    GROUP BY cohort_day, day_offset
-    """,
-    tags=("events", "retention", "behavioral"),
-    bench=True,
-)
-def events_retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention cohort matrix: users grouped by first-active day, one
-    row per (cohort_day, day_offset) with the count of cohort members
-    active that many days later — the activation/retention table every
-    product-analytics warehouse maintains. Day 0 rows give cohort
-    sizes; all-integer epoch-day arithmetic, exact on both engines.
-
-    Shape at scale: one distinct shuffle to (user, day) rows — bounded
-    by users x span days, far under raw volume — a user-keyed min for
-    the cohort, and a broadcast-or-shuffle join back on user_id with a
-    map-side-combinable final count. No windows, no per-user sort."""
-    ev = load_events(spark, sf_dir)
-    act = ev.select(
-        "user_id",
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
-    ).distinct()
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        act.join(first, "user_id")
-        .groupBy(
-            "cohort_day",
-            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -1,5 +1,8 @@
 """Maintained retention-cohort matrix — the streaming twin of
-``plans/events.events_retention_daily_cohorts``.
+``plans/events.events_retention_weekly`` (the store keeps DAY-granular
+activity, the finest view; the report coarsens to any
+``days_per_bucket``, weekly included, because floor division composes
+and DISTINCT survives coarsening).
 
 The retention matrix is a pure function of the DISTINCT (user, day)
 activity set, and distinct sets merge by union — so the maintained
@@ -75,21 +78,31 @@ def fold_batch(
 
 
 def retention_report(
-    spark: SparkSession, out_dir: str | Path
+    spark: SparkSession,
+    out_dir: str | Path,
+    days_per_bucket: int = 1,
 ) -> DataFrame | None:
-    """(cohort_day, day_offset, n_users) over everything folded —
-    identical arithmetic to the batch query on the collapsed activity
-    set. None before the first batch."""
+    """(cohort_bucket, bucket_offset, n_users) over everything folded —
+    identical arithmetic to the batch retention queries on the
+    collapsed activity set. ``days_per_bucket=7`` serves the declared
+    ``events_retention_weekly`` matrix exactly (floor division
+    composes: day-granular activity coarsens to the same week ids the
+    batch query derives from raw timestamps, and DISTINCT survives the
+    coarsening). None before the first batch."""
     store = Path(out_dir) / "act"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
     act = _distinct_rows(read_batch_store(spark, store))
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    if days_per_bucket != 1:
+        act = act.select(
+            "user_id", F.expr(f"day div {int(days_per_bucket)}").alias("day")
+        ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_bucket"))
     return (
         act.join(first, "user_id")
         .groupBy(
-            "cohort_day",
-            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "cohort_bucket",
+            (F.col("day") - F.col("cohort_bucket")).alias("bucket_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -5642,12 +5642,13 @@ def test_transition_stream_out_of_order_fails_then_resequencer_fixes(
 
 def test_retention_stream_equals_batch_and_replay(spark, tmp_path):
     """Maintained retention cohorts: drained over three files the
-    report must equal the batch events_retention_daily_cohorts
-    arithmetic over the concatenated input — the activity set is the
-    sufficient statistic and distinct sets merge by union. A late
-    batch carrying an EARLIER day for a known user must move that
-    user's cohort day back (min is associative). Replay no-op;
-    compaction collapses to the exact distinct set."""
+    day-granular report must match the hand-computed cohort matrix —
+    the activity set is the sufficient statistic and distinct sets
+    merge by union. A late batch carrying an EARLIER day for a known
+    user must move that user's cohort day back (min is associative).
+    The weekly view (days_per_bucket=7) must equal the DECLARED
+    events_retention_weekly query over the same landed events. Replay
+    no-op; compaction collapses to the exact distinct set."""
     from pathlib import Path
 
     from data_pipeline_challenge_spark.batchstore import read_batch_store
@@ -5688,12 +5689,48 @@ def test_retention_stream_equals_batch_and_replay(spark, tmp_path):
     assert report() == got
 
     # compaction: exact distinct activity set, report unchanged
-    # (parity with the declared events_retention_daily_cohorts query is
-    # by construction — same arithmetic over the same distinct set —
-    # and the hand-computed `want` above pins that arithmetic)
     retention_stream.compact_retention_store(spark, out)
     assert read_batch_store(spark, Path(out) / "act").count() == 5
     assert report() == got
+
+    # weekly view == the DECLARED events_retention_weekly query over
+    # the same landed events (read through load_events' ts handling)
+    from data_pipeline_challenge_spark.plans import all_queries
+
+    declared = sorted(
+        map(
+            tuple,
+            all_queries()["events_retention_weekly"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect(),
+        )
+    )
+    wk_out = tmp_path / "ret_wk"
+    from data_pipeline_challenge_spark.catalog import load_events
+
+    # rebuild the stream schema's NTZ ts from the epoch nanos — pure
+    # arithmetic on an NTZ literal, session-timezone-proof
+    ntz_ts = F.expr(
+        "timestampadd(MICROSECOND, ts_ns div 1000,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    retention_stream.fold_batch(
+        spark,
+        wk_out,
+        load_events(spark, "/root/testdata/sf0.001").select(
+            "user_id", ntz_ts.alias("ts")
+        ),
+        0,
+    )
+    weekly = sorted(
+        map(
+            tuple,
+            retention_stream.retention_report(
+                spark, wk_out, days_per_bucket=7
+            ).collect(),
+        )
+    )
+    assert weekly == declared
 
 
 def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
