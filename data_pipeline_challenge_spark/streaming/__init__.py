@@ -15,6 +15,13 @@ against history), ``near_dedup_stream`` (MinHash+LSH), and
 ``embedding_dedup_stream`` (cosine over a servable LSH index) — composed
 end-to-end by ``corpus_pipeline_stream``. Maintained analytics over the
 same recipes: ``heavy_stream`` (mergeable Misra-Gries heavy hitters with
-exact candidate recount) and ``retrieval_stream`` (BM25 inverted-stats
-index; searches never rescan text).
+exact candidate recount), ``retrieval_stream`` (BM25 inverted-stats
+index; searches never rescan text), ``quantile_stream`` /
+``cms_stream`` / ``kmv_stream`` (exact distributions, Count-Min
+frequencies, bottom-k cardinalities — every sketch store folds by its
+own mergeability law), ``transition_stream`` (cross-batch sequence
+stitching via a per-user frontier; pair it with ``resequence`` — the
+watermarked event-time resequencer — when arrivals can run out of
+order), and ``retention_stream`` (day-granular activity set serving
+any cohort granularity).
 """

@@ -511,6 +511,20 @@ def test_hybrid_rrf_candidates_are_topk(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pagerank_iterations_stay_equi_joins(spark):
+    """pagerank_trade_graph_top20: five iterations of edge⋈rank must
+    stay hash equi-joins (never a nested loop), the final top-20 a
+    TakeOrderedAndProject, and the edge list is checkpoint-materialized
+    so the plan does not re-derive the orders⋈lineitem join per
+    iteration (the scan appears once as an RDD scan, not five parquet
+    reads)."""
+    plan = plan_of(spark, "pagerank_trade_graph_top20")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed edge list
+
+
 def test_kmv_bottom_k_uses_window_group_limit(spark):
     """distinct_kmv_order_keys: the bottom-k rank filter must compile to
     WindowGroupLimit (partial per-partition bottom-k BEFORE the shuffle)
