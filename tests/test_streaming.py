@@ -5733,6 +5733,101 @@ def test_retention_stream_equals_batch_and_replay(spark, tmp_path):
     assert weekly == declared
 
 
+def test_paths_stream_equals_batch_and_replay(spark, tmp_path):
+    """Maintained daily-path prefixes: a user-day's first-3 events can
+    arrive across batches AND out of order (a later file carrying the
+    EARLIEST event of an already-seen user-day must displace the
+    provisional third slot) — top3(A ∪ B) == top3(top3(A) ∪ top3(B)).
+    The drained report must equal the declared events_top_daily_paths
+    arithmetic over the concatenated input; replay no-op; compaction
+    collapses to <= 3 rows per user-day."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.streaming import paths_stream
+
+    H = 3_600_000_000
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    src = tmp_path / "paths_in"
+    src.mkdir()
+    # user 1, day 0: events at hours 3,4 land first; hour 1 lands LAST
+    # (out of order) and must become the path head. user 2 day 0 has
+    # exactly 2 events split across files; user 1 day 1 has 4 (only
+    # first 3 count).
+    f1 = [(1, 3 * H, 1, "view"), (2, 4 * H, 1, "buy"),
+          (3, 2 * H, 2, "click")]
+    f2 = [(4, 5 * H, 1, "click"), (5, 30 * H, 1, "view"),
+          (6, 31 * H, 1, "view"), (7, 6 * H, 2, "buy")]
+    f3 = [(8, 1 * H, 1, "click"), (9, 32 * H, 1, "buy"),
+          (10, 33 * H, 1, "click")]
+    all_rows = f1 + f2 + f3
+    for name, rows, mt in (("f1", f1, 0), ("f2", f2, 10), ("f3", f3, 20)):
+        _land_event_file(src / f"{name}.parquet", rows, 1_700_000_000 + mt)
+
+    out = tmp_path / "paths"
+    q = paths_stream.start_paths_stream(
+        spark, src, out, tmp_path / "ck_paths", schema, max_files_per_trigger=1
+    )
+    q.awaitTermination(240)
+
+    def report():
+        return [
+            (r["path"], r["n_user_days"])
+            for r in paths_stream.paths_report(spark, out).collect()
+        ]
+
+    got = report()
+    # truth: u1d0 first-3 = click@1,view@3,buy@4 -> click>view>buy
+    #        u1d1 first-3 of view@30,view@31,buy@32,(click@33 dropped)
+    #        u2d0 = click@2,buy@6 (2-step path)
+    want = sorted(
+        [("click>view>buy", 1), ("view>view>buy", 1), ("click>buy", 1)],
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == want
+
+    # replay of a committed batch id: no-op
+    extra = spark.createDataFrame(
+        [(99, None, 3, "view")], schema
+    ).filter(F.col("event_id") < 0)
+    paths_stream.fold_batch(spark, out, extra, 0)
+    assert report() == got
+
+    # compaction: <= 3 rows per user-day (u1d0:3, u1d1:3, u2d0:2)
+    paths_stream.compact_paths_store(spark, out)
+    assert read_batch_store(spark, Path(out) / "prefix").count() == 8
+    assert report() == got
+
+    # real-data parity: one fold of sf0.001 == the DECLARED query
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.plans import all_queries
+
+    ntz_ts = F.expr(
+        "timestampadd(MICROSECOND, ts_ns div 1000,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    real_out = tmp_path / "paths_real"
+    paths_stream.fold_batch(
+        spark,
+        real_out,
+        load_events(spark, "/root/testdata/sf0.001").select(
+            "event_id", "user_id", "event_type", ntz_ts.alias("ts")
+        ),
+        0,
+    )
+    declared = [
+        (r["path"], r["n_user_days"])
+        for r in all_queries()["events_top_daily_paths"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    ]
+    maintained = [
+        (r["path"], r["n_user_days"])
+        for r in paths_stream.paths_report(spark, real_out).collect()
+    ]
+    assert maintained == declared
+
+
 def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
     """Maintained KMV sketch: drained over three files (grouped by src),
     the report must equal the batch estimator over the concatenated
