@@ -751,3 +751,118 @@ def test_fuzzy_name_pairs_matches_bruteforce(spark_prop, names):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-15 operator properties
+# ---------------------------------------------------------------------------
+
+_schedule_st = st.lists(  # batches of (t_hour, user, type_idx)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(schedule=_schedule_st)
+def test_resequenced_transition_matches_watermark_simulator(
+    spark_prop, schedule, tmp_path_factory
+):
+    """Differential property: for ARBITRARY delivery schedules (any
+    disorder, including events later than the delay), the resequenced
+    transition fold must equal a pure-Python simulator of the watermark
+    contract — an event is kept iff its time exceeds the released floor
+    at its arrival (floor_b = max(floor_{b-1}, max_seen_b - delay)),
+    and the matrix is the batch arithmetic over exactly the kept
+    events in event-time order."""
+    from data_pipeline_challenge_spark.streaming import transition_stream
+    from data_pipeline_challenge_spark.streaming.resequence import reseq_fold
+
+    spark = spark_prop
+    H = 3_600_000_000
+    DELAY = 3 * H
+    tmp = tmp_path_factory.mktemp("reseq_prop")
+    out = tmp / "trans"
+    rdir = out / "reseq"
+    types = ["view", "click", "buy"]
+
+    def _fold(released, batch_id):
+        transition_stream.fold_batch(spark, out, released.drop("t_us"), batch_id)
+
+    # drive the folds directly (no stream machinery needed to test the
+    # contract), assigning globally unique event ids by arrival order
+    eid = 0
+    batches = []
+    for rows in schedule:
+        b = []
+        for t_h, user, ti in rows:
+            eid += 1
+            b.append((eid, t_h * H, user, types[ti]))
+        batches.append(b)
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    for i, rows in enumerate(batches):
+        from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+
+        df = spark.createDataFrame(
+            [(e, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=t), u, ty)
+             for e, t, u, ty in rows],
+            schema,
+        ).withColumn("t_us", ntz_epoch_us(F.col("ts")))  # the wrapper's derivation
+        reseq_fold(spark, rdir, df, i, _fold, DELAY)
+    transition_stream.flush_resequenced(spark, out)
+
+    # pure-Python watermark simulator: which events survive?
+    floor = None
+    max_t = None
+    kept = []
+    for rows in batches:
+        prev_floor = floor
+        if rows:
+            mt = max(t for _, t, _, _ in rows)
+            max_t = mt if max_t is None else max(max_t, mt)
+        for e, t, u, ty in rows:
+            if prev_floor is None or t > prev_floor:
+                kept.append((e, t, u, ty))
+        if max_t is not None:
+            wm = max_t - DELAY
+            floor = wm if floor is None else max(floor, wm)
+
+    want = _expected_r15_transitions(kept)
+    report = transition_stream.transition_report(spark, out)
+    got = (
+        {}
+        if report is None
+        else {(r["cur"], r["nxt"]): (r["n"], r["prob"]) for r in report.collect()}
+    )
+    assert got == want
+
+
+def _expected_r15_transitions(rows):
+    """Batch-truth transition matrix from (event_id, t_us, user, type)."""
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for eid, t, u, ty in sorted(rows, key=lambda r: (r[1], r[0])):
+        seqs[u].append(ty)
+    pairs = Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in pairs.items():
+        totals[a] += n
+    return {(a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()}
