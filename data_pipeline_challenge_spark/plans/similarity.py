@@ -522,3 +522,67 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p2.id2").alias("c"),
         )
     )
+
+
+@query(
+    "decontam_embedding_overlap",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), ev AS (
+        SELECT * FROM e
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+    ), tr AS (
+        SELECT * FROM e
+        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'
+    )
+    SELECT t.vec_id,
+           count(*) AS n_eval_hits,
+           round(max(list_cosine_similarity(t.emb, v.emb)), 6) AS max_sim
+    FROM tr t JOIN ev v ON list_cosine_similarity(t.emb, v.emb) >= 0.30
+    GROUP BY t.vec_id
+    """,
+    tags=("similarity", "decontam", "vector"),
+)
+def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding sibling of the n-gram
+    `decontam_eval_overlap`: training vectors whose cosine against ANY
+    held-out eval vector clears τ=0.30 are flagged (hit count + max
+    similarity as evidence), catching the paraphrased leakage exact
+    n-gram overlap misses. The eval set is the deterministic md5 band
+    of vec_id (the corpus-split device quality_drift_psi uses).
+
+    Determinism: the similarity is the sequential left-fold cosine
+    (functions/vectorfn) that hash-matches DuckDB's
+    list_cosine_similarity bit-for-bit (the embedding_near_pairs
+    precedent), so the >= τ decisions and the 6dp max agree exactly.
+
+    Shape at scale: the EVAL side broadcasts (eval sets are bounded —
+    the same contract as the n-gram decontam's broadcast shingle set);
+    the scan is map-only over the training side, no shuffle until the
+    per-vector aggregate. For an unbounded candidate side, route
+    through the persisted-LSH serving path instead
+    (streaming/embedding_dedup_stream) and keep this exact form as its
+    oracle."""
+    from ..functions.vectorfn import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("emb"),
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias("__b"),
+    )
+    ev = emb.filter(F.col("__b") == "0").select(
+        F.col("vec_id").alias("ev_id"), F.col("emb").alias("ev_emb")
+    )
+    tr = emb.filter(F.col("__b") != "0").select("vec_id", "emb")
+    sim = cosine(F.col("emb"), F.col("ev_emb"))
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.30)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(F.max("__sim"), 6).alias("max_sim"),
+        )
+    )

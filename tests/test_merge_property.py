@@ -866,3 +866,69 @@ def _expected_r15_transitions(rows):
     for (a, _), n in pairs.items():
         totals[a] += n
     return {(a, b): (n, round(n / totals[a], 6)) for (a, b), n in pairs.items()}
+
+
+_paths_schedule_st = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # hour (multi-day)
+            st.integers(min_value=1, max_value=2),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(schedule=_paths_schedule_st)
+def test_paths_twin_matches_python_fold(spark_prop, schedule, tmp_path_factory):
+    """Differential property: for ARBITRARY delivery schedules (no
+    watermark here — the prefix merge law is unconditional) the
+    maintained paths report must equal the literal first-3-per-user-day
+    path counting folded in Python over everything delivered."""
+    from collections import Counter, defaultdict
+
+    from data_pipeline_challenge_spark.streaming import paths_stream
+
+    spark = spark_prop
+    H = 3_600_000_000
+    tmp = tmp_path_factory.mktemp("paths_prop")
+    out = tmp / "paths"
+    types = ["view", "click", "buy"]
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+    eid = 0
+    all_rows = []
+    for i, rows in enumerate(schedule):
+        b = []
+        for t_h, user, ti in rows:
+            eid += 1
+            b.append((eid, t_h * H, user, types[ti]))
+        all_rows += b
+        df = spark.createDataFrame(
+            [(e, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=t), u, ty)
+             for e, t, u, ty in b] or [(None, None, None, None)],
+            schema,
+        ).filter(F.col("event_id").isNotNull())
+        paths_stream.fold_batch(spark, out, df, i)
+
+    by_ud = defaultdict(list)
+    for e, t, u, ty in sorted(all_rows, key=lambda r: (r[1], r[0])):
+        by_ud[(u, t // (24 * H))].append(ty)
+    want = Counter(">".join(s[:3]) for s in by_ud.values())
+
+    report = paths_stream.paths_report(spark, out)
+    got = (
+        Counter()
+        if report is None
+        else Counter({r["path"]: r["n_user_days"] for r in report.collect()})
+    )
+    assert got == want
