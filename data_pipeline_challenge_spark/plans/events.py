@@ -805,7 +805,12 @@ def events_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     base = ev.select(
         "user_id",
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        # exact FLOOR division (DuckDB's // floors; Spark's div truncates
+        # toward zero, which would misbucket pre-1970 timestamps)
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+            " div 86400000000"
+        ).alias("day"),
         F.unix_micros("ts").alias("t"),
         "event_id",
         "event_type",

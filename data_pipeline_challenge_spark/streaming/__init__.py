@@ -22,6 +22,7 @@ frequencies, bottom-k cardinalities — every sketch store folds by its
 own mergeability law), ``transition_stream`` (cross-batch sequence
 stitching via a per-user frontier; pair it with ``resequence`` — the
 watermarked event-time resequencer — when arrivals can run out of
-order), and ``retention_stream`` (day-granular activity set serving
-any cohort granularity).
+order), ``retention_stream`` (day-granular activity set serving
+any cohort granularity), and ``paths_stream`` (per-user-day first-3
+path prefixes — bottom-k merge with payload).
 """

@@ -42,19 +42,21 @@ _US_PER_DAY = 86_400_000_000
 _K = 3
 
 
-def _top3(df: DataFrame) -> DataFrame:
+def _top3(df: DataFrame, keep_rank: bool = False) -> DataFrame:
     """Resolved first-3 rows per (user, day) under (t_us, event_id) —
     the one merge rule the fold, the report, and consolidation share.
     Duplicate rows across increments (a replayed event) collapse first
-    so they cannot occupy two of the three slots."""
+    so they cannot occupy two of the three slots. ``keep_rank=True``
+    returns the in-prefix rank as ``rn`` so the report's path assembly
+    does not pay a second identical window pass (self-review r15)."""
     w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
-    return (
+    out = (
         df.select("user_id", "day", "t_us", "event_id", "event_type")
         .distinct()
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= _K)
-        .drop("__rn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K)
     )
+    return out if keep_rank else out.drop("rn")
 
 
 def _prefix_rows(batch_df: DataFrame) -> DataFrame:
@@ -66,7 +68,12 @@ def _prefix_rows(batch_df: DataFrame) -> DataFrame:
             "event_id",
             "event_type",
             ntz_epoch_us(F.col("ts")).alias("t_us"),
-        ).withColumn("day", F.expr(f"t_us div {_US_PER_DAY}"))
+        ).withColumn(
+            "day",
+            # exact FLOOR division (matches the declared query; Spark's
+            # div truncates toward zero for negative epochs)
+            F.expr(f"(t_us - pmod(t_us, {_US_PER_DAY})) div {_US_PER_DAY}"),
+        )
     )
 
 
@@ -96,9 +103,7 @@ def paths_report(
     store = Path(out_dir) / "prefix"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
         return None
-    top = _top3(read_batch_store(spark, store))
-    w = Window.partitionBy("user_id", "day").orderBy("t_us", "event_id")
-    ranked = top.withColumn("rn", F.row_number().over(w))
+    ranked = _top3(read_batch_store(spark, store), keep_rank=True)
     paths = ranked.groupBy("user_id", "day").agg(
         F.array_join(
             F.transform(

@@ -94,6 +94,7 @@ def reseq_fold(
     odir.mkdir(parents=True, exist_ok=True)
     buffer_store = odir / "buffer"
     wm_store = odir / "wm"
+    _recover_flush(spark, odir, downstream, t_col)
     if batch_id <= min(last_batch_id(buffer_store), last_batch_id(wm_store)):
         return
 
@@ -159,6 +160,7 @@ def flush_resequencer(
     odir = Path(out_dir)
     buffer_store = odir / "buffer"
     wm_store = odir / "wm"
+    _recover_flush(spark, odir, downstream, t_col)
     prev_max, prev_floor = _wm_state(spark, wm_store)
     if prev_max is None or not buffer_store.exists():
         return
@@ -175,8 +177,62 @@ def flush_resequencer(
             "a slab the crashed batch may already have folded"
         )
     latest = latest_wm
-    release = read_batch_store(spark, buffer_store).filter(F.col(t_col) > F.lit(lo))
-    downstream(release.drop("ingest_batch"), 2 * latest + 1)
+    # WRITE-AHEAD INTENT: the downstream fold commits before the floor
+    # does, so a crash between them followed by a stream RESTART (not a
+    # flush re-run) would read the stale floor and re-release this slab
+    # at a fresh downstream id the replay guard has never seen.
+    # Recording (lo, fold_id, floor) first lets the next reseq_fold or
+    # flush COMPLETE the interrupted flush instead — same slab (the
+    # floor only advances at the wm commit that did not happen), same
+    # fold id (downstream-gated), then the floor commit.
+    _write_intent(
+        odir, {"lo": int(lo), "fold_id": 2 * latest + 1, "floor": int(prev_max)}
+    )
+    _complete_flush(spark, odir, downstream, t_col)
+
+
+_INTENT = "_flush_intent.json"
+
+
+def _write_intent(odir: Path, intent: dict) -> None:
+    import json
+    import os
+
+    tmp = odir / (_INTENT + ".tmp")
+    tmp.write_text(json.dumps(intent))
+    os.replace(tmp, odir / _INTENT)
+
+
+def _recover_flush(
+    spark: SparkSession,
+    odir: Path,
+    downstream: Callable[[DataFrame, int], None],
+    t_col: str,
+) -> None:
+    """Complete a flush whose crash left its intent marker behind —
+    called at the head of every fold and flush, so the stale-floor
+    double-release window is closed no matter which path runs next."""
+    if (odir / _INTENT).exists():
+        _complete_flush(spark, odir, downstream, t_col)
+
+
+def _complete_flush(
+    spark: SparkSession,
+    odir: Path,
+    downstream: Callable[[DataFrame, int], None],
+    t_col: str,
+) -> None:
+    import json
+
+    intent = json.loads((odir / _INTENT).read_text())
+    buffer_store = odir / "buffer"
+    wm_store = odir / "wm"
+    lo, fold_id, floor = intent["lo"], intent["fold_id"], intent["floor"]
+    release = read_batch_store(spark, buffer_store).filter(
+        F.col(t_col) > F.lit(lo)
+    )
+    downstream(release.drop("ingest_batch"), fold_id)
+    latest = last_batch_id(wm_store)
     prior_late = (
         read_batch_store(spark, wm_store)
         .filter(F.col("ingest_batch") == latest)
@@ -185,9 +241,10 @@ def flush_resequencer(
         or 0
     )
     wm_row = spark.createDataFrame(
-        [(int(prev_max), int(prev_max), int(prior_late))], _WM_SCHEMA
+        [(int(floor), int(floor), int(prior_late))], _WM_SCHEMA
     )
     append_batch_increment(wm_row, wm_store, latest)
+    (odir / _INTENT).unlink()
 
 
 def buffer_prune_transform(

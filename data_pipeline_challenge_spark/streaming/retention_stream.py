@@ -52,7 +52,15 @@ def _act_set(batch_df: DataFrame) -> DataFrame:
         batch_df.select(
             "user_id", ntz_epoch_us(F.col("ts")).alias("__us")
         )
-        .select("user_id", F.expr(f"__us div {_US_PER_DAY}").alias("day"))
+        .select(
+            "user_id",
+            # exact FLOOR division (Spark's div truncates toward zero,
+            # which would misbucket pre-1970 timestamps vs the batch
+            # queries' pmod-floor construction)
+            F.expr(
+                f"(__us - pmod(__us, {_US_PER_DAY})) div {_US_PER_DAY}"
+            ).alias("day"),
+        )
         .distinct()
     )
 
@@ -94,8 +102,10 @@ def retention_report(
         return None
     act = _distinct_rows(read_batch_store(spark, store))
     if days_per_bucket != 1:
+        d = int(days_per_bucket)
         act = act.select(
-            "user_id", F.expr(f"day div {int(days_per_bucket)}").alias("day")
+            "user_id",
+            F.expr(f"(day - pmod(day, {d})) div {d}").alias("day"),
         ).distinct()
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort_bucket"))
     return (

@@ -5908,6 +5908,77 @@ def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
     assert report() == got
 
 
+def test_flush_crash_recovery_no_double_fold(spark, tmp_path):
+    """A flush that crashed AFTER its downstream fold but BEFORE its
+    floor commit must not double-fold when the stream restarts: the
+    write-ahead intent makes the next fold COMPLETE the flush (same
+    slab, same gated downstream id, then the floor commit) instead of
+    re-releasing the already-folded slab at a fresh id (self-review
+    r15)."""
+    import json
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+    from data_pipeline_challenge_spark.streaming import transition_stream
+    from data_pipeline_challenge_spark.streaming.resequence import (
+        _INTENT,
+        _wm_state,
+        _write_intent,
+        reseq_fold,
+    )
+    from data_pipeline_challenge_spark.batchstore import (
+        last_batch_id,
+        read_batch_store,
+    )
+
+    H = 3_600_000_000
+    out = tmp_path / "trans_crash"
+    rdir = out / "reseq"
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+    def fold(released, fid):
+        transition_stream.fold_batch(spark, out, released.drop("t_us"), fid)
+
+    def batch_df(rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(e, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=t), u, ty)
+             for e, t, u, ty in rows],
+            schema,
+        ).withColumn("t_us", ntz_epoch_us(F.col("ts")))
+
+    b0 = [(1, 0 * H, 1, "view"), (2, 4 * H, 1, "click")]
+    b1 = [(3, 8 * H, 1, "buy")]
+    reseq_fold(spark, rdir, batch_df(b0), 0, fold, delay_us=2 * H)
+    reseq_fold(spark, rdir, batch_df(b1), 1, fold, delay_us=2 * H)
+
+    # simulate flush crashing after its downstream fold, before the
+    # floor commit: do exactly what flush does up to the crash point
+    prev_max, prev_floor = _wm_state(spark, rdir / "wm")
+    lo = prev_floor
+    latest = last_batch_id(rdir / "wm")
+    fold_id = 2 * latest + 1
+    _write_intent(rdir, {"lo": int(lo), "fold_id": fold_id, "floor": int(prev_max)})
+    release = read_batch_store(spark, rdir / "buffer").filter(F.col("t_us") > lo)
+    fold(release.drop("ingest_batch"), fold_id)
+    assert (Path(rdir) / _INTENT).exists()  # the crash window
+
+    # restart: a new batch arrives; the fold must first COMPLETE the
+    # flush (no re-release of the flushed slab at a fresh id)
+    b2 = [(4, 12 * H, 1, "view")]
+    reseq_fold(spark, rdir, batch_df(b2), 2, fold, delay_us=2 * H)
+    assert not (Path(rdir) / _INTENT).exists()  # recovery ran
+    transition_stream.flush_resequenced(spark, out)
+
+    got = {
+        (r["cur"], r["nxt"]): r["n"]
+        for r in transition_stream.transition_report(spark, out).collect()
+    }
+    # truth over ALL events (nothing late here): view>click>buy>view
+    assert got == {("view", "click"): 1, ("click", "buy"): 1, ("buy", "view"): 1}
+
+
 def test_transition_compaction_collapses_frontier_and_prunes_buffer(
     spark, tmp_path
 ):
