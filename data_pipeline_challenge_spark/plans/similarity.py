@@ -528,13 +528,14 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontam_embedding_overlap",
     """
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM embeddings
     ), ev AS (
-        SELECT * FROM e
-        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+        SELECT vec_id, emb FROM e ORDER BY h, vec_id LIMIT 64
     ), tr AS (
-        SELECT * FROM e
-        WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) <> '0'
+        SELECT vec_id, emb FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM ev)
     )
     SELECT t.vec_id,
            count(*) AS n_eval_hits,
@@ -549,19 +550,22 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     `decontam_eval_overlap`: training vectors whose cosine against ANY
     held-out eval vector clears τ=0.30 are flagged (hit count + max
     similarity as evidence), catching the paraphrased leakage exact
-    n-gram overlap misses. The eval set is the deterministic md5 band
-    of vec_id (the corpus-split device quality_drift_psi uses).
+    n-gram overlap misses. The eval set is a FIXED-SIZE deterministic
+    sample (the 64 lowest-md5 vec_ids — a TakeOrderedAndProject, never
+    a corpus fraction: a band that scaled with the corpus would make
+    the threshold scan quadratic, the trap the first cut of this query
+    fell into on the 10x replica).
 
     Determinism: the similarity is the sequential left-fold cosine
     (functions/vectorfn) that hash-matches DuckDB's
     list_cosine_similarity bit-for-bit (the embedding_near_pairs
     precedent), so the >= τ decisions and the 6dp max agree exactly.
 
-    Shape at scale: the EVAL side broadcasts (eval sets are bounded —
-    the same contract as the n-gram decontam's broadcast shingle set);
-    the scan is map-only over the training side, no shuffle until the
-    per-vector aggregate. For an unbounded candidate side, route
-    through the persisted-LSH serving path instead
+    Shape at scale: the eval side is 64 broadcast rows (real eval sets
+    are bounded — the n-gram decontam's broadcast-shingle contract), so
+    the scan is map-only LINEAR work over the training side with one
+    per-vector aggregate shuffle. For an unbounded candidate side,
+    route through the persisted-LSH serving path instead
     (streaming/embedding_dedup_stream) and keep this exact form as its
     oracle."""
     from ..functions.vectorfn import as_double, cosine
@@ -569,12 +573,18 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("emb"),
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).alias("__b"),
+        F.md5(F.col("vec_id").cast("string")).alias("__h"),
     )
-    ev = emb.filter(F.col("__b") == "0").select(
-        F.col("vec_id").alias("ev_id"), F.col("emb").alias("ev_emb")
+    ev = (
+        emb.orderBy("__h", "vec_id")
+        .limit(64)
+        .select(F.col("vec_id").alias("ev_id"), F.col("emb").alias("ev_emb"))
     )
-    tr = emb.filter(F.col("__b") != "0").select("vec_id", "emb")
+    tr = emb.join(
+        F.broadcast(ev.select("ev_id")),
+        emb["vec_id"] == F.col("ev_id"),
+        "left_anti",
+    ).select("vec_id", "emb")
     sim = cosine(F.col("emb"), F.col("ev_emb"))
     return (
         tr.crossJoin(F.broadcast(ev))
