@@ -288,7 +288,11 @@ def pagerank_integer(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # denormalize outdegrees INTO the edge list once — a lazy deg frame
+    # would re-run its groupBy shuffle and a fresh e⋈deg join in every
+    # iteration's plan
     deg = e.groupBy("__pr_src").agg(F.count(F.lit(1)).alias("__pr_deg"))
+    e = e.join(deg, "__pr_src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__pr_src").alias("node"))
         .unionByName(e.select(F.col("__pr_dst").alias("node")))
@@ -299,8 +303,7 @@ def pagerank_integer(
     rank = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(deg, "__pr_src")
-            .join(rank.withColumnRenamed("node", "__pr_src"), "__pr_src")
+            e.join(rank.withColumnRenamed("node", "__pr_src"), "__pr_src")
             .select(
                 F.col("__pr_dst").alias("node"),
                 F.expr("r div __pr_deg").alias("__pr_c"),

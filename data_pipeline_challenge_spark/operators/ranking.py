@@ -91,7 +91,41 @@ def with_grouped_row_number(
     ``total_col`` (the group's row count, for percent_rank/ntile
     arithmetic). ``order_by`` must be a total order within each group.
     A NULL group key is its own group, exactly as
-    ``Window.partitionBy`` treats it (the offset join is null-safe)."""
+    ``Window.partitionBy`` treats it (the offset join is null-safe).
+
+    Implementation: a row number IS the cumulative sum of 1s, so this
+    delegates to the one grouped prefix-sum core
+    (:func:`_grouped_prefix`) — the crash-prone range-partition/offset
+    protocol exists once, not in per-function copies that can drift."""
+    return (
+        _grouped_prefix(
+            df.withColumn("__gr_one", F.lit(1).cast("long")),
+            group_cols,
+            order_by,
+            "__gr_one",
+            out=out,
+            total_col=total_col,
+            num_partitions=num_partitions,
+        )
+        .drop("__gr_one")
+    )
+
+
+def _grouped_prefix(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    weight_col: str,
+    out: str,
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The shared grouped prefix-sum core: range shuffle on (group,
+    order), per-(partition, group) WEIGHT sums prefix-summed to
+    driver-tiny broadcast offsets (null-safe join), local cumsum window
+    by (partition id, group). ``total_col`` (optional) adds each
+    group's total weight. Weights must be integral-typed so the
+    offsets are exact."""
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     keys = gcols + ocols
@@ -103,32 +137,38 @@ def with_grouped_row_number(
 
     cells = (
         part.groupBy(_PID, *group_cols)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(weight_col).alias("w"))
         .collect()
     )
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in cells:
         per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
-            (r[_PID], r["cnt"])
+            (r[_PID], r["w"] or 0)
         )
     offsets = []
     for gkey, pids in per_group.items():
         total = sum(c for _, c in pids)
         run = 0
-        for pid, cnt in sorted(pids):
-            offsets.append((pid, *gkey, run, total))
-            run += cnt
+        for pid, w_sum in sorted(pids):
+            row = (pid, *gkey, run) + ((total,) if total_col else ())
+            offsets.append(row)
+            run += w_sum
     schema = (
         f"{_PID} int, "
         + ", ".join(f"{c} {dict(part.dtypes)[c]}" for c in group_cols)
-        + f", {_OFF} long, {total_col} long"
+        + f", {_OFF} long"
+        + (f", {total_col} long" if total_col else "")
     )
     offsets_df = part.sparkSession.createDataFrame(offsets, schema)
 
-    w = Window.partitionBy(_PID, *group_cols).orderBy(*ocols)
+    w = (
+        Window.partitionBy(_PID, *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         _null_safe_offset_join(part, offsets_df, group_cols)
-        .withColumn(out, F.row_number().over(w).cast("long") + F.col(_OFF))
+        .withColumn(out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF))
         .drop(_PID, _OFF)
     )
 
@@ -195,54 +235,20 @@ def with_grouped_cumsum(
     otherwise serialize a hot stratum into one
     ``Window.partitionBy(group)`` task.
 
-    Same three steps: range shuffle on (group, order); the offset pass
-    SUMS ``weight_col`` per (partition, group) cell and prefix-sums the
-    driver-tiny cell table per group; the local cumsum window partitions
-    by (partition id, group). Weights must be integral-typed for the
-    offsets to be exact (floats would reintroduce order-dependence)."""
-    gcols = [F.col(c) for c in group_cols]
-    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    keys = gcols + ocols
-    if num_partitions:
-        part = df.repartitionByRange(num_partitions, *keys)
-    else:
-        part = df.repartitionByRange(*keys)
-    part = part.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
-
-    cells = (
-        part.groupBy(_PID, *group_cols)
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    )
-    per_group: dict[tuple, list[tuple[int, int]]] = {}
-    for r in cells:
-        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
-            (r[_PID], r["w"] or 0)
-        )
-    offsets = []
-    for gkey, pids in per_group.items():
-        run = 0
-        for pid, w in sorted(pids):
-            offsets.append((pid, *gkey, run))
-            run += w
-    schema = (
-        f"{_PID} int, "
-        + ", ".join(f"{c} {dict(part.dtypes)[c]}" for c in group_cols)
-        + f", {_OFF} long"
-    )
-    offsets_df = part.sparkSession.createDataFrame(offsets, schema)
-
-    w = (
-        Window.partitionBy(_PID, *group_cols)
-        .orderBy(*ocols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        _null_safe_offset_join(part, offsets_df, group_cols)
-        .withColumn(
-            out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF)
-        )
-        .drop(_PID, _OFF)
+    Delegates to the one grouped prefix-sum core
+    (:func:`_grouped_prefix`): range shuffle on (group, order), the
+    offset pass SUMS ``weight_col`` per (partition, group) cell and
+    prefix-sums the driver-tiny cell table per group, local cumsum
+    window by (partition id, group). Weights must be integral-typed for
+    the offsets to be exact (floats would reintroduce
+    order-dependence)."""
+    return _grouped_prefix(
+        df,
+        group_cols,
+        order_by,
+        weight_col,
+        out=out,
+        num_partitions=num_partitions,
     )
 
 

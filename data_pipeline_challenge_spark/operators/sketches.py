@@ -290,15 +290,24 @@ def kmv_bottom_hashes(
     WindowGroupLimit (partial per-partition bottom-k before the
     shuffle); both plan-pinned. No task ever sorts a group's full
     distinct set. Returns (group..., h)."""
+    gcs = list(group_cols or ())
+    hashed = items.select(*gcs, kmv_hash(F.col(item_col)).alias("h"))
+    return _bottom_k(hashed, k, gcs)
+
+
+def _bottom_k(df: DataFrame, k: int, gcs: list) -> DataFrame:
+    """The ONE bottom-k-distinct-hashes rule (builder, merge, and the
+    maintained store's collapse all delegate here): distinct, then
+    TakeOrderedAndProject (global) or the WindowGroupLimit rank filter
+    (grouped) — the plan-pinned no-full-sort shapes."""
     from pyspark.sql import Window
 
-    gcs = list(group_cols or ())
-    hashed = items.select(*gcs, kmv_hash(F.col(item_col)).alias("h")).distinct()
+    uniq = df.select(*gcs, "h").distinct()
     if not gcs:
-        return hashed.orderBy("h").limit(k)
+        return uniq.orderBy("h").limit(k)
     w = Window.partitionBy(*gcs).orderBy("h")
     return (
-        hashed.withColumn("__rn", F.row_number().over(w))
+        uniq.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -315,19 +324,8 @@ def kmv_merge(
     values (never re-hashed). bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪
     bottom_k(B)): the associativity that lets per-batch sketches fold
     into a maintained store and per-partition sketches fold into a
-    global one. Same no-full-sort shapes as the builder."""
-    from pyspark.sql import Window
-
-    gcs = list(group_cols or ())
-    uniq = bottom.select(*gcs, "h").distinct()
-    if not gcs:
-        return uniq.orderBy("h").limit(k)
-    w = Window.partitionBy(*gcs).orderBy("h")
-    return (
-        uniq.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    global one. Delegates to the builder's own bottom-k rule."""
+    return _bottom_k(bottom, k, list(group_cols or ()))
 
 
 def kmv_estimate(

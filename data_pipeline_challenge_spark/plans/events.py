@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..catalog import load_events
+from ..catalog import epoch_day_expr, load_events
 from .registry import query
 
 # DuckDB-side epoch seconds for a naive timestamp, truncating toward -inf
@@ -805,12 +805,7 @@ def events_top_daily_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     base = ev.select(
         "user_id",
-        # exact FLOOR division (DuckDB's // floors; Spark's div truncates
-        # toward zero, which would misbucket pre-1970 timestamps)
-        F.expr(
-            "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
-            " div 86400000000"
-        ).alias("day"),
+        epoch_day_expr("unix_micros(ts)").alias("day"),
         F.unix_micros("ts").alias("t"),
         "event_id",
         "event_type",

@@ -575,10 +575,14 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("emb"),
         F.md5(F.col("vec_id").cast("string")).alias("__h"),
     )
+    # materialize the 64-row eval set once: it feeds both the anti-join
+    # and the broadcast scan, and an unmaterialized TakeOrdered would
+    # re-scan the full embeddings table for each consumer
     ev = (
         emb.orderBy("__h", "vec_id")
         .limit(64)
         .select(F.col("vec_id").alias("ev_id"), F.col("emb").alias("ev_emb"))
+        .localCheckpoint(eager=True)
     )
     tr = emb.join(
         F.broadcast(ev.select("ev_id")),

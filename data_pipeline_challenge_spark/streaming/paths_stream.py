@@ -38,7 +38,6 @@ from ..batchstore import (
     read_batch_store,
 )
 
-_US_PER_DAY = 86_400_000_000
 _K = 3
 
 
@@ -60,7 +59,7 @@ def _top3(df: DataFrame, keep_rank: bool = False) -> DataFrame:
 
 
 def _prefix_rows(batch_df: DataFrame) -> DataFrame:
-    from ..catalog import ntz_epoch_us
+    from ..catalog import epoch_day_expr, ntz_epoch_us
 
     return _top3(
         batch_df.select(
@@ -68,12 +67,7 @@ def _prefix_rows(batch_df: DataFrame) -> DataFrame:
             "event_id",
             "event_type",
             ntz_epoch_us(F.col("ts")).alias("t_us"),
-        ).withColumn(
-            "day",
-            # exact FLOOR division (matches the declared query; Spark's
-            # div truncates toward zero for negative epochs)
-            F.expr(f"(t_us - pmod(t_us, {_US_PER_DAY})) div {_US_PER_DAY}"),
-        )
+        ).withColumn("day", epoch_day_expr("t_us"))
     )
 
 

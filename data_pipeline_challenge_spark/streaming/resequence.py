@@ -48,14 +48,35 @@ from pyspark.sql import DataFrame, SparkSession
 from ..batchstore import append_batch_increment, last_batch_id, read_batch_store
 
 _WM_SCHEMA = "max_t_us long, released_floor_us long, n_late long"
+_FLOOR_FILE = "_flush_floor.json"
 
 
-def _wm_state(spark: SparkSession, wm_store: Path) -> tuple[int | None, int | None]:
-    """(max event time seen, released floor) across commits — both
-    monotone, so max over increments is the current state. (None, None)
-    before the first commit."""
-    if not wm_store.exists() or not any(wm_store.glob("ingest_batch=*")):
+def _sidecar_floor(odir: Path) -> tuple[int | None, int | None]:
+    """The flush-committed (max_t, floor), or (None, None). Flush floor
+    commits live in this atomically-replaced SIDECAR, never as wm
+    increments: an increment would either collide with the next real
+    batch's id (making the replay guard treat a crashed batch as
+    committed) or — after an offline wm consolidation — land at an id
+    the marker view excludes, silently losing the commit. A sidecar has
+    no id at all; the state fold below maxes it in."""
+    p = odir / _FLOOR_FILE
+    if not p.exists():
         return None, None
+    import json
+
+    d = json.loads(p.read_text())
+    return int(d["max_t_us"]), int(d["released_floor_us"])
+
+
+def _wm_state(
+    spark: SparkSession, wm_store: Path
+) -> tuple[int | None, int | None]:
+    """(max event time seen, released floor) across commits — both
+    monotone, so max over wm increments ∪ the flush sidecar is the
+    current state. (None, None) before the first commit."""
+    side = _sidecar_floor(wm_store.parent)
+    if not wm_store.exists() or not any(wm_store.glob("ingest_batch=*")):
+        return side
     row = (
         read_batch_store(spark, wm_store)
         .agg(
@@ -64,7 +85,25 @@ def _wm_state(spark: SparkSession, wm_store: Path) -> tuple[int | None, int | No
         )
         .collect()[0]
     )
-    return row["m"], row["f"]
+    m, f = row["m"], row["f"]
+    sm, sf = side
+    if sm is not None:
+        m = sm if m is None else max(m, sm)
+        f = sf if f is None else max(f, sf)
+    return m, f
+
+
+def wm_collapse(df: DataFrame) -> DataFrame:
+    """Fold-time transform for the wm store's consolidation: the state
+    is single-row-foldable (maxes and a sum are associative), so the
+    compacted store holds exactly one row instead of one per
+    micro-batch — keeping the per-batch ``_wm_state`` scan O(1) at any
+    stream age."""
+    return df.agg(
+        F.max("max_t_us").alias("max_t_us"),
+        F.max("released_floor_us").alias("released_floor_us"),
+        F.sum("n_late").alias("n_late"),
+    )
 
 
 def reseq_fold(
@@ -145,18 +184,15 @@ def flush_resequencer(
     """End-of-drain release: fold everything still above the released
     floor (the tail the watermark hadn't finalized) at downstream id
     ``2*B+1`` (B = latest committed arrival batch — see
-    :func:`reseq_fold`'s id-space note), then commit the floor by
-    OVERWRITING batch B's own wm increment (its n_late carried
-    forward). The floor commit must NOT consume arrival id B+1: the
-    next real micro-batch after a restart uses exactly that id, and a
-    flush-claimed B+1 would make the replay guard treat the crashed
-    real batch as committed — its floor never written, so the
-    following batch would re-release an overlapping slice at a fresh
-    downstream id and double-fold it. Overwriting dir B is safe: the
-    wm state is a MAX over increments (monotone either way) and
-    ``append_batch_increment`` overwrites its own directory
-    idempotently. For ``availableNow`` drains whose report must cover
-    every landed event — an always-on stream never calls this."""
+    :func:`reseq_fold`'s id-space note), then commit the floor via the
+    atomic SIDECAR file (``_sidecar_floor``): a wm increment would
+    either consume arrival id B+1 — which the next real micro-batch
+    after a restart uses, so a crash mid-that-batch would be read as
+    committed with its floor never written, re-releasing an
+    overlapping slab — or, after an offline wm consolidation, land at
+    an id the marker view excludes and silently lose the commit. For
+    ``availableNow`` drains whose report must cover every landed event
+    — an always-on stream never calls this."""
     odir = Path(out_dir)
     buffer_store = odir / "buffer"
     wm_store = odir / "wm"
@@ -226,24 +262,21 @@ def _complete_flush(
 
     intent = json.loads((odir / _INTENT).read_text())
     buffer_store = odir / "buffer"
-    wm_store = odir / "wm"
     lo, fold_id, floor = intent["lo"], intent["fold_id"], intent["floor"]
     release = read_batch_store(spark, buffer_store).filter(
         F.col(t_col) > F.lit(lo)
     )
     downstream(release.drop("ingest_batch"), fold_id)
-    latest = last_batch_id(wm_store)
-    prior_late = (
-        read_batch_store(spark, wm_store)
-        .filter(F.col("ingest_batch") == latest)
-        .agg(F.sum("n_late").alias("s"))
-        .collect()[0]["s"]
-        or 0
+    # floor commit via the atomic sidecar (see _sidecar_floor for why
+    # never a wm increment); monotone, so overwriting an older sidecar
+    # is always safe
+    import os
+
+    tmp = odir / (_FLOOR_FILE + ".tmp")
+    tmp.write_text(
+        json.dumps({"max_t_us": int(floor), "released_floor_us": int(floor)})
     )
-    wm_row = spark.createDataFrame(
-        [(int(floor), int(floor), int(prior_late))], _WM_SCHEMA
-    )
-    append_batch_increment(wm_row, wm_store, latest)
+    os.replace(tmp, odir / _FLOOR_FILE)
     (odir / _INTENT).unlink()
 
 

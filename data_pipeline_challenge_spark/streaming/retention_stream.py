@@ -40,27 +40,16 @@ from ..batchstore import (
     read_batch_store,
 )
 
-_US_PER_DAY = 86_400_000_000
-
-
 def _act_set(batch_df: DataFrame) -> DataFrame:
     """The batch's own distinct (user_id, day) activity rows — the one
     definition the fold and any backfill share."""
-    from ..catalog import ntz_epoch_us
+    from ..catalog import epoch_day_expr, ntz_epoch_us
 
     return (
         batch_df.select(
             "user_id", ntz_epoch_us(F.col("ts")).alias("__us")
         )
-        .select(
-            "user_id",
-            # exact FLOOR division (Spark's div truncates toward zero,
-            # which would misbucket pre-1970 timestamps vs the batch
-            # queries' pmod-floor construction)
-            F.expr(
-                f"(__us - pmod(__us, {_US_PER_DAY})) div {_US_PER_DAY}"
-            ).alias("day"),
-        )
+        .select("user_id", epoch_day_expr("__us").alias("day"))
         .distinct()
     )
 
@@ -106,7 +95,7 @@ def retention_report(
         act = act.select(
             "user_id",
             F.expr(f"(day - pmod(day, {d})) div {d}").alias("day"),
-        ).distinct()
+        ).distinct()  # day-granular buckets: plain integer floor-div
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort_bucket"))
     return (
         act.join(first, "user_id")

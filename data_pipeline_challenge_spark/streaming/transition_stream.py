@@ -274,7 +274,7 @@ def start_resequenced_transition_stream(
     events are dropped and counted (watermark late-drop semantics).
     After an ``availableNow`` drain, call :func:`flush_resequenced` to
     release the unfinalized tail before reading the report."""
-    from .resequence import buffer_prune_transform, reseq_fold
+    from .resequence import buffer_prune_transform, reseq_fold, wm_collapse
 
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
@@ -305,7 +305,10 @@ def start_resequenced_transition_stream(
             {rdir / "buffer": None, rdir / "wm": None},
             batch_id,
             consolidate_every,
-            transforms={rdir / "buffer": buffer_prune_transform(spark, rdir)},
+            transforms={
+                rdir / "buffer": buffer_prune_transform(spark, rdir),
+                rdir / "wm": wm_collapse,
+            },
         )
         maybe_consolidate_in_stream(
             spark,
