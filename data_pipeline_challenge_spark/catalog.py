@@ -103,19 +103,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def epoch_day_expr(us_col_name: str, days: int = 1):
-    """Exact FLOOR division of an epoch-microseconds column to
-    ``days``-sized buckets — the ONE definition of day/week bucketing
-    shared by the declared behavioral queries and their maintained
-    twins (paths/retention stores), so a misfix of the negative-epoch
+def epoch_day_expr(us_col_name: str):
+    """Exact FLOOR division of an epoch-microseconds column to day
+    buckets — the ONE definition of day bucketing shared by the
+    declared behavioral queries and their maintained twins
+    (paths/retention stores), so a misfix of the negative-epoch
     subtlety cannot desynchronize a twin from its batch query. Spark's
     ``div`` truncates toward zero; subtracting the always-non-negative
     ``pmod`` remainder first makes the numerator an exact multiple, so
     truncation equals floor for any sign (the rollup's _floordiv
     rule)."""
-    import pyspark.sql.functions as F
-
-    d = int(days) * 86_400_000_000
+    d = 86_400_000_000
     return F.expr(
         f"({us_col_name} - pmod({us_col_name}, {d})) div {d}"
     )

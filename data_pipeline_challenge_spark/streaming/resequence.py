@@ -58,8 +58,13 @@ def _sidecar_floor(odir: Path) -> tuple[int | None, int | None]:
     batch's id (making the replay guard treat a crashed batch as
     committed) or — after an offline wm consolidation — land at an id
     the marker view excludes, silently losing the commit. A sidecar has
-    no id at all; the state fold below maxes it in."""
-    p = odir / _FLOOR_FILE
+    no id at all; the state fold below maxes it in. It lives INSIDE the
+    wm store directory (underscore-prefixed: invisible to parquet
+    listings, untouched by the consolidation sweep) so that wiping the
+    stores remains a FULL state reset — a sibling-file sidecar would
+    survive a rebuild and silently drop every event at-or-below its
+    stale floor as late."""
+    p = odir / "wm" / _FLOOR_FILE
     if not p.exists():
         return None, None
     import json
@@ -272,11 +277,13 @@ def _complete_flush(
     # is always safe
     import os
 
-    tmp = odir / (_FLOOR_FILE + ".tmp")
+    wm_store = odir / "wm"
+    wm_store.mkdir(parents=True, exist_ok=True)
+    tmp = wm_store / (_FLOOR_FILE + ".tmp")
     tmp.write_text(
         json.dumps({"max_t_us": int(floor), "released_floor_us": int(floor)})
     )
-    os.replace(tmp, odir / _FLOOR_FILE)
+    os.replace(tmp, wm_store / _FLOOR_FILE)
     (odir / _INTENT).unlink()
 
 
