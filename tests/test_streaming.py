@@ -5908,6 +5908,55 @@ def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
     assert report() == got
 
 
+def test_wm_store_collapses_to_one_row(spark, tmp_path):
+    """The resequencer wm store's consolidation transform must collapse
+    to exactly ONE row (maxes + n_late sum preserved) with the state
+    and replay guard unchanged — the per-batch _wm_state scan stays
+    O(1) at any stream age."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import (
+        consolidate_batch_store,
+        last_batch_id,
+        read_batch_store,
+    )
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+    from data_pipeline_challenge_spark.streaming.resequence import (
+        _wm_state,
+        reseq_fold,
+        wm_collapse,
+    )
+
+    H = 3_600_000_000
+    rdir = tmp_path / "reseq_wm"
+    folded = []
+
+    def fold(released, fid):
+        folded.append((fid, released.count()))
+
+    import datetime as dt
+
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    for i, t_h in enumerate((4, 8, 12)):
+        df = spark.createDataFrame(
+            [(i + 1, dt.datetime(1970, 1, 1) + dt.timedelta(hours=t_h), 1, "view")],
+            schema,
+        ).withColumn("t_us", ntz_epoch_us(F.col("ts")))
+        reseq_fold(spark, rdir, df, i, fold, delay_us=2 * H)
+
+    wm = Path(rdir) / "wm"
+    before_state = _wm_state(spark, wm)
+    before_late = read_batch_store(spark, wm).agg(F.sum("n_late")).collect()[0][0]
+    before_last = last_batch_id(wm)
+    assert read_batch_store(spark, wm).count() == 3
+
+    consolidate_batch_store(spark, wm, transform=wm_collapse)
+    assert read_batch_store(spark, wm).count() == 1
+    assert _wm_state(spark, wm) == before_state
+    assert read_batch_store(spark, wm).agg(F.sum("n_late")).collect()[0][0] == before_late
+    assert last_batch_id(wm) == before_last  # the marker preserves it
+
+
 def test_flush_crash_recovery_no_double_fold(spark, tmp_path):
     """A flush that crashed AFTER its downstream fold but BEFORE its
     floor commit must not double-fold when the stream restarts: the
