@@ -141,6 +141,21 @@ def ntz_epoch_us(ts) -> "F.Column":
     ).cast("long")
 
 
+def ts_epoch_us(df: DataFrame, col: str = "ts") -> "F.Column":
+    """Timezone-agnostic epoch-microseconds of a timestamp column,
+    DTYPE-CONDITIONAL: ``timestamp_ntz`` goes through the field-
+    arithmetic :func:`ntz_epoch_us` (a session-zone cast would shift
+    wall times inside DST gaps), plain ``timestamp`` through
+    ``unix_micros`` (already an instant; ntz field math would re-read
+    it through the session zone). The ONE definition the maintained
+    streams' fold closures share (ADVICE r15: paths/retention applied
+    ntz arithmetic unconditionally, diverging from their batch twins on
+    plain-timestamp input under a non-UTC session)."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return ntz_epoch_us(F.col(col))
+    return F.unix_micros(F.col(col)).cast("long")
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -100,7 +100,18 @@ def auto_zorder_expr(
     the projection a bounded codegen chain."""
     n_cells = 1 << bits
     probs = [i / n_cells for i in range(1, n_cells)]
-    all_bounds = df.approxQuantile(list(cols), probs, eps)
+    # NaN rows must not reach the quantile sketch (ADVICE r15): Spark
+    # sorts NaN above every value, so high boundaries would come back
+    # NaN and quantize_rank_cells' `>= NaN` terms never fire — silently
+    # collapsing the top cells. Those rows are already pinned to cell 0
+    # on the quantize side, and dropping them here only nudges the
+    # equi-depth boundaries (they are layout tuning, not semantics).
+    # NULLs are ignored by approxQuantile either way; the cast keeps
+    # isnan legal on integer columns (int→double never produces NaN).
+    clean = df
+    for c in cols:
+        clean = clean.filter(~F.isnan(F.col(c).cast("double")) | F.col(c).isNull())
+    all_bounds = clean.approxQuantile(list(cols), probs, eps)
     qs = [
         quantize_rank_cells(bounds, c) for c, bounds in zip(cols, all_bounds)
     ]

@@ -14,9 +14,14 @@ offset and its position within that partition. So:
 3. A window partitioned BY PARTITION ID (fully parallel) for the local row
    number, plus the broadcast offset.
 
-The order keys must be a total order (include a unique tiebreaker) — that
-is already the registry's determinism rule for every ranked query, and it
-makes rank == row_number, so percent_rank/cume_dist are pure arithmetic.
+For ROW_NUMBER/ntile/cumsum the order keys must be a total order (include
+a unique tiebreaker) — the registry's determinism rule for every ranked
+query; with ties those are order-dependent exactly as SQL's row_number
+is. :func:`with_grouped_rank_stats` is tie-CORRECT regardless: it
+computes true ``rank()`` and tie counts locally (equal order keys always
+co-locate — a range partitioner assigns a partition by key value, so a
+tie run can never straddle a partition boundary) and both extra window
+expressions share the local window's partitioning, costing no shuffle.
 """
 
 from __future__ import annotations
@@ -28,6 +33,15 @@ from pyspark.sql import Column, DataFrame, Window
 
 _PID = "__rank_pid"
 _OFF = "__rank_offset"
+
+# Driver-collect guard for the per-(partition, group) offset cells: the
+# protocol is designed for LOW-cardinality strata (source, nation,
+# event_type) where the cell table is partitions + groups rows. A
+# high-cardinality group key (user_id) would silently collect O(groups)
+# rows to the driver — refuse loudly instead (ADVICE r15). The probe
+# collects at most the cap + 1 rows (limit BEFORE collect), so the guard
+# itself cannot OOM the driver it protects.
+MAX_OFFSET_CELLS = 262_144
 
 
 def with_global_row_number(
@@ -119,13 +133,27 @@ def _grouped_prefix(
     out: str,
     total_col: str | None = None,
     num_partitions: int | None = None,
+    max_offset_cells: int = MAX_OFFSET_CELLS,
+    rank_out: str | None = None,
+    tie_count_out: str | None = None,
 ) -> DataFrame:
     """The shared grouped prefix-sum core: range shuffle on (group,
     order), per-(partition, group) WEIGHT sums prefix-summed to
     driver-tiny broadcast offsets (null-safe join), local cumsum window
     by (partition id, group). ``total_col`` (optional) adds each
     group's total weight. Weights must be integral-typed so the
-    offsets are exact."""
+    offsets are exact. ``max_offset_cells`` bounds the driver collect
+    (see :data:`MAX_OFFSET_CELLS`).
+
+    ``rank_out`` / ``tie_count_out`` (optional, only meaningful with an
+    all-ones weight) add the TRUE SQL ``rank()`` under the total
+    (group, order) position and the order-key tie-run size: rank =
+    offset + local rank (valid because a range partitioner assigns by
+    key value, so equal keys — hence tie runs — never straddle a
+    partition boundary, and everything in earlier partitions is
+    strictly smaller); both windows share the local window's
+    partitioning, so they compile into the same (or an exchange-free
+    sibling) Window exec — no additional shuffle."""
     gcols = [F.col(c) for c in group_cols]
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     keys = gcols + ocols
@@ -138,8 +166,18 @@ def _grouped_prefix(
     cells = (
         part.groupBy(_PID, *group_cols)
         .agg(F.sum(weight_col).alias("w"))
+        .limit(max_offset_cells + 1)
         .collect()
     )
+    if len(cells) > max_offset_cells:
+        raise ValueError(
+            f"grouped ranking offset table exceeds {max_offset_cells} "
+            "(partition, group) cells — the group key is too "
+            "high-cardinality for the driver-broadcast offset protocol "
+            "(it is built for low-cardinality strata like source/nation); "
+            "aggregate per group instead, or raise max_offset_cells "
+            "deliberately"
+        )
     per_group: dict[tuple, list[tuple[int, int]]] = {}
     for r in cells:
         per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
@@ -166,11 +204,23 @@ def _grouped_prefix(
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        _null_safe_offset_join(part, offsets_df, group_cols)
-        .withColumn(out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF))
-        .drop(_PID, _OFF)
+    joined = _null_safe_offset_join(part, offsets_df, group_cols).withColumn(
+        out, F.sum(weight_col).over(w).cast("long") + F.col(_OFF)
     )
+    if rank_out is not None:
+        w_rank = Window.partitionBy(_PID, *group_cols).orderBy(*ocols)
+        joined = joined.withColumn(
+            rank_out, F.rank().over(w_rank).cast("long") + F.col(_OFF)
+        )
+    if tie_count_out is not None:
+        # Partitioning by (pid, group, order keys) is satisfied by the
+        # local window's (pid, group) hash exchange (subset rule) and by
+        # its sort order — Catalyst plans it exchange-free.
+        w_tie = Window.partitionBy(_PID, *group_cols, *ocols)
+        joined = joined.withColumn(
+            tie_count_out, F.count(F.lit(1)).over(w_tie).cast("long")
+        )
+    return joined.drop(_PID, _OFF)
 
 
 def _null_safe_offset_join(
@@ -199,25 +249,36 @@ def with_grouped_rank_stats(
     cume_dist_col: str | None = None,
 ) -> DataFrame:
     """``percent_rank() OVER (PARTITION BY group ORDER BY ...)`` (and
-    optionally ``cume_dist``) without a per-group raw-table sort window:
-    in-group rank and group total come from
-    :func:`with_grouped_row_number`; with unique order keys rank ==
-    row_number, so percent_rank = (rn-1)/(n-1) (0.0 for singleton
-    groups, matching SQL) and cume_dist = rn/n — integer arithmetic and
-    one division, bit-equal to the window form on both engines."""
-    ranked = with_grouped_row_number(
-        df, group_cols, order_by, out="__rank_rn", total_col="__rank_n"
-    )
-    rn, n = F.col("__rank_rn"), F.col("__rank_n")
+    optionally ``cume_dist``) without a per-group raw-table sort window
+    — TIE-CORRECT (ADVICE r15): the core emits true SQL ``rank()`` and
+    the order-key tie-run size (offset + local rank/count — sound
+    because a range partitioner co-locates equal keys, so tie runs
+    never straddle partitions), and with n the group total,
+    percent_rank = (rank-1)/(n-1) (0.0 for singleton groups) and
+    cume_dist = (rank-1+ties)/n — bit-equal to the window forms on both
+    engines whether or not the order keys are unique. Both extra window
+    expressions ride the existing local window's partitioning: no
+    additional shuffle versus :func:`with_grouped_row_number`."""
+    ranked = _grouped_prefix(
+        df.withColumn("__gr_one", F.lit(1).cast("long")),
+        group_cols,
+        order_by,
+        "__gr_one",
+        out="__rank_rn",
+        total_col="__rank_n",
+        rank_out="__rank_rk",
+        tie_count_out="__rank_ties",
+    ).drop("__gr_one")
+    rk, n, ties = F.col("__rank_rk"), F.col("__rank_n"), F.col("__rank_ties")
     prank = F.when(n <= 1, F.lit(0.0)).otherwise(
-        (rn - 1).cast("double") / (n - 1).cast("double")
+        (rk - 1).cast("double") / (n - 1).cast("double")
     )
     outdf = ranked.withColumn(percent_rank_col, prank)
     if cume_dist_col is not None:
         outdf = outdf.withColumn(
-            cume_dist_col, rn.cast("double") / n.cast("double")
+            cume_dist_col, (rk - 1 + ties).cast("double") / n.cast("double")
         )
-    return outdf.drop("__rank_rn", "__rank_n")
+    return outdf.drop("__rank_rn", "__rank_n", "__rank_rk", "__rank_ties")
 
 
 def with_grouped_cumsum(

@@ -59,14 +59,17 @@ def _top3(df: DataFrame, keep_rank: bool = False) -> DataFrame:
 
 
 def _prefix_rows(batch_df: DataFrame) -> DataFrame:
-    from ..catalog import epoch_day_expr, ntz_epoch_us
+    # dtype-conditional epoch (ADVICE r15): plain-timestamp input must
+    # not go through NTZ field arithmetic or a non-UTC session diverges
+    # from the batch twin
+    from ..catalog import epoch_day_expr, ts_epoch_us
 
     return _top3(
         batch_df.select(
             "user_id",
             "event_id",
             "event_type",
-            ntz_epoch_us(F.col("ts")).alias("t_us"),
+            ts_epoch_us(batch_df, "ts").alias("t_us"),
         ).withColumn("day", epoch_day_expr("t_us"))
     )
 

@@ -43,11 +43,12 @@ from ..batchstore import (
 def _act_set(batch_df: DataFrame) -> DataFrame:
     """The batch's own distinct (user_id, day) activity rows — the one
     definition the fold and any backfill share."""
-    from ..catalog import epoch_day_expr, ntz_epoch_us
+    # dtype-conditional epoch (ADVICE r15): see catalog.ts_epoch_us
+    from ..catalog import epoch_day_expr, ts_epoch_us
 
     return (
         batch_df.select(
-            "user_id", ntz_epoch_us(F.col("ts")).alias("__us")
+            "user_id", ts_epoch_us(batch_df, "ts").alias("__us")
         )
         .select("user_id", epoch_day_expr("__us").alias("day"))
         .distinct()

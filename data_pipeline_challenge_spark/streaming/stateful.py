@@ -109,13 +109,9 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
     closure's wall-clock-as-UTC arithmetic: ``unix_micros`` on a
     TIMESTAMP_NTZ column resolves through the session zone, so NTZ input
     goes through ``catalog.ntz_epoch_us`` instead."""
-    from ..catalog import ntz_epoch_us
+    from ..catalog import ts_epoch_us
 
-    ts_us = (
-        ntz_epoch_us(F.col("ts"))
-        if dict(events.dtypes).get("ts") == "timestamp_ntz"
-        else F.unix_micros("ts")
-    )
+    ts_us = ts_epoch_us(events, "ts")
     return (
         events.groupBy("user_id")
         .agg(

@@ -520,6 +520,77 @@ def test_grouped_ranking_matches_per_group_window(spark):
     assert got == expected
 
 
+def test_grouped_rank_stats_tie_correct(spark):
+    """ADVICE r15: with TIED order keys (no unique tiebreaker),
+    percent_rank/cume_dist must still equal the SQL window forms — the
+    core now computes true rank() plus tie counts (sound because a
+    range partitioner co-locates equal keys), not row_number
+    arithmetic. Covers giant tie runs in a hot group, an all-one-value
+    group, and a singleton."""
+    from pyspark.sql import Window
+
+    from data_pipeline_challenge_spark.operators.ranking import (
+        with_grouped_rank_stats,
+    )
+
+    rows = (
+        [(i, "hot", i % 3) for i in range(200)]
+        + [(1000 + i, "cold", 7) for i in range(11)]
+        + [(2000, "solo", 9)]
+    )
+    df = spark.createDataFrame(rows, "i long, g string, v long").repartition(8)
+    w = Window.partitionBy("g").orderBy("v")
+    expected = {
+        (r.i, round(r.pr, 9), round(r.cd, 9))
+        for r in df.select(
+            "i",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    stats = with_grouped_rank_stats(df, ["g"], ("v",), "pr", "cd")
+    got = {(r.i, round(r.pr, 9), round(r.cd, 9)) for r in stats.collect()}
+    assert got == expected
+
+
+def test_grouped_prefix_driver_cell_guard(spark):
+    """ADVICE r15: the per-(partition, group) offset-cell collect must
+    refuse a high-cardinality group key instead of silently pulling
+    O(groups) rows to the driver — and the probe itself is bounded
+    (limit before collect), so the guard cannot OOM what it guards."""
+    from data_pipeline_challenge_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(64)], "i long, g long"
+    ).withColumn("one", F.lit(1).cast("long"))
+    with pytest.raises(ValueError, match="high-cardinality"):
+        ranking._grouped_prefix(
+            df, ["g"], ("i",), "one", out="rn", max_offset_cells=8
+        )
+    # same data under the default cap works
+    out = ranking.with_grouped_row_number(df.drop("one"), ["g"], ("i",))
+    assert out.count() == 64
+
+
+def test_auto_zorder_nan_rows_do_not_poison_boundaries(spark):
+    """ADVICE r15: NaN rows must be filtered before approxQuantile —
+    Spark sorts NaN above all values, so a NaN-contaminated column
+    would return NaN high boundaries and the top equi-depth cells
+    would silently never fire. With the filter, the non-NaN rows still
+    spread across all 2^bits cells and NaN rows pin to the floor
+    cell."""
+    from data_pipeline_challenge_spark.operators.layout import auto_zorder_expr
+
+    rows = [(float(i),) for i in range(100)] + [(float("nan"),)] * 50
+    df = spark.createDataFrame(rows, "x double")
+    z = auto_zorder_expr(df, ["x"], bits=2)
+    got = df.select(F.col("x"), z.alias("z")).collect()
+    clean_cells = {r.z for r in got if r.x == r.x}
+    nan_cells = {r.z for r in got if r.x != r.x}
+    assert len(clean_cells) == 4  # all four equi-depth cells fire
+    assert nan_cells == {min(clean_cells)}  # NaN pinned to the floor cell
+
+
 def test_cms_sized_width_rule_and_overestimate_shrink(spark):
     """cms_sized_width pins the documented rule (width = max(min_width,
     2 x exact distinct)) and actually buys accuracy: on the real
