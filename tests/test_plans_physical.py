@@ -573,3 +573,36 @@ def test_round14_new_queries_plan_shapes(spark):
     plan = plan_of(spark, "events_hourly_trend_theil_sen")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_top_daily_paths_window_group_limit_pinned(spark):
+    """events_top_daily_paths (VERDICT r15 #4): the rn<=3 prefix cut
+    must stay WindowGroupLimit (partial per-partition top-3 before the
+    (user, day) shuffle) and the final top-20 TakeOrderedAndProject —
+    with no cartesian and no single-partition funnel. Verified live in
+    r15; this pin makes a Spark upgrade or query edit fail loudly."""
+    plan = plan_of(spark, "events_top_daily_paths")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_retention_weekly_reduces_before_join(spark):
+    """events_retention_weekly (VERDICT r15 #4): both join inputs must
+    be aggregate-reduced BEFORE the user-key join — the activity side
+    to the distinct (user, wk) set, the cohort side via a map-side
+    partial_min pushed below its exchange (Catalyst rewrites
+    min-over-distinct to plain min: one exchange, strictly better than
+    sharing the distinct's) — and the scans must prune to (ts,
+    user_id) only."""
+    plan = plan_of(spark, "events_retention_weekly")
+    assert "partial_min" in plan  # cohort min is map-side combinable
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # each raw scan feeds exactly one aggregate: 2 scans (formatted mode
+    # prints each node twice — tree + detail), no third re-derivation
+    assert plan.count("Scan parquet") == 4
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema_line = seg.split("\n")[0]
+        assert "event_type" not in schema_line and "value" not in schema_line
