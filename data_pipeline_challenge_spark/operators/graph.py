@@ -25,9 +25,11 @@ vertex id reachable, independent of partitioning and join order.
 - Each star round is one shuffle join (edges × per-vertex min) plus one
   map-side-combinable min-aggregation; the edge count never grows
   (contraction only rewires), so round cost is bounded by the input.
-- ``localCheckpoint`` after every round truncates the lineage so the plan
-  does not grow with iteration count (on a cluster, prefer a reliable
-  ``checkpoint`` dir so recomputation-on-failure does not cascade).
+- Lineage is truncated after every round so the plan does not grow with
+  iteration count; ``checkpoint_dir=None`` uses ``localCheckpoint``
+  (executor-local), and passing a directory switches every pin to a
+  RELIABLE ``DataFrame.checkpoint`` so an executor loss on a real
+  cluster cannot cascade recomputation (see :func:`_pin`).
 - The convergence test piggybacks on the same pass: labels only decrease,
   so ``min(new) == min(old)`` per vertex with zero strict decreases means
   the fixpoint was reached.
@@ -39,6 +41,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _pin(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
+    """Truncate lineage between iterations. ``checkpoint_dir=None`` →
+    ``localCheckpoint`` (executor-local blocks: fine on local mode, but
+    an executor loss on a real cluster cascades recomputation of the
+    whole iteration chain). With a directory, registers it as the
+    session's RELIABLE checkpoint location and uses
+    ``DataFrame.checkpoint`` — blocks land in fault-tolerant storage
+    (HDFS/S3 on a cluster), so iteration state survives executor loss.
+    Results are bit-identical either way (checkpointing only changes
+    WHERE the materialized blocks live, never their content) — pinned
+    by test_graph_reliable_checkpoint_matches_local."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != str(checkpoint_dir):
+        sc.setCheckpointDir(str(checkpoint_dir))
+    return df.checkpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -46,6 +67,7 @@ def connected_components(
     max_iter: int = 25,
     small_graph_threshold: int = 1_000_000,
     algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (vertex, component) with component = min reachable vertex id.
 
@@ -55,11 +77,15 @@ def connected_components(
 
     ``algorithm``: "auto" (union-find below ``small_graph_threshold``,
     star contraction above), "star", or "label_prop".
+    ``checkpoint_dir``: reliable checkpoint location for the iteration
+    state (see :func:`_pin`) — pass one on a real cluster so an
+    executor loss cannot cascade recomputation; ``None`` keeps the
+    local-mode ``localCheckpoint``.
     """
     # Symmetric edge list: propagate along both directions of each edge.
     fwd = edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
     sym = fwd.union(fwd.select(F.col("w").alias("v"), F.col("v").alias("w"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _pin(sym, checkpoint_dir)
 
     # The loop operates on the *pair graph*, which is orders of magnitude
     # smaller than the corpus. When it fits comfortably in one task, skip
@@ -75,13 +101,16 @@ def connected_components(
     if algorithm == "uf":
         return _union_find_single_task(sym)
     if algorithm == "star":
-        labels, _rounds = _star_contraction(sym, max_iter=max_iter)
+        labels, _rounds = _star_contraction(
+            sym, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        )
         return labels
     if algorithm != "label_prop":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
 
-    labels = (
-        sym.select("v").distinct().withColumn("component", F.col("v")).localCheckpoint(eager=True)
+    labels = _pin(
+        sym.select("v").distinct().withColumn("component", F.col("v")),
+        checkpoint_dir,
     )
 
     # Labels only ever decrease, so sum(component) is strictly decreasing
@@ -94,11 +123,11 @@ def connected_components(
     for _ in range(max_iter):
         # Neighbor labels flow along edges; keep own label in the running min.
         neighbor = sym.join(labels.withColumnRenamed("v", "w"), "w").select("v", "component")
-        new_labels = (
+        new_labels = _pin(
             neighbor.union(labels)
             .groupBy("v")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            checkpoint_dir,
         )
         new_sum = _label_sum(new_labels)
         labels.unpersist()
@@ -121,7 +150,9 @@ def connected_components(
     return labels.select(F.col("v").alias("vertex"), "component")
 
 
-def _star_contraction(sym: DataFrame, max_iter: int = 25) -> tuple[DataFrame, int]:
+def _star_contraction(
+    sym: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star contraction over a symmetric edge
     list; returns (labels DataFrame, rounds used). O(log n) rounds on any
     graph (Kiveris et al., SoCC'14 — public algorithm, reimplemented here
@@ -133,7 +164,7 @@ def _star_contraction(sym: DataFrame, max_iter: int = 25) -> tuple[DataFrame, in
     m = min(N_<(u) ∪ {u}). Both steps preserve connectivity and strictly
     flatten the graph toward stars rooted at each component's min vertex;
     the fixpoint (edge set unchanged) is exactly those stars."""
-    all_vertices = sym.select("v").distinct().localCheckpoint(eager=True)
+    all_vertices = _pin(sym.select("v").distinct(), checkpoint_dir)
 
     def _checksum(e: DataFrame):
         return e.agg(
@@ -174,8 +205,8 @@ def _star_contraction(sym: DataFrame, max_iter: int = 25) -> tuple[DataFrame, in
             .union(mins.select(F.col("v"), F.col("m").alias("w")))
             .filter(F.col("v") != F.col("w"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        e = _pin(e, checkpoint_dir)
         cur = _checksum(e)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             break
@@ -251,6 +282,7 @@ def pagerank_integer(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic — the
     determinism trick the rollup's integer cents and the quantile
@@ -279,25 +311,25 @@ def pagerank_integer(
     # and without the checkpoint each of the `iterations` plans would
     # re-derive it from its upstream lineage (e.g. re-running the
     # orders⋈lineitem join five times). Same for outdegrees and the
-    # node set. (On a cluster prefer a reliable checkpoint dir — the
-    # connected-components note above applies here too.)
-    e = (
+    # node set. ``checkpoint_dir`` switches every pin to a RELIABLE
+    # checkpoint (see :func:`_pin`) — the cluster-safe option the r15
+    # docstrings named; results are bit-identical.
+    e = _pin(
         edges.select(
             F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct(),
+        checkpoint_dir,
     )
     # denormalize outdegrees INTO the edge list once — a lazy deg frame
     # would re-run its groupBy shuffle and a fresh e⋈deg join in every
     # iteration's plan
     deg = e.groupBy("__pr_src").agg(F.count(F.lit(1)).alias("__pr_deg"))
-    e = e.join(deg, "__pr_src").localCheckpoint(eager=True)
-    nodes = (
+    e = _pin(e.join(deg, "__pr_src"), checkpoint_dir)
+    nodes = _pin(
         e.select(F.col("__pr_src").alias("node"))
         .unionByName(e.select(F.col("__pr_dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     base = (100 - damping_pct) * scale // 100
     rank = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
@@ -322,6 +354,6 @@ def pagerank_integer(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        rank = _pin(rank, checkpoint_dir, eager=False)
     return rank

@@ -372,15 +372,32 @@ def kmv_pairwise_jaccard(
     one rounded division: oracle-exact via the md5 family.
 
     Returns (key_a, key_b, n_union_sketch, n_both, jaccard_est)."""
+    m = _pair_union_bottom(bottom, key_col, k)
+    return m.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard_est"),
+    )
+
+
+def _pair_union_bottom(bottom: DataFrame, key_col: str, k: int) -> DataFrame:
+    """The pairwise set-operation core both :func:`kmv_pairwise_jaccard`
+    and :func:`kmv_pairwise_setops` aggregate over: for every unordered
+    group pair, the bottom-k of the UNION of the two sketches with
+    per-hash membership flags — union-then-rekeep (the KMV merge law),
+    so the rows ARE the sketch of A ∪ B. Two broadcast EQUI-joins (an
+    OR condition would compile to a nested loop), deduped per
+    (pair, h), per-pair rank over <= 2k rows."""
     from pyspark.sql import Window
 
     keys = bottom.select(F.col(key_col).alias("key_a")).distinct()
     pairs = keys.crossJoin(
         keys.select(F.col("key_a").alias("key_b"))
     ).filter(F.col("key_a") < F.col("key_b"))
-    # every pair x the union of its two sketches, with membership flags
-    # — two broadcast EQUI-joins (an OR condition would compile to a
-    # nested loop), deduped per (pair, h)
     side = bottom.select(F.col(key_col).alias("__k"), "h")
     ua = pairs.join(F.broadcast(side), F.col("__k") == F.col("key_a")).select(
         "key_a", "key_b", "h",
@@ -396,15 +413,83 @@ def kmv_pairwise_jaccard(
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     w = Window.partitionBy("key_a", "key_b").orderBy("h")
-    m = uh.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    return m.groupBy("key_a", "key_b").agg(
+    return (
+        uh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_pairwise_setops(
+    bottom: DataFrame, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Union / intersection / difference CARDINALITY estimates for every
+    unordered group pair, from bottom-k sketches alone (Beyer et al.
+    2007's KMV set operations) — completing the set-operation story
+    :func:`kmv_pairwise_jaccard` starts:
+
+    - |A∪B|: the k-th minimum of the MERGED sketch — exactly
+      :func:`kmv_estimate`'s rule applied to bottom_k(A ∪ B), valid
+      because union-then-rekeep IS the KMV merge law (fewer than k
+      merged hashes means the union was seen whole: exact count);
+    - |A∩B| = jaccard_est × |A∪B| (the fraction of merged-sketch
+      hashes present in both, scaled);
+    - |A−B| = max(|A∪B| − |B|, 0) and symmetrically |B−A| — inclusion-
+      exclusion against each group's OWN sketch estimate, clamped at 0
+      (independent estimates can cross for near-identical sets).
+
+    Every input to the arithmetic is either an integer count or an
+    already-4dp-rounded estimate, and each derived estimate rounds
+    once at the end — bit-reproducible in any engine with md5 (the
+    family's oracle-checkability argument). Shape at scale: identical
+    to the jaccard form — O(groups² × k) sketch rows, never the raw
+    tables; the per-group size estimates broadcast.
+
+    Returns (key_a, key_b, n_union_sketch, n_both, union_est,
+    inter_est, a_minus_b_est, b_minus_a_est)."""
+    m = _pair_union_bottom(bottom, key_col, k)
+    pair_agg = m.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max("h").alias("kth"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_union_sketch") < k, F.col("n_union_sketch").cast("double")
+    ).otherwise(
         F.round(
-            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("jaccard_est"),
+            F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("kth"),
+            4,
+        )
+    )
+    sizes = kmv_estimate(bottom, k, group_cols=[key_col])
+    sa = sizes.select(F.col(key_col).alias("key_a"), F.col("est").alias("__a_est"))
+    sb = sizes.select(F.col(key_col).alias("key_b"), F.col("est").alias("__b_est"))
+    out = (
+        pair_agg.withColumn("union_est", union_est)
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+    )
+    inter = F.round(
+        F.col("n_both").cast("double")
+        / F.col("n_union_sketch")
+        * F.col("union_est"),
+        4,
+    )
+    amb = F.round(
+        F.greatest(F.col("union_est") - F.col("__b_est"), F.lit(0.0)), 4
+    )
+    bma = F.round(
+        F.greatest(F.col("union_est") - F.col("__a_est"), F.lit(0.0)), 4
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_union_sketch",
+        "n_both",
+        "union_est",
+        inter.alias("inter_est"),
+        amb.alias("a_minus_b_est"),
+        bma.alias("b_minus_a_est"),
     )
 
 

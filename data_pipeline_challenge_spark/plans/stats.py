@@ -1393,3 +1393,137 @@ def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+@query(
+    "kmv_user_setops_by_type",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+            {_KMV_HEX2INT.format(x="concat('kmv|', CAST(user_id AS VARCHAR))")}
+                AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ), bk AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+    sz AS (
+        SELECT event_type, count(*) AS n_hashes, max(h) AS kth
+        FROM bk GROUP BY event_type
+    ), szest AS (
+        SELECT event_type,
+               CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                    ELSE round(63 * 1152921504606846976.0 / kth, 4)
+               END AS est
+        FROM sz
+    ), keys AS (SELECT DISTINCT event_type FROM bk),
+    pairs AS (
+        SELECT a.event_type AS key_a, b.event_type AS key_b
+        FROM keys a JOIN keys b ON a.event_type < b.event_type
+    ), uh AS (
+        SELECT key_a, key_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (
+            SELECT p.key_a, p.key_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pairs p JOIN bk s ON s.event_type = p.key_a
+            UNION ALL
+            SELECT p.key_a, p.key_b, s.h, 0, 1
+            FROM pairs p JOIN bk s ON s.event_type = p.key_b
+        ) GROUP BY key_a, key_b, h
+    ), m AS (
+        SELECT * FROM (
+            SELECT key_a, key_b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY key_a, key_b
+                                      ORDER BY h) AS rn
+            FROM uh
+        ) WHERE rn <= 64
+    ), pa AS (
+        SELECT key_a, key_b, count(*) AS n_union_sketch, max(h) AS kth,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM m GROUP BY key_a, key_b
+    ), est AS (
+        SELECT key_a, key_b, n_union_sketch, n_both,
+               CASE WHEN n_union_sketch < 64
+                    THEN CAST(n_union_sketch AS DOUBLE)
+                    ELSE round(63 * 1152921504606846976.0 / kth, 4)
+               END AS union_est
+        FROM pa
+    ), au AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM au GROUP BY event_type),
+    inter AS (
+        SELECT x.event_type AS key_a, y.event_type AS key_b,
+               count(*) AS n_inter
+        FROM au x JOIN au y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.key_a, e.key_b, e.n_union_sketch, e.n_both, e.union_est,
+           round(CAST(e.n_both AS DOUBLE) / e.n_union_sketch * e.union_est, 4)
+               AS inter_est,
+           round(greatest(e.union_est - sbe.est, 0.0), 4) AS a_minus_b_est,
+           round(greatest(e.union_est - sae.est, 0.0), 4) AS b_minus_a_est,
+           CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS exact_union,
+           CAST(sa.n - coalesce(i.n_inter, 0) AS BIGINT) AS exact_a_minus_b
+    FROM est e
+    LEFT JOIN inter i ON e.key_a = i.key_a AND e.key_b = i.key_b
+    JOIN sizes sa ON sa.event_type = e.key_a
+    JOIN sizes sb ON sb.event_type = e.key_b
+    JOIN szest sae ON sae.event_type = e.key_a
+    JOIN szest sbe ON sbe.event_type = e.key_b
+    """,
+    tags=("sketch", "kmv", "setops"),
+)
+def kmv_user_setops_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation CARDINALITIES (VERDICT r15 #5, completing the
+    pairwise family): |A∪B| from the k-th minimum of the merged
+    bottom-64 sketch, |A∩B| = jaccard_est × |A∪B|, and both
+    differences by inclusion-exclusion against each type's own sketch
+    estimate (``operators/sketches.kmv_pairwise_setops``) — with the
+    EXACT union and difference alongside for the audit. The md5 hash
+    family keeps every estimate oracle-checkable, not just
+    sanity-bounded.
+
+    Shape at scale: the estimates never touch the raw tables —
+    O(types² × 64) sketch rows with broadcast per-type sizes; only the
+    exact audit half reads the distinct user sets, and it aggregates
+    before joining (same discipline as kmv_user_overlap_by_type)."""
+    from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_setops
+
+    ev = load_events(spark, sf_dir)
+    bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    est = kmv_pairwise_setops(bk, "event_type", k=64)
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = au.alias("x"), au.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("key_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("key_b"), F.col("n").alias("nb"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        est.join(inter, ["key_a", "key_b"], "left")
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_union_sketch",
+            "n_both",
+            "union_est",
+            "inter_est",
+            "a_minus_b_est",
+            "b_minus_a_est",
+            (F.col("na") + F.col("nb") - ni).cast("bigint").alias("exact_union"),
+            (F.col("na") - ni).cast("bigint").alias("exact_a_minus_b"),
+        )
+    )
