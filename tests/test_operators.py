@@ -1525,7 +1525,19 @@ def test_video_meta_real_header_tiers(spark):
     tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 1)
                + b"\x00" * 60 + struct.pack(">II", 640 << 16, 360 << 16))
     mp4 = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + box(b"trak", tkhd))
+    # no stts anywhere -> the honest -1/-1.0 fallback
     assert parse(mp4) == ("mp4", 640, 360, -1, -1.0, 2.0)
+
+    # Known-value stts tier (VERDICT r15 #6): 90 frames at delta 3000
+    # + 10 at delta 6000, media timescale 90000 -> n_frames=100,
+    # fps = 100*90000/(90*3000+10*6000) = 27.273.
+    mdhd = box(b"mdhd", b"\x00\x00\x00\x00"
+               + struct.pack(">IIII", 0, 0, 90000, 330000))
+    stts = box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 2)
+               + struct.pack(">IIII", 90, 3000, 10, 6000))
+    trak = box(b"trak", tkhd + box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts))))
+    mp4_stts = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + trak)
+    assert parse(mp4_stts) == ("mp4", 640, 360, 100, 27.273, 2.0)
 
     with _pytest.raises(NotImplementedError):
         parse(b"\x1aE\xdf\xa3" + b"\x00" * 64)  # matroska/webm: honest gap
@@ -1534,15 +1546,27 @@ def test_video_meta_real_header_tiers(spark):
     # synthesizers' meta matches what the parser reads back.
     media = (synth_media(spark, n=24, seed=42)
              .unionByName(synth_avi_media(spark, n=4, seed=11, start_id=200))
-             .unionByName(synth_mp4_media(spark, n=4, seed=13, start_id=300)))
+             .unionByName(synth_mp4_media(spark, n=8, seed=13, start_id=300)))
+    truth = {r["media_id"]: r["meta"] for r in media.collect()}
     rows = {r["media_id"]: r for r in extract_video_meta(media).collect()}
     containers = {r["container"] for r in rows.values()}
     assert containers == {"fake", "avi", "mp4"}
+    saw_stts = saw_fallback = False
     for mid, r in rows.items():
         if r["container"] == "avi":
             assert r["n_frames"] > 0 and r["fps"] > 0 and r["duration_s"] > 0
         elif r["container"] == "mp4":
-            assert r["width"] > 0 and r["duration_s"] > 0 and r["n_frames"] == -1
+            assert r["width"] > 0 and r["duration_s"] > 0
+            # the fixture records ground truth: exact match, both tiers
+            expect = int(truth[mid]["n_frames"])
+            assert r["n_frames"] == expect, (mid, r["n_frames"], expect)
+            if expect > 0:
+                saw_stts = True
+                assert r["fps"] > 0
+            else:
+                saw_fallback = True
+                assert r["fps"] == -1.0
+    assert saw_stts and saw_fallback  # both MP4 tiers exercised
 
 
 def test_video_frame_sampling_real_avi_tier(spark):
