@@ -109,6 +109,96 @@ def reaggregate(rollup: DataFrame, hours_per_bucket: int) -> DataFrame:
     )
 
 
+def repeated_median_trend(hourly: DataFrame) -> DataFrame:
+    """Siegel's repeated-median robust trend over an (event_type, h,
+    sv) hourly frame — the ONE definition shared by the declared
+    ``events_trend_theil_sen_repeated_median`` query (which builds the
+    frame from raw events) and :func:`trend_repeated_median` (which
+    builds it from a maintained rollup store), so the view and the
+    batch query cannot drift (VERDICT r15 #7; the gapfill twins'
+    one-core rationale).
+
+    Per hourly point: the median of that point's slopes to every other
+    point of its type; the estimate is the median of those per-point
+    medians. Both median layers are the DISCRETE ceil(n/2) rank pick
+    (a value at a rank, never an interpolation), the outer one
+    tie-broken by the point's hour — bit-equal across engines over the
+    pre-rounded hourly sums. Shape at scale: the pair join is over the
+    HOURLY frame ((span hours)² pairs per type, a function of time,
+    not volume) and the largest rank partition is span-hours rows per
+    (type, point)."""
+    from pyspark.sql import Window
+
+    a, b = hourly.alias("a"), hourly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") != F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.h").alias("hi"),
+        (
+            (F.col("b.sv") - F.col("a.sv"))
+            / ((F.col("b.h") - F.col("a.h")) / F.lit(3600.0))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("event_type", "hi").orderBy("slope")
+    wpn = Window.partitionBy("event_type", "hi")
+    point_med = (
+        slopes.select(
+            "event_type",
+            "hi",
+            "slope",
+            F.row_number().over(wp).alias("rn"),
+            F.count(F.lit(1)).over(wpn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "hi", F.col("slope").alias("m"))
+    )
+    wm = Window.partitionBy("event_type").orderBy("m", "hi")
+    wmn = Window.partitionBy("event_type")
+    return (
+        point_med.select(
+            "event_type",
+            "m",
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wmn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.round("m", 6).alias("trend_per_hour"),
+            F.col("n").alias("n_points"),
+        )
+    )
+
+
+def trend_repeated_median(
+    rollup: DataFrame,
+    bucket_col: str = "bucket_hr",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Repeated-median trend VIEW over a rollup frame (batch
+    :func:`hourly_rollup` output or the maintained store's
+    ``current_rollup``) — the maintained twin of the declared
+    repeated-median query, read-side only: the hourly rollup already
+    IS the sufficient statistic, so no extra streaming state exists.
+
+    ``sum_cents / 100.0`` is bit-identical to the declared query's
+    ``round(sum(value), 2)`` for 2dp-grid metrics (both are the
+    nearest double to the same 2dp decimal — the gapfill_interp
+    cross-check precedent), and ``bucket_hr × 3600`` is the query's
+    epoch-second hour key, so the view reproduces the batch answer
+    exactly on grid-valued events (pinned by
+    test_trend_view_over_maintained_rollup_equals_batch)."""
+    hourly = rollup.select(
+        F.col(key_col).alias("event_type"),
+        (F.col(bucket_col) * 3600).cast("long").alias("h"),
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sv"),
+    )
+    return repeated_median_trend(hourly)
+
+
 def gapfill_locf(
     rollup: DataFrame,
     bucket_col: str = "bucket_hr",

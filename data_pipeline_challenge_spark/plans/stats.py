@@ -1055,56 +1055,20 @@ def events_trend_theil_sen_repeated_median(
     Determinism: slopes are the same bit-exact arithmetic as the plain
     form over the pre-rounded hourly sums; both median layers are the
     DISCRETE ceil(n/2) rank pick — the outer one tie-broken by the
-    point's hour so equal medians cannot reorder across engines."""
-    from pyspark.sql import Window
+    point's hour so equal medians cannot reorder across engines.
+
+    Since r16 the slope/median core is the shared
+    ``operators/rollup.repeated_median_trend`` — the maintained view
+    over the hourly rollup store (``trend_repeated_median``) computes
+    the identical estimator off maintained state (VERDICT r15 #7)."""
+    from ..operators.rollup import repeated_median_trend
 
     ev = load_events(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type",
         (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("h"),
     ).agg(F.round(F.sum("value"), 2).alias("sv"))
-    a, b = hourly.alias("a"), hourly.alias("b")
-    slopes = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.h") != F.col("b.h")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        F.col("a.h").alias("hi"),
-        (
-            (F.col("b.sv") - F.col("a.sv"))
-            / ((F.col("b.h") - F.col("a.h")) / F.lit(3600.0))
-        ).alias("slope"),
-    )
-    wp = Window.partitionBy("event_type", "hi").orderBy("slope")
-    wpn = Window.partitionBy("event_type", "hi")
-    point_med = (
-        slopes.select(
-            "event_type",
-            "hi",
-            "slope",
-            F.row_number().over(wp).alias("rn"),
-            F.count(F.lit(1)).over(wpn).alias("n"),
-        )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", "hi", F.col("slope").alias("m"))
-    )
-    wm = Window.partitionBy("event_type").orderBy("m", "hi")
-    wmn = Window.partitionBy("event_type")
-    return (
-        point_med.select(
-            "event_type",
-            "m",
-            F.row_number().over(wm).alias("rn"),
-            F.count(F.lit(1)).over(wmn).alias("n"),
-        )
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select(
-            "event_type",
-            F.round("m", 6).alias("trend_per_hour"),
-            F.col("n").alias("n_points"),
-        )
-    )
+    return repeated_median_trend(hourly)
 
 
 _KMV_HEX2INT = (

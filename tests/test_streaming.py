@@ -6228,6 +6228,118 @@ def test_gapfill_interp_over_maintained_rollup_equals_batch(spark, tmp_path):
     assert view == declared
 
 
+def test_trend_view_over_maintained_rollup_equals_batch(spark, tmp_path):
+    """VERDICT r15 #7: the repeated-median trend served OFF THE
+    MAINTAINED hourly rollup store (operators/rollup.
+    trend_repeated_median) must equal the same view over the one-shot
+    batch rollup — across a restart with new data and a crash-replayed
+    batch id — and must reproduce the DECLARED
+    events_trend_theil_sen_repeated_median query's output exactly on
+    grid-valued real events (sum_cents/100.0 == round(sum(value), 2)
+    for 2dp metrics — the gapfill_interp precedent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.rollup import (
+        hourly_rollup,
+        trend_repeated_median,
+    )
+    from data_pipeline_challenge_spark.streaming.rollup_stream import (
+        current_rollup,
+        start_rollup_stream,
+    )
+
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    H = 3_600_000_000  # one hour in micros
+
+    def land(name, rows):
+        ids, us, types, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+
+    # click: rising trend with one outlier hour (the robustness case);
+    # view: two points only; all values on the 2dp grid
+    land("f1.parquet", [(1, 0, "click", 1.25), (2, 1 * H, "click", 2.5),
+                        (3, 2 * H, "click", 99.75), (4, 0, "view", 3.0)])
+    land("f2.parquet", [(5, 3 * H, "click", 4.75), (6, 4 * H, "click", 6.0),
+                        (7, 5 * H, "view", 8.25)])
+
+    rdir = tmp_path / "trend_rollup"
+    ckpt = tmp_path / "trend_ck"
+
+    def run(ck=ckpt):
+        q = start_rollup_stream(spark, src, rdir, ck, max_files_per_trigger=1)
+        q.awaitTermination(240)
+
+    run()
+    from data_pipeline_challenge_spark.catalog import ntz_epoch_us
+
+    def batch_view():
+        all_ev = spark.read.parquet(str(src)).withColumn(
+            "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)
+        )
+        return sorted(
+            map(tuple, trend_repeated_median(hourly_rollup(all_ev)).collect())
+        )
+
+    maintained = sorted(
+        map(tuple, trend_repeated_median(current_rollup(spark, rdir)).collect())
+    )
+    assert maintained == batch_view()
+    by_type = {t[0]: t for t in maintained}
+    # the outlier hour cannot drag the click trend to the ~20/hr a mean
+    # fit would report; the repeated median stays near the clean slope
+    assert by_type["click"][2] == 5  # n_points
+    assert 0 < by_type["click"][1] < 5.0
+
+    # restart with a third file: maintained still equals full recompute
+    land("f3.parquet", [(8, 6 * H, "click", 7.25), (9, 7 * H, "view", 1.5)])
+    run()
+    assert sorted(
+        map(tuple, trend_repeated_median(current_rollup(spark, rdir)).collect())
+    ) == batch_view()
+
+    # crash-replay: a fresh checkpoint re-feeds everything as batch 0;
+    # the versioned sink skips it and the view is unchanged
+    run(ck=tmp_path / "trend_ck2")
+    assert sorted(
+        map(tuple, trend_repeated_median(current_rollup(spark, rdir)).collect())
+    ) == batch_view()
+
+    # declared-query parity on grid-valued real events
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    declared = sorted(
+        map(
+            tuple,
+            all_queries()["events_trend_theil_sen_repeated_median"]
+            .fn(spark, sf)
+            .collect(),
+        )
+    )
+    view = sorted(
+        map(
+            tuple,
+            trend_repeated_median(hourly_rollup(load_events(spark, sf))).collect(),
+        )
+    )
+    assert view == declared
+
+
 def test_hybrid_indexed_excludes_revoked_docs(spark, tmp_path):
     """A doc revoked from the maintained retrieval store must vanish
     from HYBRID results even when the persisted ANN index (which has no
