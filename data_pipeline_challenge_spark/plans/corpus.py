@@ -54,7 +54,13 @@ def dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent. The oracle reaches the same fixpoint via a
     recursive-CTE transitive closure — feasible at sf0.01, which is the
     point: the oracle checks semantics, the engine path is the one that
-    scales."""
+    scales.
+
+    Routing note (r16): under CONTINUOUS ingestion the cluster labels no
+    longer require this batch recompute — the pair graph folds into the
+    maintained component store (``streaming/components_stream.py``,
+    O(touched components) per micro-batch, stream==batch-pinned); this
+    query remains the offline/full-recluster form."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
     labels = connected_components(pairs, src="id1", dst="id2")

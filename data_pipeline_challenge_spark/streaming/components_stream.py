@@ -1,0 +1,420 @@
+"""Maintained connected components over an incrementally-arriving edge
+stream — the streaming twin of ``operators/graph.connected_components``
+and the cluster-label view the near-dup family lacked (VERDICT r15 #1):
+near-duplicate PAIRS fold incrementally (``near_dedup_stream``), but the
+canonical-doc-per-cluster view was a batch-only recompute over full
+history (``dup_cluster_components``). This store makes the cluster
+labels O(touched) per micro-batch.
+
+The whole design rests on one monotonicity: **component labels only ever
+decrease.** A component's id is the min vertex id it contains, and a
+merge relabels every absorbed vertex to the min over the merged set — so
+the CURRENT label of a vertex is simply ``min(component)`` over every
+label row ever written for it. Min is associative and order-free, which
+buys, with no further machinery:
+
+- an APPEND-ONLY store (no rewrites — a relabel is a new, smaller row);
+- read-side resolution = one ``groupBy(vertex).min`` (replay- and
+  ordering-proof);
+- fold-time consolidation = the same min (``consolidate_batch_store``'s
+  transform contract: the resolution is associative and the transform
+  IS the resolution).
+
+Two stores under ``out_dir`` (same data, two prune layouts — each probe
+the fold makes must be partition-pruned, and one layout cannot serve
+both access paths):
+
+- ``labels/`` — (vertex, component, v_prefix) partitioned by
+  ``v_prefix = pmod(xxhash64(vertex), n_prefix)``: the "what is this
+  vertex's component?" probe for batch endpoints;
+- ``members/`` — (component, vertex, c_prefix) partitioned by
+  ``c_prefix = pmod(xxhash64(component), n_prefix)``: the "who must be
+  relabeled when this component merges?" probe.
+
+Per-batch fold (cost O(batch + members of merged components), never
+O(history)):
+
+1. look up the batch endpoints' current labels (prefix-pruned +
+   broadcast-semi keyed read, the near-dedup gates' probe discipline);
+2. map each edge endpoint through its label (or itself when fresh) and
+   run the BATCH-SIZED quotient graph through the shared
+   ``connected_components`` — old component ids are min-vertex ids, so
+   the quotient min over (component ids ∪ fresh vertex ids) IS the
+   correct merged min-vertex label;
+3. fresh vertices get label rows; merged components (new label < old)
+   get every member relabeled via the members probe — "a bridging edge
+   merges two stored components by relabeling" — and both stores
+   receive the same rows in their own layout.
+
+Stale ``members`` rows (a component absorbed away) are never queried
+again: an absorbed id can never become a component id again (its min
+vertex now carries a strictly smaller label, and labels only decrease),
+and lookups only ever produce CURRENT ids. Consolidation drops them
+(a component is current iff its own id-vertex's min label is itself —
+derivable from the members frame alone).
+
+Exactly-once follows the near-dedup recipe: both stores key increments
+by micro-batch id (tmp + atomic rename, idempotent overwrite), labels
+is written before members, the replay guard skips only batches folded
+into BOTH, and every in-fold store read excludes the batch's own id so
+a crash-replay recomputes the identical fold (``ingest_batch !=
+batch_id``, the read-after-write rule).
+
+Worst-case note, stated honestly: a component relabels its members only
+when its label actually shrinks. An adversarial stream that repeatedly
+bridges an ever-smaller fresh id into one giant component relabels that
+component's members each time — inherent to min-vertex-id labels (any
+scheme with canonical min ids pays it); the common case (growth
+attaches LARGER fresh ids, merges are between small clusters) touches
+only the smaller side.
+
+Reference parity: none — north-star extension of the dedup family
+(the reference pipeline has no graph surface).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    ensure_store_params,
+    last_batch_id,
+    maybe_consolidate_in_stream,
+    prefix_bucket,
+    read_batch_store,
+)
+from ..operators.graph import connected_components
+
+_LABELS_SCHEMA = "vertex long, component long, v_prefix int, ingest_batch int"
+_MEMBERS_SCHEMA = "component long, vertex long, c_prefix int, ingest_batch int"
+
+
+def _resolve_labels(rows: DataFrame) -> DataFrame:
+    """The one resolution rule: current label = min over history
+    (labels only decrease). Shared by the report, the probe, and
+    consolidation."""
+    return rows.groupBy("vertex").agg(F.min("component").alias("component"))
+
+
+def _labels_consolidate(n_prefix: int):
+    def xf(df: DataFrame) -> DataFrame:
+        return _resolve_labels(df.select("vertex", "component")).withColumn(
+            "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
+        )
+
+    return xf
+
+
+def _members_consolidate(n_prefix: int):
+    """Keep only CURRENT components' membership rows: a component c is
+    current iff its own id-vertex's min label (over the members frame
+    itself — every label a vertex ever had appears as one of its
+    membership rows) is c. Absorbed components' rows are unreachable by
+    any future probe (ids never recur as components) — dropping them
+    resets row count, not just directory count."""
+
+    def xf(df: DataFrame) -> DataFrame:
+        m = df.select("component", "vertex").distinct()
+        cur = m.groupBy("vertex").agg(F.min("component").alias("cur"))
+        roots = cur.filter(F.col("cur") == F.col("vertex")).select(
+            F.col("vertex").alias("component")
+        )
+        return m.join(roots, "component", "left_semi").withColumn(
+            "c_prefix", prefix_bucket(F.col("component"), n_prefix)
+        )
+
+    return xf
+
+
+def _store_map(odir: Path) -> dict[Path, list[str] | None]:
+    return {odir / "labels": ["v_prefix"], odir / "members": ["c_prefix"]}
+
+
+def _transforms(odir: Path, n_prefix: int) -> dict:
+    return {
+        odir / "labels": _labels_consolidate(n_prefix),
+        odir / "members": _members_consolidate(n_prefix),
+    }
+
+
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    edges_df: DataFrame,
+    batch_id: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_prefix: int = 256,
+) -> None:
+    """Fold ONE micro-batch of edges into the maintained component
+    store. Idempotent via the min-across-both-stores replay guard."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    ensure_store_params(odir, {"n_prefix": int(n_prefix)})
+    labels_store = odir / "labels"
+    members_store = odir / "members"
+    if batch_id <= min(last_batch_id(labels_store), last_batch_id(members_store)):
+        return
+
+    e = (
+        edges_df.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .distinct()
+        .cache()
+    )
+    cached = [e]
+    try:
+        verts = (
+            e.select(F.col("s").alias("vertex"))
+            .union(e.select(F.col("d").alias("vertex")))
+            .distinct()
+            .cache()
+        )
+        cached.append(verts)
+
+        # 1. current labels of the batch's endpoints: prefix-pruned +
+        #    broadcast-semi keyed read, resolved by the min rule. The
+        #    batch's OWN increment is excluded so a crash-replay (labels
+        #    written, members not) recomputes the identical fold.
+        lookup = None
+        if labels_store.exists() and any(labels_store.glob("ingest_batch=*")):
+            touched_v = sorted(
+                r["p"]
+                for r in verts.select(
+                    prefix_bucket(F.col("vertex"), n_prefix).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+            if touched_v:
+                lookup = _resolve_labels(
+                    read_batch_store(spark, labels_store)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .filter(F.col("v_prefix").isin(touched_v))
+                    .join(F.broadcast(verts), "vertex", "left_semi")
+                ).cache()
+                cached.append(lookup)
+
+        # 2. quotient graph: endpoints mapped through their labels
+        #    (fresh vertices map to themselves), then the shared batch
+        #    components operator on the BATCH-SIZED result.
+        if lookup is not None:
+            ls = lookup.select(
+                F.col("vertex").alias("s"), F.col("component").alias("sc")
+            )
+            ld = lookup.select(
+                F.col("vertex").alias("d"), F.col("component").alias("dc")
+            )
+            mapped = (
+                e.join(F.broadcast(ls), "s", "left")
+                .join(F.broadcast(ld), "d", "left")
+                .select(
+                    F.coalesce("sc", F.col("s")).alias("src"),
+                    F.coalesce("dc", F.col("d")).alias("dst"),
+                )
+            )
+            old_comps = lookup.select("component").distinct()
+        else:
+            mapped = e.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+            old_comps = None
+        cc = connected_components(mapped).cache()
+        cached.append(cc)
+
+        # 3. final label per quotient node (old component ids + fresh
+        #    vertex ids): cc covers every non-self-loop endpoint; nodes
+        #    whose batch edges were all intra-component label themselves.
+        fresh = (
+            verts.join(F.broadcast(lookup.select("vertex")), "vertex", "left_anti")
+            if lookup is not None
+            else verts
+        )
+        base = fresh.select(F.col("vertex").alias("node"))
+        if old_comps is not None:
+            base = base.union(old_comps.select(F.col("component").alias("node")))
+        final = base.distinct().join(
+            F.broadcast(cc.withColumnRenamed("vertex", "node")), "node", "left"
+        ).select(
+            "node", F.coalesce("component", F.col("node")).alias("newc")
+        ).cache()
+        cached.append(final)
+
+        # fresh vertices: first label rows
+        new_rows = final.join(
+            F.broadcast(fresh.withColumnRenamed("vertex", "node")),
+            "node",
+            "left_semi",
+        ).select(F.col("node").alias("vertex"), F.col("newc").alias("component"))
+
+        # merged components (label shrank): relabel every member, via
+        # the members store's own pruned probe
+        if old_comps is not None:
+            merged = (
+                final.join(
+                    F.broadcast(old_comps.withColumnRenamed("component", "node")),
+                    "node",
+                    "left_semi",
+                )
+                .filter(F.col("newc") < F.col("node"))
+                .select(F.col("node").alias("component"), "newc")
+            )
+            # one collect: the merged components (bounded by what this
+            # batch touched) plus their store partitions, together
+            merged_rows = merged.select(
+                "component",
+                "newc",
+                prefix_bucket(F.col("component"), n_prefix).alias("p"),
+            ).collect()
+            if merged_rows:
+                touched_c = sorted({r["p"] for r in merged_rows})
+                remap = spark.createDataFrame(
+                    [(r["component"], r["newc"]) for r in merged_rows],
+                    "component long, newc long",
+                )
+                members = (
+                    read_batch_store(spark, members_store)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .filter(F.col("c_prefix").isin(touched_c))
+                    .join(F.broadcast(remap), "component")
+                    .select("vertex", F.col("newc").alias("component"))
+                    .distinct()
+                )
+                new_rows = new_rows.unionByName(members)
+
+        new_rows = new_rows.distinct().localCheckpoint(eager=True)
+        # labels BEFORE members (crash-replay argument in the module
+        # docstring); empty batches leave sentinels so the guard advances
+        append_batch_increment(
+            new_rows.withColumn(
+                "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
+            ),
+            labels_store,
+            batch_id,
+            partition_by="v_prefix",
+        )
+        append_batch_increment(
+            new_rows.select(
+                "component",
+                "vertex",
+                prefix_bucket(F.col("component"), n_prefix).alias("c_prefix"),
+            ),
+            members_store,
+            batch_id,
+            partition_by="c_prefix",
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
+def current_components(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """(vertex, component) over everything folded — identical to
+    ``connected_components`` on the concatenated edge history (the
+    Hypothesis property in test_streaming). None before the first
+    batch."""
+    store = Path(out_dir) / "labels"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return _resolve_labels(
+        read_batch_store(spark, store, schema=_LABELS_SCHEMA)
+    )
+
+
+def component_of(
+    spark: SparkSession, out_dir: str | Path, vertex_ids: list[int]
+) -> DataFrame:
+    """Keyed component lookup for a bounded id list — the serving-path
+    probe, prefix-pruned exactly like the fold's own lookup."""
+    odir = Path(out_dir)
+    import json
+
+    n_prefix = json.loads((odir / "_gate_params.json").read_text())["n_prefix"]
+    store = odir / "labels"
+    ids = spark.createDataFrame([(int(v),) for v in vertex_ids], "vertex long")
+    touched = sorted(
+        {
+            r["p"]
+            for r in ids.select(
+                prefix_bucket(F.col("vertex"), n_prefix).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    return _resolve_labels(
+        read_batch_store(spark, store, schema=_LABELS_SCHEMA)
+        .filter(F.col("v_prefix").isin(touched))
+        .join(F.broadcast(ids), "vertex", "left_semi")
+    )
+
+
+def compact_components_store(
+    spark: SparkSession, out_dir: str | Path
+) -> dict[str, int]:
+    """OFFLINE consolidation: labels collapse to one resolved row per
+    vertex; members drop absorbed components' rows. Run while the
+    stream is NOT running (in-stream consolidation is the
+    ``consolidate_every`` hook)."""
+    import json
+
+    odir = Path(out_dir)
+    n_prefix = json.loads((odir / "_gate_params.json").read_text())["n_prefix"]
+    out: dict[str, int] = {}
+    xf = _transforms(odir, n_prefix)
+    for store, part in _store_map(odir).items():
+        if store.exists():
+            out[store.name] = consolidate_batch_store(
+                spark, store, partition_by=part, transform=xf[store]
+            )
+    return out
+
+
+def start_components_stream(
+    spark: SparkSession,
+    edges_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    src: str = "src",
+    dst: str = "dst",
+    n_prefix: int = 256,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    consolidate_every: int | None = 64,
+) -> StreamingQuery:
+    """Stream edge parquet files into the maintained component store.
+    ``available_now=True`` drains what's landed and stops."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(edges_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark, odir, batch_df, batch_id, src=src, dst=dst, n_prefix=n_prefix
+        )
+        maybe_consolidate_in_stream(
+            spark,
+            _store_map(odir),
+            batch_id,
+            consolidate_every,
+            transforms=_transforms(odir, n_prefix),
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

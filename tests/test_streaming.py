@@ -6620,3 +6620,210 @@ def test_transition_stream_equals_batch_and_replay(spark, tmp_path):
         for r in transition_stream.transition_report(spark, out).collect()
     }
     assert again == got
+
+
+def test_components_stream_equals_batch_hypothesis(spark_prop, tmp_path):
+    """VERDICT r15 #1 (done-criterion 1): for RANDOM edge lists split
+    into RANDOM micro-batches — including empty batches, self-loops,
+    duplicate edges, and orderings where the bridging edge arrives
+    before/after its endpoints' components exist — the maintained
+    component store must equal batch ``connected_components`` over the
+    concatenated edges after every prefix of batches. The min-label
+    fold is associative, so arrival grouping must be invisible."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        current_components,
+        fold_batch,
+    )
+
+    spark = spark_prop
+    counter = {"n": 0}
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=edges_st, data=st.data())
+    def check(edges, data):
+        n_b = data.draw(st.integers(min_value=1, max_value=4), label="n_batches")
+        assign = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_b - 1),
+                min_size=len(edges),
+                max_size=len(edges),
+            ),
+            label="batch_of_edge",
+        )
+        counter["n"] += 1
+        out = tmp_path / f"hcomp{counter['n']}"
+        seen: list[tuple[int, int]] = []
+        for b in range(n_b):
+            part = [e for e, a in zip(edges, assign) if a == b]
+            seen += part
+            df = spark.createDataFrame(part, "src long, dst long") if part else (
+                spark.createDataFrame([], "src long, dst long")
+            )
+            fold_batch(spark, out, df, b, n_prefix=8)
+            cur = current_components(spark, out)
+            got = (
+                sorted(map(tuple, cur.collect())) if cur is not None else []
+            )
+            exp = sorted(
+                map(
+                    tuple,
+                    connected_components(
+                        spark.createDataFrame(
+                            seen or [], "src long, dst long"
+                        )
+                    ).collect(),
+                )
+            )
+            assert got == exp, (edges, assign, b)
+
+    check()
+
+
+def test_components_stream_restart_replay_and_compaction(spark, tmp_path):
+    """The real streaming path: files drained one per micro-batch with
+    IN-STREAM consolidation every 2 batches, a restart with new edges,
+    a fresh-checkpoint crash-replay (renumbered batches must be
+    no-ops), and offline compaction — the component view must equal
+    the batch recompute at every step, and the compacted stores must
+    collapse to exactly one row per vertex (labels) / one row per
+    CURRENT membership (members: absorbed components' rows dropped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        compact_components_store,
+        current_components,
+        start_components_stream,
+    )
+
+    src_dir = tmp_path / "edges"
+    src_dir.mkdir()
+
+    def land(name, pairs):
+        s, d = zip(*pairs)
+        pq.write_table(
+            pa.table(
+                {"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())}
+            ),
+            str(src_dir / name),
+        )
+
+    land("f1.parquet", [(4, 5), (10, 11)])
+    land("f2.parquet", [(11, 12), (20, 21)])
+    land("f3.parquet", [(5, 10)])  # bridges {4,5} and {10,11,12}
+
+    out = tmp_path / "comp_store"
+    ckpt = tmp_path / "comp_ck"
+
+    def run(ck=ckpt):
+        q = start_components_stream(
+            spark, src_dir, out, ck, "src long, dst long",
+            n_prefix=8, max_files_per_trigger=1, consolidate_every=2,
+        )
+        q.awaitTermination(240)
+
+    def batch_labels():
+        all_e = spark.read.schema("src long, dst long").parquet(str(src_dir))
+        return sorted(map(tuple, connected_components(all_e).collect()))
+
+    run()
+    view = lambda: sorted(  # noqa: E731
+        map(tuple, current_components(spark, out).collect())
+    )
+    assert view() == batch_labels()
+    assert dict(view())[12] == 4  # the bridge really merged the clusters
+
+    # restart with a fourth file that merges into the 20-21 pair
+    land("f4.parquet", [(21, 3)])
+    run()
+    assert view() == batch_labels()
+    assert dict(view())[21] == 3
+
+    # fresh-checkpoint crash-replay: everything re-feeds as batch 0+;
+    # the min-across-stores guard must skip every renumbered batch
+    run(ck=tmp_path / "comp_ck2")
+    assert view() == batch_labels()
+
+    # offline compaction: view unchanged, stores collapse to resolved
+    compact_components_store(spark, out)
+    assert view() == batch_labels()
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+
+    labels_rows = read_batch_store(spark, out / "labels").collect()
+    verts = {r["vertex"] for r in labels_rows}
+    assert len(labels_rows) == len(verts)  # one resolved row per vertex
+    members_rows = read_batch_store(spark, out / "members").collect()
+    cur = dict(view())
+    assert {(r["component"], r["vertex"]) for r in members_rows} == {
+        (c, v) for v, c in cur.items()
+    }  # absorbed components' member rows are gone
+
+
+def test_components_fold_cost_bounded_by_touched(spark, tmp_path):
+    """VERDICT r15 #1 (done-criterion 3): a batch's increments must
+    contain ONLY rows for components it touched — the 20-vertex
+    bystander component is never rewritten when an unrelated 3-vertex
+    component merges with a fresh vertex. This is the row-count pin on
+    the O(touched) contract (the alternative — recomputing labels over
+    history — would re-emit every vertex)."""
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        current_components,
+        fold_batch,
+    )
+
+    out = tmp_path / "cost_store"
+    big = [(100 + i, 101 + i) for i in range(19)]  # chain 100..119
+    fold_batch(
+        spark,
+        out,
+        spark.createDataFrame(big + [(1, 2), (2, 3)], "src long, dst long"),
+        0,
+        n_prefix=8,
+    )
+    # batch 1: fresh vertex 0 bridges into {1,2,3} -> relabel 3 members
+    fold_batch(
+        spark,
+        out,
+        spark.createDataFrame([(2, 0)], "src long, dst long"),
+        1,
+        n_prefix=8,
+    )
+    inc = spark.read.parquet(str(out / "labels" / "ingest_batch=1"))
+    rows = {(r["vertex"], r["component"]) for r in inc.collect()}
+    assert rows == {(0, 0), (1, 0), (2, 0), (3, 0)}  # touched comp only
+    cur = dict(
+        (r["vertex"], r["component"])
+        for r in current_components(spark, out).collect()
+    )
+    assert cur[119] == 100 and cur[3] == 0 and cur[1] == 0
+
+    # layout params are baked into the stored partitions: refuse a
+    # restart that disagrees
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="layout parameters"):
+        fold_batch(
+            spark,
+            out,
+            spark.createDataFrame([(7, 8)], "src long, dst long"),
+            2,
+            n_prefix=16,
+        )
