@@ -6827,3 +6827,199 @@ def test_components_fold_cost_bounded_by_touched(spark, tmp_path):
             2,
             n_prefix=16,
         )
+
+
+def test_sessions_stream_equals_python_fold_hypothesis(spark_prop, tmp_path):
+    """Maintained session windows (r16): sessionization is a MONOTONE
+    merge under inserts (gaps only shrink), so for RANDOM event sets
+    split into RANDOM micro-batches the drained store must equal an
+    independent pure-Python sessionizer over the union — arbitrary
+    arrival grouping, including a late batch that BRIDGES two
+    previously-separate sessions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_challenge_spark.streaming.sessions_stream import (
+        GAP_US,
+        fold_batch,
+        sessions_report,
+    )
+
+    spark = spark_prop
+    counter = {"n": 0}
+    # timestamps in a few-gap-widths range so merges and splits both occur
+    ev_st = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # user_id
+            st.integers(min_value=0, max_value=4 * GAP_US),   # t_us
+            st.integers(min_value=0, max_value=500),          # cents
+        ),
+        min_size=1,
+        max_size=16,
+    )
+
+    def python_sessions(events):
+        out = set()
+        by_user: dict[int, list[tuple[int, int]]] = {}
+        for u, t, c in events:
+            by_user.setdefault(u, []).append((t, c))
+        for u, rows in by_user.items():
+            rows.sort()
+            cur = [rows[0]]
+            for t, c in rows[1:]:
+                if t - cur[-1][0] >= GAP_US:
+                    out.add(_sess_row(u, cur))
+                    cur = []
+                cur.append((t, c))
+            out.add(_sess_row(u, cur))
+        return out
+
+    def _sess_row(u, rows):
+        ts = [t for t, _ in rows]
+        cents = sum(c for _, c in rows)
+        return (
+            u,
+            min(ts) // 1_000_000,
+            (max(ts) + GAP_US) // 1_000_000,
+            len(rows),
+            cents / 100.0,
+        )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(events=ev_st, data=st.data())
+    def check(events, data):
+        n_b = data.draw(st.integers(min_value=1, max_value=3), label="n_batches")
+        assign = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_b - 1),
+                min_size=len(events),
+                max_size=len(events),
+            ),
+            label="batch_of_event",
+        )
+        counter["n"] += 1
+        out = tmp_path / f"hsess{counter['n']}"
+        import datetime as _dt
+
+        for b in range(n_b):
+            part = [e for e, a in zip(events, assign) if a == b]
+            rows = [
+                (u, _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=t),
+                 c / 100.0)
+                for u, t, c in part
+            ]
+            df = spark.createDataFrame(
+                rows or [], "user_id long, ts timestamp_ntz, value double"
+            )
+            fold_batch(spark, out, df, b)
+        rep = sessions_report(spark, out)
+        got = set(map(tuple, rep.collect())) if rep is not None else set()
+        assert got == python_sessions(events), (events, assign)
+
+    check()
+
+
+def test_sessions_stream_restart_replay_compaction_and_declared_parity(
+    spark, tmp_path
+):
+    """The real streaming path for the session store: cross-batch
+    session stitching (a later file BRIDGES two earlier sessions),
+    restart with new data, fresh-checkpoint replay no-op, in-stream +
+    offline consolidation (store collapses to one row per resolved
+    session) — and the report must reproduce the DECLARED
+    (oracle-checked) events_session_windows query exactly on real
+    grid-valued events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.streaming.sessions_stream import (
+        compact_sessions_store,
+        fold_batch,
+        sessions_report,
+        start_sessions_stream,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    M = 60_000_000  # one minute in micros
+
+    def land(name, rows):
+        ids, us, users, vals = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(us, pa.timestamp("us")),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            str(src / name),
+        )
+
+    # user 1: events at 0min and 16min -> two sessions (gap >= 10min)...
+    land("f1.parquet", [(1, 0, 1, 1.25), (2, 16 * M, 1, 2.0),
+                        (3, 0, 2, 0.5)])
+    # ...until 8min arrives and BRIDGES them into one (8min gaps each side)
+    land("f2.parquet", [(4, 8 * M, 1, 4.25)])
+
+    out = tmp_path / "sess_store"
+    ckpt = tmp_path / "sess_ck"
+
+    def run(ck=ckpt):
+        q = start_sessions_stream(
+            spark, src, out, ck,
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string",
+            max_files_per_trigger=1, consolidate_every=2,
+        )
+        q.awaitTermination(240)
+
+    run()
+    view = lambda: sorted(  # noqa: E731
+        map(tuple, sessions_report(spark, out).collect())
+    )
+    got = view()
+    # user 1: ONE stitched session 0..16min (+10min gap), 3 events, 7.50
+    assert (1, 0, 16 * 60 + 600, 3, 7.5) in got
+    assert (2, 0, 600, 1, 0.5) in got
+    assert len(got) == 2
+
+    # restart with a third file extending user 2
+    land("f3.parquet", [(5, 5 * M, 2, 1.0)])
+    run()
+    assert (2, 0, 5 * 60 + 600, 2, 1.5) in view()
+
+    # fresh-checkpoint replay: renumbered batches are no-ops
+    before = view()
+    run(ck=tmp_path / "sess_ck2")
+    assert view() == before
+
+    # offline compaction: view unchanged, one row per resolved session
+    compact_sessions_store(spark, out)
+    assert view() == before
+    assert read_batch_store(spark, out / "sessions").count() == len(before)
+
+    # declared-query parity on real grid-valued events: fold the whole
+    # table as one batch, report == the session_window batch query
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    real_out = tmp_path / "sess_real"
+    fold_batch(spark, real_out, load_events(spark, sf), 0)
+    mine = sorted(map(tuple, sessions_report(spark, real_out).collect()))
+    declared = sorted(
+        map(
+            tuple,
+            all_queries()["events_session_windows"].fn(spark, sf).collect(),
+        )
+    )
+    assert mine == declared
