@@ -41,23 +41,43 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+# checkpoint dirs registered by _pin, per application id: Spark's
+# getCheckpointDir returns a scheme-qualified path with a random UUID
+# subdirectory appended, so comparing it to the caller's string is
+# always-unequal — the register-once guard must track what WE set
+# (code-review r16, verified live).
+_CKDIR_REGISTERED: dict[str, str] = {}
+
+
 def _pin(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataFrame:
     """Truncate lineage between iterations. ``checkpoint_dir=None`` →
     ``localCheckpoint`` (executor-local blocks: fine on local mode, but
     an executor loss on a real cluster cascades recomputation of the
-    whole iteration chain). With a directory, registers it as the
-    session's RELIABLE checkpoint location and uses
+    whole iteration chain). With a directory, registers it ONCE per
+    application as the session's RELIABLE checkpoint location and uses
     ``DataFrame.checkpoint`` — blocks land in fault-tolerant storage
     (HDFS/S3 on a cluster), so iteration state survives executor loss.
-    Results are bit-identical either way (checkpointing only changes
-    WHERE the materialized blocks live, never their content) — pinned
-    by test_graph_reliable_checkpoint_matches_local."""
+    Eager reliable pins persist first: ``checkpoint`` runs the plan for
+    its own write job, so an unpersisted frame would compute twice
+    (the RDD.checkpoint doc's own warning); the cache is dropped as
+    soon as the checkpoint is materialized. Results are bit-identical
+    either way (checkpointing only changes WHERE the materialized
+    blocks live, never their content) — pinned by
+    test_graph_reliable_checkpoint_matches_local."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != str(checkpoint_dir):
+    app = sc.applicationId
+    if _CKDIR_REGISTERED.get(app) != str(checkpoint_dir):
         sc.setCheckpointDir(str(checkpoint_dir))
-    return df.checkpoint(eager=eager)
+        _CKDIR_REGISTERED[app] = str(checkpoint_dir)
+    if not eager:
+        return df.checkpoint(eager=False)
+    df = df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()
 
 
 def connected_components(

@@ -814,44 +814,54 @@ def _make_video_meta_parser():
             yield fourcc, i + 8, i + size
             i += size
 
-    def _mp4_trak_samples(p: bytes, s: int, e: int):
-        """(media_timescale, n_frames, total_delta) from one trak's
-        mdia subtree, or (None, -1, 0) when it carries no stts —
-        stts entries are (sample_count, sample_delta) pairs, so the
-        frame count and the track's media-time length are two sums
-        over the same table."""
-        mts = None
-        n_frames, total_delta = -1, 0
+    def _mp4_trak(p: bytes, s: int, e: int):
+        """(w, h, handler, media_timescale, n_samples, total_delta) of
+        ONE trak box — stts entries are (sample_count, sample_delta)
+        pairs, so the sample count and the track's media-time length
+        are two sums over the same table. The mdhd bounds guard is
+        version-aware (a v1 box needs 24 payload bytes before its
+        timescale at offset 20; reading a short one would cross into
+        the sibling box — code-review r16)."""
+        w = h = None
+        handler = mts = None
+        n_samples, total_delta = -1, 0
         for cc, s2, e2 in _mp4_boxes(p, s, e):
-            if cc != b"mdia":
-                continue
-            for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
-                if cc3 == b"mdhd" and e3 - s3 >= 16:
-                    off = s3 + (20 if p[s3] == 1 else 12)
-                    mts = _struct.unpack_from(">I", p, off)[0]
-                elif cc3 == b"minf":
-                    for cc4, s4, e4 in _mp4_boxes(p, s3, e3):
-                        if cc4 != b"stbl":
-                            continue
-                        for cc5, s5, e5 in _mp4_boxes(p, s4, e4):
-                            if cc5 != b"stts" or e5 - s5 < 8:
+            if cc == b"tkhd" and e2 - s2 >= 8:
+                w = _struct.unpack_from(">I", p, e2 - 8)[0] >> 16
+                h = _struct.unpack_from(">I", p, e2 - 4)[0] >> 16
+            elif cc == b"mdia":
+                for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if cc3 == b"hdlr" and e3 - s3 >= 12:
+                        handler = p[s3 + 8 : s3 + 12]
+                    elif cc3 == b"mdhd" and e3 - s3 >= (
+                        24 if p[s3] == 1 else 16
+                    ):
+                        off = s3 + (20 if p[s3] == 1 else 12)
+                        mts = _struct.unpack_from(">I", p, off)[0]
+                    elif cc3 == b"minf":
+                        for cc4, s4, e4 in _mp4_boxes(p, s3, e3):
+                            if cc4 != b"stbl":
                                 continue
-                            n_entries = _struct.unpack_from(">I", p, s5 + 4)[0]
-                            if e5 - s5 < 8 + 8 * n_entries:
-                                continue  # truncated table: stay honest
-                            n_frames, total_delta = 0, 0
-                            for i in range(n_entries):
-                                cnt, delta = _struct.unpack_from(
-                                    ">II", p, s5 + 8 + 8 * i
-                                )
-                                n_frames += cnt
-                                total_delta += cnt * delta
-        return mts, n_frames, total_delta
+                            for cc5, s5, e5 in _mp4_boxes(p, s4, e4):
+                                if cc5 != b"stts" or e5 - s5 < 8:
+                                    continue
+                                n_entries = _struct.unpack_from(
+                                    ">I", p, s5 + 4
+                                )[0]
+                                if e5 - s5 < 8 + 8 * n_entries:
+                                    continue  # truncated: stay honest
+                                n_samples, total_delta = 0, 0
+                                for i in range(n_entries):
+                                    cnt, delta = _struct.unpack_from(
+                                        ">II", p, s5 + 8 + 8 * i
+                                    )
+                                    n_samples += cnt
+                                    total_delta += cnt * delta
+        return w, h, handler, mts, n_samples, total_delta
 
     def _mp4(p: bytes):
         timescale = duration = None
-        w = h = None
-        n_frames, fps = -1, -1.0
+        traks = []
         for cc, s, e in _mp4_boxes(p, 0, len(p)):
             if cc != b"moov":
                 continue
@@ -864,19 +874,32 @@ def _make_video_meta_parser():
                     else:
                         timescale = _struct.unpack_from(">I", p, s2 + 12)[0]
                         duration = _struct.unpack_from(">I", p, s2 + 16)[0]
-                elif cc2 == b"trak" and w is None:
-                    for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
-                        if cc3 == b"tkhd" and e3 - s3 >= 8:
-                            w = _struct.unpack_from(">I", p, e3 - 8)[0] >> 16
-                            h = _struct.unpack_from(">I", p, e3 - 4)[0] >> 16
-                    mts, nf, total_delta = _mp4_trak_samples(p, s2, e2)
-                    if nf > 0 and mts and total_delta > 0:
-                        n_frames = nf
-                        fps = round(nf * mts / total_delta, 3)
-        if w is None or timescale is None:
+                elif cc2 == b"trak":
+                    traks.append(_mp4_trak(p, s2, e2))
+        # The VIDEO trak is the one whose hdlr says 'vide' (every audio
+        # trak carries an stts too — taking the first trak's table
+        # would report the AAC sample count as a frame count,
+        # code-review r16); hdlr-less containers fall back to the first
+        # trak with nonzero tkhd dims (audio tkhd dims are zero).
+        vid = next(
+            (
+                t
+                for t in traks
+                if t[2] == b"vide" or (t[2] is None and t[0] and t[1])
+            ),
+            None,
+        )
+        dims = vid or next((t for t in traks if t[0] is not None), None)
+        if dims is None or timescale is None:
             raise ValueError("MP4 without tkhd/mvhd")
+        n_frames, fps = -1, -1.0
+        if vid is not None:
+            _w, _h, _hd, mts, nf, total_delta = vid
+            if nf > 0 and mts and total_delta > 0:
+                n_frames = nf
+                fps = round(nf * mts / total_delta, 3)
         dur = round(duration / timescale, 3) if timescale else -1.0
-        return "mp4", int(w), int(h), int(n_frames), fps, dur
+        return "mp4", int(dims[0]), int(dims[1]), int(n_frames), fps, dur
 
     def parse(payload: bytes):
         if payload[:4] == magic:

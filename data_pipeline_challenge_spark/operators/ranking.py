@@ -259,6 +259,22 @@ def with_grouped_rank_stats(
     engines whether or not the order keys are unique. Both extra window
     expressions ride the existing local window's partitioning: no
     additional shuffle versus :func:`with_grouped_row_number`."""
+    for c in order_by:
+        # the tie-count window PARTITIONS by the order expressions, and
+        # a sort-order column (.desc()/.asc()) is not a value
+        # expression — refuse loudly at the boundary instead of failing
+        # deep in analysis (code-review r16); callers wanting reversed
+        # rank stats pre-compute a sortable value column
+        if not isinstance(c, str) and str(c).rstrip("'>").endswith(
+            ("DESC NULLS LAST", "DESC NULLS FIRST",
+             "ASC NULLS LAST", "ASC NULLS FIRST")
+        ):
+            raise ValueError(
+                "with_grouped_rank_stats order_by entries must be value "
+                "expressions (column names or plain Columns), not "
+                ".desc()/.asc() sort orders — pre-compute a sortable "
+                "column (e.g. negate a numeric) for descending stats"
+            )
     ranked = _grouped_prefix(
         df.withColumn("__gr_one", F.lit(1).cast("long")),
         group_cols,

@@ -611,6 +611,12 @@ def test_grouped_prefix_driver_cell_guard(spark):
     # same data under the default cap works
     out = ranking.with_grouped_row_number(df.drop("one"), ["g"], ("i",))
     assert out.count() == 64
+    # sort-order columns are not value expressions: the tie-count
+    # window would fail deep in analysis — refused at the boundary
+    with pytest.raises(ValueError, match="value expressions"):
+        ranking.with_grouped_rank_stats(
+            df.drop("one"), ["g"], [F.col("i").desc()], "pr"
+        )
 
 
 def test_auto_zorder_nan_rows_do_not_poison_boundaries(spark):
@@ -1538,6 +1544,33 @@ def test_video_meta_real_header_tiers(spark):
     trak = box(b"trak", tkhd + box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts))))
     mp4_stts = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + trak)
     assert parse(mp4_stts) == ("mp4", 640, 360, 100, 27.273, 2.0)
+
+    # Audio-first MP4 (code-review r16): the audio trak carries an stts
+    # too — its AAC sample table must never become the frame count. The
+    # hdlr says who's who; dims and samples come from the 'vide' trak.
+    def full_trak(hdlr4, tk, mts, entries):
+        hd = box(b"hdlr", b"\x00" * 8 + hdlr4)
+        md = box(b"mdhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, mts, 0))
+        stts_p = b"\x00\x00\x00\x00" + struct.pack(">I", len(entries))
+        for cnt, d in entries:
+            stts_p += struct.pack(">II", cnt, d)
+        mdia = box(b"mdia", md + hd + box(b"minf", box(b"stbl", box(b"stts", stts_p))))
+        return box(b"trak", tk + mdia)
+
+    tk_audio = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">III", 0, 0, 2)
+                   + b"\x00" * 60 + struct.pack(">II", 0, 0))
+    audio = full_trak(b"soun", tk_audio, 44100, [(5000, 1024)])
+    video = full_trak(b"vide", tkhd, 90000, [(48, 3750)])
+    mp4_av = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + audio + video)
+    assert parse(mp4_av) == ("mp4", 640, 360, 48, 24.0, 2.0)
+    # audio-ONLY: no video trak anywhere -> honest -1, audio dims (0x0)
+    mp4_a = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", mvhd + audio)
+    assert parse(mp4_a) == ("mp4", 0, 0, -1, -1.0, 2.0)
+    # truncated v1 mdhd must not read past its box (bounds guard)
+    bad_mdhd = box(b"mdhd", b"\x01\x00\x00\x00" + b"\x00" * 12)
+    bad = box(b"ftyp", b"isom" + b"\x00" * 8) + box(
+        b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", bad_mdhd)))
+    assert parse(bad)[3] == -1  # falls back, no crash
 
     with _pytest.raises(NotImplementedError):
         parse(b"\x1aE\xdf\xa3" + b"\x00" * 64)  # matroska/webm: honest gap
