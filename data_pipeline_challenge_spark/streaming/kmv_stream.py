@@ -107,6 +107,34 @@ def kmv_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
     return kmv_estimate(bottom, k, group_cols=gcs or None)
 
 
+def kmv_setops_report(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """Pairwise union/intersection/difference cardinality estimates
+    between the maintained per-group sketches
+    (``operators/sketches.kmv_pairwise_setops`` over the collapsed
+    store) — the full KMV set-operation surface served off maintained
+    state, same arithmetic as the batch form (r16). Requires a store
+    grouped by exactly one column (the pairing key). None before the
+    first batch."""
+    from ..operators.sketches import kmv_pairwise_setops
+
+    odir = Path(out_dir)
+    store = odir / "hashes"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    params = _params(odir)
+    gcs = list(params.get("group_cols") or ())
+    if len(gcs) != 1:
+        raise ValueError(
+            "kmv_setops_report needs a single-group-column store (the "
+            f"pairing key); this store is grouped by {gcs!r}"
+        )
+    k = int(params["k"])
+    bottom = _bottom_k(read_batch_store(spark, store), k, gcs)
+    return kmv_pairwise_setops(bottom, gcs[0], k=k)
+
+
 def compact_kmv_store(spark: SparkSession, out_dir: str | Path) -> dict[str, int]:
     """OFFLINE consolidation: collapses the store to the resolved
     bottom-k per group (fold-time transform), so the compacted store

@@ -5907,6 +5907,27 @@ def test_kmv_stream_equals_batch_and_replay(spark, tmp_path):
     assert post <= 2 * k
     assert report() == got
 
+    # set operations served OFF the maintained store (r16): identical
+    # to the batch kmv_pairwise_setops over the concatenated input
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_pairwise_setops,
+    )
+
+    maintained_ops = sorted(
+        map(tuple, kmv_stream.kmv_setops_report(spark, out).collect())
+    )
+    batch_ops = sorted(
+        map(
+            tuple,
+            kmv_pairwise_setops(
+                kmv_bottom_hashes(batch, "item", k, group_cols=["src"]),
+                "src",
+                k=k,
+            ).collect(),
+        )
+    )
+    assert maintained_ops == batch_ops and len(maintained_ops) == 1
+
 
 def test_wm_store_collapses_to_one_row(spark, tmp_path):
     """The resequencer wm store's consolidation transform must collapse
