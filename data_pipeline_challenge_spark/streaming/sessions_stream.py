@@ -162,6 +162,33 @@ def sessions_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | Non
     )
 
 
+def active_sessions_per_hour_report(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """(hour_s, active_sessions) over everything folded — the
+    maintained serving path of the declared
+    ``events_active_sessions_per_hour`` interval-overlap report, which
+    is a pure function of the session SPANS the store already resolves:
+    each merged session explodes into the hours its own span covers
+    (bounded by session length, never the grid) and the count is one
+    map-side-combinable groupBy — identical integer second/hour
+    arithmetic to the batch query. None before the first batch."""
+    sessions = sessions_report(spark, out_dir)
+    if sessions is None:
+        return None
+    hours = sessions.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("session_start_s") / 3600).cast("long"),
+                F.floor(F.col("session_end_s") / 3600).cast("long"),
+            )
+        ).alias("hr")
+    )
+    return hours.groupBy((F.col("hr") * 3600).alias("hour_s")).agg(
+        F.count(F.lit(1)).alias("active_sessions")
+    )
+
+
 def compact_sessions_store(
     spark: SparkSession, out_dir: str | Path
 ) -> dict[str, int]:

@@ -7044,3 +7044,25 @@ def test_sessions_stream_restart_replay_compaction_and_declared_parity(
         )
     )
     assert mine == declared
+
+    # ...and the interval-overlap report composes off the same store:
+    # parity with the declared events_active_sessions_per_hour too
+    from data_pipeline_challenge_spark.streaming.sessions_stream import (
+        active_sessions_per_hour_report,
+    )
+
+    mine_hours = sorted(
+        map(
+            tuple,
+            active_sessions_per_hour_report(spark, real_out).collect(),
+        )
+    )
+    declared_hours = sorted(
+        map(
+            tuple,
+            all_queries()["events_active_sessions_per_hour"]
+            .fn(spark, sf)
+            .collect(),
+        )
+    )
+    assert mine_hours == declared_hours
