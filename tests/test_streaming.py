@@ -6849,6 +6849,21 @@ def test_components_fold_cost_bounded_by_touched(spark, tmp_path):
             n_prefix=16,
         )
 
+    # the serving probe (the fold's own lookup shape) must prune at
+    # PLANNING time: the touched v_prefix literals land in
+    # PartitionFilters, so history partitions outside them are never
+    # listed, let alone scanned
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        component_of,
+    )
+
+    probe = component_of(spark, out, [3, 119])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    seg = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "v_prefix" in seg and "IN" in seg.upper()
+
 
 def test_sessions_stream_equals_python_fold_hypothesis(spark_prop, tmp_path):
     """Maintained session windows (r16): sessionization is a MONOTONE
