@@ -68,6 +68,15 @@ scheme with canonical min ids pays it); the common case (growth
 attaches LARGER fresh ids, merges are between small clusters) touches
 only the smaller side.
 
+Scope, stated honestly: the fold handles edge INSERTIONS only — the
+near-dup use case's arrival mode. Edge DELETIONS can split components,
+which min-label monotonicity cannot undo incrementally (no purely
+local rule can: a split's correctness depends on whether any OTHER
+path still connects the halves); a corpus retraction that must split
+clusters is an offline recompute via the batch
+``connected_components`` into a fresh store, exactly like the LSH
+index's layout-change rebuild contract.
+
 Reference parity: none — north-star extension of the dedup family
 (the reference pipeline has no graph surface).
 """
