@@ -641,12 +641,15 @@ def events_active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFra
     event log.
 
     Shape at scale: sessions are the usual gaps-and-islands fold (one
-    user-keyed window pass + one aggregation); each session then
-    explodes only into the hours its OWN span covers (sequence() over
-    floor(start/3600)..floor(end/3600) — bounded by session length,
-    never by the grid), and the final count is one map-side-combinable
+    user-keyed window pass + one aggregation); the hour explode and
+    count are the shared ``operators/sessions.active_hours_from_spans``
+    core (also serving the maintained session store's view — one
+    definition, r16): each session explodes only into the hours its
+    OWN span covers, and the final count is one map-side-combinable
     groupBy. All-integer second/hour arithmetic, so both engines agree
     exactly."""
+    from ..operators.sessions import active_hours_from_spans
+
     ev = load_events(spark, sf_dir)
     sessions = ev.groupBy(
         "user_id", F.session_window("ts", "10 minutes").alias("w")
@@ -654,17 +657,7 @@ def events_active_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFra
         F.unix_timestamp(F.col("w.start")).alias("start_s"),
         F.unix_timestamp(F.col("w.end")).alias("end_s"),
     )
-    hours = sessions.select(
-        F.explode(
-            F.sequence(
-                F.floor(F.col("start_s") / 3600).cast("long"),
-                F.floor(F.col("end_s") / 3600).cast("long"),
-            )
-        ).alias("hr")
-    )
-    return hours.groupBy((F.col("hr") * 3600).alias("hour_s")).agg(
-        F.count(F.lit(1)).alias("active_sessions")
-    )
+    return active_hours_from_spans(sessions, "start_s", "end_s")
 
 
 @query(

@@ -46,6 +46,7 @@ from ..operators.sketches import (
     kmv_bottom_hashes,
     kmv_estimate,
     kmv_merge,
+    kmv_pairwise_setops,
 )
 
 _STORES: tuple[tuple[str, list | None], ...] = (("hashes", None),)
@@ -92,10 +93,13 @@ def fold_batch(
     )
 
 
-def kmv_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
-    """(group..., n_hashes, kth, est) over everything folded — identical
-    arithmetic to the batch estimator on the collapsed union. None
-    before the first batch."""
+def _collapsed(
+    spark: SparkSession, out_dir: str | Path
+) -> "tuple[DataFrame, list, int] | None":
+    """The reports' shared preamble: None before the first batch, else
+    (resolved bottom-k frame, group_cols, k) from the store and its
+    pinned params — the store-layout contract exists exactly once
+    (self-review r16)."""
     odir = Path(out_dir)
     store = odir / "hashes"
     if not store.exists() or not any(store.glob("ingest_batch=*")):
@@ -103,7 +107,17 @@ def kmv_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
     params = _params(odir)
     gcs = list(params.get("group_cols") or ())
     k = int(params["k"])
-    bottom = _bottom_k(read_batch_store(spark, store), k, gcs)
+    return _bottom_k(read_batch_store(spark, store), k, gcs), gcs, k
+
+
+def kmv_report(spark: SparkSession, out_dir: str | Path) -> DataFrame | None:
+    """(group..., n_hashes, kth, est) over everything folded — identical
+    arithmetic to the batch estimator on the collapsed union. None
+    before the first batch."""
+    got = _collapsed(spark, out_dir)
+    if got is None:
+        return None
+    bottom, gcs, k = got
     return kmv_estimate(bottom, k, group_cols=gcs or None)
 
 
@@ -117,21 +131,15 @@ def kmv_setops_report(
     state, same arithmetic as the batch form (r16). Requires a store
     grouped by exactly one column (the pairing key). None before the
     first batch."""
-    from ..operators.sketches import kmv_pairwise_setops
-
-    odir = Path(out_dir)
-    store = odir / "hashes"
-    if not store.exists() or not any(store.glob("ingest_batch=*")):
+    got = _collapsed(spark, out_dir)
+    if got is None:
         return None
-    params = _params(odir)
-    gcs = list(params.get("group_cols") or ())
+    bottom, gcs, k = got
     if len(gcs) != 1:
         raise ValueError(
             "kmv_setops_report needs a single-group-column store (the "
             f"pairing key); this store is grouped by {gcs!r}"
         )
-    k = int(params["k"])
-    bottom = _bottom_k(read_batch_store(spark, store), k, gcs)
     return kmv_pairwise_setops(bottom, gcs[0], k=k)
 
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
@@ -54,46 +54,11 @@ from ..batchstore import (
     maybe_consolidate_in_stream,
     read_batch_store,
 )
-
-GAP_US = 600_000_000  # 10 minutes, the declared query's threshold
-
-
-def _merge_intervals(rows: DataFrame) -> DataFrame:
-    """The ONE merge rule (fold, report, and consolidation all share
-    it): per user, order intervals by (first_us, last_us), start a new
-    island when first_us − running max(last_us) >= GAP_US, then fold
-    each island's counts/sums/bounds. Integer microseconds and cents
-    throughout — bit-stable under any batch split.
-
-    Shape at scale: the window runs over the INTERVAL rows (users ×
-    sessions), not events; the raw table was reduced by the per-batch
-    fold's one event-level pass."""
-    w = Window.partitionBy("user_id").orderBy("first_us", "last_us")
-    prev_max = F.max("last_us").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = rows.withColumn(
-        "__new",
-        F.when(
-            prev_max.isNull()
-            | (F.col("first_us") - prev_max >= F.lit(GAP_US)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    island = F.sum("__new").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        flagged.withColumn("__island", island)
-        .groupBy("user_id", "__island")
-        .agg(
-            F.min("first_us").alias("first_us"),
-            F.max("last_us").alias("last_us"),
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_cents").alias("sum_cents"),
-        )
-        .drop("__island")
-    )
+from ..operators.sessions import (
+    GAP_US,
+    active_hours_from_spans,
+    merge_session_intervals as _merge_intervals,
+)
 
 
 def _batch_intervals(batch_df: DataFrame) -> DataFrame:
@@ -176,16 +141,8 @@ def active_sessions_per_hour_report(
     sessions = sessions_report(spark, out_dir)
     if sessions is None:
         return None
-    hours = sessions.select(
-        F.explode(
-            F.sequence(
-                F.floor(F.col("session_start_s") / 3600).cast("long"),
-                F.floor(F.col("session_end_s") / 3600).cast("long"),
-            )
-        ).alias("hr")
-    )
-    return hours.groupBy((F.col("hr") * 3600).alias("hour_s")).agg(
-        F.count(F.lit(1)).alias("active_sessions")
+    return active_hours_from_spans(
+        sessions, "session_start_s", "session_end_s"
     )
 
 
