@@ -594,6 +594,34 @@ def test_grouped_rank_stats_tie_correct(spark):
     assert got == expected
 
 
+def test_ts_epoch_us_dtype_conditional_under_non_utc(spark):
+    """ADVICE r15: catalog.ts_epoch_us must route plain ``timestamp``
+    through unix_micros (the value IS an instant) and ``timestamp_ntz``
+    through field arithmetic (wall clock read as UTC) — under a
+    NON-UTC session, applying the ntz path to a plain timestamp (the
+    old paths/retention bug) would shift the epoch by the zone offset.
+    The suite's UTC session hides that divergence, so this test pins
+    it under a half-hour-offset zone explicitly."""
+    from data_pipeline_challenge_spark.catalog import ts_epoch_us
+
+    epoch = 1_717_243_200_000_000  # 2024-06-01T12:00:00Z in micros
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        plain = spark.sql(f"SELECT timestamp_micros({epoch}) AS ts")
+        assert plain.select(
+            ts_epoch_us(plain, "ts").alias("us")
+        ).first()["us"] == epoch
+        ntz = spark.sql(
+            "SELECT cast('2024-06-01 12:00:00' as timestamp_ntz) AS ts"
+        )
+        assert ntz.select(
+            ts_epoch_us(ntz, "ts").alias("us")
+        ).first()["us"] == epoch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_grouped_prefix_driver_cell_guard(spark):
     """ADVICE r15: the per-(partition, group) offset-cell collect must
     refuse a high-cardinality group key instead of silently pulling
