@@ -60,7 +60,11 @@ def _pin(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataF
     Eager reliable pins persist first: ``checkpoint`` runs the plan for
     its own write job, so an unpersisted frame would compute twice
     (the RDD.checkpoint doc's own warning); the cache is dropped as
-    soon as the checkpoint is materialized. Results are bit-identical
+    soon as the checkpoint is materialized. LAZY reliable pins
+    (pagerank's per-iteration ranks) accept the checkpoint write's
+    one-iteration recompute instead — persisting them would need a
+    caller-managed unpersist chain across iterations for a bounded,
+    opt-in resilience cost. Results are bit-identical
     either way (checkpointing only changes WHERE the materialized
     blocks live, never their content) — pinned by
     test_graph_reliable_checkpoint_matches_local."""
