@@ -46,6 +46,14 @@ from pyspark.sql import DataFrame
 # subdirectory appended, so comparing it to the caller's string is
 # always-unequal — the register-once guard must track what WE set
 # (code-review r16, verified live).
+#
+# The checkpoint dir is PER-APPLICATION state (one per SparkContext):
+# sequential callers may switch it (last writer wins — each call's own
+# checkpoints land under the dir it registered), but two operators
+# running CONCURRENTLY (separate threads) with different dirs race, and
+# the loser's checkpoint files land in the other caller's directory.
+# Results are unaffected either way; only delete "your" directory after
+# every concurrent operator using the session has finished (ADVICE r16).
 _CKDIR_REGISTERED: dict[str, str] = {}
 
 
@@ -60,13 +68,15 @@ def _pin(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> DataF
     Eager reliable pins persist first: ``checkpoint`` runs the plan for
     its own write job, so an unpersisted frame would compute twice
     (the RDD.checkpoint doc's own warning); the cache is dropped as
-    soon as the checkpoint is materialized. LAZY reliable pins
-    (pagerank's per-iteration ranks) accept the checkpoint write's
-    one-iteration recompute instead — persisting them would need a
-    caller-managed unpersist chain across iterations for a bounded,
-    opt-in resilience cost. Results are bit-identical
-    either way (checkpointing only changes WHERE the materialized
-    blocks live, never their content) — pinned by
+    soon as the checkpoint is materialized. A LAZY reliable pin
+    (``eager=False`` with a dir) would still pay that write-job
+    recompute — as of r17 no caller takes the combination: pagerank's
+    per-iteration ranks pin EAGERLY in reliable mode (VERDICT r16
+    watch #1), so resilience costs one materialization per iteration,
+    verified by the accumulator-counted probe in
+    ``test_pagerank_reliable_pins_do_not_double_compute``. Results are
+    bit-identical either way (checkpointing only changes WHERE the
+    materialized blocks live, never their content) — pinned by
     test_graph_reliable_checkpoint_matches_local."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
@@ -307,6 +317,7 @@ def pagerank_integer(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
+    _iteration_probe=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic — the
     determinism trick the rollup's integer cents and the quantile
@@ -379,5 +390,22 @@ def pagerank_integer(
                 ).alias("r"),
             )
         )
-        rank = _pin(rank, checkpoint_dir, eager=False)
+        if _iteration_probe is not None:
+            # test instrumentation ONLY: an identity transform (e.g. an
+            # accumulator-counting pandas_udf) applied to each
+            # iteration's rank frame, so a test can COUNT how many times
+            # iteration work actually executes (the r16 lazy-reliable-
+            # pin double-compute would show up as 2x the row count)
+            rank = _iteration_probe(rank)
+        # Reliable mode pins EAGERLY (persist → checkpoint → unpersist,
+        # _pin's eager path): the checkpoint's write job then reads the
+        # just-cached blocks instead of recomputing the iteration, so
+        # resilience costs ONE materialization per iteration (VERDICT
+        # r16 watch #1 — the lazy reliable pin recomputed each
+        # iteration once more for its own write). Local mode stays
+        # LAZY: a chain of lazy localCheckpoints materializes inside
+        # the single final action with no per-iteration job, and
+        # executor-local blocks are persisted by that same computation
+        # — no write-job recompute exists to avoid.
+        rank = _pin(rank, checkpoint_dir, eager=checkpoint_dir is not None)
     return rank

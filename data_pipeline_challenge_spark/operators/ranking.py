@@ -241,6 +241,23 @@ def _null_safe_offset_join(
     return joined.drop(*[f"__off_{c}" for c in (_PID, *group_cols)])
 
 
+def _is_sort_order(c: Column) -> bool:
+    """True when ``c`` is a ``.desc()``/``.asc()`` SORT-ORDER column
+    rather than a value expression. Primary check inspects the
+    underlying Catalyst expression class (stable API surface, works
+    whatever the repr prints); the repr-suffix match is only the
+    fallback for runtimes that don't expose the JVM column (e.g. Spark
+    Connect), where the repr is the only signal available (ADVICE r16:
+    the repr format alone is not a stable contract)."""
+    try:
+        return c._jc.expr().getClass().getSimpleName() == "SortOrder"
+    except Exception:  # Connect / repr-only fallback
+        return str(c).rstrip("'>").endswith(
+            ("DESC NULLS LAST", "DESC NULLS FIRST",
+             "ASC NULLS LAST", "ASC NULLS FIRST")
+        )
+
+
 def with_grouped_rank_stats(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -265,10 +282,7 @@ def with_grouped_rank_stats(
         # expression — refuse loudly at the boundary instead of failing
         # deep in analysis (code-review r16); callers wanting reversed
         # rank stats pre-compute a sortable value column
-        if not isinstance(c, str) and str(c).rstrip("'>").endswith(
-            ("DESC NULLS LAST", "DESC NULLS FIRST",
-             "ASC NULLS LAST", "ASC NULLS FIRST")
-        ):
+        if not isinstance(c, str) and _is_sort_order(c):
             raise ValueError(
                 "with_grouped_rank_stats order_by entries must be value "
                 "expressions (column names or plain Columns), not "

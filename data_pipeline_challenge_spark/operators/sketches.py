@@ -432,8 +432,11 @@ def kmv_pairwise_setops(
       :func:`kmv_estimate`'s rule applied to bottom_k(A ∪ B), valid
       because union-then-rekeep IS the KMV merge law (fewer than k
       merged hashes means the union was seen whole: exact count);
-    - |A∩B| = jaccard_est × |A∪B| (the fraction of merged-sketch
-      hashes present in both, scaled);
+    - |A∩B| = (the UNROUNDED both-fraction of the merged sketch,
+      n_both / n_union_sketch) × union_est — note this is NOT
+      :func:`kmv_pairwise_jaccard`'s ``jaccard_est`` column, which
+      rounds the fraction to 6dp before publishing: the two surfaces
+      can disagree in the 7th decimal (ADVICE r16);
     - |A−B| = max(|A∪B| − |B|, 0) and symmetrically |B−A| — inclusion-
       exclusion against each group's OWN sketch estimate, clamped at 0
       (independent estimates can cross for near-identical sets).

@@ -91,7 +91,15 @@ def fold_batch(
 ) -> None:
     """Fold ONE micro-batch of events (event_id, ts, user_id, value)
     into the session-interval store. Idempotent via the store's
-    last-id guard."""
+    last-id guard.
+
+    Grid assumption (ADVICE r16, the rollup-store convention): values
+    are quantized to CENTS per event at fold time
+    (``floor(v*100+0.5)``) so cross-batch sums stay associative, while
+    the declared batch query rounds the double sum once at the end —
+    the two agree exactly for inputs on the 2dp grid (all repo
+    testdata; the convention every maintained money-sum store shares)
+    and can diverge for off-grid doubles."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     store = odir / "sessions"
