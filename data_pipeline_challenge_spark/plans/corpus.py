@@ -56,11 +56,17 @@ def dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: the oracle checks semantics, the engine path is the one that
     scales.
 
-    Routing note (r16): under CONTINUOUS ingestion the cluster labels no
-    longer require this batch recompute — the pair graph folds into the
-    maintained component store (``streaming/components_stream.py``,
-    O(touched components) per micro-batch, stream==batch-pinned); this
-    query remains the offline/full-recluster form."""
+    Routing note (r17): under CONTINUOUS ingestion the cluster labels no
+    longer require this batch recompute — the near-dup gate now CHAINS
+    its verified pairs into the maintained component store inside each
+    micro-batch (``start_near_dedup_stream(...,
+    components_out_dir=...)``, streaming/near_dedup_stream.py →
+    streaming/components_stream.py, O(touched components) per batch,
+    stream==batch-pinned end to end), so ``current_components`` over the
+    live pipeline IS the dup-cluster view with zero user plumbing. This
+    query remains the offline/full-recluster form — which RETRACTIONS
+    still require (``rebuild_components_store``): deletions can split
+    clusters, which no incremental min-label fold can undo."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs_blocked(emb, threshold=0.35)
     labels = connected_components(pairs, src="id1", dst="id2")

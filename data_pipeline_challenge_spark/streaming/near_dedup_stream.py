@@ -18,7 +18,24 @@ Stores under ``out_dir``:
   candidate fetch is a partition-pruned keyed read;
 - ``band_index/`` — one (band, bh, doc) row per kept doc per LSH band,
   partitioned by ``bh_prefix = pmod(xxhash64(band, bh), n_prefix)`` —
-  the against-history candidate probe.
+  the against-history candidate probe;
+- ``pairs/`` (r17) — every VERIFIED near-dup pair the batch produced
+  (intra-batch and against-history), with its exact jaccard: the
+  gate's evidence trail, and the edge feed for the composed maintained
+  dup-cluster view (below).
+
+Composition (VERDICT r16 #1): pass ``components_out_dir`` and each
+micro-batch CHAINS the verified pairs into
+``components_stream.fold_batch`` — the corpus pipeline's chained-fold
+discipline, one ``foreachBatch``, per-store idempotence — so
+``components_stream.current_components`` over that store IS the
+maintained duplicate-cluster view of the live dedup pipeline, with
+zero user plumbing: labels equal batch ``connected_components`` over
+the gate's full verified-pair history (pinned, incl. restart and
+fresh-checkpoint replay). Requires integer-castable doc ids (the
+component store's vertex domain). The chain runs even for batches with
+no verified pairs (the component store's replay guard and sequential-
+numbering check both need every batch id accounted for).
 
 Per-batch cost is O(batch + collision candidates), never O(corpus):
 
@@ -39,14 +56,21 @@ Per-batch cost is O(batch + collision candidates), never O(corpus):
   slice, and runs the shared candidate-restricted exact-Jaccard join
   (``verify_candidate_pairs``).
 
-Exactly-once follows ``dedup_stream``'s recipe: both stores key
+Exactly-once follows ``dedup_stream``'s recipe: the stores key
 increment dirs by micro-batch id (tmp + atomic rename, idempotent
-overwrite), ``docs`` is written before ``band_index``, and the replay
-guard skips only batches folded into BOTH stores — a crash between the
-writes replays against an index without the batch, recomputing the
-identical kept set (all winner rules are deterministic). Offline
-consolidation (``compact_near_dedup_store``) reuses the batchstore
-marker protocol.
+overwrite), the write order is ``docs`` → ``pairs`` → ``band_index``,
+and the replay guard skips only batches folded into both docs AND
+band_index — a crash anywhere earlier replays against an index without
+the batch, recomputing the identical kept set and the identical pairs
+(all winner rules are deterministic, and every in-fold probe reads a
+band index that cannot yet contain the batch). ``pairs`` sits BEFORE
+``band_index`` deliberately: once the batch's bands are in the index,
+a recomputation would collide the batch against itself and derive
+different pairs — so pairs must be final by then. A crash after all
+three writes but before the chained components fold is covered by the
+component store's own replay guard (the chain re-reads the committed
+pairs increment). Offline consolidation (``compact_near_dedup_store``)
+reuses the batchstore marker protocol.
 
 Short documents (fewer than ``n`` tokens) have no shingles, hence no
 signature or bands: they are always kept and never candidates — the
@@ -145,6 +169,9 @@ def compact_near_dedup_store(
 _STORES: tuple[tuple[str, list[str] | None], ...] = (
     ("docs", ["doc_prefix"]),
     ("band_index", ["bh_prefix"]),
+    # Verified near-dup pairs per batch (append-only evidence trail and
+    # the composed component view's edge feed).
+    ("pairs", None),
     # Retroactive eval-generation revocations (written only while the
     # stream is stopped; read as an anti-join by current_kept_docs).
     ("revoked", None),
@@ -168,6 +195,8 @@ def fold_batch(
     min_jaccard: float = 0.8,
     n_prefix: int = 256,
     bucket_cap: int = 64,
+    components_out_dir: str | Path | None = None,
+    components_n_prefix: int = 256,
 ) -> DataFrame | None:
     """Fold ONE micro-batch through against-history near-dedup — the
     per-batch core, exposed so ``corpus_pipeline_stream`` can chain the
@@ -175,7 +204,15 @@ def fold_batch(
     rows read back from the just-written increment dir (the downstream
     stage's input), or None when everything was a duplicate. Idempotent:
     an already-folded batch returns its stored increment without
-    re-folding."""
+    re-folding.
+
+    ``components_out_dir`` (VERDICT r16 #1) chains this batch's verified
+    near-dup pairs into the maintained component store
+    (``components_stream.fold_batch``, same batch id) so cluster labels
+    stay current with zero user plumbing; requires integer-castable doc
+    ids. The chain reads the COMMITTED pairs increment (never the
+    in-flight plan), so a replay after any crash point feeds the
+    component fold the identical edges."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     # The shingle width, signature shape, and prefix modulus are baked
@@ -195,12 +232,42 @@ def fold_batch(
     )
     docs_store = odir / "docs"
     band_store = odir / "band_index"
+    pairs_store = odir / "pairs"
 
     def _stored() -> DataFrame | None:
         inc = docs_store / f"ingest_batch={batch_id}"
         return spark.read.parquet(str(inc)) if inc.exists() else None
 
+    def _chain_components() -> None:
+        # Chained fold (corpus_pipeline_stream discipline): feed the
+        # COMMITTED pairs increment into the maintained component store
+        # under the same batch id. Reading the store (not the in-flight
+        # plan) makes the chain replay-exact at every crash point, and
+        # running it even for pair-less batches keeps the component
+        # store's id sequence gap-free (its numbering guard and replay
+        # guard both account every batch).
+        if components_out_dir is None:
+            return
+        from .components_stream import fold_batch as _components_fold
+
+        inc = pairs_store / f"ingest_batch={batch_id}"
+        edges = (
+            spark.read.parquet(str(inc)).select("doc1", "doc2")
+            if inc.exists()
+            else spark.createDataFrame([], "doc1 long, doc2 long")
+        )
+        _components_fold(
+            spark,
+            components_out_dir,
+            edges,
+            batch_id,
+            src="doc1",
+            dst="doc2",
+            n_prefix=components_n_prefix,
+        )
+
     if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
+        _chain_components()
         return _stored()
     # Full rows ride through to the docs store (the kept corpus must not
     # lose metadata columns); the signature tables work on the (id, text)
@@ -230,7 +297,8 @@ def fold_batch(
         intra = verify_candidate_pairs(
             intra_cand, sh_new, per_new, sh_new, per_new,
             num_hashes=num_hashes, min_jaccard=min_jaccard,
-        )
+        ).cache()  # reused: intra components AND the pairs evidence trail
+        cached.append(intra)
         comp = connected_components(
             intra.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
         )
@@ -249,6 +317,7 @@ def fold_batch(
         cached.append(kept_banded)
 
         # (b) against-history probe, only if an index exists.
+        cross_verified = None
         if band_store.exists() and any(band_store.glob("ingest_batch=*")):
             touched = sorted(
                 r["p"]
@@ -310,14 +379,14 @@ def fold_batch(
                     n=n, num_hashes=num_hashes, bands=bands,
                 )
                 cached.append(per_old)
-                matched = (
-                    verify_candidate_pairs(
-                        cross_cand, sh_old, per_old, sh_new, per_new,
-                        num_hashes=num_hashes, min_jaccard=min_jaccard,
-                    )
-                    .select(F.col("doc2").alias("doc"))
-                    .distinct()
-                )
+                cross_verified = verify_candidate_pairs(
+                    cross_cand, sh_old, per_old, sh_new, per_new,
+                    num_hashes=num_hashes, min_jaccard=min_jaccard,
+                ).cache()  # reused: drop set AND the pairs evidence trail
+                cached.append(cross_verified)
+                matched = cross_verified.select(
+                    F.col("doc2").alias("doc")
+                ).distinct()
                 kept = kept.join(
                     F.broadcast(matched),
                     kept[id_col] == matched["doc"],
@@ -365,14 +434,21 @@ def fold_batch(
                 )
         kept = kept.cache()
         cached.append(kept)
-        # Materialize BOTH outputs BEFORE any store write: the banded
-        # rows' lineage reads docs_store (the old-docs fetch), and an
-        # uncheckpointed plan would re-execute that read during the band
-        # append — AFTER the docs append just added this batch's own
-        # increment to the very store it scans (read-after-write), on
-        # top of paying the whole probe twice. localCheckpoint cuts the
-        # lineage and pins the pre-write view.
+        # Materialize the non-docs outputs BEFORE any store write: the
+        # banded rows' and the verified pairs' lineage reads docs_store
+        # (the old-docs fetch), and an uncheckpointed plan would
+        # re-execute that read during its own append — AFTER the docs
+        # append just added this batch's own increment to the very store
+        # it scans (read-after-write), on top of paying the whole probe
+        # twice. localCheckpoint cuts the lineage and pins the pre-write
+        # view.
         kept_banded = kept_banded.localCheckpoint(eager=True)
+        pairs_df = intra.select("doc1", "doc2", "jaccard")
+        if cross_verified is not None:
+            pairs_df = pairs_df.unionByName(
+                cross_verified.select("doc1", "doc2", "jaccard")
+            )
+        pairs_df = pairs_df.localCheckpoint(eager=True)
         # docs BEFORE band_index (crash-replay argument above). BOTH
         # stores are recorded every batch — an empty side (all-duplicate
         # batch; kept-but-bandless batch of sub-shingle-width docs)
@@ -383,6 +459,12 @@ def fold_batch(
         admitted = append_batch_increment(
             kept, docs_store, batch_id, partition_by="doc_prefix"
         )
+        # pairs AFTER docs, BEFORE band_index (module docstring): a
+        # replay from any earlier crash recomputes identical pairs only
+        # while the band index cannot yet contain the batch. Skip when a
+        # crashed replay already wrote them (the pairs are final).
+        if batch_id > last_batch_id(pairs_store):
+            append_batch_increment(pairs_df, pairs_store, batch_id)
         append_batch_increment(
             kept_banded.select(
                 "band",
@@ -396,6 +478,7 @@ def fold_batch(
             batch_id,
             partition_by="bh_prefix",
         )
+        _chain_components()
         if not admitted:
             return None
     finally:
@@ -421,11 +504,16 @@ def start_near_dedup_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     consolidate_every: int | None = 64,
+    components_out_dir: str | Path | None = None,
+    components_n_prefix: int = 256,
 ) -> StreamingQuery:
     """Stream corpus parquet files through against-history near-dedup.
     ``available_now=True`` drains what's landed and stops.
     ``consolidate_every=N`` folds the stores' batch dirs in-stream every
-    N batches (no stop-the-stream window); ``None`` = offline-only."""
+    N batches (no stop-the-stream window); ``None`` = offline-only.
+    ``components_out_dir`` additionally maintains the duplicate-cluster
+    component store off this stream's verified pairs (module docstring;
+    consolidated on the same cadence)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -439,11 +527,24 @@ def start_near_dedup_stream(
             spark, odir, batch_df, batch_id,
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
-            bucket_cap=bucket_cap,
+            bucket_cap=bucket_cap, components_out_dir=components_out_dir,
+            components_n_prefix=components_n_prefix,
         )
         maybe_consolidate_in_stream(
             spark, _store_map(odir), batch_id, consolidate_every
         )
+        if components_out_dir is not None:
+            from .components_stream import _store_map as _comp_stores
+            from .components_stream import _transforms as _comp_transforms
+
+            cdir = Path(components_out_dir)
+            maybe_consolidate_in_stream(
+                spark,
+                _comp_stores(cdir),
+                batch_id,
+                consolidate_every,
+                transforms=_comp_transforms(cdir, components_n_prefix),
+            )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -1822,6 +1822,102 @@ def test_near_dedup_stream_first_arrival_survivors(spark, tmp_path):
     assert kept == [4, 30, 50, 60]
 
 
+def test_near_dedup_composed_components_view(spark, tmp_path):
+    """VERDICT r16 #1 (done criterion): with ``components_out_dir`` set,
+    the near-dup gate chains its verified pairs into the maintained
+    component store inside the same micro-batch — so
+    ``current_components`` over the live dedup pipeline must equal batch
+    ``connected_components`` over the gate's FULL verified-pair history
+    (the ``pairs`` store), across a restart that MERGES existing
+    clusters and a fresh-checkpoint renumbered replay (no-op), with
+    zero user plumbing between the two stores."""
+    import shutil as _sh
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        current_components,
+        read_relabel_audit,
+    )
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        current_kept_docs,
+        start_near_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "corpus_in"
+    corpus_dir.mkdir()
+    out_dir = tmp_path / "near"
+    comp_dir = tmp_path / "clusters"
+    ckpt = tmp_path / "ckpt_near"
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+
+    def run(ck=ckpt):
+        q = start_near_dedup_stream(
+            spark, corpus_dir, out_dir, ck, SCHEMA,
+            "doc_id", "text", min_jaccard=0.5, n_prefix=8,
+            max_files_per_trigger=1,
+            components_out_dir=comp_dir, components_n_prefix=8,
+        )
+        q.awaitTermination(240)
+
+    def got():
+        cur = current_components(spark, comp_dir)
+        return sorted(map(tuple, cur.collect())) if cur is not None else []
+
+    def expected():
+        hist = read_batch_store(spark, out_dir / "pairs").select(
+            "doc1", "doc2"
+        )
+        return sorted(
+            map(
+                tuple,
+                connected_components(hist, src="doc1", dst="doc2").collect(),
+            )
+        )
+
+    # batch 0: intra-batch pair (4,9) + a singleton; batch 1: a
+    # cross-batch near-dup of kept doc 4
+    land("a.parquet", [(9, base + " today"), (4, base), (30,
+         "spark catalyst rewrites declarative plans into whole stage "
+         "codegen pipelines that stream columnar batches through the jvm")])
+    land("b.parquet", [(12, base + " again tomorrow")])
+    run()
+    labels = got()
+    assert labels == expected()
+    d = dict(labels)
+    assert d[9] == 4 and d[12] == 4  # one dup cluster, canonical min id
+    assert 30 not in d  # singletons never enter the pair graph
+    assert sorted(
+        r["doc_id"] for r in current_kept_docs(spark, out_dir).collect()
+    ) == [4, 30]
+
+    # restart: a SMALLER id near-dups the kept doc — the chained fold
+    # must merge the stored cluster (relabel to the new min) and record
+    # the relabel pressure
+    land("c.parquet", [(2, base + " always")])
+    run()
+    labels = got()
+    assert labels == expected()
+    d = dict(labels)
+    assert d[4] == 2 and d[9] == 2 and d[12] == 2
+    audit = read_relabel_audit(comp_dir)
+    assert audit and audit[-1]["members_relabeled"] == 3
+
+    # fresh-checkpoint renumbered replay: every batch is a guard-skip in
+    # BOTH stores — labels and history unchanged
+    _sh.rmtree(ckpt)
+    run(ck=tmp_path / "ckpt_near2")
+    assert got() == labels and got() == expected()
+
+
 def test_near_dedup_stream_probe_shape_and_consolidation(spark, tmp_path):
     """Cost-shape pins: the band-index probe is partition-pruned (the
     bucket-prefix isin lands in PartitionFilters) and never shuffles the
@@ -6863,6 +6959,131 @@ def test_components_fold_cost_bounded_by_touched(spark, tmp_path):
     )
     seg = plan.split("PartitionFilters: ")[1].split("\n")[0]
     assert "v_prefix" in seg and "IN" in seg.upper()
+
+
+def test_components_relabel_audit_observes_adversarial_schedule(spark, tmp_path):
+    """VERDICT r16 #2: the min-label scheme's documented worst case —
+    an ever-smaller bridging id repeatedly merging into one growing
+    component — must be OBSERVABLE: merging batches record exactly one
+    (merged_components, members_relabeled) audit row, non-merging
+    batches record nothing, and the adversarial schedule produces a
+    monotonically growing relabel series."""
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        fold_batch,
+        read_relabel_audit,
+    )
+
+    out = tmp_path / "audit_store"
+
+    def fold(pairs, b):
+        fold_batch(
+            spark,
+            out,
+            spark.createDataFrame(pairs, "src long, dst long"),
+            b,
+            n_prefix=8,
+        )
+
+    fold([(100, 101), (101, 102)], 0)  # fresh chain: no stored merge
+    assert read_relabel_audit(out) == []
+    fold([(200, 201)], 1)  # disjoint fresh pair: still no merge
+    assert read_relabel_audit(out) == []
+    # adversarial schedule: each batch bridges a SMALLER fresh id into
+    # the same component, forcing a full-member relabel every time
+    fold([(50, 100)], 2)
+    fold([(40, 101)], 3)
+    fold([(30, 102)], 4)
+    audit = read_relabel_audit(out)
+    assert [a["batch_id"] for a in audit] == [2, 3, 4]
+    assert all(a["merged_components"] == 1 for a in audit)
+    relabeled = [a["members_relabeled"] for a in audit]
+    assert relabeled == [3, 4, 5], relabeled  # strictly growing cost
+    # replay of a merging batch is a guard-skip: no duplicate audit rows
+    fold([(30, 102)], 4)
+    assert len(read_relabel_audit(out)) == 3
+
+
+def test_components_rebuild_for_retractions(spark, tmp_path):
+    """VERDICT r16 #3: retracting an edge can SPLIT a component — an
+    offline concern by the store's honest scope. rebuild_components_store
+    must recompute labels over the RETAINED edge set into a fresh store
+    (atomic swap), after which (a) the view equals batch
+    connected_components over the retained edges, (b) the serving probe
+    still prunes, (c) a FRESH checkpoint folds forward from batch 0, and
+    (d) a STALE pre-rebuild checkpoint's numbering is refused loudly."""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        component_of,
+        current_components,
+        fold_batch,
+        rebuild_components_store,
+    )
+
+    out = tmp_path / "rb_store"
+
+    def fold(pairs, b, n_prefix=8):
+        fold_batch(
+            spark,
+            out,
+            spark.createDataFrame(pairs, "src long, dst long"),
+            b,
+            n_prefix=n_prefix,
+        )
+
+    fold([(1, 2), (2, 3), (10, 11)], 0)
+    fold([(3, 10)], 1)  # bridge: everything is one component
+    view = lambda: dict(  # noqa: E731
+        (r["vertex"], r["component"])
+        for r in current_components(spark, out).collect()
+    )
+    assert view()[11] == 1
+
+    # retract the bridge: retained set splits back into {1,2,3}, {10,11}
+    retained = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    rebuild_components_store(spark, out, retained, n_prefix=8)
+    expected = {
+        (r["vertex"], r["component"])
+        for r in connected_components(retained).collect()
+    }
+    assert set(view().items()) == expected
+    assert view()[11] == 10  # the split really happened
+
+    # a stale checkpoint resumes the PRE-rebuild numbering: refused
+    with _pytest.raises(RuntimeError, match="batch numbering"):
+        fold([(5, 6)], 2)
+
+    # a fresh checkpoint starts at 0 and folds forward normally
+    fold([(11, 12)], 0)
+    assert view()[12] == 10
+    probe = dict(
+        (r["vertex"], r["component"])
+        for r in component_of(spark, out, [3, 12]).collect()
+    )
+    assert probe == {3: 1, 12: 10}
+    # ...and from there the sequential rule applies again
+    with _pytest.raises(RuntimeError, match="batch numbering"):
+        fold([(7, 8)], 5)
+
+    # benign ahead case: a BRAND-NEW store attached mid-stream accepts
+    # a high starting id as its base
+    out2 = tmp_path / "midlife_store"
+    fold_batch(
+        spark,
+        out2,
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+        57,
+        n_prefix=8,
+    )
+    assert dict(
+        (r["vertex"], r["component"])
+        for r in current_components(spark, out2).collect()
+    ) == {1: 1, 2: 1}
 
 
 def test_sessions_stream_equals_python_fold_hypothesis(spark_prop, tmp_path):
