@@ -692,13 +692,23 @@ def synth_mp4_media(
     spark: SparkSession, n: int = 8, seed: int = 13, start_id: int = 0
 ) -> DataFrame:
     """Deterministic REAL ISO-BMFF (MP4) containers (ftyp + moov with
-    mvhd/tkhd and — for three of every four — a full
-    mdia/mdhd/minf/stbl/stts sample table, no media data): the fixture
-    for :func:`extract_video_meta`'s MP4 tier. Every fourth container
-    omits the stts so the honest -1 fallback (header-only / fragmented
-    streams) stays exercised. ``meta`` records the ground-truth frame
-    count (``"-1"`` for the stts-less ones) so tests can assert the
-    parse EXACTLY."""
+    mvhd/tkhd, no media data): the fixture for
+    :func:`extract_video_meta`'s MP4 tiers, cycling three layouts so
+    every tier stays exercised (``meta["layout"]`` names each):
+
+    - ``stts`` (six of every eight): a full mdia/mdhd/minf/stbl/stts
+      sample table with two variable-frame-rate runs;
+    - ``frag`` (i % 8 == 3, r17): the DASH/HLS shape — the moov's stts
+      is EMPTY (as real fragmented files ship) plus an mvex/trex
+      default, and the samples live in three ``moof/traf/trun``
+      fragments exercising all three duration sources (per-sample
+      durations, tfhd default, trex default) and the flags-gated
+      optional fields (data-offset, first-sample-flags, sizes,
+      cts offsets);
+    - ``none`` (i % 8 == 7): neither sample-table form — the honest -1.
+
+    ``meta`` records the ground-truth frame count (``"-1"`` for the
+    ``none`` layout) so tests can assert the parse EXACTLY."""
 
     def box(fourcc: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + fourcc + payload
@@ -731,13 +741,80 @@ def synth_mp4_media(
         d2 = d1 * 2
         trak_body = tkhd
         true_frames = -1
-        if i % 4 != 3:
-            true_frames = n1 + n2
-            mdhd = box(
-                b"mdhd",
-                b"\x00\x00\x00\x00"
-                + struct.pack(">IIII", 0, 0, media_ts, n1 * d1 + n2 * d2),
+        moofs = b""
+        mvex = b""
+        mdhd = box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">IIII", 0, 0, media_ts, n1 * d1 + n2 * d2),
+        )
+        if i % 8 == 3:
+            # FRAGMENTED layout (r17): empty stts in the moov (the real
+            # fMP4 shape) + trex default, samples in three moofs whose
+            # trun/tfhd flags cover every duration source and optional
+            # field the parser must skip over
+            layout = "frag"
+            m1, m2, m3 = n1, n2, int(rng.randint(1, 9))
+            true_frames = m1 + m2 + m3
+            empty_stts = box(
+                b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 0)
             )
+            trak_body += box(
+                b"mdia", mdhd + box(b"minf", box(b"stbl", empty_stts))
+            )
+            mvex = box(
+                b"mvex",
+                box(
+                    b"trex",
+                    b"\x00\x00\x00\x00" + struct.pack(">IIIII", 1, 1, d1, 0, 0),
+                ),
+            )
+
+            def tfhd(flags: int, extra: bytes = b"") -> bytes:
+                return box(
+                    b"tfhd",
+                    b"\x00"
+                    + flags.to_bytes(3, "big")
+                    + struct.pack(">I", 1)  # track_ID
+                    + extra,
+                )
+
+            def mfhd(seq: int) -> bytes:
+                return box(b"mfhd", b"\x00\x00\x00\x00" + struct.pack(">I", seq))
+
+            # moof 1: per-sample durations (0x100) + cts offsets (0x800)
+            trun1 = box(
+                b"trun",
+                b"\x00" + (0x900).to_bytes(3, "big")
+                + struct.pack(">I", m1)
+                + b"".join(struct.pack(">II", d1, 0) for _ in range(m1)),
+            )
+            moofs += box(b"moof", mfhd(1) + box(b"traf", tfhd(0) + trun1))
+            # moof 2: durations from the tfhd DEFAULT (0x8); trun carries
+            # data-offset (0x1), first-sample-flags (0x4) and sizes (0x200)
+            trun2 = box(
+                b"trun",
+                b"\x00" + (0x205).to_bytes(3, "big")
+                + struct.pack(">I", m2)
+                + struct.pack(">iI", 8, 0)  # data-offset, first-sample-flags
+                + b"".join(struct.pack(">I", 100) for _ in range(m2)),
+            )
+            moofs += box(
+                b"moof",
+                mfhd(2)
+                + box(b"traf", tfhd(0x8, struct.pack(">I", d1)) + trun2),
+            )
+            # moof 3: no trun/tfhd durations — falls to the trex default
+            trun3 = box(
+                b"trun",
+                b"\x00" + (0).to_bytes(3, "big") + struct.pack(">I", m3),
+            )
+            moofs += box(b"moof", mfhd(3) + box(b"traf", tfhd(0) + trun3))
+        elif i % 8 == 7:
+            layout = "none"  # neither sample-table form: honest -1
+        else:
+            layout = "stts"
+            true_frames = n1 + n2
             stts = box(
                 b"stts",
                 b"\x00\x00\x00\x00"
@@ -745,14 +822,18 @@ def synth_mp4_media(
                 + struct.pack(">IIII", n1, d1, n2, d2),
             )
             trak_body += box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts)))
-        moov = box(b"moov", mvhd + box(b"trak", trak_body))
+        moov = box(b"moov", mvhd + box(b"trak", trak_body) + mvex)
         ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
         rows.append(
             (
                 start_id + i,
                 "video",
-                bytearray(ftyp + moov),
-                {"container": "mp4", "n_frames": str(true_frames)},
+                bytearray(ftyp + moov + moofs),
+                {
+                    "container": "mp4",
+                    "n_frames": str(true_frames),
+                    "layout": layout,
+                },
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -773,10 +854,13 @@ def _make_video_meta_parser():
        trak's ``mdia/minf/stbl/stts`` sample table (VERDICT r15 #6 —
        a pure box-structure walk, no codec dep): n_frames = Σ
        sample_counts, fps = n_frames × mdhd-timescale / Σ
-       (count × delta). A moov without an stts (header-only streams,
-       fragmented MP4 whose samples live in moof boxes) still reports
-       -1/-1.0 — the honest partial, now the exception rather than
-       the rule.
+       (count × delta). When the moov carries no usable stts (absent,
+       or the empty one real fragmented files ship), the FRAGMENTED
+       tier (VERDICT r16 #4) sums the video track's
+       ``moof/traf/trun`` sample counts instead — the DASH/HLS layout
+       — with durations resolved trun → tfhd default → trex default;
+       only a container with neither sample-table form (header-only
+       streams) still reports -1/-1.0, the honest remainder.
     4. Anything else raises NotImplementedError (matroska/webm etc.
        need real demuxers — libav is the production swap).
 
@@ -815,20 +899,25 @@ def _make_video_meta_parser():
             i += size
 
     def _mp4_trak(p: bytes, s: int, e: int):
-        """(w, h, handler, media_timescale, n_samples, total_delta) of
-        ONE trak box — stts entries are (sample_count, sample_delta)
-        pairs, so the sample count and the track's media-time length
-        are two sums over the same table. The mdhd bounds guard is
-        version-aware (a v1 box needs 24 payload bytes before its
-        timescale at offset 20; reading a short one would cross into
-        the sibling box — code-review r16)."""
+        """(w, h, handler, media_timescale, n_samples, total_delta,
+        track_id) of ONE trak box — stts entries are (sample_count,
+        sample_delta) pairs, so the sample count and the track's
+        media-time length are two sums over the same table. The mdhd
+        bounds guard is version-aware (a v1 box needs 24 payload bytes
+        before its timescale at offset 20; reading a short one would
+        cross into the sibling box — code-review r16); so is the tkhd
+        track_id offset (12 for v0, 20 for v1) — the key that ties this
+        trak to its moof/traf fragments."""
         w = h = None
-        handler = mts = None
+        handler = mts = tid = None
         n_samples, total_delta = -1, 0
         for cc, s2, e2 in _mp4_boxes(p, s, e):
             if cc == b"tkhd" and e2 - s2 >= 8:
                 w = _struct.unpack_from(">I", p, e2 - 8)[0] >> 16
                 h = _struct.unpack_from(">I", p, e2 - 4)[0] >> 16
+                tid_off = s2 + (20 if p[s2] == 1 else 12)
+                if tid_off + 4 <= e2:
+                    tid = _struct.unpack_from(">I", p, tid_off)[0]
             elif cc == b"mdia":
                 for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
                     if cc3 == b"hdlr" and e3 - s3 >= 12:
@@ -857,7 +946,87 @@ def _make_video_meta_parser():
                                     )
                                     n_samples += cnt
                                     total_delta += cnt * delta
-        return w, h, handler, mts, n_samples, total_delta
+        return w, h, handler, mts, n_samples, total_delta, tid
+
+    def _mp4_fragments(p: bytes):
+        """Per-track sample totals across every top-level ``moof``
+        fragment — the DASH/HLS layout whose sample tables live in
+        ``moof/traf/trun`` instead of the moov's stbl (VERDICT r16 #4).
+        Pure struct walk, the stts discipline: ``trun`` carries
+        (version, flags, sample_count) with flags-gated field presence
+        (data-offset 0x1, first-sample-flags 0x4, then per-sample
+        duration/size/flags/cts-offset 0x100/0x200/0x400/0x800, four
+        bytes each, duration FIRST); per-sample durations resolve trun
+        → tfhd default (0x8, after the flag-ordered header fields) →
+        mvex/trex default — the spec's defaulting order. Returns
+        ``{track_id: [n_samples, total_delta, durations_known, bad]}``;
+        a truncated trun poisons its track (``bad``) — a partial count
+        presented as exact would be worse than the honest -1."""
+        trex_dur: dict[int, int] = {}
+        for cc, s, e in _mp4_boxes(p, 0, len(p)):
+            if cc != b"moov":
+                continue
+            for cc2, s2, e2 in _mp4_boxes(p, s, e):
+                if cc2 != b"mvex":
+                    continue
+                for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if cc3 == b"trex" and e3 - s3 >= 24:
+                        trex_dur[
+                            _struct.unpack_from(">I", p, s3 + 4)[0]
+                        ] = _struct.unpack_from(">I", p, s3 + 16)[0]
+        acc: dict[int, list] = {}
+        for cc, s, e in _mp4_boxes(p, 0, len(p)):
+            if cc != b"moof":
+                continue
+            for cc2, s2, e2 in _mp4_boxes(p, s, e):
+                if cc2 != b"traf":
+                    continue
+                tid = tf_default = None
+                for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if cc3 == b"tfhd" and e3 - s3 >= 8:
+                        flags = int.from_bytes(p[s3 + 1 : s3 + 4], "big")
+                        tid = _struct.unpack_from(">I", p, s3 + 4)[0]
+                        off = s3 + 8
+                        if flags & 0x1:
+                            off += 8  # base-data-offset (uint64)
+                        if flags & 0x2:
+                            off += 4  # sample-description-index
+                        if flags & 0x8 and off + 4 <= e3:
+                            tf_default = _struct.unpack_from(">I", p, off)[0]
+                if tid is None:
+                    continue
+                a = acc.setdefault(tid, [0, 0, True, False])
+                for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    if cc3 != b"trun":
+                        continue
+                    if e3 - s3 < 8:
+                        a[3] = True  # truncated header: poison the track
+                        continue
+                    flags = int.from_bytes(p[s3 + 1 : s3 + 4], "big")
+                    n = _struct.unpack_from(">I", p, s3 + 4)[0]
+                    off = s3 + 8
+                    if flags & 0x1:
+                        off += 4  # data-offset
+                    if flags & 0x4:
+                        off += 4  # first-sample-flags
+                    per = sum(1 for b in (0x100, 0x200, 0x400, 0x800) if flags & b)
+                    if off + 4 * per * n > e3:
+                        a[3] = True  # truncated samples: poison the track
+                        continue
+                    a[0] += n
+                    if flags & 0x100:  # per-sample durations, field 0
+                        stride = 4 * per
+                        a[1] += sum(
+                            _struct.unpack_from(">I", p, off + i * stride)[0]
+                            for i in range(n)
+                        )
+                    else:
+                        d = tf_default if tf_default is not None else trex_dur.get(tid)
+                        if d is None:
+                            a[2] = False  # count exact, duration unknowable
+                        else:
+                            a[1] += n * d
+        return acc
 
     def _mp4(p: bytes):
         timescale = duration = None
@@ -894,10 +1063,20 @@ def _make_video_meta_parser():
             raise ValueError("MP4 without tkhd/mvhd")
         n_frames, fps = -1, -1.0
         if vid is not None:
-            _w, _h, _hd, mts, nf, total_delta = vid
+            _w, _h, _hd, mts, nf, total_delta, tid = vid
             if nf > 0 and mts and total_delta > 0:
                 n_frames = nf
                 fps = round(nf * mts / total_delta, 3)
+            elif nf <= 0 and tid is not None:
+                # fragmented tier (VERDICT r16 #4): no usable moov
+                # sample table (absent, or the EMPTY stts real fMP4
+                # files carry) — sum this track's moof/traf/trun
+                # fragments; a poisoned (truncated) track stays -1
+                a = _mp4_fragments(p).get(tid)
+                if a is not None and not a[3] and a[0] > 0:
+                    n_frames = a[0]
+                    if mts and a[2] and a[1] > 0:
+                        fps = round(a[0] * mts / a[1], 3)
         dur = round(duration / timescale, 3) if timescale else -1.0
         return "mp4", int(dims[0]), int(dims[1]), int(n_frames), fps, dur
 

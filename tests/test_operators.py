@@ -1651,6 +1651,61 @@ def test_video_meta_real_header_tiers(spark):
         b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", bad_mdhd)))
     assert parse(bad)[3] == -1  # falls back, no crash
 
+    # Fragmented tier (VERDICT r16 #4): the moov carries only an EMPTY
+    # stts (the real fMP4 shape); samples live in moof/traf/trun. Known
+    # values: 90 samples with per-sample duration 3000 (trun flag 0x100)
+    # + 10 samples at the tfhd DEFAULT 6000 (flag 0x8; the trun carries
+    # data-offset and sizes the walk must skip) = 100 frames, media
+    # timescale 90000 -> fps 27.273, same arithmetic as the stts case.
+    empty_stts = box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 0))
+    v_frag = box(b"trak", tkhd + box(
+        b"mdia", mdhd + box(b"minf", box(b"stbl", empty_stts))))
+    mvex = box(b"mvex", box(
+        b"trex", b"\x00\x00\x00\x00" + struct.pack(">IIIII", 1, 1, 3000, 0, 0)))
+
+    def tfhd(flags, extra=b""):
+        return box(b"tfhd", b"\x00" + flags.to_bytes(3, "big")
+                   + struct.pack(">I", 1) + extra)
+
+    def trun(flags, n, head=b"", per=b""):
+        return box(b"trun", b"\x00" + flags.to_bytes(3, "big")
+                   + struct.pack(">I", n) + head + per)
+
+    mfhd = box(b"mfhd", b"\x00" * 4 + struct.pack(">I", 1))
+    moof1 = box(b"moof", mfhd + box(
+        b"traf", tfhd(0) + trun(0x100, 90, per=struct.pack(">I", 3000) * 90)))
+    moof2 = box(b"moof", mfhd + box(
+        b"traf", tfhd(0x8, struct.pack(">I", 6000))
+        + trun(0x201, 10, head=struct.pack(">i", 16),
+               per=struct.pack(">I", 100) * 10)))
+    frag_moov = box(b"moov", mvhd + v_frag + mvex)
+    mp4_frag = box(b"ftyp", b"isom" + b"\x00" * 8) + frag_moov + moof1 + moof2
+    assert parse(mp4_frag) == ("mp4", 640, 360, 100, 27.273, 2.0)
+
+    # a foreign track's traf never counts toward the video track
+    moof_other = box(b"moof", mfhd + box(
+        b"traf",
+        box(b"tfhd", b"\x00\x00\x00\x00" + struct.pack(">I", 2))
+        + trun(0, 999)))
+    assert parse(mp4_frag + moof_other) == ("mp4", 640, 360, 100, 27.273, 2.0)
+
+    # a truncated trun POISONS the track: a partial count presented as
+    # exact would be worse than the honest -1
+    bad_trun = trun(0x100, 50)  # claims 50 per-sample durations, has none
+    mp4_trunc = (box(b"ftyp", b"isom" + b"\x00" * 8) + frag_moov + moof1
+                 + box(b"moof", mfhd + box(b"traf", tfhd(0) + bad_trun)))
+    assert parse(mp4_trunc)[3] == -1
+
+    # durations unknowable (no per-sample, no tfhd default, no trex):
+    # the count is still exact, fps stays honest
+    moov_notrex = box(b"moov", mvhd + v_frag)
+    mp4_nodur = (box(b"ftyp", b"isom" + b"\x00" * 8) + moov_notrex
+                 + box(b"moof", mfhd + box(b"traf", tfhd(0) + trun(0, 40))))
+    assert parse(mp4_nodur) == ("mp4", 640, 360, 40, -1.0, 2.0)
+
+    # moof-less AND (empty-)stts: still the honest -1
+    assert parse(box(b"ftyp", b"isom" + b"\x00" * 8) + frag_moov)[3] == -1
+
     with _pytest.raises(NotImplementedError):
         parse(b"\x1aE\xdf\xa3" + b"\x00" * 64)  # matroska/webm: honest gap
 
@@ -1663,22 +1718,25 @@ def test_video_meta_real_header_tiers(spark):
     rows = {r["media_id"]: r for r in extract_video_meta(media).collect()}
     containers = {r["container"] for r in rows.values()}
     assert containers == {"fake", "avi", "mp4"}
-    saw_stts = saw_fallback = False
+    saw_stts = saw_frag = saw_fallback = False
     for mid, r in rows.items():
         if r["container"] == "avi":
             assert r["n_frames"] > 0 and r["fps"] > 0 and r["duration_s"] > 0
         elif r["container"] == "mp4":
             assert r["width"] > 0 and r["duration_s"] > 0
-            # the fixture records ground truth: exact match, both tiers
+            # the fixture records ground truth: exact match, all tiers
             expect = int(truth[mid]["n_frames"])
             assert r["n_frames"] == expect, (mid, r["n_frames"], expect)
             if expect > 0:
-                saw_stts = True
+                if truth[mid].get("layout") == "frag":
+                    saw_frag = True
+                else:
+                    saw_stts = True
                 assert r["fps"] > 0
             else:
                 saw_fallback = True
                 assert r["fps"] == -1.0
-    assert saw_stts and saw_fallback  # both MP4 tiers exercised
+    assert saw_stts and saw_frag and saw_fallback  # all MP4 tiers exercised
 
 
 def test_video_frame_sampling_real_avi_tier(spark):
