@@ -511,41 +511,32 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     the max event_id BEFORE the as-of (the engine tie rule, mirrored in
     the oracle with arg_max), so the attributed type is deterministic.
 
+    Since r17 the tie rule, as-of, and lookback live in ONE shared core
+    (``operators/attribution.py``) this query and the MAINTAINED twin
+    (``streaming/attribution_stream.py`` — resequenced, late-arrival-
+    tolerant) both call, on timezone-agnostic epoch-µs longs (injective
+    at the events' µs precision, so ordering/ties/lookback are exactly
+    the raw-timestamp semantics the oracle computes).
+
     Shape at scale: the as-of is operators/asof.py's union + one
     (user_id)-keyed window — one shuffle, no range explosion; the
     lookback cut is a post-join filter; the report is a 3-row
     aggregate."""
-    from ..operators.asof import asof_join
+    from ..catalog import ts_epoch_us
+    from ..operators.attribution import attribute_conversions, touch_rollup
 
     ev = load_events(spark, sf_dir)
+    t_us = ts_epoch_us(ev, "ts")
     conv = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
+        "user_id", t_us.alias("c_us"), "value"
     )
-    touches = (
-        ev.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("user_id", F.col("ts").alias("t_ts"))
-        .agg(
-            F.max("event_id").alias("t_event_id"),
-            F.max_by("event_type", "event_id").alias("t_type"),
+    touches = touch_rollup(
+        ev.filter(F.col("event_type").isin("click", "view")).select(
+            "user_id", t_us.alias("t_us"), "event_id", "event_type"
         )
     )
-    j = asof_join(
-        conv,
-        touches,
-        key="user_id",
-        left_ts="ts",
-        right_ts="t_ts",
-        right_payload=["t_type", "t_ts"],
-        suffix="",
-        right_tiebreak="t_event_id",
-    )
-    attributed = F.when(
-        F.col("t_ts").isNotNull()
-        & (F.unix_micros("ts") - F.unix_micros("t_ts") <= 1_800_000_000),
-        F.col("t_type"),
-    ).otherwise(F.lit("direct"))
     return (
-        j.select(attributed.alias("attributed"), "value")
+        attribute_conversions(conv, touches)
         .groupBy("attributed")
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),

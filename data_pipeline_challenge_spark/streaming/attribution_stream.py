@@ -1,0 +1,366 @@
+"""Maintained last-touch attribution — the streaming twin of the
+declared ``events_attribution_last_touch`` (VERDICT r16 #5), closing
+the events family: rollup, gapfill, retention, paths, sessions,
+transitions, trend, and KMV all had maintained stores; attribution was
+the last batch-only report.
+
+Last-touch is a backward AS-OF join, which makes it ORDER-SENSITIVE in
+a way the additive folds are not: a conversion must see every touch
+at-or-before its instant, and nothing after. Two stores make the fold
+incremental (one shared core with the batch query —
+``operators/attribution.py`` — so the surfaces cannot drift):
+
+- ``frontier/`` — each batch appends the batch's LATEST touch per
+  touched user (t_us, t_event_id, t_type); the read side resolves the
+  latest row per user on the EVENT key (t_us, t_event_id) across
+  increments — the transition stream's frontier discipline, and the
+  only state attribution needs: older touches can never win an as-of
+  against a later frontier touch, so the per-user frontier is the
+  sufficient statistic for every FUTURE conversion;
+- ``attrib/`` — per-batch attribution counts
+  (attributed, n, value_cents): counts and cent-sums add, so the
+  report is a plain re-aggregation. Values quantize to CENTS per
+  conversion at fold time (the rollup/sessions grid convention —
+  exact for 2dp-grid inputs, the repo testdata; the batch query
+  rounds its double sum once at the end).
+
+Per batch: conversions as-of-join the batch's own deduped touches
+UNIONED with the prior frontier (frontier instants are strictly older
+than every in-batch instant under the ordering contract, so the union
+IS the correct candidate set), then one count/cents aggregate.
+
+Ordering assumption — the same contract as the transition fold, stated
+honestly: per-user event time never runs backwards across batches. A
+late-arriving touch CANNOT be retrofitted onto an already-counted
+conversion (the count is an aggregate, not a per-conversion store), so
+out-of-order delivery needs the watermarked resequencer in front:
+:func:`start_resequenced_attribution_stream` buffers arrivals and
+releases event-time-contiguous slabs into the fold, making the
+contract hold BY CONSTRUCTION for any disorder up to ``delay_us``
+(later events drop + count — watermark semantics). The plain
+:func:`start_attribution_stream` stays available for in-order feeds;
+``test_attribution_stream_out_of_order_fails_then_resequencer_fixes``
+pins the failure schedule first, the repo's discipline for documented
+contracts.
+
+Exactly-once: a batch is committed only when folded into BOTH stores
+(min across stores); ``attrib`` appends BEFORE ``frontier``, so a
+crash between them replays the frontier append of an already-counted
+batch — recomputed from a frontier view that cannot contain the batch
+(write order), hence identical — and never double-counts.
+
+Reference parity: none (the reference pipeline has no analytics
+surface); north-star extension of the events family.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.streaming import StreamingQuery
+
+from ..batchstore import (
+    append_batch_increment,
+    consolidate_batch_store,
+    last_batch_id,
+    maybe_consolidate_in_stream,
+    read_batch_store,
+)
+from ..operators.attribution import (
+    LOOKBACK_US,
+    attribute_conversions,
+    touch_rollup,
+)
+
+_STORES: tuple[tuple[str, list | None], ...] = (("attrib", None), ("frontier", None))
+
+_CONV_TYPE = "purchase"
+_TOUCH_TYPES = ("click", "view")
+
+
+def _store_map(odir: Path) -> dict:
+    return {odir / name: part for name, part in _STORES}
+
+
+def _current_frontier(spark: SparkSession, odir: Path) -> DataFrame | None:
+    """Latest touch per user across increments, resolved on the EVENT
+    ordering key (t_us, t_event_id) — never ingest_batch, which
+    consolidation collapses (the transition-frontier rule)."""
+    store = odir / "frontier"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("t_event_id").desc()
+    )
+    return (
+        read_batch_store(spark, store)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ingest_batch")
+    )
+
+
+def fold_batch(
+    spark: SparkSession,
+    out_dir: str | Path,
+    batch_df: DataFrame,
+    batch_id: int,
+    lookback_us: int = LOOKBACK_US,
+) -> None:
+    """Fold ONE micro-batch of events into the maintained attribution
+    counts. ``batch_df`` needs (event_id, user_id, event_type, value)
+    plus ``t_us`` (timezone-agnostic epoch micros — the stream wrappers
+    derive it via ``catalog.ts_epoch_us``). Requires the per-user
+    event-time ordering contract (module docstring); idempotent via the
+    min-across-stores replay guard, attrib before frontier."""
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    attrib_store = odir / "attrib"
+    frontier_store = odir / "frontier"
+    if batch_id <= min(last_batch_id(attrib_store), last_batch_id(frontier_store)):
+        return
+
+    ev = batch_df.select(
+        "event_id", "user_id", "event_type", "value", "t_us"
+    ).cache()
+    try:
+        conv = ev.filter(F.col("event_type") == _CONV_TYPE).select(
+            "user_id",
+            F.col("t_us").alias("c_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        batch_touches = touch_rollup(
+            ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+                "user_id", "t_us", "event_id", "event_type"
+            )
+        ).cache()
+        try:
+            frontier = _current_frontier(spark, odir)
+            touches = (
+                batch_touches
+                if frontier is None
+                else batch_touches.unionByName(
+                    frontier.select("user_id", "t_us", "t_event_id", "t_type")
+                )
+            )
+            counts = (
+                attribute_conversions(
+                    conv, touches, lookback_us=lookback_us,
+                )
+                .groupBy("attributed")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("value_cents"),
+                )
+            )
+            if batch_id > last_batch_id(attrib_store):
+                append_batch_increment(counts, attrib_store, batch_id)
+            # frontier delta: the batch's latest touch per touched user
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("t_us").desc(), F.col("t_event_id").desc()
+            )
+            lasts = (
+                batch_touches.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            append_batch_increment(lasts, frontier_store, batch_id)
+        finally:
+            batch_touches.unpersist()
+    finally:
+        ev.unpersist()
+
+
+def attribution_report(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """(attributed, n_conversions, attributed_value) over everything
+    folded — column-identical to the declared batch query (cent sums
+    re-scaled once, the grid convention). None before the first
+    batch."""
+    store = Path(out_dir) / "attrib"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return (
+        read_batch_store(spark, store)
+        .groupBy("attributed")
+        .agg(
+            F.sum("n").alias("n_conversions"),
+            F.round(F.sum("value_cents") / 100.0, 2).alias("attributed_value"),
+        )
+    )
+
+
+def _frontier_collapse(df: DataFrame) -> DataFrame:
+    """Fold-time transform: keep only the resolved latest touch per
+    user (latest-of-latests == latest — associative, so the post-fold
+    view resolves identically; the transition precedent)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("t_event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _attrib_collapse(df: DataFrame) -> DataFrame:
+    """Fold-time transform: counts and cent-sums are associative, so
+    the compacted store holds one row per attributed type."""
+    return df.groupBy("attributed").agg(
+        F.sum("n").alias("n"), F.sum("value_cents").alias("value_cents")
+    )
+
+
+def compact_attribution_store(
+    spark: SparkSession, out_dir: str | Path
+) -> dict[str, int]:
+    """OFFLINE consolidation (run while the stream is not)."""
+    odir = Path(out_dir)
+    xf = {"attrib": _attrib_collapse, "frontier": _frontier_collapse}
+    out: dict[str, int] = {}
+    for name, part in _STORES:
+        store = odir / name
+        if store.exists():
+            out[name] = consolidate_batch_store(
+                spark, store, partition_by=part, transform=xf[name]
+            )
+    return out
+
+
+def _transforms(odir: Path) -> dict:
+    return {
+        odir / "attrib": _attrib_collapse,
+        odir / "frontier": _frontier_collapse,
+    }
+
+
+def start_attribution_stream(
+    spark: SparkSession,
+    events_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    lookback_us: int = LOOKBACK_US,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    consolidate_every: int | None = 64,
+) -> StreamingQuery:
+    """Stream event parquet files into the maintained attribution
+    counts — IN-ORDER feeds only (module docstring); use
+    :func:`start_resequenced_attribution_stream` under disorder."""
+    from ..catalog import ts_epoch_us
+
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(events_dir))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            odir,
+            batch_df.withColumn("t_us", ts_epoch_us(batch_df, "ts")),
+            batch_id,
+            lookback_us=lookback_us,
+        )
+        maybe_consolidate_in_stream(
+            spark, _store_map(odir), batch_id, consolidate_every,
+            transforms=_transforms(odir),
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_resequenced_attribution_stream(
+    spark: SparkSession,
+    events_dir: str | Path,
+    out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    schema: str,
+    delay_us: int,
+    lookback_us: int = LOOKBACK_US,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    consolidate_every: int | None = 64,
+) -> StreamingQuery:
+    """Out-of-order-tolerant variant: the watermarked resequencer
+    (streaming/resequence.py) buffers arrivals and releases event-time-
+    contiguous slabs into :func:`fold_batch`, so a late touch is either
+    sequenced BEFORE the conversions it should win (disorder within
+    ``delay_us``) or dropped + counted — never silently mis-attributed.
+    After an ``availableNow`` drain, call :func:`flush_resequenced` to
+    release the unfinalized tail before reading the report."""
+    from ..catalog import ts_epoch_us
+    from .resequence import buffer_prune_transform, reseq_fold, wm_collapse
+
+    odir = Path(out_dir)
+    odir.mkdir(parents=True, exist_ok=True)
+    rdir = odir / "reseq"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(str(events_dir))
+
+    def _fold(released: DataFrame, fold_id: int) -> None:
+        fold_batch(spark, odir, released, fold_id, lookback_us=lookback_us)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_t = batch_df.withColumn("t_us", ts_epoch_us(batch_df, "ts"))
+        reseq_fold(spark, rdir, with_t, batch_id, _fold, delay_us)
+        # resequencer stores run on arrival ids; the downstream stores
+        # on the DOUBLED fold ids — bound each horizon in its own id
+        # space (the resequenced-transition discipline)
+        maybe_consolidate_in_stream(
+            spark,
+            {rdir / "buffer": None, rdir / "wm": None},
+            batch_id,
+            consolidate_every,
+            transforms={
+                rdir / "buffer": buffer_prune_transform(spark, rdir),
+                rdir / "wm": wm_collapse,
+            },
+        )
+        maybe_consolidate_in_stream(
+            spark,
+            _store_map(odir),
+            2 * batch_id,
+            2 * consolidate_every if consolidate_every else None,
+            transforms=_transforms(odir),
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def flush_resequenced(
+    spark: SparkSession, out_dir: str | Path, lookback_us: int = LOOKBACK_US
+) -> None:
+    """Release the resequencer's unfinalized tail into the attribution
+    fold — the end-of-drain step for ``availableNow`` runs."""
+    from .resequence import flush_resequencer
+
+    odir = Path(out_dir)
+
+    def _fold(released: DataFrame, fold_id: int) -> None:
+        fold_batch(spark, odir, released, fold_id, lookback_us=lookback_us)
+
+    flush_resequencer(spark, odir / "reseq", _fold)
