@@ -396,6 +396,44 @@ def append_batch_increment(
             df.unpersist()
 
 
+def write_initial_consolidated(
+    df: DataFrame, store: str | Path, partition_by: str
+) -> None:
+    """Write ``df`` as a brand-new store's ONE consolidated partition
+    (``ingest_batch=-1`` plus the marker with ``through=-1``) — the
+    layout :func:`consolidate_batch_store` would produce for a history
+    whose every batch is already folded, so ``last_batch_id`` reports
+    -1 and a FRESH checkpoint's batch 0 folds forward normally. The
+    offline-rebuild contract's seeding step (components-store
+    retraction rebuilds); lives HERE so the marker filename/schema
+    exist in exactly one module (code-review r17: a per-store copy of
+    the protocol had appeared). Empty frames write nothing — a
+    file-less partitioned dir would poison every later read."""
+    store = Path(store)
+    if not df.take(1):
+        return
+    store.mkdir(parents=True, exist_ok=True)
+    tmp = store / ".consolidate.1.tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
+        partition_by
+    ).parquet(str(tmp))
+    final = store / "ingest_batch=-1"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+    marker = {
+        "consolidated": -1,
+        "through": -1,
+        "prev_consolidated": None,
+        "prev_through": -1,
+    }
+    mtmp = store / (_MARKER + ".tmp")
+    mtmp.write_text(json.dumps(marker))
+    os.replace(mtmp, store / _MARKER)
+
+
 def _read_marker(store: Path) -> dict | None:
     p = store / _MARKER
     if not p.exists():

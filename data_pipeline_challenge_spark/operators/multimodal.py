@@ -889,13 +889,26 @@ def _make_video_meta_parser():
         return "avi", int(w), int(h), int(frames), round(fps, 3), round(dur, 3)
 
     def _mp4_boxes(p: bytes, start: int, end: int):
+        # size==1 → 64-bit largesize follows the fourcc (boxes over
+        # 4 GiB — every long mdat in a real file); size==0 → box runs
+        # to the end of its container. Stopping at either (code-review
+        # r17) silently truncated the top-level walk at the first big
+        # mdat, undercounting every moof after it.
         i = start
         while i + 8 <= end:
             size = _struct.unpack_from(">I", p, i)[0]
             fourcc = p[i + 4 : i + 8]
-            if size < 8 or i + size > end:
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = _struct.unpack_from(">Q", p, i + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
                 return
-            yield fourcc, i + 8, i + size
+            yield fourcc, i + hdr, i + size
             i += size
 
     def _mp4_trak(p: bytes, s: int, e: int):
@@ -959,23 +972,36 @@ def _make_video_meta_parser():
         bytes each, duration FIRST); per-sample durations resolve trun
         → tfhd default (0x8, after the flag-ordered header fields) →
         mvex/trex default — the spec's defaulting order. Returns
-        ``{track_id: [n_samples, total_delta, durations_known, bad]}``;
-        a truncated trun poisons its track (``bad``) — a partial count
-        presented as exact would be worse than the honest -1."""
+        ``({track_id: [n_samples, total_delta, durations_known, bad]},
+        walk_truncated)``; a truncated trun poisons its track (``bad``),
+        and ``walk_truncated`` reports a TOP-LEVEL walk that could not
+        cover the whole file (an undecodable box size) — unseen moofs
+        may follow, so the caller must not publish a partial count as
+        exact (code-review r17; same honesty rule as the trun poison)."""
+        top: list[tuple[bytes, int, int]] = []
+        covered = 0
+        for tb in _mp4_boxes(p, 0, len(p)):
+            top.append(tb)
+            covered = tb[2]
+        walk_truncated = covered != len(p)
         trex_dur: dict[int, int] = {}
-        for cc, s, e in _mp4_boxes(p, 0, len(p)):
+        for cc, s, e in top:
             if cc != b"moov":
                 continue
             for cc2, s2, e2 in _mp4_boxes(p, s, e):
                 if cc2 != b"mvex":
                     continue
                 for cc3, s3, e3 in _mp4_boxes(p, s2, e2):
+                    # trex payload: version/flags(4) track_ID(4)
+                    # default_sample_description_index(4)
+                    # default_sample_DURATION(4 — offset 12; offset 16
+                    # is default_sample_SIZE, code-review r17)
                     if cc3 == b"trex" and e3 - s3 >= 24:
                         trex_dur[
                             _struct.unpack_from(">I", p, s3 + 4)[0]
-                        ] = _struct.unpack_from(">I", p, s3 + 16)[0]
+                        ] = _struct.unpack_from(">I", p, s3 + 12)[0]
         acc: dict[int, list] = {}
-        for cc, s, e in _mp4_boxes(p, 0, len(p)):
+        for cc, s, e in top:
             if cc != b"moof":
                 continue
             for cc2, s2, e2 in _mp4_boxes(p, s, e):
@@ -1026,7 +1052,7 @@ def _make_video_meta_parser():
                             a[2] = False  # count exact, duration unknowable
                         else:
                             a[1] += n * d
-        return acc
+        return acc, walk_truncated
 
     def _mp4(p: bytes):
         timescale = duration = None
@@ -1064,19 +1090,26 @@ def _make_video_meta_parser():
         n_frames, fps = -1, -1.0
         if vid is not None:
             _w, _h, _hd, mts, nf, total_delta, tid = vid
-            if nf > 0 and mts and total_delta > 0:
-                n_frames = nf
-                fps = round(nf * mts / total_delta, 3)
-            elif nf <= 0 and tid is not None:
-                # fragmented tier (VERDICT r16 #4): no usable moov
-                # sample table (absent, or the EMPTY stts real fMP4
-                # files carry) — sum this track's moof/traf/trun
-                # fragments; a poisoned (truncated) track stays -1
-                a = _mp4_fragments(p).get(tid)
-                if a is not None and not a[3] and a[0] > 0:
-                    n_frames = a[0]
-                    if mts and a[2] and a[1] > 0:
-                        fps = round(a[0] * mts / a[1], 3)
+            # fragmented tier (VERDICT r16 #4): a track's total is its
+            # moov stts samples PLUS its moof/traf/trun fragment
+            # samples — legal hybrids carry both (code-review r17; the
+            # old nf>0 short-circuit published the stts count alone as
+            # exact). Poisoned fragments (truncated trun) or a top-level
+            # walk that could not cover the file (unseen moofs may
+            # follow) stay the honest -1.
+            frag_map, walk_truncated = (
+                _mp4_fragments(p) if tid is not None else ({}, False)
+            )
+            a = frag_map.get(tid)
+            if not walk_truncated and not (a is not None and a[3]):
+                add_n, add_d = (a[0], a[1]) if a is not None else (0, 0)
+                dur_known = a[2] if a is not None else True
+                total_n = (nf if nf > 0 else 0) + add_n
+                total_d = (total_delta if nf > 0 else 0) + add_d
+                if total_n > 0:
+                    n_frames = total_n
+                    if mts and dur_known and total_d > 0:
+                        fps = round(total_n * mts / total_d, 3)
         dur = round(duration / timescale, 3) if timescale else -1.0
         return "mp4", int(dims[0]), int(dims[1]), int(n_frames), fps, dur
 

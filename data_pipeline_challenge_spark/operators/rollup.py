@@ -44,6 +44,16 @@ def _floordiv(col_name: str, divisor: int) -> "F.Column":
     return F.expr(f"({col_name} - pmod({col_name}, {divisor})) div {divisor}")
 
 
+def money_cents(col) -> "F.Column":
+    """The maintained money-sum stores' shared 2dp-grid quantization:
+    ``floor(value*100 + 0.5)`` as BIGINT cents. ONE definition
+    (code-review r17 — three hand-rolled copies had emerged across
+    rollup/sessions/attribution): every money store's stream==batch
+    parity rests on all folds quantizing bit-identically, so the rule
+    must not exist in per-module copies that can drift."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Fold raw events (needs ``ts_ns``, ``event_type``, ``value``) into
     per-(hour-bucket, type) partials. One shuffle on the bucket key with
@@ -52,7 +62,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         events.select(
             _floordiv("ts_ns", _NS_PER_HOUR).cast("bigint").alias("bucket_hr"),
             "event_type",
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            money_cents(F.col("value")).alias("cents"),
             "value",
         )
         .groupBy("bucket_hr", "event_type")

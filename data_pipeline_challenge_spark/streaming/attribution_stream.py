@@ -84,22 +84,29 @@ def _store_map(odir: Path) -> dict:
     return {odir / name: part for name, part in _STORES}
 
 
-def _current_frontier(spark: SparkSession, odir: Path) -> DataFrame | None:
-    """Latest touch per user across increments, resolved on the EVENT
-    ordering key (t_us, t_event_id) — never ingest_batch, which
-    consolidation collapses (the transition-frontier rule)."""
-    store = odir / "frontier"
-    if not store.exists() or not any(store.glob("ingest_batch=*")):
-        return None
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """THE frontier resolution rule — latest row per user on the EVENT
+    ordering key (t_us, t_event_id), never ingest_batch (which
+    consolidation collapses). One definition for the read view, the
+    fold's delta, and compaction (code-review r17: three copies had to
+    stay identical for those views to agree)."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("t_us").desc(), F.col("t_event_id").desc()
     )
     return (
-        read_batch_store(spark, store)
-        .withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "ingest_batch")
+        .drop("_rn")
     )
+
+
+def _current_frontier(spark: SparkSession, odir: Path) -> DataFrame | None:
+    """Latest touch per user across increments (None before the first
+    batch)."""
+    store = odir / "frontier"
+    if not store.exists() or not any(store.glob("ingest_batch=*")):
+        return None
+    return _latest_per_user(read_batch_store(spark, store)).drop("ingest_batch")
 
 
 def fold_batch(
@@ -126,12 +133,12 @@ def fold_batch(
         "event_id", "user_id", "event_type", "value", "t_us"
     ).cache()
     try:
+        from ..operators.rollup import money_cents
+
         conv = ev.filter(F.col("event_type") == _CONV_TYPE).select(
             "user_id",
             F.col("t_us").alias("c_us"),
-            F.floor(F.col("value") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
+            money_cents(F.col("value")).alias("cents"),
         )
         batch_touches = touch_rollup(
             ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
@@ -160,15 +167,9 @@ def fold_batch(
             if batch_id > last_batch_id(attrib_store):
                 append_batch_increment(counts, attrib_store, batch_id)
             # frontier delta: the batch's latest touch per touched user
-            w = Window.partitionBy("user_id").orderBy(
-                F.col("t_us").desc(), F.col("t_event_id").desc()
+            append_batch_increment(
+                _latest_per_user(batch_touches), frontier_store, batch_id
             )
-            lasts = (
-                batch_touches.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            append_batch_increment(lasts, frontier_store, batch_id)
         finally:
             batch_touches.unpersist()
     finally:
@@ -199,14 +200,7 @@ def _frontier_collapse(df: DataFrame) -> DataFrame:
     """Fold-time transform: keep only the resolved latest touch per
     user (latest-of-latests == latest — associative, so the post-fold
     view resolves identically; the transition precedent)."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("t_us").desc(), F.col("t_event_id").desc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return _latest_per_user(df)
 
 
 def _attrib_collapse(df: DataFrame) -> DataFrame:

@@ -112,6 +112,7 @@ from ..batchstore import (
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    write_initial_consolidated,
 )
 from ..operators.graph import connected_components
 
@@ -484,43 +485,6 @@ def compact_components_store(
     return out
 
 
-def _write_consolidated(
-    df: DataFrame, store: Path, partition_by: str
-) -> None:
-    """Write ``df`` as a store's ONE consolidated partition
-    (``ingest_batch=-1`` + the batchstore marker with ``through=-1``):
-    the layout a brand-new history would have after its first fold, so
-    ``last_batch_id`` reports -1 and a FRESH checkpoint's batch 0 folds
-    forward normally. Empty frames write nothing (a file-less
-    partitioned dir would poison every later read of the store)."""
-    import json
-    import os
-    import shutil
-
-    if not df.take(1):
-        return
-    store.mkdir(parents=True, exist_ok=True)
-    tmp = store / ".consolidate.1.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
-        partition_by
-    ).parquet(str(tmp))
-    final = store / "ingest_batch=-1"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
-    marker = {
-        "consolidated": -1,
-        "through": -1,
-        "prev_consolidated": None,
-        "prev_through": -1,
-    }
-    mtmp = store / "_consolidated.json.tmp"
-    mtmp.write_text(json.dumps(marker))
-    os.replace(mtmp, store / "_consolidated.json")
-
-
 def rebuild_components_store(
     spark: SparkSession,
     out_dir: str | Path,
@@ -575,14 +539,14 @@ def rebuild_components_store(
 
     labels = connected_components(retained_edges, src=src, dst=dst).cache()
     try:
-        _write_consolidated(
+        write_initial_consolidated(
             labels.select("vertex", "component").withColumn(
                 "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
             ),
             tmp / "labels",
             "v_prefix",
         )
-        _write_consolidated(
+        write_initial_consolidated(
             labels.select("component", "vertex").withColumn(
                 "c_prefix", prefix_bucket(F.col("component"), n_prefix)
             ),

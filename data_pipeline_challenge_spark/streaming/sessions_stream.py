@@ -67,12 +67,12 @@ def _batch_intervals(batch_df: DataFrame) -> DataFrame:
     the only stage that ever reads raw events."""
     from ..catalog import ts_epoch_us
 
+    from ..operators.rollup import money_cents
+
     ev = batch_df.select(
         "user_id",
         ts_epoch_us(batch_df, "ts").alias("first_us"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("sum_cents"),
+        money_cents(F.col("value")).alias("sum_cents"),
     ).select(
         "user_id",
         "first_us",

@@ -1689,6 +1689,32 @@ def test_video_meta_real_header_tiers(spark):
         + trun(0, 999)))
     assert parse(mp4_frag + moof_other) == ("mp4", 640, 360, 100, 27.273, 2.0)
 
+    # trex-default duration path, EXACT (code-review r17: the parser
+    # read default_sample_SIZE at offset 16 instead of the DURATION at
+    # offset 12): durations nowhere else -> trex 3000 -> 30.0 fps flat
+    moof_trex = box(b"moof", mfhd + box(b"traf", tfhd(0) + trun(0, 50)))
+    mp4_trex = box(b"ftyp", b"isom" + b"\x00" * 8) + frag_moov + moof_trex
+    assert parse(mp4_trex) == ("mp4", 640, 360, 50, 30.0, 2.0)
+
+    # HYBRID container (code-review r17): a non-empty moov stts AND
+    # fragments — the totals ADD (100 stts frames @330000 + 50 trex
+    # frames @150000 -> 150 frames, fps 150*90000/480000 = 28.125)
+    mp4_hybrid = (box(b"ftyp", b"isom" + b"\x00" * 8)
+                  + box(b"moov", mvhd + trak + mvex) + moof_trex)
+    assert parse(mp4_hybrid) == ("mp4", 640, 360, 150, 28.125, 2.0)
+
+    # a >4GiB-style mdat (size==1 + 64-bit largesize) between moofs
+    # must not stop the top-level walk (code-review r17)
+    big_mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 20) + b"\x00" * 4)
+    mp4_big = (box(b"ftyp", b"isom" + b"\x00" * 8) + frag_moov
+               + moof1 + big_mdat + moof2)
+    assert parse(mp4_big) == ("mp4", 640, 360, 100, 27.273, 2.0)
+
+    # an undecodable tail means unseen moofs may follow: never publish
+    # a partial count as exact
+    assert parse(mp4_frag + b"\x00\x01\x02")[3] == -1
+
     # a truncated trun POISONS the track: a partial count presented as
     # exact would be worse than the honest -1
     bad_trun = trun(0x100, 50)  # claims 50 per-sample durations, has none
