@@ -397,35 +397,44 @@ def append_batch_increment(
 
 
 def write_initial_consolidated(
-    df: DataFrame, store: str | Path, partition_by: str
+    df: DataFrame, store: str | Path, partition_by: str, through: int = -1
 ) -> None:
     """Write ``df`` as a brand-new store's ONE consolidated partition
-    (``ingest_batch=-1`` plus the marker with ``through=-1``) — the
-    layout :func:`consolidate_batch_store` would produce for a history
-    whose every batch is already folded, so ``last_batch_id`` reports
-    -1 and a FRESH checkpoint's batch 0 folds forward normally. The
-    offline-rebuild contract's seeding step (components-store
-    retraction rebuilds); lives HERE so the marker filename/schema
-    exist in exactly one module (code-review r17: a per-store copy of
-    the protocol had appeared). Empty frames write nothing — a
-    file-less partitioned dir would poison every later read."""
+    (``ingest_batch=-1`` plus the marker with the given ``through``) —
+    the layout :func:`consolidate_batch_store` would produce for a
+    history folded through batch ``through``, so ``last_batch_id``
+    reports ``through`` and the next fold arrives at ``through + 1``.
+    ``through=-1`` seeds a store expecting a FRESH checkpoint's batch 0
+    (the retraction-rebuild contract); ``through=N`` seeds one joining
+    a CONTINUING checkpoint mid-life (the backfill contract). Lives
+    HERE so the marker filename/schema exist in exactly one module
+    (code-review r17: a per-store copy of the protocol had appeared).
+    Empty frames write only the marker when ``through >= 0`` (the
+    seeded horizon must still advance the replay guard) and nothing at
+    ``through=-1`` — a file-less partitioned dir would poison every
+    later read either way."""
     store = Path(store)
-    if not df.take(1):
+    has_rows = bool(df.take(1))
+    if not has_rows and through < 0:
         return
     store.mkdir(parents=True, exist_ok=True)
-    tmp = store / ".consolidate.1.tmp"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
-        partition_by
-    ).parquet(str(tmp))
-    final = store / "ingest_batch=-1"
-    if final.exists():
-        shutil.rmtree(final)
-    tmp.rename(final)
+    if has_rows:
+        tmp = store / ".consolidate.1.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
+            partition_by
+        ).parquet(str(tmp))
+        final = store / "ingest_batch=-1"
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
     marker = {
+        # consolidated stays -1 even with no data dir written: the read
+        # view's `ingest_batch == -1` arm then simply matches nothing
+        # (int-typed marker fields keep every reader's arithmetic valid)
         "consolidated": -1,
-        "through": -1,
+        "through": int(through),
         "prev_consolidated": None,
         "prev_through": -1,
     }

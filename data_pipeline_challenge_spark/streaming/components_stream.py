@@ -566,6 +566,61 @@ def rebuild_components_store(
         shutil.rmtree(aside)
 
 
+def backfill_components_store(
+    spark: SparkSession,
+    out_dir: str | Path,
+    edges: DataFrame,
+    through_batch: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_prefix: int = 256,
+) -> None:
+    """Seed an EMPTY component store from an edge HISTORY so it can join
+    a CONTINUING stream checkpoint mid-life: batch
+    ``connected_components`` over ``edges`` written as the consolidated
+    partition with the marker's ``through = through_batch``, so the next
+    fold arrives at ``through_batch + 1`` (the sequential guard's happy
+    path) and renumbered replays of already-covered batches skip. The
+    enable-the-view-late story: without the backfill, a mid-life attach
+    would silently miss every pair folded before it (the funnel's
+    enable guard refuses exactly that). Contrast
+    :func:`rebuild_components_store`, which starts a NEW numbering
+    history for a FRESH checkpoint. Refuses a non-empty store — this is
+    a seeding step, not a merge."""
+    odir = Path(out_dir)
+    for name in ("labels", "members"):
+        store = odir / name
+        if store.exists() and last_batch_id(store) >= 0:
+            raise RuntimeError(
+                f"components store at {odir} already has folded history "
+                f"(store {name} committed through {last_batch_id(store)})"
+                " — backfill seeds EMPTY stores only; use the stream to "
+                "fold forward, or rebuild_components_store for a "
+                "fresh-checkpoint recompute"
+            )
+    ensure_store_params(odir, {"n_prefix": int(n_prefix)})
+    labels = connected_components(edges, src=src, dst=dst).cache()
+    try:
+        write_initial_consolidated(
+            labels.select("vertex", "component").withColumn(
+                "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
+            ),
+            odir / "labels",
+            "v_prefix",
+            through=through_batch,
+        )
+        write_initial_consolidated(
+            labels.select("component", "vertex").withColumn(
+                "c_prefix", prefix_bucket(F.col("component"), n_prefix)
+            ),
+            odir / "members",
+            "c_prefix",
+            through=through_batch,
+        )
+    finally:
+        labels.unpersist()
+
+
 def start_components_stream(
     spark: SparkSession,
     edges_dir: str | Path,

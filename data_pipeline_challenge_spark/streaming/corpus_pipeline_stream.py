@@ -74,6 +74,20 @@ def current_corpus(spark: SparkSession, out_dir: str | Path) -> DataFrame | None
     return near_dedup_stream.current_kept_docs(spark, Path(out_dir) / "near")
 
 
+def current_dup_clusters(
+    spark: SparkSession, out_dir: str | Path
+) -> DataFrame | None:
+    """(vertex=doc id, component=cluster label) over the funnel's live
+    verified-pair history — the composed dup-cluster view maintained
+    when the funnel runs with ``components=True``. None before the
+    first pair (or when the view is disabled)."""
+    from . import components_stream
+
+    return components_stream.current_components(
+        spark, Path(out_dir) / "clusters"
+    )
+
+
 def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
     """OFFLINE: consolidate every stage's per-batch stores. Run only
     after a clean drain (stream stopped, no crash-replay pending)."""
@@ -95,6 +109,12 @@ def compact_pipeline_stores(spark: SparkSession, out_dir: str | Path) -> dict:
             spark, odir / "novelty"
         )
     out["near"] = near_dedup_stream.compact_near_dedup_store(spark, odir / "near")
+    if (odir / "clusters").exists():
+        from . import components_stream
+
+        out["clusters"] = components_stream.compact_components_store(
+            spark, odir / "clusters"
+        )
     return out
 
 
@@ -327,6 +347,7 @@ def start_corpus_pipeline_stream(
     retrieval_index_dir: str | Path | None = None,
     novelty_max_share: float | None = None,
     novelty_shingle_n: int = 8,
+    components: bool = False,
 ) -> StreamingQuery:
     """Stream corpus parquet files through the full screening funnel.
     ``quality_expr=None`` omits the quality stage (pass e.g.
@@ -378,7 +399,18 @@ def start_corpus_pipeline_stream(
     above the share is diverted with score evidence. Exact copies are
     the dedup stage's verdict (they never reach this gate); the score
     columns stay in the novelty stage's own stores so downstream
-    schemas are unchanged. Stage presence is part of the funnel pin."""
+    schemas are unchanged. Stage presence is part of the funnel pin.
+
+    ``components=True`` (r17) additionally maintains the DUP-CLUSTER
+    component view under ``out_dir/clusters``: the near-dedup stage
+    chains its verified pairs into ``components_stream`` each batch, so
+    ``current_dup_clusters`` serves live cluster labels. Derived output
+    like the retrieval index, NOT part of the funnel pin — and with the
+    same lateness rule: a cluster view covering only part of the pair
+    history would be silently wrong, so enabling it on a warehouse that
+    already folded batches is refused until
+    ``near_dedup_stream.backfill_dup_clusters`` seeds it (stream
+    stopped)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
 
@@ -413,6 +445,33 @@ def start_corpus_pipeline_stream(
         # stream that starts but never folds a batch must not record an
         # index dir that was never created — the revocation sync treats
         # a recorded-but-missing dir as an error.
+
+    clusters_dir = odir / "clusters" if components else None
+    if clusters_dir is not None:
+        from ..batchstore import last_batch_id as _last
+
+        # Same lateness rule as the retrieval index: a cluster view
+        # enabled after the gate already folded batches would silently
+        # miss every earlier verified pair. Tolerated gaps: the store
+        # sits at the checkpoint's committed frontier (the mid-batch
+        # crash window — the replay re-chains it), or both are fresh.
+        _near_last = min(
+            _last(odir / "near" / "docs"), _last(odir / "near" / "band_index")
+        )
+        _c_last = min(
+            _last(clusters_dir / "labels"), _last(clusters_dir / "members")
+        )
+        if _near_last >= 0 and _c_last < _near_last and _c_last != (
+            _last_committed_batch(checkpoint_dir)
+        ):
+            raise RuntimeError(
+                "components=True on a warehouse that already folded "
+                f"batches (kept store through {_near_last}, cluster "
+                f"store through {_c_last}): the view would silently "
+                "miss earlier verified pairs — seed it first with "
+                "near_dedup_stream.backfill_dup_clusters (stream "
+                "stopped)"
+            )
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
     # drift-refusal contract as each gate's own params: the transform
@@ -494,7 +553,7 @@ def start_corpus_pipeline_stream(
             spark, odir / "near", cur, batch_id,
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
-            bucket_cap=bucket_cap,
+            bucket_cap=bucket_cap, components_out_dir=clusters_dir,
         )
         if retrieval_index_dir is not None:
             # derived index over the batch's KEPT rows; idempotent fold
@@ -540,6 +599,24 @@ def start_corpus_pipeline_stream(
 
             stores.update(novelty_stream._store_map(odir / "novelty"))
         stores.update(near_dedup_stream._store_map(odir / "near"))
+        transforms: dict = {}
+        if clusters_dir is not None:
+            from . import components_stream
+
+            stores.update(components_stream._store_map(clusters_dir))
+            # the consolidation transforms must re-bucket with the
+            # STORE's layout modulus, not a fresh literal — read it
+            # back from the gate params the fold pinned
+            params = clusters_dir / "_gate_params.json"
+            if params.exists():
+                import json as _json
+
+                transforms.update(
+                    components_stream._transforms(
+                        clusters_dir,
+                        int(_json.loads(params.read_text())["n_prefix"]),
+                    )
+                )
         unbounded: set = set()
         if retrieval_index_dir is not None:
             from . import retrieval_stream
@@ -552,7 +629,8 @@ def start_corpus_pipeline_stream(
                 Path(retrieval_index_dir)
             )
         maybe_consolidate_in_stream(
-            spark, stores, batch_id, consolidate_every, unbounded=unbounded
+            spark, stores, batch_id, consolidate_every,
+            unbounded=unbounded, transforms=transforms,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -868,6 +946,21 @@ def pipeline_report(spark: SparkSession, out_dir: str | Path) -> DataFrame:
              sum(r.get("rows_dropped", 0) for r in audit))
         )
         rows.append(("near", "cap_events", len(audit)))
+    if (odir / "clusters").exists():
+        from . import components_stream as _cs
+
+        rows.append(
+            ("clusters", "labeled_docs",
+             _count(_cs.current_components(spark, odir / "clusters")))
+        )
+        for name in ("labels", "members"):
+            _store_rows("clusters", odir / "clusters" / name)
+        relabel = _cs.read_relabel_audit(odir / "clusters")
+        rows.append(
+            ("clusters", "members_relabeled",
+             sum(r.get("members_relabeled", 0) for r in relabel))
+        )
+        rows.append(("clusters", "relabel_events", len(relabel)))
 
     # Every recorded maintained retrieval index (the funnel's derived
     # search surface): fold frontier, corpus size, revocation count —

@@ -487,6 +487,61 @@ def fold_batch(
     return _stored()
 
 
+def backfill_dup_clusters(
+    spark: SparkSession,
+    out_dir: str | Path,
+    components_out_dir: str | Path,
+    components_n_prefix: int = 256,
+) -> None:
+    """Seed the composed dup-cluster component store from THIS gate's
+    committed verified-pair history — the enable-the-view-late step: a
+    components store attached after the gate already folded batches
+    would silently miss every earlier pair, so the funnel's enable
+    guard refuses it until this backfill runs (stream stopped). Seeds
+    with ``through = the gate's committed batch``, so the continuing
+    checkpoint's next batch folds forward and renumbered replays of
+    covered batches skip. Pairs from a crashed UNcommitted batch are
+    excluded — its replay re-chains them through the fold."""
+    odir = Path(out_dir)
+    from .components_stream import backfill_components_store
+
+    committed = min(
+        last_batch_id(odir / "docs"), last_batch_id(odir / "band_index")
+    )
+    pairs_store = odir / "pairs"
+    if committed >= 0 and last_batch_id(pairs_store) < committed:
+        # a gate that predates the pairs store cannot reconstruct its
+        # verified-pair history (replays of committed batches are
+        # guard-skips that never recompute pairs) — a silently partial
+        # cluster view would be worse than the refusal
+        raise RuntimeError(
+            f"near-dedup store at {odir} has committed batches through "
+            f"{committed} but its pairs history stops at "
+            f"{last_batch_id(pairs_store)}: the verified-pair trail "
+            "doesn't cover the gate's history (store predates pair "
+            "recording), so a backfilled cluster view would silently "
+            "miss those pairs — re-ingest the corpus through a fresh "
+            "gate to get the composed view"
+        )
+    if pairs_store.exists() and any(pairs_store.glob("ingest_batch=*")):
+        edges = (
+            read_batch_store(spark, pairs_store)
+            .filter(F.col("ingest_batch") <= committed)
+            .select("doc1", "doc2")
+        )
+    else:
+        edges = spark.createDataFrame([], "doc1 long, doc2 long")
+    backfill_components_store(
+        spark,
+        components_out_dir,
+        edges,
+        through_batch=committed,
+        src="doc1",
+        dst="doc2",
+        n_prefix=components_n_prefix,
+    )
+
+
 def start_near_dedup_stream(
     spark: SparkSession,
     corpus_dir: str | Path,

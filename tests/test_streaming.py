@@ -1918,6 +1918,90 @@ def test_near_dedup_composed_components_view(spark, tmp_path):
     assert got() == labels and got() == expected()
 
 
+def test_funnel_components_view_and_late_enable_backfill(spark, tmp_path):
+    """The composed dup-cluster view at the FUNNEL level: a fresh
+    ``components=True`` funnel maintains cluster labels equal to batch
+    components over its pair history (and surfaces them in
+    pipeline_report); enabling the view LATE on a warehouse that
+    already folded batches is refused (a partial cluster view would be
+    silently wrong — the retrieval index's lateness rule) until
+    backfill_dup_clusters seeds it, after which the continuing
+    checkpoint folds forward and the view covers all history."""
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_dup_clusters,
+        pipeline_report,
+        start_corpus_pipeline_stream,
+    )
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        backfill_dup_clusters,
+    )
+
+    corpus_dir = tmp_path / "fc_in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    land("a.parquet", [(9, base + " today"), (4, base), (30,
+         "spark catalyst rewrites declarative plans into whole stage "
+         "codegen pipelines that stream columnar batches through the jvm")])
+
+    def run(out, ck, components):
+        q = start_corpus_pipeline_stream(
+            spark, corpus_dir, out, ck, SCHEMA, "doc_id", "text",
+            min_jaccard=0.5, n_prefix=8, max_files_per_trigger=1,
+            components=components,
+        )
+        q.awaitTermination(300)
+
+    def labels(out):
+        cur = current_dup_clusters(spark, out)
+        return (
+            {r["vertex"]: r["component"] for r in cur.collect()}
+            if cur is not None
+            else {}
+        )
+
+    def expected(out):
+        hist = read_batch_store(spark, out / "near" / "pairs").select(
+            "doc1", "doc2"
+        )
+        return {
+            r["vertex"]: r["component"]
+            for r in connected_components(hist, src="doc1", dst="doc2").collect()
+        }
+
+    # LATE-ENABLE path: fold without the view first
+    out1, ck1 = tmp_path / "funnel1", tmp_path / "fck1"
+    run(out1, ck1, components=False)
+    land("b.parquet", [(12, base + " again tomorrow")])
+    with _pytest.raises(RuntimeError, match="backfill_dup_clusters"):
+        run(out1, ck1, components=True)
+    backfill_dup_clusters(spark, out1 / "near", out1 / "clusters")
+    assert labels(out1) == {4: 4, 9: 4}  # seeded from committed history
+    run(out1, ck1, components=True)  # continuing checkpoint folds forward
+    assert labels(out1) == expected(out1) == {4: 4, 9: 4, 12: 4}
+
+    # FRESH path: components=True from batch 0 over the same files
+    out2, ck2 = tmp_path / "funnel2", tmp_path / "fck2"
+    run(out2, ck2, components=True)
+    assert labels(out2) == expected(out2) == {4: 4, 9: 4, 12: 4}
+    rep = {
+        (r["stage"], r["metric"]): r["value"]
+        for r in pipeline_report(spark, out2).collect()
+    }
+    assert rep[("clusters", "labeled_docs")] == 3
+    assert rep[("clusters", "relabel_events")] == 0
+
+
 def test_near_dedup_stream_probe_shape_and_consolidation(spark, tmp_path):
     """Cost-shape pins: the band-index probe is partition-pruned (the
     bucket-prefix isin lands in PartitionFilters) and never shuffles the
