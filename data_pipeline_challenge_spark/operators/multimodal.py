@@ -1101,7 +1101,19 @@ def _make_video_meta_parser():
                 _mp4_fragments(p) if tid is not None else ({}, False)
             )
             a = frag_map.get(tid)
-            if not walk_truncated and not (a is not None and a[3]):
+            if a is not None and a[3]:
+                pass  # poisoned fragment accounting (truncated trun): -1
+            elif walk_truncated:
+                # the FRAGMENT set is unknowable past the undecodable
+                # tail — but the moov-resident stts is known-good data:
+                # publish it alone (the pre-frag behavior for truncated
+                # downloads / junk-tailed files, code-review r17), never
+                # partial fragment sums
+                if nf > 0:
+                    n_frames = nf
+                    if mts and total_delta > 0:
+                        fps = round(nf * mts / total_delta, 3)
+            else:
                 add_n, add_d = (a[0], a[1]) if a is not None else (0, 0)
                 dur_known = a[2] if a is not None else True
                 total_n = (nf if nf > 0 else 0) + add_n

@@ -585,19 +585,28 @@ def backfill_components_store(
     would silently miss every pair folded before it (the funnel's
     enable guard refuses exactly that). Contrast
     :func:`rebuild_components_store`, which starts a NEW numbering
-    history for a FRESH checkpoint. Refuses a non-empty store — this is
-    a seeding step, not a merge."""
+    history for a FRESH checkpoint. Refuses a store with ANY existing
+    content — this is a seeding step, not a merge. (Existence is
+    checked directly, not via ``last_batch_id``: a REBUILT store's
+    committed id is -1 yet it holds the retraction recompute —
+    code-review r17 — and no seeded/folded store may ever be silently
+    overwritten. A purely-derived store that needs reseeding is safe
+    to DELETE first; the pair history re-derives it in full.)"""
     odir = Path(out_dir)
-    for name in ("labels", "members"):
-        store = odir / name
-        if store.exists() and last_batch_id(store) >= 0:
-            raise RuntimeError(
-                f"components store at {odir} already has folded history "
-                f"(store {name} committed through {last_batch_id(store)})"
-                " — backfill seeds EMPTY stores only; use the stream to "
-                "fold forward, or rebuild_components_store for a "
-                "fresh-checkpoint recompute"
-            )
+    existing = [
+        p.name
+        for p in (odir / "labels", odir / "members", odir / _REBUILT_MARKER)
+        if p.exists() and (p.is_file() or any(p.iterdir()))
+    ]
+    if existing:
+        raise RuntimeError(
+            f"components store at {odir} already has content "
+            f"({', '.join(existing)}) — backfill seeds EMPTY stores "
+            "only; use the stream to fold forward, "
+            "rebuild_components_store for a fresh-checkpoint retraction "
+            "recompute, or delete the derived store first to reseed it "
+            "from the full pair history"
+        )
     ensure_store_params(odir, {"n_prefix": int(n_prefix)})
     labels = connected_components(edges, src=src, dst=dst).cache()
     try:

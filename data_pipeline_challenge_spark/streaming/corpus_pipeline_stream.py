@@ -447,22 +447,31 @@ def start_corpus_pipeline_stream(
         # a recorded-but-missing dir as an error.
 
     clusters_dir = odir / "clusters" if components else None
+    clusters_n_prefix = 256
     if clusters_dir is not None:
         from ..batchstore import last_batch_id as _last
 
-        # Same lateness rule as the retrieval index: a cluster view
-        # enabled after the gate already folded batches would silently
-        # miss every earlier verified pair. Tolerated gaps: the store
-        # sits at the checkpoint's committed frontier (the mid-batch
-        # crash window — the replay re-chains it), or both are fresh.
+        # Same lateness rule as the retrieval index (incl. its
+        # unconditional never-folded refusal — code-review r17: a lost
+        # checkpoint's commits log also reads -1, and a renumbered
+        # replay over a partially-retained source dir would chain only
+        # a suffix of the pair history): a cluster view enabled after
+        # the gate already folded batches would silently miss earlier
+        # verified pairs. The one tolerated gap: the store sits exactly
+        # at the checkpoint's committed frontier (the mid-batch crash
+        # window — the replay re-chains it).
         _near_last = min(
             _last(odir / "near" / "docs"), _last(odir / "near" / "band_index")
         )
         _c_last = min(
             _last(clusters_dir / "labels"), _last(clusters_dir / "members")
         )
-        if _near_last >= 0 and _c_last < _near_last and _c_last != (
-            _last_committed_batch(checkpoint_dir)
+        if _near_last >= 0 and (
+            _c_last < 0
+            or (
+                _c_last < _near_last
+                and _c_last != _last_committed_batch(checkpoint_dir)
+            )
         ):
             raise RuntimeError(
                 "components=True on a warehouse that already folded "
@@ -470,7 +479,20 @@ def start_corpus_pipeline_stream(
                 f"store through {_c_last}): the view would silently "
                 "miss earlier verified pairs — seed it first with "
                 "near_dedup_stream.backfill_dup_clusters (stream "
-                "stopped)"
+                "stopped; if the cluster store already has partial "
+                "folded history, delete out_dir/clusters first — it is "
+                "purely derived and the pair history re-derives it in "
+                "full)"
+            )
+        # a backfill-seeded store may carry a non-default layout
+        # modulus: the chained fold must use the STORE's pinned value,
+        # never a fresh literal (code-review r17)
+        params = clusters_dir / "_gate_params.json"
+        if params.exists():
+            import json as _json
+
+            clusters_n_prefix = int(
+                _json.loads(params.read_text())["n_prefix"]
             )
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
@@ -554,6 +576,7 @@ def start_corpus_pipeline_stream(
             id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes,
             bands=bands, min_jaccard=min_jaccard, n_prefix=n_prefix,
             bucket_cap=bucket_cap, components_out_dir=clusters_dir,
+            components_n_prefix=clusters_n_prefix,
         )
         if retrieval_index_dir is not None:
             # derived index over the batch's KEPT rows; idempotent fold
@@ -604,19 +627,12 @@ def start_corpus_pipeline_stream(
             from . import components_stream
 
             stores.update(components_stream._store_map(clusters_dir))
-            # the consolidation transforms must re-bucket with the
-            # STORE's layout modulus, not a fresh literal — read it
-            # back from the gate params the fold pinned
-            params = clusters_dir / "_gate_params.json"
-            if params.exists():
-                import json as _json
-
-                transforms.update(
-                    components_stream._transforms(
-                        clusters_dir,
-                        int(_json.loads(params.read_text())["n_prefix"]),
-                    )
-                )
+            # same resolved layout modulus as the chained fold (read
+            # back from the seeded store's pin at start, or the default
+            # the fold itself pins on a fresh store)
+            transforms.update(
+                components_stream._transforms(clusters_dir, clusters_n_prefix)
+            )
         unbounded: set = set()
         if retrieval_index_dir is not None:
             from . import retrieval_stream

@@ -266,7 +266,8 @@ def fold_batch(
             n_prefix=components_n_prefix,
         )
 
-    if batch_id <= min(last_batch_id(docs_store), last_batch_id(band_store)):
+    committed = min(last_batch_id(docs_store), last_batch_id(band_store))
+    if batch_id <= committed:
         _chain_components()
         return _stored()
     # Full rows ride through to the docs store (the kept corpus must not
@@ -464,6 +465,13 @@ def fold_batch(
         # while the band index cannot yet contain the batch. Skip when a
         # crashed replay already wrote them (the pairs are final).
         if batch_id > last_batch_id(pairs_store):
+            if last_batch_id(pairs_store) < 0 and committed >= 0:
+                # FIRST pair record on a gate that already committed
+                # batches (a pre-pairs-store gate upgraded mid-life):
+                # the trail can never cover those batches, so mark it
+                # PARTIAL — the frontier check alone misses this once
+                # the trail's latest id catches up (code-review r17)
+                _mark_pairs_partial(pairs_store, committed)
             append_batch_increment(pairs_df, pairs_store, batch_id)
         append_batch_increment(
             kept_banded.select(
@@ -485,6 +493,27 @@ def fold_batch(
         for c in cached:
             c.unpersist()
     return _stored()
+
+
+_PAIRS_PARTIAL = "_pairs_partial.json"
+
+
+def _mark_pairs_partial(pairs_store: Path, committed_before: int) -> None:
+    """Record (atomically, once) that this gate's pair trail STARTS
+    AFTER batches it already committed — written at the pairs store's
+    first record when the gate has prior history, so downstream
+    consumers (the cluster backfill) can refuse an unreconstructable
+    history instead of trusting the trail's frontier."""
+    import json
+    import os
+
+    pairs_store.mkdir(parents=True, exist_ok=True)
+    marker = pairs_store / _PAIRS_PARTIAL
+    if marker.exists():
+        return
+    tmp = pairs_store / (_PAIRS_PARTIAL + ".tmp")
+    tmp.write_text(json.dumps({"missing_through": int(committed_before)}))
+    os.replace(tmp, marker)
 
 
 def backfill_dup_clusters(
@@ -509,11 +538,18 @@ def backfill_dup_clusters(
         last_batch_id(odir / "docs"), last_batch_id(odir / "band_index")
     )
     pairs_store = odir / "pairs"
-    if committed >= 0 and last_batch_id(pairs_store) < committed:
+    if committed >= 0 and (
+        last_batch_id(pairs_store) < committed
+        or (pairs_store / _PAIRS_PARTIAL).exists()
+    ):
         # a gate that predates the pairs store cannot reconstruct its
         # verified-pair history (replays of committed batches are
         # guard-skips that never recompute pairs) — a silently partial
-        # cluster view would be worse than the refusal
+        # cluster view would be worse than the refusal. Two signals:
+        # the trail's frontier lags the gate's committed batch, or the
+        # partial marker written at the trail's late first record
+        # (which the frontier check alone stops seeing once the trail
+        # catches up — code-review r17)
         raise RuntimeError(
             f"near-dedup store at {odir} has committed batches through "
             f"{committed} but its pairs history stops at "

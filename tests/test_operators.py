@@ -1712,8 +1712,12 @@ def test_video_meta_real_header_tiers(spark):
     assert parse(mp4_big) == ("mp4", 640, 360, 100, 27.273, 2.0)
 
     # an undecodable tail means unseen moofs may follow: never publish
-    # a partial count as exact
+    # partial FRAGMENT sums...
     assert parse(mp4_frag + b"\x00\x01\x02")[3] == -1
+    # ...but a populated moov stts is known-good data — a truncated
+    # download / junk-tailed plain file keeps its exact stts count
+    # (code-review r17: the first cut of the veto regressed this)
+    assert parse(mp4_stts + b"\x00\x01\x02") == ("mp4", 640, 360, 100, 27.273, 2.0)
 
     # a truncated trun POISONS the track: a partial count presented as
     # exact would be worse than the honest -1

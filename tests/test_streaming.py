@@ -1918,6 +1918,51 @@ def test_near_dedup_composed_components_view(spark, tmp_path):
     assert got() == labels and got() == expected()
 
 
+def test_near_dedup_backfill_refuses_unreconstructable_pair_history(
+    spark, tmp_path
+):
+    """A gate upgraded MID-LIFE (pair recording starts after batches
+    already committed) can never reconstruct the missing pairs —
+    replays of committed batches are guard-skips. The partial marker
+    written at the trail's late first record makes the cluster backfill
+    refuse even after the trail's FRONTIER catches up with the gate
+    (the frontier check alone stops seeing the gap then —
+    code-review r17)."""
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from data_pipeline_challenge_spark.streaming import near_dedup_stream as nd
+
+    out = tmp_path / "legacy_near"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    nd.fold_batch(
+        spark, out,
+        spark.createDataFrame(
+            [(4, base), (9, base + " today")], "doc_id long, text string"
+        ),
+        0, "doc_id", "text", min_jaccard=0.5, n_prefix=8,
+    )
+    _sh.rmtree(out / "pairs")  # simulate a pre-pair-recording gate
+    nd.fold_batch(
+        spark, out,
+        spark.createDataFrame(
+            [(12, base + " again tomorrow")], "doc_id long, text string"
+        ),
+        1, "doc_id", "text", min_jaccard=0.5, n_prefix=8,
+    )
+    # the trail's frontier has caught up (pairs last == committed) but
+    # batch 0's pairs are gone forever — refuse the backfill
+    from data_pipeline_challenge_spark.batchstore import last_batch_id
+
+    assert last_batch_id(out / "pairs") == 1
+    with _pytest.raises(RuntimeError, match="verified-pair trail"):
+        nd.backfill_dup_clusters(spark, out, tmp_path / "legacy_clusters")
+
+
 def test_funnel_components_view_and_late_enable_backfill(spark, tmp_path):
     """The composed dup-cluster view at the FUNNEL level: a fresh
     ``components=True`` funnel maintains cluster labels equal to batch
@@ -1985,7 +2030,16 @@ def test_funnel_components_view_and_late_enable_backfill(spark, tmp_path):
     land("b.parquet", [(12, base + " again tomorrow")])
     with _pytest.raises(RuntimeError, match="backfill_dup_clusters"):
         run(out1, ck1, components=True)
-    backfill_dup_clusters(spark, out1 / "near", out1 / "clusters")
+    # a LOST checkpoint doesn't sneak past the guard either (both
+    # read -1 without the unconditional never-folded refusal —
+    # code-review r17)
+    with _pytest.raises(RuntimeError, match="backfill_dup_clusters"):
+        run(out1, tmp_path / "fck1_lost", components=True)
+    # backfill with a NON-default layout modulus: the continuing
+    # funnel must adopt the store's pinned value, not re-pin 256
+    backfill_dup_clusters(
+        spark, out1 / "near", out1 / "clusters", components_n_prefix=64
+    )
     assert labels(out1) == {4: 4, 9: 4}  # seeded from committed history
     run(out1, ck1, components=True)  # continuing checkpoint folds forward
     assert labels(out1) == expected(out1) == {4: 4, 9: 4, 12: 4}
@@ -7324,6 +7378,16 @@ def test_components_rebuild_for_retractions(spark, tmp_path):
     # ...and from there the sequential rule applies again
     with _pytest.raises(RuntimeError, match="batch numbering"):
         fold([(7, 8)], 5)
+
+    # a rebuilt store must never be silently overwritten by a backfill
+    # (its committed id is -1 but it HOLDS the retraction recompute —
+    # code-review r17)
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        backfill_components_store,
+    )
+
+    with _pytest.raises(RuntimeError, match="already has content"):
+        backfill_components_store(spark, out, retained, 5, n_prefix=8)
 
     # benign ahead case: a BRAND-NEW store attached mid-stream accepts
     # a high starting id as its base
