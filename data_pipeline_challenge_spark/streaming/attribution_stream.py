@@ -124,6 +124,15 @@ def fold_batch(
     min-across-stores replay guard, attrib before frontier."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    # The lookback is pinned as a STORE parameter, unlike the near-dup
+    # gate's min_jaccard (tunable policy): attribution counts are
+    # irreversible aggregates — folds under a different lookback would
+    # silently mix attribution regimes in one report, permanently
+    # breaking the stream==batch claim. A lookback change is a fresh
+    # store.
+    from ..batchstore import ensure_store_params
+
+    ensure_store_params(odir, {"lookback_us": int(lookback_us)})
     attrib_store = odir / "attrib"
     frontier_store = odir / "frontier"
     if batch_id <= min(last_batch_id(attrib_store), last_batch_id(frontier_store)):

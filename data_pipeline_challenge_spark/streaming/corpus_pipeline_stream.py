@@ -80,7 +80,14 @@ def current_dup_clusters(
     """(vertex=doc id, component=cluster label) over the funnel's live
     verified-pair history — the composed dup-cluster view maintained
     when the funnel runs with ``components=True``. None before the
-    first pair (or when the view is disabled)."""
+    first pair (or when the view is disabled).
+
+    Revocation stance (the band-index rule, applied to labels): a
+    REVOKED doc's cluster label intentionally remains — like its
+    signatures in the band index, the label is how near-duplicates of
+    revoked content stay recognized; callers wanting only live docs
+    join this view against :func:`current_corpus` (which does apply
+    revocations)."""
     from . import components_stream
 
     return components_stream.current_components(

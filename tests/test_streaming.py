@@ -6000,6 +6000,23 @@ def test_attribution_stream_out_of_order_fails_then_resequencer_fixes(
     fr = read_batch_store(spark, Path(out_b) / "frontier").collect()
     assert len(fr) == len({r["user_id"] for r in fr})
 
+    # 6) the lookback is pinned: counts are irreversible aggregates, so
+    # a restart with a different window must refuse, not silently mix
+    # attribution regimes in one report
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="layout parameters"):
+        attribution_stream.fold_batch(
+            spark, out_b,
+            spark.createDataFrame(
+                [(99, 1, "purchase", 1.0, 1)],
+                "event_id long, user_id long, event_type string,"
+                " value double, t_us long",
+            ),
+            99,
+            lookback_us=60_000_000,
+        )
+
 
 def test_attribution_stream_equals_declared_query_on_real_events(
     spark, tmp_path
