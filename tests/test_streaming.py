@@ -1963,6 +1963,47 @@ def test_near_dedup_backfill_refuses_unreconstructable_pair_history(
         nd.backfill_dup_clusters(spark, out, tmp_path / "legacy_clusters")
 
 
+def test_near_dedup_backfill_with_pairless_history_is_marker_only(
+    spark, tmp_path
+):
+    """A gate whose committed history verified ZERO pairs backfills to a
+    MARKER-ONLY cluster store (no data dirs — a file-less partitioned
+    write would poison reads): the committed horizon still advances the
+    replay/numbering guards, the view stays None until the first real
+    pair, and the continuing stream folds forward normally."""
+    from data_pipeline_challenge_spark.batchstore import last_batch_id
+    from data_pipeline_challenge_spark.streaming import near_dedup_stream as nd
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        current_components,
+        fold_batch as comp_fold,
+    )
+
+    out = tmp_path / "pairless_near"
+    nd.fold_batch(
+        spark, out,
+        spark.createDataFrame(
+            [(1, "entirely unrelated words about cooking pasta with garlic"),
+             (2, "spark catalyst rewrites declarative plans into codegen")],
+            "doc_id long, text string",
+        ),
+        0, "doc_id", "text", min_jaccard=0.5, n_prefix=8,
+    )
+    cl = tmp_path / "pairless_clusters"
+    nd.backfill_dup_clusters(spark, out, cl, components_n_prefix=8)
+    assert last_batch_id(cl / "labels") == 0  # horizon carried by marker
+    assert current_components(spark, cl) is None  # nothing labeled yet
+    # the continuing numbering folds forward from the seeded horizon
+    comp_fold(
+        spark, cl,
+        spark.createDataFrame([(7, 8)], "src long, dst long"),
+        1, n_prefix=8,
+    )
+    assert dict(
+        (r["vertex"], r["component"])
+        for r in current_components(spark, cl).collect()
+    ) == {7: 7, 8: 7}
+
+
 def test_funnel_components_view_and_late_enable_backfill(spark, tmp_path):
     """The composed dup-cluster view at the FUNNEL level: a fresh
     ``components=True`` funnel maintains cluster labels equal to batch
