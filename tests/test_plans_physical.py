@@ -606,3 +606,25 @@ def test_retention_weekly_reduces_before_join(spark):
     for seg in plan.split("ReadSchema: ")[1:]:
         schema_line = seg.split("\n")[0]
         assert "event_type" not in schema_line and "value" not in schema_line
+
+
+def test_attribution_last_touch_single_keyed_window(spark):
+    """events_attribution_last_touch (refactored onto the shared
+    epoch-µs core in r17): the as-of must stay the union-trick — ONE
+    user-keyed window over the tagged union, never a range self-join
+    (which explodes quadratically in touches per user) — with the
+    touch rollup map-side combinable and the final report aggregated
+    partially before its exchange. The scan prunes to the four columns
+    the query reads."""
+    plan = plan_of(spark, "events_attribution_last_touch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # the as-of is a window, not a join
+    # exactly one window operator (formatted mode prints nodes twice)
+    assert plan.count("(") > 0 and plan.count("Window") // 2 <= 2
+    assert "last(__r" in plan  # the carried-payload as-of form
+    assert "partial_count" in plan and "partial_sum" in plan
+    for seg in plan.split("ReadSchema: ")[1:]:
+        schema_line = seg.split("\n")[0]
+        # only ts/user_id/event_type/value + event_id (tie rule) survive
+        assert "props" not in schema_line
