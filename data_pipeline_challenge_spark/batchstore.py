@@ -50,6 +50,106 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MARKER = "_consolidated.json"
 _BATCH_RE = re.compile(r"^ingest_batch=(-?\d+)$")
+REBUILT_MARKER = "_rebuilt.json"
+
+
+def has_rebuilt_marker(store_root: str | Path) -> bool:
+    """True when ``store_root`` was produced by :func:`rebuild_swap`
+    (or a hand-rolled rebuild that wrote the marker): the signal that
+    arms :func:`sequential_fold_guard` for an otherwise-empty-looking
+    store whose batch numbering restarted at -1."""
+    return (Path(store_root) / REBUILT_MARKER).exists()
+
+
+def sequential_fold_guard(
+    batch_id: int,
+    committed: int,
+    store: str | Path,
+    *,
+    rebuilt: bool = False,
+    strict: bool = True,
+) -> bool:
+    """Shared admission check for every maintained store's
+    ``fold_batch`` (VERDICT r17 #1 — the guard the components store
+    proved, hoisted family-wide). Returns False for ``batch_id <=
+    committed`` — a replay of work the store already holds (skip);
+    True when the fold should run.
+
+    Raises when ``strict`` and the id is GAPPED (``batch_id >
+    committed + 1``) on a store with history (``committed >= 0``) or a
+    rebuilt store (``rebuilt=True`` arms the check at ``committed ==
+    -1``). Under ONE stream checkpoint, foreachBatch ids are gap-free,
+    so a gapped id means the checkpoint does not belong to this
+    store's history — most importantly a STALE pre-rebuild checkpoint
+    resumed against a store a rebuild just swapped in, or a FOREIGN
+    checkpoint pointed at the wrong warehouse; silently folding it
+    would lose the gap's batches from the store forever (irreversible
+    for count/frontier stores: the skipped history can never be
+    retrofitted). The one benign ahead case — attaching a fold
+    MID-LIFE to an existing stream, so the first fold arrives at a
+    high id against a brand-new, never-rebuilt store — stays allowed.
+
+    ``strict=False`` keeps only the replay skip: for folds fed by the
+    RESEQUENCER, whose downstream ids (``2B`` per arrival batch,
+    ``2B+1`` per flush, absent entirely when a batch releases
+    nothing) are monotone but legitimately non-contiguous. Those
+    stores are protected transitively by the resequencer's own strict
+    guard on its gap-free arrival ids."""
+    if batch_id <= committed:
+        return False
+    if strict and batch_id > committed + 1 and (committed >= 0 or rebuilt):
+        raise RuntimeError(
+            f"maintained store at {store} disagrees with the stream's "
+            f"batch numbering (batch {batch_id}, store committed through "
+            f"{committed}): the checkpoint belongs to a different history "
+            "— resume this store with its own original checkpoint; after "
+            "a rebuild, start a FRESH checkpoint over post-rebuild "
+            "arrivals only"
+        )
+    return True
+
+
+def rebuild_swap(out_dir: str | Path, build) -> int:
+    """The ONE rebuild-into-fresh-store protocol (VERDICT r17 #3):
+    recompute into a sibling temp dir via ``build(tmp_dir)``, stamp a
+    generation ``_rebuilt.json`` marker (which arms
+    :func:`sequential_fold_guard` against the stale pre-rebuild
+    checkpoint), then atomically swap the new store in. Returns the
+    new generation number.
+
+    Crash-safety: the rebuild must be a pure function of its inputs,
+    built entirely in the temp dir; a crash mid-swap leaves either the
+    old store, the old store aside (``.<name>.pre-rebuild``) with the
+    complete new one in the temp dir, or the new store — re-running
+    the rebuild converges from any of those states. Run while no
+    stream is writing the store."""
+    odir = Path(out_dir)
+    tmp = odir.parent / f".{odir.name}.rebuild.tmp"
+    aside = odir.parent / f".{odir.name}.pre-rebuild"
+    for stale in (tmp, aside):
+        if stale.exists():
+            shutil.rmtree(stale)
+    tmp.mkdir(parents=True)
+
+    generation = 1
+    old_marker = odir / REBUILT_MARKER
+    if old_marker.exists():
+        try:
+            generation = int(json.loads(old_marker.read_text())["generation"]) + 1
+        except (OSError, ValueError, KeyError):
+            pass
+
+    build(tmp)
+    mtmp = tmp / (REBUILT_MARKER + ".tmp")
+    mtmp.write_text(json.dumps({"generation": generation}, sort_keys=True))
+    os.replace(mtmp, tmp / REBUILT_MARKER)
+
+    if odir.exists():
+        odir.rename(aside)
+    tmp.rename(odir)
+    if aside.exists():
+        shutil.rmtree(aside)
+    return generation
 
 
 def prefix_bucket(col, n_buckets: int, *more_cols):
@@ -397,7 +497,7 @@ def append_batch_increment(
 
 
 def write_initial_consolidated(
-    df: DataFrame, store: str | Path, partition_by: str, through: int = -1
+    df: DataFrame, store: str | Path, partition_by: str | None, through: int = -1
 ) -> None:
     """Write ``df`` as a brand-new store's ONE consolidated partition
     (``ingest_batch=-1`` plus the marker with the given ``through``) —
@@ -422,9 +522,12 @@ def write_initial_consolidated(
         tmp = store / ".consolidate.1.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
-        df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
-            partition_by
-        ).parquet(str(tmp))
+        if partition_by:
+            df.repartition(F.col(partition_by)).write.mode("overwrite").partitionBy(
+                partition_by
+            ).parquet(str(tmp))
+        else:
+            df.write.mode("overwrite").parquet(str(tmp))
         final = store / "ingest_batch=-1"
         if final.exists():
             shutil.rmtree(final)
@@ -630,6 +733,111 @@ def consolidate_batch_store(
     os.replace(mtmp, store / _MARKER)  # the commit point
 
     return len(live_positive) + _sweep_stale(store, new_marker)
+
+
+_EMPTY_SENTINEL_RE = re.compile(r"^\.empty\.b\d+$")
+
+
+def find_batch_stores(root: str | Path) -> list[Path]:
+    """Every batchstore-shaped directory under a warehouse root — a dir
+    holding ``ingest_batch=N`` partitions, empty-fold sentinels, or a
+    consolidation marker. Read-only; batch partition dirs themselves
+    are not descended into (their contents are parquet data)."""
+    root = Path(root)
+    if not root.exists():
+        return []
+    found: set[Path] = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        d = Path(dirpath)
+        if (
+            any(_BATCH_RE.match(x) for x in dirnames)
+            or _MARKER in filenames
+            or any(_EMPTY_SENTINEL_RE.match(f) for f in filenames)
+        ):
+            found.add(d)
+        dirnames[:] = [
+            x
+            for x in dirnames
+            if not _BATCH_RE.match(x) and not x.endswith(".tmp")
+        ]
+    return sorted(found)
+
+
+def audit_batch_store(store: str | Path) -> list[str]:
+    """Read-only invariant sweep of ONE batch store (VERDICT r17 #6 —
+    the operational complement of the fold-time guards): unreadable
+    marker, gapped batch-id sequence (the sequential guard's failure
+    mode, visible at rest), and crash-leftover temp dirs. Returns
+    human-readable violations, empty when healthy.
+
+    The gap check is skipped for stores fed by a RESEQUENCER (detected
+    by a sibling ``reseq/`` dir): their downstream ids (2B / 2B+1,
+    absent when a batch releases nothing) are legitimately
+    non-contiguous; the resequencer's own ``buffer``/``wm`` stores
+    carry the gap-free arrival ids and ARE checked."""
+    store = Path(store)
+    problems: list[str] = []
+
+    marker = None
+    mp = store / _MARKER
+    if mp.exists():
+        try:
+            marker = json.loads(mp.read_text())
+            int(marker["consolidated"])
+            int(marker["through"])
+        except (OSError, ValueError, KeyError, TypeError):
+            problems.append(f"{store}: unreadable or malformed {_MARKER}")
+            marker = None
+
+    reseq_fed = store.name not in ("buffer", "wm") and (
+        (store.parent / "reseq").exists()
+    )
+    ids = sorted(
+        {n for n, _ in _batch_dirs(store) if n >= 0}
+        | set(_empty_sentinel_ids(store))
+    )
+    floor = int(marker["through"]) if marker else None
+    live = [n for n in ids if floor is None or n > floor]
+    if live and not reseq_fed:
+        lo = floor + 1 if floor is not None else live[0]
+        missing = sorted(set(range(lo, live[-1] + 1)) - set(live))
+        if missing:
+            shown = ", ".join(map(str, missing[:8]))
+            more = ", ..." if len(missing) > 8 else ""
+            problems.append(
+                f"{store}: gapped batch ids ({shown}{more}) between "
+                f"{lo} and {live[-1]} — a stale/foreign checkpoint "
+                "folded past missing history, or increments were "
+                "deleted by hand; the store's reports silently exclude "
+                "the gap"
+            )
+
+    for p in store.parent.glob(f".{store.name}.b*.tmp"):
+        problems.append(f"{p}: leftover increment tmp (crashed append)")
+    for p in store.glob(".consolidate.*.tmp"):
+        problems.append(f"{p}: leftover consolidation tmp (crashed fold)")
+    return problems
+
+
+def audit_warehouse_stores(root: str | Path) -> list[str]:
+    """Sweep EVERY batch store under a warehouse root plus the JSON
+    sidecars the store family writes (`_gate_params.json`,
+    `_rebuilt.json`): one read-only call an operator can run against a
+    live warehouse to catch checkpoint misuse, hand-edits, and crash
+    leftovers before they surface as fold-time refusals. Returns all
+    violations; empty = healthy."""
+    problems: list[str] = []
+    for store in find_batch_stores(root):
+        problems.extend(audit_batch_store(store))
+    root = Path(root)
+    if root.exists():
+        for name in ("_gate_params.json", REBUILT_MARKER):
+            for p in root.rglob(name):
+                try:
+                    json.loads(p.read_text())
+                except (OSError, ValueError):
+                    problems.append(f"{p}: unreadable JSON sidecar")
+    return problems
 
 
 def maybe_consolidate_in_stream(

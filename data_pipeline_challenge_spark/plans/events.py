@@ -502,6 +502,7 @@ def events_gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j GROUP BY attributed
     """,
     tags=("events", "asof", "attribution"),
+    bench=True,
 )
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: each purchase credits the

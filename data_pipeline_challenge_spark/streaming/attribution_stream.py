@@ -29,11 +29,18 @@ UNIONED with the prior frontier (frontier instants are strictly older
 than every in-batch instant under the ordering contract, so the union
 IS the correct candidate set), then one count/cents aggregate.
 
-Ordering assumption — the same contract as the transition fold, stated
-honestly: per-user event time never runs backwards across batches. A
+Ordering assumption — STRICTER than the transition fold's, stated
+honestly: per-user event time never runs backwards across batches,
+AND same-instant events for a user arrive in the SAME batch. The
+fold's union treats the stored frontier as strictly older than every
+in-batch instant, so a touch at time t delivered one batch after a
+conversion at the same t would be counted 'direct' by the plain
+stream while the batch query attributes the touch (ADVICE r17). A
 late-arriving touch CANNOT be retrofitted onto an already-counted
-conversion (the count is an aggregate, not a per-conversion store), so
-out-of-order delivery needs the watermarked resequencer in front:
+conversion (the count is an aggregate, not a per-conversion store),
+so tie-capable or out-of-order delivery needs the watermarked
+resequencer in front (event-time-contiguous slabs keep equal
+timestamps together by construction):
 :func:`start_resequenced_attribution_stream` buffers arrivals and
 releases event-time-contiguous slabs into the fold, making the
 contract hold BY CONSTRUCTION for any disorder up to ``delay_us``
@@ -64,9 +71,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.attribution import (
     LOOKBACK_US,
@@ -115,13 +124,24 @@ def fold_batch(
     batch_df: DataFrame,
     batch_id: int,
     lookback_us: int = LOOKBACK_US,
+    sequential: bool = True,
 ) -> None:
     """Fold ONE micro-batch of events into the maintained attribution
     counts. ``batch_df`` needs (event_id, user_id, event_type, value)
     plus ``t_us`` (timezone-agnostic epoch micros — the stream wrappers
     derive it via ``catalog.ts_epoch_us``). Requires the per-user
     event-time ordering contract (module docstring); idempotent via the
-    min-across-stores replay guard, attrib before frontier."""
+    min-across-stores replay guard, attrib before frontier.
+
+    The guard is strict (``batchstore.sequential_fold_guard``, r18): a
+    gapped batch id on a store with history — a stale pre-rebuild or
+    foreign checkpoint — is refused loudly instead of silently losing
+    the gap's touches from the frontier and permanently skewing the
+    irreversible counts (VERDICT r17's sharpest case).
+    ``sequential=False`` relaxes only the gap check, for the
+    resequenced wrappers whose downstream ids (2B / 2B+1) are monotone
+    but legitimately non-contiguous; the resequencer's own arrival-id
+    guard protects the store transitively there."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     # The lookback is pinned as a STORE parameter, unlike the near-dup
@@ -135,7 +155,13 @@ def fold_batch(
     ensure_store_params(odir, {"lookback_us": int(lookback_us)})
     attrib_store = odir / "attrib"
     frontier_store = odir / "frontier"
-    if batch_id <= min(last_batch_id(attrib_store), last_batch_id(frontier_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(attrib_store), last_batch_id(frontier_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+        strict=sequential,
+    ):
         return
 
     ev = batch_df.select(
@@ -243,6 +269,79 @@ def _transforms(odir: Path) -> dict:
     }
 
 
+def rebuild_attribution_store(
+    spark: SparkSession,
+    out_dir: str | Path,
+    events_df: DataFrame,
+    lookback_us: int = LOOKBACK_US,
+) -> None:
+    """OFFLINE recompute for BEYOND-DELAY repair (VERDICT r17 #2) — the
+    tool for the one case the maintained fold honestly scopes out: a
+    touch arriving later than the resequencer's ``delay_us`` is dropped
+    and counted (watermark semantics), and because the counts are an
+    irreversible aggregate, the mis-attribution can never be retrofitted
+    incrementally. When the drop counters say the skew matters, this
+    recomputes the whole store from the RETAINED event history — the
+    exact arithmetic of the oracle-checked declared query, via the same
+    ``operators/attribution.py`` core — into a fresh store, swapped in
+    atomically (``batchstore.rebuild_swap``, the components-store
+    contract).
+
+    ``events_df`` needs (event_id, user_id, event_type, value) plus
+    either ``t_us`` (epoch micros) or a ``ts`` timestamp column to
+    derive it from. ``lookback_us`` may change here — a rebuild is
+    exactly when the pinned attribution regime is allowed to.
+
+    The rebuilt store starts a NEW batch-numbering history (committed
+    id -1, consolidated layout): resume only with a FRESH checkpoint
+    over post-rebuild arrivals. A STALE pre-rebuild checkpoint is
+    refused loudly — by :func:`fold_batch`'s sequential guard on the
+    plain path, and by the resequencer's arrival-id guard on the
+    resequenced path (the swap removes the nested ``reseq/`` stores,
+    and the ``_rebuilt.json`` marker written here arms the reseq guard
+    via its parent-dir check). Run while no stream writes the store."""
+    from ..batchstore import rebuild_swap, write_initial_consolidated
+    from ..catalog import ts_epoch_us
+    from ..operators.rollup import money_cents
+
+    ev = events_df
+    if "t_us" not in ev.columns:
+        ev = ev.withColumn("t_us", ts_epoch_us(ev, "ts"))
+    ev = ev.select("event_id", "user_id", "event_type", "value", "t_us")
+
+    def _build(tmp: Path) -> None:
+        from ..batchstore import ensure_store_params
+
+        ensure_store_params(tmp, {"lookback_us": int(lookback_us)})
+        conv = ev.filter(F.col("event_type") == _CONV_TYPE).select(
+            "user_id",
+            F.col("t_us").alias("c_us"),
+            money_cents(F.col("value")).alias("cents"),
+        )
+        touches = touch_rollup(
+            ev.filter(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+                "user_id", "t_us", "event_id", "event_type"
+            )
+        ).cache()
+        try:
+            counts = (
+                attribute_conversions(conv, touches, lookback_us=lookback_us)
+                .groupBy("attributed")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("value_cents"),
+                )
+            )
+            write_initial_consolidated(counts, tmp / "attrib", None)
+            write_initial_consolidated(
+                _latest_per_user(touches), tmp / "frontier", None
+            )
+        finally:
+            touches.unpersist()
+
+    rebuild_swap(out_dir, _build)
+
+
 def start_attribution_stream(
     spark: SparkSession,
     events_dir: str | Path,
@@ -255,8 +354,12 @@ def start_attribution_stream(
     consolidate_every: int | None = 64,
 ) -> StreamingQuery:
     """Stream event parquet files into the maintained attribution
-    counts — IN-ORDER feeds only (module docstring); use
-    :func:`start_resequenced_attribution_stream` under disorder."""
+    counts — STRICTLY-ordered feeds only: per-user event time never
+    runs backwards across batches AND same-instant events for a user
+    land in the same batch (the module docstring's tie caveat — a
+    conversion/touch tie split across batches silently counts
+    'direct' here). Tie-capable or out-of-order feeds must use
+    :func:`start_resequenced_attribution_stream` instead."""
     from ..catalog import ts_epoch_us
 
     odir = Path(out_dir)
@@ -320,7 +423,10 @@ def start_resequenced_attribution_stream(
     stream = reader.parquet(str(events_dir))
 
     def _fold(released: DataFrame, fold_id: int) -> None:
-        fold_batch(spark, odir, released, fold_id, lookback_us=lookback_us)
+        fold_batch(
+            spark, odir, released, fold_id,
+            lookback_us=lookback_us, sequential=False,
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         with_t = batch_df.withColumn("t_us", ts_epoch_us(batch_df, "ts"))
@@ -364,6 +470,9 @@ def flush_resequenced(
     odir = Path(out_dir)
 
     def _fold(released: DataFrame, fold_id: int) -> None:
-        fold_batch(spark, odir, released, fold_id, lookback_us=lookback_us)
+        fold_batch(
+            spark, odir, released, fold_id,
+            lookback_us=lookback_us, sequential=False,
+        )
 
     flush_resequencer(spark, odir / "reseq", _fold)

@@ -43,9 +43,11 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_cells, cms_estimate
 
@@ -80,7 +82,9 @@ def fold_batch(
         params["group_cols"] = list(group_cols)
     ensure_store_params(odir, params)
     store = odir / "cells"
-    if batch_id <= last_batch_id(store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
     append_batch_increment(
         cms_cells(batch_df, item_col, depth, width, group_cols=group_cols),

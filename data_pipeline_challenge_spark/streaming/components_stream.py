@@ -105,20 +105,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    REBUILT_MARKER as _REBUILT_MARKER,
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    rebuild_swap,
+    sequential_fold_guard,
     write_initial_consolidated,
 )
 from ..operators.graph import connected_components
 
 _LABELS_SCHEMA = "vertex long, component long, v_prefix int, ingest_batch int"
 _MEMBERS_SCHEMA = "component long, vertex long, c_prefix int, ingest_batch int"
-_REBUILT_MARKER = "_rebuilt.json"
 _AUDIT_DIR = "relabel_audit"
 
 
@@ -241,26 +244,19 @@ def fold_batch(
     ahead case — attaching a components fold MID-LIFE to an existing
     stream, so the first fold arrives at a high id against a BRAND-NEW
     store — is allowed: an empty never-rebuilt store accepts any
-    starting id as its base."""
+    starting id as its base. Since r18 the guard itself is
+    ``batchstore.sequential_fold_guard`` — the discipline this store
+    proved in r17, now shared by every maintained store's fold."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     ensure_store_params(odir, {"n_prefix": int(n_prefix)})
     labels_store = odir / "labels"
     members_store = odir / "members"
     committed = min(last_batch_id(labels_store), last_batch_id(members_store))
-    if batch_id <= committed:
-        return
-    if batch_id > committed + 1 and (
-        committed >= 0 or (odir / _REBUILT_MARKER).exists()
+    if not sequential_fold_guard(
+        batch_id, committed, odir, rebuilt=has_rebuilt_marker(odir)
     ):
-        raise RuntimeError(
-            f"components store at {odir} disagrees with the stream's "
-            f"batch numbering (batch {batch_id}, store committed through "
-            f"{committed}): the checkpoint belongs to a different history "
-            "— after rebuild_components_store, start a FRESH checkpoint "
-            "over post-rebuild edge arrivals only (or restore the "
-            "original store alongside its original checkpoint)"
-        )
+        return
 
     e = (
         edges_df.select(
@@ -510,60 +506,35 @@ def rebuild_components_store(
     sequential-numbering guard — the ``_rebuilt.json`` marker written
     here is what arms that guard for an otherwise-empty-looking store.
 
-    Run while no stream is writing the store. Crash-safety: the rebuild
-    is a pure function of ``retained_edges``, built entirely in a
-    sibling temp dir; a crash mid-swap leaves either the old store, the
-    old store aside (``.<name>.pre-rebuild``) with the complete new one
-    in the temp dir, or the new store — re-running the rebuild converges
-    from any of those states."""
-    import json
-    import os
-    import shutil
+    Run while no stream is writing the store. Crash-safety is
+    ``batchstore.rebuild_swap``'s (the shared recompute-into-fresh-dir +
+    generation-marker + atomic-swap protocol — VERDICT r17 #3): the
+    rebuild is a pure function of ``retained_edges``, built entirely in
+    a sibling temp dir, and re-running converges from any crash
+    point."""
 
-    odir = Path(out_dir)
-    tmp = odir.parent / f".{odir.name}.rebuild.tmp"
-    aside = odir.parent / f".{odir.name}.pre-rebuild"
-    for stale in (tmp, aside):
-        if stale.exists():
-            shutil.rmtree(stale)
-    tmp.mkdir(parents=True)
-    ensure_store_params(tmp, {"n_prefix": int(n_prefix)})
-
-    generation = 1
-    old_marker = odir / _REBUILT_MARKER
-    if old_marker.exists():
+    def _build(tmp: Path) -> None:
+        ensure_store_params(tmp, {"n_prefix": int(n_prefix)})
+        labels = connected_components(retained_edges, src=src, dst=dst).cache()
         try:
-            generation = int(json.loads(old_marker.read_text())["generation"]) + 1
-        except (OSError, ValueError, KeyError):
-            pass
+            write_initial_consolidated(
+                labels.select("vertex", "component").withColumn(
+                    "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
+                ),
+                tmp / "labels",
+                "v_prefix",
+            )
+            write_initial_consolidated(
+                labels.select("component", "vertex").withColumn(
+                    "c_prefix", prefix_bucket(F.col("component"), n_prefix)
+                ),
+                tmp / "members",
+                "c_prefix",
+            )
+        finally:
+            labels.unpersist()
 
-    labels = connected_components(retained_edges, src=src, dst=dst).cache()
-    try:
-        write_initial_consolidated(
-            labels.select("vertex", "component").withColumn(
-                "v_prefix", prefix_bucket(F.col("vertex"), n_prefix)
-            ),
-            tmp / "labels",
-            "v_prefix",
-        )
-        write_initial_consolidated(
-            labels.select("component", "vertex").withColumn(
-                "c_prefix", prefix_bucket(F.col("component"), n_prefix)
-            ),
-            tmp / "members",
-            "c_prefix",
-        )
-    finally:
-        labels.unpersist()
-    mtmp = tmp / (_REBUILT_MARKER + ".tmp")
-    mtmp.write_text(json.dumps({"generation": generation}, sort_keys=True))
-    os.replace(mtmp, tmp / _REBUILT_MARKER)
-
-    if odir.exists():
-        odir.rename(aside)
-    tmp.rename(odir)
-    if aside.exists():
-        shutil.rmtree(aside)
+    rebuild_swap(out_dir, _build)
 
 
 def backfill_components_store(

@@ -193,20 +193,10 @@ def _sync_index_revocations(
 
 
 def _last_committed_batch(checkpoint_dir: str | Path) -> int:
-    """Newest batch id the streaming checkpoint COMMITTED (the
-    ``commits/`` metadata log), -1 when none: distinguishes an index
-    that is one batch behind because of a mid-batch crash (the replay
-    heals it) from one the funnel ran without (only a backfill heals
-    that)."""
-    d = Path(checkpoint_dir) / "commits"
-    if not d.exists():
-        return -1
-    best = -1
-    for p in d.iterdir():
-        name = p.name
-        if name.isdigit():
-            best = max(best, int(name))
-    return best
+    """Newest batch id the streaming checkpoint COMMITTED — one
+    definition, shared with the standalone near-dedup stream's
+    lateness guard (r18)."""
+    return near_dedup_stream.last_committed_batch(checkpoint_dir)
 
 
 def revoke_corpus_eval_generation(
@@ -456,51 +446,18 @@ def start_corpus_pipeline_stream(
     clusters_dir = odir / "clusters" if components else None
     clusters_n_prefix = 256
     if clusters_dir is not None:
-        from ..batchstore import last_batch_id as _last
-
         # Same lateness rule as the retrieval index (incl. its
         # unconditional never-folded refusal — code-review r17: a lost
         # checkpoint's commits log also reads -1, and a renumbered
         # replay over a partially-retained source dir would chain only
-        # a suffix of the pair history): a cluster view enabled after
-        # the gate already folded batches would silently miss earlier
-        # verified pairs. The one tolerated gap: the store sits exactly
-        # at the checkpoint's committed frontier (the mid-batch crash
-        # window — the replay re-chains it).
-        _near_last = min(
-            _last(odir / "near" / "docs"), _last(odir / "near" / "band_index")
+        # a suffix of the pair history). Shared with the standalone
+        # near-dedup stream since r18 (ADVICE r17) — the helper also
+        # resolves the chained fold's layout modulus from a
+        # backfill-seeded store's pin.
+        clusters_n_prefix = near_dedup_stream.ensure_components_coverage(
+            odir / "near", clusters_dir, checkpoint_dir,
+            default_n_prefix=clusters_n_prefix,
         )
-        _c_last = min(
-            _last(clusters_dir / "labels"), _last(clusters_dir / "members")
-        )
-        if _near_last >= 0 and (
-            _c_last < 0
-            or (
-                _c_last < _near_last
-                and _c_last != _last_committed_batch(checkpoint_dir)
-            )
-        ):
-            raise RuntimeError(
-                "components=True on a warehouse that already folded "
-                f"batches (kept store through {_near_last}, cluster "
-                f"store through {_c_last}): the view would silently "
-                "miss earlier verified pairs — seed it first with "
-                "near_dedup_stream.backfill_dup_clusters (stream "
-                "stopped; if the cluster store already has partial "
-                "folded history, delete out_dir/clusters first — it is "
-                "purely derived and the pair history re-derives it in "
-                "full)"
-            )
-        # a backfill-seeded store may carry a non-default layout
-        # modulus: the chained fold must use the STORE's pinned value,
-        # never a fresh literal (code-review r17)
-        params = clusters_dir / "_gate_params.json"
-        if params.exists():
-            import json as _json
-
-            clusters_n_prefix = int(
-                _json.loads(params.read_text())["n_prefix"]
-            )
 
     # Pin the FUNNEL-defining configuration at the pipeline root, same
     # drift-refusal contract as each gate's own params: the transform
@@ -540,43 +497,48 @@ def start_corpus_pipeline_stream(
     stream = reader.parquet(str(corpus_dir))
 
     def _run_gates(batch_df: DataFrame, batch_id: int) -> None:
-        cur: DataFrame | None = batch_df
+        # A gate that drops the WHOLE batch must not short-circuit the
+        # chain: every downstream store still ACCOUNTS the batch id (an
+        # empty fold — sentinels only), so the id sequence every
+        # sequential-numbering guard relies on stays gap-free. Before
+        # r18 an all-rejected batch returned here and the next batch
+        # crashed the components chain's guard with a misleading
+        # foreign-checkpoint message (ADVICE r17).
+        cur: DataFrame = batch_df
         if transform_exprs:
             cur = cur.withColumns(transform_exprs)
         if drift_score_expr is not None:
             _record_drift_histogram(cur, odir, batch_id, drift_score_expr)
         if quality_expr is not None:
-            cur = filter_gate_stream.fold_batch(
+            out = filter_gate_stream.fold_batch(
                 spark, odir / "quality", cur, batch_id, quality_expr
             )
-            if cur is None:
-                return
+            cur = out if out is not None else cur.limit(0)
         if ev is not None:
-            cur = decontam_stream.fold_batch(
+            out = decontam_stream.fold_batch(
                 spark, odir / "decontam", cur, batch_id, ev,
                 id_col=id_col, text_col=text_col, n=n, min_shared=min_shared,
             )
-            if cur is None:
-                return
-        cur = dedup_stream.fold_batch(
+            cur = out if out is not None else cur.limit(0)
+        out = dedup_stream.fold_batch(
             spark, odir / "exact", cur, batch_id,
             id_col=id_col, text_col=text_col, n_prefix=n_prefix,
         )
-        if cur is None:
-            return
+        cur = out if out is not None else cur.limit(0)
         if novelty_cfg is not None:
             from . import novelty_stream
 
-            cur = novelty_stream.fold_batch(
+            out = novelty_stream.fold_batch(
                 spark, odir / "novelty", cur, batch_id,
                 id_col=id_col, text_col=text_col,
                 shingle_n=novelty_cfg["shingle_n"],
                 max_share=novelty_cfg["max_share"],
             )
-            if cur is None:
-                return
+            cur = out if out is not None else cur.limit(0)
             # score columns stay in the novelty stores (audit evidence);
             # downstream stages and the kept corpus keep their schemas
+            # (drop is a no-op on the empty-continuation frame, which
+            # never gained them)
             cur = cur.drop("n_shingles", "n_seen", "novelty_share")
         kept = near_dedup_stream.fold_batch(
             spark, odir / "near", cur, batch_id,

@@ -43,10 +43,12 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_anti_join_key,
     read_batch_store,
+    sequential_fold_guard,
     record_anti_join_key,
 )
 from ..operators.dedup import _shingle_table
@@ -344,14 +346,22 @@ def fold_batch(
         inc = docs_store / f"ingest_batch={batch_id}"
         return spark.read.parquet(str(inc)) if inc.exists() else None
 
-    if batch_id <= min(last_batch_id(docs_store), last_batch_id(cont_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(docs_store), last_batch_id(cont_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+    ):
         return _stored()
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            # Empty micro-batch: skip the appends (an empty increment
-            # dir per idle trigger would accrete forever); the guard
-            # staying behind is harmless — a replay re-skips here.
+            # Empty micro-batch: still ACCOUNT the id in both stores —
+            # empty-fold sentinels only (no data dirs accrete), docs
+            # first. Before r18 the guard stayed behind here, which the
+            # family-wide sequential guard now reads as a gapped id.
+            append_batch_increment(batch, docs_store, batch_id)
+            append_batch_increment(batch, cont_store, batch_id)
             return None
         tr = _shingle_table(batch, id_col, text_col, n)
         overlap = (

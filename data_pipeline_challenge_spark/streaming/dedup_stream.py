@@ -63,8 +63,10 @@ from ..batchstore import (
     consolidate_batch_store,
     maybe_consolidate_in_stream,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..functions.textfn import normalized_fingerprint
 
@@ -170,7 +172,12 @@ def fold_batch(
     # crash between the docs and fp_index writes leaves docs ahead,
     # and a max-based skip would permanently drop the batch from the
     # index (every one of its fps would re-emit as novel forever).
-    if batch_id <= min(last_batch_id(docs_store), last_batch_id(fp_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(docs_store), last_batch_id(fp_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+    ):
         return _stored()
 
     with_fp = batch_df.withColumn("fp", normalized_fingerprint(F.col(text_col)))
@@ -208,10 +215,20 @@ def _fold_winners(
         .collect()
     )
     if not touched:
-        # Empty micro-batch: nothing novel by construction — skip the
-        # store appends entirely (an empty ingest_batch dir per idle
-        # trigger would accrete forever). The replay guard staying
-        # behind is harmless: a replayed empty batch re-skips here.
+        # Empty micro-batch: nothing novel by construction — but still
+        # ACCOUNT the id in both stores (empty-fold sentinels only, no
+        # data dirs accrete; docs first). Before r18 the guard stayed
+        # behind here, which the family-wide sequential guard now reads
+        # as a gapped id — an upstream gate dropping a whole batch must
+        # not make this store look like a foreign checkpoint.
+        append_batch_increment(winners, docs_store, batch_id)
+        append_batch_increment(
+            winners.select(
+                "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
+            ),
+            fp_store,
+            batch_id,
+        )
         return None
     batch_fps = winners.select("fp")
     if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):

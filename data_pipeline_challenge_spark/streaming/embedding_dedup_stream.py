@@ -69,6 +69,8 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     maybe_consolidate_in_stream,
+    sequential_fold_guard,
+    has_rebuilt_marker,
     last_batch_id,
 )
 from ..functions.vectorfn import as_double, cosine
@@ -142,7 +144,12 @@ def fold_batch(
             return spark.read.parquet(str(idx / "bucketed"))
         return None
 
-    if batch_id <= max(_base_batch(idx), last_batch_id(inc_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        max(_base_batch(idx), last_batch_id(inc_store)),
+        idx,
+        rebuilt=has_rebuilt_marker(idx),
+    ):
         return _stored()
 
     first = not meta_p.exists()
@@ -169,7 +176,10 @@ def fold_batch(
     ).cache()
     try:
         if not bucketed.take(1):
-            return None  # empty micro-batch: skip (guard stays behind)
+            # account the id (empty-fold sentinel) so the sequential
+            # guard's id sequence stays gap-free (r18)
+            append_batch_increment(bucketed, inc_store, batch_id)
+            return None
 
         # Probe neighborhood of each new vector: own bucket + Hamming-1.
         probes = F.array(

@@ -36,9 +36,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..functions.textfn import top_token_fraction
 
@@ -125,12 +127,25 @@ def fold_batch(
         inc = docs_store / f"ingest_batch={batch_id}"
         return spark.read.parquet(str(inc)) if inc.exists() else None
 
-    if batch_id <= min(last_batch_id(docs_store), last_batch_id(rej_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(docs_store), last_batch_id(rej_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+    ):
         return _stored()
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            return None  # empty micro-batch: skip (guard stays behind)
+            # Empty micro-batch: still ACCOUNT the id in both stores
+            # (empty-fold sentinels, docs first) so the id sequence
+            # stays gap-free — the sequential guard requires every
+            # store's history to cover every batch id (r18; before
+            # this, an empty batch left the guard behind and the next
+            # real batch would read as a foreign checkpoint).
+            append_batch_increment(batch, docs_store, batch_id)
+            append_batch_increment(batch, rej_store, batch_id)
+            return None
         # docs BEFORE rejected (replay-guard ordering). Either side may
         # be empty; empty increments are skipped (append_batch_increment)
         # and a replayed fold recomputes the same split.

@@ -42,10 +42,12 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.sketches import _mg_merge, mg_summary
 
@@ -120,6 +122,14 @@ def fold_batch(
     _, newest = _latest_summary(odir)
     if batch_id <= newest:
         return
+    # strict numbering check only — the crash-heal case (counts ahead
+    # of the summary file) sits at the frontier and passes
+    sequential_fold_guard(
+        batch_id,
+        max(newest, last_batch_id(counts_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+    )
 
     # Non-null population only, matching the batch operator: the sketch
     # drops nulls and the report's isin recount can never match one, so

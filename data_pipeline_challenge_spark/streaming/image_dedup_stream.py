@@ -45,9 +45,11 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _N_BUCKETS = 64  # per-band hash buckets (partition key: band, bucket)
@@ -134,12 +136,18 @@ def fold_batch(
         inc = kept_store / f"ingest_batch={batch_id}"
         return spark.read.parquet(str(inc)) if inc.exists() else None
 
-    if batch_id <= last_batch_id(hash_store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(hash_store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return _stored()
 
     batch = batch_df.cache()
     try:
         if not batch.take(1):
+            # account the id (empty-fold sentinels, kept before hashes —
+            # the commit store) so the sequential guard stays gap-free
+            append_batch_increment(batch, kept_store, batch_id)
+            append_batch_increment(batch, hash_store, batch_id)
             return None
         sig = image_dhash(batch).cache()
         try:

@@ -37,9 +37,11 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.sketches import (
     KMV_K,
@@ -84,7 +86,9 @@ def fold_batch(
         params["group_cols"] = list(group_cols)
     ensure_store_params(odir, params)
     store = odir / "hashes"
-    if batch_id <= last_batch_id(store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
     append_batch_increment(
         kmv_bottom_hashes(batch_df, item_col, k, group_cols=group_cols),

@@ -89,9 +89,11 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.dedup import banded_minhash_tables, verify_candidate_pairs
 from ..operators.graph import connected_components
@@ -267,7 +269,9 @@ def fold_batch(
         )
 
     committed = min(last_batch_id(docs_store), last_batch_id(band_store))
-    if batch_id <= committed:
+    if not sequential_fold_guard(
+        batch_id, committed, odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         _chain_components()
         return _stored()
     # Full rows ride through to the docs store (the kept corpus must not
@@ -516,6 +520,71 @@ def _mark_pairs_partial(pairs_store: Path, committed_before: int) -> None:
     os.replace(tmp, marker)
 
 
+def last_committed_batch(checkpoint_dir: str | Path) -> int:
+    """Newest batch id a streaming checkpoint COMMITTED (its
+    ``commits/`` metadata log), -1 when none: distinguishes a derived
+    store that is one batch behind because of a mid-batch crash (the
+    replay heals it) from one the gate ran without (only a backfill
+    heals that)."""
+    d = Path(checkpoint_dir) / "commits"
+    if not d.exists():
+        return -1
+    best = -1
+    for p in d.iterdir():
+        if p.name.isdigit():
+            best = max(best, int(p.name))
+    return best
+
+
+def ensure_components_coverage(
+    out_dir: str | Path,
+    components_out_dir: str | Path,
+    checkpoint_dir: str | Path,
+    default_n_prefix: int = 256,
+) -> int:
+    """The composed dup-cluster view's LATENESS guard, shared by the
+    funnel (``components=True``) and :func:`start_near_dedup_stream`
+    (``components_out_dir=``) — before r18 only the funnel refused a
+    late enable (ADVICE r17): a cluster store attached to a gate that
+    already committed batches would accept its first fold at a high id
+    (the brand-new-store allowance) and silently miss every earlier
+    verified pair, violating the labels == connected_components-over-
+    full-pair-history claim.
+
+    Refuses unless the cluster store covers the gate's committed
+    history (or sits exactly at the checkpoint's committed frontier —
+    the mid-batch-crash window the replay heals). Returns the layout
+    modulus the chained fold must use: a backfill-seeded store may
+    carry a non-default pinned ``n_prefix``, and the fold must use the
+    STORE's value, never a fresh literal (code-review r17)."""
+    import json
+
+    odir = Path(out_dir)
+    cdir = Path(components_out_dir)
+    near_last = min(
+        last_batch_id(odir / "docs"), last_batch_id(odir / "band_index")
+    )
+    c_last = min(last_batch_id(cdir / "labels"), last_batch_id(cdir / "members"))
+    if near_last >= 0 and (
+        c_last < 0
+        or (c_last < near_last and c_last != last_committed_batch(checkpoint_dir))
+    ):
+        raise RuntimeError(
+            "components view enabled on a near-dedup gate that already "
+            f"folded batches (kept store through {near_last}, cluster "
+            f"store through {c_last}): the view would silently miss "
+            "earlier verified pairs — seed it first with "
+            "near_dedup_stream.backfill_dup_clusters (stream stopped; "
+            "if the cluster store already has partial folded history, "
+            "delete it first — it is purely derived and the pair "
+            "history re-derives it in full)"
+        )
+    params = cdir / "_gate_params.json"
+    if params.exists():
+        return int(json.loads(params.read_text())["n_prefix"])
+    return int(default_n_prefix)
+
+
 def backfill_dup_clusters(
     spark: SparkSession,
     out_dir: str | Path,
@@ -604,9 +673,17 @@ def start_near_dedup_stream(
     N batches (no stop-the-stream window); ``None`` = offline-only.
     ``components_out_dir`` additionally maintains the duplicate-cluster
     component store off this stream's verified pairs (module docstring;
-    consolidated on the same cadence)."""
+    consolidated on the same cadence) — enabling it on a gate that
+    already committed batches is refused until
+    :func:`backfill_dup_clusters` seeds the view (the funnel's
+    lateness rule, shared via :func:`ensure_components_coverage`)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
+    if components_out_dir is not None:
+        components_n_prefix = ensure_components_coverage(
+            odir, components_out_dir, checkpoint_dir,
+            default_n_prefix=components_n_prefix,
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

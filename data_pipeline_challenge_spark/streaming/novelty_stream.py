@@ -45,10 +45,12 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _N_BUCKETS = 64
@@ -108,13 +110,20 @@ def fold_batch(
         inc = docs_store / f"ingest_batch={batch_id}"
         return spark.read.parquet(str(inc)) if inc.exists() else None
 
-    if batch_id <= last_batch_id(sh_store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(sh_store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return _stored()
 
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            return None  # empty micro-batch: skip (guard stays behind)
+            # Empty micro-batch: account the id in both stores (empty-
+            # fold sentinels, docs before shingles — the commit store)
+            # so the sequential guard's id sequence stays gap-free (r18).
+            append_batch_increment(batch, docs_store, batch_id)
+            append_batch_increment(batch, sh_store, batch_id)
+            return None
         # ids key the score join: a NULL id would never match it (the
         # doc would be admitted at share 0.0 while its shingles still
         # fold into history) — refuse loudly. Uniqueness is the funnel

@@ -55,10 +55,12 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _N_BUCKETS = 64
@@ -102,7 +104,9 @@ def fold_batch(
         },
     )
     sh_store = odir / "shingles"
-    if batch_id <= last_batch_id(sh_store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(sh_store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
 
     batch_sh = doc_shingles(

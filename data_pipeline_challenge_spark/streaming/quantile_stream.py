@@ -33,9 +33,11 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _STORES: tuple[tuple[str, list | None], ...] = (("counts", None),)
@@ -65,7 +67,9 @@ def fold_batch(
         params["group_cols"] = list(group_cols)
     ensure_store_params(odir, params)
     store = odir / "counts"
-    if batch_id <= last_batch_id(store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
     from ..operators.profiling import grouped_value_histogram, value_histogram
 

@@ -45,7 +45,13 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..batchstore import append_batch_increment, last_batch_id, read_batch_store
+from ..batchstore import (
+    append_batch_increment,
+    has_rebuilt_marker,
+    last_batch_id,
+    read_batch_store,
+    sequential_fold_guard,
+)
 
 _WM_SCHEMA = "max_t_us long, released_floor_us long, n_late long"
 _FLOOR_FILE = "_flush_floor.json"
@@ -139,7 +145,17 @@ def reseq_fold(
     buffer_store = odir / "buffer"
     wm_store = odir / "wm"
     _recover_flush(spark, odir, downstream, t_col)
-    if batch_id <= min(last_batch_id(buffer_store), last_batch_id(wm_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(buffer_store), last_batch_id(wm_store)),
+        odir,
+        # a rebuild swaps the DOWNSTREAM store root wholesale, taking
+        # this nested reseq dir with it — the parent's marker must arm
+        # this guard too, or a stale arrival checkpoint would attach to
+        # the empty post-rebuild buffer as if brand new and silently
+        # lose the gap downstream (strict=False there, by design)
+        rebuilt=has_rebuilt_marker(odir) or has_rebuilt_marker(odir.parent),
+    ):
         return
 
     batch_df = batch_df.cache()

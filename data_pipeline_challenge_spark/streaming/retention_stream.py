@@ -35,9 +35,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 def _act_set(batch_df: DataFrame) -> DataFrame:
@@ -70,7 +72,9 @@ def fold_batch(
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     store = odir / "act"
-    if batch_id <= last_batch_id(store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
     append_batch_increment(_act_set(batch_df), store, batch_id)
 

@@ -56,10 +56,12 @@ from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _N_BUCKETS = 64
@@ -154,6 +156,16 @@ def fold_batch(
     _, newest = _latest_totals(odir)
     if batch_id <= newest:
         return
+    # Strict numbering check only (the two replay skips above already
+    # handled <=): a gapped id past BOTH commit frontiers means a
+    # stale/foreign checkpoint — the crash-heal case (data stores one
+    # ahead of the totals file) sits at the frontier and passes.
+    sequential_fold_guard(
+        batch_id,
+        max(newest, min(last_batch_id(postings_store), last_batch_id(doclen_store))),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+    )
 
     toks = batch_df.select(
         F.col(id_col).alias("doc_id"),

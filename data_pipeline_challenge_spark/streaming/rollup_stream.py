@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..catalog import ntz_epoch_us
+from ..batchstore import has_rebuilt_marker, sequential_fold_guard
 from ..operators.rollup import hourly_rollup, merge_rollups
 from ..versioning import retire_versions, swap_symlink
 
@@ -149,6 +150,16 @@ def start_rollup_stream(
             # repair the symlink if the crash preceded the publish
             _publish(rdir, _versions(rdir)[-1][1])
             return
+        # strict numbering check (r18, family-wide): a gapped id on a
+        # rollup with folded history is a stale/foreign checkpoint —
+        # each version merges its PREDECESSOR, so a silently folded gap
+        # would drop the gap's events from every later version forever
+        sequential_fold_guard(
+            batch_id,
+            last if last is not None else -1,
+            rdir,
+            rebuilt=has_rebuilt_marker(rdir),
+        )
         prev = _prev_read_target(rdir)  # before any new dir exists
         ev = batch_df.withColumn(
             "ts_ns", ntz_epoch_us(F.col("ts")) * F.lit(1000)

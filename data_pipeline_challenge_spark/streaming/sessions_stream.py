@@ -50,9 +50,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 from ..operators.sessions import (
     GAP_US,
@@ -103,7 +105,9 @@ def fold_batch(
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     store = odir / "sessions"
-    if batch_id <= last_batch_id(store):
+    if not sequential_fold_guard(
+        batch_id, last_batch_id(store), odir, rebuilt=has_rebuilt_marker(odir)
+    ):
         return
     append_batch_increment(_batch_intervals(batch_df), store, batch_id)
 

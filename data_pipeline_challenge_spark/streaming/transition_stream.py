@@ -48,9 +48,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..batchstore import (
     append_batch_increment,
     consolidate_batch_store,
+    has_rebuilt_marker,
     last_batch_id,
     maybe_consolidate_in_stream,
     read_batch_store,
+    sequential_fold_guard,
 )
 
 _STORES: tuple[tuple[str, list | None], ...] = (("pairs", None), ("frontier", None))
@@ -84,16 +86,27 @@ def fold_batch(
     out_dir: str | Path,
     batch_df: DataFrame,
     batch_id: int,
+    sequential: bool = True,
 ) -> None:
     """Fold ONE micro-batch of events (event_id, ts, user_id,
     event_type) into the maintained transition counts. Idempotent: a
     batch counts only when folded into BOTH stores; pairs append first
-    (see module docstring for the crash-window argument)."""
+    (see module docstring for the crash-window argument).
+    ``sequential=False`` relaxes the gap check for resequencer-fed
+    folds, whose downstream ids are monotone but legitimately
+    non-contiguous (the resequencer's own arrival-id guard protects
+    the store transitively)."""
     odir = Path(out_dir)
     odir.mkdir(parents=True, exist_ok=True)
     pairs_store = odir / "pairs"
     frontier_store = odir / "frontier"
-    if batch_id <= min(last_batch_id(pairs_store), last_batch_id(frontier_store)):
+    if not sequential_fold_guard(
+        batch_id,
+        min(last_batch_id(pairs_store), last_batch_id(frontier_store)),
+        odir,
+        rebuilt=has_rebuilt_marker(odir),
+        strict=sequential,
+    ):
         return
 
     from ..catalog import ntz_epoch_us
@@ -288,7 +301,7 @@ def start_resequenced_transition_stream(
     from ..catalog import ntz_epoch_us
 
     def _fold(released: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, odir, released.drop("t_us"), batch_id)
+        fold_batch(spark, odir, released.drop("t_us"), batch_id, sequential=False)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         with_t = batch_df.withColumn("t_us", ntz_epoch_us(F.col("ts")))
@@ -335,6 +348,6 @@ def flush_resequenced(spark: SparkSession, out_dir: str | Path) -> None:
     odir = Path(out_dir)
 
     def _fold(released: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, odir, released.drop("t_us"), batch_id)
+        fold_batch(spark, odir, released.drop("t_us"), batch_id, sequential=False)
 
     flush_resequencer(spark, odir / "reseq", _fold)

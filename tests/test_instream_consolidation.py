@@ -826,3 +826,92 @@ def test_pipeline_doctor_cli(spark, tmp_path):
     r = doctor()
     assert r.returncode == 1, r.stdout + r.stderr
     assert "drift PSI" in r.stdout
+    assert "batch stores swept" in r.stdout  # the r18 invariant sweep ran
+
+    # a deliberately gapped store is flagged by the sweep (VERDICT r17
+    # #6): land an increment far past the committed frontier, as a
+    # foreign checkpoint's silent fold would
+    from data_pipeline_challenge_spark.batchstore import (
+        append_batch_increment as _app,
+    )
+
+    exact = tmp_path / "out" / "exact" / "docs"
+    _app(
+        spark.createDataFrame([(999, "x")], "doc_id long, text string"),
+        exact,
+        3,
+    )
+    r = doctor()
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "store invariant" in r.stdout and "gapped batch ids" in r.stdout
+
+
+def test_store_invariant_sweep(spark, tmp_path):
+    """batchstore.audit_warehouse_stores (VERDICT r17 #6): zero
+    violations on healthy stores; a deliberately gapped id sequence, a
+    malformed marker, and a corrupt sidecar are each flagged; a
+    resequencer-fed downstream store's doubled (legitimately gapped)
+    ids are NOT flagged while the reseq arrival stores stay checked."""
+    import json
+    import shutil
+
+    from data_pipeline_challenge_spark.batchstore import (
+        append_batch_increment,
+        audit_batch_store,
+        audit_warehouse_stores,
+        consolidate_batch_store,
+        find_batch_stores,
+    )
+
+    root = tmp_path / "wh"
+    store = root / "gate" / "docs"
+
+    def df(b):
+        return spark.createDataFrame([(b, f"d{b}")], "id long, text string")
+
+    for b in range(4):
+        append_batch_increment(df(b), store, b)
+    # an empty fold leaves a sentinel — still contiguous
+    append_batch_increment(df(4).limit(0), store, 4)
+    append_batch_increment(df(5), store, 5)
+    assert find_batch_stores(root) == [store]
+    assert audit_warehouse_stores(root) == []
+
+    # consolidation keeps it healthy
+    consolidate_batch_store(spark, store, up_to=3)
+    assert audit_warehouse_stores(root) == []
+
+    # a deliberately gapped store (simulating a foreign checkpoint that
+    # folded past missing history) is flagged
+    shutil.rmtree(store / "ingest_batch=5")
+    append_batch_increment(df(7), store, 7)
+    probs = audit_warehouse_stores(root)
+    assert len(probs) == 1 and "gapped batch ids" in probs[0], probs
+    assert "5" in probs[0] and "6" in probs[0]
+
+    # malformed marker and corrupt sidecar are flagged
+    (store / "_consolidated.json").write_text("{not json")
+    (root / "gate" / "_gate_params.json").write_text("also not json")
+    probs = audit_warehouse_stores(root)
+    assert any("malformed _consolidated" in p for p in probs)
+    assert any("JSON sidecar" in p for p in probs)
+
+    # resequencer-fed downstream store: doubled ids are by design
+    att = tmp_path / "att"
+    (att / "reseq").mkdir(parents=True)
+    for fold_id in (0, 2, 6):  # 2B ids, one batch released nothing
+        append_batch_increment(df(fold_id), att / "attrib", fold_id)
+    for b in range(3):  # arrival ids stay gap-free and checked
+        append_batch_increment(df(b), att / "reseq" / "wm", b)
+    assert audit_batch_store(att / "attrib") == []
+    assert audit_warehouse_stores(att) == []
+    shutil.rmtree(att / "reseq" / "wm" / "ingest_batch=1")
+    probs = audit_warehouse_stores(att)
+    assert len(probs) == 1 and "wm" in probs[0] and "gapped" in probs[0]
+
+    # crash-leftover tmp dirs are surfaced
+    leftover = tmp_path / "lw" / "s"
+    append_batch_increment(df(0), leftover, 0)
+    (leftover / ".consolidate.1.tmp").mkdir()
+    probs = audit_warehouse_stores(tmp_path / "lw")
+    assert len(probs) == 1 and "consolidation tmp" in probs[0]

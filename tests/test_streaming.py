@@ -7679,3 +7679,428 @@ def test_sessions_stream_restart_replay_compaction_and_declared_parity(
         )
     )
     assert mine_hours == declared_hours
+
+
+# ---------------------------------------------------------------------------
+# r18: family-wide sequential-numbering guard (VERDICT r17 #1)
+# ---------------------------------------------------------------------------
+
+_GUARD_FAMILIES = [
+    "kmv", "cms", "quantile", "heavy", "sessions", "retention", "paths",
+    "transition", "attribution", "dedup_gate", "filter_gate", "near_gate",
+    "novelty_gate", "overlap", "retrieval", "resequencer",
+]
+
+
+def _guard_fold_for(spark, tmp_path, family):
+    """The real fold entry point for one maintained-store family, bound
+    to a fresh store under tmp_path: ``fold(b)`` folds a small NON-EMPTY
+    batch under id b. Used by the parametrized guard test below."""
+    from data_pipeline_challenge_spark.streaming import (
+        attribution_stream,
+        cms_stream,
+        dedup_stream,
+        filter_gate_stream,
+        heavy_stream,
+        kmv_stream,
+        near_dedup_stream,
+        novelty_stream,
+        overlap_stream,
+        paths_stream,
+        quantile_stream,
+        resequence,
+        retention_stream,
+        retrieval_stream,
+        sessions_stream,
+        transition_stream,
+    )
+
+    out = tmp_path / f"guard_{family}"
+
+    def items(b):
+        return spark.createDataFrame(
+            [(f"item_{b}_{i}",) for i in range(3)], "item string"
+        )
+
+    def docs(b):
+        return spark.createDataFrame(
+            [(100 * (b + 1) + i,
+              f"unique alpha beta gamma doc number {b} row {i} with "
+              "enough words to shingle cleanly")
+             for i in range(2)],
+            "doc_id long, text string",
+        )
+
+    def events(b):
+        import datetime as _dt
+
+        t0 = _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=b)
+        return spark.createDataFrame(
+            [(10 * b + i, t0 + _dt.timedelta(minutes=i), 1 + i, "view", 1.0)
+             for i in range(2)],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double",
+        )
+
+    if family == "kmv":
+        return lambda b: kmv_stream.fold_batch(spark, out, items(b), b, "item")
+    if family == "cms":
+        return lambda b: cms_stream.fold_batch(spark, out, items(b), b, "item")
+    if family == "quantile":
+        return lambda b: quantile_stream.fold_batch(
+            spark, out, events(b), b, "value"
+        )
+    if family == "heavy":
+        return lambda b: heavy_stream.fold_batch(spark, out, items(b), b, "item", 4)
+    if family == "sessions":
+        return lambda b: sessions_stream.fold_batch(spark, out, events(b), b)
+    if family == "retention":
+        return lambda b: retention_stream.fold_batch(spark, out, events(b), b)
+    if family == "paths":
+        return lambda b: paths_stream.fold_batch(spark, out, events(b), b)
+    if family == "transition":
+        return lambda b: transition_stream.fold_batch(spark, out, events(b), b)
+    if family == "attribution":
+        return lambda b: attribution_stream.fold_batch(
+            spark,
+            out,
+            events(b).withColumn("t_us", F.lit(b * 1_000_000_000)),
+            b,
+        )
+    if family == "dedup_gate":
+        return lambda b: dedup_stream.fold_batch(
+            spark, out, docs(b), b, id_col="doc_id", text_col="text"
+        )
+    if family == "filter_gate":
+        return lambda b: filter_gate_stream.fold_batch(
+            spark, out, docs(b), b, F.length("text") > 0
+        )
+    if family == "near_gate":
+        return lambda b: near_dedup_stream.fold_batch(
+            spark, out, docs(b), b, id_col="doc_id", text_col="text", n_prefix=8
+        )
+    if family == "novelty_gate":
+        return lambda b: novelty_stream.fold_batch(
+            spark, out, docs(b), b, id_col="doc_id", text_col="text",
+            shingle_n=3, max_share=0.99,
+        )
+    if family == "overlap":
+        return lambda b: overlap_stream.fold_batch(
+            spark, out, docs(b).withColumn("source", F.lit(f"s{b}")),
+            b, "source", "text", shingle_n=3,
+        )
+    if family == "retrieval":
+        return lambda b: retrieval_stream.fold_batch(
+            spark, out, docs(b), b, "doc_id", "text"
+        )
+    if family == "resequencer":
+        def _fold(released, fold_id):
+            pass  # downstream is irrelevant to the arrival-id guard
+
+        return lambda b: resequence.reseq_fold(
+            spark, out,
+            events(b).withColumn("t_us", F.lit(b * 1_000_000_000)),
+            b, _fold, delay_us=10,
+        )
+    raise AssertionError(family)
+
+
+@pytest.mark.parametrize("family", _GUARD_FAMILIES)
+def test_sequential_numbering_guard_family_wide(spark, tmp_path, family):
+    """VERDICT r17 #1: the stale/foreign-checkpoint refusal the
+    components store proved in r17, now hoisted into
+    ``batchstore.sequential_fold_guard`` and applied by EVERY maintained
+    store's fold. Per family: sequential folds work; a replay skips; a
+    GAPPED id on a store with history is refused loudly (naming the
+    store and ids); a brand-new store still accepts a high first id
+    (the mid-life-attach allowance)."""
+    fold = _guard_fold_for(spark, tmp_path, family)
+    fold(0)
+    fold(1)
+    fold(1)  # replay: silently skipped, never an error
+    with pytest.raises(RuntimeError, match="batch numbering") as ei:
+        fold(5)
+    msg = str(ei.value)
+    assert "batch 5" in msg and "through 1" in msg, msg
+    fold(2)  # the real next batch still folds after the refusal
+
+    # brand-new store: first fold may arrive at any id (mid-life attach)
+    fresh = _guard_fold_for(spark, tmp_path / "fresh", family)
+    fresh(7)
+    fresh(8)
+    with pytest.raises(RuntimeError, match="batch numbering"):
+        fresh(11)
+
+
+def test_funnel_fully_dropped_batch_keeps_chain_gap_free(spark, tmp_path):
+    """ADVICE r17 (high): a micro-batch the quality gate drops ENTIRELY
+    must not short-circuit the funnel — every downstream store still
+    accounts the batch id (empty-fold sentinels), so the components
+    chain's sequential guard keeps folding instead of crashing the
+    stream on the next batch with a misleading foreign-checkpoint
+    message. The cluster view stays equal to batch components over the
+    full pair history throughout."""
+    from data_pipeline_challenge_spark.batchstore import last_batch_id
+    from data_pipeline_challenge_spark.streaming.corpus_pipeline_stream import (
+        current_corpus,
+        current_dup_clusters,
+        start_corpus_pipeline_stream,
+    )
+
+    corpus_dir = tmp_path / "drop_in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    land("a.parquet", [(9, base + " today"), (4, base)])
+    land("b.parquet", [(50, "xx"), (51, "yy")])  # ALL quality-rejected
+    land("c.parquet", [(12, base + " again tomorrow")])
+
+    out, ck = tmp_path / "drop_out", tmp_path / "drop_ck"
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, ck, SCHEMA, "doc_id", "text",
+        quality_expr=F.length("text") > 10,
+        min_jaccard=0.5, n_prefix=8, max_files_per_trigger=1,
+        components=True,
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None  # before r18: guard crash on batch 2
+
+    # every stage — including the derived cluster store — covers all 3 ids
+    for store in (
+        out / "quality" / "docs", out / "exact" / "docs",
+        out / "near" / "docs", out / "near" / "band_index",
+        out / "clusters" / "labels", out / "clusters" / "members",
+    ):
+        assert last_batch_id(store) == 2, store
+
+    # doc 9 lost intra-batch dedup to 4; doc 12 is a near-dup of kept 4
+    # (dropped but labeled — exactly the composed view's point)
+    kept = {r["doc_id"] for r in current_corpus(spark, out).collect()}
+    assert kept == {4}
+    labels = {
+        r["vertex"]: r["component"]
+        for r in current_dup_clusters(spark, out).collect()
+    }
+    assert labels == {4: 4, 9: 4, 12: 4}
+
+    # and the stream keeps going: another batch folds normally
+    land("d.parquet", [(13, base + " yet again next week")])
+    q = start_corpus_pipeline_stream(
+        spark, corpus_dir, out, ck, SCHEMA, "doc_id", "text",
+        quality_expr=F.length("text") > 10,
+        min_jaccard=0.5, n_prefix=8, max_files_per_trigger=1,
+        components=True,
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    labels = {
+        r["vertex"]: r["component"]
+        for r in current_dup_clusters(spark, out).collect()
+    }
+    assert labels == {4: 4, 9: 4, 12: 4, 13: 4}
+
+
+def test_near_dedup_stream_components_late_enable_refused(spark, tmp_path):
+    """ADVICE r17 (medium): start_near_dedup_stream(components_out_dir=)
+    attached to a gate that already committed batches must refuse (the
+    funnel's lateness rule, now shared) — before r18 the mid-life-attach
+    allowance silently produced a cluster view missing every earlier
+    verified pair. After backfill_dup_clusters seeds it, the continuing
+    checkpoint folds forward and labels cover the FULL pair history."""
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_challenge_spark.streaming.components_stream import (
+        current_components,
+    )
+    from data_pipeline_challenge_spark.streaming.near_dedup_stream import (
+        backfill_dup_clusters,
+        start_near_dedup_stream,
+    )
+
+    corpus_dir = tmp_path / "ne_late_in"
+    corpus_dir.mkdir()
+    SCHEMA = "doc_id long, text string"
+    land = _near_corpus_land(corpus_dir, [1_700_000_000])
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    land("a.parquet", [(9, base + " today"), (4, base)])
+
+    out, ck = tmp_path / "ne_late_out", tmp_path / "ne_late_ck"
+    cl = out / "clusters"
+
+    def run(components, ckpt=ck):
+        q = start_near_dedup_stream(
+            spark, corpus_dir, out, ckpt, SCHEMA, "doc_id", "text",
+            min_jaccard=0.5, n_prefix=8, max_files_per_trigger=1,
+            components_out_dir=cl if components else None,
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None
+
+    run(components=False)  # gate commits batch 0 without the view
+    land("b.parquet", [(12, base + " again tomorrow")])
+    with pytest.raises(RuntimeError, match="backfill_dup_clusters"):
+        run(components=True)
+    # a lost checkpoint reads -1 too — still refused
+    with pytest.raises(RuntimeError, match="backfill_dup_clusters"):
+        run(components=True, ckpt=tmp_path / "ne_late_ck_lost")
+
+    backfill_dup_clusters(spark, out, cl, components_n_prefix=64)
+    run(components=True)  # continuing checkpoint folds forward
+
+    got = {
+        r["vertex"]: r["component"]
+        for r in current_components(spark, cl).collect()
+    }
+    hist = read_batch_store(spark, out / "pairs").select("doc1", "doc2")
+    want = {
+        r["vertex"]: r["component"]
+        for r in connected_components(hist, src="doc1", dst="doc2").collect()
+    }
+    assert got == want == {4: 4, 9: 4, 12: 4}
+
+
+def test_rebuild_attribution_store_beyond_delay_repair(spark, tmp_path):
+    """VERDICT r17 #2: a touch later than the resequencer's delay is
+    dropped + counted — the one documented PERMANENT skew in the store
+    family (the counts are irreversible). rebuild_attribution_store
+    recomputes the store from retained event history (the declared
+    query's exact arithmetic via the shared core) into a fresh store,
+    atomically swapped; a STALE pre-rebuild checkpoint is refused
+    loudly (plain fold AND resequenced arrival path), and a fresh
+    checkpoint folds forward against the rebuilt frontier."""
+    from pathlib import Path
+
+    from data_pipeline_challenge_spark.batchstore import read_batch_store
+    from data_pipeline_challenge_spark.streaming import attribution_stream
+
+    M = 60_000_000
+    src = tmp_path / "rba_in"
+    src.mkdir()
+    # f1: u1 purchase at minute 20; u2 click at minute 40 (pushes the
+    # watermark past the purchase so the 10-minute delay releases it)
+    _land_attr_file(
+        src / "f1.parquet",
+        [(1, 20 * M, 1, "purchase", 10.0), (2, 40 * M, 2, "click", 0.0)],
+        1_700_000_000,
+    )
+    out, ck = tmp_path / "rba_out", tmp_path / "rba_ck"
+
+    def drain(ckpt=ck, source=src):
+        q = attribution_stream.start_resequenced_attribution_stream(
+            spark, source, out, ckpt, _ATTR_SCHEMA,
+            delay_us=10 * M, max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+    def report():
+        rep = attribution_stream.attribution_report(spark, out)
+        return (
+            {
+                r["attributed"]: (r["n_conversions"], r["attributed_value"])
+                for r in rep.collect()
+            }
+            if rep is not None
+            else {}
+        )
+
+    drain()
+    attribution_stream.flush_resequenced(spark, out)
+    # f2: u1's click at minute 5 arrives AFTER the floor passed it —
+    # beyond-delay, dropped + counted; the purchase stays 'direct'
+    _land_attr_file(
+        src / "f2.parquet", [(3, 5 * M, 1, "click", 0.0)], 1_700_000_010
+    )
+    drain()
+    attribution_stream.flush_resequenced(spark, out)
+    assert report() == {"direct": (1, 10.0)}  # the documented skew
+    late_total = (
+        read_batch_store(spark, Path(out) / "reseq" / "wm")
+        .agg(F.sum("n_late").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert late_total == 1  # asserted via the drop counter
+
+    # rebuild over the RETAINED full history: the skew is repaired —
+    # exactly what the batch query computes over these events
+    history = spark.createDataFrame(
+        [
+            (1, 20 * M, 1, "purchase", 10.0),
+            (2, 40 * M, 2, "click", 0.0),
+            (3, 5 * M, 1, "click", 0.0),
+        ],
+        "event_id long, t_us long, user_id long, event_type string,"
+        " value double",
+    )
+    attribution_stream.rebuild_attribution_store(spark, out, history)
+    assert report() == {"click": (1, 10.0)}
+    # the swap removed the old reseq stores with the rest of the store
+    assert not (Path(out) / "reseq").exists()
+
+    # plain-path staleness: a gapped fold id on the rebuilt store refuses
+    with pytest.raises(RuntimeError, match="batch numbering"):
+        attribution_stream.fold_batch(
+            spark, out,
+            spark.createDataFrame(
+                [(9, 1, "purchase", 1.0, 100 * M)],
+                "event_id long, user_id long, event_type string,"
+                " value double, t_us long",
+            ),
+            3,
+        )
+
+    # resequenced-path staleness: the OLD checkpoint resumes its arrival
+    # numbering against the wiped reseq stores — refused (the parent
+    # store's rebuilt marker arms the arrival-id guard), instead of
+    # silently losing batches 0..1 from the frontier
+    _land_attr_file(
+        src / "f3.parquet", [(4, 45 * M, 2, "purchase", 3.0)], 1_700_000_020
+    )
+    with pytest.raises(Exception, match="batch numbering"):
+        drain()
+
+    # fresh checkpoint over POST-rebuild arrivals folds forward against
+    # the rebuilt frontier: u2's purchase at minute 45 credits u2's
+    # minute-40 click carried by the REBUILT store
+    src2 = tmp_path / "rba_in2"
+    src2.mkdir()
+    _land_attr_file(
+        src2 / "f3.parquet", [(4, 45 * M, 2, "purchase", 3.0)], 1_700_000_030
+    )
+    drain(ckpt=tmp_path / "rba_ck2", source=src2)
+    attribution_stream.flush_resequenced(spark, out)
+    assert report() == {"click": (2, 13.0)}
+
+
+def test_rebuild_attribution_store_equals_declared_query(spark, tmp_path):
+    """The rebuild's arithmetic IS the oracle-checked declared query's:
+    rebuilding from the real sf0.001 events reproduces
+    events_attribution_last_touch exactly, column for column."""
+    from data_pipeline_challenge_spark.catalog import load_events
+    from data_pipeline_challenge_spark.plans import all_queries
+    from data_pipeline_challenge_spark.streaming.attribution_stream import (
+        attribution_report,
+        rebuild_attribution_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    declared = sorted(
+        map(
+            tuple,
+            all_queries()["events_attribution_last_touch"]
+            .fn(spark, sf)
+            .collect(),
+        )
+    )
+    out = tmp_path / "rba_real"
+    rebuild_attribution_store(spark, out, load_events(spark, sf))
+    got = sorted(map(tuple, attribution_report(spark, out).collect()))
+    assert got == declared

@@ -6,12 +6,16 @@ Prints every operational surface the streaming modules record — per-stage
 admitted/diverted counts and replay horizons (``pipeline_report``),
 per-batch input parallelism (``read_input_audit`` — the single-file
 starvation signal), quality-score drift (``quality_drift_report``, PSI of
-the latest batch vs the accumulated reference), and near-dedup cap
-pressure (``read_cap_audit``) — and exits non-zero when something needs
-an operator's attention: drift PSI above 0.2, any batch below the
-configured partition floor, or cap pressure dropping candidates. The
-check an on-call engineer runs before trusting an always-on pipeline,
-without reading any document payloads.
+the latest batch vs the accumulated reference), near-dedup cap
+pressure (``read_cap_audit``), and a STORE-INVARIANT sweep over every
+batch store under the warehouse (``batchstore.audit_warehouse_stores``,
+r18: gapped batch-id sequences from checkpoint misuse or hand-deletion,
+unreadable markers/sidecars, crash-leftover temp dirs) — and exits
+non-zero when something needs an operator's attention: drift PSI above
+0.2, any batch below the configured partition floor, cap pressure
+dropping candidates, or any store-invariant violation. The check an
+on-call engineer runs before trusting an always-on pipeline, without
+reading any document payloads.
 """
 
 from __future__ import annotations
@@ -88,6 +92,18 @@ def main() -> int:
                 "excluded from the PSI reference window — the monitor was "
                 "reconfigured mid-stream; history restarts from the change"
             )
+
+    from data_pipeline_challenge_spark.batchstore import (
+        audit_warehouse_stores,
+        find_batch_stores,
+    )
+
+    violations = audit_warehouse_stores(out_dir)
+    n_stores = len(find_batch_stores(out_dir))
+    print(f"== store invariants == {n_stores} batch stores swept")
+    for v in violations:
+        print(f"  ! {v}")
+        alerts.append(f"store invariant: {v}")
 
     cap = read_cap_audit(out_dir / "near")
     if cap:
