@@ -70,13 +70,14 @@ def start_index_stream(
         lo, hi = index_increment_bounds(idx)
         if batch_id <= lo:
             return  # replay of a batch already folded into every family
-        if not batch_df.take(1):
-            # Empty micro-batch (schema-only file, idle trigger): writing
-            # it would create file-less partitioned increment dirs that
-            # poison every later base∪increments read of each family
-            # (UNABLE_TO_INFER_SCHEMA) while bumping the replay guard so
-            # nothing ever rewrites them. Skip; a replay re-skips.
-            return
+        # Empty micro-batches (schema-only file, idle trigger) fall
+        # through: append_index_increments delegates to the shared
+        # increment protocol, which records an empty fold as a
+        # dot-prefixed SENTINEL — no data dir is written (a file-less
+        # partitioned dir would poison every later base∪increments
+        # read), and the per-family id sequence stays gap-free for the
+        # replay bounds and the r18 store-invariant sweep (an empty
+        # batch skipped outright would read as a gapped id at rest).
         if batch_id < hi:
             # Unreachable under one checkpoint (ids only grow): the
             # increment stores disagree with this stream's numbering —

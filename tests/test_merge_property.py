@@ -800,7 +800,9 @@ def test_resequenced_transition_matches_watermark_simulator(
     types = ["view", "click", "buy"]
 
     def _fold(released, batch_id):
-        transition_stream.fold_batch(spark, out, released.drop("t_us"), batch_id)
+        transition_stream.fold_batch(
+            spark, out, released.drop("t_us"), batch_id, sequential=False
+        )
 
     # drive the folds directly (no stream machinery needed to test the
     # contract), assigning globally unique event ids by arrival order

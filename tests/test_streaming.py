@@ -6470,7 +6470,11 @@ def test_flush_crash_recovery_no_double_fold(spark, tmp_path):
     schema = "event_id long, ts timestamp_ntz, user_id long, event_type string"
 
     def fold(released, fid):
-        transition_stream.fold_batch(spark, out, released.drop("t_us"), fid)
+        # resequencer-fed: doubled downstream ids are non-contiguous by
+        # design, exactly like the production wrappers
+        transition_stream.fold_batch(
+            spark, out, released.drop("t_us"), fid, sequential=False
+        )
 
     def batch_df(rows):
         import datetime as dt
@@ -6939,8 +6943,11 @@ def test_cms_stream_equals_batch_and_replay(spark, tmp_path):
         for r in cms_stream.cms_report(spark, out, probes).collect()
     }
     assert again == got
-    # a NEW batch id does fold
-    cms_stream.fold_batch(spark, out, extra, 99, "term")
+    # a GAPPED batch id is refused (r18 sequential guard)...
+    with pytest.raises(RuntimeError, match="batch numbering"):
+        cms_stream.fold_batch(spark, out, extra, 99, "term")
+    # ...and the NEXT batch id does fold
+    cms_stream.fold_batch(spark, out, extra, 3, "term")
     bumped = {
         r["item"]: r["est"]
         for r in cms_stream.cms_report(spark, out, probes).collect()
