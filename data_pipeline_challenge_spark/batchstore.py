@@ -104,9 +104,48 @@ def sequential_fold_guard(
             f"{committed}): the checkpoint belongs to a different history "
             "— resume this store with its own original checkpoint; after "
             "a rebuild, start a FRESH checkpoint over post-rebuild "
-            "arrivals only"
+            "arrivals only. If this store was written by a pre-r18 "
+            "writer (which skipped empty/all-dropped batches without "
+            "sentinels) and the gap ids are KNOWN to be such batches, "
+            "record them with batchstore.backfill_empty_sentinels and "
+            "resume."
         )
     return True
+
+
+def backfill_empty_sentinels(store: str | Path, up_to: int) -> list[int]:
+    """Migration/repair helper for :func:`sequential_fold_guard`: record
+    every missing batch id in ``(committed, up_to]`` as an empty-fold
+    sentinel, and return the ids written. For stores written by a
+    PRE-guard writer, whose empty or all-dropped micro-batches were
+    skipped without sentinels — resuming such a store under the strict
+    guard reads the historical skips as a foreign checkpoint. Use ONLY
+    when the gap ids are known to be empty/dropped batches (the
+    operator's acknowledgment); papering over a gap that held real data
+    makes the loss permanent and silent, which is exactly what the
+    guard exists to prevent."""
+    store = Path(store)
+    present = {n for n, _ in _batch_dirs(store) if n >= 0} | set(
+        _empty_sentinel_ids(store)
+    )
+    marker = _read_marker(store)
+    if marker:
+        start = int(marker["through"]) + 1
+    elif present:
+        # never-consolidated store: ids below its first fold belong to
+        # the time before a mid-life attach, not to a gap
+        start = min(present)
+    else:
+        return []  # a brand-new store needs no backfill (attach is free)
+    written = []
+    for n in range(start, up_to + 1):
+        if n in present:
+            continue
+        tmp = store / f".empty.b{n}.tmp"
+        tmp.write_text("")
+        os.replace(tmp, store / f".empty.b{n}")
+        written.append(n)
+    return written
 
 
 def rebuild_swap(out_dir: str | Path, build) -> int:
@@ -496,6 +535,22 @@ def append_batch_increment(
             df.unpersist()
 
 
+def account_empty_fold(
+    batch_df: DataFrame, stores, batch_id: int
+) -> None:
+    """Record one EMPTY fold in each store, in the given order — the
+    gates' shared empty/all-dropped-batch accounting (code-review r18:
+    five modules had hand-rolled copies of the two sentinel appends,
+    each re-encoding the write-order invariant in a comment). Pass the
+    stores in the gate's normal write order (commit store LAST): each
+    append leaves only a dot-prefixed sentinel (no data dir), the
+    min-across-stores guard advances, and the sequential-numbering
+    guard's id sequence stays gap-free."""
+    empty = batch_df.limit(0)
+    for s in stores:
+        append_batch_increment(empty, s, batch_id)
+
+
 def write_initial_consolidated(
     df: DataFrame, store: str | Path, partition_by: str | None, through: int = -1
 ) -> None:
@@ -736,17 +791,23 @@ def consolidate_batch_store(
 
 
 _EMPTY_SENTINEL_RE = re.compile(r"^\.empty\.b\d+$")
+_REBUILD_LEFTOVER_RE = re.compile(r"^\..+\.(rebuild\.tmp|pre-rebuild)$")
+
+#: A temp dir younger than this is treated as an in-flight write, not a
+#: crash leftover: the sweep is documented safe against a LIVE stream,
+#: and append/consolidation tmp dirs legitimately exist for the duration
+#: of a parquet write (code-review r18).
+STALE_TMP_AGE_SECS = 3600.0
 
 
-def find_batch_stores(root: str | Path) -> list[Path]:
-    """Every batchstore-shaped directory under a warehouse root — a dir
-    holding ``ingest_batch=N`` partitions, empty-fold sentinels, or a
-    consolidation marker. Read-only; batch partition dirs themselves
-    are not descended into (their contents are parquet data)."""
-    root = Path(root)
-    if not root.exists():
-        return []
-    found: set[Path] = set()
+def _walk_warehouse(root: Path) -> tuple[list[Path], list[Path], list[Path]]:
+    """One pruned walk: (batch stores, JSON sidecars, rebuild
+    leftovers). Batch partition dirs, temp dirs, and rebuild
+    tmp/aside dirs are not descended into — their contents are parquet
+    data or a dead copy of a store tree."""
+    stores: set[Path] = set()
+    sidecars: list[Path] = []
+    leftovers: list[Path] = []
     for dirpath, dirnames, filenames in os.walk(root):
         d = Path(dirpath)
         if (
@@ -754,27 +815,54 @@ def find_batch_stores(root: str | Path) -> list[Path]:
             or _MARKER in filenames
             or any(_EMPTY_SENTINEL_RE.match(f) for f in filenames)
         ):
-            found.add(d)
-        dirnames[:] = [
-            x
-            for x in dirnames
-            if not _BATCH_RE.match(x) and not x.endswith(".tmp")
-        ]
-    return sorted(found)
+            stores.add(d)
+        for f in filenames:
+            if f in ("_gate_params.json", REBUILT_MARKER):
+                sidecars.append(d / f)
+        kept = []
+        for x in dirnames:
+            if _REBUILD_LEFTOVER_RE.match(x):
+                leftovers.append(d / x)
+            elif not (_BATCH_RE.match(x) or x.endswith(".tmp")):
+                kept.append(x)
+        dirnames[:] = kept
+    return sorted(stores), sidecars, leftovers
+
+
+def find_batch_stores(root: str | Path) -> list[Path]:
+    """Every batchstore-shaped directory under a warehouse root — a dir
+    holding ``ingest_batch=N`` partitions, empty-fold sentinels, or a
+    consolidation marker. Read-only. Rebuild tmp/aside trees (a dead
+    copy of a store) are excluded."""
+    root = Path(root)
+    if not root.exists():
+        return []
+    return _walk_warehouse(root)[0]
+
+
+def _stale_tmp(p: Path, now: float) -> bool:
+    try:
+        return now - p.stat().st_mtime > STALE_TMP_AGE_SECS
+    except OSError:
+        return False
 
 
 def audit_batch_store(store: str | Path) -> list[str]:
     """Read-only invariant sweep of ONE batch store (VERDICT r17 #6 —
     the operational complement of the fold-time guards): unreadable
     marker, gapped batch-id sequence (the sequential guard's failure
-    mode, visible at rest), and crash-leftover temp dirs. Returns
-    human-readable violations, empty when healthy.
+    mode, visible at rest), and STALE crash-leftover temp dirs (older
+    than :data:`STALE_TMP_AGE_SECS` — younger ones are a live stream's
+    in-flight writes, not findings). Returns human-readable violations,
+    empty when healthy.
 
     The gap check is skipped for stores fed by a RESEQUENCER (detected
     by a sibling ``reseq/`` dir): their downstream ids (2B / 2B+1,
     absent when a batch releases nothing) are legitimately
     non-contiguous; the resequencer's own ``buffer``/``wm`` stores
     carry the gap-free arrival ids and ARE checked."""
+    import time as _time
+
     store = Path(store)
     problems: list[str] = []
 
@@ -807,36 +895,57 @@ def audit_batch_store(store: str | Path) -> list[str]:
             problems.append(
                 f"{store}: gapped batch ids ({shown}{more}) between "
                 f"{lo} and {live[-1]} — a stale/foreign checkpoint "
-                "folded past missing history, or increments were "
-                "deleted by hand; the store's reports silently exclude "
-                "the gap"
+                "folded past missing history, increments were deleted "
+                "by hand, or a pre-guard writer skipped empty batches "
+                "without sentinels; the store's reports silently "
+                "exclude the gap (if the gap ids are KNOWN empty "
+                "batches, record them with "
+                "batchstore.backfill_empty_sentinels)"
             )
 
+    now = _time.time()
     for p in store.parent.glob(f".{store.name}.b*.tmp"):
-        problems.append(f"{p}: leftover increment tmp (crashed append)")
+        if _stale_tmp(p, now):
+            problems.append(f"{p}: stale increment tmp (crashed append)")
     for p in store.glob(".consolidate.*.tmp"):
-        problems.append(f"{p}: leftover consolidation tmp (crashed fold)")
+        if _stale_tmp(p, now):
+            problems.append(f"{p}: stale consolidation tmp (crashed fold)")
     return problems
 
 
-def audit_warehouse_stores(root: str | Path) -> list[str]:
+def audit_warehouse_stores(
+    root: str | Path, stores: list[Path] | None = None
+) -> list[str]:
     """Sweep EVERY batch store under a warehouse root plus the JSON
     sidecars the store family writes (`_gate_params.json`,
-    `_rebuilt.json`): one read-only call an operator can run against a
-    live warehouse to catch checkpoint misuse, hand-edits, and crash
-    leftovers before they surface as fold-time refusals. Returns all
-    violations; empty = healthy."""
-    problems: list[str] = []
-    for store in find_batch_stores(root):
-        problems.extend(audit_batch_store(store))
+    `_rebuilt.json`) and any rebuild tmp/aside leftovers: one read-only
+    call an operator can run against a LIVE warehouse (in-flight temp
+    dirs are age-gated, not findings) to catch checkpoint misuse,
+    hand-edits, and crash leftovers before they surface as fold-time
+    refusals. One pruned directory walk; pass ``stores`` (from
+    :func:`find_batch_stores`) to reuse an existing listing. Returns
+    all violations; empty = healthy."""
+    import time as _time
+
     root = Path(root)
-    if root.exists():
-        for name in ("_gate_params.json", REBUILT_MARKER):
-            for p in root.rglob(name):
-                try:
-                    json.loads(p.read_text())
-                except (OSError, ValueError):
-                    problems.append(f"{p}: unreadable JSON sidecar")
+    if not root.exists():
+        return []
+    walked_stores, sidecars, leftovers = _walk_warehouse(root)
+    problems: list[str] = []
+    for store in stores if stores is not None else walked_stores:
+        problems.extend(audit_batch_store(store))
+    for p in sidecars:
+        try:
+            json.loads(p.read_text())
+        except (OSError, ValueError):
+            problems.append(f"{p}: unreadable JSON sidecar")
+    now = _time.time()
+    for p in leftovers:
+        if _stale_tmp(p, now):
+            problems.append(
+                f"{p}: leftover rebuild dir (crashed rebuild_swap) — "
+                "re-run the rebuild to converge, then remove"
+            )
     return problems
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
@@ -356,12 +357,9 @@ def fold_batch(
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            # Empty micro-batch: still ACCOUNT the id in both stores —
-            # empty-fold sentinels only (no data dirs accrete), docs
-            # first. Before r18 the guard stayed behind here, which the
-            # family-wide sequential guard now reads as a gapped id.
-            append_batch_increment(batch, docs_store, batch_id)
-            append_batch_increment(batch, cont_store, batch_id)
+            # empty micro-batch: sentinel accounting keeps the id
+            # sequence gap-free for the sequential guard (r18)
+            account_empty_fold(batch, (docs_store, cont_store), batch_id)
             return None
         tr = _shingle_table(batch, id_col, text_col, n)
         overlap = (

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     maybe_consolidate_in_stream,
@@ -215,20 +216,11 @@ def _fold_winners(
         .collect()
     )
     if not touched:
-        # Empty micro-batch: nothing novel by construction — but still
-        # ACCOUNT the id in both stores (empty-fold sentinels only, no
-        # data dirs accrete; docs first). Before r18 the guard stayed
-        # behind here, which the family-wide sequential guard now reads
-        # as a gapped id — an upstream gate dropping a whole batch must
-        # not make this store look like a foreign checkpoint.
-        append_batch_increment(winners, docs_store, batch_id)
-        append_batch_increment(
-            winners.select(
-                "fp", _prefix_of(F.col("fp"), n_prefix).alias("fp_prefix")
-            ),
-            fp_store,
-            batch_id,
-        )
+        # Empty micro-batch: nothing novel by construction — sentinel
+        # accounting keeps the id sequence gap-free (r18): an upstream
+        # gate dropping a whole batch must not make this store look
+        # like a foreign checkpoint.
+        account_empty_fold(winners, (docs_store, fp_store), batch_id)
         return None
     batch_fps = winners.select("fp")
     if fp_store.exists() and any(fp_store.glob("ingest_batch=*")):

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     maybe_consolidate_in_stream,
@@ -176,9 +177,9 @@ def fold_batch(
     ).cache()
     try:
         if not bucketed.take(1):
-            # account the id (empty-fold sentinel) so the sequential
-            # guard's id sequence stays gap-free (r18)
-            append_batch_increment(bucketed, inc_store, batch_id)
+            # empty micro-batch: sentinel accounting keeps the id
+            # sequence gap-free for the sequential guard (r18)
+            account_empty_fold(bucketed, (inc_store,), batch_id)
             return None
 
         # Probe neighborhood of each new vector: own bucket + Hamming-1.

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     has_rebuilt_marker,
@@ -137,14 +138,9 @@ def fold_batch(
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            # Empty micro-batch: still ACCOUNT the id in both stores
-            # (empty-fold sentinels, docs first) so the id sequence
-            # stays gap-free — the sequential guard requires every
-            # store's history to cover every batch id (r18; before
-            # this, an empty batch left the guard behind and the next
-            # real batch would read as a foreign checkpoint).
-            append_batch_increment(batch, docs_store, batch_id)
-            append_batch_increment(batch, rej_store, batch_id)
+            # empty micro-batch: sentinel accounting keeps the id
+            # sequence gap-free for the sequential guard (r18)
+            account_empty_fold(batch, (docs_store, rej_store), batch_id)
             return None
         # docs BEFORE rejected (replay-guard ordering). Either side may
         # be empty; empty increments are skipped (append_batch_increment)

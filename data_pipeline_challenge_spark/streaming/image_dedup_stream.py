@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
@@ -144,10 +145,9 @@ def fold_batch(
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            # account the id (empty-fold sentinels, kept before hashes —
-            # the commit store) so the sequential guard stays gap-free
-            append_batch_increment(batch, kept_store, batch_id)
-            append_batch_increment(batch, hash_store, batch_id)
+            # empty micro-batch: sentinel accounting keeps the id
+            # sequence gap-free for the sequential guard (r18)
+            account_empty_fold(batch, (kept_store, hash_store), batch_id)
             return None
         sig = image_dhash(batch).cache()
         try:

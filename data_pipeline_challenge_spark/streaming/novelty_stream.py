@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..batchstore import (
+    account_empty_fold,
     append_batch_increment,
     consolidate_batch_store,
     ensure_store_params,
@@ -118,11 +119,9 @@ def fold_batch(
     batch = batch_df.cache()
     try:
         if not batch.take(1):
-            # Empty micro-batch: account the id in both stores (empty-
-            # fold sentinels, docs before shingles — the commit store)
-            # so the sequential guard's id sequence stays gap-free (r18).
-            append_batch_increment(batch, docs_store, batch_id)
-            append_batch_increment(batch, sh_store, batch_id)
+            # empty micro-batch: sentinel accounting keeps the id
+            # sequence gap-free for the sequential guard (r18)
+            account_empty_fold(batch, (docs_store, sh_store), batch_id)
             return None
         # ids key the score join: a NULL id would never match it (the
         # doc would be admitted at share 0.0 while its shingles still

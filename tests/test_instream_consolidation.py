@@ -889,6 +889,18 @@ def test_store_invariant_sweep(spark, tmp_path):
     assert len(probs) == 1 and "gapped batch ids" in probs[0], probs
     assert "5" in probs[0] and "6" in probs[0]
 
+    # the operator-acknowledged repair: record the known-empty gap ids
+    # as sentinels — the audit goes clean and the sequential guard
+    # accepts the next fold again
+    from data_pipeline_challenge_spark.batchstore import (
+        backfill_empty_sentinels,
+        sequential_fold_guard,
+    )
+
+    assert backfill_empty_sentinels(store, 7) == [5, 6]
+    assert audit_warehouse_stores(root) == []
+    assert sequential_fold_guard(8, 7, store) is True
+
     # malformed marker and corrupt sidecar are flagged
     (store / "_consolidated.json").write_text("{not json")
     (root / "gate" / "_gate_params.json").write_text("also not json")
@@ -909,9 +921,33 @@ def test_store_invariant_sweep(spark, tmp_path):
     probs = audit_warehouse_stores(att)
     assert len(probs) == 1 and "wm" in probs[0] and "gapped" in probs[0]
 
-    # crash-leftover tmp dirs are surfaced
+    # crash-leftover tmp dirs are surfaced ONLY once stale (a live
+    # stream's in-flight write must not page the operator)
+    import os as _os
+    import time as _time
+
     leftover = tmp_path / "lw" / "s"
     append_batch_increment(df(0), leftover, 0)
-    (leftover / ".consolidate.1.tmp").mkdir()
+    tmpdir = leftover / ".consolidate.1.tmp"
+    tmpdir.mkdir()
+    assert audit_warehouse_stores(tmp_path / "lw") == []  # fresh: in-flight
+    old = _time.time() - 7200
+    _os.utime(tmpdir, (old, old))
     probs = audit_warehouse_stores(tmp_path / "lw")
     assert len(probs) == 1 and "consolidation tmp" in probs[0]
+
+    # a crashed rebuild_swap's aside/tmp trees: excluded from the store
+    # listing (a dead copy must not shadow-audit) and flagged once stale
+    rw = tmp_path / "rw"
+    live = rw / "gate"
+    append_batch_increment(df(0), live / "docs", 0)
+    aside = rw / ".gate.pre-rebuild"
+    append_batch_increment(df(0), aside / "docs", 0)
+    append_batch_increment(df(3), aside / "docs", 3)  # gapped, but dead
+    from data_pipeline_challenge_spark.batchstore import find_batch_stores
+
+    assert find_batch_stores(rw) == [live / "docs"]
+    assert audit_warehouse_stores(rw) == []  # fresh leftover: in-flight
+    _os.utime(aside, (old, old))
+    probs = audit_warehouse_stores(rw)
+    assert len(probs) == 1 and "rebuild" in probs[0], probs

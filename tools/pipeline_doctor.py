@@ -98,9 +98,9 @@ def main() -> int:
         find_batch_stores,
     )
 
-    violations = audit_warehouse_stores(out_dir)
-    n_stores = len(find_batch_stores(out_dir))
-    print(f"== store invariants == {n_stores} batch stores swept")
+    stores = find_batch_stores(out_dir)
+    violations = audit_warehouse_stores(out_dir, stores=stores)
+    print(f"== store invariants == {len(stores)} batch stores swept")
     for v in violations:
         print(f"  ! {v}")
         alerts.append(f"store invariant: {v}")
