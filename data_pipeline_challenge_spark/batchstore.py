@@ -107,24 +107,53 @@ def sequential_fold_guard(
             "arrivals only. If this store was written by a pre-r18 "
             "writer (which skipped empty/all-dropped batches without "
             "sentinels) and the gap ids are KNOWN to be such batches, "
-            "record them with batchstore.backfill_empty_sentinels and "
-            "resume."
+            "record them with batchstore.backfill_empty_sentinels("
+            f"{str(store)!r}, {batch_id}) and resume."
         )
     return True
 
 
-def backfill_empty_sentinels(store: str | Path, up_to: int) -> list[int]:
+def backfill_empty_sentinels(store: str | Path, next_batch_id: int) -> list[int]:
     """Migration/repair helper for :func:`sequential_fold_guard`: record
-    every missing batch id in ``(committed, up_to]`` as an empty-fold
-    sentinel, and return the ids written. For stores written by a
-    PRE-guard writer, whose empty or all-dropped micro-batches were
-    skipped without sentinels — resuming such a store under the strict
-    guard reads the historical skips as a foreign checkpoint. Use ONLY
-    when the gap ids are known to be empty/dropped batches (the
-    operator's acknowledgment); papering over a gap that held real data
-    makes the loss permanent and silent, which is exactly what the
-    guard exists to prevent."""
+    every missing batch id STRICTLY BELOW ``next_batch_id`` (and above
+    the store's consolidation floor / first fold) as an empty-fold
+    sentinel, and return the ids written. Pass the batch id the guard
+    refused, verbatim from its error message — the helper deliberately
+    never writes a sentinel AT or past it (code-review r18: an
+    overshot horizon would convert real future batches into
+    guard-skipped 'replays', the silent loss the guard exists to
+    prevent).
+
+    ``store`` may be the batch store itself or a gate/store ROOT whose
+    sub-stores hold the batches (the path the guard message prints) —
+    the helper applies itself to every batch store found underneath,
+    and REFUSES a root containing a resequencer dir (its buffer/wm
+    stores live in the arrival-id space, not the downstream fold-id
+    space — target each sub-store explicitly there). Raises when no
+    batch store exists at the path at all, rather than silently doing
+    nothing. Use ONLY when the gap ids are known to be empty/dropped
+    batches (the operator's acknowledgment)."""
     store = Path(store)
+    sub = find_batch_stores(store)
+    if not sub:
+        raise RuntimeError(
+            f"no batch store found at {store}: pass the store dir the "
+            "guard named (or a root whose sub-dirs hold ingest_batch=N "
+            "partitions)"
+        )
+    if len(sub) > 1 or sub != [store]:
+        if any(p.name == "reseq" or "reseq" in p.parts[len(store.parts):] for p in sub):
+            raise RuntimeError(
+                f"{store} contains a resequencer store, whose "
+                "buffer/wm ids live in the ARRIVAL id space while the "
+                "sibling stores carry downstream fold ids — backfill "
+                "each sub-store explicitly instead of the root"
+            )
+        out: list[int] = []
+        for s in sub:
+            out.extend(backfill_empty_sentinels(s, next_batch_id))
+        return sorted(set(out))
+
     present = {n for n, _ in _batch_dirs(store) if n >= 0} | set(
         _empty_sentinel_ids(store)
     )
@@ -138,7 +167,7 @@ def backfill_empty_sentinels(store: str | Path, up_to: int) -> list[int]:
     else:
         return []  # a brand-new store needs no backfill (attach is free)
     written = []
-    for n in range(start, up_to + 1):
+    for n in range(start, next_batch_id):
         if n in present:
             continue
         tmp = store / f".empty.b{n}.tmp"
@@ -841,10 +870,27 @@ def find_batch_stores(root: str | Path) -> list[Path]:
 
 
 def _stale_tmp(p: Path, now: float) -> bool:
+    """A temp tree is stale only when NOTHING inside it has been
+    touched for :data:`STALE_TMP_AGE_SECS`: the top-level dir's mtime
+    freezes at creation while an in-flight write spends hours inside
+    subdirectories (code-review r18), so staleness must be judged by
+    the NEWEST mtime anywhere in the tree."""
+    newest = 0.0
     try:
-        return now - p.stat().st_mtime > STALE_TMP_AGE_SECS
+        newest = p.stat().st_mtime
+        if p.is_dir():
+            for dirpath, dirnames, filenames in os.walk(p):
+                d = Path(dirpath)
+                for name in dirnames + filenames:
+                    try:
+                        newest = max(newest, (d / name).stat().st_mtime)
+                    except OSError:
+                        continue
+                if now - newest <= STALE_TMP_AGE_SECS:
+                    return False  # fresh activity found: stop walking
     except OSError:
         return False
+    return now - newest > STALE_TMP_AGE_SECS
 
 
 def audit_batch_store(store: str | Path) -> list[str]:
@@ -913,26 +959,24 @@ def audit_batch_store(store: str | Path) -> list[str]:
     return problems
 
 
-def audit_warehouse_stores(
-    root: str | Path, stores: list[Path] | None = None
-) -> list[str]:
-    """Sweep EVERY batch store under a warehouse root plus the JSON
-    sidecars the store family writes (`_gate_params.json`,
-    `_rebuilt.json`) and any rebuild tmp/aside leftovers: one read-only
-    call an operator can run against a LIVE warehouse (in-flight temp
-    dirs are age-gated, not findings) to catch checkpoint misuse,
-    hand-edits, and crash leftovers before they surface as fold-time
-    refusals. One pruned directory walk; pass ``stores`` (from
-    :func:`find_batch_stores`) to reuse an existing listing. Returns
-    all violations; empty = healthy."""
+def sweep_warehouse(root: str | Path) -> tuple[list[Path], list[str]]:
+    """ONE pruned directory walk over a warehouse root, returning
+    (batch stores found, violations): every batch store's invariants
+    (:func:`audit_batch_store`), the store family's JSON sidecars
+    (`_gate_params.json`, `_rebuilt.json`), and rebuild tmp/aside
+    leftovers — read-only and safe against a LIVE warehouse (in-flight
+    temp trees are age-gated by their newest inner mtime, not
+    findings). The doctor's entry point: it needs both the listing and
+    the violations, and must not pay the walk twice (code-review
+    r18)."""
     import time as _time
 
     root = Path(root)
     if not root.exists():
-        return []
-    walked_stores, sidecars, leftovers = _walk_warehouse(root)
+        return [], []
+    stores, sidecars, leftovers = _walk_warehouse(root)
     problems: list[str] = []
-    for store in stores if stores is not None else walked_stores:
+    for store in stores:
         problems.extend(audit_batch_store(store))
     for p in sidecars:
         try:
@@ -946,7 +990,14 @@ def audit_warehouse_stores(
                 f"{p}: leftover rebuild dir (crashed rebuild_swap) — "
                 "re-run the rebuild to converge, then remove"
             )
-    return problems
+    return stores, problems
+
+
+def audit_warehouse_stores(root: str | Path) -> list[str]:
+    """The violations half of :func:`sweep_warehouse` — catch
+    checkpoint misuse, hand-edits, and crash leftovers at rest, before
+    they surface as fold-time refusals. Empty = healthy."""
+    return sweep_warehouse(root)[1]
 
 
 def maybe_consolidate_in_stream(

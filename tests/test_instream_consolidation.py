@@ -890,14 +890,23 @@ def test_store_invariant_sweep(spark, tmp_path):
     assert "5" in probs[0] and "6" in probs[0]
 
     # the operator-acknowledged repair: record the known-empty gap ids
-    # as sentinels — the audit goes clean and the sequential guard
-    # accepts the next fold again
+    # as sentinels — applied to the ROOT the guard message prints (the
+    # helper recurses into the batch stores beneath), writing strictly
+    # BELOW the refused batch id so an overshoot can never convert a
+    # real future batch into a guard-skipped replay — then the audit
+    # goes clean and the guard accepts the refused id as committed+1
+    import pytest as _pytest
+
     from data_pipeline_challenge_spark.batchstore import (
         backfill_empty_sentinels,
+        last_batch_id,
         sequential_fold_guard,
     )
 
-    assert backfill_empty_sentinels(store, 7) == [5, 6]
+    with _pytest.raises(RuntimeError, match="no batch store"):
+        backfill_empty_sentinels(root / "nowhere", 8)
+    assert backfill_empty_sentinels(root / "gate", 8) == [5, 6]
+    assert last_batch_id(store) == 7  # never advanced past real history
     assert audit_warehouse_stores(root) == []
     assert sequential_fold_guard(8, 7, store) is True
 
@@ -920,6 +929,17 @@ def test_store_invariant_sweep(spark, tmp_path):
     shutil.rmtree(att / "reseq" / "wm" / "ingest_batch=1")
     probs = audit_warehouse_stores(att)
     assert len(probs) == 1 and "wm" in probs[0] and "gapped" in probs[0]
+    # backfill on a reseq-bearing root refuses: buffer/wm ids are the
+    # ARRIVAL space, the siblings the downstream fold space
+    from data_pipeline_challenge_spark.batchstore import (
+        backfill_empty_sentinels as _bes,
+    )
+
+    with _pytest.raises(RuntimeError, match="resequencer"):
+        _bes(att, 8)
+    # targeting the sub-store explicitly repairs it
+    assert _bes(att / "reseq" / "wm", 3) == [1]
+    assert audit_warehouse_stores(att) == []
 
     # crash-leftover tmp dirs are surfaced ONLY once stale (a live
     # stream's in-flight write must not page the operator)
@@ -948,6 +968,14 @@ def test_store_invariant_sweep(spark, tmp_path):
 
     assert find_batch_stores(rw) == [live / "docs"]
     assert audit_warehouse_stores(rw) == []  # fresh leftover: in-flight
+    # staleness is judged by the NEWEST mtime anywhere in the tree (an
+    # in-flight rebuild touches deep files while the root mtime
+    # freezes), so aging only the top dir must NOT flag it...
     _os.utime(aside, (old, old))
+    assert audit_warehouse_stores(rw) == []
+    # ...while aging the whole tree does
+    for dpath, dnames, fnames in _os.walk(aside):
+        for name in dnames + fnames:
+            _os.utime(Path(dpath) / name, (old, old))
     probs = audit_warehouse_stores(rw)
     assert len(probs) == 1 and "rebuild" in probs[0], probs

@@ -93,13 +93,9 @@ def main() -> int:
                 "reconfigured mid-stream; history restarts from the change"
             )
 
-    from data_pipeline_challenge_spark.batchstore import (
-        audit_warehouse_stores,
-        find_batch_stores,
-    )
+    from data_pipeline_challenge_spark.batchstore import sweep_warehouse
 
-    stores = find_batch_stores(out_dir)
-    violations = audit_warehouse_stores(out_dir, stores=stores)
+    stores, violations = sweep_warehouse(out_dir)
     print(f"== store invariants == {len(stores)} batch stores swept")
     for v in violations:
         print(f"  ! {v}")
