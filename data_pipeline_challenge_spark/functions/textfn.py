@@ -104,22 +104,45 @@ def scrub_tokens(toks: Column, denylist: tuple[str, ...], mask: str = "[TERM]") 
     )
 
 
-def doc_shingles(docs: "DataFrame", n: int = 8, *cols: str) -> "DataFrame":
+def _shingle_array(n: int):
+    """The md5'd n-token shingle ARRAY over the ``_toks`` column — the
+    one definition :func:`doc_shingles` and :func:`doc_shingle_counts`
+    share, so the exploded frame and the per-row count can never use
+    different shingle rules."""
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
+        "ELSE array() END"
+    )
+
+
+def doc_shingles(
+    docs: "DataFrame", n: int = 8, *cols: str, unique_rows: bool = False
+) -> "DataFrame":
     """DISTINCT md5'd n-token shingles per document (plus any carried
     ``cols``): the shared frame under the boilerplate/overlap reports
     and their streaming twin. md5 fixes the shuffle width regardless of
     shingle text length — at 100 TB the shingle strings never travel,
     only 32-hex digests. Docs shorter than ``n`` tokens contribute no
     shingles (the CASE guard — Spark's ``sequence(1, k)`` with k <= 0
-    would count DOWN, not return empty)."""
+    would count DOWN, not return empty).
+
+    ``unique_rows=True`` asserts that ``cols`` is unique per input ROW
+    (e.g. the doc id of a one-row-per-document table): the per-key
+    dedup is then exactly a per-row ``array_distinct`` BEFORE the
+    explode, and the corpus-wide ``.distinct()`` shuffle disappears
+    from the plan entirely (guide §2.4 — remove shuffles outright).
+    Callers whose key repeats across rows (e.g. ``source``) must keep
+    the default global distinct."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    n = int(n)
-    shingles = F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
-        "ELSE array() END"
-    )
+    shingles = _shingle_array(int(n))
+    if unique_rows:
+        return (
+            docs.filter(F.trim(F.col("text")) != "")
+            .select(*cols, toks.alias("_toks"))
+            .select(*cols, F.explode(F.array_distinct(shingles)).alias("s"))
+        )
     return (
         docs.filter(F.trim(F.col("text")) != "")
         .select(*cols, toks.alias("_toks"))
