@@ -257,11 +257,25 @@ def _bm25_scored(docs: DataFrame, terms: "list[str]") -> DataFrame:
     fusion, so a parameter or tokenization change cannot silently
     diverge between them. Shape: explode filtered to the query's terms
     before any aggregation (tf is query-sized), df broadcast, N/avgdl
-    broadcast scalars, the tf⋈dl join the only corpus-sized join."""
+    broadcast scalars, the tf⋈dl join the only corpus-sized join.
+
+    ``dl`` (per-doc non-empty token count) is ROW-LOCAL —
+    ``size(filter(split(text)))`` per document row — never an explode +
+    doc-keyed re-aggregation of the corpus: the old shape paid three
+    corpus explode passes (dl, avgdl's recompute of dl, tf); this one
+    pays exactly one, for the query-filtered tf (guide §1.2 remove
+    passes, §2.4 remove shuffles). avgdl is unchanged bit-for-bit: dl
+    values are integers, so their double sum is exact and
+    order-independent."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    ).filter(F.col("dl") > 0)
     tf = (
         toks.filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
