@@ -285,6 +285,15 @@ def fold_batch(
             batch, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
         )
         cached.append(per_new)  # banded_minhash_tables caches per_doc
+        # The exploded shingle table is re-read by BOTH sides of the
+        # intra verify and again by the cross verify's new side — five
+        # shingle explodes of the same micro-batch without this pin.
+        # Unlike the batch operators (where sh is corpus-sized and
+        # deliberately uncached), here it is bounded by the MICRO-BATCH,
+        # so caching it is O(batch) memory for a ~2x cut in the fold's
+        # explode work (guide §5: cache only what is reused and bounded).
+        sh_new = sh_new.cache()
+        cached.append(sh_new)
 
         # (a) intra-batch near-dedup: self-join candidates → verified
         # pairs → connected components → min-id survivor per cluster.
@@ -384,6 +393,10 @@ def fold_batch(
                     n=n, num_hashes=num_hashes, bands=bands,
                 )
                 cached.append(per_old)
+                # bounded by the candidate slice — same rationale as
+                # the sh_new pin above
+                sh_old = sh_old.cache()
+                cached.append(sh_old)
                 cross_verified = verify_candidate_pairs(
                     cross_cand, sh_old, per_old, sh_new, per_new,
                     num_hashes=num_hashes, min_jaccard=min_jaccard,
