@@ -429,7 +429,14 @@ def bm25_multiquery_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # row-local dl — same rewrite as _bm25_scored (r18): one corpus
+    # explode pass (the query-filtered tf) instead of three
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("dl"),
+    ).filter(F.col("dl") > 0)
     tf = (
         toks.filter(F.col("term").isin(qterms))
         .groupBy("doc_id", "term")
