@@ -1344,9 +1344,17 @@ def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_jaccard
 
     ev = load_events(spark, sf_dir)
+    # Lazy lineage pins (r18): bk is reused by every arm of the pairwise
+    # core (pair keys, both union sides, per-group size estimates) and au
+    # by three audit arms (sizes + both self-join sides) — unpinned, each
+    # arm re-ran the full events scan + distinct (12 scans in the plan).
+    # localCheckpoint computes each ONCE inside the single action and the
+    # other arms read the persisted blocks; lazy, so plan dumps stay
+    # job-free, and per-DataFrame, so nothing persists across runs.
     bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    bk = bk.localCheckpoint(eager=False)
     est = kmv_pairwise_jaccard(bk, "event_type", k=64)
-    au = ev.select("event_type", "user_id").distinct()
+    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     x, y = au.alias("x"), au.alias("y")
     inter = (
@@ -1477,9 +1485,12 @@ def kmv_user_setops_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_setops
 
     ev = load_events(spark, sf_dir)
+    # same lazy pins as kmv_user_overlap_by_type (r18): bk feeds four
+    # arms of the setops core, au three audit arms
     bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    bk = bk.localCheckpoint(eager=False)
     est = kmv_pairwise_setops(bk, "event_type", k=64)
-    au = ev.select("event_type", "user_id").distinct()
+    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     x, y = au.alias("x"), au.alias("y")
     inter = (
