@@ -104,19 +104,6 @@ def scrub_tokens(toks: Column, denylist: tuple[str, ...], mask: str = "[TERM]") 
     )
 
 
-def _shingle_array(n: int):
-    """The md5'd n-token shingle ARRAY over the ``_toks`` column — the
-    one definition :func:`doc_shingles` and :func:`doc_shingle_counts`
-    share, so the exploded frame and the per-row count can never use
-    different shingle rules."""
-    return F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"transform(sequence(1, size(_toks) - {n - 1}), "
-        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
-        "ELSE array() END"
-    )
-
-
 def doc_shingles(
     docs: "DataFrame", n: int = 8, *cols: str, unique_rows: bool = False
 ) -> "DataFrame":
@@ -136,7 +123,13 @@ def doc_shingles(
     Callers whose key repeats across rows (e.g. ``source``) must keep
     the default global distinct."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = _shingle_array(int(n))
+    n = int(n)
+    shingles = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> md5(array_join(slice(_toks, i, {n}), ' '))) "
+        "ELSE array() END"
+    )
     if unique_rows:
         return (
             docs.filter(F.trim(F.col("text")) != "")

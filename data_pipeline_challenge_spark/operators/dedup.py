@@ -106,36 +106,57 @@ def jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Candidate pairs come from the inverted index DIRECTLY: group the
-    # capped shingle table by shingle, collect the (unique, already
-    # per-doc-distinct) posting list, and expand each list's unordered
-    # pairs LOCALLY with a higher-order transform — the i<j walk over
-    # the sorted array yields exactly the doc1 < doc2 pairs the old
-    # shingle-keyed self-join produced, without shuffling the exploded
-    # corpus twice more for the join's two sides (guide §2.4: remove
-    # shuffles outright; measured 0.88× interleaved at sf0.1). Memory
-    # stays bounded: the hot-shingle anti-join above runs FIRST, so no
-    # posting list exceeds ``max_doc_freq`` (≤512 by default) — the
-    # unbounded-collect shape this repo rejects elsewhere never occurs
-    # (with ``max_doc_freq=None`` the lists are unbounded, but that
-    # variant is documented small-corpora-only).
-    g = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    pairs_arr = F.expr(
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x AS doc1, y AS doc2))))"
-    )
-    inter = (
-        g.select(F.explode(pairs_arr).alias("p"))
-        .select("p.doc1", "p.doc2")
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .filter(F.col("inter") >= min_shared)
-    )
+    if max_doc_freq is not None:
+        # Candidate pairs come from the inverted index DIRECTLY: group
+        # the capped shingle table by shingle, collect the (unique,
+        # already per-doc-distinct) posting list, and expand each
+        # list's unordered pairs LOCALLY with a higher-order transform
+        # — the i<j walk over the sorted array yields exactly the
+        # doc1 < doc2 pairs the shingle-keyed self-join produced,
+        # without shuffling the exploded corpus twice more for the
+        # join's two sides (guide §2.4: remove shuffles outright;
+        # measured 0.88× interleaved at sf0.1). Memory stays bounded
+        # BECAUSE the hot-shingle anti-join above runs first: no
+        # posting list exceeds ``max_doc_freq`` (512 by default) and no
+        # pair array exceeds cap²/2 structs, so the unbounded-collect
+        # shape this repo rejects elsewhere never occurs on this path.
+        g = (
+            sh.groupBy("s")
+            .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+        )
+        pairs_arr = F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc1, y AS doc2))))"
+        )
+        inter = (
+            g.select(F.explode(pairs_arr).alias("p"))
+            .select("p.doc1", "p.doc2")
+            .groupBy("doc1", "doc2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .filter(F.col("inter") >= min_shared)
+        )
+    else:
+        # Uncapped variant keeps the STREAMING self-join: with no df
+        # cap, a single hot shingle's posting list (and its ~D²/2 pair
+        # array) would otherwise materialize in ONE aggregation row —
+        # an executor OOM / 2 GiB-array hard failure where the join
+        # merely produces the same pairs as streamed rows. Slow on a
+        # big corpus either way (documented small-corpora-only), but
+        # slow beats a crash (code-review r18).
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .filter(F.col("inter") >= min_shared)
+        )
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
     return (

@@ -1344,17 +1344,26 @@ def kmv_user_overlap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_jaccard
 
     ev = load_events(spark, sf_dir)
-    # Lazy lineage pins (r18): bk is reused by every arm of the pairwise
-    # core (pair keys, both union sides, per-group size estimates) and au
-    # by three audit arms (sizes + both self-join sides) — unpinned, each
-    # arm re-ran the full events scan + distinct (12 scans in the plan).
-    # localCheckpoint computes each ONCE inside the single action and the
-    # other arms read the persisted blocks; lazy, so plan dumps stay
-    # job-free, and per-DataFrame, so nothing persists across runs.
+    # EAGER lineage pins (r18): bk is reused by every arm of the
+    # pairwise core (pair keys, both union sides, per-group size
+    # estimates) and au by three audit arms (sizes + both self-join
+    # sides) — unpinned, each arm re-ran the full events scan +
+    # distinct (12 scans in the plan). Eager (not lazy) so each frame
+    # is fully materialized BEFORE any arm reads it: concurrent arms
+    # pulling a lazily-pinned partition can otherwise compute it twice
+    # (observed as duplicate-block WARNs). Blocks are executor-local
+    # and freed by the ContextCleaner once this query's DataFrames go
+    # unreferenced — per-invocation RDD state, never a cross-run cache
+    # (.cache() would be: it is analyzed-plan-keyed). Cluster caveat:
+    # like every localCheckpoint pin in this repo, an executor loss
+    # mid-query fails the query instead of recomputing the pin —
+    # acceptable for a rerunnable analytics query (graph.py's _pin
+    # documents the reliable-checkpoint alternative for iterative
+    # state).
     bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
-    bk = bk.localCheckpoint(eager=False)
+    bk = bk.localCheckpoint(eager=True)
     est = kmv_pairwise_jaccard(bk, "event_type", k=64)
-    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
     sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     x, y = au.alias("x"), au.alias("y")
     inter = (
@@ -1485,12 +1494,12 @@ def kmv_user_setops_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_bottom_hashes, kmv_pairwise_setops
 
     ev = load_events(spark, sf_dir)
-    # same lazy pins as kmv_user_overlap_by_type (r18): bk feeds four
-    # arms of the setops core, au three audit arms
+    # same eager pins as kmv_user_overlap_by_type (r18, rationale
+    # there): bk feeds four arms of the setops core, au three audit arms
     bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
-    bk = bk.localCheckpoint(eager=False)
+    bk = bk.localCheckpoint(eager=True)
     est = kmv_pairwise_setops(bk, "event_type", k=64)
-    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    au = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
     sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     x, y = au.alias("x"), au.alias("y")
     inter = (
