@@ -318,6 +318,7 @@ def pagerank_integer(
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
     _iteration_probe=None,
+    symmetric_distinct_edges: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic — the
     determinism trick the rollup's integer cents and the quantile
@@ -341,6 +342,22 @@ def pagerank_integer(
     PageRank step; ``iterations`` is fixed and small, and lineage is
     truncated per round (localCheckpoint) so the plan does not grow.
 
+    ``symmetric_distinct_edges=True`` is the caller's GUARANTEE that the
+    edge list is already duplicate-free AND symmetric ((v,u) present for
+    every (u,v) — e.g. built as ``distinct_pairs ∪ reversed(distinct_
+    pairs)``). Symmetry means every node has in-edges, so the
+    contribution aggregation already covers the full node set and the
+    per-iteration ``nodes LEFT JOIN contrib`` (whose only job is to
+    re-attach in-edge-less nodes' base term) is an identity — it is
+    fused into the aggregation's projection. The flag also skips the
+    redundant ``.distinct()``, derives iteration 1 straight from the
+    degree-annotated edge list (r0 is the constant ``scale``, so the
+    first join against it is a constant projection), and drops the
+    separate nodes pin. Ranks are bit-identical to the generic path
+    (``test_pagerank_symmetric_fast_path_matches_generic``); measured
+    vs the generic path at sf0.1 in plans/r19/ab/ (guide §2.4 remove
+    shuffles outright, §1.2 remove passes).
+
     Returns (node, rank) — rank in ``scale`` units."""
     # Materialize the edge list ONCE: every iteration joins against it,
     # and without the checkpoint each of the `iterations` plans would
@@ -349,12 +366,57 @@ def pagerank_integer(
     # node set. ``checkpoint_dir`` switches every pin to a RELIABLE
     # checkpoint (see :func:`_pin`) — the cluster-safe option the r15
     # docstrings named; results are bit-identical.
-    e = _pin(
-        edges.select(
-            F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
-        ).distinct(),
-        checkpoint_dir,
+    sel = edges.select(
+        F.col(src_col).alias("__pr_src"), F.col(dst_col).alias("__pr_dst")
     )
+    base = (100 - damping_pct) * scale // 100
+    if symmetric_distinct_edges:
+        # ONE pin materializes distinct-by-contract edges + outdegrees
+        # (the deg aggregation and the join read the same scan; no
+        # second pin, no nodes pin — two prefix exchanges and two pin
+        # materializations fewer than the generic path).
+        e = _pin(
+            sel.join(
+                sel.groupBy("__pr_src").agg(F.count(F.lit(1)).alias("__pr_deg")),
+                "__pr_src",
+            ),
+            checkpoint_dir,
+        )
+        if iterations == 0:
+            return e.select(F.col("__pr_src").alias("node")).distinct().withColumn(
+                "r", F.lit(int(scale)).cast("long")
+            )
+        rank = None
+        for i in range(iterations):
+            if rank is None:
+                # r0 is the constant ``scale`` for every node, so the
+                # first iteration needs no rank join at all
+                contrib_in = e.select(
+                    "__pr_dst",
+                    F.expr(f"CAST({int(scale)} AS BIGINT) div __pr_deg").alias(
+                        "__pr_c"
+                    ),
+                )
+            else:
+                contrib_in = e.join(
+                    rank.withColumnRenamed("node", "__pr_src"), "__pr_src"
+                ).select("__pr_dst", F.expr("r div __pr_deg").alias("__pr_c"))
+            rank = (
+                contrib_in.groupBy(F.col("__pr_dst").alias("node"))
+                .agg(F.sum("__pr_c").alias("__pr_sum"))
+                .select(
+                    "node",
+                    (
+                        F.lit(int(base)).cast("long")
+                        + F.expr(f"({damping_pct} * __pr_sum) div 100")
+                    ).alias("r"),
+                )
+            )
+            if _iteration_probe is not None:
+                rank = _iteration_probe(rank)
+            rank = _pin(rank, checkpoint_dir, eager=checkpoint_dir is not None)
+        return rank
+    e = _pin(sel.distinct(), checkpoint_dir)
     # denormalize outdegrees INTO the edge list once — a lazy deg frame
     # would re-run its groupBy shuffle and a fresh e⋈deg join in every
     # iteration's plan
@@ -366,7 +428,6 @@ def pagerank_integer(
         .distinct(),
         checkpoint_dir,
     )
-    base = (100 - damping_pct) * scale // 100
     rank = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
     for _ in range(iterations):
         contrib = (

@@ -1237,7 +1237,17 @@ def pagerank_trade_graph_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     are reconstructed only for the final top-20: five iterations of
     joins and sums compare/shuffle 8-byte longs instead of variable-
     width strings (guide §2.3 narrower types; measured 0.79× interleaved
-    at sf0.1, r18)."""
+    at sf0.1, r18).
+
+    ``symmetric_distinct_edges=True`` is sound here — ``pairs`` is
+    distinct and the reversed copy is disjoint from it (src ids are
+    even, dst ids odd, so a pair can never equal a reversed pair) — and
+    lets the operator skip its own re-distinct, fold the outdegree pin
+    into the edge pin, and fuse the per-iteration ``nodes LEFT JOIN``
+    into the contribution aggregation (every node of the bidirectional
+    graph has in-edges, so the left join was an identity; the oracle's
+    ``coalesce(s.c, 0)`` never fires for the same reason). Guide §2.4;
+    r19 interleaved A/B in plans/r19/ab/pagerank_symmetric.json."""
     from ..operators.graph import pagerank_integer
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1253,7 +1263,7 @@ def pagerank_trade_graph_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    rank = pagerank_integer(edges, iterations=5)
+    rank = pagerank_integer(edges, iterations=5, symmetric_distinct_edges=True)
     node_label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),

@@ -29,6 +29,7 @@ def iter_json_array(
     path: str | Path,
     chunk_bytes: int = 1 << 20,
     max_record_bytes: int = 256 << 20,
+    yield_raw: bool = False,
 ):
     """Yield top-level objects of a JSON array-of-objects file
     incrementally (constant memory). Raises ValueError on malformed input
@@ -39,6 +40,13 @@ def iter_json_array(
     indistinguishable from a truncated one until more input arrives, so
     without a cap a malformed record early in a huge file would buffer the
     rest of the file before failing.
+
+    ``yield_raw=True`` yields ``(obj, raw_text)`` pairs, where
+    ``raw_text`` is the element's VERBATIM source slice (validated by the
+    same ``raw_decode`` — it is the exact text the decoder consumed for
+    ``obj``). Lets the JSONL rewriter splice the source bytes instead of
+    re-serializing every record (guide §1.2: don't recompute what you
+    already have).
     """
     decoder = json.JSONDecoder()
     with open(path, "r", encoding="utf-8") as fh:  # strict utf-8, like .decode()
@@ -82,6 +90,7 @@ def iter_json_array(
             if c != "{":
                 raise ValueError(f"array element is not an object (saw {c!r})")
             while True:
+                start = pos
                 try:
                     obj, pos = decoder.raw_decode(buf, pos)
                     break
@@ -89,7 +98,7 @@ def iter_json_array(
                     # Truncated or malformed — only more input can tell.
                     if len(buf) - pos > max_record_bytes or not refill():
                         raise ValueError("unterminated or malformed JSON array") from None
-            yield obj
+            yield (obj, buf[start:pos]) if yield_raw else obj
         while True:
             skip_ws()
             if pos < len(buf):
@@ -126,8 +135,23 @@ def array_to_jsonl(
     n_in_file = 0
     idx = 0
     seq = 0
+    # Splice the VERBATIM source slice of each element instead of
+    # re-serializing the parsed object: raw_decode already validated the
+    # slice, and json.loads(raw) == json.loads(json.dumps(obj)) for every
+    # valid element (duplicate keys collapse last-wins in BOTH paths,
+    # numerals/escapes normalize at the downstream parse). The one case
+    # where the splice would break the line-delimited contract — an
+    # element whose source text spans lines (pretty-printed input) —
+    # falls back to the old re-serialize. Cuts the single-core
+    # conversion's per-record work to parse + write (guide §1.2; ~35%
+    # measured on the bench's 50k delivery, plans/r19/ab notes).
+    prefix = (
+        f'{{"f":{json.dumps(envelope_file_id, ensure_ascii=False)},"q":'
+        if envelope_file_id is not None
+        else None
+    )
     try:
-        for rec in iter_json_array(src):
+        for rec, raw in iter_json_array(src, yield_raw=True):
             if out is None or n_in_file >= records_per_file:
                 if out:
                     out.close()
@@ -136,12 +160,12 @@ def array_to_jsonl(
                 out_paths.append(p)
                 idx += 1
                 n_in_file = 0
-            if envelope_file_id is not None:
-                line = json.dumps(
-                    {"f": envelope_file_id, "q": seq, "r": rec}, ensure_ascii=False
-                )
+            if "\n" in raw or "\r" in raw:
+                raw = json.dumps(rec, ensure_ascii=False)
+            if prefix is not None:
+                line = f'{prefix}{seq},"r":{raw}}}'
             else:
-                line = json.dumps(rec, ensure_ascii=False)
+                line = raw
             out.write(line + "\n")
             n_in_file += 1
             seq += 1

@@ -928,6 +928,58 @@ def test_pagerank_integer_matches_python_fold(spark):
     assert got["d"] < got["c"]  # the dangling leaf never out-ranks a hub
 
 
+def test_pagerank_symmetric_fast_path_matches_generic(spark, tmp_path):
+    """The r19 ``symmetric_distinct_edges=True`` fast path (no
+    re-distinct, fused deg pin, first iteration without a rank join,
+    contribution aggregation without the nodes LEFT JOIN) must produce
+    bit-identical ranks to the generic path on a distinct symmetric
+    edge list — in local-pin mode AND reliable-checkpoint mode, and the
+    reliable mode must still cost exactly one materialization per
+    iteration (the accumulator probe counts iterations x n_nodes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from data_pipeline_challenge_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 9), (9, 8), (10, 11), (11, 12), (1, 9)],
+        "src long, dst long",
+    )
+    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    generic = {
+        r["node"]: r["r"] for r in pagerank_integer(sym, iterations=4).collect()
+    }
+    fast = {
+        r["node"]: r["r"]
+        for r in pagerank_integer(
+            sym, iterations=4, symmetric_distinct_edges=True
+        ).collect()
+    }
+    assert fast == generic
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def _tick(s):
+        acc.add(len(s))
+        return s
+
+    def probe(df):
+        return df.select(_tick(F.col("node")).alias("node"), "r")
+
+    reliable = {
+        r["node"]: r["r"]
+        for r in pagerank_integer(
+            sym,
+            iterations=4,
+            symmetric_distinct_edges=True,
+            checkpoint_dir=str(tmp_path / "ck"),
+            _iteration_probe=probe,
+        ).collect()
+    }
+    assert reliable == generic
+    assert acc.value == 4 * len(generic)
+
+
 def test_rrf_fuse_dedups_duplicate_ids(spark):
     """A ranked input carrying a duplicate id (a buggy or merged
     generator) must collapse to its BEST rank, not multiply rows through
