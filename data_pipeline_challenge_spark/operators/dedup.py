@@ -80,6 +80,7 @@ def jaccard_pairs(
     n: int = 3,
     min_shared: int = 1,
     max_doc_freq: int | None = 512,
+    expand_posting_lists: bool = False,
 ) -> DataFrame:
     """N-gram Jaccard for every pair sharing >= min_shared shingles.
 
@@ -95,7 +96,12 @@ def jaccard_pairs(
     shingle space (the standard df-cap/prefix-filter semantics). Hot
     shingles are by construction few (≤ total_shingles/K), so the filter
     is a broadcast anti-join — no extra shuffle of the big table. Pass
-    ``None`` for the exact uncapped variant (small corpora only)."""
+    ``None`` for the exact uncapped variant (small corpora only).
+
+    ``expand_posting_lists`` (capped path only) swaps the self-join for
+    a local posting-list pair expansion — two fewer exploded-corpus
+    shuffles, more per-row compute; see the inline note for when each
+    wins."""
     sh = _shingle_table(df, id_col, text_col, n)
     if max_doc_freq is not None:
         hot = (
@@ -106,20 +112,25 @@ def jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_doc_freq is not None:
-        # Candidate pairs come from the inverted index DIRECTLY: group
-        # the capped shingle table by shingle, collect the (unique,
-        # already per-doc-distinct) posting list, and expand each
-        # list's unordered pairs LOCALLY with a higher-order transform
-        # — the i<j walk over the sorted array yields exactly the
-        # doc1 < doc2 pairs the shingle-keyed self-join produced,
-        # without shuffling the exploded corpus twice more for the
-        # join's two sides (guide §2.4: remove shuffles outright;
-        # measured 0.88× interleaved at sf0.1). Memory stays bounded
-        # BECAUSE the hot-shingle anti-join above runs first: no
-        # posting list exceeds ``max_doc_freq`` (512 by default) and no
-        # pair array exceeds cap²/2 structs, so the unbounded-collect
-        # shape this repo rejects elsewhere never occurs on this path.
+    if expand_posting_lists and max_doc_freq is not None:
+        # OPT-IN (r19): candidate pairs straight from the inverted
+        # index — group the hot-capped shingle table by shingle,
+        # collect the sorted posting list, expand each list's i<j pairs
+        # LOCALLY with a higher-order transform. Saves the two extra
+        # exploded-corpus shuffles the self-join pays, which is the
+        # winning trade only when those shuffles dominate (very large
+        # corpora / slow interconnect). It is NOT the default: the r19
+        # interleaved A/B measured the interpreted HOF expansion 1.15×
+        # SLOWER than the self-join at sf0.1 (and a codegen'd
+        # nested-explode variant 1.19× slower) — the per-row
+        # struct-array build costs more than the shuffles it removes at
+        # bench scale (plans/r19/ab/jaccard_*.json; the r18 driver
+        # artifact's 0.74× on this query was this effect, not noise).
+        # Memory stays bounded BECAUSE the hot-shingle anti-join above
+        # runs first: no posting list exceeds ``max_doc_freq`` (512 by
+        # default) and no pair array exceeds cap²/2 structs, so the
+        # unbounded-collect shape this repo rejects elsewhere never
+        # occurs on this path.
         g = (
             sh.groupBy("s")
             .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
@@ -138,13 +149,13 @@ def jaccard_pairs(
             .filter(F.col("inter") >= min_shared)
         )
     else:
-        # Uncapped variant keeps the STREAMING self-join: with no df
+        # DEFAULT: the streaming inverted-index self-join. For the
+        # uncapped variant it is also the only safe shape: with no df
         # cap, a single hot shingle's posting list (and its ~D²/2 pair
         # array) would otherwise materialize in ONE aggregation row —
         # an executor OOM / 2 GiB-array hard failure where the join
-        # merely produces the same pairs as streamed rows. Slow on a
-        # big corpus either way (documented small-corpora-only), but
-        # slow beats a crash (code-review r18).
+        # merely produces the same pairs as streamed rows (code-review
+        # r18).
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (

@@ -125,6 +125,73 @@ def jaccard_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- r18 shape: jaccard HOF pair expansion
+
+
+def jaccard_r18_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 dedup_ngram_jaccard_top20: posting-list HOF pair expansion —
+    now the operator's opt-in ``expand_posting_lists=True`` path."""
+    from data_pipeline_challenge_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, max_doc_freq=512, expand_posting_lists=True
+    )
+    return (
+        pairs.select("doc1", "doc2", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(20)
+    )
+
+
+# ------------------------------- candidate shape: jaccard nested-explode pairs
+
+
+def jaccard_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list pair expansion via two codegen'd Generates (explode
+    the sorted list twice + doc1<doc2 filter) instead of the r18
+    interpreted HOF struct-array build — same no-extra-shuffle shape,
+    JVM-codegen per-row work."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 512)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    g = (
+        sh.groupBy("s")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    inter = (
+        g.select(F.explode("ds").alias("doc1"), "ds")
+        .select("doc1", F.explode("ds").alias("doc2"))
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 1)
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    pairs = (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
+    )
+    return (
+        pairs.select("doc1", "doc2", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(20)
+    )
+
+
 # --------------------------------------------- r17 shape: MAD second raw pass
 
 

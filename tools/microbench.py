@@ -80,7 +80,12 @@ def _run_ab(argv: list[str]) -> None:
     ).mode("overwrite").save()
 
     da, db = arm_a(spark, sf_dir), arm_b(spark, sf_dir)
-    assert da.schema == db.schema, f"schema mismatch:\n{da.schema}\n{db.schema}"
+    # names + types must match; nullability may differ between shapes
+    # (e.g. an inner-join arm proves non-null where a self-join arm
+    # cannot) without affecting a single value — the row compare below
+    # is the authoritative identity check.
+    sig = lambda df: [(f.name, f.dataType) for f in df.schema.fields]  # noqa: E731
+    assert sig(da) == sig(db), f"schema mismatch:\n{da.schema}\n{db.schema}"
     ra, rb = _rows_key(da), _rows_key(db)
     assert ra == rb, (
         f"arm results differ: {len(ra)} vs {len(rb)} rows; "
