@@ -233,7 +233,30 @@ class ProductWarehouse:
             return True
         return bool(self._complete_product_versions())
 
-    def _overwrite_products(self, df: DataFrame, n_files: int | None = None) -> None:
+    def _table_bytes(self) -> int:
+        """Parquet bytes of the published products table + live deltas
+        (driver-side stat, no Spark job) — the size estimator for output
+        file sizing."""
+        roots: list[Path] = []
+        if self.products_path.is_symlink():
+            base = self._resolve_products_dir()
+            if base is not None:
+                roots = [base, *self._delta_dirs(base)]
+        elif self.products_path.exists():
+            roots = [self.products_path]
+        return sum(
+            f.stat().st_size
+            for root in roots
+            for f in Path(root).rglob("*.parquet")
+            if f.is_file()
+        )
+
+    def _overwrite_products(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        extra_bytes: int = 0,
+    ) -> None:
         """Write a new version dir + atomic symlink publish (readers never
         see a half-written table, and a reader mid-scan on the previous
         version survives: only versions two publishes old are deleted —
@@ -244,7 +267,17 @@ class ProductWarehouse:
         file via min/max stats, and the next merge's shuffle reads
         pre-clustered data. (On a lakehouse table this is bucketBy(code) /
         liquid clustering; range+sort is the plain-parquet equivalent.)
-        """
+
+        File count: ``n_files`` when given (compaction passes its own),
+        else derived from the published table's bytes plus
+        ``extra_bytes`` (the caller's estimate for not-yet-written input,
+        e.g. the landing batch) at ~128 MB/file — guide §6 output sizing,
+        scale-adaptive instead of a core-count constant (the old
+        ``defaultParallelism // 4`` wrote kilobyte files at small scale
+        and would cap a 100 TB table at 8 files). A single-file write
+        skips the range sampler (and the cache that existed only to keep
+        the sampler from computing the merge twice): one action, one
+        sorted file — the same disjoint-range layout."""
         versions = self._product_versions()
         next_n = (
             int(versions[-1].name.rsplit(".v", 1)[1]) + 1 if versions else 1
@@ -252,19 +285,30 @@ class ProductWarehouse:
         new_dir = self.dir / f"products.v{next_n}"
         if new_dir.exists():
             shutil.rmtree(new_dir)
-        nparts = n_files or max(1, self.spark.sparkContext.defaultParallelism // 4)
-        # repartitionByRange runs a separate range-sampling job first; cache
-        # the merge result so sampling + write don't compute it twice.
-        df = df.cache()
-        try:
+        nparts = n_files or max(
+            1, -(-(self._table_bytes() + extra_bytes) // (128 << 20))
+        )
+        if nparts == 1:
             (
-                df.repartitionByRange(nparts, "code")
+                df.coalesce(1)
                 .sortWithinPartitions("code")
                 .write.mode("overwrite")
                 .parquet(str(new_dir))
             )
-        finally:
-            df.unpersist()
+        else:
+            # repartitionByRange runs a separate range-sampling job first;
+            # cache the merge result so sampling + write don't compute it
+            # twice.
+            df = df.cache()
+            try:
+                (
+                    df.repartitionByRange(nparts, "code")
+                    .sortWithinPartitions("code")
+                    .write.mode("overwrite")
+                    .parquet(str(new_dir))
+                )
+            finally:
+                df.unpersist()
 
         state = self.products_path
         # What readers could be pinned to before this publish: the
@@ -798,7 +842,15 @@ class ProductWarehouse:
                             self.products() if self._has_products() else None
                         )
                         merged = merge_products(existing, valid)
-                        self._overwrite_products(merged)
+                        # size the write by published bytes + this batch's
+                        # landing bytes (raw JSON ≥ its parquet, so the
+                        # estimate errs toward more files, never fewer)
+                        batch_bytes = sum(
+                            os.path.getsize(p)
+                            for p in new_paths
+                            if os.path.exists(p)
+                        )
+                        self._overwrite_products(merged, extra_bytes=batch_bytes)
 
             # Ledger events + landing GC.
             events = []

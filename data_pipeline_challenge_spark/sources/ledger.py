@@ -405,10 +405,29 @@ class LedgerStore:
         new_dir = Path(f"{self.state_path}.v{next_n}")
         if new_dir.exists():
             shutil.rmtree(new_dir)
-        nparts = max(1, self.spark.sparkContext.defaultParallelism // 8)
+        # File count from the PREVIOUS state's bytes + the live tail
+        # (driver-side stat): one winner row per file_id keeps this table
+        # tiny for most warehouse lifetimes, and a single-file write skips
+        # repartitionByRange's separate range-sampling job — one Spark job
+        # per append instead of two (guide §6 output sizing; the old
+        # ``defaultParallelism // 8`` was a core-count constant that wrote
+        # kilobyte files). The range+sort layout (disjoint file_id ranges
+        # per file) is unchanged either way.
+        target = self._state_target()
+        prev_bytes = (
+            sum(f.stat().st_size for f in target.rglob("*.parquet") if f.is_file())
+            if target is not None
+            else 0
+        )
+        tail_bytes = sum(f.stat().st_size for f in self._tail_files())
+        nparts = max(1, -(-(prev_bytes + tail_bytes) // (64 << 20)))
+        shaped = (
+            merged.coalesce(1)
+            if nparts == 1
+            else merged.repartitionByRange(nparts, "file_id")
+        )
         (
-            merged.repartitionByRange(nparts, "file_id")
-            .sortWithinPartitions("file_id")
+            shaped.sortWithinPartitions("file_id")
             .write.mode("overwrite")
             .parquet(str(new_dir))
         )
