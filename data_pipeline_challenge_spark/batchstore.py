@@ -229,6 +229,31 @@ def prefix_bucket(col, n_buckets: int, *more_cols):
     return F.pmod(F.xxhash64(col, *more_cols), F.lit(n_buckets)).cast("int")
 
 
+def prefix_bucket_local(spark, values: "list[str]", n_buckets: int) -> "list[int]":
+    """Driver-local evaluation of :func:`prefix_bucket` for a SMALL list
+    of literal STRINGS (probe/search inputs, never data): the same
+    ``pmod(xxhash64(...), n)`` expression evaluated through a one-row
+    parameterized SELECT — the literals constant-fold, the plan collapses
+    to a LocalRelation, and ``first()`` returns without launching a
+    single task. The old shape (createDataFrame + collect) cost a full
+    cluster job per probe just to hash a handful of query terms (r19
+    probe profile: ~0.34s of a 1.25s warm probe). Values must be the
+    same TYPE the store's bucket column hashes (xxhash64 of a bigint is
+    a different value than of its string); every current store buckets
+    strings. Equality with the distributed expression is pinned by
+    ``test_prefix_bucket_local_matches_distributed``."""
+    out: list[int] = []
+    for start in range(0, len(values), 100):  # bound statement width
+        chunk = values[start : start + 100]
+        exprs = ", ".join(
+            f"pmod(xxhash64(:v{i}), :n) AS b{i}" for i in range(len(chunk))
+        )
+        args = {f"v{i}": v for i, v in enumerate(chunk)}
+        args["n"] = int(n_buckets)
+        out.extend(int(v) for v in spark.sql(f"SELECT {exprs}", args=args).first())
+    return out
+
+
 def cap_per_bucket(
     df: DataFrame,
     keys: list[str],

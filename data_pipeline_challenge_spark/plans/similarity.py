@@ -507,7 +507,20 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one collapse; the enumeration form is the primitive those
     derive from."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = cosine_near_pairs_blocked(emb, threshold=0.35).select("id1", "id2")
+    # EAGER lineage pin (r19): the three join aliases below otherwise
+    # each re-run the full tiled-matmul candidate generation + verify
+    # (3x the scans and Python stages in the unpinned plan, the
+    # plan-sweep's worst python-node count). The pinned frame is the
+    # near-pair edge set — the same rows the joins materialize anyway.
+    # sf0.1 A/B is a wash (1.00x, plans/r19/ab/triangles_pin_edges.json);
+    # kept for the structural 3x-to-1x candidate-generation reduction.
+    # Same per-invocation lifetime + executor-loss caveat as every
+    # localCheckpoint pin in this repo.
+    edges = (
+        cosine_near_pairs_blocked(emb, threshold=0.35)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
     p1, p2, p3 = edges.alias("p1"), edges.alias("p2"), edges.alias("p3")
     return (
         p1.join(p2, F.col("p2.id1") == F.col("p1.id2"))

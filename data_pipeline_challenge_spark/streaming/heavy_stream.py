@@ -46,6 +46,7 @@ from ..batchstore import (
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
+    prefix_bucket_local,
     read_batch_store,
     sequential_fold_guard,
 )
@@ -193,14 +194,10 @@ def heavy_hitters_report(
     n_total = int(summary.get("n_total", 0))
     if not cands or n_total == 0:
         return spark.createDataFrame([], "item string, n long")
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(c,) for c in cands], "item string")
-            .select(prefix_bucket(F.col("item"), _N_BUCKETS).alias("b"))
-            .collect()
-        }
-    )
+    # driver-local constant-folded bucket evaluation — no cluster job
+    # per report just to hash the <=k candidate strings (batchstore.
+    # prefix_bucket_local, r19)
+    buckets = sorted(set(prefix_bucket_local(spark, cands, _N_BUCKETS)))
     return (
         read_batch_store(spark, counts_store)
         # Snapshot consistency (ADVICE r11): counts are appended BEFORE

@@ -60,6 +60,7 @@ from ..batchstore import (
     last_batch_id,
     maybe_consolidate_in_stream,
     prefix_bucket,
+    prefix_bucket_local,
     read_batch_store,
     sequential_fold_guard,
 )
@@ -344,14 +345,11 @@ def _pruned_postings(
     dirs (negative ids) fold batches at-or-below a committed totals
     file (compact_retrieval_index bounds at the frontier), so they are
     always covered."""
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(prefix_bucket(F.col("term"), _N_BUCKETS).alias("b"))
-            .collect()
-        }
-    )
+    # driver-local: same expression as the store's partition layout,
+    # constant-folded — no cluster job per probe (batchstore.
+    # prefix_bucket_local; r19, guide §5 the driver should not wait on
+    # a job to hash a handful of literals)
+    buckets = sorted(set(prefix_bucket_local(spark, list(terms), _N_BUCKETS)))
     committed = (F.col("ingest_batch") <= tid) | (F.col("ingest_batch") < 0)
     postings = (
         read_batch_store(spark, odir / "postings")

@@ -3013,3 +3013,38 @@ def test_fuzzy_name_pairs_gram_cap_is_subset(spark):
         ).collect()
     }
     assert loose == exact
+
+
+def test_prefix_bucket_local_matches_distributed(spark):
+    """The driver-local constant-folded bucket evaluation
+    (batchstore.prefix_bucket_local — used by the serving probes so a
+    search never launches a cluster job to hash its own query terms)
+    must equal the distributed prefix_bucket expression for awkward
+    strings: quotes, backslashes, unicode, parameter-marker lookalikes,
+    empties."""
+    from data_pipeline_challenge_spark.batchstore import (
+        prefix_bucket,
+        prefix_bucket_local,
+    )
+
+    values = [
+        "alpha",
+        "beta's",
+        'say "hi"',
+        "back\\slash",
+        "unié中文",
+        ":v0",
+        "?",
+        "",
+        " spaced out ",
+        "line\nbreak",
+    ] + [f"term{i}" for i in range(150)]  # crosses the 100-value chunking
+    for n in (8, 64):
+        dist = [
+            r["b"]
+            for r in spark.createDataFrame([(v,) for v in values], "v string")
+            .select(prefix_bucket(F.col("v"), n).alias("b"))
+            .collect()
+        ]
+        local = prefix_bucket_local(spark, values, n)
+        assert local == dist

@@ -32,11 +32,21 @@ from data_pipeline_challenge_spark.plans.stats import (
     events_value_outliers_mad as _mad_cur,
 )
 from data_pipeline_challenge_spark.plans.stats import (
+    kmv_user_overlap_by_type as _kmv_overlap_cur,
+)
+from data_pipeline_challenge_spark.plans.stats import (
+    kmv_user_setops_by_type as _kmv_setops_cur,
+)
+from data_pipeline_challenge_spark.plans.stats import (
     pagerank_trade_graph_top20 as _pagerank_cur,
 )
 from data_pipeline_challenge_spark.plans.text import (
     dedup_ngram_jaccard_top20 as _jaccard_cur,
 )
+from data_pipeline_challenge_spark.plans.similarity import (
+    dup_graph_triangles as _triangles_cur,
+)
+from data_pipeline_challenge_spark.plans.text import term_pmi_top20 as _pmi_cur
 
 # ---------------------------------------------------------------- current arms
 
@@ -45,6 +55,10 @@ hybrid_cur = _hybrid_cur
 mad_cur = _mad_cur
 jaccard_cur = _jaccard_cur
 pagerank_cur = _pagerank_cur
+kmv_setops_cur = _kmv_setops_cur
+kmv_overlap_cur = _kmv_overlap_cur
+pmi_cur = _pmi_cur
+triangles_cur = _triangles_cur
 
 
 # -------------------------------------------- r18 shape: pagerank generic path
@@ -225,6 +239,210 @@ def mad_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("value"),
             F.round("med", 6).alias("med"),
             F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+# --------------------------------- candidate shapes: term_pmi_top20 pins
+
+
+def _pmi_top20_with_pins(spark, sf_dir, pin_freq: bool, pin_tf: bool):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .filter(F.col("c1") >= 25)
+    )
+    if pin_freq:
+        freq = freq.localCheckpoint(eager=True)
+    w = Window.partitionBy("doc_id").orderBy("c1", "term")
+    tf = (
+        toks.join(F.broadcast(freq), "term")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 128)
+        .select("doc_id", "term")
+    )
+    if pin_tf:
+        tf = tf.localCheckpoint(eager=True)
+    a = tf.select(F.col("doc_id"), F.col("term").alias("t1"))
+    b = tf.select(F.col("doc_id"), F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 10)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    f1 = freq.select(F.col("term").alias("t1"), F.col("c1").alias("_c1"))
+    f2 = freq.select(F.col("term").alias("t2"), F.col("c1").alias("_c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("nd").cast("double"))
+            / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(f1), "t1")
+        .join(F.broadcast(f2), "t2")
+        .crossJoin(F.broadcast(nd))
+        .select("t1", "t2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(20)
+    )
+
+
+def pmi_pin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pmi_top20_with_pins(spark, sf_dir, pin_freq=True, pin_tf=False)
+
+
+def pmi_pin_freq_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pmi_top20_with_pins(spark, sf_dir, pin_freq=True, pin_tf=True)
+
+
+# ----------------------------- candidate shape: triangles pinned edge set
+
+
+def triangles_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_graph_triangles with the near-pair edge set pinned once
+    (eager localCheckpoint) instead of recomputed by all three join
+    aliases — the tiled-matmul candidate generation is the dominant
+    cost and appears 3x in the unpinned plan."""
+    from data_pipeline_challenge_spark.operators.similarity import (
+        cosine_near_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        cosine_near_pairs_blocked(emb, threshold=0.35)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+    p1, p2, p3 = edges.alias("p1"), edges.alias("p2"), edges.alias("p3")
+    return (
+        p1.join(p2, F.col("p2.id1") == F.col("p1.id2"))
+        .join(
+            p3,
+            (F.col("p3.id1") == F.col("p1.id1"))
+            & (F.col("p3.id2") == F.col("p2.id2")),
+        )
+        .select(
+            F.col("p1.id1").alias("a"),
+            F.col("p1.id2").alias("b"),
+            F.col("p2.id2").alias("c"),
+        )
+    )
+
+
+# -------------------------------------- r17 shapes: KMV pairwise (no pins)
+
+
+def kmv_setops_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 kmv_user_setops_by_type: NO eager pins — the bottom-64 sketch
+    (bk) recomputes in all four setops arms and the distinct audit frame
+    (au) in all three audit arms (bc8df27 plans/stats)."""
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_bottom_hashes,
+        kmv_pairwise_setops,
+    )
+
+    ev = load_events(spark, sf_dir)
+    bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    est = kmv_pairwise_setops(bk, "event_type", k=64)
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = au.alias("x"), au.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("key_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("key_b"), F.col("n").alias("nb"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        est.join(inter, ["key_a", "key_b"], "left")
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_union_sketch",
+            "n_both",
+            "union_est",
+            "inter_est",
+            "a_minus_b_est",
+            "b_minus_a_est",
+            (F.col("na") + F.col("nb") - ni).cast("bigint").alias("exact_union"),
+            (F.col("na") - ni).cast("bigint").alias("exact_a_minus_b"),
+        )
+    )
+
+
+def kmv_overlap_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 kmv_user_overlap_by_type: NO eager pins (bc8df27 plans/stats)."""
+    from data_pipeline_challenge_spark.operators.sketches import (
+        kmv_bottom_hashes,
+        kmv_pairwise_jaccard,
+    )
+
+    ev = load_events(spark, sf_dir)
+    bk = kmv_bottom_hashes(ev, "user_id", k=64, group_cols=["event_type"])
+    est = kmv_pairwise_jaccard(bk, "event_type", k=64)
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x, y = au.alias("x"), au.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("key_a"),
+            F.col("y.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("key_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("key_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["key_a", "key_b"], "left")
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_union_sketch",
+            "n_both",
+            "jaccard_est",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard_exact"),
         )
     )
 
