@@ -447,6 +447,49 @@ def kmv_overlap_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------- candidate shape: MAD with pinned value hist
+
+
+def mad_pin_vhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_value_outliers_mad with the grid-sized value histogram
+    pinned once (eager localCheckpoint): med's pick, the dhist regroup,
+    and their shared lineage otherwise re-aggregate the raw events table
+    per arm."""
+    ev = load_events(spark, sf_dir)
+    vhist = (
+        ev.groupBy("event_type", F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    med = histogram_quantiles(vhist, [(1, 2)], group_cols=["event_type"]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    dhist = (
+        vhist.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.abs(F.col("v") - F.col("med")).alias("v"))
+        .agg(F.sum("n").alias("n"))
+    )
+    mad = histogram_quantiles(dhist, [(1, 2)], group_cols=["event_type"]).select(
+        "event_type", F.col("value").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > F.lit(5.0) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 # ------------------------------------------ r17 shape: BM25 dl by explode
 
 
